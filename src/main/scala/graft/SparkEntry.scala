@@ -1,13 +1,553 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import scala.collection.immutable.ListMap
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.operators.{Dedup, Multimodal, RefOps, Similarity, TextOps}
+import graft.sources.Tables
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Naming: r* = reference-parity pipelines (SURVEY.md §2.1), q* = star-schema
+  * SQL surface, t* = text analysis, d* = dedup, s* = similarity search,
+  * m* = multimodal, a* = approximate sketches (rows-only check).
+  *
+  * Determinism rules (oracle hash-compare): every query ends in an explicit
+  * total ORDER BY with a unique tie-breaker; computed integers are cast to
+  * bigint (DuckDB's default integer width); doubles that pass through
+  * arithmetic are rounded (2 dp for money sums, 4-6 dp for ratios) in BOTH
+  * engines so partition-order ULP noise cannot flip the hash.
+  */
 object SparkEntry {
+
+  private def T(s: SparkSession, dir: String, n: String): DataFrame = {
+    GraftFunctions.register(s)
+    if (n == "events") Tables.events(s, dir) else Tables.table(s, dir, n)
+  }
+
+  /** revenue expression shared by q3/q5 */
+  private def revenue: Column =
+    col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("q7_flagship_nation_avg")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---- reference-parity tier (SURVEY.md §2.1) ----
+
+    // M1 uppercase map (reference S3ReadWriteExample.java:26)
+    "r1_uppercase" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(col("doc_id"), upper(col("text")).as("text_upper"))
+        .orderBy(col("doc_id"))),
+
+    // F1 predicate filter (reference S3FlinkFilterJacksonville.java:66-71),
+    // on the schema'd path (idiomatic tier)
+    "r2_filter_city" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_mktsegment") =!= "BUILDING")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .orderBy(col("c_custkey"))),
+
+    // K1+A1 keyed (sum,count)->avg (reference S3FlinkAverageSalaryByCity)
+    "r3_avg_by_segment" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"),
+          count(lit(1)).as("cnt"),
+          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+        .orderBy(col("c_mktsegment"))),
+
+    // M2+F1+M3 literal pipeline: build line -> split(",") -> positional
+    // filter -> re-join (reference S3FlinkFilterJacksonville.main)
+    "r4_csv_roundtrip" -> ((s, dir) => {
+      val lines = T(s, dir, "customer")
+        .select(concat_ws(",", col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_mktsegment")).as("value"))
+      RefOps.filterJob(lines, "BUILDING").orderBy(col("value"))
+    }),
+
+    // ---- star-schema SQL surface ----
+
+    // scan + filter (pushed) + grouped agg with decomposable sum/avg/count
+    "q1_pricing_summary" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP_NTZ '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(revenue), 2).as("sum_disc_price"),
+          round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 4).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))),
+
+    // 3-way join + agg + top-n (broadcastable dims broadcast by AQE)
+    "q3_top_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders")
+        .filter(expr("o_orderdate < TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+      val l = T(s, dir, "lineitem")
+        .filter(expr("l_shipdate > TIMESTAMP_NTZ '1997-01-01 00:00:00'"))
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .select(col("l_orderkey"),
+          unix_timestamp(col("o_orderdate").cast("timestamp")).as("o_date_epoch"),
+          col("o_orderpriority"), col("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // 6-way star join, dims broadcast, grouped revenue
+    "q5_region_revenue" -> ((s, dir) => {
+      val r = T(s, dir, "region").filter(col("r_name") === "EUROPE")
+      val n = T(s, dir, "nation")
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP_NTZ '1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP_NTZ '1998-01-01 00:00:00'"))
+      val l = T(s, dir, "lineitem")
+      val sup = T(s, dir, "supplier")
+      broadcast(r).join(n, col("r_regionkey") === col("n_regionkey"))
+        .join(c, col("n_nationkey") === col("c_nationkey"))
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(revenue), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // flagship: the reference's avg-salary-by-city pattern on the star
+    // schema (SURVEY.md §7.2) — join, exclusion filter, keyed avg
+    "q7_flagship_nation_avg" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation").filter(col("n_name") =!= "NATION_13")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
+          count(lit(1)).as("cnt"),
+          round(avg(col("o_totalprice")), 4).as("avg_price"))
+        .orderBy(col("n_name"))
+    }),
+
+    // ranking window function, per-group top-k
+    "q8_window_topk" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal").desc, col("c_custkey"))
+      T(s, dir, "customer")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select(col("c_mktsegment"), col("c_custkey"), col("c_acctbal"), col("rn"))
+        .orderBy(col("c_mktsegment"), col("rn"))
+    }),
+
+    // anti join (NOT EXISTS)
+    "q9_customers_without_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // semi join (EXISTS)
+    "q10_customers_with_big_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // grouping sets / rollup
+    "q11_rollup_flag_status" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // event-time bucketing on the events stream table (ts = raw nanos)
+    "q12_events_hourly" -> ((s, dir) => {
+      val secs = expr("ts div 1000000000")
+      T(s, dir, "events")
+        .withColumn("hour_epoch", (secs - pmod(secs, lit(3600L))))
+        .groupBy(col("hour_epoch"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("hour_epoch"), col("event_type"))
+    }),
+
+    // distinct aggregation
+    "q13_distinct_parts_per_flag" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    // approximate distinct (HLL++) — sketch values are engine-specific,
+    // no SQL oracle (rows-only check)
+    "a1_approx_distinct" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    // ---- text analysis tier ----
+
+    "t1_token_stats" -> ((s, dir) =>
+      TextOps.tokenStats(T(s, dir, "documents"))
+        .select(col("doc_id"),
+          col("n_ws_tokens").cast("long").as("n_ws_tokens"),
+          col("n_re_tokens").cast("long").as("n_re_tokens"))),
+
+    "t2_quality_score" -> ((s, dir) =>
+      TextOps.qualityScore(T(s, dir, "documents"))
+        .withColumn("n_chars_calc", col("n_chars_calc").cast("long"))),
+
+    "t3_lang_id" -> ((s, dir) => {
+      val out = TextOps.langId(T(s, dir, "documents"))
+      val hitCols = Seq("hits_en", "hits_fr", "hits_es", "hits_de", "hits_zh")
+      hitCols.foldLeft(out)((d, c) => d.withColumn(c, col(c).cast("long")))
+    }),
+
+    "t4_fingerprint" -> ((s, dir) =>
+      TextOps.fingerprints(T(s, dir, "documents"))),
+
+    "t5_top_trigrams" -> ((s, dir) =>
+      TextOps.topNgrams(T(s, dir, "documents"), 3, 20)),
+
+    // ---- dedup tier ----
+
+    // exact dedup: deterministic first row per key
+    "d1_exact_dedup_events" -> ((s, dir) =>
+      Dedup.exactDedup(T(s, dir, "events"), Seq("user_id", "event_type"), "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))),
+
+    // MinHash+LSH near-dup (xxhash64-based — no SQL oracle, rows-only)
+    "d2_minhash_neardup" -> ((s, dir) =>
+      Dedup.minHashNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+        Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+          threshold = 0.2))),
+
+    // blocked exact n-gram Jaccard near-dup
+    "d3_ngram_jaccard_neardup" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        Seq(col("lang")), n = 3, threshold = 0.2)),
+
+    // SimHash signatures (xxhash64-based — no SQL oracle, rows-only)
+    "d4_simhash" -> ((s, dir) =>
+      Dedup.withSimHash(T(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("simhash"))
+        .orderBy(col("doc_id"))),
+
+    // embedding-cosine near-dup, blocked by label
+    "d5_embedding_neardup" -> ((s, dir) =>
+      Dedup.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        "label", threshold = 0.4)),
+
+    // ---- similarity search tier ----
+
+    // exact brute-force cosine top-k (codegen'd native kernel)
+    "s1_cosine_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // LSH-bucketed approximate top-k (scale path — rows-only check)
+    "s2_lsh_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, dim = 64)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // ---- multimodal tier ----
+
+    "m1_media_meta" -> ((s, dir) => {
+      val m = Multimodal.mediaMeta(T(s, dir, "documents"))
+      Seq("n_bytes", "width", "height")
+        .foldLeft(m)((d, c) => d.withColumn(c, col(c).cast("long")))
+    }),
+
+    "m2_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSample(T(s, dir, "documents"), frameLen = 100)),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops — the
+    * driver records a weaker rows-only check for those.
+    */
+  def oracleSql: Map[String, String] = ListMap(
+
+    "r1_uppercase" ->
+      "SELECT doc_id, upper(text) AS text_upper FROM documents ORDER BY doc_id",
+
+    "r2_filter_city" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer WHERE c_mktsegment <> 'BUILDING' ORDER BY c_custkey""".stripMargin,
+
+    "r3_avg_by_segment" ->
+      """SELECT c_mktsegment, round(sum(c_acctbal), 2) AS sum_bal,
+        |count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "r4_csv_roundtrip" ->
+      """SELECT concat_ws(',', c_custkey, c_name, c_nationkey, c_mktsegment) AS value
+        |FROM customer WHERE c_mktsegment <> 'BUILDING' ORDER BY value""".stripMargin,
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |round(sum(l_quantity), 2) AS sum_qty,
+        |round(sum(l_extendedprice), 2) AS sum_base_price,
+        |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
+        |round(avg(l_quantity), 4) AS avg_qty,
+        |round(avg(l_extendedprice), 4) AS avg_price,
+        |round(avg(l_discount), 6) AS avg_disc,
+        |count(*) AS cnt
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS o_date_epoch,
+        |o_orderpriority, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM region, nation, customer, orders, lineitem, supplier
+        |WHERE r_name = 'EUROPE' AND r_regionkey = n_regionkey
+        |  AND n_nationkey = c_nationkey AND c_custkey = o_custkey
+        |  AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q7_flagship_nation_avg" ->
+      """SELECT n_name, round(sum(o_totalprice), 2) AS sum_price,
+        |count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+        |FROM orders, customer, nation
+        |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+        |  AND n_name <> 'NATION_13'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q8_window_topk" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, rn FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment
+        |                       ORDER BY c_acctbal DESC, c_custkey) AS rn
+        |  FROM customer) WHERE rn <= 3
+        |ORDER BY c_mktsegment, rn""".stripMargin,
+
+    "q9_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q10_customers_with_big_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q11_rollup_flag_status" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q12_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+        |event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q13_distinct_parts_per_flag" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        |count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "t1_token_stats" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
+        |len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t2_quality_score" ->
+      """WITH q AS (
+        |  SELECT doc_id, length(text) AS n_chars_calc, string_split(text, ' ') AS tk
+        |  FROM documents),
+        |q2 AS (
+        |  SELECT doc_id, n_chars_calc,
+        |    CAST(len(tk) AS DOUBLE) AS n_tok,
+        |    CAST(list_aggregate([length(t) for t in tk], 'sum') AS DOUBLE) AS sum_len,
+        |    CAST(len(list_filter(tk, t -> t IN
+        |      ('the','a','of','and','to','in','is','it'))) AS DOUBLE) AS hits
+        |  FROM q)
+        |SELECT doc_id, n_chars_calc,
+        |  CAST(n_tok AS BIGINT) AS n_tokens,
+        |  round(CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0.0 END, 6) AS avg_word_len,
+        |  round(CASE WHEN n_tok > 0 THEN hits / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
+        |  round(0.3 * least(n_tok / 100.0, 1.0)
+        |      + 0.4 * (CASE WHEN n_tok > 0 THEN hits / n_tok ELSE 0.0 END)
+        |      + 0.3 * least((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0.0 END) / 8.0, 1.0),
+        |    6) AS quality
+        |FROM q2 ORDER BY doc_id""".stripMargin,
+
+    "t3_lang_id" ->
+      """WITH h AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(tk, t -> t IN ('the','a','of','and','to','in','is','it'))) AS hits_en,
+        |    len(list_filter(tk, t -> t IN ('le','la','les','de','et','un','une','est'))) AS hits_fr,
+        |    len(list_filter(tk, t -> t IN ('el','la','los','de','y','un','una','es'))) AS hits_es,
+        |    len(list_filter(tk, t -> t IN ('der','die','das','und','ein','eine','ist'))) AS hits_de,
+        |    len(list_filter(tk, t -> t IN ('的','是','了','在','我'))) AS hits_zh
+        |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tk FROM documents))
+        |SELECT doc_id, lang, hits_en, hits_fr, hits_es, hits_de, hits_zh,
+        |  CASE
+        |    WHEN hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0 AND hits_zh = 0 THEN 'und'
+        |    WHEN hits_en >= greatest(hits_fr, hits_es, hits_de, hits_zh) THEN 'en'
+        |    WHEN hits_fr >= greatest(hits_es, hits_de, hits_zh) THEN 'fr'
+        |    WHEN hits_es >= greatest(hits_de, hits_zh) THEN 'es'
+        |    WHEN hits_de >= hits_zh THEN 'de'
+        |    ELSE 'zh' END AS lang_guess,
+        |  CAST(CASE
+        |    WHEN hits_en = 0 AND hits_fr = 0 AND hits_es = 0 AND hits_de = 0 AND hits_zh = 0 THEN 'und'
+        |    WHEN hits_en >= greatest(hits_fr, hits_es, hits_de, hits_zh) THEN 'en'
+        |    WHEN hits_fr >= greatest(hits_es, hits_de, hits_zh) THEN 'fr'
+        |    WHEN hits_es >= greatest(hits_de, hits_zh) THEN 'es'
+        |    WHEN hits_de >= hits_zh THEN 'de'
+        |    ELSE 'zh' END = lang AS INTEGER) AS guess_matches
+        |FROM h ORDER BY doc_id""".stripMargin,
+
+    "t4_fingerprint" ->
+      """SELECT doc_id, list_reduce(
+        |  list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+        |  (acc, x) -> (acc * 131 + x) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "t5_top_trigrams" ->
+      """SELECT ngram, count(*) AS cnt FROM (
+        |  SELECT unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+        |                 for i in range(1, len(tk) - 1)]) AS ngram
+        |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)
+        |  WHERE len(tk) >= 3)
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "d1_exact_dedup_events" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
+    // Shingles hashed with the portable polynomial hash (token hashes
+    // folded with base 131 mod 2^53-111) — mirrors
+    // TextFunctions.hashedShingleSet exactly.
+    "d3_ngram_jaccard_neardup" ->
+      """WITH th AS (
+        |  SELECT lang, doc_id,
+        |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       [CAST(unicode(c) AS BIGINT) for c in string_split(t, '')]),
+        |       (acc, x) -> (acc * 131 + x) % 9007199254740881)
+        |     for t in string_split(text, ' ')] AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct([((((th[i]) * 131 + th[i+1]) % 9007199254740881) * 131 + th[i+2]) % 9007199254740881
+        |                   for i in range(1, len(th) - 1)]) AS sh
+        |  FROM th WHERE len(th) >= 3)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh)
+        |             - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) * 0.2 <= len(b.sh) AND len(b.sh) * 0.2 <= len(a.sh))
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    // CAST(... AS DOUBLE[]) makes DuckDB accumulate in double in index
+    // order — bit-identical to the codegen'd CosineSimilarity kernel
+    // (verified: 0 ULP mismatches across all pairs at sf0.001).
+    "d5_embedding_neardup" ->
+      """SELECT blk, id_a, id_b, cos FROM (
+        |  SELECT a.label AS blk, a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        |          / sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[]))
+        |                 * list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.label = b.label AND a.vec_id < b.vec_id)
+        |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    "s1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+        |           FROM embeddings WHERE vec_id < 10),
+        |c2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (
+        |  SELECT q.qid, c.vec_id,
+        |    round(list_dot_product(c.emb, q.qvec)
+        |          / sqrt(list_dot_product(c.emb, c.emb)
+        |                 * list_dot_product(q.qvec, q.qvec)), 6) AS sim
+        |  FROM c2 c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, vec_id, sim, rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "m1_media_meta" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  64 + (octet_length(encode(text)) * 31) % 512 AS width,
+        |  64 + (octet_length(encode(text)) * 17) % 512 AS height
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "m2_frame_sample" ->
+      """SELECT doc_id, CAST(off // 100 AS BIGINT) AS frame_no, off,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      [CAST(unicode(c) AS BIGINT)
+        |       for c in string_split(substr(text, CAST(off + 1 AS INTEGER), 100), '')]),
+        |    (acc, x) -> (acc * 131 + x) % 1000000007) AS frame_fp
+        |FROM (SELECT doc_id, text,
+        |        unnest(range(0, n_chars, 100)) AS off FROM documents)
+        |ORDER BY doc_id, frame_no""".stripMargin,
+  )
 }

@@ -1,0 +1,33 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registration + Column-level API for graft's custom Catalyst expressions.
+  *
+  * Registered through the session `FunctionRegistry`, so the functions are
+  * usable both from SQL (`SELECT graft_cosine(a, b)`) and from the DataFrame
+  * DSL via `call_function`. Registration is idempotent and cheap; every
+  * graft operator calls [[register]] defensively so driver-created sessions
+  * (Verify/Bench) need no special setup.
+  */
+object GraftFunctions {
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+  }
+
+  private def asFloatArray(c: Column): Column = c.cast("array<float>")
+
+  /** Cosine similarity of two `array<float>` columns (codegen'd, double). */
+  def cosineSim(a: Column, b: Column): Column =
+    call_function("graft_cosine", asFloatArray(a), asFloatArray(b))
+
+  /** Inner product of two `array<float>` columns (codegen'd, double). */
+  def dotProduct(a: Column, b: Column): Column =
+    call_function("graft_dot", asFloatArray(a), asFloatArray(b))
+}

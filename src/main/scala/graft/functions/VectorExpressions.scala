@@ -1,0 +1,109 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for vector math over `array<float>` columns.
+  *
+  * The reference has no vector ops; these back the north-star similarity /
+  * near-dup tier (SURVEY.md §2.3). A custom expression (with `doGenCode`)
+  * is used instead of `zip_with`/`aggregate` because the built-in
+  * higher-order functions allocate a lambda frame per element and stay
+  * interpreted, which is the hot loop of a 100 TB ANN sweep — here the whole
+  * dot product compiles to a tight primitive `for` loop inside whole-stage
+  * codegen, no allocation, no virtual calls.
+  *
+  * Semantics: elements are read as float, accumulated in double (index
+  * order), null elements contribute 0. Zero-norm inputs yield 0.0 (not NaN)
+  * so downstream rankings stay total.
+  */
+/** Inputs must be `array<float>` — the Column wrappers in
+  * [[GraftFunctions]] insert the cast, so the expression itself skips
+  * analyzer-time type checks (`AbstractDataType` is private[sql]).
+  */
+trait VectorBinaryExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+}
+
+/** cosine(a, b) = dot(a,b) / (||a|| * ||b||), computed in one pass. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "graft_cosine"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    if (nx == 0.0 || ny == 0.0) 0.0 else dot / math.sqrt(nx * ny)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, nx = 0.0, ny = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
+         |  double yi = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
+         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |}
+         |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** dot(a, b) — inner product in double, same null/length rules as cosine. */
+case class DotProduct(left: Expression, right: Expression)
+    extends VectorBinaryExpression {
+
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = if (x.isNullAt(i)) 0.0 else x.getFloat(i).toDouble
+      val yi = if (y.isNullAt(i)) 0.0 else y.getFloat(i).toDouble
+      dot += xi * yi
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xi = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
+         |  double yi = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
+         |  dot += xi * yi;
+         |}
+         |${ev.value} = dot;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators for training-data pipelines (north-star tier,
+  * SURVEY.md §2.3): token counting, quality scoring, heuristic language ID,
+  * document fingerprinting, n-gram statistics.
+  *
+  * All per-document ops are narrow (no shuffle) and codegen-friendly; the
+  * n-gram frequency op is one explode + one hash aggregation, with map-side
+  * partial counts. Every formula is mirrored 1:1 by an ANSI-SQL oracle twin
+  * in `SparkEntry.oracleSql`.
+  */
+object TextOps {
+
+  /** Regex-token pattern (BPE-ish: word pieces or single punctuation). */
+  val TokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Per-doc token counts: whitespace tokens + regex tokens. */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("n_ws_tokens"),
+      regexp_count(col("text"), lit(TokenRegex)).as("n_re_tokens"))
+      .orderBy(col("doc_id"))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.3 · min(tokens/100, 1) + 0.4 · stopword-ratio + 0.3 · min(meanWordLen/8, 1).
+    * Components are exposed (rounded) for inspection; the score is computed
+    * from the unrounded components.
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    val nTok = size(tok).cast("double")
+    val sumLen = aggregate(transform(tok, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val avgWlen = when(nTok > 0, sumLen / nTok).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      stopwordHits(tok, langStopwords.head._2).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val score = lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.4) * stopRatio +
+      lit(0.3) * least(avgWlen / lit(8.0), lit(1.0))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars_calc"),
+      nTok.cast("long").as("n_tokens"),
+      round(avgWlen, 6).as("avg_word_len"),
+      round(stopRatio, 6).as("stopword_ratio"),
+      round(score, 6).as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Heuristic language ID: stopword-profile hit counts per language,
+    * argmax with a fixed deterministic tie-break order (en,fr,es,de,zh);
+    * all-zero → "und". Output keeps the per-language counts and a flag
+    * against the labeled `lang` column when present.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    val hits: Seq[(String, Column)] =
+      langStopwords.map { case (l, words) => l -> stopwordHits(tok, words) }
+    val hitCols = hits.map { case (l, c) => c.as(s"hits_$l") }
+    val base = docs.select((col("doc_id") +: col("lang") +: hitCols): _*)
+
+    def h(l: String) = col(s"hits_$l")
+    val allZero = hits.map(_._1).map(l => h(l) === 0).reduce(_ && _)
+    // argmax chain with fixed priority: en >= max(rest) → en, else fr >= ...
+    val langs = langStopwords.map(_._1)
+    def chain(rest: List[String]): Column = rest match {
+      case l :: Nil => lit(l)
+      case l :: tail =>
+        val maxRest =
+          if (tail.size == 1) h(tail.head) else greatest(tail.map(h): _*)
+        when(h(l) >= maxRest, lit(l)).otherwise(chain(tail))
+      case Nil => lit("und")
+    }
+    base
+      .withColumn("lang_guess",
+        when(allZero, lit("und")).otherwise(chain(langs.toList)))
+      .withColumn("guess_matches",
+        (col("lang_guess") === col("lang")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Rolling-hash document fingerprint (engine-portable polynomial hash —
+    * see [[graft.functions.TextFunctions.charFingerprint]]).
+    */
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), charFingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  /** Corpus-wide top-k word n-grams by frequency (duplicates within a doc
+    * count). One explode + one partial/final hash aggregation.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame =
+    docs
+      .select(explode(wordShingles(tokens(col("text")), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(k)
+}

@@ -1,0 +1,59 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Structured-Streaming re-expression of the reference's streaming surface.
+  *
+  * The reference's jobs are bounded `PROCESS_ONCE` reads on Flink's
+  * streaming API (SURVEY.md §1.4); `Trigger.AvailableNow` is the exact
+  * Spark-native equivalent — process everything available, checkpoint,
+  * stop. The unwindowed keyed reduce (reference
+  * `S3FlinkAverageSalaryByCity.java:34-35,75-80`) emits a *running*
+  * aggregate per input record; [[runningAvgByKey]] with
+  * `outputMode("update")` reproduces that per-trigger update stream, while
+  * the batch `RefOps.avgByCity` reproduces the final row per key.
+  */
+object StreamOps {
+
+  /** Streaming flavor of the uppercase job (reference
+    * `S3ReadWriteExample.main`): text-file source → upper → text-file sink
+    * with checkpointed exactly-once output, AvailableNow trigger.
+    */
+  def upperCasePipeline(spark: SparkSession, inPath: String, outPath: String,
+                        checkpoint: String): StreamingQuery =
+    spark.readStream.text(inPath)
+      .select(upper(col("value")).as("value"))
+      .writeStream
+      .format("text")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Running (sum, count, avg) per key over a *streaming* DataFrame —
+    * the literal semantics of the reference's unwindowed `ReduceFunction`:
+    * with update output mode, each micro-batch emits the refreshed
+    * aggregate for every key it touched.
+    */
+  def runningAvgByKey(stream: DataFrame, keyCol: String,
+                      valCol: String): DataFrame =
+    stream.groupBy(col(keyCol))
+      .agg(sum(col(valCol)).as("sum_val"),
+        count(lit(1)).as("cnt"))
+      .withColumn("avg_val", col("sum_val") / col("cnt"))
+
+  /** Event-time windowed aggregation with a watermark — tumbling 1 h
+    * windows over the events stream (the windowed-agg surface the
+    * reference lacks but any stream engine needs; late rows beyond the
+    * watermark are dropped and state is evicted — bounded state at scale).
+    */
+  def hourlyEventCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+}
