@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+import graft.sources.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactDedup keeps the lowest-tiebreaker row per key, all columns") {
+    val df = Seq(
+      (1L, "a", 10.0), (3L, "a", 30.0), (2L, "a", 20.0),
+      (5L, "b", 50.0)).toDF("id", "k", "v")
+    val out = Dedup.exactDedup(df, Seq("k"), "id").orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((1L, "a", 10.0), (5L, "b", 50.0)))
+  }
+
+  test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
+    val unrelated = (100 to 140).map(i => s"other$i").mkString(" ")
+    val df = Seq((0L, base), (1L, nearDup), (2L, unrelated)).toDF("doc_id", "text")
+    val pairs = Dedup.minHashNearDupPairs(df, "doc_id", "text",
+      Dedup.MinHashParams(threshold = 0.5)).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // true Jaccard of the planted pair: 35 shared / 41 union of 3-shingles
+    assert(pairs.head.getDouble(2) > 0.8)
+  }
+
+  test("simhash: identical docs get identical signatures, near docs are close") {
+    val df = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val sh = Dedup.withSimHash(df, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) == sh(1L))
+    assert(sh(0L) != sh(2L))
+  }
+
+  test("ngramJaccardPairs: planted near-dup found with exact jaccard") {
+    val a = (1 to 30).map("w" + _).mkString(" ")
+    val b = (1 to 30).map(i => if (i == 30) "X" else "w" + i).mkString(" ")
+    val df = Seq((0L, a, "en"), (1L, b, "en"), (2L, a, "fr")).toDF("doc_id", "text", "lang")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(col("lang")), 3, 0.5)
+      .collect()
+    // (0,1) same lang near-dup; (0,2) identical but different block -> excluded
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((0L, 1L)))
+    // 28 shingles each; the changed final token hits only the last
+    // shingle -> 27 shared, union 29 -> jaccard 27/29
+    assert(math.abs(pairs.head.getDouble(2) - 27.0 / 29.0) < 1e-6)
+  }
+
+  test("embeddingNearDup finds same-block high-cosine pairs only") {
+    val v = Seq(1f, 0f, 0f)
+    val vNear = Seq(0.99f, 0.05f, 0f)
+    val vFar = Seq(0f, 1f, 0f)
+    val df = Seq(
+      (0L, v, 1), (1L, vNear, 1), (2L, vFar, 1),
+      (3L, v, 2) // near 0 but different block
+    ).toDF("vec_id", "embedding", "label")
+    val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", "label", 0.9).collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK returns exact neighbors in rank order") {
+    val corpus = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(0.7f, 0.7f))).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 2).collect()
+    // nearest to (1,0) excluding self: id1 (cos~.994), then id3 (cos~.707)
+    assert(out.map(r => (r.getLong(1), r.getInt(3))).toSeq == Seq((1L, 1), (3L, 2)))
+  }
+
+  test("lshTopK neighbors are a subset of brute-force candidates with same scores") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 50).select("qid", "vec_id", "sim")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = 64).collect()
+    assert(approx.nonEmpty)
+    approx.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      // every LSH hit that also appears in the exact top-50 has the same score
+      exact.get(key).foreach(s => assert(s == r.getDouble(2)))
+    }
+  }
+}
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenStats counts whitespace and regex tokens") {
+    val df = Seq((0L, "ab cd, ef!")).toDF("doc_id", "text")
+    val r = TextOps.tokenStats(df).collect()(0)
+    assert(r.getInt(1) == 3)      // "ab", "cd,", "ef!"
+    assert(r.getInt(2) == 5)      // ab, cd, ',', ef, '!'
+  }
+
+  test("langId picks profile with most stopword hits, deterministic ties") {
+    val df = Seq(
+      (0L, "the cat sat", "en"),      // 'the' -> en
+      (1L, "le chat est la", "fr"),   // le, est, la -> fr
+      (2L, "xyz qqq www", "zh")       // no hits -> und
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.langId(df).select("doc_id", "lang_guess")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(0L -> "en", 1L -> "fr", 2L -> "und"))
+  }
+
+  test("qualityScore components are in range and deterministic") {
+    val df = Seq((0L, "the quick brown fox")).toDF("doc_id", "text")
+    val r = TextOps.qualityScore(df).collect()(0)
+    val quality = r.getDouble(5)
+    assert(quality >= 0.0 && quality <= 1.0)
+    // 4 tokens, 1 stopword hit, avg word len 4.0
+    assert(r.getLong(2) == 4L)
+    assert(r.getDouble(4) == 0.25)
+  }
+
+  test("topNgrams counts duplicate shingles across docs") {
+    val df = Seq((0L, "a b c a b c"), (1L, "a b c d")).toDF("doc_id", "text")
+    val top = TextOps.topNgrams(df, 3, 2).collect()
+    assert(top(0).getString(0) == "a b c" && top(0).getLong(1) == 3L)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decodeFeatures runs distributed with per-partition batching") {
+    val docs = Tables.documents(spark, sf001).limit(50)
+    val feats = Multimodal.decodeFeatures(docs, dims = 4).collect()
+    assert(feats.length == 50)
+    assert(feats.forall(_.feature.length == 4))
+    // checksum matches the column-level fingerprint of the same bytes
+    val fp = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.charFingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    feats.foreach(f => assert(f.checksum == fp(f.doc_id)))
+  }
+
+  test("frameSample covers every offset stride of each doc") {
+    val df = Seq((0L, "x" * 250, 250L)).toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.frameSample(df, frameLen = 100).collect()
+    assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
+    assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 100L, 200L))
+  }
+}
+
+class EntrySpec extends SparkSpec {
+  test("entry returns rows (driver smoke contract)") {
+    GraftFunctions.register(spark)
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared oracle key has a matching query") {
+    val qs = graft.SparkEntry.queries.keySet
+    val os = graft.SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle keys without query: ${os -- qs}")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Structured-Streaming parity tests: the reference's PROCESS_ONCE file
+  * pipeline (AvailableNow) and the unwindowed keyed reduce's running
+  * (update-mode) emission — SURVEY.md §0 faithfulness caveats.
+  */
+class StreamOpsSpec extends SparkSpec {
+
+  test("AvailableNow uppercase file pipeline: exactly-once, then stops") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    Seq("one", "two", "three").toDF("value").coalesce(1).write.text(in)
+    val q = StreamOps.upperCasePipeline(spark, in, out, cp)
+    q.awaitTermination(60000)
+    val got = spark.read.text(out).collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("ONE", "THREE", "TWO"))
+    // AvailableNow terminates by itself once the backlog is processed
+    assert(!q.isActive)
+  }
+
+  test("update-mode running avg emits refreshed aggregates per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val agg = StreamOps.runningAvgByKey(
+      mem.toDF().toDF("city", "salary"), "city", "salary")
+    val q = agg.writeStream.format("memory").queryName("running_avg")
+      .outputMode("update").trigger(Trigger.ProcessingTime(0)).start()
+    try {
+      // batch 1: city X gets one row — running avg 100
+      mem.addData(("X", 100.0))
+      q.processAllAvailable()
+      val b1 = spark.table("running_avg").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      assert(b1.toSeq.contains(("X", 100.0, 1L, 100.0)))
+
+      // batch 2: X gets a second row — the UPDATED aggregate is emitted
+      // again (the reference's running-emission semantics, one update per
+      // trigger rather than per record)
+      mem.addData(("X", 200.0), ("Y", 50.0))
+      q.processAllAvailable()
+      val b2 = spark.table("running_avg").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3)))
+      assert(b2.toSeq.contains(("X", 300.0, 2L, 150.0)))
+      assert(b2.toSeq.contains(("Y", 50.0, 1L, 50.0)))
+      // both the batch-1 prefix and the batch-2 refresh are present in the
+      // update stream — final state per key = last emission
+      assert(b2.count(_._1 == "X") == 2)
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark (event-time tumbling windows)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val agg = StreamOps.hourlyEventCounts(
+      mem.toDF().toDF("ts", "event_type", "value"))
+    val q = agg.writeStream.format("memory").queryName("hourly")
+      .outputMode("update").start()
+    try {
+      mem.addData(
+        (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+        (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("hourly").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(rows.contains(("2024-01-01 10:00:00.0", "click", 2L, 3.0)))
+      assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
+    } finally q.stop()
+  }
+}
