@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.functions._
 
 /** Registration + Column-level API for graft's custom Catalyst expressions.
@@ -19,6 +20,15 @@ object GraftFunctions {
       "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_topk", es => {
+        val k = es(2) match {
+          case Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_topk k must be an int literal, got $other")
+        }
+        TopKByScore(es(0), es(1), k)
+      }, "built-in")
   }
 
   private def asFloatArray(c: Column): Column = c.cast("array<float>")
@@ -30,4 +40,11 @@ object GraftFunctions {
   /** Inner product of two `array<float>` columns (codegen'd, double). */
   def dotProduct(a: Column, b: Column): Column =
     call_function("graft_dot", asFloatArray(a), asFloatArray(b))
+
+  /** Bounded top-k aggregate: array<struct<score,id>> of the k best
+    * (score DESC, id ASC) pairs, with map-side partial reduction —
+    * see [[TopKByScore]].
+    */
+  def topK(score: Column, id: Column, k: Int): Column =
+    call_function("graft_topk", score, id.cast("long"), lit(k))
 }

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -38,13 +37,24 @@ object Similarity {
       .withColumn("sim", round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
     val filtered =
       if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
-    filtered
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("sim"), col("rank"))
-      .orderBy(col(qidCol), col("rank"))
+    rankTopK(filtered, idCol, qidCol, k)
   }
+
+  /** Per-query ranking via the bounded TopKByScore aggregate (NOT a window
+    * function): each map task reduces its partition to ≤ k pairs per query
+    * before the shuffle, so the exchange carries O(k × partitions) rows per
+    * query instead of the whole candidate set. Output matches the window
+    * formulation bit-for-bit: rank by (sim DESC, id ASC), rank ≤ k.
+    */
+  private def rankTopK(withSim: DataFrame, idCol: String, qidCol: String,
+                       k: Int): DataFrame =
+    withSim
+      .groupBy(col(qidCol))
+      .agg(GraftFunctions.topK(col("sim"), col(idCol), k).as("tk"))
+      .select(col(qidCol), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col(qidCol), col("p.id").as(idCol), col("p.score").as("sim"),
+        (col("pos") + 1).cast("int").as("rank"))
+      .orderBy(col(qidCol), col("rank"))
 
   /** Number of random hyperplanes for [[lshTopK]] bucketing (bucket space
     * 2^planes). */
@@ -88,11 +98,6 @@ object Similarity {
       .withColumn("sim", round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
     val filtered =
       if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
-    val w = Window.partitionBy(col(qidCol)).orderBy(col("sim").desc, col(idCol))
-    filtered
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col(qidCol), col(idCol), col("sim"), col("rank"))
-      .orderBy(col(qidCol), col("rank"))
+    rankTopK(filtered, idCol, qidCol, k)
   }
 }
