@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, RefOps, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, RefOps, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -202,6 +202,34 @@ object SparkEntry {
           countDistinct(col("l_suppkey")).as("n_supps"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
+
+    // set operations: INTERSECT / EXCEPT (distinct semantics)
+    "q14_set_ops" -> ((s, dir) => {
+      val a = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey").as("key"))
+      val b = T(s, dir, "orders").select(col("o_custkey").as("key"))
+      a.intersect(b).withColumn("tag", lit("with_orders"))
+        .unionByName(a.except(b).withColumn("tag", lit("without_orders")))
+        .select(col("tag"), col("key"))
+        .orderBy(col("tag"), col("key"))
+    }),
+
+    // exact percentiles (interpolating) per group
+    "q15_percentiles" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+        .orderBy(col("l_returnflag"))),
+
+    // gap-based sessionization of the event log (30 min gap)
+    "e1_sessionize" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_secs", expr("ts div 1000000000"))
+      Sessionize.sessionSummaries(ev, "user_id", "ts_secs", "event_id", 1800L)
+    }),
 
     // approximate distinct (HLL++) — sketch values are engine-specific,
     // no SQL oracle (rows-only check)
@@ -400,6 +428,46 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
         |count(DISTINCT l_suppkey) AS n_supps, count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q14_set_ops" ->
+      """SELECT 'with_orders' AS tag, key FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  INTERSECT SELECT o_custkey FROM orders)
+        |UNION ALL
+        |SELECT 'without_orders' AS tag, key FROM (
+        |  SELECT c_custkey AS key FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  EXCEPT SELECT o_custkey FROM orders)
+        |ORDER BY tag, key""".stripMargin,
+
+    "q15_percentiles" ->
+      """SELECT l_returnflag,
+        |round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
+        |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
+        |round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // floor(epoch(ts)) = integer seconds (CAST alone would round-half-even);
+    // window sums cast to BIGINT (DuckDB widens sum(int) to HUGEINT)
+    "e1_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs FROM events),
+        |f AS (
+        |  SELECT user_id, event_id, ts_secs,
+        |    CASE WHEN lag(ts_secs) OVER w IS NULL
+        |           OR ts_secs - lag(ts_secs) OVER w > 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_secs, event_id)),
+        |g AS (
+        |  SELECT user_id, ts_secs,
+        |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_secs, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
+        |  FROM f)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(ts_secs) AS start_secs, max(ts_secs) AS end_secs,
+        |  max(ts_secs) - min(ts_secs) AS duration_secs
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, session_no""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,

@@ -1,7 +1,8 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.functions._
 
 /** Registration + Column-level API for graft's custom Catalyst expressions.
@@ -14,21 +15,36 @@ import org.apache.spark.sql.functions._
   */
 object GraftFunctions {
 
+  private def topkBuilder(es: Seq[Expression]): Expression = {
+    val k = es(2) match {
+      case Literal(v: Int, _) => v
+      case other => throw new IllegalArgumentException(
+        s"graft_topk k must be an int literal, got $other")
+    }
+    TopKByScore(es(0), es(1), k)
+  }
+
+  /** (name, builder) for every custom function. */
+  private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
+    "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_topk" -> (topkBuilder _))
+
+  /** Injection descriptors for `SparkSessionExtensions.injectFunction`
+    * (see [[graft.GraftExtensions]]).
+    */
+  def injectable: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression)] =
+    builders.map { case (name, b) =>
+      (FunctionIdentifier(name),
+        new ExpressionInfo("graft.functions.GraftFunctions", name), b)
+    }
+
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction(
-      "graft_cosine", es => CosineSimilarity(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_dot", es => DotProduct(es(0), es(1)), "built-in")
-    reg.createOrReplaceTempFunction(
-      "graft_topk", es => {
-        val k = es(2) match {
-          case Literal(v: Int, _) => v
-          case other => throw new IllegalArgumentException(
-            s"graft_topk k must be an int literal, got $other")
-        }
-        TopKByScore(es(0), es(1), k)
-      }, "built-in")
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "built-in")
+    }
   }
 
   private def asFloatArray(c: Column): Column = c.cast("array<float>")

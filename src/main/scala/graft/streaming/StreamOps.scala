@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Structured-Streaming re-expression of the reference's streaming surface.
   *
@@ -49,6 +49,64 @@ object StreamOps {
     * reference lacks but any stream engine needs; late rows beyond the
     * watermark are dropped and state is evicted — bounded state at scale).
     */
+  /** One user event for [[sessionizeStream]]. */
+  final case class UserEvent(user_id: Long, ts_secs: Long)
+
+  /** A closed session emitted by [[sessionizeStream]]. */
+  final case class SessionOut(user_id: Long, start_secs: Long, end_secs: Long,
+                              n_events: Long)
+
+  /** Internal per-user state of [[sessionizeStream]] (public: the state
+    * encoder instantiates it from generated code). */
+  final case class SessionState(start: Long, last: Long, n: Long)
+
+  /** Streaming gap-based sessionization with custom state
+    * (`flatMapGroupsWithState`): per user, events extend the open session;
+    * a gap > `gapSeconds` closes it and emits the summary. State is one
+    * small record per active user — bounded, and evictable via `timeout`:
+    * pass `ProcessingTimeTimeout` + `timeout` in production so idle users'
+    * open sessions flush without waiting for their next event (the default
+    * `NoTimeout` closes sessions only on gap evidence, which keeps tests
+    * and replays deterministic). Batch counterpart:
+    * [[graft.operators.Sessionize]].
+    */
+  def sessionizeStream(events: Dataset[UserEvent], gapSeconds: Long,
+                       timeoutConf: GroupStateTimeout = GroupStateTimeout.NoTimeout,
+                       timeout: String = "30 minutes"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val useTimeout = timeoutConf == GroupStateTimeout.ProcessingTimeTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, timeoutConf) {
+        (user: Long, rows: Iterator[UserEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val closed = state.getOption.map(s =>
+              SessionOut(user, s.start, s.last, s.n)).toSeq
+            state.remove()
+            closed.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts_secs)
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.ts_secs - s.last <= gapSeconds =>
+                  cur = Some(SessionState(s.start, e.ts_secs, s.n + 1))
+                case Some(s) =>
+                  closed += SessionOut(user, s.start, s.last, s.n)
+                  cur = Some(SessionState(e.ts_secs, e.ts_secs, 1))
+                case None =>
+                  cur = Some(SessionState(e.ts_secs, e.ts_secs, 1))
+              }
+            }
+            cur.foreach(state.update)
+            if (useTimeout) state.setTimeoutDuration(timeout)
+            closed.result().iterator
+          }
+      }
+  }
+
   def hourlyEventCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)
