@@ -1,0 +1,61 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Intersection cardinality of two SORTED ascending distinct `array<long>`
+  * columns, via a two-pointer merge — no hash set, no allocation.
+  *
+  * Why: `size(array_intersect(a, b))` builds a hash set per ROW; in a
+  * pairwise near-dup verification the row count is the candidate-pair
+  * count (millions per block), so the allocation cost dominates the whole
+  * operator. Sorting each set once per document (array_sort, O(n log n),
+  * done on the build side of the join) converts every pair check into a
+  * linear merge over primitive longs inside whole-stage codegen.
+  *
+  * Inputs MUST be sorted ascending and duplicate-free (the caller sorts
+  * its distinct shingle sets); null elements are not expected.
+  */
+case class IntersectCountSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_intersect_count"
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val nx = x.numElements(); val ny = y.numElements()
+    var i = 0; var j = 0; var c = 0L
+    while (i < nx && j < ny) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi == yj) { c += 1; i += 1; j += 1 }
+      else if (xi < yj) i += 1
+      else j += 1
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |int nx = $a.numElements(), ny = $b.numElements();
+         |int i = 0, j = 0;
+         |long c = 0L;
+         |while (i < nx && j < ny) {
+         |  long xi = $a.getLong(i), yj = $b.getLong(j);
+         |  if (xi == yj) { c++; i++; j++; }
+         |  else if (xi < yj) i++;
+         |  else j++;
+         |}
+         |${ev.value} = c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

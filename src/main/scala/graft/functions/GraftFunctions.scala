@@ -28,6 +28,7 @@ object GraftFunctions {
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
+    "graft_intersect_count" -> (es => IntersectCountSorted(es(0), es(1))),
     "graft_topk" -> (topkBuilder _))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
@@ -56,6 +57,13 @@ object GraftFunctions {
   /** Inner product of two `array<float>` columns (codegen'd, double). */
   def dotProduct(a: Column, b: Column): Column =
     call_function("graft_dot", asFloatArray(a), asFloatArray(b))
+
+  /** Intersection cardinality of two sorted-ascending distinct
+    * `array<long>` columns (two-pointer merge, codegen'd) —
+    * see [[IntersectCountSorted]].
+    */
+  def intersectCountSorted(a: Column, b: Column): Column =
+    call_function("graft_intersect_count", a, b)
 
   /** Bounded top-k aggregate: array<struct<score,id>> of the k best
     * (score DESC, id ASC) pairs, with map-side partial reduction —

@@ -89,9 +89,11 @@ object Dedup {
     */
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           p: MinHashParams = MinHashParams()): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     val signed = withMinHashSignature(df, textCol, p)
       .filter(size(col("shingles")) > 0)
-      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
+      .select(col(idCol).as("id"),
+        array_sort(col("shingles")).as("shingles"), col("minhash"))
 
     // Explode into (band, bandKey) rows; bandKey is the band's slice of the
     // signature hashed to one long so the join key is small on the wire.
@@ -130,7 +132,7 @@ object Dedup {
       .join(sh.select(col("id").as("id_b"), col("shingles").as("sh_b"),
         col("sz").as("sz_b")), "id_b")
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        GraftFunctions.intersectCountSorted(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= p.threshold)
@@ -193,9 +195,12 @@ object Dedup {
     // Shingles are hashed to longs (portable polynomial hash) — the
     // pairwise intersect/union below is the hot loop, and long-array set
     // ops are far cheaper than string-array ops.
+    // Sets sorted ascending ONCE per document so every pair check is a
+    // linear two-pointer merge (IntersectCountSorted) instead of a
+    // per-pair hash set.
     val withSets = df
       .withColumn("__blk", concat_ws(" ", blockCols: _*))
-      .withColumn("__sh", hashedShingleSet(col(textCol), n))
+      .withColumn("__sh", array_sort(hashedShingleSet(col(textCol), n)))
       .filter(size(col("__sh")) > 0)
       .select(col("__blk"), col(idCol).as("id"), col("__sh"),
         size(col("__sh")).as("__sz"))
@@ -211,7 +216,7 @@ object Dedup {
         col("sz_a") * lit(threshold) <= col("sz_b") &&
         col("sz_b") * lit(threshold) <= col("sz_a"))
       .withColumn("inter",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
+        GraftFunctions.intersectCountSorted(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)

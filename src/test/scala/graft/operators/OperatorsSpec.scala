@@ -172,3 +172,44 @@ class EntrySpec extends SparkSpec {
     assert(os.subsetOf(qs), s"oracle keys without query: ${os -- qs}")
   }
 }
+
+class SkewSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("saltedJoin equals plain join (inner and left)") {
+    val left = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d")).toDF("k", "lv")
+    val right = Seq((1L, 10.0), (2L, 20.0)).toDF("k", "rv")
+    for (jt <- Seq("inner", "left")) {
+      val plain = left.join(right, Seq("k"), jt)
+        .orderBy("k", "lv").collect().toSeq
+      val salted = Skew.saltedJoin(left, right, Seq("k"), salts = 4, joinType = jt)
+        .orderBy("k", "lv").collect().toSeq
+      assert(salted == plain, s"joinType=$jt")
+    }
+  }
+
+  test("saltedSumCountAvg equals direct aggregation") {
+    val df = (1 to 100).map(i => ("hot", i.toDouble)) ++ Seq(("cold", 5.0))
+    val out = Skew.saltedSumCountAvg(df.toDF("k", "v"), Seq("k"), "v", salts = 8)
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getDouble(3))).toSeq ==
+      Seq(("cold", 5.0, 1L, 5.0), ("hot", 5050.0, 100L, 50.5)))
+  }
+}
+
+class IntersectCountSpec extends graft.SparkSpec {
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("IntersectCountSorted equals size(array_intersect) on sorted distinct arrays") {
+    val rnd = new scala.util.Random(1)
+    val rows = Seq.fill(100)(
+      (Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted,
+       Seq.fill(20)(rnd.nextInt(40).toLong).distinct.sorted))
+    graft.functions.GraftFunctions.register(spark)
+    val got = rows.toDF("a", "b").select(
+      graft.functions.GraftFunctions.intersectCountSorted(col("a"), col("b")),
+      size(array_intersect(col("a"), col("b"))).cast("long")).collect()
+    got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
