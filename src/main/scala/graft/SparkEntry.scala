@@ -326,6 +326,9 @@ object SparkEntry {
 
     "m2_frame_sample" -> ((s, dir) =>
       Multimodal.frameSample(T(s, dir, "documents"), frameLen = 100)),
+
+    "m3_resize_meta" -> ((s, dir) =>
+      Multimodal.resizeMeta(T(s, dir, "documents"), maxDim = 256)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -617,5 +620,16 @@ object SparkEntry {
         |FROM (SELECT doc_id, text,
         |        unnest(range(0, n_chars, 100)) AS off FROM documents)
         |ORDER BY doc_id, frame_no""".stripMargin,
+
+    "m3_resize_meta" ->
+      """SELECT doc_id, width, height,
+        |  width * 256 // greatest(width, height) AS out_w,
+        |  height * 256 // greatest(width, height) AS out_h
+        |FROM (
+        |  SELECT doc_id,
+        |    64 + (octet_length(encode(text)) * 31) % 512 AS width,
+        |    64 + (octet_length(encode(text)) * 17) % 512 AS height
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

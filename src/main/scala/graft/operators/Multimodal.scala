@@ -71,6 +71,22 @@ object Multimodal {
           expr(s"substring(text, off + 1, $frameLen)")).as("frame_fp"))
       .orderBy(col("doc_id"), col("frame_no"))
 
+  /** Resize planning — computes output dimensions that fit `maxDim` while
+    * preserving aspect ratio, in pure integer math (codegen'd projection;
+    * the actual pixel resample would live in [[decodeFeatures]]'s
+    * mapPartitions stage next to the codec).
+    */
+  def resizeMeta(docs: DataFrame, maxDim: Int = 256): DataFrame =
+    mediaMeta(docs)
+      .withColumn("width", col("width").cast("long"))
+      .withColumn("height", col("height").cast("long"))
+      .withColumn("out_w",
+        expr(s"CAST(width * $maxDim DIV greatest(width, height) AS BIGINT)"))
+      .withColumn("out_h",
+        expr(s"CAST(height * $maxDim DIV greatest(width, height) AS BIGINT)"))
+      .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))
+      .orderBy(col("doc_id"))
+
   /** STUB decode: deterministic fake "decoder". A real deployment swaps
     * the body for an actual codec call; signature, batching, and schema
     * stay identical.

@@ -213,3 +213,31 @@ class IntersectCountSpec extends graft.SparkSpec {
     got.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 }
+
+class SinksSpec extends graft.SparkSpec {
+  test("partitioned parquet sink produces hive-style layout, round-trips") {
+    val li = Tables.lineitem(spark, sf001)
+    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/li"
+    Tables.writePartitionedParquet(li, dir, Seq("l_returnflag"),
+      maxRecordsPerFile = 1000)
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
+    assert(dirs.exists(_.startsWith("l_returnflag=")))
+    val back = spark.read.parquet(dir)
+    assert(back.count() == li.count())
+    // partition pruning: reading one flag touches only that directory
+    val one = back.filter(col("l_returnflag") === "R")
+    val scan = one.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters"))
+    assert(one.count() == li.filter(col("l_returnflag") === "R").count())
+  }
+
+  test("resizeMeta fits maxDim preserving aspect ratio") {
+    val out = Multimodal.resizeMeta(Tables.documents(spark, sf001).limit(20), 256)
+      .collect()
+    out.foreach { r =>
+      val (w, h, ow, oh) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(math.max(ow, oh) <= 256)
+      assert(ow == w * 256 / math.max(w, h) && oh == h * 256 / math.max(w, h))
+    }
+  }
+}
