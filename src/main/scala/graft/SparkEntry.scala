@@ -224,6 +224,27 @@ object SparkEntry {
           round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
         .orderBy(col("l_returnflag"))),
 
+    // semi-structured extraction from the events props JSON strings
+    // (regexp-based so the oracle needs no JSON extension; NULLIF guards
+    // the ANSI cast when a row lacks the key)
+    "q16_props_extract" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("k_val",
+          nullif(regexp_extract(col("props"), "\"k\": (\\d+)", 1), lit(""))
+            .cast("long"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("k_val")).as("sum_k"), count(col("k_val")).as("cnt_k"),
+          round(avg(col("k_val")), 4).as("avg_k"))
+        .orderBy(col("event_type"))),
+
+    // calendar bucketing via date formatting
+    "q17_monthly_revenue" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("month"))),
+
     // gap-based sessionization of the event log (30 min gap)
     "e1_sessionize" -> ((s, dir) => {
       val ev = T(s, dir, "events")
@@ -448,6 +469,20 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q16_props_extract" ->
+      """SELECT event_type,
+        |  CAST(sum(k_val) AS BIGINT) AS sum_k, count(k_val) AS cnt_k,
+        |  round(avg(k_val), 4) AS avg_k
+        |FROM (SELECT event_type,
+        |        CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_val
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q17_monthly_revenue" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month,
+        |round(sum(o_totalprice), 2) AS revenue, count(*) AS cnt
+        |FROM orders GROUP BY month ORDER BY month""".stripMargin,
 
     // floor(epoch(ts)) = integer seconds (CAST alone would round-half-even);
     // window sums cast to BIGINT (DuckDB widens sum(int) to HUGEINT)

@@ -32,6 +32,23 @@ object StreamOps {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming flavor of the CSV filter job (reference
+    * `S3FlinkFilterJacksonville.main`): text source → naive split →
+    * malformed-row guard + city exclusion → re-serialize → checkpointed
+    * text sink, AvailableNow.
+    */
+  def filterCityPipeline(spark: SparkSession, inPath: String, outPath: String,
+                         checkpoint: String, city: String): StreamingQuery = {
+    val lines = spark.readStream.text(inPath)
+    graft.operators.RefOps.filterJob(lines, city)
+      .writeStream
+      .format("text")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Running (sum, count, avg) per key over a *streaming* DataFrame —
     * the literal semantics of the reference's unwindowed `ReduceFunction`:
     * with update output mode, each micro-batch emits the refreshed

@@ -26,6 +26,18 @@ class StreamOpsSpec extends SparkSpec {
     assert(!q.isActive)
   }
 
+  test("AvailableNow CSV filter pipeline drops the excluded city end-to-end") {
+    val base = Files.createTempDirectory("graft-stream-csv").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    import spark.implicits._
+    spark.read.text(resource("salary.csv")).coalesce(1).write.text(in)
+    val q = StreamOps.filterCityPipeline(spark, in, out, cp, "Jacksonville")
+    q.awaitTermination(60000)
+    val got = spark.read.text(out).collect().map(_.getString(0))
+    assert(got.length == 100)
+    assert(!got.exists(_.contains("Jacksonville")))
+  }
+
   test("update-mode running avg emits refreshed aggregates per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
