@@ -61,6 +61,15 @@ object StreamOps {
         count(lit(1)).as("cnt"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
 
+  /** Stream-static enrichment join: each micro-batch of the stream joins
+    * against the (broadcast) static dimension — no stream-side state, no
+    * watermark needed; the dimension is re-resolvable per batch so slowly
+    * changing dims pick up updates.
+    */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+                   keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Event-time windowed aggregation with a watermark — tumbling 1 h
     * windows over the events stream (the windowed-agg surface the
     * reference lacks but any stream engine needs; late rows beyond the

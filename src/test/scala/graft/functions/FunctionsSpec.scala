@@ -113,3 +113,15 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(ok.getDouble(0) == 6.0)
   }
 }
+
+class TypedAggregatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("SumCountAvg typed aggregator equals built-in avg per key") {
+    val ds = Seq(("X", 100.0), ("X", 200.0), ("Y", 50.0)).toDS()
+    val got = ds.groupByKey(_._1).mapValues(_._2)
+      .agg(TypedAggregators.SumCountAvg.toColumn.name("avg_val"))
+      .collect().toMap
+    assert(got == Map("X" -> 150.0, "Y" -> 50.0))
+  }
+}

@@ -89,4 +89,22 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows.contains(("2024-01-01 11:00:00.0", "view", 1L, 5.0)))
     } finally q.stop()
   }
+
+  test("stream-static enrichment join attaches dim columns per micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val mem = MemoryStream[(Long, Double)]
+    val out = StreamOps.enrichStream(
+      mem.toDF().toDF("user_id", "value"), dim, Seq("user_id"))
+    val q = out.writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      mem.addData((1L, 10.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), Option(r.getString(2)))).toSet
+      assert(rows == Set((1L, 10.0, Some("gold")), (3L, 30.0, None)))
+    } finally q.stop()
+  }
 }
