@@ -14,8 +14,10 @@ import graft.functions.GraftFunctions
   * designed around.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.injectable.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.IntersectCountRewrite)
+  }
 }
 
 object GraftSession {
