@@ -158,10 +158,11 @@ object SparkEntry {
         .orderBy(col("c_mktsegment"), col("rn"))
     }),
 
-    // anti join (NOT EXISTS)
+    // anti join (NOT EXISTS) — against big orders so the result is
+    // non-empty at every scale factor (every customer has SOME order)
     "q9_customers_without_orders" -> ((s, dir) => {
       val c = T(s, dir, "customer")
-      val o = T(s, dir, "orders")
+      val o = T(s, dir, "orders").filter(col("o_totalprice") > 400000.0)
       c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
         .orderBy(col("c_custkey"))
@@ -259,6 +260,14 @@ object SparkEntry {
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
           count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"))),
+
+    // approximate percentile sketch (engine-specific values — rows-only)
+    "a2_approx_quantile" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+          .as("qty_approx"))
         .orderBy(col("l_returnflag"))),
 
     // ---- text analysis tier ----
@@ -428,7 +437,8 @@ object SparkEntry {
 
     "q9_customers_without_orders" ->
       """SELECT c_custkey, c_name, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
         |ORDER BY c_custkey""".stripMargin,
 
     "q10_customers_with_big_orders" ->

@@ -241,3 +241,31 @@ class SinksSpec extends graft.SparkSpec {
     }
   }
 }
+
+class EdgeCaseSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("dedup ops tolerate empty input") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minHashNearDupPairs(empty, "doc_id", "text").count() == 0)
+    assert(Dedup.ngramJaccardPairs(empty, "doc_id", "text",
+      Seq(lit("x")), 3, 0.5).count() == 0)
+    assert(Dedup.exactDedup(empty, Seq("text"), "doc_id").count() == 0)
+  }
+
+  test("short and single-token docs produce empty shingle sets, not errors") {
+    val df = Seq((0L, "one"), (1L, "two words"), (2L, "")).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(lit("b")), 3, 0.1)
+    assert(pairs.count() == 0)
+    val sh = Dedup.withSimHash(df, "text").collect()
+    assert(sh.length == 3) // simhash defined even for degenerate docs
+  }
+
+  test("topK with k larger than the group yields all rows ranked") {
+    val corpus = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
+    val queries = Seq((9L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val out = Similarity.bruteForceTopK(corpus, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 10, excludeSelf = false)
+    assert(out.count() == 2)
+  }
+}
