@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
-import graft.operators.{Dedup, Multimodal, RefOps, Sessionize, Similarity, TextOps}
+import graft.operators.{AsOf, Dedup, Multimodal, RefOps, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -251,6 +251,25 @@ object SparkEntry {
       val ev = T(s, dir, "events")
         .withColumn("ts_secs", expr("ts div 1000000000"))
       Sessionize.sessionSummaries(ev, "user_id", "ts_secs", "event_id", 1800L)
+    }),
+
+    // as-of join: enrich each event with the customer's latest order at or
+    // before the event time (sort-based, no range-join explosion)
+    "e2_asof_enrich" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_secs", expr("ts div 1000000000"))
+        .select(col("event_id"), col("user_id"), col("ts_secs"))
+      val ord = Dedup.exactDedup(
+        T(s, dir, "orders")
+          .withColumn("o_ts", unix_timestamp(col("o_orderdate").cast("timestamp"))),
+        Seq("o_custkey", "o_ts"), "o_orderkey")
+        .select(col("o_custkey"), col("o_ts"), col("o_orderkey"), col("o_totalprice"))
+      AsOf.joinAsOf(ev, ord, "user_id", "o_custkey", "ts_secs", "o_ts",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts_secs"),
+          col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_total"))
+        .orderBy(col("event_id"))
     }),
 
     // approximate distinct (HLL++) — sketch values are engine-specific,
@@ -516,6 +535,26 @@ object SparkEntry {
         |  max(ts_secs) - min(ts_secs) AS duration_secs
         |FROM g GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle; the right side is deduped
+    // per (key, ts) in both engines so the as-of match is unambiguous
+    "e2_asof_enrich" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs FROM events),
+        |o1 AS (
+        |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_ts,
+        |    o_orderkey, o_totalprice FROM orders),
+        |o2 AS (
+        |  SELECT o_custkey, o_ts, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_ts
+        |                                 ORDER BY o_orderkey) AS rn
+        |    FROM o1) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts_secs,
+        |  o2.o_orderkey AS last_orderkey, o2.o_totalprice AS last_total
+        |FROM e ASOF LEFT JOIN o2
+        |  ON e.user_id = o2.o_custkey AND e.ts_secs >= o2.o_ts
+        |ORDER BY event_id""".stripMargin,
 
     "t1_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,

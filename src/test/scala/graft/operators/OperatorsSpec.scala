@@ -269,3 +269,51 @@ class EdgeCaseSpec extends graft.SparkSpec {
     assert(out.count() == 2)
   }
 }
+
+class AsOfSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("asof join picks latest right <= left ts, inclusive, null before first") {
+    val left = Seq(
+      (1L, 100L, 5L),   // before any right row -> null
+      (2L, 100L, 10L),  // exactly at right ts 10 -> matches (inclusive)
+      (3L, 100L, 25L),  // between 20 and 30 -> matches 20
+      (4L, 200L, 50L)   // other key, after its only row -> matches 40
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (100L, 10L, "a"), (100L, 20L, "b"), (100L, 30L, "c"),
+      (200L, 40L, "z")).toDF("rk", "rts", "payload")
+    val out = AsOf.joinAsOf(left, right, "k", "rk", "ts", "rts", Seq("payload"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, None), (2L, Some("a")), (3L, Some("b")), (4L, Some("z"))))
+  }
+
+  test("asof join equals naive per-row maximum on random data") {
+    val rnd = new scala.util.Random(3)
+    val left = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val right = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val expected = left.map { case (id, k, ts) =>
+      id -> right.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+    }.toMap
+    val out = AsOf.joinAsOf(
+      left.toDF("event_id", "k", "ts"),
+      // dedup per (k, ts) the same way the engine op requires
+      Dedup.exactDedup(right.toDF("rk", "rts", "pid"), Seq("rk", "rts"), "pid"),
+      "k", "rk", "ts", "rts", Seq("pid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    // naive reference must also respect the dedup (min pid per (k,ts))
+    val dedupedRight = right.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.minBy(_._3) }.toSeq
+    val expected2 = left.map { case (id, k, ts) =>
+      id -> dedupedRight.filter(r => r._1 == k && r._2 <= ts)
+        .sortBy(_._2).lastOption.map(_._3)
+    }.toMap
+    assert(out == expected2)
+  }
+}
