@@ -253,6 +253,20 @@ object SparkEntry {
       Sessionize.sessionSummaries(ev, "user_id", "ts_secs", "event_id", 1800L)
     }),
 
+    // window frames: lag/lead + rolling average over a bounded row frame
+    "q18_rolling_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_secs"), col("event_id"))
+      val frame = w.rowsBetween(-2, Window.currentRow)
+      T(s, dir, "events")
+        .withColumn("ts_secs", expr("ts div 1000000000"))
+        .select(col("event_id"), col("user_id"), col("ts_secs"), col("value"))
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .withColumn("next_value", lead(col("value"), 1).over(w))
+        .withColumn("rolling_avg", round(avg(col("value")).over(frame), 4))
+        .orderBy(col("event_id"))
+    }),
+
     // as-of join: enrich each event with the customer's latest order at or
     // before the event time (sort-based, no range-join explosion)
     "e2_asof_enrich" -> ((s, dir) => {
@@ -535,6 +549,18 @@ object SparkEntry {
         |  max(ts_secs) - min(ts_secs) AS duration_secs
         |FROM g GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q18_rolling_window" ->
+      """SELECT event_id, user_id, ts_secs, value,
+        |  lag(value) OVER w AS prev_value,
+        |  lead(value) OVER w AS next_value,
+        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_secs, event_id
+        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+        |    AS rolling_avg
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs, value FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_secs, event_id)
+        |ORDER BY event_id""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle; the right side is deduped
     // per (key, ts) in both engines so the as-of match is unambiguous

@@ -61,6 +61,18 @@ object StreamOps {
         count(lit(1)).as("cnt"))
       .withColumn("avg_val", col("sum_val") / col("cnt"))
 
+  /** Streaming exactly-once dedup by key with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
+    * the watermark passes it, so state size tracks the watermark horizon
+    * instead of growing with the key space forever — the only shape that
+    * survives an unbounded stream (plain `dropDuplicates` on a stream
+    * retains every key seen).
+    */
+  def dedupStream(stream: DataFrame, keys: Seq[String], tsCol: String,
+                  watermark: String): DataFrame =
+    stream.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * against the (broadcast) static dimension — no stream-side state, no
     * watermark needed; the dimension is re-resolvable per batch so slowly

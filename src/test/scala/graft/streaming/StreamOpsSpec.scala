@@ -107,4 +107,23 @@ class StreamOpsSpec extends SparkSpec {
       assert(rows == Set((1L, 10.0, Some("gold")), (3L, 30.0, None)))
     } finally q.stop()
   }
+
+  test("streaming dedup suppresses duplicate keys across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val out = StreamOps.dedupStream(
+      mem.toDF().toDF("id", "ts", "value"), Seq("id"), "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((1L, t, 1.0), (1L, t, 2.0), (2L, t, 3.0))
+      q.processAllAvailable()
+      mem.addData((1L, t, 4.0), (3L, t, 5.0)) // id 1 is a cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("deduped").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
 }
