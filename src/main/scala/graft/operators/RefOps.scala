@@ -29,6 +29,12 @@ object RefOps {
 
   /** M2 — naive CSV parse: `value.split(",")`, positional fields, no
     * quoting/escaping (reference `S3FlinkFilterJacksonville.java:58-63`).
+    *
+    * Faithfulness note: Java's `String.split` DROPS trailing empty fields
+    * ("a,b," → 2 fields) while Spark's `split` keeps them (→ 3). The
+    * difference is unobservable through every reference pipeline — such
+    * rows fail the `length > 3` guard (F1/F2) in both engines for any
+    * input that would be affected — so the simpler Spark semantics stand.
     */
   def parseCsv(df: DataFrame): DataFrame =
     df.select(split(col("value"), ",").as("fields"))
