@@ -253,6 +253,22 @@ object SparkEntry {
       Sessionize.sessionSummaries(ev, "user_id", "ts_secs", "event_id", 1800L)
     }),
 
+    // scalar math-function battery (rounded: Java vs C libm can differ in
+    // the last ULP for transcendentals)
+    "q19_math_battery" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 500)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(sqrt(col("l_quantity")), 6).as("sqrt_qty"),
+          round(log(col("l_extendedprice")), 6).as("ln_price"),
+          round(exp(col("l_discount")), 6).as("exp_disc"),
+          round(pow(lit(1.0) + col("l_tax"), 2), 6).as("pow_tax"),
+          abs(col("l_quantity") - 25.0).as("abs_qty"),
+          signum(col("l_discount") - 0.05).as("sign_disc"),
+          pmod(col("l_partkey"), lit(7L)).as("mod_part"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))),
+
     // window frames: lag/lead + rolling average over a bounded row frame
     "q18_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -549,6 +565,18 @@ object SparkEntry {
         |  max(ts_secs) - min(ts_secs) AS duration_secs
         |FROM g GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    "q19_math_battery" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(sqrt(l_quantity), 6) AS sqrt_qty,
+        |  round(ln(l_extendedprice), 6) AS ln_price,
+        |  round(exp(l_discount), 6) AS exp_disc,
+        |  round(pow(1.0 + l_tax, 2), 6) AS pow_tax,
+        |  abs(l_quantity - 25.0) AS abs_qty,
+        |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
+        |  l_partkey % 7 AS mod_part
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q18_rolling_window" ->
       """SELECT event_id, user_id, ts_secs, value,
