@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, TextFunctions}
 import graft.operators.{AsOf, Dedup, Multimodal, RefOps, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
@@ -63,7 +63,7 @@ object SparkEntry {
         .groupBy(col("c_mktsegment"))
         .agg(round(sum(col("c_acctbal")), 2).as("sum_bal"),
           count(lit(1)).as("cnt"),
-          round(avg(col("c_acctbal")), 4).as("avg_bal"))
+          TextFunctions.roundHalfUp(avg(col("c_acctbal")), 4).as("avg_bal"))
         .orderBy(col("c_mktsegment"))),
 
     // M2+F1+M3 literal pipeline: build line -> split(",") -> positional
@@ -87,9 +87,9 @@ object SparkEntry {
           round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
           round(sum(revenue), 2).as("sum_disc_price"),
           round(sum(revenue * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg(col("l_quantity")), 4).as("avg_qty"),
-          round(avg(col("l_extendedprice")), 4).as("avg_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc"),
+          TextFunctions.roundHalfUp(avg(col("l_quantity")), 4).as("avg_qty"),
+          TextFunctions.roundHalfUp(avg(col("l_extendedprice")), 4).as("avg_price"),
+          TextFunctions.roundHalfUp(avg(col("l_discount")), 6).as("avg_disc"),
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))),
 
@@ -143,7 +143,7 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(round(sum(col("o_totalprice")), 2).as("sum_price"),
           count(lit(1)).as("cnt"),
-          round(avg(col("o_totalprice")), 4).as("avg_price"))
+          TextFunctions.roundHalfUp(avg(col("o_totalprice")), 4).as("avg_price"))
         .orderBy(col("n_name"))
     }),
 
@@ -235,7 +235,7 @@ object SparkEntry {
             .cast("long"))
         .groupBy(col("event_type"))
         .agg(sum(col("k_val")).as("sum_k"), count(col("k_val")).as("cnt_k"),
-          round(avg(col("k_val")), 4).as("avg_k"))
+          TextFunctions.roundHalfUp(avg(col("k_val")), 4).as("avg_k"))
         .orderBy(col("event_type"))),
 
     // calendar bucketing via date formatting
@@ -279,7 +279,7 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("ts_secs"), col("value"))
         .withColumn("prev_value", lag(col("value"), 1).over(w))
         .withColumn("next_value", lead(col("value"), 1).over(w))
-        .withColumn("rolling_avg", round(avg(col("value")).over(frame), 4))
+        .withColumn("rolling_avg", TextFunctions.roundHalfUp(avg(col("value")).over(frame), 4))
         .orderBy(col("event_id"))
     }),
 
@@ -425,7 +425,7 @@ object SparkEntry {
 
     "r3_avg_by_segment" ->
       """SELECT c_mktsegment, round(sum(c_acctbal), 2) AS sum_bal,
-        |count(*) AS cnt, round(avg(c_acctbal), 4) AS avg_bal
+        |count(*) AS cnt, floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "r4_csv_roundtrip" ->
@@ -438,9 +438,9 @@ object SparkEntry {
         |round(sum(l_extendedprice), 2) AS sum_base_price,
         |round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
         |round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2) AS sum_charge,
-        |round(avg(l_quantity), 4) AS avg_qty,
-        |round(avg(l_extendedprice), 4) AS avg_price,
-        |round(avg(l_discount), 6) AS avg_disc,
+        |floor(avg(l_quantity) * 10000.0 + 0.5) / 10000.0 AS avg_qty,
+        |floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+        |floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS avg_disc,
         |count(*) AS cnt
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus
@@ -470,7 +470,7 @@ object SparkEntry {
 
     "q7_flagship_nation_avg" ->
       """SELECT n_name, round(sum(o_totalprice), 2) AS sum_price,
-        |count(*) AS cnt, round(avg(o_totalprice), 4) AS avg_price
+        |count(*) AS cnt, floor(avg(o_totalprice) * 10000.0 + 0.5) / 10000.0 AS avg_price
         |FROM orders, customer, nation
         |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
         |  AND n_name <> 'NATION_13'
@@ -532,7 +532,7 @@ object SparkEntry {
     "q16_props_extract" ->
       """SELECT event_type,
         |  CAST(sum(k_val) AS BIGINT) AS sum_k, count(k_val) AS cnt_k,
-        |  round(avg(k_val), 4) AS avg_k
+        |  floor(avg(k_val) * 10000.0 + 0.5) / 10000.0 AS avg_k
         |FROM (SELECT event_type,
         |        CAST(NULLIF(regexp_extract(props, '"k": (\d+)', 1), '') AS BIGINT) AS k_val
         |      FROM events)
@@ -582,8 +582,9 @@ object SparkEntry {
       """SELECT event_id, user_id, ts_secs, value,
         |  lag(value) OVER w AS prev_value,
         |  lead(value) OVER w AS next_value,
-        |  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts_secs, event_id
-        |                         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4)
+        |  floor(avg(value) OVER (PARTITION BY user_id ORDER BY ts_secs, event_id
+        |                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |        * 10000.0 + 0.5) / 10000.0
         |    AS rolling_avg
         |FROM (SELECT event_id, user_id,
         |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs, value FROM events)
@@ -628,12 +629,12 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, n_chars_calc,
         |  CAST(n_tok AS BIGINT) AS n_tokens,
-        |  round(CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0.0 END, 6) AS avg_word_len,
-        |  round(CASE WHEN n_tok > 0 THEN hits / n_tok ELSE 0.0 END, 6) AS stopword_ratio,
-        |  round(0.3 * least(n_tok / 100.0, 1.0)
+        |  floor((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS avg_word_len,
+        |  floor((CASE WHEN n_tok > 0 THEN hits / n_tok ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS stopword_ratio,
+        |  floor((0.3 * least(n_tok / 100.0, 1.0)
         |      + 0.4 * (CASE WHEN n_tok > 0 THEN hits / n_tok ELSE 0.0 END)
-        |      + 0.3 * least((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0.0 END) / 8.0, 1.0),
-        |    6) AS quality
+        |      + 0.3 * least((CASE WHEN n_tok > 0 THEN sum_len / n_tok ELSE 0.0 END) / 8.0, 1.0))
+        |    * 1000000.0 + 0.5) / 1000000.0 AS quality
         |FROM q2 ORDER BY doc_id""".stripMargin,
 
     "t3_lang_id" ->
@@ -703,9 +704,10 @@ object SparkEntry {
         |  FROM th WHERE len(th) >= 3)
         |SELECT id_a, id_b, jaccard FROM (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         |          / (len(a.sh) + len(b.sh)
-        |             - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jaccard
+        |             - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |  WHERE len(a.sh) * 0.2 <= len(b.sh) AND len(b.sh) * 0.2 <= len(a.sh))
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,

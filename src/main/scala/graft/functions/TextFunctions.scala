@@ -92,6 +92,20 @@ object TextFunctions {
           .otherwise(array().cast("array<long>")))
     }
 
+  /** Cross-engine deterministic half-up rounding for NON-NEGATIVE values:
+    * floor(x·10^n + 0.5)/10^n. `round()` delegates tie-breaking on doubles
+    * to engine-specific implementations (observed: Spark and DuckDB split
+    * on scores landing exactly on a 1e-6 half-boundary); this is a pure
+    * IEEE double formula, so any engine evaluating the same input double
+    * produces identical bits. Rational-valued outputs (ratios, Jaccard,
+    * averages of exact decimals) hit ties in practice — always use this
+    * for them in oracle-checked queries.
+    */
+  def roundHalfUp(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
   /** Count of tokens that appear in `words` (duplicates counted). */
   def stopwordHits(tok: Column, words: Seq[String]): Column =
     size(filter(tok, t => t.isin(words: _*)))

@@ -134,7 +134,7 @@ object Dedup {
       .withColumn("inter",
         GraftFunctions.intersectCountSorted(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        roundHalfUp(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= p.threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
@@ -218,7 +218,7 @@ object Dedup {
       .withColumn("inter",
         GraftFunctions.intersectCountSorted(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
-        round(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
+        roundHalfUp(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))

@@ -48,9 +48,9 @@ object TextOps {
       col("doc_id"),
       length(col("text")).as("n_chars_calc"),
       nTok.cast("long").as("n_tokens"),
-      round(avgWlen, 6).as("avg_word_len"),
-      round(stopRatio, 6).as("stopword_ratio"),
-      round(score, 6).as("quality"))
+      roundHalfUp(avgWlen, 6).as("avg_word_len"),
+      roundHalfUp(stopRatio, 6).as("stopword_ratio"),
+      roundHalfUp(score, 6).as("quality"))
       .orderBy(col("doc_id"))
   }
 
