@@ -311,12 +311,17 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
 
-    // approximate percentile sketch (engine-specific values — rows-only)
+    // approximate percentile sketch (engine-specific values — rows-only).
+    // The sketch array is projected into scalar columns so the rows-only
+    // harness (pandas sort) never sees an array-typed column.
     "a2_approx_quantile" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
           .as("qty_approx"))
+        .select(col("l_returnflag"),
+          element_at(col("qty_approx"), 1).as("qty_p50_approx"),
+          element_at(col("qty_approx"), 2).as("qty_p90_approx"))
         .orderBy(col("l_returnflag"))),
 
     // ---- text analysis tier ----

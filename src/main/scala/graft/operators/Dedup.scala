@@ -29,12 +29,28 @@ object Dedup {
 
   /** Exact dedup: keep one deterministic representative row per key
     * (lowest `tieBreaker`). `dropDuplicates` alone keeps an arbitrary row —
-    * unacceptable for a reproducible pipeline, so this uses a window.
+    * unacceptable for a reproducible pipeline.
     *
-    * At scale: single shuffle on `keys`; the window sort is per-key and
-    * spills via the sort-based window exec if a key is hot.
+    * Default path is `min_by(struct(payload), tieBreaker)` aggregation:
+    * a decomposable aggregate, so each map task reduces its partition to
+    * one candidate row per key BEFORE the exchange. At 100 TB with a high
+    * dup ratio that is the difference between shuffling the corpus and
+    * shuffling the distinct keys. Output columns keep the input order.
     */
   def exactDedup(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(keys.contains)
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), col(tieBreaker)).as("__rep"))
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col("__rep").getField(c).as(c)): _*)
+  }
+
+  /** Window-based variant of [[exactDedup]] (row_number = 1). Same result;
+    * no map-side partial reduction (the whole input shuffles), but the rows
+    * pass through untouched — use when column order/metadata must survive
+    * bit-exactly or when the payload is too wide to pack into a struct.
+    */
+  def exactDedupWindow(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreaker))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -186,8 +202,19 @@ object Dedup {
   }
 
   /** Blocked exact n-gram Jaccard near-dup pairs: candidate pairs are
-    * restricted to the same (block) — e.g. language × length bucket — and
+    * restricted to the same (`blockCols` × shingle-count log2 bucket) and
     * verified with exact Jaccard over distinct word n-gram sets.
+    *
+    * The length bucketing is LOSSLESS: Jaccard >= t forces
+    * max(|A|,|B|)/min(|A|,|B|) <= 1/t, so the log2 buckets of a qualifying
+    * pair differ by at most ceil(log2(1/t)); each doc probes its own bucket
+    * plus that many above, and the exact size-ratio prune below removes the
+    * slack. The result set is IDENTICAL to the unbucketed join, but the
+    * per-block pair count is bounded by docs-of-similar-length — at corpus
+    * scale this turns an O(block²) job whose block key (e.g. language) is
+    * unbounded into one whose blocks stay small no matter how the corpus
+    * grows. Bucket = floor(log2(sz)) computed as length(bin(sz))-1 — exact
+    * integer math, immune to FP boundary wobble at powers of two.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int,
@@ -204,15 +231,25 @@ object Dedup {
       .filter(size(col("__sh")) > 0)
       .select(col("__blk"), col(idCol).as("id"), col("__sh"),
         size(col("__sh")).as("__sz"))
-    val a = withSets.select(col("__blk"), col("id").as("id_a"),
-      col("__sh").as("sh_a"), col("__sz").as("sz_a"))
-    val b = withSets.select(col("__blk"), col("id").as("id_b"),
+      .withColumn("__lb", (length(bin(col("__sz"))) - 1).cast("int"))
+    val span = math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt
+    // Side A probes its own bucket and the `span` buckets above it; side B
+    // sits in its own bucket. A same-bucket pair arrives twice (both docs
+    // probe offset 0) and is deduped by id order; a cross-bucket pair
+    // arrives exactly once (only the shorter doc probes upward).
+    val a = withSets
+      .withColumn("__probe",
+        explode(array((0 to span).map(o => col("__lb") + lit(o)): _*)))
+      .select(col("__blk"), col("__probe"), col("__lb").as("lb_a"),
+        col("id").as("id_a"), col("__sh").as("sh_a"), col("__sz").as("sz_a"))
+    val b = withSets.select(col("__blk"), col("__lb").as("__probe"),
+      col("__lb").as("lb_b"), col("id").as("id_b"),
       col("__sh").as("sh_b"), col("__sz").as("sz_b"))
     // Length filter (exact prune, not an approximation): Jaccard >= t
     // implies min(|A|,|B|) / max(|A|,|B|) >= t, so pairs failing the size
     // ratio can never qualify — skip their intersect entirely.
-    a.join(b, Seq("__blk"))
-      .filter(col("id_a") < col("id_b") &&
+    a.join(b, Seq("__blk", "__probe"))
+      .filter((col("lb_a") =!= col("lb_b") || col("id_a") < col("id_b")) &&
         col("sz_a") * lit(threshold) <= col("sz_b") &&
         col("sz_b") * lit(threshold) <= col("sz_a"))
       .withColumn("inter",
@@ -220,7 +257,8 @@ object Dedup {
       .withColumn("jaccard",
         roundHalfUp(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 }

@@ -61,8 +61,13 @@ object Multimodal {
   def frameSample(docs: DataFrame, frameLen: Int = 100): DataFrame =
     docs
       .select(col("doc_id"), col("n_chars"), col("text"))
+      // Empty (or null-length) documents have no frames: sequence(0, -1)
+      // would throw "illegal sequence boundaries", so guard to an empty
+      // array, which explode() then drops.
       .withColumn("off",
-        explode(sequence(lit(0L), col("n_chars") - 1, lit(frameLen.toLong))))
+        explode(when(col("n_chars") > 0,
+          sequence(lit(0L), col("n_chars") - 1, lit(frameLen.toLong)))
+          .otherwise(array().cast("array<long>"))))
       .select(
         col("doc_id"),
         (col("off") / frameLen).cast("long").as("frame_no"),

@@ -158,6 +158,12 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L))
     assert(frames.map(_.getLong(2)).toSeq == Seq(0L, 100L, 200L))
   }
+
+  test("frameSample yields no frames for empty docs instead of erroring") {
+    val df = Seq((0L, "", 0L), (1L, "x" * 50, 50L)).toDF("doc_id", "text", "n_chars")
+    val frames = Multimodal.frameSample(df, frameLen = 100).collect()
+    assert(frames.map(r => (r.getLong(0), r.getLong(2))).toSeq == Seq((1L, 0L)))
+  }
 }
 
 class EntrySpec extends SparkSpec {
