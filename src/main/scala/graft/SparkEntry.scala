@@ -367,11 +367,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
         Seq(col("lang")), n = 3, threshold = 0.2)),
 
-    // SimHash signatures (xxhash64-based — no SQL oracle, rows-only)
+    // SimHash signatures (portable mixed polynomial hash — oracle-checked)
     "d4_simhash" -> ((s, dir) =>
       Dedup.withSimHash(T(s, dir, "documents"), "text")
         .select(col("doc_id"), col("simhash"))
         .orderBy(col("doc_id"))),
+
+    // SimHash near-dup pairs: band-bucket candidates + Hamming verify
+    // (complete for bands > maxHamming — see Dedup.simHashNearDupPairs)
+    "d4b_simhash_pairs" -> ((s, dir) =>
+      Dedup.simHashNearDupPairs(T(s, dir, "documents"), "doc_id", "text")),
 
     // embedding-cosine near-dup, blocked by label
     "d5_embedding_neardup" -> ((s, dir) =>
@@ -414,6 +419,89 @@ object SparkEntry {
     "m3_resize_meta" -> ((s, dir) =>
       Multimodal.resizeMeta(T(s, dir, "documents"), maxDim = 256)),
   )
+
+  // ---- shared fragments for the hash-based dedup oracles ----
+  // The portable polynomial hashes, the SimHash avalanche mixer, and the
+  // MinHash affine family are all pure 64-bit integer arithmetic, so the
+  // oracle embeds the SAME constants/coefficients as SQL literals and
+  // DuckDB reproduces every signature bit-for-bit.
+
+  private val ShP = graft.functions.TextFunctions.ShPrime
+
+  /** CTE: per-doc token-hash list (mirrors TextFunctions.tokenHashes). */
+  private val duckTokenHashes =
+    s"""th AS (
+       |  SELECT doc_id,
+       |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |       [CAST(unicode(ch) AS BIGINT) for ch in string_split(t, '')]),
+       |       (acc, x) -> (acc * 131 + x) % $ShP)
+       |     for t in string_split(text, ' ')] AS th
+       |  FROM documents)""".stripMargin
+
+  /** SimHash avalanche mixer applied to SQL expression `e`
+    * (mirrors SimHashBits: mixRounds rounds of x*1021+12345 mod ShP). */
+  private def duckMix(e: String): String = {
+    import graft.functions.SimHashBits._
+    (0 until MixRounds).foldLeft(e)((acc, _) =>
+      s"(($acc) * $MixMul + $MixAdd) % $ShP")
+  }
+
+  /** SQL expression: width-bit SimHash of token-hash list column `th`. */
+  private def duckSimHash(width: Int): String =
+    s"""CAST(list_sum([CASE
+       |      WHEN list_sum([CASE WHEN ((${duckMix("h")}) >> b) & 1 = 1
+       |                          THEN 1 ELSE -1 END for h in th]) > 0
+       |      THEN (CAST(1 AS BIGINT) << b) ELSE 0 END
+       |      for b in range(0, $width)]) AS BIGINT)""".stripMargin
+
+  /** CTE chain: distinct hashed 3-gram shingle sets `s(doc_id, sh)`
+    * (mirrors TextFunctions.hashedShingleSet with n = 3). */
+  private val duckShingleSets =
+    s"""s AS (
+       |  SELECT doc_id,
+       |    list_distinct([((((th[i]) * 131 + th[i+1]) % $ShP) * 131 + th[i+2]) % $ShP
+       |                   for i in range(1, len(th) - 1)]) AS sh
+       |  FROM th WHERE len(th) >= 3)""".stripMargin
+
+  /** SQL for the full MinHash LSH near-dup oracle (mirrors
+    * Dedup.minHashNearDupPairs with the given params): signatures from the
+    * seeded affine family, band keys from the polynomial fold, candidates
+    * = pairs sharing any (band, key), verification = exact Jaccard.
+    */
+  private def duckMinHashPairs(numHashes: Int, bands: Int,
+                               threshold: Double): String = {
+    val (as, bs) = graft.functions.MinHashCoeffs(numHashes)
+    val m = graft.functions.MinHashCoeffs.Prime
+    val rpb = numHashes / bands
+    val sigItems = as.zip(bs).map { case (a, b) =>
+      s"list_min([($a * x + $b) % $m for x in shm])"
+    }.mkString(",\n      ")
+    val bandFolds = (0 until bands).map { b =>
+      (0 until rpb).foldLeft("CAST(0 AS BIGINT)")((acc, r) =>
+        s"(($acc) * 131 + sig[${b * rpb + r + 1}]) % $ShP")
+    }.mkString(",\n      ")
+    val orCond = (1 to bands).map(i => s"a.bk[$i] = c.bk[$i]").mkString(" OR ")
+    s"""WITH $duckTokenHashes,
+       |$duckShingleSets,
+       |m AS (
+       |  SELECT doc_id, sh, [x % $m for x in sh] AS shm FROM s WHERE len(sh) > 0),
+       |sg AS (
+       |  SELECT doc_id, sh, [
+       |      $sigItems] AS sig
+       |  FROM m),
+       |b AS (
+       |  SELECT doc_id, sh, [
+       |      $bandFolds] AS bk
+       |  FROM sg)
+       |SELECT id_a, id_b, jaccard FROM (
+       |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |    floor(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE)
+       |          / (len(a.sh) + len(c.sh)
+       |             - CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE))
+       |          * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       |  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($orCond))
+       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops — the
@@ -690,6 +778,31 @@ object SparkEntry {
         |                       ORDER BY event_id) AS rn
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
+
+    // Full MinHash+LSH twin: same signatures (seeded affine family embedded
+    // as literals), same band keys (polynomial fold), same candidates
+    // (pairs sharing any band key), same exact-Jaccard verification.
+    "d2_minhash_neardup" -> duckMinHashPairs(numHashes = 32, bands = 8,
+      threshold = 0.2),
+
+    // Portable SimHash signatures (mixed polynomial token hashes).
+    "d4_simhash" ->
+      s"""WITH $duckTokenHashes
+         |SELECT doc_id, ${duckSimHash(48)} AS simhash
+         |FROM th ORDER BY doc_id""".stripMargin,
+
+    // SimHash near-dup pairs. The Spark operator generates candidates by
+    // band buckets, but with bands > maxHamming that is provably complete,
+    // so the quadratic join over signatures is an exact twin.
+    "d4b_simhash_pairs" ->
+      s"""WITH $duckTokenHashes,
+         |sg AS (
+         |  SELECT doc_id, ${duckSimHash(48)} AS simhash FROM th)
+         |SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, c.simhash)) AS BIGINT) AS hamming
+         |FROM sg a JOIN sg c ON a.doc_id < c.doc_id
+         |WHERE bit_count(xor(a.simhash, c.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     // Shingles hashed with the portable polynomial hash (token hashes
     // folded with base 131 mod 2^53-111) — mirrors

@@ -41,17 +41,22 @@ case class IntersectCountSorted(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two instances in one generated function must not collide
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val c = ctx.freshName("c"); val xi = ctx.freshName("xi")
+      val yj = ctx.freshName("yj")
       s"""
-         |int nx = $a.numElements(), ny = $b.numElements();
-         |int i = 0, j = 0;
-         |long c = 0L;
-         |while (i < nx && j < ny) {
-         |  long xi = $a.getLong(i), yj = $b.getLong(j);
-         |  if (xi == yj) { c++; i++; j++; }
-         |  else if (xi < yj) i++;
-         |  else j++;
+         |int $nx = $a.numElements(), $ny = $b.numElements();
+         |int $i = 0, $j = 0;
+         |long $c = 0L;
+         |while ($i < $nx && $j < $ny) {
+         |  long $xi = $a.getLong($i), $yj = $b.getLong($j);
+         |  if ($xi == $yj) { $c++; $i++; $j++; }
+         |  else if ($xi < $yj) $i++;
+         |  else $j++;
          |}
-         |${ev.value} = c;
+         |${ev.value} = $c;
        """.stripMargin
     })
 

@@ -24,12 +24,24 @@ object GraftFunctions {
     TopKByScore(es(0), es(1), k)
   }
 
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an int literal, got $other")
+  }
+
   /** (name, builder) for every custom function. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_intersect_count" -> (es => IntersectCountSorted(es(0), es(1))),
-    "graft_topk" -> (topkBuilder _))
+    "graft_topk" -> (topkBuilder _),
+    "graft_simhash" -> (es => SimHashBits(es(0), intLit(es(1), "graft_simhash width"))),
+    "graft_minhash" -> (es => {
+      val k = intLit(es(1), "graft_minhash k")
+      val (as, bs) = MinHashCoeffs(k)
+      MinHashSig(es(0), as, bs, MinHashCoeffs.Prime)
+    }))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
     * (see [[graft.GraftExtensions]]).
@@ -71,4 +83,33 @@ object GraftFunctions {
     */
   def topK(score: Column, id: Column, k: Int): Column =
     call_function("graft_topk", score, id.cast("long"), lit(k))
+
+  /** SimHash signature (width low bits) of a token-hash stream
+    * (`array<long>`, duplicates vote) — see [[SimHashBits]].
+    */
+  def simHashBits(tokenHashes: Column, width: Int): Column =
+    call_function("graft_simhash", tokenHashes, lit(width))
+
+  /** MinHash signature (k mins under the seeded affine family) of a
+    * shingle-hash set — see [[MinHashSig]] / [[MinHashCoeffs]].
+    */
+  def minHashSig(shingleHashes: Column, k: Int): Column =
+    call_function("graft_minhash", shingleHashes, lit(k))
+}
+
+/** Deterministic affine MinHash coefficient family, shared by the Spark
+  * kernel and the oracle-SQL generator (which embeds the same numbers as
+  * literals so DuckDB reproduces the signatures bit-for-bit).
+  */
+object MinHashCoeffs {
+  /** Prime modulus — fits in 31 bits so `a*x + b` stays inside a long. */
+  val Prime = 2038074743L
+
+  /** (a_i, b_i) for i < k, from a fixed seed. */
+  def apply(k: Int): (Seq[Long], Seq[Long]) = {
+    val rnd = new scala.util.Random(42)
+    val pairs = Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
+                             rnd.nextInt(Int.MaxValue).toLong))
+    (pairs.map(_._1), pairs.map(_._2))
+  }
 }

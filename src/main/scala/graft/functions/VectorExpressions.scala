@@ -51,15 +51,20 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two instances in one generated function must not collide
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
-         |  double yi = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |${ev.value} = (nx == 0.0 || ny == 0.0) ? 0.0 : dot / java.lang.Math.sqrt(nx * ny);
+         |${ev.value} = ($nx == 0.0 || $ny == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($nx * $ny);
        """.stripMargin
     })
 
@@ -91,15 +96,18 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i"); val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xi = $a.isNullAt(i) ? 0.0 : (double) $a.getFloat(i);
-         |  double yi = $b.isNullAt(i) ? 0.0 : (double) $b.getFloat(i);
-         |  dot += xi * yi;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xi = $a.isNullAt($i) ? 0.0 : (double) $a.getFloat($i);
+         |  double $yi = $b.isNullAt($i) ? 0.0 : (double) $b.getFloat($i);
+         |  $dot += $xi * $yi;
          |}
-         |${ev.value} = dot;
+         |${ev.value} = $dot;
        """.stripMargin
     })
 

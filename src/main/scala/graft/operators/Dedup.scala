@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.GraftFunctions
+import graft.functions.{GraftFunctions, MinHashCoeffs}
 import graft.functions.TextFunctions._
 
 /** Deduplication operators for large-scale training-data pipelines
@@ -19,11 +19,14 @@ import graft.functions.TextFunctions._
   *    sharing a band bucket, and only candidates pay the exact-Jaccard
   *    verification. Bucket skew (a degenerate shingle shared by millions of
   *    docs) is capped via `maxBucket`.
-  *  - SimHash reduces each doc to a 64-bit signature; near-dups cluster by
-  *    signature band, again a bucket join rather than a cross join.
-  *  - The blocked exact-Jaccard and cosine variants are quadratic *within a
-  *    block only* — blocks (language × length bucket, or embedding label)
-  *    bound the pair count, and the blocks shuffle independently.
+  *  - SimHash reduces each doc to a compact signature; near-dups cluster
+  *    by signature band (a bucket join, provably complete for
+  *    bands > maxHamming), then verify by Hamming distance.
+  *  - Exact n-gram Jaccard uses a prefix-filter inverted-index join
+  *    (AllPairs/PPJoin): candidates must share a prefix token, so pair
+  *    work tracks postings lists instead of block².
+  *  - The embedding-cosine variant is quadratic *within a block only* —
+  *    blocks (label) bound the pair count and shuffle independently.
   */
 object Dedup {
 
@@ -68,36 +71,32 @@ object Dedup {
     def rowsPerBand: Int = numHashes / bands
   }
 
-  /** Prime modulus for the affine MinHash permutations (fits in 31 bits so
-    * a*x+b stays inside a long).
-    */
-  private val MhPrime = 2038074743L
-
-  /** Deterministic affine coefficients (a_i, b_i), seeded. */
-  private def mhCoeffs(k: Int): Seq[(Long, Long)] = {
-    val rnd = new scala.util.Random(42)
-    Seq.fill(k)((1L + rnd.nextInt(Int.MaxValue - 1).toLong,
-                 rnd.nextInt(Int.MaxValue).toLong))
-  }
-
   /** Adds `shingles` (distinct hashed word n-grams, array<long>) and
     * `minhash` (array<long> signature) columns. The shingle hash is the
     * portable polynomial hash (TextFunctions.hashedShingleSet); the
-    * signature applies k affine permutations over those longs — one pass
-    * per hash function, all inside array expressions, no strings, no UDFs.
+    * signature is the codegen'd [[graft.functions.MinHashSig]] kernel —
+    * one pass over the shingles carrying all k mins, with the seeded
+    * affine family from [[graft.functions.MinHashCoeffs]] (the oracle
+    * embeds the same coefficients as SQL literals, so every signature
+    * value is reproducible in DuckDB).
     */
   def withMinHashSignature(df: DataFrame, textCol: String,
                            p: MinHashParams = MinHashParams()): DataFrame = {
-    val base = df
-      .withColumn("shingles", hashedShingleSet(col(textCol), p.shingle))
-      .withColumn("__sh_hashes",
-        transform(col("shingles"), x => pmod(x, lit(MhPrime))))
-    val sig = array(mhCoeffs(p.numHashes).map { case (a, b) =>
-      array_min(transform(col("__sh_hashes"),
-        x => pmod(x * lit(a) + lit(b), lit(MhPrime))))
-    }: _*)
-    base.withColumn("minhash", sig).drop("__sh_hashes")
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("shingles", hashedShingleSet(col(textCol), p.shingle))
+      .withColumn("minhash",
+        GraftFunctions.minHashSig(col("shingles"), p.numHashes))
   }
+
+  /** Portable band key: polynomial fold of one band's signature slice
+    * (same base/modulus as the shingle hash — ANSI-SQL-reproducible,
+    * unlike xxhash64). Signature values are < 2^31 and the accumulator
+    * stays < 2^53, so `acc * 131 + v` never overflows a long in either
+    * engine.
+    */
+  private def bandKey(sig: Column, band: Int, rowsPerBand: Int): Column =
+    (0 until rowsPerBand).foldLeft(lit(0L))((acc, r) =>
+      (acc * lit(FpBase) + element_at(sig, band * rowsPerBand + r + 1)) % lit(ShPrime))
 
   /** Near-duplicate pairs via MinHash banding LSH, verified with exact
     * Jaccard on the shingle sets. Output: (id_a, id_b, jaccard) with
@@ -112,13 +111,9 @@ object Dedup {
         array_sort(col("shingles")).as("shingles"), col("minhash"))
 
     // Explode into (band, bandKey) rows; bandKey is the band's slice of the
-    // signature hashed to one long so the join key is small on the wire.
+    // signature folded to one long so the join key is small on the wire.
     val bandStructs = array((0 until p.bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(concat_ws(",",
-          (0 until p.rowsPerBand).map(r =>
-            element_at(col("minhash"), b * p.rowsPerBand + r + 1)): _*))
-          .as("bkey"))
+      struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
     }: _*)
     val exploded = signed
       .select(col("id"), explode(bandStructs).as("bk"))
@@ -156,33 +151,78 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** 64-bit SimHash of the token stream: per bit, sum +1/-1 weighted by the
-    * token hashes' bits; the signature bit is the sign of the sum. Built as
-    * a single SQL expression (aggregate + zip_with) — one pass per doc.
+  /** SimHash of the token stream (low `width` bits): per bit, sum +1/-1
+    * votes from the PORTABLE polynomial token hashes; the signature bit is
+    * the sign of the sum. Computed by the codegen'd
+    * [[graft.functions.SimHashBits]] kernel (one tight loop per doc).
+    * Width defaults to 48 because the portable token hash carries 53
+    * random bits — bits above ~48 of a 64-bit signature would be
+    * near-constant and would pollute band buckets.
     */
-  def simHash64(textCol: String): Column =
-    expr(
-      s"""
-         |aggregate(
-         |  aggregate(
-         |    transform(split($textCol, ' '), t -> xxhash64(t)),
-         |    array_repeat(0L, 64),
-         |    (acc, h) -> zip_with(acc,
-         |      transform(sequence(0, 63),
-         |        b -> IF((shiftright(h, b) & 1) = 1, 1L, -1L)),
-         |      (x, y) -> x + y)),
-         |  named_struct('i', 0, 'v', 0L),
-         |  (st, cnt) -> named_struct(
-         |      'i', st.i + 1,
-         |      'v', st.v + IF(cnt > 0, shiftleft(1L, st.i), 0L)),
-         |  st -> st.v)
-       """.stripMargin)
+  def simHash(textCol: Column, width: Int = 48): Column =
+    GraftFunctions.simHashBits(tokenHashes(textCol), width)
 
-  /** Docs annotated with their SimHash signature plus a band key for
-    * near-dup clustering (docs sharing any 16-bit band are candidates).
+  /** Docs annotated with their SimHash signature. */
+  def withSimHash(df: DataFrame, textCol: String, width: Int = 48): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("simhash", simHash(col(textCol), width))
+  }
+
+  /** SimHash near-duplicate pairs: band-bucket candidate generation +
+    * Hamming-distance verification. Output (id_a, id_b, hamming) with
+    * id_a < id_b, hamming <= maxHamming, deterministic order.
+    *
+    * COMPLETENESS: with `bands > maxHamming` this is EXACT, not
+    * approximate — at most `maxHamming` differing bits can touch at most
+    * `maxHamming` of the bands (pigeonhole), so every qualifying pair
+    * shares at least one identical band and is generated as a candidate.
+    * The only lossy knob is `maxBucket`, the skew cap on degenerate
+    * buckets (e.g. millions of empty-ish docs sharing signature 0) —
+    * sized so it never triggers on healthy corpora.
+    *
+    * At scale: each doc emits `bands` small (band, key) rows; candidates
+    * come from a hash-partitioned bucket self-join — never an all-pairs
+    * product. Signatures ride along (8 bytes), so verification needs no
+    * extra join.
     */
-  def withSimHash(df: DataFrame, textCol: String): DataFrame =
-    df.withColumn("simhash", simHash64(textCol))
+  def simHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
+                          width: Int = 48, bands: Int = 4,
+                          maxHamming: Int = 3,
+                          maxBucket: Int = 100000): DataFrame = {
+    require(width % bands == 0, "bands must divide width")
+    require(bands > maxHamming,
+      "completeness needs bands > maxHamming (pigeonhole)")
+    val bits = width / bands
+    val mask = (1L << bits) - 1
+    val signed = withSimHash(df, textCol, width)
+      .select(col(idCol).as("id"), col("simhash"))
+    val bandStructs = array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), b * bits).bitwiseAND(lit(mask)).as("bkey"))
+    }: _*)
+    val exploded = signed
+      .select(col("id"), col("simhash"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("simhash"),
+        col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    val capped = exploded
+      .withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val l = capped.select(col("band"), col("bkey"),
+      col("id").as("id_a"), col("simhash").as("sig_a"))
+    val r = capped.select(col("band"), col("bkey"),
+      col("id").as("id_b"), col("simhash").as("sig_b"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .distinct()
+      .withColumn("hamming",
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
 
   /** Embedding near-dup pairs: within `blockCol` blocks, pairs with cosine
     * >= threshold (cosine via the codegen'd native expression). Quadratic
@@ -201,20 +241,28 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Blocked exact n-gram Jaccard near-dup pairs: candidate pairs are
-    * restricted to the same (`blockCols` × shingle-count log2 bucket) and
-    * verified with exact Jaccard over distinct word n-gram sets.
+  /** Blocked exact n-gram Jaccard near-dup pairs via a PREFIX-FILTER
+    * inverted-index join (the AllPairs/PPJoin family), verified with exact
+    * Jaccard over distinct word n-gram sets.
     *
-    * The length bucketing is LOSSLESS: Jaccard >= t forces
-    * max(|A|,|B|)/min(|A|,|B|) <= 1/t, so the log2 buckets of a qualifying
-    * pair differ by at most ceil(log2(1/t)); each doc probes its own bucket
-    * plus that many above, and the exact size-ratio prune below removes the
-    * slack. The result set is IDENTICAL to the unbucketed join, but the
-    * per-block pair count is bounded by docs-of-similar-length — at corpus
-    * scale this turns an O(block²) job whose block key (e.g. language) is
-    * unbounded into one whose blocks stay small no matter how the corpus
-    * grows. Bucket = floor(log2(sz)) computed as length(bin(sz))-1 — exact
-    * integer math, immune to FP boundary wobble at powers of two.
+    * Candidate generation is LOSSLESS: if J(A,B) >= t then (a) the sets
+    * share at least ceil(t * max(|A|,|B|)) elements, so by pigeonhole the
+    * smallest shared element sits inside the first |X| - ceil(t|X|) + 1
+    * elements of BOTH sorted sets — every qualifying pair shares a token
+    * in those prefixes; and (b) min(|A|,|B|)/max(|A|,|B|) >= t — the size
+    * ratio prune. Candidates = pairs sharing >= 1 prefix token within a
+    * block, deduped, then exactly verified; the result set is IDENTICAL
+    * to the naive quadratic block join (the oracle runs that form).
+    *
+    * At scale this replaces the O(block²) cross join with an inverted
+    * index keyed on (block, prefix token): shuffle volume is the prefix
+    * postings (≈ (1-t)·|set| small rows per doc), and pair work is
+    * bounded by postings-list sizes, not block sizes. Skew caveat: a
+    * token appearing in k same-block prefixes yields k² candidates; the
+    * classic refinement (kept out for oracle simplicity) orders tokens by
+    * ascending document frequency so prefixes hold the rarest tokens.
+    * The prefix uses |X| - floor(t|X|) + 1 (>= the tight bound, immune to
+    * FP wobble at integer boundaries of t·|X|).
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int,
@@ -222,43 +270,42 @@ object Dedup {
     // Shingles are hashed to longs (portable polynomial hash) — the
     // pairwise intersect/union below is the hot loop, and long-array set
     // ops are far cheaper than string-array ops.
-    // Sets sorted ascending ONCE per document so every pair check is a
-    // linear two-pointer merge (IntersectCountSorted) instead of a
-    // per-pair hash set.
+    // Sets sorted ascending ONCE per document: the sort order IS the
+    // global prefix order, and every pair check becomes a linear
+    // two-pointer merge (IntersectCountSorted) instead of a per-pair
+    // hash set.
     val withSets = df
       .withColumn("__blk", concat_ws(" ", blockCols: _*))
       .withColumn("__sh", array_sort(hashedShingleSet(col(textCol), n)))
       .filter(size(col("__sh")) > 0)
       .select(col("__blk"), col(idCol).as("id"), col("__sh"),
         size(col("__sh")).as("__sz"))
-      .withColumn("__lb", (length(bin(col("__sz"))) - 1).cast("int"))
-    val span = math.ceil(math.log(1.0 / threshold) / math.log(2.0)).toInt
-    // Side A probes its own bucket and the `span` buckets above it; side B
-    // sits in its own bucket. A same-bucket pair arrives twice (both docs
-    // probe offset 0) and is deduped by id order; a cross-bucket pair
-    // arrives exactly once (only the shorter doc probes upward).
-    val a = withSets
-      .withColumn("__probe",
-        explode(array((0 to span).map(o => col("__lb") + lit(o)): _*)))
-      .select(col("__blk"), col("__probe"), col("__lb").as("lb_a"),
-        col("id").as("id_a"), col("__sh").as("sh_a"), col("__sz").as("sz_a"))
-    val b = withSets.select(col("__blk"), col("__lb").as("__probe"),
-      col("__lb").as("lb_b"), col("id").as("id_b"),
-      col("__sh").as("sh_b"), col("__sz").as("sz_b"))
-    // Length filter (exact prune, not an approximation): Jaccard >= t
-    // implies min(|A|,|B|) / max(|A|,|B|) >= t, so pairs failing the size
-    // ratio can never qualify — skip their intersect entirely.
-    a.join(b, Seq("__blk", "__probe"))
-      .filter((col("lb_a") =!= col("lb_b") || col("id_a") < col("id_b")) &&
+    val prefLen =
+      (col("__sz") - floor(lit(threshold) * col("__sz")) + 1).cast("int")
+    val pref = withSets.select(col("__blk"), col("id"), col("__sz"),
+      explode(slice(col("__sh"), lit(1), prefLen)).as("__tok"))
+    val candidates = pref
+      .select(col("__blk"), col("__tok"), col("id").as("id_a"), col("__sz").as("sz_a"))
+      .join(pref.select(col("__blk"), col("__tok"), col("id").as("id_b"),
+        col("__sz").as("sz_b")), Seq("__blk", "__tok"))
+      // Size-ratio filter (exact prune, not an approximation) applied
+      // BEFORE the distinct so the dedup shuffle only carries viable pairs.
+      .filter(col("id_a") < col("id_b") &&
         col("sz_a") * lit(threshold) <= col("sz_b") &&
         col("sz_b") * lit(threshold) <= col("sz_a"))
+      .select("id_a", "id_b").distinct()
+    val sh = withSets.select(col("id"), col("__sh"), col("__sz"))
+    candidates
+      .join(sh.select(col("id").as("id_a"), col("__sh").as("sh_a"),
+        col("__sz").as("sz_a")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("__sh").as("sh_b"),
+        col("__sz").as("sz_b")), "id_b")
       .withColumn("inter",
         GraftFunctions.intersectCountSorted(col("sh_a"), col("sh_b")).cast("double"))
       .withColumn("jaccard",
         roundHalfUp(col("inter") / (col("sz_a") + col("sz_b") - col("inter")), 6))
       .filter(col("jaccard") >= threshold)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
 }

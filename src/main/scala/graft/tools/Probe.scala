@@ -2,7 +2,10 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only scratch probe (not part of the library surface). */
+/** Dev-only scratch probe (not part of the library surface).
+  * Usage: Probe [sfDir] [queryName...] — prints the executed plan and the
+  * noop-sink wall time (2 runs: cold-ish, warm) per query.
+  */
 object Probe {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -11,14 +14,23 @@ object Probe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d = "/root/testdata/sf0.01"
-    val names = if (args.nonEmpty) args.toSeq
+    val (d, names) =
+      if (args.nonEmpty && args.head.startsWith("/"))
+        (args.head, args.tail.toSeq)
+      else ("/root/testdata/sf0.01", args.toSeq)
+    val picked = if (names.nonEmpty) names
       else Seq("q1_pricing_summary", "q5_region_revenue", "s1_cosine_topk",
         "d2_minhash_neardup", "q12_events_hourly")
-    names.foreach { n =>
+    picked.foreach { n =>
       println(s"===== PLAN $n =====")
       val df = graft.SparkEntry.queries(n)(spark, d)
       println(df.queryExecution.executedPlan.toString)
+      (1 to 2).foreach { i =>
+        val t0 = System.nanoTime()
+        graft.SparkEntry.queries(n)(spark, d)
+          .write.format("noop").mode("overwrite").save()
+        println(f"  run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
     }
     spark.stop()
   }

@@ -54,6 +54,67 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs.head.getDouble(2) - 27.0 / 29.0) < 1e-6)
   }
 
+  test("ngramJaccardPairs (prefix-filter join) equals the naive quadratic join") {
+    val rnd = new scala.util.Random(11)
+    // 60 docs over a small vocab so shared shingles are common, plus
+    // planted near-dups; several languages as block keys.
+    val docs = (0 until 60).map { i =>
+      val nTok = 5 + rnd.nextInt(40)
+      val toks = Seq.fill(nTok)("w" + rnd.nextInt(30))
+      (i.toLong, toks.mkString(" "), "lang" + (i % 3))
+    } ++ Seq(
+      (100L, (1 to 30).map("p" + _).mkString(" "), "lang0"),
+      (101L, (1 to 30).map(i => if (i == 5) "q" else "p" + i).mkString(" "), "lang0"))
+    val df = docs.toDF("doc_id", "text", "lang")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(col("lang")), 3, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      // naive reference: full quadratic join within lang blocks
+      val sets = docs.map { case (id, text, lang) =>
+        val toks = text.split(" ").toSeq
+        (id, lang, toks.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet)
+      }.filter(_._3.nonEmpty)
+      val want = (for {
+        a <- sets; b <- sets
+        if a._2 == b._2 && a._1 < b._1
+        inter = (a._3 & b._3).size.toDouble
+        j = inter / (a._3.size + b._3.size - inter)
+        if j >= t - 1e-12
+      } yield (a._1, b._1, math.floor(j * 1e6 + 0.5) / 1e6))
+        .sortBy(p => (p._1, p._2))
+      assert(got == want, s"threshold $t")
+    }
+  }
+
+  test("simHashNearDupPairs finds planted near-dups, complete vs quadratic check") {
+    val rnd = new scala.util.Random(5)
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(30)("t" + rnd.nextInt(200)).mkString(" "))
+    } ++ Seq(
+      (100L, (1 to 40).map("z" + _).mkString(" ")),
+      (101L, (1 to 40).map(i => if (i == 3) "CHANGED" else "z" + i).mkString(" ")))
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.simHashNearDupPairs(df, "doc_id", "text",
+      width = 48, bands = 8, maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.exists(p => p._1 == 100L && p._2 == 101L),
+      "planted near-dup not found")
+    // completeness requires bands > maxHamming
+    intercept[IllegalArgumentException] {
+      Dedup.simHashNearDupPairs(df, "doc_id", "text", bands = 4, maxHamming = 4)
+    }
+    // quadratic reference over the same signatures
+    val sigs = Dedup.withSimHash(df, "text").select("doc_id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb).toLong
+      if h <= 6
+    } yield (ia, ib, h)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got == want)
+  }
+
   test("embeddingNearDup finds same-block high-cosine pairs only") {
     val v = Seq(1f, 0f, 0f)
     val vNear = Seq(0.99f, 0.05f, 0f)
