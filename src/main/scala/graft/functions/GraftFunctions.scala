@@ -37,6 +37,9 @@ object GraftFunctions {
     "graft_intersect_count" -> (es => IntersectCountSorted(es(0), es(1))),
     "graft_topk" -> (topkBuilder _),
     "graft_simhash" -> (es => SimHashBits(es(0), intLit(es(1), "graft_simhash width"))),
+    "graft_token_hashes" -> (es => PolyTokenHashes(es(0))),
+    "graft_shingles" -> (es => PolyShingleSet(es(0), intLit(es(1), "graft_shingles n"))),
+    "graft_charfold" -> (es => PolyCharFold(es(0))),
     "graft_minhash" -> (es => {
       val k = intLit(es(1), "graft_minhash k")
       val (as, bs) = MinHashCoeffs(k)

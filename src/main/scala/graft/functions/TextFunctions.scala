@@ -64,26 +64,44 @@ object TextFunctions {
     * fold(codepoints, 0, (acc, c) => (acc * 131 + c) mod 1e9+7).
     * Deterministic and engine-portable (the oracle reproduces it with
     * `list_reduce`), unlike murmur/xxhash which are Spark-internal.
+    * Backed by the codegen'd [[PolyCharFold]] kernel (callers must have
+    * run [[GraftFunctions.register]] — every graft operator does).
     */
   def charFingerprint(text: Column): Column =
+    call_function("graft_charfold", text)
+
+  /** Per-token polynomial hash (mod [[ShPrime]]) — portable to the oracle.
+    * Backed by the codegen'd [[PolyTokenHashes]] kernel.
+    */
+  def tokenHashes(text: Column): Column =
+    call_function("graft_token_hashes", text)
+
+  /** Distinct word n-gram shingles hashed to longs, SORTED ascending (the
+    * order every pairwise consumer needs). Long-array set ops are ~10×
+    * cheaper than string-array ops in the pairwise-Jaccard hot loop, and
+    * the hash is reproducible in ANSI SQL (unlike xxhash64). Backed by the
+    * codegen'd [[PolyShingleSet]] kernel.
+    */
+  def hashedShingleSet(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, lit(n))
+
+  // ---- higher-order-function reference formulations ----
+  // Kept as executable documentation + cross-check targets for the kernel
+  // parity specs: same math, built only from org.apache.spark.sql.functions.
+
+  private[graft] def charFingerprintHof(text: Column): Column =
     aggregate(
       transform(split(text, ""), ch => ascii(ch).cast("long")),
       lit(0L),
       (acc, x) => (acc * lit(FpBase) + x) % lit(FpPrime))
 
-  /** Per-token polynomial hash (mod [[ShPrime]]) — portable to the oracle. */
-  def tokenHashes(text: Column): Column =
+  private[graft] def tokenHashesHof(text: Column): Column =
     transform(tokens(text), t =>
       aggregate(transform(split(t, ""), ch => ascii(ch).cast("long")),
         lit(0L), (acc, x) => (acc * lit(FpBase) + x) % lit(ShPrime)))
 
-  /** Distinct word n-gram shingles hashed to longs: the shingle hash folds
-    * the n token hashes with the same base/modulus. Long-array set ops are
-    * ~10× cheaper than string-array ops in the pairwise-Jaccard hot loop,
-    * and the hash is reproducible in ANSI SQL (unlike xxhash64).
-    */
-  def hashedShingleSet(text: Column, n: Int): Column =
-    letBound(tokenHashes(text)) { th =>
+  private[graft] def hashedShingleSetHof(text: Column, n: Int): Column =
+    letBound(tokenHashesHof(text)) { th =>
       array_distinct(
         when(size(th) >= n,
           transform(sequence(lit(0), size(th) - lit(n)), i =>

@@ -107,8 +107,7 @@ object Dedup {
     GraftFunctions.register(df.sparkSession)
     val signed = withMinHashSignature(df, textCol, p)
       .filter(size(col("shingles")) > 0)
-      .select(col(idCol).as("id"),
-        array_sort(col("shingles")).as("shingles"), col("minhash"))
+      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
 
     // Explode into (band, bandKey) rows; bandKey is the band's slice of the
     // signature folded to one long so the join key is small on the wire.
@@ -267,16 +266,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int,
                         threshold: Double): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
     // Shingles are hashed to longs (portable polynomial hash) — the
     // pairwise intersect/union below is the hot loop, and long-array set
     // ops are far cheaper than string-array ops.
-    // Sets sorted ascending ONCE per document: the sort order IS the
-    // global prefix order, and every pair check becomes a linear
-    // two-pointer merge (IntersectCountSorted) instead of a per-pair
-    // hash set.
+    // The kernel emits each set sorted ascending ONCE per document: the
+    // sort order IS the global prefix order, and every pair check becomes
+    // a linear two-pointer merge (IntersectCountSorted) instead of a
+    // per-pair hash set.
     val withSets = df
       .withColumn("__blk", concat_ws(" ", blockCols: _*))
-      .withColumn("__sh", array_sort(hashedShingleSet(col(textCol), n)))
+      .withColumn("__sh", hashedShingleSet(col(textCol), n))
       .filter(size(col("__sh")) > 0)
       .select(col("__blk"), col(idCol).as("id"), col("__sh"),
         size(col("__sh")).as("__sz"))

@@ -58,7 +58,8 @@ object Multimodal {
     * `explode` keep it distributed and codegen'd; the per-frame hash stands
     * in for a per-frame feature.
     */
-  def frameSample(docs: DataFrame, frameLen: Int = 100): DataFrame =
+  def frameSample(docs: DataFrame, frameLen: Int = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs
       .select(col("doc_id"), col("n_chars"), col("text"))
       // Empty (or null-length) documents have no frames: sequence(0, -1)
@@ -75,6 +76,7 @@ object Multimodal {
         TextFunctions.charFingerprint(
           expr(s"substring(text, off + 1, $frameLen)")).as("frame_fp"))
       .orderBy(col("doc_id"), col("frame_no"))
+  }
 
   /** Resize planning — computes output dimensions that fit `maxDim` while
     * preserving aspect ratio, in pure integer math (codegen'd projection;

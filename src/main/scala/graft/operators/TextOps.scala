@@ -89,9 +89,11 @@ object TextOps {
   /** Rolling-hash document fingerprint (engine-portable polynomial hash —
     * see [[graft.functions.TextFunctions.charFingerprint]]).
     */
-  def fingerprints(docs: DataFrame): DataFrame =
+  def fingerprints(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"), charFingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
+  }
 
   /** Corpus-wide top-k word n-grams by frequency (duplicates within a doc
     * count). One explode + one partial/final hash aggregation.

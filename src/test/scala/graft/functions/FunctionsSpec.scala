@@ -8,6 +8,8 @@ import graft.functions.TextFunctions._
 class TextFunctionsSpec extends SparkSpec {
   import spark.implicits._
 
+  GraftFunctions.register(spark)
+
   /** Plain-Scala reimplementation of the polynomial fingerprint. */
   private def refFp(s: String, p: Long = FpPrime): Long =
     s.foldLeft(0L)((acc, c) => (acc * FpBase + c.toLong) % p)

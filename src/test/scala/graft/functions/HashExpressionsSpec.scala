@@ -56,4 +56,44 @@ class HashExpressionsSpec extends SparkSpec {
       .select(GraftFunctions.minHashSig(col("hs"), 8)).collect()(0)
     assert(r.isNullAt(0))
   }
+
+  // ---- PolyHash kernels vs the higher-order-function formulations ----
+  // Same math, two independent evaluation paths; includes CJK (BMP) text,
+  // multi-space runs, and leading/trailing spaces (empty tokens).
+
+  private val texts = Seq(
+    "", " ", "a", "a b c", "the quick brown fox", "trailing space ",
+    " leading", "double  space", "的 是 了 在 我", "mixed 的 tokens 了",
+    "x" * 300) ++ (0 until 50).map { i =>
+    val r = new scala.util.Random(i)
+    Seq.fill(1 + r.nextInt(30))(
+      Seq.fill(1 + r.nextInt(8))((33 + r.nextInt(94)).toChar).mkString)
+      .mkString(" ")
+  }
+
+  test("PolyCharFold kernel equals the HOF charFingerprint") {
+    GraftFunctions.register(spark)
+    val rows = texts.toDF("text").select(
+      TextFunctions.charFingerprint(col("text")),
+      TextFunctions.charFingerprintHof(col("text"))).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
+  test("PolyTokenHashes kernel equals the HOF tokenHashes") {
+    GraftFunctions.register(spark)
+    val rows = texts.toDF("text").select(
+      TextFunctions.tokenHashes(col("text")),
+      TextFunctions.tokenHashesHof(col("text"))).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("PolyShingleSet kernel equals sorted HOF hashedShingleSet") {
+    GraftFunctions.register(spark)
+    for (n <- Seq(2, 3, 5)) {
+      val rows = texts.toDF("text").select(
+        TextFunctions.hashedShingleSet(col("text"), n),
+        array_sort(TextFunctions.hashedShingleSetHof(col("text"), n))).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
+    }
+  }
 }
