@@ -40,6 +40,10 @@ object GraftFunctions {
     "graft_token_hashes" -> (es => PolyTokenHashes(es(0))),
     "graft_shingles" -> (es => PolyShingleSet(es(0), intLit(es(1), "graft_shingles n"))),
     "graft_charfold" -> (es => PolyCharFold(es(0))),
+    "graft_srp_buckets" -> (es => SrpBuckets(es(0),
+      intLit(es(1), "graft_srp_buckets tables"),
+      intLit(es(2), "graft_srp_buckets planes"),
+      intLit(es(3), "graft_srp_buckets dim"))),
     "graft_minhash" -> (es => {
       val k = intLit(es(1), "graft_minhash k")
       val (as, bs) = MinHashCoeffs(k)
@@ -98,6 +102,13 @@ object GraftFunctions {
     */
   def minHashSig(shingleHashes: Column, k: Int): Column =
     call_function("graft_minhash", shingleHashes, lit(k))
+
+  /** Per-table SRP LSH bucket ids of an `array<float>` vector —
+    * see [[SrpBuckets]] / [[SrpHash]].
+    */
+  def srpBuckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
+    call_function("graft_srp_buckets", asFloatArray(vec),
+      lit(tables), lit(planes), lit(dim))
 }
 
 /** Deterministic affine MinHash coefficient family, shared by the Spark

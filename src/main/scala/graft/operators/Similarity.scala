@@ -56,48 +56,72 @@ object Similarity {
         (col("pos") + 1).cast("int").as("rank"))
       .orderBy(col(qidCol), col("rank"))
 
-  /** Number of random hyperplanes for [[lshTopK]] bucketing (bucket space
-    * 2^planes). */
-  val DefaultPlanes = 12
+  /** Default hyperplanes per table (bucket space 2^planes per table). */
+  val DefaultPlanes = 8
 
-  /** Deterministic pseudo-random hyperplanes, seed fixed — same planes on
-    * every run and every executor (they are literal arrays in the plan).
-    */
-  private def hyperplanes(planes: Int, dim: Int): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(7)
-    Seq.fill(planes)(Seq.fill(dim)(rnd.nextDouble() * 2.0 - 1.0))
-  }
+  /** Default number of independent hash tables (band-OR over tables). */
+  val DefaultTables = 16
 
-  /** Sign-random-projection bucket id of a vector column. */
-  def srpBucket(vec: Column, planes: Int, dim: Int): Column = {
-    val hs = hyperplanes(planes, dim)
-    val bits = hs.zipWithIndex.map { case (plane, j) =>
-      val dot = aggregate(
-        zip_with(vec, typedLit(plane), (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << j)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
-  }
-
-  /** Approximate top-k: queries probe only the corpus bucket matching their
-    * own SRP signature. Recall < 1 by construction (that is the trade);
-    * at 100 TB the corpus side is bucketed once (narrow scan + small
-    * shuffle on bucket id) instead of a full cross product.
+  /** Approximate top-k via multi-table SRP LSH with Hamming-1 multi-probe.
+    *
+    * Recall mechanics: a true neighbor at angle θ agrees with one plane
+    * with p = 1 - θ/π, lands in the same bucket of ONE table with p^planes,
+    * and within Hamming distance 1 with p^planes + planes·p^(planes-1)(1-p);
+    * independent tables OR together: recall = 1-(1-p_table)^tables. At the
+    * defaults (8 planes, 16 tables, multi-probe on) neighbors at cos ≥ 0.25
+    * (p ≥ 0.58) exceed ~0.75 expected recall — asserted ≥ 0.6 against the
+    * exact baseline in `LshRecallSpec`. Single-table single-probe was
+    * measured at ~2% recall on the same fixture: an ANN operator needs the
+    * table/probe dials, not just the bucket hash.
+    *
+    * Scale shape (100 TB): the corpus is bucketed once per table (narrow
+    * scan, `tables`× replication — the classic LSH index memory trade);
+    * each query probes (1 + planes) buckets per table, i.e. touches
+    * ~tables·(1+planes)/2^planes of the corpus instead of all of it.
+    * Candidates dedup on (query, id) BEFORE ranking so multi-table hits
+    * are not double-counted; ranking is the bounded TopKByScore aggregate
+    * with map-side partials.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String,
               qidCol: String, qvecCol: String,
               k: Int, dim: Int, planes: Int = DefaultPlanes,
+              tables: Int = DefaultTables, multiProbe: Boolean = true,
               excludeSelf: Boolean = true): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
-    val cb = corpus.withColumn("bucket", srpBucket(col(vecCol), planes, dim))
-    val qb = queries.withColumn("bucket", srpBucket(col(qvecCol), planes, dim))
-    val joined = cb.join(broadcast(qb), Seq("bucket"))
+
+    // All per-table bucket ids come from ONE SrpBuckets kernel call
+    // (tables × planes dot products in a single pass over the vector).
+    val cb = corpus
+      .select(col(idCol), col(vecCol),
+        posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
+          .as(Seq("tbl", "bkt")))
+
+    // Query probes: own bucket per table, plus every Hamming-1 neighbor
+    // bucket (flip each plane bit) when multiProbe is on. letBound keeps
+    // each base bucket evaluated once, not once per probe.
+    val qProbes = graft.functions.TextFunctions.letBound(
+      GraftFunctions.srpBuckets(col(qvecCol), tables, planes, dim)) { bks =>
+      flatten(array((0 until tables).map { t =>
+        graft.functions.TextFunctions.letBound(element_at(bks, t + 1)) { base =>
+          val probes = base +: (if (multiProbe)
+            (0 until planes).map(j => base.bitwiseXOR(lit(1L << j)))
+          else Seq.empty)
+          array(probes.map(p => struct(lit(t).as("tbl"), p.as("bkt"))): _*)
+        }
+      }: _*))
+    }
+    val qb = queries
+      .select(col(qidCol), col(qvecCol), explode(qProbes).as("pb"))
+      .select(col(qidCol), col(qvecCol),
+        col("pb.tbl").as("tbl"), col("pb.bkt").as("bkt"))
+
+    val joined = cb.join(broadcast(qb), Seq("tbl", "bkt"))
     val withSim = joined
       .withColumn("sim", round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
     val filtered =
       if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
-    rankTopK(filtered, idCol, qidCol, k)
+    val deduped = filtered.select(col(qidCol), col(idCol), col("sim")).distinct()
+    rankTopK(deduped, idCol, qidCol, k)
   }
 }

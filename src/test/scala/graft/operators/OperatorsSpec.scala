@@ -160,6 +160,27 @@ class SimilaritySpec extends SparkSpec {
   }
 }
 
+class LshRecallSpec extends SparkSpec {
+  test("lshTopK recall >= 0.6 vs exact brute force on sf0.01 embeddings") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, dim = 64)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50)
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"lshTopK recall vs exact top-5: $recall%.2f (${approx.size} returned)")
+    assert(recall >= 0.6, f"recall $recall%.2f < 0.6")
+  }
+}
+
 class TextOpsSpec extends SparkSpec {
   import spark.implicits._
 
