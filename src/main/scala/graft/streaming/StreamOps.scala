@@ -19,33 +19,45 @@ object StreamOps {
 
   /** Streaming flavor of the uppercase job (reference
     * `S3ReadWriteExample.main`): text-file source → upper → text-file sink
-    * with checkpointed exactly-once output, AvailableNow trigger.
+    * with checkpointed exactly-once output.
+    *
+    * `trigger` picks the reference's two sink behaviors:
+    *  - `Trigger.AvailableNow()` (default): process everything present,
+    *    checkpoint, stop — the PROCESS_ONCE batch semantics.
+    *  - `Trigger.ProcessingTime("15 minutes")`: stay up and emit one file
+    *    set per trigger per partition — the Spark analog of the
+    *    reference's time-based `DefaultRollingPolicy` (15 min rollover,
+    *    `S3ReadWriteExample.java:32-37`); a trigger interval IS the roll
+    *    interval, and the checkpoint gives the same in-progress →
+    *    committed file lifecycle.
     */
   def upperCasePipeline(spark: SparkSession, inPath: String, outPath: String,
-                        checkpoint: String): StreamingQuery =
+                        checkpoint: String,
+                        trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.text(inPath)
       .select(upper(col("value")).as("value"))
       .writeStream
       .format("text")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
 
   /** Streaming flavor of the CSV filter job (reference
     * `S3FlinkFilterJacksonville.main`): text source → naive split →
     * malformed-row guard + city exclusion → re-serialize → checkpointed
-    * text sink, AvailableNow.
+    * text sink. See [[upperCasePipeline]] for the trigger semantics.
     */
   def filterCityPipeline(spark: SparkSession, inPath: String, outPath: String,
-                         checkpoint: String, city: String): StreamingQuery = {
+                         checkpoint: String, city: String,
+                         trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val lines = spark.readStream.text(inPath)
     graft.operators.RefOps.filterJob(lines, city)
       .writeStream
       .format("text")
       .option("path", outPath)
       .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
+      .trigger(trigger)
       .start()
   }
 

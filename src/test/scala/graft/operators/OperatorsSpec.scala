@@ -302,23 +302,7 @@ class IntersectCountSpec extends graft.SparkSpec {
   }
 }
 
-class SinksSpec extends graft.SparkSpec {
-  test("partitioned parquet sink produces hive-style layout, round-trips") {
-    val li = Tables.lineitem(spark, sf001)
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/li"
-    Tables.writePartitionedParquet(li, dir, Seq("l_returnflag"),
-      maxRecordsPerFile = 1000)
-    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory).map(_.getName)
-    assert(dirs.exists(_.startsWith("l_returnflag=")))
-    val back = spark.read.parquet(dir)
-    assert(back.count() == li.count())
-    // partition pruning: reading one flag touches only that directory
-    val one = back.filter(col("l_returnflag") === "R")
-    val scan = one.queryExecution.executedPlan.toString
-    assert(scan.contains("PartitionFilters"))
-    assert(one.count() == li.filter(col("l_returnflag") === "R").count())
-  }
-
+class ResizeSpec extends graft.SparkSpec {
   test("resizeMeta fits maxDim preserving aspect ratio") {
     val out = Multimodal.resizeMeta(Tables.documents(spark, sf001).limit(20), 256)
       .collect()

@@ -38,6 +38,38 @@ class StreamOpsSpec extends SparkSpec {
     assert(!got.exists(_.contains("Jacksonville")))
   }
 
+  test("ProcessingTime uppercase pipeline stays up and rolls files per trigger") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-stream-pt").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    Seq("alpha").toDF("value").coalesce(1).write.text(in)
+    // 100 ms stands in for the reference's 15 min DefaultRollingPolicy
+    // rollover — each trigger commits its own file set
+    val q = StreamOps.upperCasePipeline(spark, in, out, cp,
+      Trigger.ProcessingTime(100))
+    try {
+      q.processAllAvailable()
+      // unlike AvailableNow, the query does NOT self-terminate
+      assert(q.isActive)
+      // late-arriving file is picked up by a later trigger
+      Seq("beta").toDF("value").coalesce(1).write.mode("append").text(in)
+      q.processAllAvailable()
+      val got = spark.read.text(out).collect().map(_.getString(0)).sorted
+      assert(got.toSeq == Seq("ALPHA", "BETA"))
+      assert(q.isActive)
+    } finally q.stop()
+  }
+
+  test("s3a preset carries committer + upload tuning and never credentials") {
+    val cfg = graft.GraftSession.s3aConfigs()
+    assert(cfg("spark.hadoop.fs.s3a.committer.name") == "magic")
+    assert(cfg("spark.hadoop.fs.s3a.committer.magic.enabled") == "true")
+    assert(cfg.contains("spark.sql.sources.commitProtocolClass"))
+    val lower = cfg.keys.map(_.toLowerCase)
+    assert(lower.forall(k => !k.contains("secret") && !k.contains("access.key")))
+    graft.GraftSession.s3aBuilder() // applying the preset must not throw
+  }
+
   test("update-mode running avg emits refreshed aggregates per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
