@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Dedup, Multimodal, RefOps, Sessionize, Similarity, TextOps}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, RefOps, Sampling, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -383,6 +383,31 @@ object SparkEntry {
       Dedup.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", threshold = 0.4)),
 
+    // near-dup clusters: connected components over the MinHash pair graph
+    // (min-label propagation to convergence; oracle = recursive
+    // transitive-closure CTE)
+    "d6_neardup_clusters" -> ((s, dir) =>
+      Clustering.nearDupClusters(
+        Dedup.minHashNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+            threshold = 0.2)))),
+
+    // ---- sampling / splitting tier ----
+
+    // deterministic hash-bucket sampling (key-stable, RNG-free)
+    "q20_hash_sample" -> ((s, dir) =>
+      Sampling.sampleByHash(T(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // deterministic train/test split: disjoint, exhaustive, reproducible
+    "q21_train_test_split" -> ((s, dir) =>
+      Sampling.trainTestSplit(T(s, dir, "documents"), "doc_id", 0.1)
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy(col("split"))),
+
     // ---- similarity search tier ----
 
     // exact brute-force cosine top-k (codegen'd native kernel)
@@ -438,12 +463,12 @@ object SparkEntry {
        |     for t in string_split(text, ' ')] AS th
        |  FROM documents)""".stripMargin
 
-  /** SimHash avalanche mixer applied to SQL expression `e`
-    * (mirrors SimHashBits: mixRounds rounds of x*1021+12345 mod ShP). */
-  private def duckMix(e: String): String = {
+  /** Avalanche mixer applied to SQL expression `e` (mirrors SimHashBits /
+    * Sampling.hashBucket: mixRounds rounds of x*1021+12345 mod `prime`). */
+  private def duckMix(e: String, prime: Long = ShP): String = {
     import graft.functions.SimHashBits._
     (0 until MixRounds).foldLeft(e)((acc, _) =>
-      s"(($acc) * $MixMul + $MixAdd) % $ShP")
+      s"(($acc) * $MixMul + $MixAdd) % $prime")
   }
 
   /** SQL expression: width-bit SimHash of token-hash list column `th`. */
@@ -463,13 +488,14 @@ object SparkEntry {
        |                   for i in range(1, len(th) - 1)]) AS sh
        |  FROM th WHERE len(th) >= 3)""".stripMargin
 
-  /** SQL for the full MinHash LSH near-dup oracle (mirrors
-    * Dedup.minHashNearDupPairs with the given params): signatures from the
-    * seeded affine family, band keys from the polynomial fold, candidates
-    * = pairs sharing any (band, key), verification = exact Jaccard.
+  /** CTE list (ending in `pairs(id_a, id_b, jaccard)`) for the full
+    * MinHash LSH near-dup oracle (mirrors Dedup.minHashNearDupPairs with
+    * the given params): signatures from the seeded affine family, band
+    * keys from the polynomial fold, candidates = pairs sharing any
+    * (band, key), verification = exact Jaccard.
     */
-  private def duckMinHashPairs(numHashes: Int, bands: Int,
-                               threshold: Double): String = {
+  private def duckMinHashCtes(numHashes: Int, bands: Int,
+                              threshold: Double): String = {
     val (as, bs) = graft.functions.MinHashCoeffs(numHashes)
     val m = graft.functions.MinHashCoeffs.Prime
     val rpb = numHashes / bands
@@ -481,7 +507,7 @@ object SparkEntry {
         s"(($acc) * 131 + sig[${b * rpb + r + 1}]) % $ShP")
     }.mkString(",\n      ")
     val orCond = (1 to bands).map(i => s"a.bk[$i] = c.bk[$i]").mkString(" OR ")
-    s"""WITH $duckTokenHashes,
+    s"""$duckTokenHashes,
        |$duckShingleSets,
        |m AS (
        |  SELECT doc_id, sh, [x % $m for x in sh] AS shm FROM s WHERE len(sh) > 0),
@@ -492,15 +518,34 @@ object SparkEntry {
        |b AS (
        |  SELECT doc_id, sh, [
        |      $bandFolds] AS bk
-       |  FROM sg)
-       |SELECT id_a, id_b, jaccard FROM (
-       |  SELECT a.doc_id AS id_a, c.doc_id AS id_b,
-       |    floor(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE)
-       |          / (len(a.sh) + len(c.sh)
-       |             - CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE))
-       |          * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |  FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($orCond))
-       |WHERE jaccard >= $threshold ORDER BY id_a, id_b""".stripMargin
+       |  FROM sg),
+       |pairs AS (
+       |  SELECT id_a, id_b, jaccard FROM (
+       |    SELECT a.doc_id AS id_a, c.doc_id AS id_b,
+       |      floor(CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE)
+       |            / (len(a.sh) + len(c.sh)
+       |               - CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE))
+       |            * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+       |    FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($orCond))
+       |  WHERE jaccard >= $threshold)""".stripMargin
+  }
+
+  /** Nested-subquery table expression mirroring Sampling.hashBucket:
+    * carries `cols` through, adds `bkt`. Nested selects keep the xor-shift
+    * rounds linear in SQL size (inlining would double the expression per
+    * round).
+    */
+  private def duckWithBucket(cols: String, keyCol: String): String = {
+    val fp = graft.functions.TextFunctions.FpPrime
+    val fold =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(CAST($keyCol AS VARCHAR), '')]),
+         |      (acc, x) -> (acc * 131 + x) % $fp)""".stripMargin
+    var q = s"SELECT $cols, $fold AS mx FROM documents"
+    (0 until graft.operators.Sampling.MixRounds).foreach { _ =>
+      q = s"SELECT $cols, (xor(mx, mx >> 13) * 1021 + 12345) % $fp AS mx FROM ($q)"
+    }
+    s"SELECT $cols, mx % ${graft.operators.Sampling.Buckets} AS bkt FROM ($q)"
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -782,8 +827,37 @@ object SparkEntry {
     // Full MinHash+LSH twin: same signatures (seeded affine family embedded
     // as literals), same band keys (polynomial fold), same candidates
     // (pairs sharing any band key), same exact-Jaccard verification.
-    "d2_minhash_neardup" -> duckMinHashPairs(numHashes = 32, bands = 8,
-      threshold = 0.2),
+    "d2_minhash_neardup" ->
+      s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)}
+         |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // Connected components over the same pair graph: recursive
+    // transitive closure, cluster = min reachable id.
+    "d6_neardup_clusters" ->
+      s"""WITH RECURSIVE ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)},
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, a AS reach FROM e
+         |  UNION
+         |  SELECT e.a, r.reach FROM e JOIN r ON e.b = r.id)
+         |SELECT id, CAST(min(reach) AS BIGINT) AS cluster
+         |FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    "q20_hash_sample" ->
+      s"""SELECT doc_id, lang FROM (${duckWithBucket("doc_id, lang", "doc_id")})
+         |WHERE bkt < ${(0.25 * graft.operators.Sampling.Buckets).toLong}
+         |ORDER BY doc_id""".stripMargin,
+
+    "q21_train_test_split" ->
+      s"""SELECT split, count(*) AS cnt,
+         |  min(doc_id) AS min_id, max(doc_id) AS max_id
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN bkt < ${(0.1 * graft.operators.Sampling.Buckets).toLong}
+         |         THEN 'test' ELSE 'train' END AS split
+         |  FROM (${duckWithBucket("doc_id", "doc_id")}))
+         |GROUP BY split ORDER BY split""".stripMargin,
 
     // Portable SimHash signatures (mixed polynomial token hashes).
     "d4_simhash" ->

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Connected components over a near-dup pair list — the step that turns
+  * pairwise `(id_a, id_b, score)` evidence (MinHash, SimHash, Jaccard,
+  * embedding cosine) into dedup groups: every document gets the minimum
+  * id reachable through the pair graph as its `cluster`, and "keep one
+  * per cluster" becomes a trivial filter (`id = cluster`).
+  *
+  * Algorithm: iterative min-label propagation. Each round, every node
+  * takes the min of its own label and its neighbors' labels — one hash
+  * join + one aggregation per round, all decomposable, edges hash-
+  * partitioned. Rounds needed = graph diameter; near-dup components are
+  * overwhelmingly tiny cliques (diameter 1-2), so this converges in a
+  * couple of rounds, with an exact convergence check (no fixed round
+  * count guessing). This operator MATERIALIZES per round (it is a
+  * multi-pass graph computation, like any Pregel-style run): labels are
+  * `localCheckpoint`ed each iteration — persist alone is NOT enough,
+  * because the logical plan would still chain across iterations and
+  * re-analysis/AQE cost grows superlinearly with rounds (measured: a
+  * 10-round run wedged for minutes in plan processing before the
+  * checkpoint truncation, milliseconds after).
+  *
+  * At 100 TB: shuffle volume per round is O(E) small (id, id) rows; the
+  * driver never touches per-node data (only the converged? count). For
+  * adversarial long-chain graphs the round count grows with the chain
+  * length — the classic fix (large-star/small-star, O(log n) rounds) is
+  * the upgrade path documented here, not needed for near-dup workloads.
+  */
+object Clustering {
+
+  /** (id, cluster) for every id appearing in `pairs`; cluster = min id of
+    * the component. Deterministic, engine-portable (DuckDB twin = a
+    * recursive transitive-closure CTE).
+    */
+  def nearDupClusters(pairs: DataFrame, idACol: String = "id_a",
+                      idBCol: String = "id_b", maxIter: Int = 100): DataFrame = {
+    val e0 = pairs.select(col(idACol).cast("long").as("a"),
+      col(idBCol).cast("long").as("b"))
+    val edges = e0.union(e0.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // localCheckpoint (eager) truncates the logical plan per round; a
+    // restart-tolerant deployment would use checkpoint() with a
+    // checkpoint dir instead.
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("nmin"))
+      .select(col("a").as("id"), least(col("a"), col("nmin")).as("lbl"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl")), "b")
+        .groupBy(col("a"))
+        .agg(min(col("lbl")).as("nbl"))
+        .select(col("a").as("id"), col("nbl"))
+      val next = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("lbl").as("old")), "id")
+        .filter(col("lbl") < col("old"))
+        .count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    labels.select(col("id"), col("lbl").as("cluster")).orderBy(col("id"))
+  }
+
+  /** Representative per cluster: the row whose id IS the cluster label —
+    * the "keep one copy" step of a dedup pipeline.
+    */
+  def representatives(clustered: DataFrame): DataFrame =
+    clustered.filter(col("id") === col("cluster"))
+}

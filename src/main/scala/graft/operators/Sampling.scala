@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, TextFunctions}
+
+/** Deterministic, key-stable sampling and splitting for training-data
+  * pipelines.
+  *
+  * `rand()`-based sampling is useless for a reproducible corpus: it
+  * changes under retries, repartitions, and engine versions, and it
+  * cannot assign the SAME document to the same split across pipeline
+  * runs. Hash-based bucketing fixes all of that — the bucket is a pure
+  * function of the key, so samples are stable, splits are disjoint and
+  * exhaustive, any engine reproduces them (the DuckDB oracle runs the
+  * same formula), and at 100 TB it is a narrow codegen'd filter with
+  * zero shuffle and zero RNG state.
+  *
+  * Bucket = mix3(polyfold(key-as-string)) mod `buckets`, where polyfold
+  * is the portable polynomial hash and each mix round is
+  * `x -> (xor(x, x >> 13) * 1021 + 12345) mod 1e9+7`. The xor-shift is
+  * load-bearing: a purely affine round is a LINEAR map, so consecutive
+  * numeric keys keep a constant stride modulo the bucket count and a
+  * "sample" degenerates into contiguous id runs (caught by spec —
+  * max run 20 affine vs 5 with the xor). All steps are 64-bit-safe
+  * integer ops any ANSI engine reproduces.
+  */
+object Sampling {
+
+  /** Number of hash buckets: fractions are resolved at 0.01% granularity. */
+  val Buckets = 10000
+
+  /** Mixer rounds (each: xor-shift then affine, mod [[TextFunctions.FpPrime]]). */
+  val MixRounds = 3
+
+  /** Stable bucket in [0, Buckets) for a key column. */
+  def hashBucket(key: Column): Column = {
+    val h0 = TextFunctions.charFingerprint(key.cast("string"))
+    val mixed = (0 until MixRounds).foldLeft(h0)((h, _) =>
+      (h.bitwiseXOR(shiftright(h, 13)) * lit(1021L) + lit(12345L))
+        % lit(TextFunctions.FpPrime))
+    pmod(mixed, lit(Buckets.toLong))
+  }
+
+  /** Keep rows whose key hashes into the first `fraction` of buckets.
+    * Same key → same decision, on every run and every engine.
+    */
+  def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0)
+    GraftFunctions.register(df.sparkSession)
+    df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toLong)
+  }
+
+  /** Adds a `split` column: "test" for the first `testFraction` of
+    * buckets, "train" otherwise. Disjoint and exhaustive by construction;
+    * a document can never leak between splits across runs.
+    */
+  def trainTestSplit(df: DataFrame, keyCol: String,
+                     testFraction: Double): DataFrame = {
+    require(testFraction >= 0.0 && testFraction <= 1.0)
+    GraftFunctions.register(df.sparkSession)
+    df.withColumn("split",
+      when(hashBucket(col(keyCol)) < (testFraction * Buckets).toLong,
+        lit("test")).otherwise(lit("train")))
+  }
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference union-find. */
+  private def ufClusters(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("nearDupClusters equals union-find on a random pair graph") {
+    val rnd = new scala.util.Random(13)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val got = Clustering.nearDupClusters(pairs.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == ufClusters(pairs))
+  }
+
+  test("nearDupClusters converges on a chain (diameter > 2)") {
+    val chain = (0L until 11L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Clustering.nearDupClusters(chain.toDF("id_a", "id_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 10L).map(_ -> 0L).toMap)
+  }
+
+  test("representatives keeps exactly one row per cluster") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val clustered = Clustering.nearDupClusters(pairs)
+    val reps = Clustering.representatives(clustered)
+      .collect().map(_.getLong(0)).sorted
+    assert(reps.toSeq == Seq(1L, 10L))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ids = (0L until 2000L).toDF("doc_id")
+
+  test("trainTestSplit is disjoint, exhaustive, and key-stable") {
+    val s1 = Sampling.trainTestSplit(ids, "doc_id", 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val s2 = Sampling.trainTestSplit(ids, "doc_id", 0.2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(s1 == s2, "same key must get the same split on every run")
+    assert(s1.size == 2000)
+    val testFrac = s1.values.count(_ == "test").toDouble / 2000
+    assert(math.abs(testFrac - 0.2) < 0.05, s"test fraction $testFrac")
+  }
+
+  test("sampleByHash fraction lands near the target and nests monotonically") {
+    val s10 = Sampling.sampleByHash(ids, "doc_id", 0.10)
+      .collect().map(_.getLong(0)).toSet
+    val s25 = Sampling.sampleByHash(ids, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).toSet
+    assert(math.abs(s10.size / 2000.0 - 0.10) < 0.04)
+    assert(math.abs(s25.size / 2000.0 - 0.25) < 0.05)
+    // smaller fraction is a subset of the larger: stable growing samples
+    assert(s10.subsetOf(s25))
+  }
+
+  test("hash buckets decorrelate consecutive keys (no contiguous runs)") {
+    val sample = Sampling.sampleByHash(ids, "doc_id", 0.25)
+      .collect().map(_.getLong(0)).sorted
+    // a contiguous id range would show long runs; mixed hashes should not
+    val maxRun = sample.foldLeft((0, 0, -10L)) { case ((best, cur, prev), id) =>
+      val c = if (id == prev + 1) cur + 1 else 1
+      (math.max(best, c), c, id)
+    }._1
+    assert(maxRun < 10, s"suspicious contiguous run of $maxRun ids")
+  }
+}
