@@ -430,6 +430,20 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF ANN: trained coarse quantizer cells + nprobe probing
+    // (quantizer is engine-internal — rows-only; recall gated in
+    // LshRecallSpec against the exact baseline)
+    "s3_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        c = 32, iters = 5)
+      Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5, cents, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // ---- multimodal tier ----
 
     "m1_media_meta" -> ((s, dir) => {

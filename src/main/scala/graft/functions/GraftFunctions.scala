@@ -3,6 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
 
 /** Registration + Column-level API for graft's custom Catalyst expressions.
@@ -44,6 +45,22 @@ object GraftFunctions {
       intLit(es(1), "graft_srp_buckets tables"),
       intLit(es(2), "graft_srp_buckets planes"),
       intLit(es(3), "graft_srp_buckets dim"))),
+    "graft_ivf_probes" -> (es => {
+      // es(1): literal array<array<float>> centroid matrix
+      val (flat, c, dim) = es(1) match {
+        case Literal(v: ArrayData, _) =>
+          val rows = (0 until v.numElements()).map { i =>
+            val row = v.getArray(i)
+            (0 until row.numElements()).map(j => row.getFloat(j)).toArray
+          }
+          require(rows.nonEmpty && rows.map(_.length).distinct.size == 1,
+            "graft_ivf_probes centroids must be a non-empty rectangular matrix")
+          (rows.flatten.toArray, rows.length, rows.head.length)
+        case other => throw new IllegalArgumentException(
+          s"graft_ivf_probes centroids must be a literal matrix, got $other")
+      }
+      IvfProbes(es(0), flat, c, dim, intLit(es(2), "graft_ivf_probes nprobe"))
+    }),
     "graft_minhash" -> (es => {
       val k = intLit(es(1), "graft_minhash k")
       val (as, bs) = MinHashCoeffs(k)
@@ -109,6 +126,13 @@ object GraftFunctions {
   def srpBuckets(vec: Column, tables: Int, planes: Int, dim: Int): Column =
     call_function("graft_srp_buckets", asFloatArray(vec),
       lit(tables), lit(planes), lit(dim))
+
+  /** nprobe nearest centroid ids of an `array<float>` vector under a
+    * trained (normalized) centroid matrix — see [[IvfProbes]].
+    */
+  def ivfProbes(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
+    call_function("graft_ivf_probes", asFloatArray(vec),
+      typedLit(centroids), lit(nprobe))
 }
 
 /** Deterministic affine MinHash coefficient family, shared by the Spark

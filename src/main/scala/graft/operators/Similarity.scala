@@ -124,4 +124,89 @@ object Similarity {
     val deduped = filtered.select(col(qidCol), col(idCol), col("sim")).distinct()
     rankTopK(deduped, idCol, qidCol, k)
   }
+
+  /** Deterministic spherical k-means coarse quantizer for [[ivfTopK]].
+    *
+    * Trains on a bounded, id-ordered sample COLLECTED TO THE DRIVER —
+    * that is the standard IVF shape (the quantizer is tiny and trained
+    * offline on a sample; only the assignment pass is distributed).
+    * Init = `c` evenly spaced vectors of the sorted sample; Lloyd rounds
+    * assign by inner product and re-normalize the mean; empty cells keep
+    * their centroid. Fully deterministic — no RNG, stable across runs
+    * and engines.
+    *
+    * @return c L2-normalized centroids (row-major)
+    */
+  def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                     c: Int = 32, iters: Int = 5,
+                     maxTrain: Int = 10000): Seq[Seq[Float]] = {
+    val sample = emb
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .orderBy(col("id"))
+      .limit(maxTrain)
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+    require(sample.length >= c, s"need >= $c training vectors, got ${sample.length}")
+    val dim = sample.head.length
+
+    def normalize(x: Array[Double]): Array[Double] = {
+      val n = math.sqrt(x.map(d => d * d).sum)
+      if (n == 0.0) x else x.map(_ / n)
+    }
+    val unit = sample.map(v => normalize(v.map(_.toDouble)))
+    val stride = sample.length / c
+    var centroids = Array.tabulate(c)(i => unit(i * stride).clone())
+
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(c)(new Array[Double](dim))
+      val counts = new Array[Int](c)
+      unit.foreach { x =>
+        var bestC = 0; var bestD = Double.NegativeInfinity
+        var ci = 0
+        while (ci < c) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += x(i) * centroids(ci)(i); i += 1 }
+          if (d > bestD) { bestD = d; bestC = ci }
+          ci += 1
+        }
+        var i = 0
+        while (i < dim) { sums(bestC)(i) += x(i); i += 1 }
+        counts(bestC) += 1
+      }
+      centroids = Array.tabulate(c)(ci =>
+        if (counts(ci) == 0) centroids(ci) else normalize(sums(ci)))
+    }
+    centroids.map(_.map(_.toFloat).toSeq).toSeq
+  }
+
+  /** Approximate top-k via an IVF (inverted-file) index: the corpus is
+    * partitioned into the trained centroid cells (one narrow kernel
+    * projection, nprobe=1), queries probe their `nprobe` nearest cells,
+    * and candidates meet in a hash join on the cell id. Cells are
+    * disjoint, so no candidate dedup is needed (unlike multi-table LSH).
+    *
+    * Scale shape (100 TB): NO corpus replication (the LSH index costs
+    * `tables`×) — each corpus vector appears exactly once; a query scans
+    * ~nprobe/c of the corpus. The quantizer is a literal in the plan, so
+    * executors need no side input. Recall depends on how clustered the
+    * data is; gate with `LshRecallSpec`'s IVF test (measured vs exact).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame,
+              idCol: String, vecCol: String,
+              qidCol: String, qvecCol: String,
+              k: Int, centroids: Seq[Seq[Float]], nprobe: Int = 8,
+              excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val cb = corpus.withColumn("cell",
+      element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1))
+    val qb = queries.withColumn("cell",
+      explode(GraftFunctions.ivfProbes(col(qvecCol), centroids, nprobe)))
+    val joined = cb.join(broadcast(qb), Seq("cell"))
+    val withSim = joined
+      .withColumn("sim", round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
+    val filtered =
+      if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
+    rankTopK(filtered, idCol, qidCol, k)
+  }
 }

@@ -179,6 +179,27 @@ class LshRecallSpec extends SparkSpec {
     info(f"lshTopK recall vs exact top-5: $recall%.2f (${approx.size} returned)")
     assert(recall >= 0.6, f"recall $recall%.2f < 0.6")
   }
+
+  test("ivfTopK recall >= 0.5 vs exact brute force on sf0.01 embeddings") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      c = 32, iters = 5)
+    assert(cents.length == 32 && cents.head.length == 64)
+    val approx = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 5, cents, nprobe = 8)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"ivfTopK recall vs exact top-5: $recall%.2f (${approx.size} returned)")
+    assert(recall >= 0.5, f"recall $recall%.2f < 0.5")
+  }
 }
 
 class TextOpsSpec extends SparkSpec {
