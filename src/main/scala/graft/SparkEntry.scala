@@ -348,6 +348,27 @@ object SparkEntry {
     "t5_top_trigrams" -> ((s, dir) =>
       TextOps.topNgrams(T(s, dir, "documents"), 3, 20)),
 
+    // benchmark decontamination: distinct trigram overlap of training
+    // docs (doc_id >= 10) against a benchmark set (doc_id < 10)
+    "t6_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      TextOps.contaminationPairs(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minShared = 2)
+    }),
+
+    // corpus summary statistics: the profile every ingest run reports
+    "q22_corpus_stats" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"),
+          col("n_chars"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_tok")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("tok_p50"),
+          round(expr("percentile(n_tok, 0.9)"), 4).as("tok_p90"))),
+
     // ---- dedup tier ----
 
     // exact dedup: deterministic first row per key
@@ -829,6 +850,24 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)
         |  WHERE len(tk) >= 3)
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "t6_decontaminate" ->
+      s"""WITH $duckTokenHashes,
+         |$duckShingleSets
+         |SELECT train_id, bench_id, shared_ngrams FROM (
+         |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         |    CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS shared_ngrams
+         |  FROM s t JOIN s b ON t.doc_id >= 10 AND b.doc_id < 10)
+         |WHERE shared_ngrams >= 2 ORDER BY train_id, bench_id""".stripMargin,
+
+    "q22_corpus_stats" ->
+      """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+        |  CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  round(quantile_cont(n_tok, 0.5), 4) AS tok_p50,
+        |  round(quantile_cont(n_tok, 0.9), 4) AS tok_p90
+        |FROM (SELECT len(string_split(text, ' ')) AS n_tok, n_chars, lang
+        |      FROM documents)""".stripMargin,
 
     "d1_exact_dedup_events" ->
       """SELECT user_id, event_type, event_id, value FROM (

@@ -105,4 +105,31 @@ object TextOps {
       .agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
+
+  /** Benchmark decontamination: for every training document, the number
+    * of distinct word n-grams it shares with each benchmark document —
+    * the overlap evidence used to drop contaminated training data before
+    * an eval. Output (train_id, bench_id, shared_ngrams >= minShared).
+    *
+    * Shape: both sides explode their distinct hashed shingle sets into
+    * an inverted index and meet in a hash join on the shingle; the count
+    * per (train, bench) pair IS the intersection size (sets are
+    * distinct), aggregated with map-side partials. The benchmark side is
+    * always small relative to the corpus — broadcast it, so the corpus
+    * streams through one stage with no shuffle of training postings.
+    */
+  def contaminationPairs(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, minShared: Long): DataFrame = {
+    graft.functions.GraftFunctions.register(train.sparkSession)
+    def postings(df: DataFrame, as: String) = df
+      .select(col(idCol).as(as),
+        explode(hashedShingleSet(col(textCol), n)).as("sh"))
+    postings(train, "train_id")
+      .join(broadcast(postings(bench, "bench_id")), "sh")
+      .groupBy(col("train_id"), col("bench_id"))
+      .agg(count(lit(1)).as("shared_ngrams"))
+      .filter(col("shared_ngrams") >= minShared)
+      .orderBy(col("train_id"), col("bench_id"))
+  }
 }

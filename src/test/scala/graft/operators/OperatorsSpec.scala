@@ -233,6 +233,18 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.25)
   }
 
+  test("contaminationPairs counts distinct shared n-grams against the benchmark") {
+    val bench = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "a b c d x y"), // shares "a b c" and "b c d"
+      (11L, "q r s t u v")  // shares nothing
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationPairs(train, bench, "doc_id", "text",
+      n = 3, minShared = 1).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((10L, 0L, 2L)))
+  }
+
   test("topNgrams counts duplicate shingles across docs") {
     val df = Seq((0L, "a b c a b c"), (1L, "a b c d")).toDF("doc_id", "text")
     val top = TextOps.topNgrams(df, 3, 2).collect()
