@@ -880,6 +880,9 @@ object SparkEntry {
     // Full MinHash+LSH twin: same signatures (seeded affine family embedded
     // as literals), same band keys (polynomial fold), same candidates
     // (pairs sharing any band key), same exact-Jaccard verification.
+    // (The Spark side's maxBucket skew cap cannot trigger at the verify
+    // scale — default 1000 > the whole sf0.01 corpus — so the twin is
+    // exact; at production scale the cap is a documented recall trade.)
     "d2_minhash_neardup" ->
       s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)}
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,

@@ -32,7 +32,16 @@ object TextOps {
     * Components are exposed (rounded) for inspection; the score is computed
     * from the unrounded components.
     */
-  def qualityScore(docs: DataFrame): DataFrame = {
+  def qualityScore(docs: DataFrame): DataFrame =
+    withQuality(docs).orderBy(col("doc_id"))
+
+  /** Unsorted [[qualityScore]] core — usable on STREAMING DataFrames too
+    * (a global sort is illegal on an unbounded stream); the narrow
+    * projection composes with `readStream` → filter → sink for the
+    * classic "drop low-quality docs at ingest" pipeline (spec-tested in
+    * `StreamOpsSpec`).
+    */
+  def withQuality(docs: DataFrame): DataFrame = {
     val tok = tokens(col("text"))
     val nTok = size(tok).cast("double")
     val sumLen = aggregate(transform(tok, t => length(t).cast("long")),
@@ -51,7 +60,6 @@ object TextOps {
       roundHalfUp(avgWlen, 6).as("avg_word_len"),
       roundHalfUp(stopRatio, 6).as("stopword_ratio"),
       roundHalfUp(score, 6).as("quality"))
-      .orderBy(col("doc_id"))
   }
 
   /** Heuristic language ID: stopword-profile hit counts per language,

@@ -366,6 +366,21 @@ class EdgeCaseSpec extends graft.SparkSpec {
     assert(sh.length == 3) // simhash defined even for degenerate docs
   }
 
+  test("sampling edge fractions: 0 keeps nothing, 1 keeps everything") {
+    val ids = (0L until 100L).toDF("doc_id")
+    assert(Sampling.sampleByHash(ids, "doc_id", 0.0).count() == 0)
+    assert(Sampling.sampleByHash(ids, "doc_id", 1.0).count() == 100)
+  }
+
+  test("clustering and contamination tolerate empty inputs") {
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Clustering.nearDupClusters(noPairs).count() == 0)
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.contaminationPairs(docs, noDocs, "doc_id", "text", 3, 1).count() == 0)
+    assert(TextOps.contaminationPairs(noDocs, docs, "doc_id", "text", 3, 1).count() == 0)
+  }
+
   test("topK with k larger than the group yields all rows ranked") {
     val corpus = Seq((0L, Seq(1f, 0f)), (1L, Seq(0f, 1f))).toDF("vec_id", "embedding")
     val queries = Seq((9L, Seq(1f, 0f))).toDF("qid", "qvec")

@@ -70,6 +70,25 @@ class StreamOpsSpec extends SparkSpec {
     graft.GraftSession.s3aBuilder() // applying the preset must not throw
   }
 
+  test("text-tier quality filter composes on a stream (ingest-time filtering)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val scored = graft.operators.TextOps.withQuality(
+      mem.toDF().toDF("doc_id", "text"))
+      .filter(org.apache.spark.sql.functions.col("quality") >= 0.2)
+    val q = scored.writeStream.format("memory").queryName("quality_docs")
+      .outputMode("append").start()
+    try {
+      mem.addData(
+        (1L, "the quick brown fox jumps over the lazy dog " * 5),
+        (2L, "x"))
+      q.processAllAvailable()
+      val kept = spark.table("quality_docs").collect().map(_.getLong(0))
+      assert(kept.toSeq == Seq(1L), "only the high-quality doc passes")
+    } finally q.stop()
+  }
+
   test("update-mode running avg emits refreshed aggregates per micro-batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
