@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, RefOps, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Pipelines, RefOps, Sampling, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -413,6 +413,22 @@ object SparkEntry {
           Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
             threshold = 0.2)))),
 
+    // ---- end-to-end pipeline ----
+
+    // flagship composition: quality filter -> near-dup removal (MinHash
+    // pairs -> components -> representatives) -> benchmark
+    // decontamination -> hash-stable train/test split, all in one lazy+
+    // iterative pipeline whose DuckDB twin checks the FINAL corpus
+    "p1_training_corpus" -> ((s, dir) => {
+      val all = T(s, dir, "documents")
+      Pipelines.trainingCorpus(
+        all.filter(col("doc_id") >= 10), all.filter(col("doc_id") < 10),
+        qualityMin = 0.3,
+        minhash = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+          threshold = 0.2),
+        contamN = 3, contamMin = 5, testFraction = 0.1)
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -489,14 +505,15 @@ object SparkEntry {
   private val ShP = graft.functions.TextFunctions.ShPrime
 
   /** CTE: per-doc token-hash list (mirrors TextFunctions.tokenHashes). */
-  private val duckTokenHashes =
-    s"""th AS (
+  private def duckTokenHashes(src: String = "documents",
+                              name: String = "th"): String =
+    s"""$name AS (
        |  SELECT doc_id,
        |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
        |       [CAST(unicode(ch) AS BIGINT) for ch in string_split(t, '')]),
        |       (acc, x) -> (acc * 131 + x) % $ShP)
        |     for t in string_split(text, ' ')] AS th
-       |  FROM documents)""".stripMargin
+       |  FROM $src)""".stripMargin
 
   /** Avalanche mixer applied to SQL expression `e` (mirrors SimHashBits /
     * Sampling.hashBucket: mixRounds rounds of x*1021+12345 mod `prime`). */
@@ -516,12 +533,13 @@ object SparkEntry {
 
   /** CTE chain: distinct hashed 3-gram shingle sets `s(doc_id, sh)`
     * (mirrors TextFunctions.hashedShingleSet with n = 3). */
-  private val duckShingleSets =
-    s"""s AS (
+  private def duckShingleSets(thName: String = "th",
+                              name: String = "s"): String =
+    s"""$name AS (
        |  SELECT doc_id,
        |    list_distinct([((((th[i]) * 131 + th[i+1]) % $ShP) * 131 + th[i+2]) % $ShP
        |                   for i in range(1, len(th) - 1)]) AS sh
-       |  FROM th WHERE len(th) >= 3)""".stripMargin
+       |  FROM $thName WHERE len(th) >= 3)""".stripMargin
 
   /** CTE list (ending in `pairs(id_a, id_b, jaccard)`) for the full
     * MinHash LSH near-dup oracle (mirrors Dedup.minHashNearDupPairs with
@@ -530,7 +548,8 @@ object SparkEntry {
     * (band, key), verification = exact Jaccard.
     */
   private def duckMinHashCtes(numHashes: Int, bands: Int,
-                              threshold: Double): String = {
+                              threshold: Double,
+                              src: String = "documents"): String = {
     val (as, bs) = graft.functions.MinHashCoeffs(numHashes)
     val m = graft.functions.MinHashCoeffs.Prime
     val rpb = numHashes / bands
@@ -542,8 +561,8 @@ object SparkEntry {
         s"(($acc) * 131 + sig[${b * rpb + r + 1}]) % $ShP")
     }.mkString(",\n      ")
     val orCond = (1 to bands).map(i => s"a.bk[$i] = c.bk[$i]").mkString(" OR ")
-    s"""$duckTokenHashes,
-       |$duckShingleSets,
+    s"""${duckTokenHashes(src)},
+       |${duckShingleSets()},
        |m AS (
        |  SELECT doc_id, sh, [x % $m for x in sh] AS shm FROM s WHERE len(sh) > 0),
        |sg AS (
@@ -570,13 +589,14 @@ object SparkEntry {
     * rounds linear in SQL size (inlining would double the expression per
     * round).
     */
-  private def duckWithBucket(cols: String, keyCol: String): String = {
+  private def duckWithBucket(cols: String, keyCol: String,
+                             src: String = "documents"): String = {
     val fp = graft.functions.TextFunctions.FpPrime
     val fold =
       s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
          |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(CAST($keyCol AS VARCHAR), '')]),
          |      (acc, x) -> (acc * 131 + x) % $fp)""".stripMargin
-    var q = s"SELECT $cols, $fold AS mx FROM documents"
+    var q = s"SELECT $cols, $fold AS mx FROM $src"
     (0 until graft.operators.Sampling.MixRounds).foreach { _ =>
       q = s"SELECT $cols, (xor(mx, mx >> 13) * 1021 + 12345) % $fp AS mx FROM ($q)"
     }
@@ -852,8 +872,8 @@ object SparkEntry {
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
 
     "t6_decontaminate" ->
-      s"""WITH $duckTokenHashes,
-         |$duckShingleSets
+      s"""WITH ${duckTokenHashes()},
+         |${duckShingleSets()}
          |SELECT train_id, bench_id, shared_ngrams FROM (
          |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
          |    CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS shared_ngrams
@@ -900,6 +920,50 @@ object SparkEntry {
          |SELECT id, CAST(min(reach) AS BIGINT) AS cluster
          |FROM r GROUP BY id ORDER BY id""".stripMargin,
 
+    // The whole pipeline as ONE SQL statement: quality CTE, MinHash+LSH
+    // pairs over the filtered candidates, recursive connected components,
+    // contamination overlap vs the benchmark shingles, hash-bucket split.
+    "p1_training_corpus" -> {
+      val qual =
+        """floor((0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+          |  + 0.4 * (CASE WHEN len(tk) > 0
+          |           THEN CAST(len(list_filter(tk, t -> t IN
+          |             ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk)
+          |           ELSE 0.0 END)
+          |  + 0.3 * least((CASE WHEN len(tk) > 0
+          |           THEN CAST(list_aggregate([length(t) for t in tk], 'sum') AS DOUBLE) / len(tk)
+          |           ELSE 0.0 END) / 8.0, 1.0)
+          |) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+      s"""WITH RECURSIVE
+         |cq AS (
+         |  SELECT doc_id, lang, text, $qual AS quality FROM (
+         |    SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+         |    FROM documents WHERE doc_id >= 10)),
+         |cand AS (SELECT * FROM cq WHERE quality >= 0.3),
+         |${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2, src = "cand")},
+         |ce AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, a AS reach FROM ce
+         |  UNION
+         |  SELECT ce.a, r.reach FROM ce JOIN r ON ce.b = r.id),
+         |dd AS (SELECT id FROM (SELECT id, min(reach) AS c FROM r GROUP BY id)
+         |       WHERE c < id),
+         |${duckTokenHashes(src = "(SELECT * FROM documents WHERE doc_id < 10)", name = "bth")},
+         |${duckShingleSets(thName = "bth", name = "bs")},
+         |contam AS (
+         |  SELECT DISTINCT t.doc_id FROM s t JOIN bs b
+         |  ON len(list_intersect(t.sh, b.sh)) >= 5),
+         |kept AS (
+         |  SELECT doc_id, lang, quality FROM cand
+         |  WHERE doc_id NOT IN (SELECT id FROM dd)
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam))
+         |SELECT doc_id, lang, quality,
+         |  CASE WHEN bkt < 1000 THEN 'test' ELSE 'train' END AS split
+         |FROM (${duckWithBucket("doc_id, lang, quality", "doc_id", "kept")})
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q20_hash_sample" ->
       s"""SELECT doc_id, lang FROM (${duckWithBucket("doc_id, lang", "doc_id")})
          |WHERE bkt < ${(0.25 * graft.operators.Sampling.Buckets).toLong}
@@ -917,7 +981,7 @@ object SparkEntry {
 
     // Portable SimHash signatures (mixed polynomial token hashes).
     "d4_simhash" ->
-      s"""WITH $duckTokenHashes
+      s"""WITH ${duckTokenHashes()}
          |SELECT doc_id, ${duckSimHash(48)} AS simhash
          |FROM th ORDER BY doc_id""".stripMargin,
 
@@ -925,7 +989,7 @@ object SparkEntry {
     // band buckets, but with bands > maxHamming that is provably complete,
     // so the quadratic join over signatures is an exact twin.
     "d4b_simhash_pairs" ->
-      s"""WITH $duckTokenHashes,
+      s"""WITH ${duckTokenHashes()},
          |sg AS (
          |  SELECT doc_id, ${duckSimHash(48)} AS simhash FROM th)
          |SELECT a.doc_id AS id_a, c.doc_id AS id_b,

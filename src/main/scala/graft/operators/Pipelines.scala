@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** End-to-end training-corpus pipeline — the composition the individual
+  * operators exist for: quality filter → near-duplicate removal
+  * (MinHash pairs → connected components → keep cluster representative)
+  * → benchmark decontamination → deterministic train/test split.
+  *
+  * Every stage is one of the library's oracle-checked operators, so the
+  * WHOLE pipeline has a DuckDB twin (`p1_training_corpus`) — the final
+  * corpus membership, per-document quality, and split assignment are all
+  * engine-portable and reproducible run-over-run.
+  *
+  * Scale shape (100 TB): quality filtering is a narrow codegen'd
+  * projection at the scan; dedup is the banded-LSH bucket join (never
+  * all-pairs) plus a few label-propagation rounds over the tiny pair
+  * graph; decontamination broadcasts the benchmark postings; the split
+  * is a stateless hash filter. No stage shuffles the corpus more than
+  * once, and the two anti joins are against id sets orders of magnitude
+  * smaller than the corpus.
+  */
+object Pipelines {
+
+  /** @param docs         training candidates (must have doc_id, lang, text)
+    * @param bench        benchmark/eval documents to decontaminate against
+    * @param qualityMin   keep docs with quality >= this ([[TextOps.qualityCol]])
+    * @param minhash      near-dup pair parameters
+    * @param contamN      n-gram width for contamination overlap
+    * @param contamMin    drop a doc sharing >= this many distinct n-grams
+    *                     with any benchmark doc
+    * @param testFraction hash-stable test-split share
+    * @return (doc_id, lang, quality, split) ordered by doc_id
+    */
+  def trainingCorpus(docs: DataFrame, bench: DataFrame,
+                     qualityMin: Double,
+                     minhash: Dedup.MinHashParams,
+                     contamN: Int, contamMin: Long,
+                     testFraction: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+
+    val cand = docs
+      .withColumn("quality", TextOps.qualityCol(col("text")))
+      .filter(col("quality") >= qualityMin)
+
+    // near-dup removal: keep each cluster's representative (min id);
+    // docs in no pair are untouched
+    val pairs = Dedup.minHashNearDupPairs(cand, "doc_id", "text", minhash)
+    val dupIds = Clustering.nearDupClusters(pairs)
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as("doc_id"))
+
+    val contaminatedIds = TextOps.contaminationPairs(
+      cand, bench, "doc_id", "text", contamN, contamMin)
+      .select(col("train_id").as("doc_id")).distinct()
+
+    val kept = cand
+      .join(dupIds, Seq("doc_id"), "left_anti")
+      .join(contaminatedIds, Seq("doc_id"), "left_anti")
+
+    Sampling.trainTestSplit(kept, "doc_id", testFraction)
+      .select(col("doc_id"), col("lang"), col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+}

@@ -35,6 +35,25 @@ object TextOps {
   def qualityScore(docs: DataFrame): DataFrame =
     withQuality(docs).orderBy(col("doc_id"))
 
+  /** Composite quality score of a text column, rounded half-up at 6 dp —
+    * the single source of the formula shared by [[withQuality]] and the
+    * pipeline filters (so the oracle mirrors ONE definition).
+    */
+  def qualityCol(text: Column): Column = {
+    val tok = tokens(text)
+    val nTok = size(tok).cast("double")
+    val sumLen = aggregate(transform(tok, t => length(t).cast("long")),
+      lit(0L), (acc, x) => acc + x).cast("double")
+    val avgWlen = when(nTok > 0, sumLen / nTok).otherwise(lit(0.0))
+    val stopRatio = when(nTok > 0,
+      stopwordHits(tok, langStopwords.head._2).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val score = lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
+      lit(0.4) * stopRatio +
+      lit(0.3) * least(avgWlen / lit(8.0), lit(1.0))
+    roundHalfUp(score, 6)
+  }
+
   /** Unsorted [[qualityScore]] core — usable on STREAMING DataFrames too
     * (a global sort is illegal on an unbounded stream); the narrow
     * projection composes with `readStream` → filter → sink for the
@@ -50,16 +69,13 @@ object TextOps {
     val stopRatio = when(nTok > 0,
       stopwordHits(tok, langStopwords.head._2).cast("double") / nTok)
       .otherwise(lit(0.0))
-    val score = lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
-      lit(0.4) * stopRatio +
-      lit(0.3) * least(avgWlen / lit(8.0), lit(1.0))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_calc"),
       nTok.cast("long").as("n_tokens"),
       roundHalfUp(avgWlen, 6).as("avg_word_len"),
       roundHalfUp(stopRatio, 6).as("stopword_ratio"),
-      roundHalfUp(score, 6).as("quality"))
+      qualityCol(col("text")).as("quality"))
   }
 
   /** Heuristic language ID: stopword-profile hit counts per language,

@@ -44,6 +44,31 @@ class ClusteringSpec extends SparkSpec {
   }
 }
 
+class PipelinesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("trainingCorpus drops low-quality, duplicate, and contaminated docs") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val goodText = "the cat and the dog sat in the warm sun and it was good"
+    val bench = Seq((1L, "en", benchText)).toDF("doc_id", "lang", "text")
+    val docs = Seq(
+      (10L, "en", goodText),          // kept (cluster representative)
+      (11L, "en", goodText),          // near-dup of 10 -> dropped
+      (12L, "en", benchText),         // contaminated -> dropped
+      (13L, "en", "x"),               // low quality -> dropped
+      (14L, "en", "a quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "lang", "text")
+    val out = Pipelines.trainingCorpus(docs, bench,
+      qualityMin = 0.2,
+      minhash = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.5),
+      contamN = 3, contamMin = 3, testFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(10L, 14L))
+    assert(out.forall(r => r._2 == "train" || r._2 == "test"))
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
