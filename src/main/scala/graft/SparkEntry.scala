@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Pipelines, RefOps, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -215,14 +215,19 @@ object SparkEntry {
         .orderBy(col("tag"), col("key"))
     }),
 
-    // exact percentiles (interpolating) per group
+    // exact percentiles (interpolating) per group — sort-based window
+    // formulation (Percentiles.exactPercentiles) instead of the buffering
+    // built-in aggregate; identical values (spec-checked vs the built-in)
     "q15_percentiles" -> ((s, dir) =>
-      T(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 4).as("qty_p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 4).as("qty_p90"),
-          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("price_p50"))
+      Percentiles.exactPercentiles(T(s, dir, "lineitem"),
+        Seq("l_returnflag"),
+        Seq(("qty_p50", "l_quantity", 0.5),
+          ("qty_p90", "l_quantity", 0.9),
+          ("price_p50", "l_extendedprice", 0.5)))
+        .select(col("l_returnflag"),
+          round(col("qty_p50"), 4).as("qty_p50"),
+          round(col("qty_p90"), 4).as("qty_p90"),
+          round(col("price_p50"), 4).as("price_p50"))
         .orderBy(col("l_returnflag"))),
 
     // semi-structured extraction from the events props JSON strings

