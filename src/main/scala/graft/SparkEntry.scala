@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, TextOps}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -418,6 +418,16 @@ object SparkEntry {
           Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
             threshold = 0.2)))),
 
+    // salted two-phase aggregation (hot-key bound): result is
+    // salt-invariant, so the plain GROUP BY is an exact oracle
+    "q23_skew_salted_agg" -> ((s, dir) =>
+      Skew.saltedSumCountAvg(T(s, dir, "events"), Seq("event_type"), "value",
+        salts = 8)
+        .select(col("event_type"),
+          round(col("sum_val"), 2).as("sum_value"), col("cnt"),
+          TextFunctions.roundHalfUp(col("avg_val"), 4).as("avg_value"))
+        .orderBy(col("event_type"))),
+
     // ---- end-to-end pipeline ----
 
     // flagship composition: quality filter -> near-dup removal (MinHash
@@ -499,6 +509,16 @@ object SparkEntry {
 
     "m3_resize_meta" -> ((s, dir) =>
       Multimodal.resizeMeta(T(s, dir, "documents"), maxDim = 256)),
+
+    // distributed decode via mapPartitions (stub codec — rows-only: the
+    // checksum folds UTF-8 BYTES, which ANSI SQL cannot iterate)
+    "m4_decode_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(T(s, dir, "documents"), dims = 4).toDF()
+        .select(col("doc_id"), col("media_type"),
+          col("n_bytes").cast("long").as("n_bytes"), col("checksum"),
+          TextFunctions.roundHalfUp(col("feature")(0), 6).as("f0"),
+          TextFunctions.roundHalfUp(col("feature")(1), 6).as("f1"))
+        .orderBy(col("doc_id"))),
   )
 
   // ---- shared fragments for the hash-based dedup oracles ----
@@ -884,6 +904,12 @@ object SparkEntry {
          |    CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS shared_ngrams
          |  FROM s t JOIN s b ON t.doc_id >= 10 AND b.doc_id < 10)
          |WHERE shared_ngrams >= 2 ORDER BY train_id, bench_id""".stripMargin,
+
+    "q23_skew_salted_agg" ->
+      """SELECT event_type, round(sum(value), 2) AS sum_value,
+        |count(*) AS cnt,
+        |floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q22_corpus_stats" ->
       """SELECT count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
