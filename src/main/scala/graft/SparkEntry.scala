@@ -353,6 +353,11 @@ object SparkEntry {
     "t5_top_trigrams" -> ((s, dir) =>
       TextOps.topNgrams(T(s, dir, "documents"), 3, 20)),
 
+    // sequence packing: concat-and-chunk per language stream at a
+    // 512-token budget (pretraining data prep)
+    "t7_pack_chunks" -> ((s, dir) =>
+      TextOps.packChunks(T(s, dir, "documents"), "lang", budget = 512)),
+
     // benchmark decontamination: distinct trigram overlap of training
     // docs (doc_id >= 10) against a benchmark set (doc_id < 10)
     "t6_decontaminate" -> ((s, dir) => {
@@ -895,6 +900,20 @@ object SparkEntry {
         |  FROM (SELECT string_split(text, ' ') AS tk FROM documents)
         |  WHERE len(tk) >= 3)
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 20""".stripMargin,
+
+    "t7_pack_chunks" ->
+      """SELECT lang, doc_id, n_tok,
+        |  tok_end - n_tok AS tok_start,
+        |  CAST(floor((tok_end - n_tok) / 512.0) AS BIGINT) AS chunk_first,
+        |  CAST(floor((tok_end - 1) / 512.0) AS BIGINT) AS chunk_last
+        |FROM (
+        |  SELECT lang, doc_id, n_tok,
+        |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |                          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_end
+        |  FROM (SELECT lang, doc_id,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        |        FROM documents))
+        |ORDER BY lang, doc_id""".stripMargin,
 
     "t6_decontaminate" ->
       s"""WITH ${duckTokenHashes()},

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
@@ -142,6 +143,33 @@ object TextOps {
     * always small relative to the corpus — broadcast it, so the corpus
     * streams through one stage with no shuffle of training postings.
     */
+  /** Sequence packing with concat-and-chunk semantics — the pretraining
+    * data-prep step: within each `streamCol` stream, documents are laid
+    * end to end in doc_id order and the token stream is cut into
+    * fixed-`budget` chunks; each doc reports the chunk span it lands in
+    * (`chunk_first`..`chunk_last`, crossing a boundary when it straddles
+    * a cut). Pure window arithmetic over a running token total — one
+    * exchange per stream, the same shape as sessionization, and exactly
+    * reproducible in ANSI SQL.
+    *
+    * At 100 TB the stream column bounds the per-partition ordered scan
+    * (pack per language/shard/split, not one global stream, which would
+    * serialize into a single task).
+    */
+  def packChunks(docs: DataFrame, streamCol: String, budget: Long): DataFrame = {
+    require(budget > 0)
+    val w = Window.partitionBy(col(streamCol)).orderBy(col("doc_id"))
+    docs
+      .select(col(streamCol), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("tok_end", sum(col("n_tok")).over(w))
+      .select(col(streamCol), col("doc_id"), col("n_tok"),
+        (col("tok_end") - col("n_tok")).as("tok_start"),
+        floor((col("tok_end") - col("n_tok")) / budget).cast("long").as("chunk_first"),
+        floor((col("tok_end") - 1) / budget).cast("long").as("chunk_last"))
+      .orderBy(col(streamCol), col("doc_id"))
+  }
+
   def contaminationPairs(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          n: Int, minShared: Long): DataFrame = {

@@ -233,6 +233,25 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getDouble(4) == 0.25)
   }
 
+  test("packChunks lays docs end-to-end and cuts at the token budget") {
+    // doc token counts 3, 4, 5 with budget 6:
+    //   doc 0: tokens [0,3)  -> chunk 0..0
+    //   doc 1: tokens [3,7)  -> chunks 0..1 (straddles the cut at 6)
+    //   doc 2: tokens [7,12) -> chunk 1..1
+    val df = Seq(
+      (0L, "a b c", "en"),
+      (1L, "a b c d", "en"),
+      (2L, "a b c d e", "en"),
+      (3L, "x y", "fr") // separate stream restarts at chunk 0
+    ).toDF("doc_id", "text", "lang")
+    val out = TextOps.packChunks(df, "lang", budget = 6)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      (0L, 0L, 0L, 0L), (1L, 3L, 0L, 1L), (2L, 7L, 1L, 1L),
+      (3L, 0L, 0L, 0L)))
+  }
+
   test("contaminationPairs counts distinct shared n-grams against the benchmark") {
     val bench = Seq((0L, "a b c d e f")).toDF("doc_id", "text")
     val train = Seq(
