@@ -1016,7 +1016,7 @@ object SparkEntry {
 
     "q20_hash_sample" ->
       s"""SELECT doc_id, lang FROM (${duckWithBucket("doc_id, lang", "doc_id")})
-         |WHERE bkt < ${(0.25 * graft.operators.Sampling.Buckets).toLong}
+         |WHERE bkt < ${graft.operators.Sampling.bucketThreshold(0.25)}
          |ORDER BY doc_id""".stripMargin,
 
     "q21_train_test_split" ->
@@ -1024,7 +1024,7 @@ object SparkEntry {
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
          |FROM (
          |  SELECT doc_id,
-         |    CASE WHEN bkt < ${(0.1 * graft.operators.Sampling.Buckets).toLong}
+         |    CASE WHEN bkt < ${graft.operators.Sampling.bucketThreshold(0.1)}
          |         THEN 'test' ELSE 'train' END AS split
          |  FROM (${duckWithBucket("doc_id", "doc_id")}))
          |GROUP BY split ORDER BY split""".stripMargin,

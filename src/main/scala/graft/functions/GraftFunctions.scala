@@ -55,7 +55,7 @@ object GraftFunctions {
           }
           require(rows.nonEmpty && rows.map(_.length).distinct.size == 1,
             "graft_ivf_probes centroids must be a non-empty rectangular matrix")
-          (rows.flatten.toArray, rows.length, rows.head.length)
+          (rows.flatten.toSeq, rows.length, rows.head.length)
         case other => throw new IllegalArgumentException(
           s"graft_ivf_probes centroids must be a literal matrix, got $other")
       }

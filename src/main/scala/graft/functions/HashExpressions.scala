@@ -131,6 +131,10 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long],
   require(as.nonEmpty && as.length == bs.length, "coefficient arity mismatch")
 
   private val k = as.length
+  // O(1) coefficient access in the interpreted path (a Seq could be a
+  // List, turning the inner loop O(k²) per element)
+  @transient private lazy val asArr: Array[Long] = as.toArray
+  @transient private lazy val bsArr: Array[Long] = bs.toArray
 
   override def prettyName: String = "graft_minhash"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -148,7 +152,7 @@ case class MinHashSig(child: Expression, as: Seq[Long], bs: Seq[Long],
         val xm = xs.getLong(i) % prime
         var j = 0
         while (j < k) {
-          val v = (as(j) * xm + bs(j)) % prime
+          val v = (asArr(j) * xm + bsArr(j)) % prime
           if (v < out(j)) out(j) = v
           j += 1
         }

@@ -53,23 +53,28 @@ object IvfProbe {
 
 /** `array<int>` of the nprobe nearest centroid ids of an `array<float>`
   * vector column. The centroid matrix is data (trained), so it rides in
-  * the expression as a codegen reference object.
+  * the expression as a codegen reference object. Held as a Seq (not an
+  * Array) so case-class equality is STRUCTURAL — array identity would
+  * make two identical probe expressions compare unequal and defeat
+  * Catalyst subexpression elimination / canonicalization.
   */
-case class IvfProbes(child: Expression, centroids: Array[Float], c: Int,
+case class IvfProbes(child: Expression, centroids: Seq[Float], c: Int,
                      dim: Int, nprobe: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   require(c > 0 && dim > 0 && nprobe > 0)
   require(centroids.length == c * dim, "centroid matrix shape mismatch")
+
+  @transient private lazy val mat: Array[Float] = centroids.toArray
 
   override def prettyName: String = "graft_ivf_probes"
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any =
-    IvfProbe.probes(input.asInstanceOf[ArrayData], centroids, c, dim, nprobe)
+    IvfProbe.probes(input.asInstanceOf[ArrayData], mat, c, dim, nprobe)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val matRef = ctx.addReferenceObj("ivfMat", centroids, "float[]")
+    val matRef = ctx.addReferenceObj("ivfMat", mat, "float[]")
     nullSafeCodeGen(ctx, ev, v =>
       s"${ev.value} = graft.functions.IvfProbe.probes($v, $matRef, $c, $dim, $nprobe);")
   }

@@ -54,6 +54,7 @@ object Clustering {
 
     var iter = 0
     var converged = false
+    var prev: DataFrame = null
     while (!converged && iter < maxIter) {
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl")), "b")
@@ -69,11 +70,20 @@ object Clustering {
         .join(labels.select(col("id"), col("lbl").as("old")), "id")
         .filter(col("lbl") < col("old"))
         .count()
+      // previous round's checkpointed blocks are no longer referenced
+      if (prev != null) prev.unpersist()
+      prev = labels
       labels = next
       converged = changed == 0
       iter += 1
     }
     edges.unpersist()
+    if (prev != null) prev.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClusters did not converge within $maxIter rounds " +
+          "(component diameter exceeds maxIter) — raise maxIter; a " +
+          "silently partial clustering would under-deduplicate")
     labels.select(col("id"), col("lbl").as("cluster")).orderBy(col("id"))
   }
 

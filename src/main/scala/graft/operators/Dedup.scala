@@ -39,6 +39,11 @@ object Dedup {
     * one candidate row per key BEFORE the exchange. At 100 TB with a high
     * dup ratio that is the difference between shuffling the corpus and
     * shuffling the distinct keys. Output columns keep the input order.
+    *
+    * PRECONDITION (both variants): `tieBreaker` must be non-null —
+    * min_by skips null ordering values while the window sorts them
+    * first, so null tie-breakers would make the variants diverge (and an
+    * all-null group would yield a null payload here).
     */
   def exactDedup(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
     val payload = df.columns.toSeq.filterNot(keys.contains)

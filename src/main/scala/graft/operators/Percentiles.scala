@@ -34,13 +34,15 @@ object Percentiles {
     val valCols = specs.map(_._2).distinct
     val projected = df.select(
       gcols ++ valCols.map(c => col(c).cast("double").as(s"__v_$c")): _*)
-    // group sizes from a cheap decomposable aggregate, broadcast back —
-    // NOT a count over an unbounded window frame, which would add a full
-    // partition-buffering pass per value column
+    // group sizes from a cheap decomposable aggregate joined back — NOT a
+    // count over an unbounded window frame, which would add a full
+    // partition-buffering pass per value column. No broadcast hint: group
+    // cardinality is unbounded, so AQE picks broadcast vs shuffle from
+    // the real size.
     val counts = projected.groupBy(gcols: _*)
       .agg(count(col(s"__v_${valCols.head}")).as(s"__n_${valCols.head}"),
         valCols.tail.map(c => count(col(s"__v_$c")).as(s"__n_$c")): _*)
-    var base = projected.join(broadcast(counts), groupCols)
+    var base = projected.join(counts, groupCols)
     valCols.foreach { c =>
       // nulls sort LAST so non-null values occupy ranks 1..count(c)
       val wOrd = Window.partitionBy(gcols: _*)

@@ -46,10 +46,16 @@ object Sampling {
   /** Keep rows whose key hashes into the first `fraction` of buckets.
     * Same key → same decision, on every run and every engine.
     */
+  /** Bucket threshold for a fraction — rounded, not truncated: e.g.
+    * 0.29 * 10000 is 2899.9999... in double and would silently keep one
+    * bucket fewer under toLong.
+    */
+  def bucketThreshold(fraction: Double): Long = math.round(fraction * Buckets)
+
   def sampleByHash(df: DataFrame, keyCol: String, fraction: Double): DataFrame = {
     require(fraction >= 0.0 && fraction <= 1.0)
     GraftFunctions.register(df.sparkSession)
-    df.filter(hashBucket(col(keyCol)) < (fraction * Buckets).toLong)
+    df.filter(hashBucket(col(keyCol)) < bucketThreshold(fraction))
   }
 
   /** Adds a `split` column: "test" for the first `testFraction` of
@@ -61,7 +67,7 @@ object Sampling {
     require(testFraction >= 0.0 && testFraction <= 1.0)
     GraftFunctions.register(df.sparkSession)
     df.withColumn("split",
-      when(hashBucket(col(keyCol)) < (testFraction * Buckets).toLong,
+      when(hashBucket(col(keyCol)) < bucketThreshold(testFraction),
         lit("test")).otherwise(lit("train")))
   }
 }

@@ -36,11 +36,12 @@ object TextOps {
   def qualityScore(docs: DataFrame): DataFrame =
     withQuality(docs).orderBy(col("doc_id"))
 
-  /** Composite quality score of a text column, rounded half-up at 6 dp —
-    * the single source of the formula shared by [[withQuality]] and the
-    * pipeline filters (so the oracle mirrors ONE definition).
+  /** The quality-formula components of a text column — the SINGLE source
+    * of the formula: [[qualityCol]], [[withQuality]], and therefore every
+    * pipeline filter and the DuckDB oracle derive from this one builder.
     */
-  def qualityCol(text: Column): Column = {
+  private def qualityParts(text: Column):
+      (Column, Column, Column, Column) = {
     val tok = tokens(text)
     val nTok = size(tok).cast("double")
     val sumLen = aggregate(transform(tok, t => length(t).cast("long")),
@@ -52,8 +53,12 @@ object TextOps {
     val score = lit(0.3) * least(nTok / lit(100.0), lit(1.0)) +
       lit(0.4) * stopRatio +
       lit(0.3) * least(avgWlen / lit(8.0), lit(1.0))
-    roundHalfUp(score, 6)
+    (nTok, avgWlen, stopRatio, score)
   }
+
+  /** Composite quality score of a text column, rounded half-up at 6 dp. */
+  def qualityCol(text: Column): Column =
+    roundHalfUp(qualityParts(text)._4, 6)
 
   /** Unsorted [[qualityScore]] core — usable on STREAMING DataFrames too
     * (a global sort is illegal on an unbounded stream); the narrow
@@ -62,21 +67,14 @@ object TextOps {
     * `StreamOpsSpec`).
     */
   def withQuality(docs: DataFrame): DataFrame = {
-    val tok = tokens(col("text"))
-    val nTok = size(tok).cast("double")
-    val sumLen = aggregate(transform(tok, t => length(t).cast("long")),
-      lit(0L), (acc, x) => acc + x).cast("double")
-    val avgWlen = when(nTok > 0, sumLen / nTok).otherwise(lit(0.0))
-    val stopRatio = when(nTok > 0,
-      stopwordHits(tok, langStopwords.head._2).cast("double") / nTok)
-      .otherwise(lit(0.0))
+    val (nTok, avgWlen, stopRatio, score) = qualityParts(col("text"))
     docs.select(
       col("doc_id"),
       length(col("text")).as("n_chars_calc"),
       nTok.cast("long").as("n_tokens"),
       roundHalfUp(avgWlen, 6).as("avg_word_len"),
       roundHalfUp(stopRatio, 6).as("stopword_ratio"),
-      qualityCol(col("text")).as("quality"))
+      roundHalfUp(score, 6).as("quality"))
   }
 
   /** Heuristic language ID: stopword-profile hit counts per language,
@@ -131,18 +129,6 @@ object TextOps {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(k)
 
-  /** Benchmark decontamination: for every training document, the number
-    * of distinct word n-grams it shares with each benchmark document —
-    * the overlap evidence used to drop contaminated training data before
-    * an eval. Output (train_id, bench_id, shared_ngrams >= minShared).
-    *
-    * Shape: both sides explode their distinct hashed shingle sets into
-    * an inverted index and meet in a hash join on the shingle; the count
-    * per (train, bench) pair IS the intersection size (sets are
-    * distinct), aggregated with map-side partials. The benchmark side is
-    * always small relative to the corpus — broadcast it, so the corpus
-    * streams through one stage with no shuffle of training postings.
-    */
   /** Sequence packing with concat-and-chunk semantics — the pretraining
     * data-prep step: within each `streamCol` stream, documents are laid
     * end to end in doc_id order and the token stream is cut into
@@ -170,6 +156,18 @@ object TextOps {
       .orderBy(col(streamCol), col("doc_id"))
   }
 
+  /** Benchmark decontamination: for every training document, the number
+    * of distinct word n-grams it shares with each benchmark document —
+    * the overlap evidence used to drop contaminated training data before
+    * an eval. Output (train_id, bench_id, shared_ngrams >= minShared).
+    *
+    * Shape: both sides explode their distinct hashed shingle sets into
+    * an inverted index and meet in a hash join on the shingle; the count
+    * per (train, bench) pair IS the intersection size (sets are
+    * distinct), aggregated with map-side partials. The benchmark side is
+    * always small relative to the corpus — broadcast it, so the corpus
+    * streams through one stage with no shuffle of training postings.
+    */
   def contaminationPairs(train: DataFrame, bench: DataFrame,
                          idCol: String, textCol: String,
                          n: Int, minShared: Long): DataFrame = {

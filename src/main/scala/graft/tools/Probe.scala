@@ -15,7 +15,7 @@ object Probe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (d, names) =
-      if (args.nonEmpty && args.head.startsWith("/"))
+      if (args.nonEmpty && new java.io.File(args.head).isDirectory)
         (args.head, args.tail.toSeq)
       else ("/root/testdata/sf0.01", args.toSeq)
     val picked = if (names.nonEmpty) names
