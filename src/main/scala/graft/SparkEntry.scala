@@ -274,6 +274,50 @@ object SparkEntry {
           pmod(col("l_partkey"), lit(7L)).as("mod_part"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
+    // scalar string-function battery (the reference's only string ops are
+    // upper/split/join; this covers the wider surface an engine needs)
+    "q24_string_battery" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_custkey") < 500)
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("lower_name"),
+          length(col("c_name")).cast("long").as("name_len"),
+          substring(col("c_name"), 3, 5).as("name_mid"),
+          lpad(col("c_mktsegment"), 12, "*").as("seg_lpad"),
+          rpad(col("c_mktsegment"), 12, ".").as("seg_rpad"),
+          regexp_replace(col("c_name"), "0", "#").as("name_subst"),
+          instr(col("c_name"), "1").cast("long").as("pos_one"),
+          reverse(col("c_name")).as("name_rev"),
+          translate(col("c_name"), "0123", "abcd").as("name_trans"),
+          concat_ws("-", col("c_mktsegment"), col("c_name")).as("seg_name"),
+          trim(lpad(col("c_name"), 25, " ")).as("name_trim"))
+        .orderBy(col("c_custkey"))),
+
+    // date/time-function battery over the order dates (a category the
+    // reference lacks entirely — SURVEY §2.2)
+    "q25_datetime_battery" -> ((s, dir) =>
+      T(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          dayofmonth(col("o_orderdate")).cast("long").as("d"),
+          dayofweek(col("o_orderdate")).cast("long").as("dow"),
+          dayofyear(col("o_orderdate")).cast("long").as("doy"),
+          quarter(col("o_orderdate")).cast("long").as("q"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("iso_day"),
+          unix_timestamp(date_add(col("o_orderdate").cast("date"), 30)
+            .cast("timestamp")).as("plus30_epoch"),
+          datediff(lit("1998-01-01").cast("date"),
+            col("o_orderdate").cast("date")).cast("long").as("days_to_98"),
+          unix_timestamp(last_day(col("o_orderdate").cast("date"))
+            .cast("timestamp")).as("month_end_epoch"),
+          unix_timestamp(date_trunc("month", col("o_orderdate"))
+            .cast("timestamp")).as("month_start_epoch"))
+        .orderBy(col("o_orderkey"))),
+
     // window frames: lag/lead + rolling average over a bounded row frame
     "q18_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -800,6 +844,36 @@ object SparkEntry {
         |  l_partkey % 7 AS mod_part
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q24_string_battery" ->
+      """SELECT c_custkey,
+        |  lower(c_name) AS lower_name,
+        |  CAST(length(c_name) AS BIGINT) AS name_len,
+        |  substr(c_name, 3, 5) AS name_mid,
+        |  lpad(c_mktsegment, 12, '*') AS seg_lpad,
+        |  rpad(c_mktsegment, 12, '.') AS seg_rpad,
+        |  regexp_replace(c_name, '0', '#', 'g') AS name_subst,
+        |  CAST(strpos(c_name, '1') AS BIGINT) AS pos_one,
+        |  reverse(c_name) AS name_rev,
+        |  translate(c_name, '0123', 'abcd') AS name_trans,
+        |  concat_ws('-', c_mktsegment, c_name) AS seg_name,
+        |  trim(lpad(c_name, 25, ' ')) AS name_trim
+        |FROM customer WHERE c_custkey < 500 ORDER BY c_custkey""".stripMargin,
+
+    "q25_datetime_battery" ->
+      """SELECT o_orderkey,
+        |  CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  CAST(day(o_orderdate) AS BIGINT) AS d,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  CAST(dayofyear(o_orderdate) AS BIGINT) AS doy,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+        |  CAST(epoch(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP)) AS BIGINT) AS plus30_epoch,
+        |  CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS BIGINT) AS days_to_98,
+        |  CAST(epoch(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS BIGINT) AS month_end_epoch,
+        |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch
+        |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
 
     "q18_rolling_window" ->
       """SELECT event_id, user_id, ts_secs, value,
