@@ -318,6 +318,23 @@ object SparkEntry {
             .cast("timestamp")).as("month_start_epoch"))
         .orderBy(col("o_orderkey"))),
 
+    // array-function battery over tokenized documents (array surface the
+    // reference lacks; split-based like its CSV parse)
+    "q26_array_battery" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"),
+          array_join(slice(split(col("text"), " "), 1, 3), "_").as("first3"),
+          array_contains(split(col("text"), " "), "the").cast("int").as("has_the"),
+          array_position(split(col("text"), " "), "the").cast("long").as("pos_the"),
+          element_at(split(col("text"), " "), -1).as("last_tok"),
+          array_join(sort_array(array_distinct(
+            slice(split(col("text"), " "), 1, 5))), "|").as("first5_sorted"),
+          size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
+        .orderBy(col("doc_id"))),
+
     // window frames: lag/lead + rolling average over a bounded row frame
     "q18_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -874,6 +891,18 @@ object SparkEntry {
         |  CAST(epoch(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS BIGINT) AS month_end_epoch,
         |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    "q26_array_battery" ->
+      """SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_tok,
+        |  array_to_string(tk[1:3], '_') AS first3,
+        |  CAST(list_contains(tk, 'the') AS INTEGER) AS has_the,
+        |  CAST(COALESCE(list_position(tk, 'the'), 0) AS BIGINT) AS pos_the,
+        |  tk[-1] AS last_tok,
+        |  array_to_string(list_sort(list_distinct(tk[1:5])), '|') AS first5_sorted,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
     "q18_rolling_window" ->
       """SELECT event_id, user_id, ts_secs, value,
