@@ -19,7 +19,11 @@ class StreamOpsSpec extends SparkSpec {
     val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
     Seq("one", "two", "three").toDF("value").coalesce(1).write.text(in)
     val q = StreamOps.upperCasePipeline(spark, in, out, cp)
-    q.awaitTermination(60000)
+    // processAllAvailable blocks until the backlog is fully committed —
+    // a bare awaitTermination(timeout) returns silently on a slow shared
+    // test machine and the assertions then read partial output (flake)
+    q.processAllAvailable()
+    q.awaitTermination(120000)
     val got = spark.read.text(out).collect().map(_.getString(0)).sorted
     assert(got.toSeq == Seq("ONE", "THREE", "TWO"))
     // AvailableNow terminates by itself once the backlog is processed
@@ -32,7 +36,8 @@ class StreamOpsSpec extends SparkSpec {
     import spark.implicits._
     spark.read.text(resource("salary.csv")).coalesce(1).write.text(in)
     val q = StreamOps.filterCityPipeline(spark, in, out, cp, "Jacksonville")
-    q.awaitTermination(60000)
+    q.processAllAvailable()
+    q.awaitTermination(120000)
     val got = spark.read.text(out).collect().map(_.getString(0))
     assert(got.length == 100)
     assert(!got.exists(_.contains("Jacksonville")))
