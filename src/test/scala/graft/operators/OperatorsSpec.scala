@@ -311,6 +311,23 @@ class EntrySpec extends SparkSpec {
     val os = graft.SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without query: ${os -- qs}")
   }
+
+  test("every registered query executes end-to-end at sf0.001") {
+    // the bench warmup swallows exceptions, and Verify only runs
+    // per-round — this makes plain `sbt test` catch a query that breaks
+    // at runtime (analysis errors surface lazily)
+    GraftFunctions.register(spark)
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      try {
+        val df = fn(spark, sf001)
+        assert(df.columns.nonEmpty, s"$name produced no columns")
+        df.write.format("noop").mode("overwrite").save()
+      } catch {
+        case e: Throwable =>
+          fail(s"query $name failed at sf0.001: ${e.getMessage}", e)
+      }
+    }
+  }
 }
 
 class SkewSpec extends graft.SparkSpec {
