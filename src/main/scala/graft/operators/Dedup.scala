@@ -40,18 +40,33 @@ object Dedup {
     * dup ratio that is the difference between shuffling the corpus and
     * shuffling the distinct keys. Output columns keep the input order.
     *
-    * PRECONDITION (both variants): `tieBreaker` must be non-null —
-    * min_by skips null ordering values while the window sorts them
-    * first, so null tie-breakers would make the variants diverge (and an
-    * all-null group would yield a null payload here).
+    * PRECONDITION (both variants, ENFORCED): `tieBreaker` must be
+    * non-null — min_by skips null ordering values while the window sorts
+    * them first, so null tie-breakers would make the variants diverge
+    * (and an all-null group would yield a null payload here). A null
+    * tie-breaker raises at runtime rather than silently degrading.
+    * Ties on `tieBreaker` within a key pick an unspecified candidate —
+    * supply a per-key-unique tieBreaker when full determinism matters.
     */
   def exactDedup(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
     val payload = df.columns.toSeq.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(payload.map(col): _*), col(tieBreaker)).as("__rep"))
+      .agg(min_by(struct(payload.map(col): _*),
+        guardedTieBreaker(df, tieBreaker)).as("__rep"))
       .select(df.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col("__rep").getField(c).as(c)): _*)
   }
+
+  /** The tie-breaker column, hardened to raise on null (a null ordering
+    * value would silently produce a nondeterministic / null representative).
+    * Codegen-friendly: one null check per row.
+    */
+  private def guardedTieBreaker(df: DataFrame, tieBreaker: String): Column =
+    when(col(tieBreaker).isNotNull, col(tieBreaker))
+      .otherwise(raise_error(lit(
+        s"exactDedup: null tieBreaker '$tieBreaker' — representative " +
+          "selection requires a non-null ordering value"))
+        .cast(df.schema(tieBreaker).dataType))
 
   /** Window-based variant of [[exactDedup]] (row_number = 1). Same result;
     * no map-side partial reduction (the whole input shuffles), but the rows
@@ -59,7 +74,8 @@ object Dedup {
     * bit-exactly or when the payload is too wide to pack into a struct.
     */
   def exactDedupWindow(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(tieBreaker))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(guardedTieBreaker(df, tieBreaker))
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")

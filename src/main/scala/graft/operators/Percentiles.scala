@@ -30,6 +30,14 @@ object Percentiles {
     */
   def exactPercentiles(df: DataFrame, groupCols: Seq[String],
                        specs: Seq[(String, String, Double)]): DataFrame = {
+    require(specs.nonEmpty, "exactPercentiles: at least one (name, col, p) spec")
+    specs.foreach { case (_, _, p) =>
+      require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p") }
+    // Global (ungrouped) percentiles: run the grouped machinery over one
+    // synthetic constant group, then drop it.
+    if (groupCols.isEmpty)
+      return exactPercentiles(df.withColumn("__g", lit(1)), Seq("__g"), specs)
+        .drop("__g")
     val gcols = groupCols.map(col)
     val valCols = specs.map(_._2).distinct
     val projected = df.select(

@@ -140,13 +140,16 @@ object Similarity {
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
                      c: Int = 32, iters: Int = 5,
                      maxTrain: Int = 10000): Seq[Seq[Float]] = {
+    // Order by the RAW id column (any orderable type) — casting to long
+    // would silently null non-numeric ids and break the documented
+    // deterministic sample ordering.
     val sample = emb
-      .select(col(idCol).cast("long").as("id"),
-        col(vecCol).cast("array<float>").as("v"))
-      .orderBy(col("id"))
+      .select(col(idCol).as("__oid"), col(vecCol).cast("array<float>").as("v"))
+      .orderBy(col("__oid"))
       .limit(maxTrain)
+      .select(col("v"))
       .collect()
-      .map(_.getSeq[Float](1).toArray)
+      .map(_.getSeq[Float](0).toArray)
     require(sample.length >= c, s"need >= $c training vectors, got ${sample.length}")
     val dim = sample.head.length
 

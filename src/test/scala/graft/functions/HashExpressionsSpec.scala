@@ -12,7 +12,8 @@ class HashExpressionsSpec extends SparkSpec {
 
   private val rnd = new scala.util.Random(9)
   private val rows: Seq[(Long, Seq[Long])] = (0 until 100).map { i =>
-    (i.toLong, Seq.fill(1 + rnd.nextInt(50))(rnd.nextLong().abs % TextFunctions.ShPrime))
+    // & Long.MaxValue, not .abs: Math.abs(Long.MinValue) overflows negative
+    (i.toLong, Seq.fill(1 + rnd.nextInt(50))((rnd.nextLong() & Long.MaxValue) % TextFunctions.ShPrime))
   }
 
   test("SimHashBits matches a scala reference fold") {
