@@ -33,6 +33,13 @@ object SparkEntry {
   private def revenue: Column =
     col("l_extendedprice") * (lit(1.0) - col("l_discount"))
 
+  /** q32 per-language keep fractions — single source for the query AND
+    * its oracle CASE expression, so the two cannot drift.
+    */
+  private val StratifiedFractions: ListMap[String, Double] =
+    ListMap("en" -> 0.5, "fr" -> 0.25, "es" -> 0.2, "de" -> 0.1)
+  private val StratifiedDefault = 0.05
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q7_flagship_nation_avg")(spark, "/root/testdata/sf0.001")
@@ -335,6 +342,96 @@ object SparkEntry {
           size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"))
         .orderBy(col("doc_id"))),
 
+    // conditional / null-handling battery: CASE chains, NULLIF/COALESCE,
+    // LEAST/GREATEST, boolean-to-int — the branching surface every
+    // engine needs (reference has only one hard-coded predicate)
+    "q27_conditional_battery" -> ((s, dir) =>
+      T(s, dir, "customer")
+        .filter(col("c_custkey") < 1000)
+        .select(
+          col("c_custkey"),
+          when(col("c_mktsegment") === "BUILDING", "b")
+            .when(col("c_mktsegment") === "MACHINERY", "m")
+            .otherwise("other").as("seg_class"),
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") > 5000, "high")
+            .otherwise("mid").as("bal_band"),
+          nullif(col("c_nationkey"), lit(13)).cast("long").as("nk_nullif"),
+          coalesce(nullif(col("c_nationkey"), lit(13)), lit(-1))
+            .cast("long").as("nk_coalesce"),
+          greatest(col("c_acctbal"), lit(0.0)).as("bal_floor0"),
+          least(col("c_acctbal"), lit(1000.0)).as("bal_cap1000"),
+          (col("c_nationkey") === 13).cast("int").as("is_13"))
+        .orderBy(col("c_custkey"))),
+
+    // bitwise battery over the integer keys (and/or/xor/shifts/popcount/not)
+    "q28_bitwise_battery" -> ((s, dir) => {
+      val pk = col("l_partkey").cast("long")
+      val sk = col("l_suppkey").cast("long")
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          pk.bitwiseAND(sk).as("pk_and_sk"),
+          pk.bitwiseOR(sk).as("pk_or_sk"),
+          pk.bitwiseXOR(sk).as("pk_xor_sk"),
+          shiftleft(pk, 3).as("pk_shl3"),
+          shiftright(pk, 2).as("pk_shr2"),
+          bit_count(pk).cast("long").as("pk_bits"),
+          bitwise_not(pk).as("pk_not"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // ranking/analytic window battery: rank vs dense_rank exercised over a
+    // REAL tie (coarse price band); ntile over a unique ordering (its
+    // assignment under ties is engine-arbitrary); value-picking functions
+    // over an explicit full frame
+    "q29_window_battery" -> ((s, dir) => {
+      val band = floor(col("o_totalprice") / 50000.0)
+      val wTies = Window.partitionBy(col("o_custkey")).orderBy(band.desc)
+      val wUniq = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val wDate = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"))
+        .withColumn("rnk", rank().over(wTies).cast("long"))
+        .withColumn("drnk", dense_rank().over(wTies).cast("long"))
+        .withColumn("pr", TextFunctions.roundHalfUp(percent_rank().over(wTies), 6))
+        .withColumn("cd", TextFunctions.roundHalfUp(cume_dist().over(wTies), 6))
+        .withColumn("nt", ntile(4).over(wUniq).cast("long"))
+        .withColumn("first_key", first(col("o_orderkey")).over(wDate))
+        .withColumn("last_key", last(col("o_orderkey")).over(wDate))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(wDate))
+        .drop("o_orderdate")
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // multi-dimensional aggregation: CUBE + grouping_id (q11 covers ROLLUP)
+    "q30_cube_grouping" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          grouping_id().cast("long").as("gid"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
+    // JSON extraction battery over the events props strings (path hit,
+    // typed cast, missing path -> NULL)
+    "q31_json_extract" -> ((s, dir) =>
+      T(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_int"),
+          get_json_object(col("props"), "$.missing").as("k_missing"),
+          get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
+        .orderBy(col("event_id"))),
+
     // window frames: lag/lead + rolling average over a bounded row frame
     "q18_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -366,6 +463,26 @@ object SparkEntry {
           col("o_orderkey").as("last_orderkey"),
           col("o_totalprice").as("last_total"))
         .orderBy(col("event_id"))
+    }),
+
+    // interval (range) join: each click vs same-user events in the
+    // following hour — equi-key + range predicate, sort-merge shape
+    "e3_interval_join" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_secs", expr("ts div 1000000000"))
+      val anchors = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id").as("click_user"),
+          col("ts_secs").as("click_ts"))
+      val probes = ev.select(col("user_id"), col("event_id"), col("ts_secs"),
+        col("value"))
+      operators.RangeJoin.intervalJoin(anchors, probes,
+        "click_user", "user_id", "click_ts", "ts_secs", 0L, 3600L)
+        .filter(col("event_id") =!= col("click_id"))
+        .groupBy(col("click_id"))
+        .agg(count(lit(1)).as("n_follow"),
+          round(sum(col("value")), 2).as("sum_value"),
+          min(col("event_id")).as("min_event_id"))
+        .orderBy(col("click_id"))
     }),
 
     // approximate distinct (HLL++) — sketch values are engine-specific,
@@ -418,6 +535,11 @@ object SparkEntry {
     // 512-token budget (pretraining data prep)
     "t7_pack_chunks" -> ((s, dir) =>
       TextOps.packChunks(T(s, dir, "documents"), "lang", budget = 512)),
+
+    // within-document repetition profile (duplicate-n-gram fraction — the
+    // Gopher-style boilerplate/spam signal)
+    "t8_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(T(s, dir, "documents"), n = 3)),
 
     // benchmark decontamination: distinct trigram overlap of training
     // docs (doc_id >= 10) against a benchmark set (doc_id < 10)
@@ -515,6 +637,14 @@ object SparkEntry {
     // deterministic hash-bucket sampling (key-stable, RNG-free)
     "q20_hash_sample" -> ((s, dir) =>
       Sampling.sampleByHash(T(s, dir, "documents"), "doc_id", 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // stratified hash sampling: per-language keep fractions (downsample
+    // dominant strata), still key-stable and RNG-free
+    "q32_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSampleByHash(T(s, dir, "documents"), "doc_id", "lang",
+        StratifiedFractions, StratifiedDefault)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
@@ -904,6 +1034,68 @@ object SparkEntry {
         |FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
         |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin,
 
+    "q27_conditional_battery" ->
+      """SELECT c_custkey,
+        |  CASE WHEN c_mktsegment = 'BUILDING' THEN 'b'
+        |       WHEN c_mktsegment = 'MACHINERY' THEN 'm'
+        |       ELSE 'other' END AS seg_class,
+        |  CASE WHEN c_acctbal < 0 THEN 'neg'
+        |       WHEN c_acctbal > 5000 THEN 'high'
+        |       ELSE 'mid' END AS bal_band,
+        |  CAST(NULLIF(c_nationkey, 13) AS BIGINT) AS nk_nullif,
+        |  CAST(COALESCE(NULLIF(c_nationkey, 13), -1) AS BIGINT) AS nk_coalesce,
+        |  greatest(c_acctbal, 0.0) AS bal_floor0,
+        |  least(c_acctbal, 1000.0) AS bal_cap1000,
+        |  CAST(c_nationkey = 13 AS INTEGER) AS is_13
+        |FROM customer WHERE c_custkey < 1000 ORDER BY c_custkey""".stripMargin,
+
+    "q28_bitwise_battery" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  pk & sk AS pk_and_sk,
+        |  pk | sk AS pk_or_sk,
+        |  xor(pk, sk) AS pk_xor_sk,
+        |  pk << 3 AS pk_shl3,
+        |  pk >> 2 AS pk_shr2,
+        |  CAST(bit_count(pk) AS BIGINT) AS pk_bits,
+        |  ~pk AS pk_not
+        |FROM (SELECT l_orderkey, l_linenumber,
+        |        CAST(l_partkey AS BIGINT) AS pk, CAST(l_suppkey AS BIGINT) AS sk
+        |      FROM lineitem WHERE l_orderkey < 1000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q29_window_battery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice,
+        |  CAST(rank() OVER wt AS BIGINT) AS rnk,
+        |  CAST(dense_rank() OVER wt AS BIGINT) AS drnk,
+        |  floor(percent_rank() OVER wt * 1000000.0 + 0.5) / 1000000.0 AS pr,
+        |  floor(cume_dist() OVER wt * 1000000.0 + 0.5) / 1000000.0 AS cd,
+        |  CAST(ntile(4) OVER wu AS BIGINT) AS nt,
+        |  first_value(o_orderkey) OVER wd AS first_key,
+        |  last_value(o_orderkey) OVER wd AS last_key,
+        |  nth_value(o_orderkey, 2) OVER wd AS second_key
+        |FROM orders
+        |WINDOW
+        |  wt AS (PARTITION BY o_custkey ORDER BY floor(o_totalprice / 50000.0) DESC),
+        |  wu AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+        |  wd AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q30_cube_grouping" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+
+    "q31_json_extract" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        |  json_extract_string(props, '$.missing') AS k_missing,
+        |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INTEGER) AS has_k
+        |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
     "q18_rolling_window" ->
       """SELECT event_id, user_id, ts_secs, value,
         |  lag(value) OVER w AS prev_value,
@@ -1027,6 +1219,35 @@ object SparkEntry {
          |  FROM s t JOIN s b ON t.doc_id >= 10 AND b.doc_id < 10)
          |WHERE shared_ngrams >= 2 ORDER BY train_id, bench_id""".stripMargin,
 
+    // Repetition profile over the SAME hashed trigram sets as the dedup
+    // oracles; docs with < 3 tokens fall out of `s` and re-enter via the
+    // LEFT JOIN with zero distinct n-grams.
+    "t8_repetition" ->
+      s"""WITH ${duckTokenHashes()},
+         |${duckShingleSets()}
+         |SELECT th.doc_id,
+         |  CAST(greatest(len(th.th) - 2, 0) AS BIGINT) AS total_ngrams,
+         |  CAST(COALESCE(len(s.sh), 0) AS BIGINT) AS distinct_ngrams,
+         |  floor((CASE WHEN len(th.th) > 2
+         |         THEN 1.0 - CAST(COALESCE(len(s.sh), 0) AS DOUBLE)
+         |                    / (len(th.th) - 2)
+         |         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+         |FROM th LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    "e3_interval_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs FROM events)
+        |SELECT a.event_id AS click_id, count(*) AS n_follow,
+        |  round(sum(b.value), 2) AS sum_value,
+        |  min(b.event_id) AS min_event_id
+        |FROM e a JOIN e b
+        |  ON a.user_id = b.user_id
+        |  AND b.ts_secs >= a.ts_secs AND b.ts_secs < a.ts_secs + 3600
+        |  AND b.event_id <> a.event_id
+        |WHERE a.event_type = 'click'
+        |GROUP BY a.event_id ORDER BY click_id""".stripMargin,
+
     "q23_skew_salted_agg" ->
       """SELECT event_type, round(sum(value), 2) AS sum_value,
         |count(*) AS cnt,
@@ -1121,6 +1342,16 @@ object SparkEntry {
       s"""SELECT doc_id, lang FROM (${duckWithBucket("doc_id, lang", "doc_id")})
          |WHERE bkt < ${graft.operators.Sampling.bucketThreshold(0.25)}
          |ORDER BY doc_id""".stripMargin,
+
+    "q32_stratified_sample" -> {
+      val cases = StratifiedFractions.map { case (l, f) =>
+        s"WHEN '$l' THEN ${graft.operators.Sampling.bucketThreshold(f)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM (${duckWithBucket("doc_id, lang", "doc_id")})
+         |WHERE bkt < CASE lang $cases
+         |            ELSE ${graft.operators.Sampling.bucketThreshold(StratifiedDefault)} END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q21_train_test_split" ->
       s"""SELECT split, count(*) AS cnt,

@@ -58,6 +58,29 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < bucketThreshold(fraction))
   }
 
+  /** Stratified hash sampling: per-stratum keep fractions (e.g. downsample
+    * dominant languages, keep all of a rare one). Same determinism
+    * contract as [[sampleByHash]] — the decision is a pure function of
+    * (key, stratum), so re-runs and engines agree row for row. Strata
+    * absent from `fractions` use `defaultFraction`.
+    *
+    * At 100 TB this is still a narrow, shuffle-free codegen'd filter:
+    * the stratum column only selects which threshold the key's bucket is
+    * compared against.
+    */
+  def stratifiedSampleByHash(df: DataFrame, keyCol: String, strataCol: String,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double): DataFrame = {
+    (defaultFraction +: fractions.values.toSeq).foreach(f =>
+      require(f >= 0.0 && f <= 1.0, s"fraction out of [0,1]: $f"))
+    GraftFunctions.register(df.sparkSession)
+    val threshold = fractions.foldLeft(lit(bucketThreshold(defaultFraction))) {
+      case (acc, (stratum, f)) =>
+        when(col(strataCol) === stratum, lit(bucketThreshold(f))).otherwise(acc)
+    }
+    df.filter(hashBucket(col(keyCol)) < threshold)
+  }
+
   /** Adds a `split` column: "test" for the first `testFraction` of
     * buckets, "train" otherwise. Disjoint and exhaustive by construction;
     * a document can never leak between splits across runs.

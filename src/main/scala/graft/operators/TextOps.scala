@@ -156,6 +156,29 @@ object TextOps {
       .orderBy(col(streamCol), col("doc_id"))
   }
 
+  /** Within-document repetition profile (Gopher-style duplicate-n-gram
+    * signal): total n-gram occurrences vs distinct n-grams, and the
+    * duplicate fraction `1 - distinct/total` — high values flag the
+    * boilerplate/spam documents a pretraining corpus filters out.
+    * Distinctness is computed over the portable hashed shingles, so the
+    * DuckDB oracle reproduces every count. Narrow per-doc projection,
+    * no shuffle.
+    */
+  def repetitionStats(docs: DataFrame, n: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val total = greatest(size(tokens(col("text"))) - (n - 1), lit(0)).cast("long")
+    docs
+      .select(col("doc_id"), total.as("total_ngrams"),
+        size(hashedShingleSet(col("text"), n)).cast("long").as("distinct_ngrams"))
+      .select(col("doc_id"), col("total_ngrams"), col("distinct_ngrams"),
+        roundHalfUp(
+          when(col("total_ngrams") > 0,
+            lit(1.0) - col("distinct_ngrams").cast("double") /
+              col("total_ngrams").cast("double"))
+            .otherwise(lit(0.0)), 6).as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Benchmark decontamination: for every training document, the number
     * of distinct word n-grams it shares with each benchmark document —
     * the overlap evidence used to drop contaminated training data before
