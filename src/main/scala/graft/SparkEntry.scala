@@ -494,13 +494,18 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
 
-    // approximate percentile sketch (engine-specific values — rows-only).
-    // The sketch array is projected into scalar columns so the rows-only
-    // harness (pandas sort) never sees an array-typed column.
+    // approximate percentile sketch. At accuracy 100000 (>> group rows at
+    // the verify SF) the GK summary degenerates to the exact discrete
+    // percentile, which DuckDB's quantile_disc reproduces — so this row
+    // IS oracle-checked at sf0.01, while the query text still exercises
+    // the sketch path a 100 TB run would rely on (where accuracy << n
+    // bounds memory and the answer becomes genuinely approximate).
+    // The sketch array is projected into scalar columns so the harness
+    // (pandas sort) never sees an array-typed column.
     "a2_approx_quantile" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000)")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 100000)")
           .as("qty_approx"))
         .select(col("l_returnflag"),
           element_at(col("qty_approx"), 1).as("qty_p50_approx"),
@@ -596,6 +601,14 @@ object SparkEntry {
     "d5_embedding_neardup" -> ((s, dir) =>
       Dedup.embeddingNearDup(T(s, dir, "embeddings"), "vec_id", "embedding",
         "label", threshold = 0.4)),
+
+    // embedding near-dup at scale: SRP-LSH candidates + exact cosine
+    // verify, no label blocks needed (rows-only: the SRP plane matrix is
+    // engine-internal; recall vs the exact baseline gated in
+    // EmbeddingLshSpec)
+    "d5b_embedding_lsh" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, dim = 64)),
 
     // near-dup clusters: connected components over the MinHash pair graph
     // (min-label propagation to convergence; oracle = recursive
@@ -941,6 +954,15 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.5), 4) AS qty_p50,
         |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Exact at the verify SF: sketch accuracy >> rows per group, so the GK
+    // summary returns the exact discrete percentile = DuckDB quantile_disc
+    // (see the query's comment).
+    "a2_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  quantile_disc(l_quantity, 0.5) AS qty_p50_approx,
+        |  quantile_disc(l_quantity, 0.9) AS qty_p90_approx
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q16_props_extract" ->

@@ -261,6 +261,58 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Embedding near-dup pairs at corpus scale: sign-random-projection LSH
+    * candidate generation + exact cosine verification. This is the 100 TB
+    * path; [[embeddingNearDup]] is the quadratic-within-block exact
+    * verifier for bounded blocks.
+    *
+    * Candidates = pairs sharing a bucket in ANY of `tables` independent
+    * SRP tables (band-OR, same recall mechanics as
+    * [[graft.operators.Similarity.lshTopK]]). A vector pair at angle θ
+    * agrees per hyperplane with p = 1 − θ/π, collides in one table with
+    * p^planes, across tables with 1 − (1 − p^planes)^tables. Size
+    * `planes` to the target threshold: at cosine 0.4 (p ≈ 0.63) use few
+    * planes (4 planes × 16 tables ⇒ ~0.94 expected recall); high-
+    * threshold near-dup (cos ≥ 0.9, p ≥ 0.86) tolerates 8+ planes.
+    * Candidate volume scales as n²/2^planes per table — the planes knob
+    * trades recall against pruning, measured by `EmbeddingLshSpec`
+    * against the exact all-pairs baseline.
+    *
+    * Scale shape: bucketing is one narrow kernel projection (all
+    * tables × planes dot products in a single [[graft.functions.SrpBuckets]]
+    * call); candidates come from hash-partitioned bucket self-joins with
+    * a `maxBucket` skew cap — never an all-pairs product; verification
+    * joins the two vector sides back by id and runs the codegen'd cosine
+    * kernel once per surviving candidate.
+    */
+  def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
+                          threshold: Double, dim: Int,
+                          tables: Int = 16, planes: Int = 4,
+                          maxBucket: Int = 100000): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val bucketed = emb.select(col(idCol).as("id"),
+      posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
+        .as(Seq("tbl", "bkt")))
+    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
+    val capped = bucketed
+      .withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+    val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"))
+    val r = capped.select(col("tbl"), col("bkt"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("tbl", "bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
+    candidates
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Blocked exact n-gram Jaccard near-dup pairs via a PREFIX-FILTER
     * inverted-index join (the AllPairs/PPJoin family), verified with exact
     * Jaccard over distinct word n-gram sets.
