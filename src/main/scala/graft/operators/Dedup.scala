@@ -272,8 +272,9 @@ object Dedup {
     * agrees per hyperplane with p = 1 − θ/π, collides in one table with
     * p^planes, across tables with 1 − (1 − p^planes)^tables. Size
     * `planes` to the target threshold: at cosine 0.4 (p ≈ 0.63) use few
-    * planes (4 planes × 16 tables ⇒ ~0.94 expected recall); high-
-    * threshold near-dup (cos ≥ 0.9, p ≥ 0.86) tolerates 8+ planes.
+    * planes (5 planes × 16 tables ⇒ ~0.81 expected recall, 4 planes ⇒
+    * ~0.94 at 2× the candidate volume); high-threshold near-dup
+    * (cos ≥ 0.9, p ≥ 0.86) tolerates 8+ planes.
     * Candidate volume scales as n²/2^planes per table — the planes knob
     * trades recall against pruning, measured by `EmbeddingLshSpec`
     * against the exact all-pairs baseline.
@@ -287,7 +288,7 @@ object Dedup {
     */
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int,
-                          tables: Int = 16, planes: Int = 4,
+                          tables: Int = 16, planes: Int = 5,
                           maxBucket: Int = 100000): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.select(col(idCol).as("id"),

@@ -66,6 +66,30 @@ object Plans {
         |the same (user_id) hash partitioning, so Catalyst plans exactly one
         |exchange; everything after it is sort + running computation within
         |partitions.""".stripMargin,
+    "e3_interval_join" ->
+      """Interval (range) join. The equi key keeps this a hash join — the
+        |range predicate rides as the join condition, never a
+        |BroadcastNestedLoopJoin over the cross product. Here the filtered
+        |click anchors are small, so AQE broadcasts them (BuildLeft) and
+        |the probe side streams through one stage; with two corpus-scale
+        |sides the same plan degrades gracefully to a sort-merge join
+        |hash-partitioned on the key, where matched rows are bounded by
+        |window width x event rate per key.""".stripMargin,
+    "d5b_embedding_lsh" ->
+      """Embedding near-dup at scale. One graft_srp_buckets kernel call
+        |computes all table buckets per vector; candidates come from the
+        |(table, bucket) self-join with a row_number skew cap, dedup on
+        |(id_a, id_b), then exactly ONE codegen'd cosine evaluation per
+        |surviving candidate (the vector sides join back by id). Candidate
+        |volume is n²/2^planes per table — the planes knob trades recall
+        |(measured 0.81, gated >= 0.7) against pruning; never an all-pairs
+        |product.""".stripMargin,
+    "q30_cube_grouping" ->
+      """CUBE aggregation. Spark plans Expand (4 grouping-set replicas per
+        |input row) feeding ONE partial -> exchange -> final aggregation:
+        |the shuffle carries partial rows per (grouping set x key x
+        |partition), not 4x the input — the same decomposable-aggregate
+        |shape as a plain GROUP BY, just with a wider key space.""".stripMargin,
     "t6_decontaminate" ->
       """Benchmark decontamination. Both sides explode distinct shingle
         |postings; the benchmark side is broadcast (BroadcastHashJoin), so
