@@ -157,6 +157,36 @@ object StreamOps {
       }
   }
 
+  /** Stream-stream interval join with watermark-bounded state — the
+    * streaming analog of [[graft.operators.RangeJoin.intervalJoin]]:
+    * match right-stream rows with the same key whose event time falls in
+    * `[left.ts + lowerSec, left.ts + upperSec)`.
+    *
+    * Both sides carry a watermark and the range condition bounds the
+    * event-time distance between matches, so Spark can evict buffered
+    * rows once the watermark passes their join horizon — state size
+    * tracks (watermark + window width) × arrival rate, never the whole
+    * stream. Without the time-range condition a stream-stream join must
+    * buffer one side forever; this is the ONLY shape that survives an
+    * unbounded run.
+    *
+    * Column contract: `left`/`right` must not share column names; both
+    * ts columns are TimestampType.
+    */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+                         leftKey: String, rightKey: String,
+                         leftTs: String, rightTs: String,
+                         lowerSec: Long, upperSec: Long,
+                         watermark: String = "1 hour"): DataFrame = {
+    require(upperSec > lowerSec, s"empty window: [$lowerSec, $upperSec)")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    l.join(r,
+      col(leftKey) === col(rightKey) &&
+        col(rightTs) >= col(leftTs) + expr(s"INTERVAL $lowerSec SECONDS") &&
+        col(rightTs) < col(leftTs) + expr(s"INTERVAL $upperSec SECONDS"))
+  }
+
   def hourlyEventCounts(events: DataFrame, watermark: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", watermark)

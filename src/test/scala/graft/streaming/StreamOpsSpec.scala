@@ -182,4 +182,33 @@ class StreamOpsSpec extends SparkSpec {
       assert(ids.toSeq == Seq(1L, 2L, 3L))
     } finally q.stop()
   }
+
+  test("stream-stream interval join matches within the window, bounded by watermarks") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val clicks = MemoryStream[(Long, java.sql.Timestamp)]
+    val views = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val joined = StreamOps.intervalJoinStream(
+      clicks.toDF().toDF("c_user", "c_ts"),
+      views.toDF().toDF("v_user", "v_ts", "page"),
+      "c_user", "v_user", "c_ts", "v_ts",
+      lowerSec = 0L, upperSec = 600L, watermark = "10 minutes")
+    val q = joined.writeStream.format("memory").queryName("clickviews")
+      .outputMode("append").start()
+    try {
+      clicks.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      views.addData(
+        (1L, ts("2024-01-01 10:05:00"), "in_window"),
+        (1L, ts("2024-01-01 10:10:00"), "at_upper_excluded"),
+        (2L, ts("2024-01-01 09:59:00"), "before_click"),
+        (3L, ts("2024-01-01 10:01:00"), "no_click_key"))
+      q.processAllAvailable()
+      val got = spark.table("clickviews").collect()
+        .map(r => (r.getLong(0), r.getString(4))).toSet
+      // half-open window [c_ts, c_ts + 600s): only the 10:05 view of the
+      // same user joins; the boundary row, earlier row, and other key don't
+      assert(got == Set((1L, "in_window")))
+    } finally q.stop()
+  }
 }
