@@ -432,6 +432,27 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
         .orderBy(col("event_id"))),
 
+    // pivot: long -> wide reshaping with an explicit value list (explicit
+    // so the output schema is deterministic — an inferred pivot would scan
+    // for distinct values and could reorder columns between runs)
+    "q33_pivot" -> ((s, dir) =>
+      T(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(round(sum(col("value")), 2))
+        .orderBy(col("user_id"))),
+
+    // unpivot (melt): wide -> long reshaping, the inverse surface
+    "q34_unpivot" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 1000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
+
     // window frames: lag/lead + rolling average over a bounded row frame
     "q18_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -1117,6 +1138,27 @@ object SparkEntry {
         |  json_extract_string(props, '$.missing') AS k_missing,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INTEGER) AS has_k
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    "q33_pivot" ->
+      """SELECT user_id,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+        |  round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+        |  round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q34_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, metric, val FROM (
+        |  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |         l_quantity AS val FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+        |  FROM lineitem WHERE l_orderkey < 1000
+        |  UNION ALL
+        |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 1000)
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
 
     "q18_rolling_window" ->
       """SELECT event_id, user_id, ts_secs, value,
