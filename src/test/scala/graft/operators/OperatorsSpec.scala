@@ -18,6 +18,18 @@ class DedupSpec extends SparkSpec {
       Seq((1L, "a", 10.0), (5L, "b", 50.0)))
   }
 
+  test("exactDedup raises on a null tieBreaker instead of degrading silently") {
+    val df = Seq((Some(1L), "a", 10.0), (None, "a", 20.0))
+      .toDF("id", "k", "v")
+    val ex = intercept[Exception] {
+      Dedup.exactDedup(df, Seq("k"), "id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null tieBreaker")), ex.toString)
+  }
+
   test("minhash LSH finds planted near-duplicates and skips unrelated docs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val nearDup = (1 to 40).map(i => if (i == 7) "CHANGED" else s"tok$i").mkString(" ")
