@@ -78,8 +78,9 @@ class DedupSpec extends SparkSpec {
       (100L, (1 to 30).map("p" + _).mkString(" "), "lang0"),
       (101L, (1 to 30).map(i => if (i == 5) "q" else "p" + i).mkString(" "), "lang0"))
     val df = docs.toDF("doc_id", "text", "lang")
-    for (t <- Seq(0.2, 0.5, 0.8)) {
-      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(col("lang")), 3, t)
+    for (t <- Seq(0.2, 0.5, 0.8); dfo <- Seq(false, true)) {
+      val got = Dedup.ngramJaccardPairs(df, "doc_id", "text", Seq(col("lang")), 3, t,
+        dfOrdered = dfo)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
       // naive reference: full quadratic join within lang blocks
       val sets = docs.map { case (id, text, lang) =>
@@ -94,7 +95,7 @@ class DedupSpec extends SparkSpec {
         if j >= t - 1e-12
       } yield (a._1, b._1, math.floor(j * 1e6 + 0.5) / 1e6))
         .sortBy(p => (p._1, p._2))
-      assert(got == want, s"threshold $t")
+      assert(got == want, s"threshold $t dfOrdered $dfo")
     }
   }
 
