@@ -40,6 +40,30 @@ class SinksSpec extends SparkSpec {
       (2, "Lin", 28, "Lyon", 98000.0)))
   }
 
+  test("csv quarantine reader captures malformed rows instead of dropping them") {
+    val dir = tmp("graft-quar")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,name,age,city,salary\n" +
+        "1,Ada,36,Paris,120000.5\n" +
+        "not-a-number,Bob,oops\n" +            // malformed: bad types, short
+        "2,Lin,28,Lyon,98000.0\n")
+    val df = Tables.csvWithQuarantine(spark, s"$dir/in.csv", Tables.salarySchema)
+      .cache() // _corrupt_record is query-able only alongside the raw parse
+    val clean = df.filter(col("_corrupt_record").isNull)
+    val bad = df.filter(col("_corrupt_record").isNotNull)
+    assert(clean.count() == 2)
+    assert(clean.orderBy("id").collect().map(_.getString(1)).toSeq ==
+      Seq("Ada", "Lin"))
+    // the malformed line survives WHOLE for the quarantine sink — nothing
+    // is silently dropped (unlike the reference's length guard)
+    val quarantined = bad.collect()
+    assert(quarantined.length == 1)
+    assert(quarantined.head.getAs[String]("_corrupt_record")
+      .startsWith("not-a-number,Bob"))
+    df.unpersist()
+  }
+
   test("partitioned parquet sink produces hive-style layout, round-trips") {
     val li = Tables.lineitem(spark, sf001)
     val dir = tmp("graft-part") + "/li"
