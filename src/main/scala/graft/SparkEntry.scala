@@ -515,6 +515,29 @@ object SparkEntry {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"))),
 
+    // MERGEABLE distinct sketches (Apache DataSketches HLL): the sketch is
+    // built once per group, then group sketches UNION-merge into the
+    // global estimate WITHOUT rescanning raw data — the pre-aggregated
+    // rollup pattern that lets a 100 TB pipeline answer distinct-count
+    // questions at any grouping from a tiny sketch table. Sketch bytes
+    // are engine-specific — rows-only check.
+    "a3_hll_union" -> ((s, dir) => {
+      val perType = T(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          count(lit(1)).as("cnt"))
+      perType
+        .select(col("event_type"),
+          expr("hll_sketch_estimate(sk)").cast("long").as("approx_users"),
+          col("cnt"))
+        .unionByName(perType
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+            .cast("long").as("approx_users"),
+            sum(col("cnt")).as("cnt"))
+          .select(lit("_all").as("event_type"), col("approx_users"), col("cnt")))
+        .orderBy(col("event_type"))
+    }),
+
     // approximate percentile sketch. At accuracy 100000 (>> group rows at
     // the verify SF) the GK summary degenerates to the exact discrete
     // percentile, which DuckDB's quantile_disc reproduces — so this row
