@@ -278,7 +278,13 @@ object SparkEntry {
           round(pow(lit(1.0) + col("l_tax"), 2), 6).as("pow_tax"),
           abs(col("l_quantity") - 25.0).as("abs_qty"),
           signum(col("l_discount") - 0.05).as("sign_disc"),
-          pmod(col("l_partkey"), lit(7L)).as("mod_part"))
+          pmod(col("l_partkey"), lit(7L)).as("mod_part"),
+          round(sin(col("l_discount")), 6).as("sin_disc"),
+          round(cos(col("l_discount")), 6).as("cos_disc"),
+          round(atan2(col("l_quantity"), col("l_extendedprice")), 6).as("atan2_qp"),
+          round(degrees(col("l_discount")), 6).as("deg_disc"),
+          ceil(col("l_quantity") / 7.0).cast("long").as("ceil_q7"),
+          floor(col("l_quantity") / 7.0).cast("long").as("floor_q7"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))),
 
     // scalar string-function battery (the reference's only string ops are
@@ -1054,7 +1060,13 @@ object SparkEntry {
         |  round(pow(1.0 + l_tax, 2), 6) AS pow_tax,
         |  abs(l_quantity - 25.0) AS abs_qty,
         |  CAST(sign(l_discount - 0.05) AS DOUBLE) AS sign_disc,
-        |  l_partkey % 7 AS mod_part
+        |  l_partkey % 7 AS mod_part,
+        |  round(sin(l_discount), 6) AS sin_disc,
+        |  round(cos(l_discount), 6) AS cos_disc,
+        |  round(atan2(l_quantity, l_extendedprice), 6) AS atan2_qp,
+        |  round(degrees(l_discount), 6) AS deg_disc,
+        |  CAST(ceil(l_quantity / 7.0) AS BIGINT) AS ceil_q7,
+        |  CAST(floor(l_quantity / 7.0) AS BIGINT) AS floor_q7
         |FROM lineitem WHERE l_orderkey < 500
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
