@@ -438,6 +438,17 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
         .orderBy(col("event_id"))),
 
+    // generator functions: posexplode (LATERAL VIEW surface) — one row per
+    // token with its 1-based position
+    "q35_posexplode" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
+        .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"),
+          col("tok"))
+        .orderBy(col("doc_id"), col("pos"))),
+
     // pivot: long -> wide reshaping with an explicit value list (explicit
     // so the output schema is deterministic — an inferred pivot would scan
     // for distinct values and could reorder columns between runs)
@@ -1173,6 +1184,16 @@ object SparkEntry {
         |  json_extract_string(props, '$.missing') AS k_missing,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INTEGER) AS has_k
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    // DuckDB lacks WITH ORDINALITY — a struct comprehension carries the
+    // 1-based position through unnest instead
+    "q35_posexplode" ->
+      """SELECT doc_id, CAST(e.pos AS BIGINT) AS pos, e.tok
+        |FROM (SELECT doc_id,
+        |        unnest([{'pos': i, 'tok': tk[i]} for i in range(1, len(tk)+1)]) AS e
+        |      FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |            FROM documents WHERE doc_id < 50))
+        |ORDER BY doc_id, pos""".stripMargin,
 
     "q33_pivot" ->
       """SELECT user_id,
