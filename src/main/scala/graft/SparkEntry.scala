@@ -555,18 +555,19 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // approximate percentile sketch. At accuracy 100000 (>> group rows at
-    // the verify SF) the GK summary degenerates to the exact discrete
-    // percentile, which DuckDB's quantile_disc reproduces — so this row
-    // IS oracle-checked at sf0.01, while the query text still exercises
-    // the sketch path a 100 TB run would rely on (where accuracy << n
-    // bounds memory and the answer becomes genuinely approximate).
-    // The sketch array is projected into scalar columns so the harness
-    // (pandas sort) never sees an array-typed column.
+    // approximate percentile sketch. PRECONDITION for the oracle row:
+    // accuracy must exceed the rows per group at the checked SF — then the
+    // GK summary degenerates to the exact discrete percentile, which
+    // DuckDB's quantile_disc reproduces. 1e6 covers every driver SF
+    // (sf0.1 has ~200k rows/group; the gate runs at sf0.01 with ~20k).
+    // The query text still exercises the sketch path a 100 TB run would
+    // rely on, where accuracy << n bounds memory and the answer becomes
+    // genuinely approximate. The sketch array is projected into scalar
+    // columns so the harness (pandas sort) never sees an array column.
     "a2_approx_quantile" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 100000)")
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000000)")
           .as("qty_approx"))
         .select(col("l_returnflag"),
           element_at(col("qty_approx"), 1).as("qty_p50_approx"),

@@ -35,9 +35,13 @@ object Percentiles {
       require(p >= 0.0 && p <= 1.0, s"percentile p must be in [0,1], got $p") }
     // Global (ungrouped) percentiles: run the grouped machinery over one
     // synthetic constant group, then drop it.
-    if (groupCols.isEmpty)
+    if (groupCols.isEmpty) {
+      require(!df.columns.contains("__g"),
+        "exactPercentiles: input already has a '__g' column — the global " +
+          "path would silently overwrite it")
       return exactPercentiles(df.withColumn("__g", lit(1)), Seq("__g"), specs)
         .drop("__g")
+    }
     val gcols = groupCols.map(col)
     val valCols = specs.map(_._2).distinct
     val projected = df.select(

@@ -48,11 +48,10 @@ class SinksSpec extends SparkSpec {
         "1,Ada,36,Paris,120000.5\n" +
         "not-a-number,Bob,oops\n" +            // malformed: bad types, short
         "2,Lin,28,Lyon,98000.0\n")
-    val df = Tables.csvWithQuarantine(spark, s"$dir/in.csv", Tables.salarySchema)
-      .cache() // _corrupt_record is query-able only alongside the raw parse
-    val clean = df.filter(col("_corrupt_record").isNull)
-    val bad = df.filter(col("_corrupt_record").isNotNull)
+    val (clean, bad) = Tables.splitQuarantine(
+      Tables.csvWithQuarantine(spark, s"$dir/in.csv", Tables.salarySchema))
     assert(clean.count() == 2)
+    assert(!clean.columns.contains("_corrupt_record"))
     assert(clean.orderBy("id").collect().map(_.getString(1)).toSeq ==
       Seq("Ada", "Lin"))
     // the malformed line survives WHOLE for the quarantine sink — nothing
@@ -61,7 +60,7 @@ class SinksSpec extends SparkSpec {
     assert(quarantined.length == 1)
     assert(quarantined.head.getAs[String]("_corrupt_record")
       .startsWith("not-a-number,Bob"))
-    df.unpersist()
+    clean.unpersist()
   }
 
   test("partitioned parquet sink produces hive-style layout, round-trips") {
