@@ -438,6 +438,23 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
         .orderBy(col("event_id"))),
 
+    // correlated scalar subquery through the spark.sql entry path —
+    // Catalyst decorrelates it into an aggregate + join (no per-row
+    // re-execution); the same text runs verbatim in DuckDB
+    "q36_scalar_subquery" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer_v")
+      // CAST AS DOUBLE in BOTH texts: SQL decimal literals type the
+      // arithmetic as DECIMAL in each engine (unlike the DataFrame API's
+      // lit(10000.0), which is double)
+      s.sql(
+        """SELECT c_custkey, c_acctbal,
+          |  CAST((SELECT floor(avg(c2.c_acctbal) * 10000.0 + 0.5) / 10000.0
+          |        FROM customer_v c2
+          |        WHERE c2.c_mktsegment = c.c_mktsegment) AS DOUBLE) AS seg_avg
+          |FROM customer_v c WHERE c_custkey < 500
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // generator functions: posexplode (LATERAL VIEW surface) — one row per
     // token with its 1-based position
     "q35_posexplode" -> ((s, dir) =>
@@ -1185,6 +1202,16 @@ object SparkEntry {
         |  json_extract_string(props, '$.missing') AS k_missing,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INTEGER) AS has_k
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    // CAST: inside a scalar subquery DuckDB types the arithmetic DECIMAL
+    // (python decimal.Decimal), while the top-level form yields DOUBLE
+    "q36_scalar_subquery" ->
+      """SELECT c_custkey, c_acctbal,
+        |  CAST((SELECT floor(avg(c2.c_acctbal) * 10000.0 + 0.5) / 10000.0
+        |        FROM customer c2
+        |        WHERE c2.c_mktsegment = c.c_mktsegment) AS DOUBLE) AS seg_avg
+        |FROM customer c WHERE c_custkey < 500
+        |ORDER BY c_custkey""".stripMargin,
 
     // DuckDB lacks WITH ORDINALITY — a struct comprehension carries the
     // 1-based position through unnest instead
