@@ -90,6 +90,11 @@ object Plans {
         |the shuffle carries partial rows per (grouping set x key x
         |partition), not 4x the input — the same decomposable-aggregate
         |shape as a plain GROUP BY, just with a wider key space.""".stripMargin,
+    "q36_scalar_subquery" ->
+      """Correlated scalar subquery (spark.sql entry path). Catalyst
+        |DECORRELATES it: the plan shows one aggregate over the inner side
+        |joined back to the outer rows — never per-row re-execution of the
+        |subquery. The same SQL text is the DuckDB oracle.""".stripMargin,
     "t6_decontaminate" ->
       """Benchmark decontamination. Both sides explode distinct shingle
         |postings; the benchmark side is broadcast (BroadcastHashJoin), so

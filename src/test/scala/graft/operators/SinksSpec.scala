@@ -40,6 +40,20 @@ class SinksSpec extends SparkSpec {
       (2, "Lin", 28, "Lyon", 98000.0)))
   }
 
+  test("json-lines sink round-trips rows and types through the schema'd reader") {
+    val df = Seq((1, "Ada", 36, "Paris", 120000.5),
+      (2, "Lin", 28, "Lyon", 98000.0))
+      .toDF("id", "name", "age", "city", "salary")
+    val dir = tmp("graft-json") + "/j"
+    Tables.writeJsonLines(df, dir)
+    val back = Tables.jsonLines(spark, dir, Tables.salarySchema)
+    assert(back.schema("salary").dataType.typeName == "double")
+    val rows = back.orderBy("id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getString(3), r.getDouble(4)))
+    assert(rows.toSeq == Seq((1, "Ada", 36, "Paris", 120000.5),
+      (2, "Lin", 28, "Lyon", 98000.0)))
+  }
+
   test("csv quarantine reader captures malformed rows instead of dropping them") {
     val dir = tmp("graft-quar")
     java.nio.file.Files.writeString(
