@@ -82,6 +82,25 @@ object SparkEntry {
       RefOps.filterJob(lines, "BUILDING").orderBy(col("value"))
     }),
 
+    // K1+A1 on the TYPED Dataset API: case-class Encoder, groupByKey, the
+    // Aggregator whose (sum, count) buffer mirrors the reference's
+    // SalaryReducer — compile-time types, same partial->merge->finish
+    // decomposition as the untyped plan
+    "r5_typed_avg" -> ((s, dir) => {
+      import s.implicits._
+      val avgCol = graft.functions.TypedAggregators.SumCountAvg.toColumn
+      T(s, dir, "customer")
+        .select(col("c_mktsegment").as("seg"), col("c_acctbal").as("bal"))
+        .as[(String, Double)]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(avgCol.name("avg_raw"))
+        .toDF("c_mktsegment", "avg_raw")
+        .select(col("c_mktsegment"),
+          TextFunctions.roundHalfUp(col("avg_raw"), 4).as("avg_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // ---- star-schema SQL surface ----
 
     // scan + filter (pushed) + grouped agg with decomposable sum/avg/count
@@ -937,6 +956,11 @@ object SparkEntry {
     "r4_csv_roundtrip" ->
       """SELECT concat_ws(',', c_custkey, c_name, c_nationkey, c_mktsegment) AS value
         |FROM customer WHERE c_mktsegment <> 'BUILDING' ORDER BY value""".stripMargin,
+
+    "r5_typed_avg" ->
+      """SELECT c_mktsegment,
+        |floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -19,6 +19,12 @@ import org.apache.spark.sql.functions._
   *
   * Measured at sf0.1: q15 2.6 s (buffered aggregate) -> sort-based
   * window path well under 1 s, identical oracle row.
+  *
+  * Parallelism bound: work parallelizes by GROUP (each group's sort is
+  * one partition's task), so very-low-cardinality groupings leave cores
+  * idle — 3 groups use 3 tasks regardless of cluster size. When groups
+  * are few and exactness is negotiable, `approx_percentile` (a2 pattern)
+  * parallelizes by input split instead.
   */
 object Percentiles {
 
