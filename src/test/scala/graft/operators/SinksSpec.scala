@@ -54,6 +54,18 @@ class SinksSpec extends SparkSpec {
       (2, "Lin", 28, "Lyon", 98000.0)))
   }
 
+  test("orc sink round-trips rows and pushes filters on re-read") {
+    val df = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    val dir = tmp("graft-orc") + "/o"
+    Tables.writeOrc(df, dir)
+    val back = Tables.orc(spark, dir).filter(col("id") > 1L)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") && scan.contains("GreaterThan(id,1)"),
+      scan)
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(2L, 3L))
+  }
+
   test("csv quarantine reader captures malformed rows instead of dropping them") {
     val dir = tmp("graft-quar")
     java.nio.file.Files.writeString(
