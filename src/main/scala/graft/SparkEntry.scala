@@ -457,6 +457,25 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").isNotNull.cast("int").as("has_k"))
         .orderBy(col("event_id"))),
 
+    // nested-type battery: map construction/extraction/keys + struct
+    // field access, all projected back to scalars (the harness hash
+    // compares scalar columns)
+    "q37_nested_types" -> ((s, dir) => {
+      def m = map_from_arrays(
+        array(lit("lo"), lit("hi")),
+        array(col("c_acctbal") * 0.5, col("c_acctbal") * 1.5))
+      def st = struct(col("c_custkey").as("k"), col("c_mktsegment").as("seg"))
+      T(s, dir, "customer")
+        .filter(col("c_custkey") < 300)
+        .select(col("c_custkey"),
+          round(element_at(m, "hi"), 4).as("m_hi"),
+          size(m).cast("long").as("m_size"),
+          array_join(map_keys(m), ",").as("m_keys"),
+          st.getField("seg").as("s_seg"),
+          (st.getField("k") * 2).as("s_k2"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // correlated scalar subquery through the spark.sql entry path —
     // Catalyst decorrelates it into an aggregate + join (no per-row
     // re-execution); the same text runs verbatim in DuckDB
@@ -1226,6 +1245,16 @@ object SparkEntry {
         |  json_extract_string(props, '$.missing') AS k_missing,
         |  CAST(json_extract_string(props, '$.k') IS NOT NULL AS INTEGER) AS has_k
         |FROM events WHERE event_id < 2000 ORDER BY event_id""".stripMargin,
+
+    // DuckDB map extraction yields a single-element LIST — [1] unwraps it
+    "q37_nested_types" ->
+      """SELECT c_custkey,
+        |  round((map(['lo','hi'], [c_acctbal * 0.5, c_acctbal * 1.5])['hi'])[1], 4) AS m_hi,
+        |  CAST(cardinality(map(['lo','hi'], [c_acctbal * 0.5, c_acctbal * 1.5])) AS BIGINT) AS m_size,
+        |  array_to_string(map_keys(map(['lo','hi'], [c_acctbal * 0.5, c_acctbal * 1.5])), ',') AS m_keys,
+        |  struct_pack(k := c_custkey, seg := c_mktsegment).seg AS s_seg,
+        |  struct_pack(k := c_custkey, seg := c_mktsegment).k * 2 AS s_k2
+        |FROM customer WHERE c_custkey < 300 ORDER BY c_custkey""".stripMargin,
 
     // CAST: inside a scalar subquery DuckDB types the arithmetic DECIMAL
     // (python decimal.Decimal), while the top-level form yields DOUBLE
