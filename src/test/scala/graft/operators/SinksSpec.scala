@@ -74,8 +74,8 @@ class SinksSpec extends SparkSpec {
         "1,Ada,36,Paris,120000.5\n" +
         "not-a-number,Bob,oops\n" +            // malformed: bad types, short
         "2,Lin,28,Lyon,98000.0\n")
-    val (clean, bad) = Tables.splitQuarantine(
-      Tables.csvWithQuarantine(spark, s"$dir/in.csv", Tables.salarySchema))
+    val parsed = Tables.csvWithQuarantine(spark, s"$dir/in.csv", Tables.salarySchema)
+    val (clean, bad) = Tables.splitQuarantine(parsed)
     assert(clean.count() == 2)
     assert(!clean.columns.contains("_corrupt_record"))
     assert(clean.orderBy("id").collect().map(_.getString(1)).toSeq ==
@@ -86,7 +86,7 @@ class SinksSpec extends SparkSpec {
     assert(quarantined.length == 1)
     assert(quarantined.head.getAs[String]("_corrupt_record")
       .startsWith("not-a-number,Bob"))
-    clean.unpersist()
+    parsed.unpersist()
   }
 
   test("partitioned parquet sink produces hive-style layout, round-trips") {
