@@ -241,20 +241,26 @@ object SparkEntry {
         .orderBy(col("tag"), col("key"))
     }),
 
-    // exact percentiles (interpolating) per group — sort-based window
-    // formulation (Percentiles.exactPercentiles) instead of the buffering
-    // built-in aggregate; identical values (spec-checked vs the built-in)
-    "q15_percentiles" -> ((s, dir) =>
-      Percentiles.exactPercentiles(T(s, dir, "lineitem"),
-        Seq("l_returnflag"),
+    // exact percentiles (interpolating) per group, composing BOTH scale
+    // strategies by column shape: value-histogram aggregation for the
+    // 50-distinct-value quantity column (shuffle = histogram, not rows)
+    // and range-partitioned distributed order statistics for the
+    // near-unique price column (parallel sort, no per-group serial
+    // stage); identical values to the built-in (spec-checked)
+    "q15_percentiles" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      Percentiles.exactPercentiles(li, Seq("l_returnflag"),
         Seq(("qty_p50", "l_quantity", 0.5),
-          ("qty_p90", "l_quantity", 0.9),
-          ("price_p50", "l_extendedprice", 0.5)))
+          ("qty_p90", "l_quantity", 0.9)), keepAllGroups = false)
+        .join(Percentiles.exactPercentilesRanged(li, Seq("l_returnflag"),
+          Seq(("price_p50", "l_extendedprice", 0.5)), keepAllGroups = false),
+          Seq("l_returnflag"))
         .select(col("l_returnflag"),
           round(col("qty_p50"), 4).as("qty_p50"),
           round(col("qty_p90"), 4).as("qty_p90"),
           round(col("price_p50"), 4).as("price_p50"))
-        .orderBy(col("l_returnflag"))),
+        .orderBy(col("l_returnflag"))
+    }),
 
     // semi-structured extraction from the events props JSON strings
     // (regexp-based so the oracle needs no JSON extension; NULLIF guards
