@@ -698,7 +698,8 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("event_type"))),
 
-    // MinHash+LSH near-dup (xxhash64-based — no SQL oracle, rows-only)
+    // MinHash+LSH near-dup (portable seeded affine family — full
+    // signature/banding pipeline reproduced in the DuckDB oracle)
     "d2_minhash_neardup" -> ((s, dir) =>
       Dedup.minHashNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
         Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
@@ -726,9 +727,10 @@ object SparkEntry {
         "label", threshold = 0.4)),
 
     // embedding near-dup at scale: SRP-LSH candidates + exact cosine
-    // verify, no label blocks needed (rows-only: the SRP plane matrix is
-    // engine-internal; recall vs the exact baseline gated in
-    // EmbeddingLshSpec)
+    // verify, no label blocks needed. Oracle-checked: the seeded
+    // hyperplanes embed as SQL literals, so DuckDB reproduces the full
+    // bucket->candidate->verify pipeline; recall vs the exact baseline
+    // additionally gated in EmbeddingLshSpec
     "d5b_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
@@ -804,7 +806,8 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // LSH-bucketed approximate top-k (scale path — rows-only check)
+    // LSH-bucketed approximate top-k (scale path). Oracle-checked via
+    // embedded hyperplane literals, including the Hamming-1 multi-probe
     "s2_lsh_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
@@ -959,6 +962,31 @@ object SparkEntry {
     }
     s"SELECT $cols, mx % ${graft.operators.Sampling.Buckets} AS bkt FROM ($q)"
   }
+
+  /** CTE body `bk(vec_id, tbl, bkt)`: per-table SRP bucket ids over
+    * `emb(vec_id, v DOUBLE[])` — one UNION ALL branch per table, with the
+    * seed-deterministic hyperplane constants of
+    * [[graft.functions.SrpHash.hyperplanes]] embedded as double literals
+    * (the exact double value of each float plane coefficient). DuckDB's
+    * `list_dot_product` over DOUBLE[] accumulates in index order, so every
+    * sign bit — and therefore every bucket id — reproduces the codegen'd
+    * [[graft.functions.SrpBuckets]] kernel bit for bit (verified: zero
+    * pair/rank mismatches vs the Spark dump at sf0.01).
+    */
+  private def duckSrpBk(tables: Int, planes: Int, dim: Int): String =
+    (0 until tables).map { t =>
+      val cases = graft.functions.SrpHash.hyperplanes(t, planes, dim)
+        .zipWithIndex.map { case (p, j) =>
+          val lits = p.map(_.toDouble.toString).mkString(", ")
+          s"CASE WHEN list_dot_product(v, [$lits]) >= 0 THEN ${1L << j} ELSE 0 END"
+        }.mkString("\n     + ")
+      s"SELECT vec_id, $t AS tbl, ($cases) AS bkt FROM emb"
+    }.mkString("\nUNION ALL\n")
+
+  private val duckCos =
+    """round(list_dot_product(a.v, b.v)
+      |          / sqrt(list_dot_product(a.v, a.v)
+      |                 * list_dot_product(b.v, b.v)), 6)""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops — the
@@ -1627,6 +1655,47 @@ object SparkEntry {
         |  FROM embeddings a JOIN embeddings b
         |    ON a.label = b.label AND a.vec_id < b.vec_id)
         |WHERE cos >= 0.4 ORDER BY id_a, id_b""".stripMargin,
+
+    // Full SRP-LSH pipeline in SQL: the hyperplane constants are seeded,
+    // so they embed as literals (same recipe as the MinHash coefficients)
+    // and DuckDB reproduces buckets -> candidates -> verified pairs
+    // exactly.
+    "d5b_embedding_lsh" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 5, dim = 64)}),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM bk x JOIN bk y
+         |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |sc AS (SELECT c.id_a, c.id_b, $duckCos AS cos
+         |       FROM cand c JOIN emb a ON a.vec_id = c.id_a
+         |                   JOIN emb b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // SRP-LSH ANN with Hamming-1 multi-probe, fully reproduced in SQL:
+    // query probes = own bucket plus each single-bit flip, candidates
+    // OR across 16 tables, ranked (sim DESC, id ASC) like s1.
+    "s2_lsh_topk" -> {
+      val probes = ("bkt" +: (0 until 8).map(j => s"xor(bkt, ${1L << j})"))
+        .mkString(", ")
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 8, dim = 64)}),
+         |qp AS (SELECT vec_id AS qid, tbl, u.p AS bkt
+         |       FROM bk, UNNEST([$probes]) AS u(p) WHERE vec_id < 10),
+         |cand AS (SELECT DISTINCT q.qid, c.vec_id
+         |         FROM bk c JOIN qp q ON c.tbl = q.tbl AND c.bkt = q.bkt
+         |         WHERE c.vec_id <> q.qid),
+         |sc AS (SELECT cand.qid, cand.vec_id, $duckCos AS sim
+         |       FROM cand JOIN emb a ON a.vec_id = cand.qid
+         |                 JOIN emb b ON b.vec_id = cand.vec_id)
+         |SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sc) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin
+    },
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
