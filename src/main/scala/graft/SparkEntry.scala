@@ -678,6 +678,25 @@ object SparkEntry {
         "doc_id", "text", n = 3, minShared = 2)
     }),
 
+    // top-3 TF-IDF terms per benchmark doc (keyword extraction; bounded
+    // to the doc_id < 25 slice so the oracle row count stays reviewable)
+    "t9_tfidf_topterms" -> ((s, dir) =>
+      TextOps.tfIdfTopTerms(T(s, dir, "documents"), k = 3)
+        .filter(col("doc_id") < 25)),
+
+    // PII redaction: deterministic synthetic emails/phones appended to
+    // each doc (the corpus itself is PII-free), then the two-stage
+    // count-and-mask pipeline
+    "t10_pii_redact" -> ((s, dir) =>
+      TextOps.redactPii(
+        T(s, dir, "documents").withColumn("text",
+          concat(col("text"), lit(" contact u"),
+            col("doc_id").cast("string"), lit("@mail.example.com or 202-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"))),
+        "text")
+        .select(col("doc_id"), col("n_emails"), col("n_phones"), col("redacted"))
+        .orderBy(col("doc_id"))),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -1468,6 +1487,41 @@ object SparkEntry {
          |                    / (len(th.th) - 2)
          |         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
          |FROM th LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Scores are rounded half-up at 6 dp BEFORE ranking in both engines,
+    // so libm-vs-Java ln() ULP differences cannot flip a rank.
+    "t9_tfidf_topterms" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM documents),
+        |scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+        |    floor(tf.tf * ln(nn / df) * 1000000.0 + 0.5) / 1000000.0 AS score
+        |  FROM tf JOIN dfreq USING (term), n)
+        |SELECT doc_id, term, tf, score, rank FROM (
+        |  SELECT doc_id, term, tf, score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY score DESC, term) AS rank
+        |  FROM scored) WHERE rank <= 3 AND doc_id < 25
+        |ORDER BY doc_id, rank""".stripMargin,
+
+    "t10_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+         |         || '@mail.example.com or 202-555-'
+         |         || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+         |  FROM documents),
+         |e AS (SELECT doc_id, t,
+         |    CAST(len(regexp_extract_all(t, '${TextOps.EmailRegex}')) AS BIGINT)
+         |      AS n_emails,
+         |    regexp_replace(t, '${TextOps.EmailRegex}', '<EMAIL>', 'g') AS t2
+         |  FROM p)
+         |SELECT doc_id, n_emails,
+         |  CAST(len(regexp_extract_all(t2, '${TextOps.PhoneRegex}')) AS BIGINT)
+         |    AS n_phones,
+         |  regexp_replace(t2, '${TextOps.PhoneRegex}', '<PHONE>', 'g') AS redacted
+         |FROM e ORDER BY doc_id""".stripMargin,
 
     "e3_interval_join" ->
       """WITH e AS (

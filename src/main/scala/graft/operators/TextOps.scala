@@ -205,4 +205,66 @@ object TextOps {
       .filter(col("shared_ngrams") >= minShared)
       .orderBy(col("train_id"), col("bench_id"))
   }
+
+  /** Top-k TF-IDF terms per document — keyword extraction for corpus
+    * curation and topic-balanced sampling. tf = in-doc term count,
+    * idf = ln(N / df) with df = number of docs containing the term;
+    * score rounded half-up at 6 dp BEFORE ranking so the (score DESC,
+    * term ASC) order is reproducible across engines (sub-1e-6 libm
+    * differences cannot flip ranks — equal rounded scores tie-break on
+    * the term).
+    *
+    * Scale shape: explode → (doc, term) hash aggregation with map-side
+    * partial counts; document frequency is a second decomposable
+    * aggregate OVER THE (doc, term) PAIRS (already deduped — never
+    * re-touches the corpus); the idf join is hash-partitioned by term
+    * (AQE broadcasts when the vocabulary fits); the per-doc top-k window
+    * partitions by doc_id — parallelism = corpus size, partition size =
+    * distinct terms per doc, both bounded.
+    */
+  def tfIdfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val total = docs.agg(count(lit(1)).cast("double").as("__n"))
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(total))
+      .withColumn("score",
+        roundHalfUp(col("tf") * log(col("__n") / col("df")), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Email pattern shared by the Spark and DuckDB sides: valid in both
+    * Java regex and RE2 (no lookarounds, no backrefs).
+    */
+  val EmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** NANP-style phone pattern (word-bounded `ddd-ddd-dddd`). */
+  val PhoneRegex = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+
+  /** PII redaction over a text column: counts and masks emails, then
+    * counts and masks phone numbers IN THE EMAIL-REDACTED text (a phone
+    * embedded in an email local-part must not be double-counted) —
+    * a fixed two-stage pipeline, reproducible in ANSI SQL. Adds
+    * `n_emails`, `n_phones`, `redacted`; narrow per-row projection, no
+    * shuffle, codegen'd regex execution.
+    */
+  def redactPii(docs: DataFrame, textCol: String): DataFrame = {
+    val deEmailed = regexp_replace(col(textCol), EmailRegex, "<EMAIL>")
+    docs
+      .withColumn("n_emails",
+        regexp_count(col(textCol), lit(EmailRegex)).cast("long"))
+      .withColumn("n_phones",
+        regexp_count(deEmailed, lit(PhoneRegex)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(deEmailed, PhoneRegex, "<PHONE>"))
+  }
 }

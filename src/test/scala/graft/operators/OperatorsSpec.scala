@@ -282,6 +282,37 @@ class TextOpsSpec extends SparkSpec {
     val top = TextOps.topNgrams(df, 3, 2).collect()
     assert(top(0).getString(0) == "a b c" && top(0).getLong(1) == 3L)
   }
+
+  test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    // 'common' appears in all 4 docs -> idf = ln(1) = 0; each doc's
+    // distinctive term must outrank it.
+    val df = Seq(
+      (0L, "common alpha alpha"), (1L, "common beta"),
+      (2L, "common gamma"), (3L, "common delta")).toDF("doc_id", "text")
+    val out = TextOps.tfIdfTopTerms(df, k = 2).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    val doc0 = out.filter(_._1 == 0L)
+    assert(doc0.head._2 == "alpha" && doc0.head._5 == 1L)
+    assert(doc0.head._4 == math.floor(2 * math.log(4.0) * 1e6 + 0.5) / 1e6)
+    // the ubiquitous term scores 0 and loses every rank-1 slot
+    assert(out.filter(_._5 == 1L).forall(_._2 != "common"))
+    assert(out.filter(_._2 == "common").forall(_._4 == 0.0))
+  }
+
+  test("redactPii masks emails then phones, counting each stage once") {
+    val df = Seq(
+      (0L, "mail bob@example.com and call 202-555-0101 now"),
+      (1L, "phone-in-email 555-123-4567@host.org stays one email"),
+      (2L, "nothing sensitive here 12-34")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, "text").orderBy("doc_id")
+      .select("n_emails", "n_phones", "redacted").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out(0) == ((1L, 1L, "mail <EMAIL> and call <PHONE> now")))
+    // the phone-shaped local part is consumed by the email mask
+    assert(out(1) == ((1L, 0L, "phone-in-email <EMAIL> stays one email")))
+    assert(out(2) == ((0L, 0L, "nothing sensitive here 12-34")))
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
