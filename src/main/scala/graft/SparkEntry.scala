@@ -485,6 +485,56 @@ object SparkEntry {
     // correlated scalar subquery through the spark.sql entry path —
     // Catalyst decorrelates it into an aggregate + join (no per-row
     // re-execution); the same text runs verbatim in DuckDB
+    // subquery battery through the SQL surface: correlated EXISTS /
+    // NOT EXISTS and (NOT) IN against a non-null key set (NOT IN over a
+    // nullable column would three-valued-logic to empty — deliberately
+    // avoided, as any production pipeline should)
+    "q38_subquery_battery" -> ((s, dir) => {
+      T(s, dir, "customer").createOrReplaceTempView("customer_v")
+      T(s, dir, "orders").createOrReplaceTempView("orders_v")
+      s.sql(
+        """SELECT tag, key FROM (
+          |  SELECT 'exists_big' AS tag, c_custkey AS key FROM customer_v c
+          |  WHERE EXISTS (SELECT 1 FROM orders_v o
+          |                WHERE o.o_custkey = c.c_custkey
+          |                  AND o.o_totalprice > 400000.0)
+          |  UNION ALL
+          |  SELECT 'in_f', c_custkey FROM customer_v
+          |  WHERE c_custkey IN (SELECT o_custkey FROM orders_v
+          |                      WHERE o_orderstatus = 'F')
+          |    AND c_mktsegment = 'BUILDING'
+          |  UNION ALL
+          |  SELECT 'not_exists_any', c_custkey FROM customer_v c
+          |  WHERE NOT EXISTS (SELECT 1 FROM orders_v o
+          |                    WHERE o.o_custkey = c.c_custkey)
+          |  UNION ALL
+          |  SELECT 'not_in_f', c_custkey FROM customer_v
+          |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders_v
+          |                          WHERE o_orderstatus = 'F')
+          |    AND c_mktsegment = 'MACHINERY')
+          |ORDER BY tag, key""".stripMargin)
+    }),
+
+    // ordered-set / boolean / conditional aggregate battery (median,
+    // mode, listagg WITHIN GROUP, count_if, bool_and/bool_or). mode() is
+    // only deterministic when the top count is unique per group —
+    // l_quantity's is (checked against the fixture); engines may pick
+    // different tie representatives otherwise.
+    "q39_agg_battery" -> ((s, dir) => {
+      T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
+      s.sql(
+        """SELECT l_returnflag,
+          |  round(median(l_quantity), 4) AS med_qty,
+          |  mode(l_quantity) AS mode_qty,
+          |  listagg(DISTINCT l_linestatus, ',')
+          |    WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+          |  count_if(l_discount > 0.05) AS n_disc,
+          |  bool_and(l_quantity > 0) AS all_pos,
+          |  bool_or(l_tax > 0.07) AS any_high_tax
+          |FROM lineitem_v GROUP BY l_returnflag
+          |ORDER BY l_returnflag""".stripMargin)
+    }),
+
     "q36_scalar_subquery" -> ((s, dir) => {
       T(s, dir, "customer").createOrReplaceTempView("customer_v")
       // CAST AS DOUBLE in BOTH texts: SQL decimal literals type the
@@ -615,6 +665,22 @@ object SparkEntry {
           .select(lit("_all").as("event_type"), col("approx_users"), col("cnt")))
         .orderBy(col("event_type"))
     }),
+
+    // approximate frequent items (approx_top_k sketch). PRECONDITION for
+    // the oracle row: maxItemsTracked must exceed the distinct-item count
+    // at the checked SF (31 terms here), making the sketch exact; and k
+    // must cut at a UNIQUE count (k = 8 does on this fixture — k = 10
+    // would tie at the boundary and the sketch's pick is arbitrary). The
+    // result re-sorts (cnt DESC, term ASC) so within-result ties are
+    // deterministic. At 100 TB the same query with item-bounded memory is
+    // the genuinely-approximate heavy-hitters path.
+    "a4_approx_topk" -> ((s, dir) =>
+      T(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+        .agg(expr("approx_top_k(term, 8, 10000)").as("tk"))
+        .select(explode(col("tk")).as("e"))
+        .select(col("e.item").as("term"), col("e.count").as("cnt"))
+        .orderBy(col("cnt").desc, col("term"))),
 
     // approximate percentile sketch. PRECONDITION for the oracle row:
     // accuracy must exceed the rows per group at the checked SF — then the
@@ -1311,6 +1377,48 @@ object SparkEntry {
 
     // CAST: inside a scalar subquery DuckDB types the arithmetic DECIMAL
     // (python decimal.Decimal), while the top-level form yields DOUBLE
+    "q38_subquery_battery" ->
+      """SELECT tag, key FROM (
+        |  SELECT 'exists_big' AS tag, c_custkey AS key FROM customer c
+        |  WHERE EXISTS (SELECT 1 FROM orders o
+        |                WHERE o.o_custkey = c.c_custkey
+        |                  AND o.o_totalprice > 400000.0)
+        |  UNION ALL
+        |  SELECT 'in_f', c_custkey FROM customer
+        |  WHERE c_custkey IN (SELECT o_custkey FROM orders
+        |                      WHERE o_orderstatus = 'F')
+        |    AND c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 'not_exists_any', c_custkey FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey)
+        |  UNION ALL
+        |  SELECT 'not_in_f', c_custkey FROM customer
+        |  WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                          WHERE o_orderstatus = 'F')
+        |    AND c_mktsegment = 'MACHINERY')
+        |ORDER BY tag, key""".stripMargin,
+
+    "q39_agg_battery" ->
+      """SELECT l_returnflag,
+        |  round(median(l_quantity), 4) AS med_qty,
+        |  mode(l_quantity) AS mode_qty,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
+        |  bool_and(l_quantity > 0) AS all_pos,
+        |  bool_or(l_tax > 0.07) AS any_high_tax
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+
+    // Exact twin of the (exact-at-this-SF) approx_top_k sketch — see the
+    // query comment for the k/maxItemsTracked preconditions.
+    "a4_approx_topk" ->
+      """SELECT term, CAST(cnt AS BIGINT) AS cnt FROM (
+        |  SELECT term, count(*) AS cnt
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term ORDER BY cnt DESC, term LIMIT 8)
+        |ORDER BY cnt DESC, term""".stripMargin,
+
     "q36_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal,
         |  CAST((SELECT floor(avg(c2.c_acctbal) * 10000.0 + 0.5) / 10000.0
