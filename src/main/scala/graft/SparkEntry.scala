@@ -891,6 +891,18 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // int8-quantized exact top-k: the memory/IO-compressed ANN path
+    // (integer dot products — deterministic and engine-portable by
+    // construction)
+    "s4_quantized_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.quantizedTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", k = 5)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // LSH-bucketed approximate top-k (scale path). Oracle-checked via
     // embedded hyperplane literals, including the Hamming-1 multi-probe
     "s2_lsh_topk" -> ((s, dir) => {
@@ -1858,6 +1870,30 @@ object SparkEntry {
          |  FROM sc) WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
     },
+
+    // Quantization twin: identical floor(x·scale + 0.5) arithmetic on
+    // double-widened floats, then integer dot products — exact in both
+    // engines.
+    "s4_quantized_topk" ->
+      """WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_max([abs(x) for x in CAST(embedding AS DOUBLE[])]) AS amax
+        |  FROM embeddings),
+        |qz AS (SELECT vec_id,
+        |    CASE WHEN amax > 0
+        |         THEN [floor(x * (127.0 / amax) + 0.5) for x in v]
+        |         ELSE [CAST(0 AS DOUBLE) for x in v] END AS qv
+        |  FROM emb),
+        |q AS (SELECT vec_id AS qid, qv AS qvec FROM qz WHERE vec_id < 10),
+        |s AS (SELECT q.qid, c.vec_id,
+        |    round(list_dot_product(c.qv, q.qvec)
+        |          / sqrt(list_dot_product(c.qv, c.qv)
+        |                 * list_dot_product(q.qvec, q.qvec)), 6) AS sim
+        |  FROM qz c, q WHERE c.vec_id <> q.qid)
+        |SELECT qid, vec_id, sim, rank FROM (
+        |  SELECT qid, vec_id, sim,
+        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+        |  FROM s) WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec

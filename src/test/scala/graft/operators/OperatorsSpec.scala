@@ -171,6 +171,29 @@ class SimilaritySpec extends SparkSpec {
       exact.get(key).foreach(s => assert(s == r.getDouble(2)))
     }
   }
+
+  test("quantizeInt8 bounds elements to [-127,127] with a ±127 extreme") {
+    val df = Seq((0L, Seq(0.5f, -1.0f, 0.25f)), (1L, Seq(0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"), Similarity.quantizeInt8(col("embedding")).as("q"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(rows(0L) == Seq(64f, -127f, 32f)) // floor(±x*127 + .5)
+    assert(rows(1L) == Seq(0f, 0f, 0f))      // zero vector stays zero
+  }
+
+  test("quantizedTopK ranks closely track the exact float ranks") {
+    val emb = Tables.embeddings(spark, sf001)
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keys(Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5))
+    val quant = keys(Similarity.quantizedTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5))
+    val overlap = (exact & quant).size.toDouble / exact.size
+    assert(overlap >= 0.9, s"quantized top-5 overlap $overlap vs exact")
+  }
 }
 
 class LshRecallSpec extends SparkSpec {
