@@ -582,6 +582,25 @@ object SparkEntry {
         .orderBy(col("l_orderkey"), col("l_linenumber"), col("metric"))),
 
     // window frames: lag/lead + rolling average over a bounded row frame
+    // RANGE window frames (value-based: all ties enter the frame
+    // together, making running sums deterministic under duplicate
+    // timestamps — the reason RANGE, not ROWS, is the correct frame for
+    // event-time rollups)
+    "q40_range_frames" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_secs"))
+      T(s, dir, "events")
+        .withColumn("ts_secs", expr("ts div 1000000000"))
+        .select(col("event_id"), col("user_id"), col("ts_secs"), col("value"))
+        .withColumn("cnt_10m",
+          count(lit(1)).over(w.rangeBetween(-600, 0)).cast("long"))
+        .withColumn("sum_10m",
+          round(sum(col("value")).over(w.rangeBetween(-600, 0)), 2))
+        .withColumn("sum_running",
+          round(sum(col("value")).over(
+            w.rangeBetween(Window.unboundedPreceding, 0)), 2))
+        .orderBy(col("event_id"))
+    }),
+
     "q18_rolling_window" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts_secs"), col("event_id"))
@@ -1469,6 +1488,21 @@ object SparkEntry {
         |  SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
         |  FROM lineitem WHERE l_orderkey < 1000)
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+
+    "q40_range_frames" ->
+      """SELECT event_id, user_id, ts_secs, value,
+        |  CAST(count(*) OVER w10 AS BIGINT) AS cnt_10m,
+        |  round(sum(value) OVER w10, 2) AS sum_10m,
+        |  round(sum(value) OVER wu, 2) AS sum_running
+        |FROM (SELECT event_id, user_id,
+        |        CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs, value
+        |      FROM events)
+        |WINDOW
+        |  w10 AS (PARTITION BY user_id ORDER BY ts_secs
+        |          RANGE BETWEEN 600 PRECEDING AND CURRENT ROW),
+        |  wu AS (PARTITION BY user_id ORDER BY ts_secs
+        |         RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
 
     "q18_rolling_window" ->
       """SELECT event_id, user_id, ts_secs, value,
