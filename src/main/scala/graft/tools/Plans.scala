@@ -101,7 +101,31 @@ object Plans {
         |the training corpus streams through a single stage — no shuffle of
         |corpus postings — and the overlap count aggregates with map-side
         |partials. At 100 TB the benchmark suite stays KB-scale: the shape
-        |is scan-bound, which is the floor.""".stripMargin)
+        |is scan-bound, which is the floor.""".stripMargin,
+    "q15_percentiles" ->
+      """Exact percentiles, both scale strategies composed by column
+        |shape. The quantity columns (50 distinct values) take the
+        |histogram path: groupBy(flag, value) partial-aggregates BEFORE
+        |its exchange, so the shuffle carries the value histogram, and
+        |the cumulative window sorts ~150 rows. The near-unique price
+        |column takes the ranged path: ONE rangepartitioning exchange,
+        |parallel per-partition sort, a streaming mapPartitions histogram
+        |fold, and a broadcast join of tiny (partition, group) offsets —
+        |no per-group serial stage anywhere (a plain row_number window
+        |would bottleneck on 3 tasks at any cluster size).""".stripMargin,
+    "t9_tfidf_topterms" ->
+      """TF-IDF keyword extraction. Explode feeds a partial -> exchange ->
+        |final (doc, term) count; document frequency aggregates the
+        |already-deduped pairs (never re-touches the corpus); the idf join
+        |broadcasts when the vocabulary fits (AQE decides); the top-k
+        |window partitions by doc_id so parallelism tracks the corpus.""".stripMargin,
+    "s4_quantized_topk" ->
+      """Int8-quantized exact top-k. Quantization is a narrow projection
+        |at the scan (no extra pass); the kernel and bounded top-k
+        |aggregate then run on quantized vectors unchanged —
+        |partial_graft_topk BEFORE the exchange, shuffle O(k x
+        |partitions). At 100 TB quantization is the memory/IO lever: int8
+        |elements pack ~4x denser on disk and in executor memory.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
