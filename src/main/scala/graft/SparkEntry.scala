@@ -290,6 +290,23 @@ object SparkEntry {
       Sessionize.sessionSummaries(ev, "user_id", "ts_secs", "event_id", 1800L)
     }),
 
+    // the BUILT-IN session_window aggregation over the same gap — the
+    // declarative twin of e1's Sessionize (boundary semantics differ by
+    // design: session_window merges on gap < 30min, so a gap of exactly
+    // 1800 s STARTS a session here; window end = last event + gap)
+    "e4_session_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+        .groupBy(col("user_id"),
+          session_window(col("ts_sec"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          col("w.start").cast("long").as("start_secs"),
+          col("w.end").cast("long").as("end_secs"),
+          col("n_events"), col("sum_value"))
+        .orderBy(col("user_id"), col("start_secs"))),
+
     // scalar math-function battery (rounded: Java vs C libm can differ in
     // the last ULP for transcendentals)
     "q19_math_battery" -> ((s, dir) =>
@@ -1273,6 +1290,29 @@ object SparkEntry {
         |  max(ts_secs) - min(ts_secs) AS duration_secs
         |FROM g GROUP BY user_id, session_no
         |ORDER BY user_id, session_no""".stripMargin,
+
+    // >= 1800 starts a session (session_window semantics — e1's custom
+    // operator uses > 1800; both are correct for their definitions)
+    "e4_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs FROM events),
+        |f AS (
+        |  SELECT user_id, value, ts_secs,
+        |    CASE WHEN lag(ts_secs) OVER w IS NULL
+        |           OR ts_secs - lag(ts_secs) OVER w >= 1800
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_secs)),
+        |g AS (
+        |  SELECT user_id, value, ts_secs,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_secs
+        |                     ROWS UNBOUNDED PRECEDING) AS session_no
+        |  FROM f)
+        |SELECT user_id, min(ts_secs) AS start_secs,
+        |  max(ts_secs) + 1800 AS end_secs,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM g GROUP BY user_id, session_no
+        |ORDER BY user_id, start_secs""".stripMargin,
 
     "q19_math_battery" ->
       """SELECT l_orderkey, l_linenumber,
