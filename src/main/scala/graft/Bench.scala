@@ -26,6 +26,7 @@ object Bench {
     // The warm pass itself leaves cached blocks behind — clear them so the
     // FIRST measured query starts as clean as every later one.
     spark.catalog.clearCache()
+    System.gc()
     // Best-of-2 per query (steady-state throughput, standard bench
     // methodology): a single timing conflates the query with whatever GC
     // debt the previous 50 queries left behind — round-2 numbers showed
@@ -38,8 +39,13 @@ object Bench {
         catch { case _: Throwable => -1.0 }
       }
       // Leftover cached blocks (operators may persist internally) are dead
-      // weight for every later query's GC — drop them between queries.
+      // weight for every later query's GC — drop them between queries, then
+      // collect OUTSIDE the timed window (JMH-style forced GC between
+      // measurements): round-3 numbers still showed queries paying multi-
+      // second pauses for garbage earlier queries allocated (d5 measured
+      // 4.5 s vs 0.7 s in a quiet JVM).
       spark.catalog.clearCache()
+      System.gc()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -47,10 +47,11 @@ object Clustering {
     // localCheckpoint (eager) truncates the logical plan per round; a
     // restart-tolerant deployment would use checkpoint() with a
     // checkpoint dir instead.
-    var labels = edges.groupBy(col("a"))
+    var ckpt = edges.groupBy(col("a"))
       .agg(min(col("b")).as("nmin"))
       .select(col("a").as("id"), least(col("a"), col("nmin")).as("lbl"))
       .localCheckpoint()
+    var labels = ckpt
 
     var iter = 0
     var converged = false
@@ -61,19 +62,24 @@ object Clustering {
         .groupBy(col("a"))
         .agg(min(col("lbl")).as("nbl"))
         .select(col("a").as("id"), col("nbl"))
+      // The pre-round label rides along INTO the checkpoint so the
+      // convergence check is a filter+count over the already-materialized
+      // local blocks — fusing it into the propagation job instead of
+      // paying a second labels⋈next shuffle per round.
       val next = labels
         .join(nbrMin, Seq("id"), "left")
         .select(col("id"),
-          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"))
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("lbl"),
+          col("lbl").as("__old"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("lbl").as("old")), "id")
-        .filter(col("lbl") < col("old"))
-        .count()
-      // previous round's checkpointed blocks are no longer referenced
+      val changed = next.filter(col("lbl") < col("__old")).count()
+      // previous round's checkpointed blocks are no longer referenced.
+      // `prev` must be the CHECKPOINTED frame itself — unpersisting a
+      // derived select would be a no-op and leak the round's blocks.
       if (prev != null) prev.unpersist()
-      prev = labels
-      labels = next
+      prev = ckpt
+      ckpt = next
+      labels = next.select(col("id"), col("lbl"))
       converged = changed == 0
       iter += 1
     }
