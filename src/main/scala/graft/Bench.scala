@@ -33,11 +33,22 @@ object Bench {
     // late-running queries inflated 10x over their warm truth. A failed
     // query records the -1 sentinel so it is never mistaken for a fast one.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
+      def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
         catch { case _: Throwable => -1.0 }
       }
+      val two = (1 to 2).map(_ => timed())
+      // Adaptive third run: when the two timings disagree by >1.5x BOTH may
+      // have been polluted (round-4 caught d6 at 6.9 s in the driver bench
+      // vs a 2.4 s warm truth measured in a quiet JVM — best-of-2 is not
+      // enough when a long-lived 60-query JVM has a bad stretch). One extra
+      // run after a forced GC costs seconds total and kills the outliers.
+      val times =
+        if (two.forall(_ >= 0) && two.max > two.min * 1.5) {
+          System.gc()
+          two :+ timed()
+        } else two
       // Leftover cached blocks (operators may persist internally) are dead
       // weight for every later query's GC — drop them between queries, then
       // collect OUTSIDE the timed window (JMH-style forced GC between
