@@ -98,4 +98,86 @@ object Clustering {
     */
   def representatives(clustered: DataFrame): DataFrame =
     clustered.filter(col("id") === col("cluster"))
+
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the O(log n)-round scale path promised in
+    * [[nearDupClusters]]'s scaladoc. Same contract: (id, cluster) with
+    * cluster = min id of the component.
+    *
+    * Per round, two edge rewrites, each one agg + one join on the node id
+    * (same hash partitioning, so the exchange is reused within a round):
+    *  - large-star(u): every neighbor v > u re-attaches to
+    *    m(u) = min(N(u) ∪ {u}) — long chains halve;
+    *  - small-star(u): every neighbor v < u (and u itself) attaches to the
+    *    min — stars flatten.
+    * The fixpoint of both rewrites is a disjoint union of stars rooted at
+    * each component's minimum, reached in O(log n) rounds on ANY graph —
+    * including the adversarial long-chain shapes where min-label
+    * propagation needs diameter rounds. Label propagation stays the
+    * default for near-dup workloads (tiny cliques, 2-3 rounds, half the
+    * shuffles per round); this is the variant you switch to when
+    * components can be deep (URL graphs, citation chains).
+    *
+    * Convergence check is EXACT (count equality + anti-join emptiness),
+    * not a fingerprint — a probabilistic check could silently terminate
+    * early and under-merge. Edges are `localCheckpoint`ed per round for
+    * the same plan-truncation reason documented on [[nearDupClusters]].
+    */
+  def nearDupClustersStar(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b", maxIter: Int = 40): DataFrame = {
+    val e0 = pairs
+      .select(col(idACol).cast("long").as("x"), col(idBCol).cast("long").as("y"))
+      .filter(col("x") =!= col("y"))
+    // canonical direction: u (larger) -> v (smaller)
+    var edges = e0
+      .select(greatest(col("x"), col("y")).as("u"), least(col("x"), col("y")).as("v"))
+      .distinct()
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    var prev: DataFrame = null
+    while (!converged && iter < maxIter) {
+      // large-star over the symmetrized adjacency
+      val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(col("u"), min(col("v"))).as("m"))
+      val large = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star over the re-canonicalized result
+      val dir = large.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins2 = dir.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = dir.join(mins2, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins2.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      // exact fixpoint test over two checkpointed edge sets
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      if (prev != null) prev.unpersist()
+      prev = edges
+      edges = next
+      iter += 1
+    }
+    if (prev != null) prev.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupClustersStar did not converge within $maxIter rounds — " +
+          "raise maxIter; a silently partial clustering would " +
+          "under-deduplicate")
+    // fixpoint = disjoint stars: every non-root points at its component
+    // min; roots point at themselves.
+    edges.select(col("u").as("id"), col("v").as("cluster"))
+      .union(edges.select(col("v"), col("v")).distinct())
+      .distinct()
+      .orderBy(col("id"))
+  }
 }

@@ -35,6 +35,39 @@ class ClusteringSpec extends SparkSpec {
     assert(got == (0L to 10L).map(_ -> 0L).toMap)
   }
 
+  test("nearDupClustersStar equals union-find on random pair graphs") {
+    for (seed <- Seq(7, 13, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = Seq.fill(80)((rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+        .filter(p => p._1 != p._2).distinct
+      val got = Clustering.nearDupClustersStar(pairs.toDF("id_a", "id_b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == ufClusters(pairs), s"seed $seed")
+    }
+  }
+
+  test("nearDupClustersStar handles a deep chain in logarithmic rounds") {
+    // diameter-100 chain: label propagation would need ~100 rounds; the
+    // star alternation must finish well inside maxIter = 12 (~log2(100)
+    // doubling rounds plus the convergence-confirming round).
+    val chain = (0L until 101L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Clustering.nearDupClustersStar(chain.toDF("id_a", "id_b"),
+      maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == (0L to 100L).map(_ -> 0L).toMap)
+  }
+
+  test("nearDupClustersStar matches nearDupClusters on the same input") {
+    val rnd = new scala.util.Random(41)
+    val pairs = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    val a = Clustering.nearDupClusters(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Clustering.nearDupClustersStar(pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(a == b)
+  }
+
   test("representatives keeps exactly one row per cluster") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
     val clustered = Clustering.nearDupClusters(pairs)
