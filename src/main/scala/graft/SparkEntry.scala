@@ -865,6 +865,15 @@ object SparkEntry {
           Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
             threshold = 0.2)))),
 
+    // same pair graph through the O(log n)-round large-star/small-star
+    // alternation (the deep-component scale path) — identical output
+    // contract, so it shares d6's recursive-closure oracle
+    "d6b_neardup_clusters_star" -> ((s, dir) =>
+      Clustering.nearDupClustersStar(
+        Dedup.minHashNearDupPairs(T(s, dir, "documents"), "doc_id", "text",
+          Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+            threshold = 0.2)))),
+
     // salted two-phase aggregation (hot-key bound): result is
     // salt-invariant, so the plain GROUP BY is an exact oracle
     "q23_skew_salted_agg" -> ((s, dir) =>
@@ -874,6 +883,21 @@ object SparkEntry {
           round(col("sum_val"), 2).as("sum_value"), col("cnt"),
           TextFunctions.roundHalfUp(col("avg_val"), 4).as("avg_value"))
         .orderBy(col("event_type"))),
+
+    // incremental dedup: screen the "new batch" (doc_id % 5 = 4) against
+    // a Bloom filter built over the rest of the corpus. The coarse key
+    // (lang + first token) makes both outcomes occur; the portable hash
+    // family lets the oracle reproduce every bit position, so even the
+    // false positives are verified, not just trusted
+    "b1_bloom_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def key = concat(col("lang"), lit(":"),
+        element_at(split(col("text"), " "), 1))
+      val bloom = Dedup.bloomFilter(docs.filter(col("doc_id") % 5 =!= 4), key)
+      Dedup.bloomScreen(docs.filter(col("doc_id") % 5 === 4), bloom, key)
+        .select(col("doc_id"), key.as("key"), col("maybe_dup"))
+        .orderBy(col("doc_id"))
+    }),
 
     // ---- end-to-end pipeline ----
 
@@ -1767,6 +1791,43 @@ object SparkEntry {
     // Connected components over the same pair graph: recursive
     // transitive closure, cluster = min reachable id.
     "d6_neardup_clusters" ->
+      s"""WITH RECURSIVE ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)},
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |      UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, a AS reach FROM e
+         |  UNION
+         |  SELECT e.a, r.reach FROM e JOIN r ON e.b = r.id)
+         |SELECT id, CAST(min(reach) AS BIGINT) AS cluster
+         |FROM r GROUP BY id ORDER BY id""".stripMargin,
+
+    // Bloom screen: reproduce h1 (char fold), h2 (mixer), the 7 double-
+    // hashed bit positions, and the corpus's distinct position set;
+    // maybe_dup = all of the batch doc's positions hit. Bit-for-bit with
+    // the Spark kernel, false positives included.
+    "b1_bloom_incremental" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang || ':' || string_split(text, ' ')[1] AS key
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, key,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(key, '')]),
+         |      (acc, x) -> (acc * 131 + x) % $ShP) AS h1
+         |  FROM keyed),
+         |hh AS (SELECT doc_id, key, h1, ${duckMix("h1")} AS h2 FROM h),
+         |pos AS (
+         |  SELECT doc_id, key,
+         |    [(h1 + i * h2) % 262144 for i in range(0, 7)] AS ps
+         |  FROM hh),
+         |cp AS (
+         |  SELECT list(DISTINCT p) AS cpl
+         |  FROM (SELECT unnest(ps) AS p FROM pos WHERE doc_id % 5 <> 4))
+         |SELECT doc_id, key, list_has_all(cpl, ps) AS maybe_dup
+         |FROM pos, cp WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
+
+    // star-contraction variant: same input graph, same closure oracle
+    "d6b_neardup_clusters_star" ->
       s"""WITH RECURSIVE ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)},
          |e AS (SELECT id_a AS a, id_b AS b FROM pairs
          |      UNION SELECT id_b, id_a FROM pairs),

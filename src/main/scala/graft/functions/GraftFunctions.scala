@@ -65,7 +65,13 @@ object GraftFunctions {
       val k = intLit(es(1), "graft_minhash k")
       val (as, bs) = MinHashCoeffs(k)
       MinHashSig(es(0), as, bs, MinHashCoeffs.Prime)
-    }))
+    }),
+    "graft_bloom_positions" -> (es => BloomPositions(es(0),
+      intLit(es(1), "graft_bloom_positions k"),
+      intLit(es(2), "graft_bloom_positions mBits"))),
+    "graft_bloom_contains" -> (es => BloomContains(es(0), es(1))),
+    "graft_bloom_agg" -> (es => BloomWordsAgg(es(0),
+      intLit(es(1), "graft_bloom_agg mBits"))))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
     * (see [[graft.GraftExtensions]]).
@@ -133,6 +139,22 @@ object GraftFunctions {
   def ivfProbes(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_ivf_probes", asFloatArray(vec),
       typedLit(centroids), lit(nprobe))
+
+  /** k Bloom bit positions of a string key — see [[BloomPositions]]. */
+  def bloomPositions(key: Column, k: Int, mBits: Int): Column =
+    call_function("graft_bloom_positions", key, lit(k), lit(mBits))
+
+  /** "maybe present" test of a position list against a filter's word
+    * array — see [[BloomContains]].
+    */
+  def bloomContains(words: Column, positions: Column): Column =
+    call_function("graft_bloom_contains", words, positions)
+
+  /** Bloom bit-array aggregate over a position-list column —
+    * see [[BloomWordsAgg]].
+    */
+  def bloomAgg(positions: Column, mBits: Int): Column =
+    call_function("graft_bloom_agg", positions, lit(mBits))
 }
 
 /** Deterministic affine MinHash coefficient family, shared by the Spark

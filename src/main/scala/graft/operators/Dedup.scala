@@ -346,6 +346,45 @@ object Dedup {
     * oracle. The prefix uses |X| - floor(t|X|) + 1 (>= the tight bound,
     * immune to FP wobble at integer boundaries of t·|X|).
     */
+  /** Bloom filter of `key` over a corpus: ONE row `{words: array<long>}`
+    * of mBits/64 words — the membership sketch for incremental dedup.
+    *
+    * Scale shape: a full corpus scan reduced map-side to one mBits/8-byte
+    * partial filter per task (the [[graft.functions.BloomWordsAgg]]
+    * aggregate is decomposable), so the shuffle carries kilobytes. Built
+    * once per ingest cycle, the filter screens every future batch without
+    * touching the corpus again.
+    *
+    * Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; the default
+    * k = 7 is optimal near m/n = 10 bits per key. At 10^10 corpus keys
+    * use mBits ≈ 2^37 (16 GiB) — still a broadcast-able one-row frame on
+    * executor-sized memory, or shard the filter by key range.
+    */
+  def bloomFilter(corpus: DataFrame, key: Column,
+                  mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.agg(GraftFunctions.bloomAgg(
+      GraftFunctions.bloomPositions(key, k, mBits), mBits).as("words"))
+  }
+
+  /** Screen a new batch against a corpus Bloom filter: adds `maybe_dup` —
+    * false means DEFINITELY not in the corpus (safe to ingest without any
+    * join); true routes the row to exact verification (a join against the
+    * corpus restricted to the tiny maybe-set, not the whole batch).
+    *
+    * The one-row filter frame joins in as a broadcast nested loop over a
+    * single row — no shuffle of the batch, no driver-side collect in the
+    * plan (the filter never leaves the executors).
+    */
+  def bloomScreen(batch: DataFrame, bloom: DataFrame, key: Column,
+                  mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    batch.crossJoin(broadcast(bloom))
+      .withColumn("maybe_dup", GraftFunctions.bloomContains(col("words"),
+        GraftFunctions.bloomPositions(key, k, mBits)))
+      .drop("words")
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int,
                         threshold: Double,

@@ -1,0 +1,54 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+class BloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val mBits = 1 << 12
+  private val k = 5
+
+  test("bloom has no false negatives: every corpus key screens as maybe_dup") {
+    val corpus = (0 until 300).map(i => s"key-$i").toDF("key")
+    val bloom = Dedup.bloomFilter(corpus, col("key"), mBits, k)
+    val screened = Dedup.bloomScreen(corpus, bloom, col("key"), mBits, k)
+    assert(screened.filter(!col("maybe_dup")).isEmpty,
+      "a present key screened as definitely-absent")
+  }
+
+  test("bloom screens most absent keys out at sane sizing") {
+    val corpus = (0 until 300).map(i => s"key-$i").toDF("key")
+    val fresh = (1000 until 1300).map(i => s"other-$i").toDF("key")
+    val bloom = Dedup.bloomFilter(corpus, col("key"), mBits, k)
+    val fp = Dedup.bloomScreen(fresh, bloom, col("key"), mBits, k)
+      .filter(col("maybe_dup")).count()
+    // 300 keys in 4096 bits ≈ 13.7 bits/key -> fp rate well under 5%
+    assert(fp < 15, s"$fp false positives out of 300 absent keys")
+  }
+
+  test("screening is deterministic and key-stable across runs") {
+    val corpus = (0 until 100).map(i => s"k$i").toDF("key")
+    val batch = (50 until 150).map(i => s"k$i").toDF("key")
+    val bloom = Dedup.bloomFilter(corpus, col("key"), mBits, k)
+    val r1 = Dedup.bloomScreen(batch, bloom, col("key"), mBits, k)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    val r2 = Dedup.bloomScreen(batch, bloom, col("key"), mBits, k)
+      .collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(r1 == r2)
+    (50 until 100).foreach(i => assert(r1(s"k$i"), s"k$i must be maybe_dup"))
+  }
+
+  test("partial filters merge: union of two half-corpora equals one pass") {
+    val a = (0 until 100).map(i => s"w$i").toDF("key")
+    val b = (100 until 200).map(i => s"w$i").toDF("key")
+    val whole = (0 until 200).map(i => s"w$i").toDF("key")
+    val wordsUnion = Dedup.bloomFilter(a.union(b), col("key"), mBits, k)
+      .collect().head.getSeq[Long](0)
+    val wordsWhole = Dedup.bloomFilter(whole, col("key"), mBits, k)
+      .collect().head.getSeq[Long](0)
+    assert(wordsUnion == wordsWhole)
+  }
+}
