@@ -242,6 +242,52 @@ object TextOps {
       .orderBy(col("doc_id"), col("rank"))
   }
 
+  /** Bigram language-model quality score (the CCNet/KenLM-style
+    * perplexity filter, reduced to a bigram model trainable in two
+    * aggregations): train token-bigram counts over the corpus itself,
+    * then score each document by the mean Laplace-smoothed conditional
+    * log-probability of its bigrams,
+    * `avg(ln((C(w1,w2) + 1) / (C(w1,·) + V)))` with V = corpus vocabulary
+    * size. Gibberish and boilerplate outliers score far below fluent
+    * text; thresholding on `lm_score` is the filter.
+    *
+    * Scale shape: bigram counts are one explode + hash aggregation
+    * (decomposable, map-side partials); context counts derive from the
+    * bigram table, NOT a second corpus pass; scoring is a shuffle join on
+    * the bigram key between the exploded corpus and the (much smaller)
+    * count table, then a per-doc average. At 100 TB you'd additionally
+    * frequency-prune the count table to top-K bigrams with a smoothed
+    * default for the tail — documented trade, not needed for exactness
+    * here. Docs with fewer than 2 tokens get n_bigrams = 0 and a null
+    * score (nothing to model).
+    */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val tok = tokens(col(textCol))
+    val bg = docs.select(col(idCol),
+        explode(arrays_zip(
+          slice(tok, lit(1), size(tok) - 1).as("w1"),
+          slice(tok, lit(2), size(tok) - 1).as("w2"))).as("bg"))
+      .select(col(idCol), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val counts = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val ctx = counts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val vocab = docs.select(explode(tok).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("__v"))
+    val scored = bg
+      .join(counts, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        roundHalfUp(avg(log((col("c12") + lit(1.0)) /
+          (col("c1") + col("__v")))), 6).as("lm_score"))
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .withColumn("n_bigrams", coalesce(col("n_bigrams"), lit(0L)))
+      .orderBy(col(idCol))
+  }
+
   /** Email pattern shared by the Spark and DuckDB sides: valid in both
     * Java regex and RE2 (no lookarounds, no backrefs).
     */

@@ -323,6 +323,32 @@ class TextOpsSpec extends SparkSpec {
     assert(out.filter(_._2 == "common").forall(_._4 == 0.0))
   }
 
+  test("bigramLmScore: repeated fluent bigrams outscore a gibberish doc") {
+    // corpus: "a b" occurs 3x; doc 2's bigrams are all unseen-context-free
+    // singletons, so its smoothed probabilities are lower.
+    val df = Seq(
+      (0L, "a b a b"), (1L, "a b c"), (2L, "x y z"), (3L, "q")
+    ).toDF("doc_id", "text")
+    val rows = TextOps.bigramLmScore(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toList
+    val byId = rows.map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(byId(3L) == ((0L, None)), "single-token doc has nothing to model")
+    assert(byId(0L)._1 == 3L && byId(1L)._1 == 2L && byId(2L)._1 == 2L)
+    // hand-computed: V = 7 distinct tokens {a,b,c,x,y,z,q}
+    // C(a,b)=3, C(b,a)=1, C(b,c)=1, C(x,y)=1, C(y,z)=1
+    // contexts from the bigram table: C(a,.)=3, C(b,.)=2, C(x,.)=C(y,.)=1
+    val v = 7.0
+    def lp(c12: Long, c1: Long) = math.log((c12 + 1.0) / (c1 + v))
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val d0 = r6((lp(3, 3) + lp(1, 2) + lp(3, 3)) / 3)
+    val d2 = r6((lp(1, 1) + lp(1, 1)) / 2)
+    assert(byId(0L)._2.contains(d0))
+    assert(byId(2L)._2.contains(d2))
+    assert(byId(0L)._2.get > byId(2L)._2.get,
+      "fluent repetition must outscore unseen-bigram gibberish")
+  }
+
   test("redactPii masks emails then phones, counting each stage once") {
     val df = Seq(
       (0L, "mail bob@example.com and call 202-555-0101 now"),
