@@ -799,6 +799,12 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_phones"), col("redacted"))
         .orderBy(col("doc_id"))),
 
+    // bigram LM quality score (CCNet-style perplexity filter): counts,
+    // contexts, vocabulary, and per-doc mean smoothed log-prob all from
+    // the corpus itself — fully oracle-expressible
+    "t11_bigram_lm_score" -> ((s, dir) =>
+      TextOps.bigramLmScore(T(s, dir, "documents"))),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -928,6 +934,15 @@ object SparkEntry {
     "q32_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSampleByHash(T(s, dir, "documents"), "doc_id", "lang",
         StratifiedFractions, StratifiedDefault)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
+    // temperature-weighted domain mixing (alpha = 0.5 up-weights tail
+    // languages): rates derived from the per-stratum counts at runtime,
+    // recomputed identically by the oracle
+    "q41_temperature_mix" -> ((s, dir) =>
+      Sampling.temperatureMix(T(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, targetFrac = 0.3)
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
@@ -1741,6 +1756,34 @@ object SparkEntry {
          |  regexp_replace(t2, '${TextOps.PhoneRegex}', '<PHONE>', 'g') AS redacted
          |FROM e ORDER BY doc_id""".stripMargin,
 
+    // bigram LM: same two aggregations, context counts derived from the
+    // bigram table, Laplace-smoothed mean log-prob; parallel unnest zips
+    // the shifted token slices into bigrams
+    "t11_bigram_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_slice(tk, 1, len(tk) - 1)) AS w1,
+        |    unnest(list_slice(tk, 2, len(tk))) AS w2
+        |  FROM toks WHERE len(tk) >= 2),
+        |counts AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, sum(c12) AS c1 FROM counts GROUP BY w1),
+        |vocab AS (
+        |  SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        |  FROM (SELECT unnest(tk) AS w FROM toks)),
+        |sc AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    floor(avg(ln((c12 + 1.0) / (c1 + v))) * 1000000.0 + 0.5)
+        |      / 1000000.0 AS lm_score
+        |  FROM bg JOIN counts USING (w1, w2) JOIN ctx USING (w1)
+        |  CROSS JOIN vocab
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(sc.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        |  sc.lm_score
+        |FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
     "e3_interval_join" ->
       """WITH e AS (
         |  SELECT event_id, user_id, event_type, value,
@@ -1896,6 +1939,22 @@ object SparkEntry {
          |            ELSE ${graft.operators.Sampling.bucketThreshold(StratifiedDefault)} END
          |ORDER BY doc_id""".stripMargin
     },
+
+    // temperature mix: per-stratum counts -> alpha-weighted rates ->
+    // half-up-rounded bucket thresholds -> the same portable bucket filter
+    "q41_temperature_mix" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(pow(c, 0.5)) AS sw, sum(c) AS n FROM cnt),
+         |rates AS (
+         |  SELECT lang,
+         |    CAST(floor(least(1.0, 0.3 * n * pow(c, 0.5) / sw / c)
+         |               * 10000.0 + 0.5) AS BIGINT) AS thr
+         |  FROM cnt, tot)
+         |SELECT doc_id, lang
+         |FROM (${duckWithBucket("doc_id, lang", "doc_id")}) JOIN rates USING (lang)
+         |WHERE bkt < thr ORDER BY doc_id""".stripMargin,
 
     "q21_train_test_split" ->
       s"""SELECT split, count(*) AS cnt,

@@ -81,6 +81,46 @@ object Sampling {
     df.filter(hashBucket(col(keyCol)) < threshold)
   }
 
+  /** Temperature-weighted corpus mixing: resample each stratum (domain,
+    * language, source) at a rate derived from its size so the output
+    * follows the α-temperature distribution used for multilingual /
+    * multi-domain LM training mixes — α = 1 keeps natural proportions,
+    * α = 0 equalizes strata, in between up-weights the tail without
+    * drowning the head.
+    *
+    * rate_d = min(1, targetFrac · N · c_d^α / (Σ_e c_e^α) / c_d), applied
+    * through the same portable hash-bucket filter as [[sampleByHash]] —
+    * the keep decision stays a pure function of (key, stratum counts), so
+    * re-runs and engines agree row for row, and the oracle recomputes the
+    * rates from the same counts.
+    *
+    * Scale shape: one tiny per-stratum count aggregation (decomposable),
+    * one single-row total, then a broadcast join of the per-stratum
+    * thresholds onto the corpus — the corpus itself is never shuffled,
+    * just scanned through a codegen'd filter.
+    */
+  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
+                     alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(targetFrac > 0.0 && targetFrac <= 1.0,
+      s"targetFrac out of (0,1]: $targetFrac")
+    GraftFunctions.register(df.sparkSession)
+    val cnt = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val tot = cnt.agg(sum(pow(col("__c"), lit(alpha))).as("__sw"),
+      sum(col("__c")).as("__n"))
+    val thresholds = cnt.crossJoin(broadcast(tot))
+      .withColumn("__thr",
+        floor(least(lit(1.0),
+          lit(targetFrac) * col("__n") * pow(col("__c"), lit(alpha)) /
+            col("__sw") / col("__c")) * lit(Buckets.toDouble) + lit(0.5))
+          .cast("long"))
+      .select(col(strataCol), col("__thr"))
+    df.join(broadcast(thresholds), strataCol)
+      .filter(hashBucket(col(keyCol)) < col("__thr"))
+      .drop("__thr")
+  }
+
   /** Adds a `split` column: "test" for the first `testFraction` of
     * buckets, "train" otherwise. Disjoint and exhaustive by construction;
     * a document can never leak between splits across runs.

@@ -129,6 +129,40 @@ class SamplingSpec extends SparkSpec {
     assert(s10.subsetOf(s25))
   }
 
+  test("temperatureMix: alpha=1 keeps natural proportions, alpha=0 equalizes") {
+    // skewed strata: 1600 'big', 300 'mid', 100 'rare'
+    val df = ((0 until 1600).map(i => (i.toLong, "big")) ++
+      (2000 until 2300).map(i => (i.toLong, "mid")) ++
+      (3000 until 3100).map(i => (i.toLong, "rare")))
+      .toDF("doc_id", "stratum")
+    def kept(alpha: Double) =
+      Sampling.temperatureMix(df, "doc_id", "stratum", alpha, 0.25)
+        .groupBy("stratum").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val nat = kept(1.0) // every stratum sampled at ~targetFrac
+    assert(math.abs(nat("big") / 1600.0 - 0.25) < 0.05, nat.toString)
+    assert(math.abs(nat("mid") / 300.0 - 0.25) < 0.08, nat.toString)
+
+    val eq = kept(0.0) // equal target counts: 2000*0.25/3 ≈ 167 each
+    assert(eq("rare") == 100L, "rare stratum capped at full retention")
+    assert(math.abs(eq("big") - 167L) < 30, eq.toString)
+    assert(math.abs(eq("mid") - 167L) < 30, eq.toString)
+    // tail share rises monotonically as alpha falls
+    assert(eq("big") < nat("big") && eq("rare") > nat("rare"))
+  }
+
+  test("temperatureMix is deterministic and a subset of the input") {
+    val df = (0 until 500).map(i => (i.toLong, if (i % 5 == 0) "a" else "b"))
+      .toDF("doc_id", "stratum")
+    val r1 = Sampling.temperatureMix(df, "doc_id", "stratum", 0.5, 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val r2 = Sampling.temperatureMix(df, "doc_id", "stratum", 0.5, 0.4)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(r1 == r2)
+    assert(r1.subsetOf((0L until 500L).toSet))
+  }
+
   test("hash buckets decorrelate consecutive keys (no contiguous runs)") {
     val sample = Sampling.sampleByHash(ids, "doc_id", 0.25)
       .collect().map(_.getLong(0)).sorted
