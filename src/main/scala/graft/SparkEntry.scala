@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Skew, TextOps}
+import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -717,6 +717,19 @@ object SparkEntry {
         .select(explode(col("tk")).as("e"))
         .select(col("e.item").as("term"), col("e.count").as("cnt"))
         .orderBy(col("cnt").desc, col("term"))),
+
+    // count-min sketch per-user event counts: the portable-hash sketch is
+    // reproduced cell-for-cell by the oracle, so estimates AND overcounts
+    // are verified (128 cells vs 150 users forces collisions)
+    "a5_countmin_counts" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .select(col("user_id").cast("string").as("key"))
+      val keys = ev.groupBy(col("key")).agg(count(lit(1)).as("true_cnt"))
+      Sketches.countMinEstimates(keys,
+        Sketches.countMinSketch(ev, col("key")), col("key"))
+        .select(col("key"), col("true_cnt"), col("cm_est"))
+        .orderBy(col("key"))
+    }),
 
     // approximate percentile sketch. PRECONDITION for the oracle row:
     // accuracy must exceed the rows per group at the checked SF — then the
@@ -1528,6 +1541,30 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |  GROUP BY term ORDER BY cnt DESC, term LIMIT 8)
         |ORDER BY cnt DESC, term""".stripMargin,
+
+    // count-min: rebuild every cell (sum of colliding keys' counts per
+    // (row, position)), estimate = min over rows — sketch verified
+    // cell-for-cell including overcounts
+    "a5_countmin_counts" ->
+      s"""WITH keys AS (
+         |  SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS true_cnt
+         |  FROM events GROUP BY 1),
+         |h AS (
+         |  SELECT key, true_cnt,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(key, '')]),
+         |      (acc, x) -> (acc * 131 + x) % $ShP) AS h1
+         |  FROM keys),
+         |hh AS (SELECT key, true_cnt, h1, ${duckMix("h1")} AS h2 FROM h),
+         |pos AS (
+         |  SELECT key, true_cnt, r, (h1 + r * h2) % 128 AS p
+         |  FROM hh CROSS JOIN range(0, 4) AS t(r)),
+         |cells AS (SELECT r, p, sum(true_cnt) AS cell FROM pos GROUP BY r, p),
+         |est AS (
+         |  SELECT key, true_cnt, min(cell) AS cm_est
+         |  FROM pos JOIN cells USING (r, p) GROUP BY key, true_cnt)
+         |SELECT key, true_cnt, CAST(cm_est AS BIGINT) AS cm_est
+         |FROM est ORDER BY key""".stripMargin,
 
     "q36_scalar_subquery" ->
       """SELECT c_custkey, c_acctbal,

@@ -71,7 +71,12 @@ object GraftFunctions {
       intLit(es(2), "graft_bloom_positions mBits"))),
     "graft_bloom_contains" -> (es => BloomContains(es(0), es(1))),
     "graft_bloom_agg" -> (es => BloomWordsAgg(es(0),
-      intLit(es(1), "graft_bloom_agg mBits"))))
+      intLit(es(1), "graft_bloom_agg mBits"))),
+    "graft_cm_agg" -> (es => CountMinAgg(es(0),
+      intLit(es(1), "graft_cm_agg depth"),
+      intLit(es(2), "graft_cm_agg width"))),
+    "graft_cm_estimate" -> (es => CountMinEstimate(es(0), es(1),
+      intLit(es(2), "graft_cm_estimate width"))))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
     * (see [[graft.GraftExtensions]]).
@@ -155,6 +160,19 @@ object GraftFunctions {
     */
   def bloomAgg(positions: Column, mBits: Int): Column =
     call_function("graft_bloom_agg", positions, lit(mBits))
+
+  /** Count-min sketch aggregate over a position-list column (one position
+    * per sketch row, from [[bloomPositions]] with k = depth and
+    * mBits = width) — see [[CountMinAgg]].
+    */
+  def countMinAgg(positions: Column, depth: Int, width: Int): Column =
+    call_function("graft_cm_agg", positions, lit(depth), lit(width))
+
+  /** Count-min point estimate of a key's positions against a sketch —
+    * see [[CountMinEstimate]].
+    */
+  def countMinEstimate(sketch: Column, positions: Column, width: Int): Column =
+    call_function("graft_cm_estimate", sketch, positions, lit(width))
 }
 
 /** Deterministic affine MinHash coefficient family, shared by the Spark

@@ -41,6 +41,34 @@ class BloomSpec extends SparkSpec {
     (50 until 100).foreach(i => assert(r1(s"k$i"), s"k$i must be maybe_dup"))
   }
 
+  test("count-min never undercounts and is exact without collisions") {
+    import graft.operators.Sketches
+    // 20 keys in a 1024-cell row: collision-free with overwhelming odds,
+    // so every estimate must equal the true count.
+    val rows = (0 until 20).flatMap(i => Seq.fill(i + 1)(s"key-$i")).toDF("key")
+    val truth = rows.groupBy("key").count().withColumnRenamed("count", "true_cnt")
+    val est = Sketches.countMinEstimates(truth,
+      Sketches.countMinSketch(rows, col("key"), depth = 4, width = 1024),
+      col("key"), depth = 4, width = 1024)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    est.foreach { case (k, t, e) => assert(e == t, s"$k: est $e vs true $t") }
+  }
+
+  test("count-min under heavy collision still upper-bounds true counts") {
+    import graft.operators.Sketches
+    // 300 keys in 64 cells: every row collides; estimates may overcount
+    // but can never undercount.
+    val rows = (0 until 300).flatMap(i => Seq.fill(1 + i % 3)(s"u$i")).toDF("key")
+    val truth = rows.groupBy("key").count().withColumnRenamed("count", "true_cnt")
+    val est = Sketches.countMinEstimates(truth,
+      Sketches.countMinSketch(rows, col("key"), depth = 4, width = 64),
+      col("key"), depth = 4, width = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    est.foreach { case (t, e) => assert(e >= t) }
+    assert(est.exists { case (t, e) => e > t },
+      "with 300 keys in 64 cells some estimate must overcount")
+  }
+
   test("partial filters merge: union of two half-corpora equals one pass") {
     val a = (0 until 100).map(i => s"w$i").toDF("key")
     val b = (100 until 200).map(i => s"w$i").toDF("key")
