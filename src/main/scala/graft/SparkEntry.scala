@@ -918,6 +918,32 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the complete incremental-dedup pattern: bloom screen, then exact
+    // anti-join verification of ONLY the maybe-set — result is exact
+    // (oracle = plain NOT IN), the bloom just shrinks the join
+    "b2_bloom_exact_new" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def key = concat(col("lang"), lit(":"),
+        element_at(split(col("text"), " "), 1))
+      Dedup.bloomIncrementalDedup(
+        docs.filter(col("doc_id") % 5 === 4),
+        docs.filter(col("doc_id") % 5 =!= 4), key)
+        .select(col("doc_id"), key.as("key"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // bloom runtime-filter join: fact side screened by the dim-key bloom
+    // BEFORE the shuffle; false positives die in the join, so the result
+    // is bit-identical to the plain join the oracle runs
+    "q42_bloom_runtime_filter" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val dim = T(s, dir, "part").filter(col("p_size") === 15)
+      Sketches.bloomPrefilteredJoin(li, dim, "l_partkey", "p_partkey")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("revenue"))
+    }),
+
     // ---- end-to-end pipeline ----
 
     // flagship composition: quality filter -> near-dup removal (MinHash
@@ -1905,6 +1931,24 @@ object SparkEntry {
          |  FROM (SELECT unnest(ps) AS p FROM pos WHERE doc_id % 5 <> 4))
          |SELECT doc_id, key, list_has_all(cpl, ps) AS maybe_dup
          |FROM pos, cp WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
+
+    // exact incremental dedup: the bloom is an internal accelerator, the
+    // contract is plain key-absence
+    "b2_bloom_exact_new" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang || ':' || string_split(text, ' ')[1] AS key
+        |  FROM documents)
+        |SELECT doc_id, key FROM keyed
+        |WHERE doc_id % 5 = 4
+        |  AND key NOT IN (SELECT key FROM keyed WHERE doc_id % 5 <> 4)
+        |ORDER BY doc_id""".stripMargin,
+
+    // bloom runtime filter is result-transparent: oracle = plain join
+    "q42_bloom_runtime_filter" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 15""".stripMargin,
 
     // star-contraction variant: same input graph, same closure oracle
     "d6b_neardup_clusters_star" ->

@@ -145,9 +145,11 @@ object GraftFunctions {
     call_function("graft_ivf_probes", asFloatArray(vec),
       typedLit(centroids), lit(nprobe))
 
-  /** k Bloom bit positions of a string key — see [[BloomPositions]]. */
+  /** k Bloom bit positions of a key (cast to string, like
+    * [[graft.operators.Sampling.hashBucket]]) — see [[BloomPositions]].
+    */
   def bloomPositions(key: Column, k: Int, mBits: Int): Column =
-    call_function("graft_bloom_positions", key, lit(k), lit(mBits))
+    call_function("graft_bloom_positions", key.cast("string"), lit(k), lit(mBits))
 
   /** "maybe present" test of a position list against a filter's word
     * array — see [[BloomContains]].

@@ -385,6 +385,31 @@ object Dedup {
       .drop("words")
   }
 
+  /** Full incremental exact-dedup: rows of `batch` whose key is NOT in
+    * `corpus`. The Bloom screen splits the batch into definitely-new rows
+    * (bloom negative — ingested with zero join work) and a small
+    * maybe-set; only the maybe-set pays an exact anti-join against the
+    * corpus keys to weed out false positives.
+    *
+    * Result is EXACT (the bloom can't produce false negatives, and the
+    * anti-join removes its false positives), so the oracle is a plain
+    * `NOT IN`. Scale shape: the corpus is scanned once to build the
+    * filter (tiny shuffle) and once more keyed-only by the anti-join —
+    * but that join's probe side is the maybe-set (fp-rate × batch), not
+    * the batch; at a sane m/n sizing that's a ~100× smaller shuffle than
+    * the naive batch⟕corpus anti-join.
+    */
+  def bloomIncrementalDedup(batch: DataFrame, corpus: DataFrame, key: Column,
+                            mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
+    val screened = bloomScreen(batch, bloomFilter(corpus, key, mBits, k),
+      key, mBits, k)
+    val definite = screened.filter(!col("maybe_dup")).drop("maybe_dup")
+    val verified = screened.filter(col("maybe_dup")).drop("maybe_dup")
+      .join(corpus.select(key.as("__corpus_key")).distinct(),
+        key === col("__corpus_key"), "left_anti")
+    definite.unionByName(verified)
+  }
+
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int,
                         threshold: Double,

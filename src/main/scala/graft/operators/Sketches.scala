@@ -26,6 +26,25 @@ object Sketches {
       GraftFunctions.bloomPositions(key, depth, width), depth, width).as("sk"))
   }
 
+  /** Exact equi-join with a Bloom runtime filter: build a filter over the
+    * (small) dim side's keys and screen the fact side BEFORE its shuffle —
+    * the explicit, engine-portable form of the runtime row-filter
+    * optimizers inject. Bloom false positives are removed by the join
+    * itself, so the result is bit-identical to the plain join; what
+    * changes is the exchanged volume: only fact rows whose key might
+    * match travel (selective dims drop the fact shuffle by orders of
+    * magnitude). False negatives are impossible, so no row is lost.
+    */
+  def bloomPrefilteredJoin(fact: DataFrame, dim: DataFrame,
+                           factKey: String, dimKey: String,
+                           mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
+    GraftFunctions.register(fact.sparkSession)
+    val bloom = Dedup.bloomFilter(dim, col(dimKey), mBits, k)
+    val screened = Dedup.bloomScreen(fact, bloom, col(factKey), mBits, k)
+      .filter(col("maybe_dup")).drop("maybe_dup")
+    screened.join(dim, col(factKey) === dim(dimKey))
+  }
+
   /** Adds `cm_est` — the sketch's count estimate for `key` on every row
     * of `keys` (broadcast of the one-row sketch; no shuffle of `keys`).
     * Estimates never undercount: cm_est ≥ the true count, with equality

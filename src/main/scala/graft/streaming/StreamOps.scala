@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
@@ -93,6 +93,21 @@ object StreamOps {
   def enrichStream(stream: DataFrame, dim: DataFrame,
                    keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  /** Streaming incremental dedup against a static history: drop stream
+    * rows whose key is (maybe) already in the historical corpus — the
+    * Bloom filter built batch-side by
+    * [[graft.operators.Dedup.bloomFilter]] rides into every micro-batch
+    * as a broadcast one-row frame, so each arriving row pays k bit probes
+    * and the 100 TB history is never re-read. Combine with
+    * [[dedupStream]] for within-stream duplicates; rows screened out here
+    * are bloom-positive ("maybe seen") — with the false-positive rate
+    * sized down, the loss is bounded and auditable.
+    */
+  def bloomScreenStream(stream: DataFrame, bloom: DataFrame, key: Column,
+                        mBits: Int = 1 << 18, k: Int = 7): DataFrame =
+    graft.operators.Dedup.bloomScreen(stream, bloom, key, mBits, k)
+      .filter(!col("maybe_dup")).drop("maybe_dup")
 
   /** Event-time windowed aggregation with a watermark — tumbling 1 h
     * windows over the events stream (the windowed-agg surface the
