@@ -125,7 +125,42 @@ object Plans {
         |aggregate then run on quantized vectors unchanged —
         |partial_graft_topk BEFORE the exchange, shuffle O(k x
         |partitions). At 100 TB quantization is the memory/IO lever: int8
-        |elements pack ~4x denser on disk and in executor memory.""".stripMargin)
+        |elements pack ~4x denser on disk and in executor memory.""".stripMargin,
+    "b1_bloom_incremental" ->
+      """Bloom incremental-dedup screen. The filter builds as
+        |partial_graft_bloom_agg -> exchange -> final (each map task ships
+        |ONE 32 KiB partial, never keys), then rides into the batch scan
+        |as a broadcast one-row frame (BroadcastNestedLoopJoin over a
+        |single row); the membership test is the codegen'd
+        |graft_bloom_contains — k bit probes per row, no batch shuffle.
+        |At 100 TB the corpus is scanned once per ingest cycle to build
+        |the filter; every subsequent batch never touches it.""".stripMargin,
+    "t11_bigram_lm_score" ->
+      """Bigram LM scoring. The (w1,w2) count aggregate runs
+        |partial -> exchange -> final; context counts derive from the
+        |count table (never a second corpus pass); the scoring probe
+        |explodes the corpus a second time and joins on the bigram key
+        |with aligned hash partitioning; the per-doc average is a
+        |decomposable aggregate on doc_id. The duplicated count subtree
+        |(join build + context derivation) is canonical-identical, so
+        |runtime exchange reuse dedupes it. Shuffle volume tracks the
+        |bigram vocabulary and the exploded corpus — at 100 TB the
+        |documented trade is frequency-pruning the count table to top-K
+        |with a smoothed default tail.""".stripMargin,
+    "q41_temperature_mix" ->
+      """Temperature mixing. Two scan-sized-to-tiny aggregations (stratum
+        |counts, then a one-row total), a broadcast of the per-stratum
+        |thresholds, and a codegen'd hash-bucket filter over the corpus —
+        |the corpus itself is never shuffled. The same plan at 100 TB is
+        |scan-bound, which is the floor for a full-corpus resample.""".stripMargin,
+    "q42_bloom_runtime_filter" ->
+      """Bloom runtime-filter join. The dim side reduces to one 32 KiB
+        |filter (decomposable aggregate), broadcast-screens the fact scan
+        |BEFORE the join, and the join itself removes the false
+        |positives — result identical to the plain join, but only
+        |maybe-matching fact rows reach the join's exchange. With a
+        |selective dim at 100 TB that is the difference between shuffling
+        |the fact table and shuffling a rounding error of it.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
