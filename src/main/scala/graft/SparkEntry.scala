@@ -918,6 +918,17 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dup: a new batch's MinHash bands join the corpus's
+    // bands — candidates track the batch, the corpus never self-joins
+    "b3_minhash_incremental" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.minHashNearDupPairsIncremental(
+        docs.filter(col("doc_id") % 5 === 4),
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text",
+        Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+          threshold = 0.2))
+    }),
+
     // the complete incremental-dedup pattern: bloom screen, then exact
     // anti-join verification of ONLY the maybe-set — result is exact
     // (oracle = plain NOT IN), the bloom just shrinks the join
@@ -1120,7 +1131,8 @@ object SparkEntry {
     */
   private def duckMinHashCtes(numHashes: Int, bands: Int,
                               threshold: Double,
-                              src: String = "documents"): String = {
+                              src: String = "documents",
+                              pairCond: String = "a.doc_id < c.doc_id"): String = {
     val (as, bs) = graft.functions.MinHashCoeffs(numHashes)
     val m = graft.functions.MinHashCoeffs.Prime
     val rpb = numHashes / bands
@@ -1151,7 +1163,7 @@ object SparkEntry {
        |            / (len(a.sh) + len(c.sh)
        |               - CAST(len(list_intersect(a.sh, c.sh)) AS DOUBLE))
        |            * 1000000.0 + 0.5) / 1000000.0 AS jaccard
-       |    FROM b a JOIN b c ON a.doc_id < c.doc_id AND ($orCond))
+       |    FROM b a JOIN b c ON ($pairCond) AND ($orCond))
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
 
@@ -1931,6 +1943,14 @@ object SparkEntry {
          |  FROM (SELECT unnest(ps) AS p FROM pos WHERE doc_id % 5 <> 4))
          |SELECT doc_id, key, list_has_all(cpl, ps) AS maybe_dup
          |FROM pos, cp WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
+
+    // incremental near-dup: same signature/band CTEs, pair condition
+    // crosses batch x corpus instead of the a < c self-join
+    "b3_minhash_incremental" ->
+      s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
+             pairCond = "a.doc_id % 5 = 4 AND c.doc_id % 5 <> 4")}
+         |SELECT id_a AS batch_id, id_b AS corpus_id, jaccard
+         |FROM pairs ORDER BY batch_id, corpus_id""".stripMargin,
 
     // exact incremental dedup: the bloom is an internal accelerator, the
     // contract is plain key-absence

@@ -171,6 +171,60 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental near-dup: MinHash+LSH pairs of `batch` docs against
+    * `corpus` docs (cross-corpus only — within-batch dups are
+    * [[minHashNearDupPairs]] on the batch). The near-dup twin of
+    * [[bloomIncrementalDedup]]: dedupe a new crawl against the existing
+    * corpus without the corpus ever joining itself.
+    *
+    * Scale shape: both sides reduce to (band, bandKey) rows; the join is
+    * batch-bands ⋈ corpus-bands — with a day's crawl against a 100 TB
+    * corpus the candidate volume tracks the BATCH's bucket occupancy, not
+    * corpus², and the corpus side is capped per bucket (`maxBucket`)
+    * against degenerate shingles. Only candidates pay exact-Jaccard
+    * verification. Output: (batch_id, corpus_id, jaccard) ≥ threshold.
+    */
+  def minHashNearDupPairsIncremental(batch: DataFrame, corpus: DataFrame,
+                                     idCol: String, textCol: String,
+                                     p: MinHashParams = MinHashParams()): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    def sign(df: DataFrame) = withMinHashSignature(df, textCol, p)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("shingles"), col("minhash"))
+    def bandRows(signed: DataFrame) = {
+      val bandStructs = array((0 until p.bands).map { b =>
+        struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
+      }: _*)
+      signed.select(col("id"), explode(bandStructs).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    }
+    val bSigned = sign(batch)
+    val cSigned = sign(corpus)
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    val cBands = bandRows(cSigned)
+      .withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= p.maxBucket)
+      .drop("__bn")
+    val candidates = bandRows(bSigned).select(col("band"), col("bkey"),
+        col("id").as("batch_id"))
+      .join(cBands.select(col("band"), col("bkey"), col("id").as("corpus_id")),
+        Seq("band", "bkey"))
+      .select("batch_id", "corpus_id").distinct()
+    def keyed(signed: DataFrame, as: String) = signed.select(
+      col("id").as(as), col("shingles").as(s"sh_$as"),
+      size(col("shingles")).as(s"sz_$as"))
+    candidates
+      .join(keyed(bSigned, "batch_id"), "batch_id")
+      .join(keyed(cSigned, "corpus_id"), "corpus_id")
+      .withColumn("inter", GraftFunctions.intersectCountSorted(
+        col("sh_batch_id"), col("sh_corpus_id")).cast("double"))
+      .withColumn("jaccard", roundHalfUp(
+        col("inter") / (col("sz_batch_id") + col("sz_corpus_id") - col("inter")), 6))
+      .filter(col("jaccard") >= p.threshold)
+      .select(col("batch_id"), col("corpus_id"), col("jaccard"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
   /** SimHash of the token stream (low `width` bits): per bit, sum +1/-1
     * votes from the PORTABLE polynomial token hashes; the signature bit is
     * the sign of the sum. Computed by the codegen'd

@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.8)
   }
 
+  test("incremental minhash equals the cross-side slice of the full pair set") {
+    val rnd = new scala.util.Random(7)
+    // 12 base docs, each with a 1-token-mutated near-dup, ids interleaved
+    // so the batch/corpus split (id parity) separates most dup pairs
+    val docs = (0 until 12).flatMap { d =>
+      val toks = (1 to 30).map(i => s"d${d}t$i")
+      val mutated = toks.updated(rnd.nextInt(30), "MUT")
+      Seq((2L * d, toks.mkString(" ")), (2L * d + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val full = Dedup.minHashNearDupPairs(docs, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.collect {
+      case (a, b, j) if a % 2 == 1 && b % 2 == 0 => (a, b, j)
+      case (a, b, j) if a % 2 == 0 && b % 2 == 1 => (b, a, j)
+    }.toSet
+    val incr = Dedup.minHashNearDupPairsIncremental(batch, corpus,
+      "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(expected.nonEmpty, "the planted dups must straddle the split")
+    assert(incr == expected)
+  }
+
   test("simhash: identical docs get identical signatures, near docs are close") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
