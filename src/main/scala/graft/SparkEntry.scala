@@ -375,6 +375,29 @@ object SparkEntry {
 
     // array-function battery over tokenized documents (array surface the
     // reference lacks; split-based like its CSV parse)
+    // higher-order functions over arrays: transform (with and without
+    // index), filter, exists, forall, aggregate, zip_with — all codegen-
+    // adjacent lambda surfaces, mirrored by DuckDB list comprehensions
+    "q43_hof_battery" -> ((s, dir) => {
+      val tok = TextFunctions.tokens(col("text"))
+      T(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(
+          col("doc_id"),
+          array_join(transform(slice(tok, 1, 6),
+            t => length(t).cast("string")), ",").as("tok_lens"),
+          size(filter(tok, t => length(t) > 4)).cast("long").as("n_long"),
+          exists(tok, t => t === "the").cast("int").as("has_the"),
+          forall(tok, t => length(t) < 20).cast("int").as("all_short"),
+          aggregate(tok, lit(0L),
+            (acc, t) => acc + length(t).cast("long")).as("sum_chars"),
+          element_at(zip_with(tok, reverse(tok),
+            (a, b) => concat(a, lit("~"), b)), 1).as("zip_first"),
+          array_join(transform(slice(tok, 1, 3),
+            (t, i) => concat(i.cast("string"), lit(":"), t)), "|").as("idx3"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q26_array_battery" -> ((s, dir) =>
       T(s, dir, "documents")
         .filter(col("doc_id") < 200)
@@ -1451,6 +1474,29 @@ object SparkEntry {
         |  CAST(epoch(CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)) AS BIGINT) AS month_end_epoch,
         |  CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_start_epoch
         |FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""".stripMargin,
+
+    // HOF battery: Spark lambdas == DuckDB list comprehensions /
+    // list_filter / list_reduce; zip_first pairs position 1 with the
+    // reversed list's position 1 (= last token)
+    "q43_hof_battery" ->
+      """SELECT doc_id,
+        |  array_to_string([CAST(length(t) AS VARCHAR)
+        |                   for t in list_slice(tk, 1, 6)], ',') AS tok_lens,
+        |  CAST(len(list_filter(tk, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |  CASE WHEN len(list_filter(tk, t -> t = 'the')) > 0
+        |       THEN 1 ELSE 0 END AS has_the,
+        |  CASE WHEN len(list_filter(tk, t -> NOT (length(t) < 20))) = 0
+        |       THEN 1 ELSE 0 END AS all_short,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    [CAST(length(t) AS BIGINT) for t in tk]), (a, x) -> a + x)
+        |    AS sum_chars,
+        |  tk[1] || '~' || tk[len(tk)] AS zip_first,
+        |  array_to_string([CAST(i - 1 AS VARCHAR) || ':' || tk[i]
+        |                   for i in range(1, least(len(tk), 3) + 1)], '|')
+        |    AS idx3
+        |FROM (SELECT doc_id, string_split(text, ' ') AS tk
+        |      FROM documents WHERE doc_id < 200)
+        |ORDER BY doc_id""".stripMargin,
 
     "q26_array_battery" ->
       """SELECT doc_id,
