@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Clustering, Dedup, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps}
+import graft.operators.{AsOf, Clustering, Dedup, Diff, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -220,6 +220,41 @@ object SparkEntry {
         .agg(count(lit(1)).as("cnt"), round(sum(col("value")), 2).as("sum_value"))
         .orderBy(col("hour_epoch"), col("event_type"))
     }),
+
+    // the full join-type spectrum on one keyed pair, summarized so the
+    // oracle pins the semantics of each type
+    "q44_join_types" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").as("k"))
+      val o = T(s, dir, "orders").filter(col("o_custkey") % 2 === 0)
+        .select(col("o_custkey").as("k")).distinct()
+      def n(df: DataFrame) = df.agg(count(lit(1)).as("cnt"))
+      n(c.join(o, Seq("k"))).withColumn("join_type", lit("inner"))
+        .unionByName(n(c.join(o, Seq("k"), "left")).withColumn("join_type", lit("left")))
+        .unionByName(n(c.join(o, Seq("k"), "right")).withColumn("join_type", lit("right")))
+        .unionByName(n(c.join(o, Seq("k"), "full")).withColumn("join_type", lit("full")))
+        .unionByName(n(c.join(o, Seq("k"), "left_semi")).withColumn("join_type", lit("semi")))
+        .unionByName(n(c.join(o, Seq("k"), "left_anti")).withColumn("join_type", lit("anti")))
+        .select(col("join_type"), col("cnt"))
+        .orderBy(col("join_type"))
+    }),
+
+    // snapshot diff: added/removed/changed/unchanged audit of an
+    // incremental corpus update (changes synthesized deterministically)
+    "q45_snapshot_diff" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").select("doc_id", "lang", "text")
+      val oldSnap = docs.filter(col("doc_id") % 7 =!= 0)
+      val newSnap = docs.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 3 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Diff.snapshotDiff(oldSnap, newSnap, Seq("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // regular-grid resample with explicit zero rows for empty buckets
+    "q46_gap_fill" -> ((s, dir) =>
+      TimeSeries.fillGaps(T(s, dir, "events"), "event_type",
+        expr("ts div 1000000000"), "value", stepSecs = 600)),
 
     // distinct aggregation
     "q13_distinct_parts_per_flag" -> ((s, dir) =>
@@ -1335,6 +1370,54 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    "q44_join_types" ->
+      """WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
+        |o AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_custkey % 2 = 0)
+        |SELECT * FROM (
+        |  SELECT 'inner' AS join_type, count(*) AS cnt FROM c JOIN o USING (k)
+        |  UNION ALL SELECT 'left', count(*) FROM c LEFT JOIN o USING (k)
+        |  UNION ALL SELECT 'right', count(*) FROM c RIGHT JOIN o USING (k)
+        |  UNION ALL SELECT 'full', count(*) FROM c FULL JOIN o USING (k)
+        |  UNION ALL SELECT 'semi', count(*) FROM c SEMI JOIN o USING (k)
+        |  UNION ALL SELECT 'anti', count(*) FROM c ANTI JOIN o USING (k))
+        |ORDER BY join_type""".stripMargin,
+
+    // full-outer diff with null-safe payload comparison
+    "q45_snapshot_diff" ->
+      """WITH oldc AS (
+        |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 7 <> 0),
+        |newc AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN o.lang IS NOT DISTINCT FROM n.lang
+        |        AND o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'
+        |       ELSE 'changed' END AS status
+        |FROM oldc o FULL JOIN newc n ON o.doc_id = n.doc_id
+        |ORDER BY doc_id""".stripMargin,
+
+    // grid = per-key span unnested at 600 s; empty buckets fill with
+    // explicit zeros (range end is exclusive, Spark sequence inclusive —
+    // hi + 600 aligns them)
+    "q46_gap_fill" ->
+      """WITH a AS (
+        |  SELECT event_type,
+        |    (CAST(floor(epoch(ts)) AS BIGINT) // 600) * 600 AS bucket,
+        |    count(*) AS cnt, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi
+        |      FROM a GROUP BY 1),
+        |g AS (SELECT event_type, unnest(range(lo, hi + 600, 600)) AS bucket
+        |      FROM s)
+        |SELECT g.event_type, g.bucket,
+        |  CAST(COALESCE(a.cnt, 0) AS BIGINT) AS cnt,
+        |  COALESCE(a.sum_value, 0.0) AS sum_value
+        |FROM g LEFT JOIN a ON g.event_type = a.event_type AND g.bucket = a.bucket
+        |ORDER BY g.event_type, g.bucket""".stripMargin,
 
     "q13_distinct_parts_per_flag" ->
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,

@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+
+class DiffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("snapshotDiff classifies added/removed/changed/unchanged") {
+    val oldDf = Seq(
+      (1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0)).toDF("id", "s", "v")
+    val newDf = Seq(
+      (2L, "b", 20.0),  // unchanged
+      (3L, "c", 31.0),  // changed
+      (4L, "d", 40.0)   // added
+    ).toDF("id", "s", "v")
+    val got = Diff.snapshotDiff(oldDf, newDf, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
+
+  test("snapshotDiff compares null payloads null-safely") {
+    val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("id", "s")
+    val newDf = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("id", "s")
+    val got = Diff.snapshotDiff(oldDf, newDf, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "unchanged", 2L -> "changed"))
+  }
+}
+
+class TimeSeriesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fillGaps emits explicit zero rows for empty buckets") {
+    // key 'a': events at t=0 and t=250 with a 100s step -> gap at 100
+    val df = Seq(("a", 0L, 1.0), ("a", 250L, 2.0), ("b", 50L, 3.0))
+      .toDF("k", "secs", "value")
+    val got = TimeSeries.fillGaps(df, "k", col("secs"), "value", 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("a", 0L, 1L, 1.0), ("a", 100L, 0L, 0.0), ("a", 200L, 1L, 2.0),
+      ("b", 0L, 1L, 3.0)))
+  }
+
+  test("fillGaps grid is dense: every step between lo and hi present once") {
+    val rnd = new scala.util.Random(3)
+    val df = (0 until 50).map(_ => ("k", rnd.nextInt(10000).toLong, 1.0))
+      .toDF("k", "secs", "value")
+    val buckets = TimeSeries.fillGaps(df, "k", col("secs"), "value", 60L)
+      .collect().map(_.getLong(1))
+    assert(buckets.distinct.length == buckets.length)
+    assert(buckets.toSeq == (buckets.min to buckets.max by 60L).toSeq)
+  }
+}
