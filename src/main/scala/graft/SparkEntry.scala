@@ -1029,6 +1029,21 @@ object SparkEntry {
         contamN = 3, contamMin = 5, testFraction = 0.1)
     }),
 
+    // incremental counterpart of p1: ingest a new batch against the
+    // corpus — bloom exact screen, cross-corpus near-dup screen, quality
+    // floor, hash split; every screen is per-doc independent, so the
+    // twin is three WHERE predicates
+    "p2_incremental_ingest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Pipelines.incrementalIngest(
+        docs.filter(col("doc_id") % 5 === 4),
+        docs.filter(col("doc_id") % 5 =!= 4),
+        qualityMin = 0.3,
+        minhash = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+          threshold = 0.2),
+        testFraction = 0.1)
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -1224,6 +1239,20 @@ object SparkEntry {
        |    FROM b a JOIN b c ON ($pairCond) AND ($orCond))
        |  WHERE jaccard >= $threshold)""".stripMargin
   }
+
+  /** SQL expression mirroring TextOps.qualityCol over a token-list column
+    * `tk` (rounded half-up at 1e-6, like the Spark side).
+    */
+  private def duckQualityExpr: String =
+    """floor((0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
+      |  + 0.4 * (CASE WHEN len(tk) > 0
+      |           THEN CAST(len(list_filter(tk, t -> t IN
+      |             ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk)
+      |           ELSE 0.0 END)
+      |  + 0.3 * least((CASE WHEN len(tk) > 0
+      |           THEN CAST(list_aggregate([length(t) for t in tk], 'sum') AS DOUBLE) / len(tk)
+      |           ELSE 0.0 END) / 8.0, 1.0)
+      |) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
 
   /** Nested-subquery table expression mirroring Sampling.hashBucket:
     * carries `cols` through, adds `bkt`. Nested selects keep the xor-shift
@@ -2073,6 +2102,26 @@ object SparkEntry {
          |SELECT doc_id, key, list_has_all(cpl, ps) AS maybe_dup
          |FROM pos, cp WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
 
+    // incremental ingest: exact screen, cross near-dup screen, quality
+    // floor, bucket split — all per-doc predicates over the batch
+    "p2_incremental_ingest" ->
+      s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
+             pairCond = "a.doc_id % 5 = 4 AND c.doc_id % 5 <> 4")},
+         |q AS (
+         |  SELECT doc_id, lang, text, $duckQualityExpr AS quality FROM (
+         |    SELECT doc_id, lang, text, string_split(text, ' ') AS tk
+         |    FROM documents WHERE doc_id % 5 = 4)),
+         |kept AS (
+         |  SELECT doc_id, lang, quality FROM q
+         |  WHERE text NOT IN (SELECT text FROM documents WHERE doc_id % 5 <> 4)
+         |    AND doc_id NOT IN (SELECT id_a FROM pairs)
+         |    AND quality >= 0.3)
+         |SELECT doc_id, lang, quality,
+         |  CASE WHEN bkt < ${graft.operators.Sampling.bucketThreshold(0.1)}
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM (${duckWithBucket("doc_id, lang, quality", "doc_id", "kept")})
+         |ORDER BY doc_id""".stripMargin,
+
     // incremental near-dup: same signature/band CTEs, pair condition
     // crosses batch x corpus instead of the a < c self-join
     "b3_minhash_incremental" ->
@@ -2115,16 +2164,7 @@ object SparkEntry {
     // pairs over the filtered candidates, recursive connected components,
     // contamination overlap vs the benchmark shingles, hash-bucket split.
     "p1_training_corpus" -> {
-      val qual =
-        """floor((0.3 * least(CAST(len(tk) AS DOUBLE) / 100.0, 1.0)
-          |  + 0.4 * (CASE WHEN len(tk) > 0
-          |           THEN CAST(len(list_filter(tk, t -> t IN
-          |             ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk)
-          |           ELSE 0.0 END)
-          |  + 0.3 * least((CASE WHEN len(tk) > 0
-          |           THEN CAST(list_aggregate([length(t) for t in tk], 'sum') AS DOUBLE) / len(tk)
-          |           ELSE 0.0 END) / 8.0, 1.0)
-          |) * 1000000.0 + 0.5) / 1000000.0""".stripMargin
+      val qual = duckQualityExpr
       s"""WITH RECURSIVE
          |cq AS (
          |  SELECT doc_id, lang, text, $qual AS quality FROM (

@@ -65,4 +65,43 @@ object Pipelines {
       .select(col("doc_id"), col("lang"), col("quality"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** The incremental counterpart of [[trainingCorpus]]: ingest a NEW
+    * batch against an existing corpus — exact-dup screen (Bloom +
+    * anti-join verification of the maybe-set), near-dup screen (batch
+    * bands against corpus bands; the corpus never self-joins), quality
+    * floor, then the same hash-stable split. Every screen here is
+    * per-batch-document independent (cross-corpus only), so the stages
+    * commute and the DuckDB twin is three WHERE predicates — simpler
+    * than p1's within-set clustering, and the reason an incremental
+    * ingest is so much cheaper than re-deduping the union.
+    *
+    * Scale shape (100 TB corpus, small daily batch): the corpus
+    * contributes one Bloom build (tiny shuffle), one keyed anti-join
+    * probed only by the maybe-set, and one banded-LSH side capped per
+    * bucket. Nothing in the plan joins corpus to corpus.
+    *
+    * @return (doc_id, lang, quality, split) of the accepted batch rows
+    */
+  def incrementalIngest(batch: DataFrame, corpus: DataFrame,
+                        qualityMin: Double,
+                        minhash: Dedup.MinHashParams,
+                        testFraction: Double): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+
+    val exactNew = Dedup.bloomIncrementalDedup(batch, corpus, col("text"))
+
+    val nearDupIds = Dedup.minHashNearDupPairsIncremental(
+      exactNew, corpus, "doc_id", "text", minhash)
+      .select(col("batch_id").as("doc_id")).distinct()
+
+    val kept = exactNew
+      .join(nearDupIds, Seq("doc_id"), "left_anti")
+      .withColumn("quality", TextOps.qualityCol(col("text")))
+      .filter(col("quality") >= qualityMin)
+
+    Sampling.trainTestSplit(kept, "doc_id", testFraction)
+      .select(col("doc_id"), col("lang"), col("quality"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }

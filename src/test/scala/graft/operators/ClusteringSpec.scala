@@ -102,6 +102,33 @@ class PipelinesSpec extends SparkSpec {
   }
 }
 
+class IncrementalIngestSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("incrementalIngest drops exact dups, near dups, and low quality") {
+    val goodText = "the cat and the dog sat in the warm sun and it was good"
+    // one appended token: J = 12/13, so a band collision is ~certain
+    val nearText = goodText + " indeed"
+    val corpus = Seq((1L, "en", goodText),
+      (2L, "en", "some other corpus document about completely other things"))
+      .toDF("doc_id", "lang", "text")
+    val batch = Seq(
+      (10L, "en", goodText),  // exact dup of corpus 1 -> dropped
+      (11L, "en", nearText),  // near dup of corpus 1 -> dropped
+      (12L, "en", "x"),       // low quality -> dropped
+      (13L, "en", "a quick brown fox jumps over the lazy dog again and again")
+    ).toDF("doc_id", "lang", "text")
+    val out = Pipelines.incrementalIngest(batch, corpus,
+      qualityMin = 0.2,
+      minhash = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.5),
+      testFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(3)))
+    assert(out.map(_._1).toSeq == Seq(13L))
+    assert(out.forall(r => r._2 == "train" || r._2 == "test"))
+  }
+}
+
 class SamplingSpec extends SparkSpec {
   import spark.implicits._
 
