@@ -1126,6 +1126,22 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // distributed mean pooling: exact per-label centroids in ONE pass
+    // (decomposable vector-sum aggregate, no explode fan-out); output
+    // flattened to scalars for the oracle compare
+    "s5_label_centroids" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      T(s, dir, "embeddings")
+        .groupBy(col("label"))
+        .agg(GraftFunctions.vectorAvg(col("embedding"), 64).as("c"),
+          count(lit(1)).as("n"))
+        .select(col("label").cast("long").as("label"), col("n"),
+          posexplode(col("c")).as(Seq("dim", "v")))
+        .select(col("label"), col("n"), col("dim").cast("long").as("dim"),
+          TextFunctions.roundHalfUp(col("v"), 6).as("c"))
+        .orderBy(col("label"), col("dim"))
+    }),
+
     // ---- multimodal tier ----
 
     "m1_media_meta" -> ((s, dir) => {
@@ -1737,6 +1753,19 @@ object SparkEntry {
         |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
         |  GROUP BY term ORDER BY cnt DESC, term LIMIT 8)
         |ORDER BY cnt DESC, term""".stripMargin,
+
+    // centroids: parallel unnest zips value with 0-based dim; DOUBLE[]
+    // cast for bit-parity with the float->double accumulation
+    "s5_label_centroids" ->
+      """WITH x AS (
+        |  SELECT label,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v,
+        |    unnest(range(0, len(embedding))) AS dim
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n, dim,
+        |  floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS c
+        |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     // count-min: rebuild every cell (sum of colliding keys' counts per
     // (row, position)), estimate = min over rows — sketch verified

@@ -76,7 +76,9 @@ object GraftFunctions {
       intLit(es(1), "graft_cm_agg depth"),
       intLit(es(2), "graft_cm_agg width"))),
     "graft_cm_estimate" -> (es => CountMinEstimate(es(0), es(1),
-      intLit(es(2), "graft_cm_estimate width"))))
+      intLit(es(2), "graft_cm_estimate width"))),
+    "graft_vec_avg" -> (es => VectorAvgAgg(es(0),
+      intLit(es(1), "graft_vec_avg dim"))))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
     * (see [[graft.GraftExtensions]]).
@@ -175,6 +177,12 @@ object GraftFunctions {
     */
   def countMinEstimate(sketch: Column, positions: Column, width: Int): Column =
     call_function("graft_cm_estimate", sketch, positions, lit(width))
+
+  /** Exact element-wise mean of an `array<float>` vector column
+    * (decomposable single-pass centroid) — see [[VectorAvgAgg]].
+    */
+  def vectorAvg(vec: Column, dim: Int): Column =
+    call_function("graft_vec_avg", asFloatArray(vec), lit(dim))
 }
 
 /** Deterministic affine MinHash coefficient family, shared by the Spark

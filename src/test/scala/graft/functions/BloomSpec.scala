@@ -69,6 +69,26 @@ class BloomSpec extends SparkSpec {
       "with 300 keys in 64 cells some estimate must overcount")
   }
 
+  test("vectorAvg equals the explode-based mean and handles empty groups") {
+    import org.apache.spark.sql.functions.{avg, posexplode}
+    GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    val df = (0 until 200).map { i =>
+      (i % 3, Array.fill(8)(rnd.nextFloat()))
+    }.toDF("g", "vec")
+    val fast = df.groupBy("g")
+      .agg(GraftFunctions.vectorAvg(col("vec"), 8).as("c"))
+      .select(col("g"), posexplode(col("c")).as(Seq("d", "v")))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val slow = df.select(col("g"), posexplode(col("vec")).as(Seq("d", "x")))
+      .groupBy("g", "d").agg(avg(col("x").cast("double")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    assert(fast.keySet == slow.keySet)
+    fast.foreach { case (k, v) =>
+      assert(math.abs(v - slow(k)) < 1e-9, s"$k: $v vs ${slow(k)}")
+    }
+  }
+
   test("partial filters merge: union of two half-corpora equals one pass") {
     val a = (0 until 100).map(i => s"w$i").toDF("key")
     val b = (100 until 200).map(i => s"w$i").toDF("key")
