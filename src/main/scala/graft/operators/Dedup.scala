@@ -183,6 +183,13 @@ object Dedup {
     * corpus², and the corpus side is capped per bucket (`maxBucket`)
     * against degenerate shingles. Only candidates pay exact-Jaccard
     * verification. Output: (batch_id, corpus_id, jaccard) ≥ threshold.
+    *
+    * The corpus signature subtree is referenced twice (band join +
+    * verification) — for a one-off ingest that is two corpus passes. A
+    * production pipeline ingesting daily should persist the corpus's
+    * (shingles, minhash, band keys) as a table once and pass a reader of
+    * it here: signatures append-only, so the index costs one write per
+    * corpus growth, not one compute per batch.
     */
   def minHashNearDupPairsIncremental(batch: DataFrame, corpus: DataFrame,
                                      idCol: String, textCol: String,
@@ -455,8 +462,18 @@ object Dedup {
     */
   def bloomIncrementalDedup(batch: DataFrame, corpus: DataFrame, key: Column,
                             mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
-    val screened = bloomScreen(batch, bloomFilter(corpus, key, mBits, k),
-      key, mBits, k)
+    // The one-row filter frame is referenced from every downstream branch
+    // (definite + verified, and whatever the caller composes on top);
+    // without materialization each reference re-plans the WHOLE corpus
+    // aggregation subtree — measured as 5 extra corpus scans in the p2
+    // pipeline's physical plan. Checkpointing 32 KiB caps the bloom build
+    // at exactly one corpus pass, lineage-free.
+    val bloom = bloomFilter(corpus, key, mBits, k).localCheckpoint()
+    // Screened batch feeds both branches (and whatever the caller builds
+    // on the union); the batch is the bounded side of an incremental
+    // ingest by contract, so materializing it once is cheaper than
+    // re-scanning it per reference.
+    val screened = bloomScreen(batch, bloom, key, mBits, k).localCheckpoint()
     val definite = screened.filter(!col("maybe_dup")).drop("maybe_dup")
     val verified = screened.filter(col("maybe_dup")).drop("maybe_dup")
       .join(corpus.select(key.as("__corpus_key")).distinct(),
