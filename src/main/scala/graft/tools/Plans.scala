@@ -127,16 +127,16 @@ object Plans {
         |partitions). At 100 TB quantization is the memory/IO lever: int8
         |elements pack ~4x denser on disk and in executor memory.""".stripMargin,
     "p2_incremental_ingest" ->
-      """Incremental ingest (flagship composition). Reading bottom-up: the
-        |corpus appears exactly three times — once reduced map-side to a
-        |32 KiB Bloom partial, once keyed-only for the anti-join that
-        |verifies the maybe-set, once as the capped band side of the
-        |near-dup join. It NEVER joins itself. The batch flows through the
-        |bloom screen (broadcast one-row filter), the band join, the
-        |codegen'd quality projection, and the stateless hash split. At a
-        |100 TB corpus with a daily batch, every corpus touch is a scan or
-        |a partial aggregate — the minimum an exact incremental ingest can
-        |pay.""".stripMargin,
+      """Incremental ingest (flagship composition). The Bloom filter and
+        |the screened batch are checkpointed, so the corpus feeds the
+        |bloom build exactly once and the batch materializes once (was 27
+        |scan nodes before the checkpoints, 9 after). What remains
+        |corpus-side is the keyed anti-join plus the MinHash signature
+        |subtree, which Spark re-plans per reference (band side +
+        |verification) — the scaladoc's persisted-signature-index note is
+        |the production fix for daily re-ingest. The corpus NEVER joins
+        |itself; candidate volume tracks the batch's band-bucket
+        |occupancy.""".stripMargin,
     "b1_bloom_incremental" ->
       """Bloom incremental-dedup screen. The filter builds as
         |partial_graft_bloom_agg -> exchange -> final (each map task ships
