@@ -44,10 +44,14 @@ object Bench {
       // vs a 2.4 s warm truth measured in a quiet JVM — best-of-2 is not
       // enough when a long-lived 60-query JVM has a bad stretch). One extra
       // run after a forced GC costs seconds total and kills the outliers.
+      // A FAILED third run is discarded, not folded in — two valid
+      // measurements must never be converted into a -1 by the run that
+      // was added to rescue them.
       val times =
         if (two.forall(_ >= 0) && two.max > two.min * 1.5) {
           System.gc()
-          two :+ timed()
+          val t3 = timed()
+          if (t3 >= 0) two :+ t3 else two
         } else two
       // Leftover cached blocks (operators may persist internally) are dead
       // weight for every later query's GC — drop them between queries, then

@@ -47,11 +47,15 @@ object BloomKernel {
 
 }
 
-/** `array<long>` of the k Bloom bit positions of a string key. */
+/** `array<long>` of the k double-hashed positions of a string key in
+  * [0, mBits). Also the cell-index generator for the count-min sketch
+  * (k = depth, mBits = width) — the 64-alignment the Bloom WORD layout
+  * needs is enforced by [[BloomWordsAgg]], not here, so count-min widths
+  * like the ⌈e/ε⌉ sizing stay legal.
+  */
 case class BloomPositions(child: Expression, k: Int, mBits: Int)
     extends UnaryExpression {
-  require(k > 0 && mBits > 0 && mBits % 64 == 0,
-    "k must be positive and mBits a positive multiple of 64")
+  require(k > 0 && mBits > 0, "k and mBits must be positive")
   override def prettyName: String = "graft_bloom_positions"
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullIntolerant: Boolean = true

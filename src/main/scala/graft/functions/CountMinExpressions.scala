@@ -47,6 +47,9 @@ case class CountMinAgg(
     val ps = positionsExpr.eval(input)
     if (ps != null) {
       val arr = ps.asInstanceOf[ArrayData]
+      require(arr.numElements() == depth,
+        s"count-min positions of length ${arr.numElements()} in a " +
+          s"depth=$depth sketch — build positions with k = depth")
       var r = 0
       while (r < depth) {
         buf(r * width + arr.getLong(r).toInt) += 1L
@@ -99,6 +102,9 @@ case class CountMinEstimate(left: Expression, right: Expression, width: Int)
     val sk = sketch.asInstanceOf[ArrayData]
     val ps = positions.asInstanceOf[ArrayData]
     val d = ps.numElements()
+    require(d.toLong * width <= sk.numElements(),
+      s"count-min estimate probes $d rows of width $width but the sketch " +
+        s"has only ${sk.numElements()} cells — depth/width mismatch")
     var best = Long.MaxValue
     var r = 0
     while (r < d) {
@@ -117,6 +123,11 @@ case class CountMinEstimate(left: Expression, right: Expression, width: Int)
       s"""
          |${ev.value} = Long.MAX_VALUE;
          |int $d = $ps.numElements();
+         |if ((long) $d * $width > $sk.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "count-min depth/width mismatch: " + $d + " rows of width " +
+         |    $width + " vs " + $sk.numElements() + " cells");
+         |}
          |for (int $r = 0; $r < $d; $r++) {
          |  long $v = $sk.getLong($r * $width + (int) $ps.getLong($r));
          |  if ($v < ${ev.value}) ${ev.value} = $v;

@@ -46,7 +46,15 @@ case class VectorAvgAgg(
       require(arr.numElements() == dim,
         s"vector of ${arr.numElements()} elements in a dim=$dim aggregate")
       var i = 0
-      while (i < dim) { buf.sums(i) += arr.getFloat(i); i += 1 }
+      while (i < dim) {
+        // An exact mean has no defined semantics for a null ELEMENT
+        // (skip? zero?) — and unsafe rows would silently read 0.0 while
+        // generic rows NPE. Reject loudly instead of diverging.
+        require(!arr.isNullAt(i),
+          s"null element at index $i — vectors must be fully populated")
+        buf.sums(i) += arr.getFloat(i)
+        i += 1
+      }
       buf.count += 1L
     }
     buf

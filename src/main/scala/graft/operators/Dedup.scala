@@ -424,8 +424,18 @@ object Dedup {
   def bloomFilter(corpus: DataFrame, key: Column,
                   mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
     GraftFunctions.register(corpus.sparkSession)
+    // The frame carries its own (mBits, k) so every probe site can verify
+    // it probes with the geometry the filter was BUILT with — a mismatch
+    // would silently produce false negatives (positions mod a different m
+    // touch the wrong words), which breaks the "false = definitely
+    // absent" contract. Checkpointed: a filter is built once per ingest
+    // cycle and referenced many times; without materialization every
+    // reference re-plans the whole corpus aggregation.
     corpus.agg(GraftFunctions.bloomAgg(
-      GraftFunctions.bloomPositions(key, k, mBits), mBits).as("words"))
+        GraftFunctions.bloomPositions(key, k, mBits), mBits).as("words"))
+      .withColumn("mbits", lit(mBits))
+      .withColumn("k", lit(k))
+      .localCheckpoint()
   }
 
   /** Screen a new batch against a corpus Bloom filter: adds `maybe_dup` —
@@ -440,7 +450,14 @@ object Dedup {
   def bloomScreen(batch: DataFrame, bloom: DataFrame, key: Column,
                   mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
-    batch.crossJoin(broadcast(bloom))
+    // Geometry check against the filter's own metadata (cheap: the frame
+    // is one checkpointed row). Probing with a different (mBits, k) than
+    // the build would yield silent false negatives — fail loudly instead.
+    val meta = bloom.select(col("mbits"), col("k")).head()
+    require(meta.getInt(0) == mBits && meta.getInt(1) == k,
+      s"bloom geometry mismatch: filter built with (mBits=${meta.getInt(0)}, " +
+        s"k=${meta.getInt(1)}), probed with (mBits=$mBits, k=$k)")
+    batch.crossJoin(broadcast(bloom.select(col("words"))))
       .withColumn("maybe_dup", GraftFunctions.bloomContains(col("words"),
         GraftFunctions.bloomPositions(key, k, mBits)))
       .drop("words")
@@ -462,17 +479,13 @@ object Dedup {
     */
   def bloomIncrementalDedup(batch: DataFrame, corpus: DataFrame, key: Column,
                             mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
-    // The one-row filter frame is referenced from every downstream branch
-    // (definite + verified, and whatever the caller composes on top);
-    // without materialization each reference re-plans the WHOLE corpus
-    // aggregation subtree — measured as 5 extra corpus scans in the p2
-    // pipeline's physical plan. Checkpointing 32 KiB caps the bloom build
-    // at exactly one corpus pass, lineage-free.
-    val bloom = bloomFilter(corpus, key, mBits, k).localCheckpoint()
-    // Screened batch feeds both branches (and whatever the caller builds
-    // on the union); the batch is the bounded side of an incremental
-    // ingest by contract, so materializing it once is cheaper than
-    // re-scanning it per reference.
+    // bloomFilter checkpoints the one-row frame itself, so the corpus
+    // feeds the build exactly once no matter how many branches reference
+    // it (measured: 27 -> 9 scan nodes in p2's plan). The screened batch
+    // feeds both union branches (and whatever the caller composes on
+    // top); the batch is the bounded side of an incremental ingest by
+    // contract, so materializing it once beats re-scanning per reference.
+    val bloom = bloomFilter(corpus, key, mBits, k)
     val screened = bloomScreen(batch, bloom, key, mBits, k).localCheckpoint()
     val definite = screened.filter(!col("maybe_dup")).drop("maybe_dup")
     val verified = screened.filter(col("maybe_dup")).drop("maybe_dup")

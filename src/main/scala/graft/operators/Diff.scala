@@ -28,14 +28,19 @@ object Diff {
     val payload = oldDf.columns.filterNot(keys.contains)
       .filter(newDf.columns.contains(_)).toSeq
     require(payload.nonEmpty, "snapshots share no payload columns to compare")
-    val o = oldDf.select((keys ++ payload).map(c => col(c).as(s"__o_$c")): _*)
-    val n = newDf.select((keys ++ payload).map(c => col(c).as(s"__n_$c")): _*)
+    // Presence is tracked with explicit flags, NOT key nullness: a row
+    // whose key column is itself null (never matched by the equi-join)
+    // must still classify by the side it came from.
+    val o = oldDf.select((keys ++ payload).map(c => col(c).as(s"__o_$c")) :+
+      lit(true).as("__in_old"): _*)
+    val n = newDf.select((keys ++ payload).map(c => col(c).as(s"__n_$c")) :+
+      lit(true).as("__in_new"): _*)
     val joinCond = keys.map(k => col(s"__o_$k") === col(s"__n_$k"))
       .reduce(_ && _)
     val same = payload.map(c => col(s"__o_$c") <=> col(s"__n_$c"))
       .reduce(_ && _)
-    val keyIsOld = col(s"__o_${keys.head}").isNotNull
-    val keyIsNew = col(s"__n_${keys.head}").isNotNull
+    val keyIsOld = coalesce(col("__in_old"), lit(false))
+    val keyIsNew = coalesce(col("__in_new"), lit(false))
     o.join(n, joinCond, "full_outer")
       .select(
         keys.map(k => coalesce(col(s"__o_$k"), col(s"__n_$k")).as(k)) :+

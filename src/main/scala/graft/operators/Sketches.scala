@@ -42,7 +42,9 @@ object Sketches {
     val bloom = Dedup.bloomFilter(dim, col(dimKey), mBits, k)
     val screened = Dedup.bloomScreen(fact, bloom, col(factKey), mBits, k)
       .filter(col("maybe_dup")).drop("maybe_dup")
-    screened.join(dim, col(factKey) === dim(dimKey))
+    // dataframe-qualified refs: with factKey == dimKey an unqualified
+    // col() would be ambiguous and fail analysis
+    screened.join(dim, screened(factKey) === dim(dimKey))
   }
 
   /** Adds `cm_est` — the sketch's count estimate for `key` on every row

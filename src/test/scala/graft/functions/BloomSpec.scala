@@ -69,6 +69,52 @@ class BloomSpec extends SparkSpec {
       "with 300 keys in 64 cells some estimate must overcount")
   }
 
+  test("bloomScreen rejects probing with a different geometry than the build") {
+    val corpus = (0 until 50).map(i => s"g$i").toDF("key")
+    val bloom = Dedup.bloomFilter(corpus, col("key"), mBits, k)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bloomScreen(corpus, bloom, col("key"), mBits / 2, k)
+    }
+    assert(ex.getMessage.contains("geometry mismatch"))
+    val ex2 = intercept[IllegalArgumentException] {
+      Dedup.bloomScreen(corpus, bloom, col("key"), mBits, k + 1)
+    }
+    assert(ex2.getMessage.contains("geometry mismatch"))
+  }
+
+  test("count-min accepts non-64-aligned widths (the e/eps sizing)") {
+    import graft.operators.Sketches
+    val rows = (0 until 40).map(i => s"w$i").toDF("key")
+    val truth = rows.groupBy("key").count().withColumnRenamed("count", "true_cnt")
+    val est = Sketches.countMinEstimates(truth,
+      Sketches.countMinSketch(rows, col("key"), depth = 4, width = 272),
+      col("key"), depth = 4, width = 272)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    est.foreach { case (t, e) => assert(e >= t) }
+  }
+
+  test("bloomPrefilteredJoin works with identically named join keys") {
+    import graft.operators.Sketches
+    val fact = (0 until 100).map(i => (i.toLong, i * 2.0)).toDF("key", "v")
+    val dim = (0 until 100 by 10).map(_.toLong).toDF("key")
+    val got = Sketches.bloomPrefilteredJoin(fact, dim, "key", "key",
+      mBits = 1 << 12, k = 5)
+      .select(fact("key")).collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == (0L until 100L by 10).toSeq)
+  }
+
+  test("vectorAvg rejects a null vector element instead of diverging") {
+    GraftFunctions.register(spark)
+    val df = Seq(Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](2.0f, 3.0f))
+      .toDF("vec")
+    val ex = intercept[Exception] {
+      df.agg(GraftFunctions.vectorAvg(col("vec"), 2)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("null element")), ex.toString)
+  }
+
   test("vectorAvg equals the explode-based mean and handles empty groups") {
     import org.apache.spark.sql.functions.{avg, posexplode}
     GraftFunctions.register(spark)

@@ -21,6 +21,21 @@ class DiffSpec extends SparkSpec {
       3L -> "changed", 4L -> "added"))
   }
 
+  test("snapshotDiff classifies null-key rows by the side they came from") {
+    val oldDf = Seq((Option(1L), "a"), (Option.empty[Long], "ghost"))
+      .toDF("id", "s")
+    val newDf = Seq((Option(1L), "a"), (Option.empty[Long], "spirit"))
+      .toDF("id", "s")
+    val got = Diff.snapshotDiff(oldDf, newDf, Seq("id"))
+      .collect().map(r =>
+        (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getString(1))
+    // null keys never equi-join: the old one is a removal, the new one an
+    // addition — neither may masquerade as the other
+    assert(got.count(_ == (None -> "removed")) == 1)
+    assert(got.count(_ == (None -> "added")) == 1)
+    assert(got.contains(Some(1L) -> "unchanged"))
+  }
+
   test("snapshotDiff compares null payloads null-safely") {
     val oldDf = Seq((1L, Option.empty[String]), (2L, Some("x")))
       .toDF("id", "s")
