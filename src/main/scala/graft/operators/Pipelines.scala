@@ -42,9 +42,14 @@ object Pipelines {
                      testFraction: Double): DataFrame = {
     GraftFunctions.register(docs.sparkSession)
 
+    // Referenced three times (near-dup pairs, contamination, final keep):
+    // materialize once instead of re-scanning + re-scoring the corpus per
+    // reference — the staging table every production pipeline writes
+    // between phases, in local-checkpoint form.
     val cand = docs
       .withColumn("quality", TextOps.qualityCol(col("text")))
       .filter(col("quality") >= qualityMin)
+      .localCheckpoint()
 
     // near-dup removal: keep each cluster's representative (min id);
     // docs in no pair are untouched
