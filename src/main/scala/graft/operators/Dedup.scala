@@ -126,6 +126,12 @@ object Dedup {
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
                           p: MinHashParams = MinHashParams()): DataFrame = {
     GraftFunctions.register(df.sparkSession)
+    // NOTE (measured, twice): do NOT localCheckpoint `signed` here even
+    // though it is referenced three times — serializing the shingle
+    // arrays costs more than recomputing them through the codegen'd
+    // kernels (d2 0.97 s -> 1.52 s when checkpointed at sf0.1). The
+    // staging-table trade only pays when the recompute includes a corpus
+    // scan + wide projection (see Pipelines.trainingCorpus's cand).
     val signed = withMinHashSignature(df, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
