@@ -976,6 +976,14 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // fuzzy short-key dedup: levenshtein <= 2 over 3-token titles with
+    // lossless length-band blocking; oracle = the naive quadratic join
+    "d7_edit_distance_pairs" -> ((s, dir) =>
+      Dedup.editDistancePairs(
+        T(s, dir, "documents").withColumn("title",
+          array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ")),
+        "doc_id", "title", maxDist = 2)),
+
     // incremental NEAR-dup: a new batch's MinHash bands join the corpus's
     // bands — candidates track the batch, the corpus never self-joins
     "b3_minhash_incremental" -> ((s, dir) => {
@@ -2150,6 +2158,21 @@ object SparkEntry {
          |       THEN 'test' ELSE 'train' END AS split
          |FROM (${duckWithBucket("doc_id, lang, quality", "doc_id", "kept")})
          |ORDER BY doc_id""".stripMargin,
+
+    // fuzzy dedup: the band blocking is lossless, so the naive quadratic
+    // join with the same distance bound is an exact twin
+    "d7_edit_distance_pairs" ->
+      """WITH t AS (
+        |  SELECT doc_id AS id,
+        |    array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ')
+        |      AS key
+        |  FROM documents)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.key, b.key) AS BIGINT) AS dist
+        |FROM t a JOIN t b
+        |  ON a.id < b.id AND abs(length(a.key) - length(b.key)) <= 2
+        |WHERE levenshtein(a.key, b.key) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
 
     // incremental near-dup: same signature/band CTEs, pair condition
     // crosses batch x corpus instead of the a < c self-join

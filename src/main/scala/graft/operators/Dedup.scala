@@ -413,6 +413,46 @@ object Dedup {
     * oracle. The prefix uses |X| - floor(t|X|) + 1 (>= the tight bound,
     * immune to FP wobble at integer boundaries of t·|X|).
     */
+  /** Fuzzy (edit-distance) near-dup pairs over a SHORT key — titles,
+    * names, normalized URLs: `(id_a, id_b, dist)` with
+    * levenshtein ≤ maxDist. The missing family member between exact
+    * dedup (hash) and token-set dedup (Jaccard/MinHash): single-token
+    * typos move Jaccard barely but edit distance by 1.
+    *
+    * Blocking is PROVABLY lossless: any pair within edit distance d has
+    * |len_a − len_b| ≤ d, so with band = len div bandWidth and
+    * bandWidth > maxDist, a match lies in the same or an adjacent band —
+    * the left side fans out to {band−1, band, band+1} and the band join
+    * covers every qualifying pair exactly once per orientation. Work is
+    * quadratic only within a length band (pair count tracks band
+    * occupancy, not corpus²); verification uses the threshold form of
+    * levenshtein, which abandons a pair as soon as the running distance
+    * exceeds maxDist.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
+                        maxDist: Int, bandWidth: Int = 4): DataFrame = {
+    require(maxDist >= 0, "maxDist must be non-negative")
+    require(bandWidth > maxDist,
+      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) or adjacent " +
+        "bands would not cover all qualifying length differences")
+    val keyed = df.select(col(idCol).cast("long").as("id"),
+        col(keyCol).as("key"))
+      .filter(col("key").isNotNull)
+      .withColumn("__band", floor(length(col("key")) / bandWidth))
+    val fanned = keyed.withColumn("__band",
+      explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
+    val lev = levenshtein(col("key_a"), col("key_b"), maxDist)
+    fanned.select(col("id").as("id_a"), col("key").as("key_a"), col("__band"))
+      .join(keyed.select(col("id").as("id_b"), col("key").as("key_b"),
+        col("__band")), Seq("__band"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDist)
+      .withColumn("dist", lev.cast("long"))
+      .filter(col("dist") >= 0)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Bloom filter of `key` over a corpus: ONE row `{words: array<long>}`
     * of mBits/64 words — the membership sketch for incremental dedup.
     *

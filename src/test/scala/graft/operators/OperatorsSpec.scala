@@ -42,6 +42,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.head.getDouble(2) > 0.8)
   }
 
+  test("editDistancePairs equals the naive quadratic join (lossless banding)") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val rnd = new scala.util.Random(17)
+    val words = (0 until 60).map { i =>
+      val base = s"title${i % 20}x" // clusters of similar keys
+      if (rnd.nextBoolean()) base.dropRight(rnd.nextInt(2)) else base + "q"
+    }
+    val df = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+      .toDF("doc_id", "title")
+    val got = Dedup.editDistancePairs(df, "doc_id", "title", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = (for {
+      i <- words.indices; j <- words.indices if i < j
+      d = lev(words(i), words(j)) if d <= 2
+    } yield (i.toLong, j.toLong, d.toLong)).toSet
+    assert(want.nonEmpty, "fixture must contain close pairs")
+    assert(got == want)
+  }
+
   test("incremental minhash equals the cross-side slice of the full pair set") {
     val rnd = new scala.util.Random(7)
     // 12 base docs, each with a 1-token-mutated near-dup, ids interleaved
