@@ -419,35 +419,74 @@ object Dedup {
     * dedup (hash) and token-set dedup (Jaccard/MinHash): single-token
     * typos move Jaccard barely but edit distance by 1.
     *
-    * Blocking is PROVABLY lossless: any pair within edit distance d has
-    * |len_a − len_b| ≤ d, so with band = len div bandWidth and
-    * bandWidth > maxDist, a match lies in the same or an adjacent band —
-    * the left side fans out to {band−1, band, band+1} and the band join
-    * covers every qualifying pair exactly once per orientation. Work is
-    * quadratic only within a length band (pair count tracks band
-    * occupancy, not corpus²); verification uses the threshold form of
-    * levenshtein, which abandons a pair as soon as the running distance
-    * exceeds maxDist.
+    * Blocking is the PassJoin segment pigeonhole (Li et al., VLDB'11),
+    * PROVABLY lossless: partition the indexed string into d+1 contiguous
+    * segments — at most d of them can be touched by ≤ d edits, so at
+    * least one survives VERBATIM as a substring of the other string,
+    * shifted by at most d. The index side emits its d+1 segments keyed
+    * (length, segIdx, content); the probe side enumerates, for each
+    * candidate partner length within ±d, each segment's substring at
+    * every admissible shift — a bounded per-row constant
+    * ((2d+1)·(d+1)·(2d+1) ≈ 75 keys at d=2), and the equi-join on
+    * CONTENT-bearing keys collapses candidates to near-matches instead
+    * of everything sharing a length band (measured at sf0.1: 11.9 s
+    * length-banded → content-keyed, see BENCH). Survivors are verified
+    * with the threshold levenshtein, which abandons a pair as soon as
+    * the running distance exceeds maxDist.
     */
   def editDistancePairs(df: DataFrame, idCol: String, keyCol: String,
-                        maxDist: Int, bandWidth: Int = 4): DataFrame = {
+                        maxDist: Int): DataFrame = {
     require(maxDist >= 0, "maxDist must be non-negative")
-    require(bandWidth > maxDist,
-      s"bandWidth ($bandWidth) must exceed maxDist ($maxDist) or adjacent " +
-        "bands would not cover all qualifying length differences")
+    val d = maxDist
+    val parts = d + 1
     val keyed = df.select(col(idCol).cast("long").as("id"),
         col(keyCol).as("key"))
       .filter(col("key").isNotNull)
-      .withColumn("__band", floor(length(col("key")) / bandWidth))
-    val fanned = keyed.withColumn("__band",
-      explode(array(col("__band") - 1, col("__band"), col("__band") + 1)))
-    val lev = levenshtein(col("key_a"), col("key_b"), maxDist)
-    fanned.select(col("id").as("id_a"), col("key").as("key_a"), col("__band"))
-      .join(keyed.select(col("id").as("id_b"), col("key").as("key_b"),
-        col("__band")), Seq("__band"))
+
+    // canonical segmentation of a length-m string: the first (m mod parts)
+    // segments get one extra char; start_i = i*q + min(i, r)
+    def idiv(a: Column): Column =
+      ((a - pmod(a, lit(parts))) / lit(parts)).cast("int")
+    def segLen(m: Column, i: Column) =
+      idiv(m) + when(i < pmod(m, lit(parts)), 1).otherwise(0)
+    def segStart(m: Column, i: Column) =
+      i * idiv(m) + least(i, pmod(m, lit(parts)))
+
+    val n = length(col("key"))
+    // index side: this string's own d+1 segments
+    val segStructs = transform(sequence(lit(0), lit(d)), i =>
+      struct(n.as("m"), i.as("i"),
+        col("key").substr(segStart(n, i) + 1, segLen(n, i)).as("s")))
+    val index = keyed.select(col("id").as("id_b"), col("key").as("key_b"),
+        explode(segStructs).as("sg"))
+      .select(col("id_b"), col("key_b"),
+        col("sg.m").as("m"), col("sg.i").as("i"), col("sg.s").as("s"))
+
+    // probe side: for each partner length m in [n-d, n+d] and segment i of
+    // the length-m segmentation, every admissible substring shift p in
+    // [start_i - d, start_i + d] ∩ [0, n - L_i]
+    val probeStructs = flatten(transform(
+      sequence(greatest(lit(1), n - d), n + d), m =>
+        flatten(transform(sequence(lit(0), lit(d)), i => {
+          val li = segLen(m, i)
+          val lo = greatest(lit(0), segStart(m, i) - d)
+          val hi = least(n - li, segStart(m, i) + d)
+          when(hi >= lo, transform(sequence(lo, hi), p =>
+            struct(m.as("m"), i.as("i"),
+              col("key").substr(p + 1, li).as("s"))))
+            .otherwise(array().cast("array<struct<m:int,i:int,s:string>>"))
+        }))))
+    val probes = keyed.select(col("id").as("id_a"), col("key").as("key_a"),
+        explode(probeStructs).as("sg"))
+      .select(col("id_a"), col("key_a"),
+        col("sg.m").as("m"), col("sg.i").as("i"), col("sg.s").as("s"))
+
+    val cand = probes.join(index, Seq("m", "i", "s"))
       .filter(col("id_a") < col("id_b"))
-      .filter(abs(length(col("key_a")) - length(col("key_b"))) <= maxDist)
-      .withColumn("dist", lev.cast("long"))
+      .select("id_a", "key_a", "id_b", "key_b").distinct()
+
+    cand
+      .withColumn("dist", levenshtein(col("key_a"), col("key_b"), d).cast("long"))
       .filter(col("dist") >= 0)
       .select(col("id_a"), col("id_b"), col("dist"))
       .orderBy(col("id_a"), col("id_b"))
