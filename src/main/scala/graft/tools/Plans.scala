@@ -126,6 +126,17 @@ object Plans {
         |partial_graft_topk BEFORE the exchange, shuffle O(k x
         |partitions). At 100 TB quantization is the memory/IO lever: int8
         |elements pack ~4x denser on disk and in executor memory.""".stripMargin,
+    "d7_edit_distance_pairs" ->
+      """Fuzzy dedup via PassJoin. Both sides explode a bounded per-row
+        |constant of (length, segIdx, content) keys — the probe side ~75,
+        |the index side d+1 — and the candidate join is an equi-join on
+        |content-bearing keys, so candidate volume tracks near-matches,
+        |not length-band population (the length-band version paid 10M
+        |levenshtein calls at sf0.1; this pays thousands). Verification
+        |uses the threshold levenshtein. At 100 TB: per-row emit cost is
+        |constant, the join partitions on segment content (high
+        |cardinality, naturally spread), and no side is ever quadratic
+        |before verification.""".stripMargin,
     "p2_incremental_ingest" ->
       """Incremental ingest (flagship composition). The Bloom filter and
         |the screened batch are checkpointed, so the corpus feeds the
