@@ -221,6 +221,24 @@ object SparkEntry {
         .orderBy(col("hour_epoch"), col("event_type"))
     }),
 
+    // grouped top-k through the bounded TopKByScore aggregate (the
+    // general analytics shape of the similarity ranker): map-side
+    // partials carry <= k rows per group, unlike the window formulation
+    // that shuffles every row before discarding (q8 keeps the window
+    // twin). Oracle = the row_number formulation.
+    "q47_grouped_topk" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      T(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(GraftFunctions.topK(col("o_totalprice"), col("o_orderkey"), 3)
+          .as("tk"))
+        .select(col("o_orderpriority"), posexplode(col("tk")).as(Seq("r0", "e")))
+        .select(col("o_orderpriority"), (col("r0") + 1).cast("long").as("rank"),
+          col("e.id").as("o_orderkey"),
+          round(col("e.score"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
     // the full join-type spectrum on one keyed pair, summarized so the
     // oracle pins the semantics of each type
     "q44_join_types" -> ((s, dir) => {
@@ -1423,6 +1441,17 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // the bounded aggregate's (score DESC, id ASC) total order == the
+    // row_number formulation's ORDER BY
+    "q47_grouped_topk" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rank,
+        |    o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |  FROM orders)
+        |WHERE rank <= 3 ORDER BY o_orderpriority, rank""".stripMargin,
 
     "q44_join_types" ->
       """WITH c AS (SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0),
