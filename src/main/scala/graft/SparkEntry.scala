@@ -1095,6 +1095,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // temperature mixing with repetition: rare strata get epochs > 1
+    // (deterministic copy counts from the hash bucket), common strata
+    // downsample — expected counts hit the alpha-temperature target
+    "q48_temperature_epochs" -> ((s, dir) =>
+      Sampling.temperatureMixEpochs(T(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.3, targetFrac = 0.5)
+        .select(col("doc_id"), col("lang"), col("rep"))
+        .orderBy(col("doc_id"), col("rep"))),
+
     // deterministic train/test split: disjoint, exhaustive, reproducible
     "q21_train_test_split" -> ((s, dir) =>
       Sampling.trainTestSplit(T(s, dir, "documents"), "doc_id", 0.1)
@@ -2306,6 +2315,28 @@ object SparkEntry {
          |SELECT doc_id, lang
          |FROM (${duckWithBucket("doc_id, lang", "doc_id")}) JOIN rates USING (lang)
          |WHERE bkt < thr ORDER BY doc_id""".stripMargin,
+
+    // epochs mix: same rate derivation, copies = floor(rate) + bucket
+    // fraction; unnest(range) fans each row out to its copy count
+    "q48_temperature_epochs" ->
+      s"""WITH cnt AS (
+         |  SELECT lang, CAST(count(*) AS DOUBLE) AS c
+         |  FROM documents GROUP BY lang),
+         |tot AS (SELECT sum(pow(c, 0.3)) AS sw, sum(c) AS n FROM cnt),
+         |rates AS (
+         |  SELECT lang, CAST(floor(r) AS BIGINT) AS base,
+         |    CAST(floor((r - floor(r)) * 10000.0 + 0.5) AS BIGINT) AS fthr
+         |  FROM (SELECT lang, 0.5 * n * pow(c, 0.3) / sw / c AS r
+         |        FROM cnt, tot)),
+         |w AS (SELECT doc_id, lang, bkt
+         |      FROM (${duckWithBucket("doc_id, lang", "doc_id")})),
+         |cp AS (
+         |  SELECT doc_id, w.lang AS lang,
+         |    base + (CASE WHEN bkt < fthr THEN 1 ELSE 0 END) AS copies
+         |  FROM w JOIN rates USING (lang))
+         |SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS rep
+         |FROM cp WHERE copies > 0
+         |ORDER BY doc_id, rep""".stripMargin,
 
     "q21_train_test_split" ->
       s"""SELECT split, count(*) AS cnt,

@@ -121,6 +121,45 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** [[temperatureMix]] with repetition: when a stratum's α-temperature
+    * target EXCEEDS its size, rows repeat (the "epochs > 1 for rare
+    * domains" trick of LM data mixtures) instead of capping at full
+    * retention. Every row gets `floor(rate)` copies plus one more when
+    * its hash bucket falls under the fractional part — so expected
+    * per-stratum output hits the target exactly, each key's copy count
+    * is a pure function of (key, stratum counts), and the oracle
+    * recomputes it. Output carries `rep` (1-based copy index) so
+    * downstream shuffles can spread copies.
+    *
+    * Scale shape: identical to [[temperatureMix]] (two tiny aggregations
+    * + broadcast thresholds) plus a bounded `sequence` explode — fan-out
+    * is the repetition factor, never unbounded.
+    */
+  def temperatureMixEpochs(df: DataFrame, keyCol: String, strataCol: String,
+                           alpha: Double, targetFrac: Double): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
+    require(targetFrac > 0.0, s"targetFrac must be positive: $targetFrac")
+    GraftFunctions.register(df.sparkSession)
+    val cnt = df.groupBy(col(strataCol))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val tot = cnt.agg(sum(pow(col("__c"), lit(alpha))).as("__sw"),
+      sum(col("__c")).as("__n"))
+    val rates = cnt.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        lit(targetFrac) * col("__n") * pow(col("__c"), lit(alpha)) /
+          col("__sw") / col("__c"))
+      .select(col(strataCol),
+        floor(col("__rate")).cast("long").as("__base"),
+        floor((col("__rate") - floor(col("__rate"))) * lit(Buckets.toDouble)
+          + lit(0.5)).cast("long").as("__fthr"))
+    df.join(broadcast(rates), strataCol)
+      .withColumn("__copies", col("__base") +
+        when(hashBucket(col(keyCol)) < col("__fthr"), 1L).otherwise(0L))
+      .filter(col("__copies") > 0)
+      .withColumn("rep", explode(sequence(lit(1L), col("__copies"))))
+      .drop("__base", "__fthr", "__copies")
+  }
+
   /** Adds a `split` column: "test" for the first `testFraction` of
     * buckets, "train" otherwise. Disjoint and exhaustive by construction;
     * a document can never leak between splits across runs.

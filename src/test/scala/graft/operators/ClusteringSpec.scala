@@ -179,6 +179,25 @@ class SamplingSpec extends SparkSpec {
     assert(eq("big") < nat("big") && eq("rare") > nat("rare"))
   }
 
+  test("temperatureMixEpochs upsamples rare strata and hits expected totals") {
+    val df = ((0 until 1800).map(i => (i.toLong, "big")) ++
+      (2000 until 2200).map(i => (i.toLong, "rare")))
+      .toDF("doc_id", "stratum")
+    // alpha=0: equal targets of 1000 each -> rare gets ~5 copies per row
+    val out = Sampling.temperatureMixEpochs(df, "doc_id", "stratum", 0.0, 1.0)
+      .groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(out("big") - 1000L) < 80, out.toString)
+    assert(math.abs(out("rare") - 1000L) < 80, out.toString)
+    // copy indexes are dense per key
+    import org.apache.spark.sql.functions.{col, count, lit, max}
+    val reps = Sampling.temperatureMixEpochs(df, "doc_id", "stratum", 0.0, 1.0)
+      .filter(col("stratum") === "rare").groupBy("doc_id")
+      .agg(max("rep").as("mx"), count(lit(1)).as("n"))
+      .collect()
+    reps.foreach(r => assert(r.getLong(1) == r.getLong(2), r.toString))
+  }
+
   test("temperatureMix is deterministic and a subset of the input") {
     val df = (0 until 500).map(i => (i.toLong, if (i % 5 == 0) "a" else "b"))
       .toDF("doc_id", "stratum")
