@@ -239,6 +239,28 @@ object SparkEntry {
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
+    // null-semantics battery: nulls synthesized deterministically, then
+    // coalesce / nullif / null-safe equality / conditional defaults /
+    // null-skipping aggregation — the ANSI corner cases that silently
+    // diverge between engines if untested
+    "q49_null_battery" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_custkey") < 300)
+        .withColumn("bal_n", when(col("c_custkey") % 3 === 0, lit(null))
+          .otherwise(col("c_acctbal")))
+        .withColumn("seg_n", when(col("c_custkey") % 5 === 0, lit(null))
+          .otherwise(col("c_mktsegment")))
+      c.select(
+        col("c_custkey"),
+        coalesce(col("bal_n"), lit(-1.0)).as("bal_or_default"),
+        nullif(col("seg_n"), lit("BUILDING")).as("seg_nullif"),
+        (col("bal_n") <=> col("c_acctbal")).cast("int").as("bal_nse"),
+        when(col("seg_n").isNotNull, lit("has")).otherwise(lit("none"))
+          .as("seg_nvl2"),
+        col("bal_n").isNull.cast("int").as("bal_is_null"),
+        coalesce(col("seg_n"), col("c_name")).as("seg_or_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // the full join-type spectrum on one keyed pair, summarized so the
     // oracle pins the semantics of each type
     "q44_join_types" -> ((s, dir) => {
@@ -1450,6 +1472,22 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
         |event_type, count(*) AS cnt, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_epoch, event_type""".stripMargin,
+
+    // null battery: IS NOT DISTINCT FROM == Spark's <=>
+    "q49_null_battery" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment,
+        |    CASE WHEN c_custkey % 3 = 0 THEN NULL ELSE c_acctbal END AS bal_n,
+        |    CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_mktsegment END AS seg_n
+        |  FROM customer WHERE c_custkey < 300)
+        |SELECT c_custkey,
+        |  COALESCE(bal_n, -1.0) AS bal_or_default,
+        |  NULLIF(seg_n, 'BUILDING') AS seg_nullif,
+        |  CAST(bal_n IS NOT DISTINCT FROM c_acctbal AS INTEGER) AS bal_nse,
+        |  CASE WHEN seg_n IS NOT NULL THEN 'has' ELSE 'none' END AS seg_nvl2,
+        |  CAST(bal_n IS NULL AS INTEGER) AS bal_is_null,
+        |  COALESCE(seg_n, c_name) AS seg_or_name
+        |FROM c ORDER BY c_custkey""".stripMargin,
 
     // the bounded aggregate's (score DESC, id ASC) total order == the
     // row_number formulation's ORDER BY
