@@ -381,38 +381,6 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** Blocked exact n-gram Jaccard near-dup pairs via a PREFIX-FILTER
-    * inverted-index join (the AllPairs/PPJoin family), verified with exact
-    * Jaccard over distinct word n-gram sets.
-    *
-    * Candidate generation is LOSSLESS: if J(A,B) >= t then (a) the sets
-    * share at least ceil(t * max(|A|,|B|)) elements, so by pigeonhole the
-    * smallest shared element sits inside the first |X| - ceil(t|X|) + 1
-    * elements of BOTH sorted sets — every qualifying pair shares a token
-    * in those prefixes; and (b) min(|A|,|B|)/max(|A|,|B|) >= t — the size
-    * ratio prune. Candidates = pairs sharing >= 1 prefix token within a
-    * block, deduped, then exactly verified; the result set is IDENTICAL
-    * to the naive quadratic block join (the oracle runs that form).
-    *
-    * At scale this replaces the O(block²) cross join with an inverted
-    * index keyed on (block, prefix token): shuffle volume is the prefix
-    * postings (≈ (1-t)·|set| small rows per doc), and pair work is
-    * bounded by postings-list sizes, not block sizes. Skew caveat: a
-    * token appearing in k same-block prefixes yields k² candidates;
-    * `dfOrdered = true` applies the classic AllPairs refinement — the
-    * global prefix order becomes (within-block document frequency, hash)
-    * ascending, so prefixes hold the RAREST tokens and hot-token k²
-    * blowups can't form. Costs one postings aggregation + one per-doc
-    * window pass; wins when blocks are large or the token distribution
-    * is Zipfian (i.e., real text at corpus scale) — on the near-uniform
-    * synthetic fixture the extra pass costs more than it prunes
-    * (measured 2.4 s vs 1.6 s at sf0.1), so the default stays hash-order
-    * and real-corpus deployments flip the flag. The completeness
-    * lemma holds for ANY global total order, so the result set is
-    * unchanged — both paths are checked against the same naive-join
-    * oracle. The prefix uses |X| - floor(t|X|) + 1 (>= the tight bound,
-    * immune to FP wobble at integer boundaries of t·|X|).
-    */
   /** Fuzzy (edit-distance) near-dup pairs over a SHORT key — titles,
     * names, normalized URLs: `(id_a, id_b, dist)` with
     * levenshtein ≤ maxDist. The missing family member between exact
@@ -465,8 +433,11 @@ object Dedup {
     // probe side: for each partner length m in [n-d, n+d] and segment i of
     // the length-m segmentation, every admissible substring shift p in
     // [start_i - d, start_i + d] ∩ [0, n - L_i]
+    // partner lengths START AT 0: an empty key is a legal partner within
+    // distance d of any key of length <= d, and its m = 0 segmentation
+    // degenerates correctly to empty-segment keys
     val probeStructs = flatten(transform(
-      sequence(greatest(lit(1), n - d), n + d), m =>
+      sequence(greatest(lit(0), n - d), n + d), m =>
         flatten(transform(sequence(lit(0), lit(d)), i => {
           val li = segLen(m, i)
           val lo = greatest(lit(0), segStart(m, i) - d)
@@ -579,6 +550,38 @@ object Dedup {
     definite.unionByName(verified)
   }
 
+  /** Blocked exact n-gram Jaccard near-dup pairs via a PREFIX-FILTER
+    * inverted-index join (the AllPairs/PPJoin family), verified with exact
+    * Jaccard over distinct word n-gram sets.
+    *
+    * Candidate generation is LOSSLESS: if J(A,B) >= t then (a) the sets
+    * share at least ceil(t * max(|A|,|B|)) elements, so by pigeonhole the
+    * smallest shared element sits inside the first |X| - ceil(t|X|) + 1
+    * elements of BOTH sorted sets — every qualifying pair shares a token
+    * in those prefixes; and (b) min(|A|,|B|)/max(|A|,|B|) >= t — the size
+    * ratio prune. Candidates = pairs sharing >= 1 prefix token within a
+    * block, deduped, then exactly verified; the result set is IDENTICAL
+    * to the naive quadratic block join (the oracle runs that form).
+    *
+    * At scale this replaces the O(block²) cross join with an inverted
+    * index keyed on (block, prefix token): shuffle volume is the prefix
+    * postings (≈ (1-t)·|set| small rows per doc), and pair work is
+    * bounded by postings-list sizes, not block sizes. Skew caveat: a
+    * token appearing in k same-block prefixes yields k² candidates;
+    * `dfOrdered = true` applies the classic AllPairs refinement — the
+    * global prefix order becomes (within-block document frequency, hash)
+    * ascending, so prefixes hold the RAREST tokens and hot-token k²
+    * blowups can't form. Costs one postings aggregation + one per-doc
+    * window pass; wins when blocks are large or the token distribution
+    * is Zipfian (i.e., real text at corpus scale) — on the near-uniform
+    * synthetic fixture the extra pass costs more than it prunes
+    * (measured 2.4 s vs 1.6 s at sf0.1), so the default stays hash-order
+    * and real-corpus deployments flip the flag. The completeness
+    * lemma holds for ANY global total order, so the result set is
+    * unchanged — both paths are checked against the same naive-join
+    * oracle. The prefix uses |X| - floor(t|X|) + 1 (>= the tight bound,
+    * immune to FP wobble at integer boundaries of t·|X|).
+    */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         blockCols: Seq[Column], n: Int,
                         threshold: Double,

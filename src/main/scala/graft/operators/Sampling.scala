@@ -99,23 +99,35 @@ object Sampling {
     * thresholds onto the corpus — the corpus itself is never shuffled,
     * just scanned through a codegen'd filter.
     */
-  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
-                     alpha: Double, targetFrac: Double): DataFrame = {
+  /** Per-stratum α-temperature sampling rate, shared by [[temperatureMix]]
+    * and [[temperatureMixEpochs]]: one frame (strataCol, __rate) with
+    * rate_d = targetFrac · N · c_d^α / (Σ_e c_e^α) / c_d. The expression
+    * tree (and thus FP evaluation order) must stay in lockstep with the
+    * q41/q48 oracle SQL — this helper is the single place it lives.
+    */
+  private def strataRates(df: DataFrame, strataCol: String,
+                          alpha: Double, targetFrac: Double): DataFrame = {
     require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
-    require(targetFrac > 0.0 && targetFrac <= 1.0,
-      s"targetFrac out of (0,1]: $targetFrac")
-    GraftFunctions.register(df.sparkSession)
+    require(targetFrac > 0.0, s"targetFrac must be positive: $targetFrac")
     val cnt = df.groupBy(col(strataCol))
       .agg(count(lit(1)).cast("double").as("__c"))
     val tot = cnt.agg(sum(pow(col("__c"), lit(alpha))).as("__sw"),
       sum(col("__c")).as("__n"))
-    val thresholds = cnt.crossJoin(broadcast(tot))
-      .withColumn("__thr",
-        floor(least(lit(1.0),
-          lit(targetFrac) * col("__n") * pow(col("__c"), lit(alpha)) /
-            col("__sw") / col("__c")) * lit(Buckets.toDouble) + lit(0.5))
-          .cast("long"))
-      .select(col(strataCol), col("__thr"))
+    cnt.crossJoin(broadcast(tot))
+      .withColumn("__rate",
+        lit(targetFrac) * col("__n") * pow(col("__c"), lit(alpha)) /
+          col("__sw") / col("__c"))
+      .select(col(strataCol), col("__rate"))
+  }
+
+  def temperatureMix(df: DataFrame, keyCol: String, strataCol: String,
+                     alpha: Double, targetFrac: Double): DataFrame = {
+    require(targetFrac <= 1.0, s"targetFrac out of (0,1]: $targetFrac")
+    GraftFunctions.register(df.sparkSession)
+    val thresholds = strataRates(df, strataCol, alpha, targetFrac)
+      .select(col(strataCol),
+        floor(least(lit(1.0), col("__rate")) * lit(Buckets.toDouble) + lit(0.5))
+          .cast("long").as("__thr"))
     df.join(broadcast(thresholds), strataCol)
       .filter(hashBucket(col(keyCol)) < col("__thr"))
       .drop("__thr")
@@ -137,17 +149,8 @@ object Sampling {
     */
   def temperatureMixEpochs(df: DataFrame, keyCol: String, strataCol: String,
                            alpha: Double, targetFrac: Double): DataFrame = {
-    require(alpha >= 0.0 && alpha <= 1.0, s"alpha out of [0,1]: $alpha")
-    require(targetFrac > 0.0, s"targetFrac must be positive: $targetFrac")
     GraftFunctions.register(df.sparkSession)
-    val cnt = df.groupBy(col(strataCol))
-      .agg(count(lit(1)).cast("double").as("__c"))
-    val tot = cnt.agg(sum(pow(col("__c"), lit(alpha))).as("__sw"),
-      sum(col("__c")).as("__n"))
-    val rates = cnt.crossJoin(broadcast(tot))
-      .withColumn("__rate",
-        lit(targetFrac) * col("__n") * pow(col("__c"), lit(alpha)) /
-          col("__sw") / col("__c"))
+    val rates = strataRates(df, strataCol, alpha, targetFrac)
       .select(col(strataCol),
         floor(col("__rate")).cast("long").as("__base"),
         floor((col("__rate") - floor(col("__rate"))) * lit(Buckets.toDouble)

@@ -68,6 +68,16 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("editDistancePairs keeps pairs involving empty keys") {
+    // regression: partner-length enumeration must include m = 0, or the
+    // empty key is unreachable as the index side and pairs silently drop
+    val df = Seq((1L, "a"), (2L, ""), (3L, ""), (4L, "ab"))
+      .toDF("doc_id", "title")
+    val got = Dedup.editDistancePairs(df, "doc_id", "title", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set((1L, 2L, 1L), (1L, 3L, 1L), (2L, 3L, 0L), (1L, 4L, 1L)))
+  }
+
   test("incremental minhash equals the cross-side slice of the full pair set") {
     val rnd = new scala.util.Random(7)
     // 12 base docs, each with a 1-token-mutated near-dup, ids interleaved
