@@ -261,6 +261,59 @@ object SparkEntry {
         .orderBy(col("c_custkey"))
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis A-Res
+    // with hash-derived uniforms): 5 docs per language, selection odds
+    // proportional to document length — through the bounded top-k
+    // aggregate, so the shuffle carries O(k·partitions) rows
+    "q50_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSample(T(s, dir, "documents"), "doc_id", "n_chars",
+        "lang", k = 5)),
+
+    // statistical-aggregate battery: correlation, covariance, variance /
+    // stddev (population + sample), skewness, kurtosis, and the regr_*
+    // linear-fit family — every one a decomposable one-pass aggregate;
+    // the oracle rebuilds skew/kurt from raw central-moment sums because
+    // DuckDB's built-ins apply sample-bias corrections Spark's don't
+    "q51_stats_battery" -> ((s, dir) =>
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("cnt"),
+          TextFunctions.roundHalfUp(
+            corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qp"),
+          TextFunctions.roundHalfUp(
+            covar_pop(col("l_quantity"), col("l_extendedprice")), 4).as("covar_pop_qp"),
+          TextFunctions.roundHalfUp(
+            covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("covar_samp_qp"),
+          TextFunctions.roundHalfUp(stddev_pop(col("l_quantity")), 6).as("sd_pop_q"),
+          TextFunctions.roundHalfUp(stddev_samp(col("l_quantity")), 6).as("sd_samp_q"),
+          TextFunctions.roundHalfUp(var_pop(col("l_quantity")), 6).as("var_pop_q"),
+          TextFunctions.roundHalfUp(var_samp(col("l_quantity")), 6).as("var_samp_q"),
+          TextFunctions.roundHalfUp(skewness(col("l_quantity")), 6).as("skew_q"),
+          TextFunctions.roundHalfUp(kurtosis(col("l_quantity")), 6).as("kurt_q"),
+          TextFunctions.roundHalfUp(
+            regr_slope(col("l_extendedprice"), col("l_quantity")), 4).as("slope_pq"),
+          TextFunctions.roundHalfUp(
+            regr_intercept(col("l_extendedprice"), col("l_quantity")), 4).as("icept_pq"),
+          TextFunctions.roundHalfUp(
+            regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2_pq"))
+        .orderBy(col("l_returnflag"))),
+
+    // correlated LATERAL subquery (top-2 customers per nation): the
+    // planner must decorrelate the ordered-limited subquery into a
+    // ranked join — no per-row re-execution survives at scale
+    "q52_lateral_topn" -> ((s, dir) => {
+      T(s, dir, "nation").createOrReplaceTempView("q52_nation")
+      T(s, dir, "customer").createOrReplaceTempView("q52_customer")
+      s.sql("""
+        SELECT n.n_name, t.c_custkey, t.c_acctbal
+        FROM q52_nation n, LATERAL (
+          SELECT c_custkey, c_acctbal FROM q52_customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""")
+    }),
+
     // the full join-type spectrum on one keyed pair, summarized so the
     // oracle pins the semantics of each type
     "q44_join_types" -> ((s, dir) => {
@@ -631,16 +684,17 @@ object SparkEntry {
     }),
 
     // ordered-set / boolean / conditional aggregate battery (median,
-    // mode, listagg WITHIN GROUP, count_if, bool_and/bool_or). mode() is
-    // only deterministic when the top count is unique per group —
-    // l_quantity's is (checked against the fixture); engines may pick
-    // different tie representatives otherwise.
+    // mode, listagg WITHIN GROUP, count_if, bool_and/bool_or).
+    // mode(expr, true) pins tie-breaking to the LOWEST value — a
+    // frequency tie surfaced at sf0.001 where the engines picked
+    // different representatives; the oracle rebuilds the same
+    // min-among-max-frequency rule explicitly.
     "q39_agg_battery" -> ((s, dir) => {
       T(s, dir, "lineitem").createOrReplaceTempView("lineitem_v")
       s.sql(
         """SELECT l_returnflag,
           |  round(median(l_quantity), 4) AS med_qty,
-          |  mode(l_quantity) AS mode_qty,
+          |  mode(l_quantity, true) AS mode_qty,
           |  listagg(DISTINCT l_linestatus, ',')
           |    WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
           |  count_if(l_discount > 0.05) AS n_disc,
@@ -916,6 +970,17 @@ object SparkEntry {
     "t11_bigram_lm_score" -> ((s, dir) =>
       TextOps.bigramLmScore(T(s, dir, "documents"))),
 
+    // document-preserving overlapping chunker (retrieval / long-doc
+    // training examples): 64-token chunks at stride 48
+    "t12_sliding_chunks" -> ((s, dir) =>
+      TextOps.slidingChunks(T(s, dir, "documents"), chunkSize = 64, stride = 48)),
+
+    // hashed-feature linear quality classifier (fastText-style gate;
+    // deterministic weight table — integer feature sums make the keep
+    // decision engine-exact)
+    "t13_quality_classifier" -> ((s, dir) =>
+      TextOps.hashedLinearScore(T(s, dir, "documents"), "text")),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -1023,6 +1088,13 @@ object SparkEntry {
         T(s, dir, "documents").withColumn("title",
           array_join(slice(TextFunctions.tokens(col("text")), 1, 3), " ")),
         "doc_id", "title", maxDist = 2)),
+
+    // cross-document duplicated-span profile (Lee et al. exact-substring
+    // dedup signal): 8-token rolling windows, spans merged per doc via
+    // gaps-and-islands — O(total tokens), never quadratic
+    "d8_span_dedup" -> ((s, dir) =>
+      Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        window = 8)),
 
     // incremental NEAR-dup: a new batch's MinHash bands join the corpus's
     // bands — candidates track the batch, the corpus never self-joins
@@ -1818,16 +1890,27 @@ object SparkEntry {
         |    AND c_mktsegment = 'MACHINERY')
         |ORDER BY tag, key""".stripMargin,
 
+    // mode twin: lowest value among the max-frequency values — the
+    // explicit form of Spark's mode(expr, deterministic = true).
     "q39_agg_battery" ->
-      """SELECT l_returnflag,
+      """WITH f AS (
+        |  SELECT l_returnflag, l_quantity AS q, count(*) AS c
+        |  FROM lineitem GROUP BY 1, 2),
+        |m AS (
+        |  SELECT l_returnflag, min(CASE WHEN c = mc THEN q END) AS mode_qty
+        |  FROM (SELECT f.*, max(c) OVER (PARTITION BY l_returnflag) AS mc
+        |        FROM f)
+        |  GROUP BY 1)
+        |SELECT l.l_returnflag,
         |  round(median(l_quantity), 4) AS med_qty,
-        |  mode(l_quantity) AS mode_qty,
+        |  any_value(m.mode_qty) AS mode_qty,
         |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
         |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_disc,
         |  bool_and(l_quantity > 0) AS all_pos,
         |  bool_or(l_tax > 0.07) AS any_high_tax
-        |FROM lineitem GROUP BY l_returnflag
-        |ORDER BY l_returnflag""".stripMargin,
+        |FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |GROUP BY l.l_returnflag
+        |ORDER BY l.l_returnflag""".stripMargin,
 
     // Exact twin of the (exact-at-this-SF) approx_top_k sketch — see the
     // query comment for the k/maxItemsTracked preconditions.
@@ -2067,6 +2150,41 @@ object SparkEntry {
          |         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
          |FROM th LEFT JOIN s USING (doc_id) ORDER BY doc_id""".stripMargin,
 
+    // Chunk grid via step-range unnest; chunk_id = (start-1)/stride
+    // exactly reproduces the Spark side's posexplode index.
+    "t12_sliding_chunks" ->
+      """SELECT doc_id, (s - 1) // 48 AS chunk_id, s AS tok_start,
+        |  least(s + 63, n) AS tok_end,
+        |  least(s + 63, n) - s + 1 AS n_chunk_tokens,
+        |  array_to_string(list_slice(tk, s, least(s + 63, n)), ' ') AS chunk_text
+        |FROM (
+        |  SELECT doc_id, tk, n, CAST(unnest(range(1, n + 1, 48)) AS BIGINT) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |        FROM documents))
+        |ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Hashed-feature linear scorer: integer bucket weights (avalanche mix
+    // of hash mod dims, mapped into [-1000, 1000]), summed exactly as
+    // BIGINT — logit and keep cannot drift between engines; prob's exp()
+    // is guarded by the 1e-6 rounding like every other libm call here.
+    "t13_quality_classifier" ->
+      s"""WITH ${duckTokenHashes()},
+         |f AS (
+         |  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         |    CAST(list_sum([(${duckMix("h % 1024")}) % 2001 - 1000 for h in th])
+         |      AS BIGINT) AS s
+         |  FROM th)
+         |SELECT doc_id, n_tokens,
+         |  floor((-0.1 + CAST(s AS DOUBLE) / (1000.0 * n_tokens))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS logit,
+         |  floor((1.0 / (1.0 + exp(-(-0.1 + CAST(s AS DOUBLE)
+         |                            / (1000.0 * n_tokens)))))
+         |        * 1000000.0 + 0.5) / 1000000.0 AS prob,
+         |  CAST(CASE WHEN -0.1 + CAST(s AS DOUBLE) / (1000.0 * n_tokens) >= 0
+         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin,
+
     // Scores are rounded half-up at 6 dp BEFORE ranking in both engines,
     // so libm-vs-Java ln() ULP differences cannot flip a rank.
     "t9_tfidf_topterms" ->
@@ -2176,6 +2294,49 @@ object SparkEntry {
     "d2_minhash_neardup" ->
       s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)}
          |SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b""".stripMargin,
+
+    // Duplicated-span twin: same rolling 8-token window hashes (positions
+    // kept), same >1-distinct-doc rule, same gaps-and-islands merge — the
+    // parallel unnest zips positions with window hashes.
+    "d8_span_dedup" ->
+      s"""WITH ${duckTokenHashes()},
+         |wl AS (
+         |  SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         |    CASE WHEN len(th) >= 8 THEN
+         |      [${(0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+                   s"(($acc) * 131 + th[i+$j]) % $ShP")}
+         |       for i in range(1, len(th) - 6)]
+         |    ELSE CAST([] AS BIGINT[]) END AS ws
+         |  FROM th),
+         |w AS (
+         |  SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos,
+         |    unnest(ws) AS wh
+         |  FROM wl),
+         |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+         |mk AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+         |br AS (
+         |  SELECT doc_id, pos,
+         |    CASE WHEN lag(pos) OVER win IS NULL
+         |           OR pos > lag(pos) OVER win + 8
+         |         THEN 1 ELSE 0 END AS brk
+         |  FROM mk WINDOW win AS (PARTITION BY doc_id ORDER BY pos)),
+         |sp AS (
+         |  SELECT doc_id, pos,
+         |    sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |                   ROWS UNBOUNDED PRECEDING) AS span
+         |  FROM br),
+         |pi AS (SELECT doc_id, span, max(pos) - min(pos) + 8 AS covered
+         |       FROM sp GROUP BY 1, 2),
+         |pd AS (SELECT doc_id, CAST(sum(covered) AS BIGINT) AS dup_tokens,
+         |         CAST(count(*) AS BIGINT) AS n_spans
+         |       FROM pi GROUP BY 1)
+         |SELECT wl.doc_id, wl.n_tokens,
+         |  COALESCE(pd.dup_tokens, CAST(0 AS BIGINT)) AS dup_tokens,
+         |  COALESCE(pd.n_spans, CAST(0 AS BIGINT)) AS n_spans,
+         |  floor((CASE WHEN wl.n_tokens > 0
+         |         THEN CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / wl.n_tokens
+         |         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+         |FROM wl LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // Connected components over the same pair graph: recursive
     // transitive closure, cluster = min reachable id.
@@ -2375,6 +2536,65 @@ object SparkEntry {
          |SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS rep
          |FROM cp WHERE copies > 0
          |ORDER BY doc_id, rep""".stripMargin,
+
+    // A-Res weighted sampling: same hash-uniform, same 1e-9-rounded rank
+    // key, ranked with a window (the Spark side uses the bounded top-k
+    // aggregate — identical output contract).
+    "q50_weighted_sample" ->
+      s"""WITH w AS (
+         |  SELECT doc_id, lang,
+         |    floor(ln((bkt + 0.5) / 10000.0) / n_chars * 1000000000.0 + 0.5)
+         |      / 1000000000.0 AS skey
+         |  FROM (${duckWithBucket("doc_id, lang, n_chars", "doc_id")})
+         |  WHERE n_chars > 0)
+         |SELECT lang, rk, doc_id, skey FROM (
+         |  SELECT lang, doc_id, skey,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |                            ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
+         |  FROM w)
+         |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    // Moment battery. corr/covar/stddev/var/regr_* are definitionally
+    // identical across engines; skewness and kurtosis are NOT (DuckDB
+    // applies sample-bias corrections, Spark reports population g1/g2),
+    // so those two rebuild Spark's formulas from raw central-moment sums:
+    // skew = sqrt(n)·Σd³/(Σd²)^1.5, kurt = n·Σd⁴/(Σd²)² − 3.
+    "q51_stats_battery" ->
+      """WITH g AS (
+        |  SELECT l_returnflag AS f, avg(l_quantity) AS m
+        |  FROM lineitem GROUP BY 1),
+        |d AS (
+        |  SELECT l.l_returnflag AS f, l.l_quantity AS q,
+        |    l.l_extendedprice AS p, l.l_quantity - g.m AS dq
+        |  FROM lineitem l JOIN g ON l.l_returnflag = g.f)
+        |SELECT f AS l_returnflag,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  floor(corr(q, p) * 1000000.0 + 0.5) / 1000000.0 AS corr_qp,
+        |  floor(covar_pop(q, p) * 10000.0 + 0.5) / 10000.0 AS covar_pop_qp,
+        |  floor(covar_samp(q, p) * 10000.0 + 0.5) / 10000.0 AS covar_samp_qp,
+        |  floor(stddev_pop(q) * 1000000.0 + 0.5) / 1000000.0 AS sd_pop_q,
+        |  floor(stddev_samp(q) * 1000000.0 + 0.5) / 1000000.0 AS sd_samp_q,
+        |  floor(var_pop(q) * 1000000.0 + 0.5) / 1000000.0 AS var_pop_q,
+        |  floor(var_samp(q) * 1000000.0 + 0.5) / 1000000.0 AS var_samp_q,
+        |  floor((sqrt(count(*)) * sum(dq * dq * dq)
+        |         / pow(sum(dq * dq), 1.5)) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS skew_q,
+        |  floor((count(*) * sum(dq * dq * dq * dq)
+        |         / (sum(dq * dq) * sum(dq * dq)) - 3.0) * 1000000.0 + 0.5)
+        |    / 1000000.0 AS kurt_q,
+        |  floor(regr_slope(p, q) * 10000.0 + 0.5) / 10000.0 AS slope_pq,
+        |  floor(regr_intercept(p, q) * 10000.0 + 0.5) / 10000.0 AS icept_pq,
+        |  floor(regr_r2(p, q) * 1000000.0 + 0.5) / 1000000.0 AS r2_pq
+        |FROM d GROUP BY f ORDER BY l_returnflag""".stripMargin,
+
+    // Same LATERAL text, same decorrelation requirement.
+    "q52_lateral_topn" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n, LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer c
+        |  WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
 
     "q21_train_test_split" ->
       s"""SELECT split, count(*) AS cnt,

@@ -647,4 +647,146 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Containment near-dup pairs: overlap / min(|A|, |B|) >= threshold over
+    * distinct hashed n-gram shingle sets, within `blockCols` blocks — the
+    * asymmetric-length complement of [[ngramJaccardPairs]]: a short
+    * document quoted inside a long one has tiny Jaccard (union tracks the
+    * long doc) but containment ~1. This is the quote / partial-copy
+    * detector of a dedup suite.
+    *
+    * Candidate generation is a prefix-filter inverted-index join with the
+    * containment-correct asymmetry: only the SMALLER set's prefix bound is
+    * valid (overlap >= t·min = t·|small|), so the small side probes with
+    * its prefix (|S| - ceil(t·|S|) + 1 tokens) against the FULL postings
+    * of the larger side — complete by the pigeonhole argument, never
+    * quadratic: pair work tracks postings-list lengths. Verification is
+    * the exact two-pointer merge kernel. Output (id_a < id_b,
+    * containment), deterministic order.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       blockCols: Seq[Column], n: Int,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1]: $threshold")
+    GraftFunctions.register(df.sparkSession)
+    val withSets = df
+      .withColumn("__blk", concat_ws(" ", blockCols: _*))
+      .withColumn("__sh", hashedShingleSet(col(textCol), n))
+      .filter(size(col("__sh")) > 0)
+      .select(col("__blk"), col(idCol).as("id"), col("__sh"),
+        size(col("__sh")).as("__sz"))
+    val prefLen =
+      (col("__sz") - ceil(lit(threshold) * col("__sz")) + 1).cast("int")
+    val pref = withSets.select(col("__blk"), col("id"), col("__sz"),
+      explode(slice(col("__sh"), lit(1), prefLen)).as("__tok"))
+    val full = withSets.select(col("__blk"), col("id"), col("__sz"),
+      explode(col("__sh")).as("__tok"))
+    // small side probes with its prefix; size ties break by id so each
+    // unordered pair is generated exactly once
+    val candidates = pref
+      .select(col("__blk"), col("__tok"), col("id").as("id_s"), col("__sz").as("sz_s"))
+      .join(full.select(col("__blk"), col("__tok"), col("id").as("id_l"),
+        col("__sz").as("sz_l")), Seq("__blk", "__tok"))
+      .filter(col("sz_s") < col("sz_l") ||
+        (col("sz_s") === col("sz_l") && col("id_s") < col("id_l")))
+      .select("id_s", "id_l").distinct()
+    val sh = withSets.select(col("id"), col("__sh"), col("__sz"))
+    candidates
+      .join(sh.select(col("id").as("id_s"), col("__sh").as("sh_s"),
+        col("__sz").as("sz_s")), "id_s")
+      .join(sh.select(col("id").as("id_l"), col("__sh").as("sh_l"),
+        col("__sz").as("sz_l")), "id_l")
+      .withColumn("containment",
+        roundHalfUp(
+          GraftFunctions.intersectCountSorted(col("sh_s"), col("sh_l"))
+            .cast("double") /
+            least(col("sz_s"), col("sz_l")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(least(col("id_s"), col("id_l")).as("id_a"),
+        greatest(col("id_s"), col("id_l")).as("id_b"),
+        col("containment"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Cross-document duplicated-span profile — the exact-substring dedup
+    * signal of "Deduplicating Training Data Makes Language Models Better"
+    * (Lee et al., 2022), re-expressed for Spark: instead of a suffix
+    * array, every document emits its rolling `window`-token hashes with
+    * positions; a hash that occurs in MORE THAN ONE document marks every
+    * position it covers as duplicated, and overlapping/touching marked
+    * windows merge into maximal spans per document (gaps-and-islands over
+    * one per-document window function). Output per doc:
+    * `(id, n_tokens, dup_tokens, n_spans, dup_frac)` — thresholding on
+    * `dup_frac` (or cutting the spans themselves) is the filter.
+    *
+    * Within-document repeats do NOT count (that is t8's repetition
+    * signal); duplication here means the window text also appears in some
+    * OTHER document.
+    *
+    * Scale shape: the window explode is one row per token (the same
+    * cardinality every inverted-index op here already carries); the
+    * duplicated-hash set is a decomposable count-distinct aggregation on
+    * the window hash (two-phase, map-side partials); marking is one hash
+    * join on the window hash (no fan-out — a document position has
+    * exactly one hash); span merging is a per-document window bounded by
+    * document length. Nothing is quadratic anywhere: corpus-wide work is
+    * O(total tokens), exactly like the suffix-array formulation's linear
+    * pass, but in three shuffles any Spark cluster executes at 100 TB.
+    * The window hash is the portable polynomial fold, so the DuckDB
+    * oracle reproduces every span boundary.
+    */
+  def duplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                      window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    GraftFunctions.register(df.sparkSession)
+    // (id, n_tokens, ws = [(pos, windowHash)]) — pos is 1-based; the fold
+    // mirrors hashedShingleSet's hash exactly (base 131 mod 2^53-111) but
+    // keeps positions and duplicates.
+    val wl = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
+      .select(col("id"), size(col("th")).cast("long").as("n_tokens"),
+        when(size(col("th")) >= window,
+          transform(sequence(lit(1), size(col("th")) - lit(window - 1)), i =>
+            struct(i.cast("long").as("pos"),
+              (0 until window).foldLeft(lit(0L))((acc, j) =>
+                (acc * lit(FpBase) + element_at(col("th"), i + lit(j))) % lit(ShPrime))
+                .as("wh"))))
+          .otherwise(array().cast("array<struct<pos:bigint,wh:bigint>>"))
+          .as("ws"))
+    val w = wl.select(col("id"), explode(col("ws")).as("w"))
+      .select(col("id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    // hashes seen in more than one document (count-distinct is two-phase:
+    // partial distinct per map task, then one exchange on wh)
+    val dup = w.groupBy(col("wh"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("wh"))
+    // marked positions -> maximal spans: windows at pos p cover tokens
+    // [p, p+window-1]; consecutive marked positions with a step <= window
+    // overlap or touch, so a new span starts exactly when the gap exceeds
+    // the window width.
+    val byDoc = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val marked = w.join(dup, "wh")
+    val spans = marked
+      .withColumn("__brk",
+        when(lag(col("pos"), 1).over(byDoc).isNull ||
+          col("pos") > lag(col("pos"), 1).over(byDoc) + lit(window.toLong), 1L)
+          .otherwise(0L))
+      .withColumn("__span", sum(col("__brk")).over(byDoc))
+      .groupBy(col("id"), col("__span"))
+      .agg((max(col("pos")) - min(col("pos")) + lit(window.toLong)).as("__covered"))
+      .groupBy(col("id"))
+      .agg(sum(col("__covered")).as("dup_tokens"),
+        count(lit(1)).as("n_spans"))
+    wl.select(col("id"), col("n_tokens"))
+      .join(spans, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        roundHalfUp(
+          when(col("n_tokens") > 0,
+            coalesce(col("dup_tokens"), lit(0L)).cast("double") /
+              col("n_tokens").cast("double"))
+            .otherwise(lit(0.0)), 6).as("dup_frac"))
+      .orderBy(col(idCol))
+  }
 }

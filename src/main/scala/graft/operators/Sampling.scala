@@ -163,6 +163,78 @@ object Sampling {
       .drop("__base", "__fthr", "__copies")
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement, k per stratum
+    * (Efraimidis–Spirakis A-Res with hash-derived uniforms): each row
+    * draws `u = (bucket(key) + 0.5) / Buckets` ∈ (0,1) from the portable
+    * hash and ranks by `ln(u) / w` descending — the top k per stratum are
+    * exactly a weighted sample without replacement, where a row's
+    * inclusion odds scale with its weight. No RNG state: the draw is a
+    * pure function of the key, so re-runs, retries, and engines agree.
+    *
+    * The rank key is rounded half-up at 1e-9 BEFORE ranking (ties then
+    * break on the key column ascending) so a last-ulp `ln` difference
+    * between libms can never flip a rank across engines.
+    *
+    * Rows with non-positive weight are excluded (they have zero selection
+    * mass; `ln(u)/w` would flip sign).
+    *
+    * Scale shape: narrow codegen'd scoring (zero shuffle), then the
+    * bounded [[graft.functions.TopKAggregate]] per stratum — each map
+    * task reduces to ≤ k candidates per stratum BEFORE the exchange, so
+    * the shuffle carries O(k · partitions) rows, never the corpus. A
+    * window `row_number` formulation would shuffle every row.
+    *
+    * `keyCol` must be long-typed (it rides through the top-k aggregate's
+    * id slot). Output: (stratum, rk, key, skey) ordered (stratum, rk).
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     strataCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    GraftFunctions.register(df.sparkSession)
+    val u = (hashBucket(col(keyCol)).cast("double") + lit(0.5)) /
+      lit(Buckets.toDouble)
+    val scored = df.filter(col(weightCol) > 0)
+      .select(col(strataCol),
+        TextFunctions.roundHalfUp(
+          log(u) / col(weightCol).cast("double"), 9).as("skey"),
+        col(keyCol))
+    scored.groupBy(col(strataCol))
+      .agg(GraftFunctions.topK(col("skey"), col(keyCol), k).as("tk"))
+      .select(col(strataCol), posexplode(col("tk")))
+      .select(col(strataCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(keyCol), col("col.score").as("skey"))
+      .orderBy(col(strataCol), col("rk"))
+  }
+
+  /** Per-group cap (the "domain cap" of crawl curation: at most `k`
+    * documents per source/host, so no single domain dominates the mix).
+    * Which k survive is deterministic and content-blind-fair: rows are
+    * taken in (hash-bucket, key) order — a stable pseudo-random order that
+    * re-runs and engines reproduce, unlike "first k seen" (partition-order
+    * nondeterminism) or `rand()` ordering.
+    *
+    * Scale shape: the same bounded top-k aggregate as [[weightedSample]]
+    * — map-side partials carry <= k rows per group, the shuffle never
+    * carries a hot domain's full posting. `keyCol` must be long-typed.
+    * Output: (group, rk, key, bucket) ordered (group, rk).
+    */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+                  k: Int): DataFrame = {
+    require(k > 0)
+    GraftFunctions.register(df.sparkSession)
+    // score = -bucket (top-k keeps score DESC = bucket ASC, ties id ASC)
+    df.select(col(groupCol), col(keyCol),
+        hashBucket(col(keyCol)).as("__bkt"))
+      .groupBy(col(groupCol))
+      .agg(GraftFunctions.topK(-col("__bkt").cast("double"), col(keyCol), k)
+        .as("tk"))
+      .select(col(groupCol), posexplode(col("tk")))
+      .select(col(groupCol), (col("pos") + 1).cast("long").as("rk"),
+        col("col.id").as(keyCol),
+        (-col("col.score")).cast("long").as("bucket"))
+      .orderBy(col(groupCol), col("rk"))
+  }
+
   /** Adds a `split` column: "test" for the first `testFraction` of
     * buckets, "train" otherwise. Disjoint and exhaustive by construction;
     * a document can never leak between splits across runs.

@@ -288,6 +288,87 @@ object TextOps {
       .orderBy(col(idCol))
   }
 
+  /** Overlapping sliding chunks of a document's token stream — the
+    * retrieval/context-window chunking step (size `chunkSize`, stride
+    * `stride` < chunkSize for overlap): chunk k covers tokens
+    * `[1 + k·stride, min(1 + k·stride + chunkSize - 1, n)]`, and chunk
+    * starts run while they stay within the document, so every token is
+    * covered and the last chunk may be short. Output per chunk:
+    * `(doc_id, chunk_id, tok_start, tok_end, n_chunk_tokens, chunk_text)`.
+    *
+    * Unlike [[packChunks]] (which concatenates documents end-to-end and
+    * cuts fixed windows across document boundaries), this never crosses a
+    * document: it is the document-preserving chunker used for retrieval
+    * indexes and long-document training examples.
+    *
+    * Scale shape: narrow per-document `sequence` + `explode` — fan-out is
+    * ceil(n / stride) per document, no shuffle anywhere; the slice/join
+    * evaluate inside whole-stage codegen.
+    */
+  def slidingChunks(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize,
+      s"need 0 < stride <= chunkSize: size=$chunkSize stride=$stride")
+    val tok = tokens(col("text"))
+    docs
+      .select(col("doc_id"), tok.as("tk"), size(tok).as("n"))
+      .select(col("doc_id"), col("tk"), col("n"),
+        posexplode(sequence(lit(1), col("n"), lit(stride))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_id"),
+        col("col").cast("long").as("tok_start"),
+        least(col("col") + lit(chunkSize - 1), col("n")).cast("long").as("tok_end"),
+        (least(col("col") + lit(chunkSize - 1), col("n")) - col("col") + 1)
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("tk"), col("col"), lit(chunkSize)), " ").as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
+  /** Hashed-feature linear quality classifier (the fastText-style scorer
+    * used as a cheap corpus-quality gate): each token hashes into one of
+    * `dims` feature buckets; a bucket's weight is a fixed deterministic
+    * function of the bucket id (an avalanche-mixed value mapped into
+    * [-1, 1] at 1e-3 granularity — a stand-in for trained weights, which
+    * this sandbox cannot fit; the plumbing is the real thing and swapping
+    * in a learned weight table is a broadcast join); the document logit is
+    * `bias + mean(weight)` and the score is the logistic of that.
+    *
+    * Determinism: weights are INTEGERS in [-1000, 1000] and the per-doc
+    * feature sum aggregates as a long — exact in any order, on any
+    * engine — so the logit is one division from integers and the keep
+    * decision (`logit >= 0`) can never flip between engines.
+    *
+    * Scale shape: narrow per-document projection over the codegen'd
+    * token-hash kernel; no shuffle, no UDF, no model service in the hot
+    * path.
+    */
+  def hashedLinearScore(docs: DataFrame, textCol: String,
+                        dims: Int = 1024, bias: Double = -0.1): DataFrame = {
+    require(dims > 0)
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    import graft.functions.SimHashBits.{MixAdd, MixMul, MixRounds}
+    import graft.functions.TextFunctions.ShPrime
+    val weights = transform(tokenHashes(col(textCol)), h => {
+      val mixed = (0 until MixRounds).foldLeft(pmod(h, lit(dims.toLong)))(
+        (acc, _) => (acc * lit(MixMul) + lit(MixAdd)) % lit(ShPrime))
+      pmod(mixed, lit(2001L)) - lit(1000L)
+    })
+    docs
+      .select(col("doc_id"),
+        aggregate(weights, lit(0L), (acc, x) => acc + x).as("__s"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("__logit",
+        lit(bias) + col("__s").cast("double") /
+          (lit(1000.0) * col("n_tokens").cast("double")))
+      .select(col("doc_id"), col("n_tokens"),
+        // floor(x·1e6 + 0.5)/1e6 is pure IEEE arithmetic — deterministic
+        // for negative logits too (half-ties round toward +inf on BOTH
+        // engines; roundHalfUp's non-negative caveat is about naming, not
+        // determinism)
+        roundHalfUp(col("__logit"), 6).as("logit"),
+        roundHalfUp(lit(1.0) / (lit(1.0) + exp(-col("__logit"))), 6).as("prob"),
+        (col("__logit") >= 0).cast("long").as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Email pattern shared by the Spark and DuckDB sides: valid in both
     * Java regex and RE2 (no lookarounds, no backrefs).
     */

@@ -156,6 +156,51 @@ class SamplingSpec extends SparkSpec {
     assert(s10.subsetOf(s25))
   }
 
+  test("weightedSample: heavy weights dominate and match the window-rank twin") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.roundHalfUp
+    // two strata; within 'a', 20 heavy rows (w = 1e6) and 20 light (w = 1):
+    // ln(u)/w for every heavy row (>= -1e-5) beats every light row's best
+    // (<= ln(9999.5/10000) ~= -5e-5), so the heavy rows must sweep the top-k
+    val rows = (0L until 40L).map(i =>
+      (i, if (i < 20) 1000000L else 1L, "a")) ++
+      (100L until 120L).map(i => (i, i, "b"))
+    val df = rows.toDF("doc_id", "w", "grp")
+    val out = Sampling.weightedSample(df, "doc_id", "w", "grp", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.length == 10, "k rows per stratum")
+    assert(out.filter(_._1 == "a").forall(_._3 < 20L),
+      "heavy-weight rows must win stratum a")
+    // parity with the window row_number formulation over the same rank key
+    graft.functions.GraftFunctions.register(spark)
+    val skey = roundHalfUp(
+      log((Sampling.hashBucket(col("doc_id")).cast("double") + lit(0.5)) /
+        lit(10000.0)) / col("w").cast("double"), 9)
+    val w2 = Window.partitionBy(col("grp"))
+      .orderBy(col("skey").desc, col("doc_id"))
+    val want = df.withColumn("skey", skey)
+      .withColumn("rk", row_number().over(w2).cast("long"))
+      .filter(col("rk") <= 5)
+      .select(col("grp"), col("rk"), col("doc_id"), col("skey"))
+      .orderBy(col("grp"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.toSeq == want.toSeq)
+  }
+
+  test("weightedSample excludes non-positive weights and is deterministic") {
+    val df = Seq((1L, 5L, "g"), (2L, 0L, "g"), (3L, -4L, "g"), (4L, 2L, "g"))
+      .toDF("doc_id", "w", "grp")
+    val out1 = Sampling.weightedSample(df, "doc_id", "w", "grp", k = 10)
+      .collect().map(_.getLong(2)).toSeq
+    val out2 = Sampling.weightedSample(df, "doc_id", "w", "grp", k = 10)
+      .collect().map(_.getLong(2)).toSeq
+    assert(out1.toSet == Set(1L, 4L), "zero/negative weights excluded")
+    assert(out1 == out2)
+  }
+
   test("temperatureMix: alpha=1 keeps natural proportions, alpha=0 equalizes") {
     // skewed strata: 1600 'big', 300 'mid', 100 'rare'
     val df = ((0 until 1600).map(i => (i.toLong, "big")) ++

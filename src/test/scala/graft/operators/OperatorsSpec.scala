@@ -201,6 +201,41 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.embeddingNearDup(df, "vec_id", "embedding", "label", 0.9).collect()
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
   }
+
+  test("duplicatedSpans merges overlapping cross-doc windows, zeros unique docs") {
+    // doc0/doc1 share the 9-token prefix a1..a9: with window = 8 the
+    // duplicated windows sit at positions 1 and 2 and must merge into ONE
+    // span covering tokens 1..9. doc2 is fully unique.
+    val shared = (1 to 9).map("a" + _)
+    val doc0 = (shared ++ (10 to 20).map("b" + _)).mkString(" ")
+    val doc1 = (shared ++ (1 to 11).map("c" + _)).mkString(" ")
+    val doc2 = (1 to 20).map("u" + _).mkString(" ")
+    val df = Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", window = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(out.toSeq == Seq(
+      (0L, 20L, 9L, 1L, 0.45),
+      (1L, 20L, 9L, 1L, 0.45),
+      (2L, 20L, 0L, 0L, 0.0)))
+  }
+
+  test("duplicatedSpans keeps disjoint spans separate; in-doc repeats don't count") {
+    // doc0/doc1 share two non-adjacent 8-token runs -> 2 spans, 16 tokens.
+    val s1 = (1 to 8).map("a" + _); val s2 = (1 to 8).map("e" + _)
+    val doc0 = (s1 ++ (1 to 10).map("d" + _) ++ s2).mkString(" ")
+    val doc1 = (s1 ++ (1 to 10).map("f" + _) ++ s2).mkString(" ")
+    // doc2 repeats its own 8-token run twice — WITHIN one doc only, so
+    // nothing is cross-doc duplicated
+    val doc2 = ((1 to 8).map("r" + _) ++ (1 to 8).map("r" + _)).mkString(" ")
+    val df = Seq((0L, doc0), (1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, "doc_id", "text", window = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 26L, 16L, 2L), (1L, 26L, 16L, 2L),
+      (2L, 16L, 0L, 0L)))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
@@ -423,6 +458,45 @@ class TextOpsSpec extends SparkSpec {
     // the phone-shaped local part is consumed by the email mask
     assert(out(1) == ((1L, 0L, "phone-in-email <EMAIL> stays one email")))
     assert(out(2) == ((0L, 0L, "nothing sensitive here 12-34")))
+  }
+
+  test("slidingChunks covers every token, clamps the tail, preserves text") {
+    val df = Seq((1L, (1 to 10).map("t" + _).mkString(" "))).toDF("doc_id", "text")
+    val out = TextOps.slidingChunks(df, chunkSize = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getString(5)))
+    assert(out.toSeq == Seq(
+      (0L, 1L, 4L, 4L, "t1 t2 t3 t4"),
+      (1L, 4L, 7L, 4L, "t4 t5 t6 t7"),
+      (2L, 7L, 10L, 4L, "t7 t8 t9 t10"),
+      (3L, 10L, 10L, 1L, "t10")))
+  }
+
+  test("hashedLinearScore matches the hand-computed weight; keep = logit >= 0") {
+    import graft.functions.{SimHashBits, TextFunctions}
+    val df = Seq((1L, "hello"), (2L, "hello"), (3L, "hello world"))
+      .toDF("doc_id", "text")
+    val out = TextOps.hashedLinearScore(df, "text").collect()
+    def weight(tok: String): Long = {
+      val h = tok.foldLeft(0L)((acc, c) => (acc * 131 + c) % TextFunctions.ShPrime)
+      val mixed = (0 until SimHashBits.MixRounds).foldLeft(h % 1024)((acc, _) =>
+        (acc * SimHashBits.MixMul + SimHashBits.MixAdd) % TextFunctions.ShPrime)
+      mixed % 2001 - 1000
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expect1 = -0.1 + weight("hello") / (1000.0 * 1)
+    assert(out(0).getLong(1) == 1L)
+    assert(out(0).getDouble(2) == r6(expect1))
+    assert(out(0).getLong(4) == (if (expect1 >= 0) 1L else 0L))
+    // same text -> identical score (pure function of the content)
+    assert(out(1).getDouble(2) == out(0).getDouble(2))
+    val expect3 =
+      -0.1 + (weight("hello") + weight("world")) / (1000.0 * 2)
+    assert(out(2).getLong(1) == 2L)
+    assert(out(2).getDouble(2) == r6(expect3))
+    // prob is the logistic of the unrounded logit
+    assert(out(2).getDouble(3) == r6(1.0 / (1.0 + math.exp(-expect3))))
   }
 }
 
