@@ -299,6 +299,47 @@ object SparkEntry {
             regr_r2(col("l_extendedprice"), col("l_quantity")), 6).as("r2_pq"))
         .orderBy(col("l_returnflag"))),
 
+    // GROUPING SETS surface (the chosen-levels complement of q11 ROLLUP /
+    // q30 CUBE): four explicit aggregation levels, grouping() flags pin
+    // which level each output row belongs to
+    "q53_grouping_sets" -> ((s, dir) => {
+      T(s, dir, "documents").createOrReplaceTempView("q53_docs")
+      s.sql(
+        """SELECT lang, source, count(*) AS cnt,
+          |  CAST(grouping(lang) AS BIGINT) AS g_lang,
+          |  CAST(grouping(source) AS BIGINT) AS g_source
+          |FROM q53_docs
+          |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+          |ORDER BY g_lang, g_source, lang ASC NULLS FIRST,
+          |  source ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // equi-width histogram (data profiling): bucket bounds from one tiny
+    // min/max aggregate broadcast onto the scan — identical IEEE bucket
+    // arithmetic on both engines, edge value clamped into the last bucket
+    "q54_histogram" -> ((s, dir) => {
+      val o = T(s, dir, "orders")
+      val stats = o.agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      o.crossJoin(broadcast(stats))
+        .select(least(
+          floor((col("o_totalprice") - col("mn")) /
+            ((col("mx") - col("mn")) / lit(20.0))), lit(19L))
+          .cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          round(min(col("o_totalprice")), 2).as("lo_seen"),
+          round(max(col("o_totalprice")), 2).as("hi_seen"))
+        .orderBy(col("bucket"))
+    }),
+
+    // per-source cap (crawl "domain cap"): at most 10 docs per source,
+    // picked in stable hash order through the bounded top-k aggregate
+    "q55_source_cap" -> ((s, dir) =>
+      Sampling.capPerGroup(T(s, dir, "documents"), "doc_id", "source",
+        k = 10)),
+
     // correlated LATERAL subquery (top-2 customers per nation): the
     // planner must decorrelate the ordered-limited subquery into a
     // ranked join — no per-row re-execution survives at scale
@@ -1095,6 +1136,13 @@ object SparkEntry {
     "d8_span_dedup" -> ((s, dir) =>
       Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
         window = 8)),
+
+    // containment near-dup (overlap / min-size): the quote / partial-copy
+    // detector — high where Jaccard collapses under length mismatch;
+    // small-side prefix filter against full postings, exact verify
+    "d9_containment_pairs" -> ((s, dir) =>
+      Dedup.containmentPairs(T(s, dir, "documents"), "doc_id", "text",
+        Seq(col("lang")), n = 3, threshold = 0.6)),
 
     // incremental NEAR-dup: a new batch's MinHash bands join the corpus's
     // bands — candidates track the batch, the corpus never self-joins
@@ -2596,6 +2644,37 @@ object SparkEntry {
         |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
         |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
 
+    "q53_grouping_sets" ->
+      """SELECT lang, source, count(*) AS cnt,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang, source), (lang), (source), ())
+        |ORDER BY g_lang, g_source, lang ASC NULLS FIRST,
+        |  source ASC NULLS FIRST""".stripMargin,
+
+    "q54_histogram" ->
+      """WITH st AS (
+        |  SELECT min(o_totalprice) AS mn, max(o_totalprice) AS mx
+        |  FROM orders)
+        |SELECT
+        |  CAST(least(floor((o_totalprice - mn) / ((mx - mn) / 20.0)), 19)
+        |    AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS cnt,
+        |  round(min(o_totalprice), 2) AS lo_seen,
+        |  round(max(o_totalprice), 2) AS hi_seen
+        |FROM orders, st GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    // Domain cap: same hash-bucket order, ranked with a window (the
+    // Spark side uses the bounded top-k aggregate).
+    "q55_source_cap" ->
+      s"""SELECT source, rk, doc_id, bkt AS bucket FROM (
+         |  SELECT source, doc_id, bkt,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |                            ORDER BY bkt, doc_id) AS BIGINT) AS rk
+         |  FROM (${duckWithBucket("doc_id, source", "doc_id")}))
+         |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
     "q21_train_test_split" ->
       s"""SELECT split, count(*) AS cnt,
          |  min(doc_id) AS min_id, max(doc_id) AS max_id
@@ -2650,6 +2729,31 @@ object SparkEntry {
         |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
         |  WHERE len(a.sh) * 0.2 <= len(b.sh) AND len(b.sh) * 0.2 <= len(a.sh))
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
+    // Containment twin: same shingle sets, naive within-language join
+    // (complete by construction — the Spark side's small-side prefix
+    // filter is the lossless scale path).
+    "d9_containment_pairs" ->
+      """WITH th AS (
+        |  SELECT lang, doc_id,
+        |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       [CAST(unicode(c) AS BIGINT) for c in string_split(t, '')]),
+        |       (acc, x) -> (acc * 131 + x) % 9007199254740881)
+        |     for t in string_split(text, ' ')] AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct([((((th[i]) * 131 + th[i+1]) % 9007199254740881) * 131 + th[i+2]) % 9007199254740881
+        |                   for i in range(1, len(th) - 1)]) AS sh
+        |  FROM th WHERE len(th) >= 3)
+        |SELECT id_a, id_b, containment FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / least(len(a.sh), len(b.sh))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS containment
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) > 0 AND len(b.sh) > 0)
+        |WHERE containment >= 0.6 ORDER BY id_a, id_b""".stripMargin,
 
     // CAST(... AS DOUBLE[]) makes DuckDB accumulate in double in index
     // order — bit-identical to the codegen'd CosineSimilarity kernel

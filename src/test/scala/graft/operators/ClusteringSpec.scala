@@ -190,6 +190,28 @@ class SamplingSpec extends SparkSpec {
     assert(out.toSeq == want.toSeq)
   }
 
+  test("capPerGroup keeps exactly k per group in stable hash order") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val df = (0L until 100L).map(i => (i, "s" + (i % 3))).toDF("doc_id", "source")
+    val out = Sampling.capPerGroup(df, "doc_id", "source", k = 7)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.groupBy(_._1).forall(_._2.length == 7))
+    // parity with the window row_number formulation over the same order
+    graft.functions.GraftFunctions.register(spark)
+    val want = df.withColumn("bkt", Sampling.hashBucket(col("doc_id")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("bkt"), col("doc_id")))
+        .cast("long"))
+      .filter(col("rk") <= 7)
+      .select(col("source"), col("rk"), col("doc_id"), col("bkt"))
+      .orderBy(col("source"), col("rk"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(out.toSeq == want.toSeq)
+  }
+
   test("weightedSample excludes non-positive weights and is deterministic") {
     val df = Seq((1L, 5L, "g"), (2L, 0L, "g"), (3L, -4L, "g"), (4L, 2L, "g"))
       .toDF("doc_id", "w", "grp")

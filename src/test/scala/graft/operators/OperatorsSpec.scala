@@ -202,6 +202,36 @@ class DedupSpec extends SparkSpec {
     assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((0L, 1L)))
   }
 
+  test("containmentPairs finds a short quote inside a long doc; equals naive join") {
+    import graft.functions.TextFunctions
+    val quote = (1 to 10).map("q" + _).mkString(" ")
+    val long = ((1 to 40).map("w" + _) ++ (1 to 10).map("q" + _)).mkString(" ")
+    val rnd = new scala.util.Random(11)
+    val noise = (0 until 30).map(i =>
+      (10L + i, Seq.fill(20)("n" + rnd.nextInt(80)).mkString(" ")))
+    val df = (Seq((0L, quote), (1L, long)) ++ noise).toDF("doc_id", "text")
+      .withColumn("lang", lit("en"))
+    val got = Dedup.containmentPairs(df, "doc_id", "text", Seq(col("lang")),
+      n = 3, threshold = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // the quote's 8 trigram shingles all appear in the long doc:
+    // containment 1.0 even though Jaccard is tiny
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    // naive quadratic twin over the same shingle sets
+    GraftFunctions.register(spark)
+    val sets = df.select(col("doc_id"),
+      TextFunctions.hashedShingleSet(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty)
+    val want = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets; if ia < ib
+      c = (sa & sb).size.toDouble / math.min(sa.size, sb.size)
+      cr = math.floor(c * 1e6 + 0.5) / 1e6
+      if cr >= 0.6
+    } yield (ia, ib, cr)).sortBy(p => (p._1, p._2)).toSeq
+    assert(got.toSeq == want)
+  }
+
   test("duplicatedSpans merges overlapping cross-doc windows, zeros unique docs") {
     // doc0/doc1 share the 9-token prefix a1..a9: with window = 8 the
     // duplicated windows sit at positions 1 and 2 and must merge into ONE
