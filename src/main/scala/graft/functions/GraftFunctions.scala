@@ -40,6 +40,8 @@ object GraftFunctions {
     "graft_simhash" -> (es => SimHashBits(es(0), intLit(es(1), "graft_simhash width"))),
     "graft_token_hashes" -> (es => PolyTokenHashes(es(0))),
     "graft_shingles" -> (es => PolyShingleSet(es(0), intLit(es(1), "graft_shingles n"))),
+    "graft_window_hashes" -> (es => PolyWindowHashes(es(0),
+      intLit(es(1), "graft_window_hashes n"))),
     "graft_charfold" -> (es => PolyCharFold(es(0))),
     "graft_srp_buckets" -> (es => SrpBuckets(es(0),
       intLit(es(1), "graft_srp_buckets tables"),

@@ -74,6 +74,31 @@ object PolyHash {
     new GenericArrayData(java.util.Arrays.copyOf(sh, w))
   }
 
+  /** ORDERED rolling window hashes, one per position (duplicates kept,
+    * position = array index + 1) — the positions-preserving sibling of
+    * [[shingleSet]] for span-level dedup, where WHERE a window occurs
+    * matters as much as its value. Empty when fewer than n tokens.
+    */
+  def windowHashes(s: UTF8String, n: Int, base: Long, mod: Long): ArrayData = {
+    val th = tokenHashes(s, base, mod)
+    val cnt = th.numElements()
+    if (cnt < n) return new GenericArrayData(Array.emptyLongArray)
+    val m = cnt - n + 1
+    val wh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) {
+        acc = (acc * base + th.getLong(i + j)) % mod
+        j += 1
+      }
+      wh(i) = acc
+      i += 1
+    }
+    new GenericArrayData(wh)
+  }
+
   /** Rolling hash of ALL code points (spaces included) — the kernel twin
     * of [[TextFunctions.charFingerprint]].
     */
@@ -126,6 +151,29 @@ case class PolyShingleSet(child: Expression, n: Int,
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, s =>
       s"${ev.value} = graft.functions.PolyHash.shingleSet($s, $n, ${base}L, ${mod}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Ordered (non-distinct) hashed n-gram window list of a string column —
+  * position i (1-based) covers tokens i..i+n-1.
+  */
+case class PolyWindowHashes(child: Expression, n: Int,
+                            base: Long = TextFunctions.FpBase,
+                            mod: Long = TextFunctions.ShPrime)
+    extends UnaryExpression {
+  require(n > 0, "window width must be positive")
+  override def prettyName: String = "graft_window_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PolyHash.windowHashes(input.asInstanceOf[UTF8String], n, base, mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.PolyHash.windowHashes($s, $n, ${base}L, ${mod}L);")
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

@@ -85,6 +85,15 @@ object TextFunctions {
   def hashedShingleSet(text: Column, n: Int): Column =
     call_function("graft_shingles", text, lit(n))
 
+  /** ORDERED rolling window hashes (duplicates kept; position = index + 1)
+    * — the positions-preserving counterpart of [[hashedShingleSet]] for
+    * span-level dedup. Backed by the codegen'd [[PolyWindowHashes]]
+    * kernel: the HOF formulation walks Spark's interpreted lambda path
+    * per window (measured 10×+ slower at sf0.1).
+    */
+  def windowHashes(text: Column, n: Int): Column =
+    call_function("graft_window_hashes", text, lit(n))
+
   // ---- higher-order-function reference formulations ----
   // Kept as executable documentation + cross-check targets for the kernel
   // parity specs: same math, built only from org.apache.spark.sql.functions.
@@ -99,6 +108,15 @@ object TextFunctions {
     transform(tokens(text), t =>
       aggregate(transform(split(t, ""), ch => ascii(ch).cast("long")),
         lit(0L), (acc, x) => (acc * lit(FpBase) + x) % lit(ShPrime)))
+
+  private[graft] def windowHashesHof(text: Column, n: Int): Column =
+    letBound(tokenHashesHof(text)) { th =>
+      when(size(th) >= n,
+        transform(sequence(lit(0), size(th) - lit(n)), i =>
+          (0 until n).foldLeft(lit(0L))((acc, j) =>
+            (acc * lit(FpBase) + element_at(th, i + lit(j + 1))) % lit(ShPrime))))
+        .otherwise(array().cast("array<long>"))
+    }
 
   private[graft] def hashedShingleSetHof(text: Column, n: Int): Column =
     letBound(tokenHashesHof(text)) { th =>

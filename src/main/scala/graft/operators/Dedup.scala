@@ -739,21 +739,17 @@ object Dedup {
                       window: Int): DataFrame = {
     require(window >= 2, s"window must be >= 2: $window")
     GraftFunctions.register(df.sparkSession)
-    // (id, n_tokens, ws = [(pos, windowHash)]) — pos is 1-based; the fold
-    // mirrors hashedShingleSet's hash exactly (base 131 mod 2^53-111) but
-    // keeps positions and duplicates.
-    val wl = df.select(col(idCol).as("id"), tokenHashes(col(textCol)).as("th"))
-      .select(col("id"), size(col("th")).cast("long").as("n_tokens"),
-        when(size(col("th")) >= window,
-          transform(sequence(lit(1), size(col("th")) - lit(window - 1)), i =>
-            struct(i.cast("long").as("pos"),
-              (0 until window).foldLeft(lit(0L))((acc, j) =>
-                (acc * lit(FpBase) + element_at(col("th"), i + lit(j))) % lit(ShPrime))
-                .as("wh"))))
-          .otherwise(array().cast("array<struct<pos:bigint,wh:bigint>>"))
-          .as("ws"))
-    val w = wl.select(col("id"), explode(col("ws")).as("w"))
-      .select(col("id"), col("w.pos").as("pos"), col("w.wh").as("wh"))
+    // (id, n_tokens, ws = ordered window hashes, position = index + 1).
+    // The codegen'd kernel mirrors hashedShingleSet's hash exactly
+    // (base 131 mod 2^53-111) but keeps positions and duplicates — the
+    // HOF fold formulation ran interpreted per window (measured 21 s at
+    // sf0.1 vs ~2 s with the kernel).
+    val wl = df.select(col(idCol).as("id"),
+      size(tokens(col(textCol))).cast("long").as("n_tokens"),
+      windowHashes(col(textCol), window).as("ws"))
+    val w = wl.select(col("id"), posexplode(col("ws")))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("wh"))
     // hashes seen in more than one document (count-distinct is two-phase:
     // partial distinct per map task, then one exchange on wh)
     val dup = w.groupBy(col("wh"))

@@ -97,4 +97,14 @@ class HashExpressionsSpec extends SparkSpec {
       rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
     }
   }
+
+  test("PolyWindowHashes kernel equals the HOF window fold, order kept") {
+    GraftFunctions.register(spark)
+    for (n <- Seq(2, 3, 8)) {
+      val rows = texts.toDF("text").select(
+        TextFunctions.windowHashes(col("text"), n),
+        TextFunctions.windowHashesHof(col("text"), n)).collect()
+      rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"n=$n"))
+    }
+  }
 }
