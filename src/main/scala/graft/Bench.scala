@@ -25,7 +25,8 @@ object Bench {
     "q16_props_extract", "q17_monthly_revenue", "q20_hash_sample",
     "q21_train_test_split", "q22_corpus_stats", "q30_cube_grouping",
     "q32_stratified_sample", "q44_join_types", "q45_snapshot_diff",
-    "q46_gap_fill", "q50_weighted_sample", "q55_source_cap")
+    "q46_gap_fill", "q50_weighted_sample", "q55_source_cap",
+    "q56_distribution_drift")
   private val tMicro = Set(
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t6_decontaminate", "t7_pack_chunks", "t8_repetition",

@@ -843,6 +843,26 @@ object SparkEntry {
         .orderBy(col("event_id"))
     }),
 
+    // forward as-of join: each event enriched with the user's NEXT order
+    // at-or-after the event (time-to-next-conversion shape) — the
+    // forward-frame twin of e2, same union + one-window plan
+    "e5_asof_forward" -> ((s, dir) => {
+      val ev = T(s, dir, "events")
+        .withColumn("ts_secs", expr("ts div 1000000000"))
+        .select(col("event_id"), col("user_id"), col("ts_secs"))
+      val ord = Dedup.exactDedup(
+        T(s, dir, "orders")
+          .withColumn("o_ts", unix_timestamp(col("o_orderdate").cast("timestamp"))),
+        Seq("o_custkey", "o_ts"), "o_orderkey")
+        .select(col("o_custkey"), col("o_ts"), col("o_orderkey"), col("o_totalprice"))
+      AsOf.joinAsOfForward(ev, ord, "user_id", "o_custkey", "ts_secs", "o_ts",
+        Seq("o_orderkey", "o_totalprice"))
+        .select(col("event_id"), col("user_id"), col("ts_secs"),
+          col("o_orderkey").as("next_orderkey"),
+          col("o_totalprice").as("next_total"))
+        .orderBy(col("event_id"))
+    }),
+
     // interval (range) join: each click vs same-user events in the
     // following hour — equi-key + range predicate, sort-merge shape
     "e3_interval_join" -> ((s, dir) => {
@@ -1021,6 +1041,23 @@ object SparkEntry {
     // decision engine-exact)
     "t13_quality_classifier" -> ((s, dir) =>
       TextOps.hashedLinearScore(T(s, dir, "documents"), "text")),
+
+    // Gopher-style structural quality rules: word-count / mean-word-length
+    // bands, alpha-word fraction, stopword floor, top-word-share ceiling,
+    // conjunction keep flag
+    "t14_gopher_rules" -> ((s, dir) =>
+      TextOps.gopherRules(T(s, dir, "documents"))),
+
+    // distribution drift between two ingest snapshots (doc_id parity
+    // simulates day-1 vs day-2): per-source shares, smoothed KL and TV
+    // contributions — the corpus-monitoring operator
+    "q56_distribution_drift" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Diff.distributionDrift(
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(2)) === 1),
+        "source")
+    }),
 
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
@@ -2093,6 +2130,26 @@ object SparkEntry {
         |  ON e.user_id = o2.o_custkey AND e.ts_secs >= o2.o_ts
         |ORDER BY event_id""".stripMargin,
 
+    // forward twin: DuckDB ASOF with <= picks the EARLIEST right row
+    // at-or-after the probe timestamp (verified: equality matches)
+    "e5_asof_forward" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts_secs FROM events),
+        |o1 AS (
+        |  SELECT o_custkey, CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_ts,
+        |    o_orderkey, o_totalprice FROM orders),
+        |o2 AS (
+        |  SELECT o_custkey, o_ts, o_orderkey, o_totalprice FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY o_custkey, o_ts
+        |                                 ORDER BY o_orderkey) AS rn
+        |    FROM o1) WHERE rn = 1)
+        |SELECT e.event_id, e.user_id, e.ts_secs,
+        |  o2.o_orderkey AS next_orderkey, o2.o_totalprice AS next_total
+        |FROM e ASOF LEFT JOIN o2
+        |  ON e.user_id = o2.o_custkey AND e.ts_secs <= o2.o_ts
+        |ORDER BY event_id""".stripMargin,
+
     "t1_token_stats" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens,
         |len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]')) AS n_re_tokens
@@ -2232,6 +2289,71 @@ object SparkEntry {
          |  CAST(CASE WHEN -0.1 + CAST(s AS DOUBLE) / (1000.0 * n_tokens) >= 0
          |       THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM f ORDER BY doc_id""".stripMargin,
+
+    // Gopher rules: keep decision evaluated on UNROUNDED ratios in both
+    // engines (plain IEEE divisions of the same integers — bit-identical);
+    // displayed ratios rounded half-up at 6 dp as everywhere else.
+    "t14_gopher_rules" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS n_tokens,
+        |    CAST(list_aggregate([length(t) for t in tk], 'sum') AS DOUBLE)
+        |      AS sum_len,
+        |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+        |      AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(tk, t -> t IN
+        |      ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+        |      AS stop_hits
+        |  FROM tk),
+        |tw AS (SELECT doc_id, max(c) AS top_cnt FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(tk) AS w FROM tk) GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |r AS (SELECT m.doc_id, n_tokens, stop_hits,
+        |    CASE WHEN n_tokens > 0 THEN sum_len / n_tokens ELSE 0.0 END
+        |      AS mean_len,
+        |    CASE WHEN n_tokens > 0 THEN CAST(n_alpha AS DOUBLE) / n_tokens
+        |      ELSE 0.0 END AS alpha_frac,
+        |    CASE WHEN n_tokens > 0 THEN CAST(top_cnt AS DOUBLE) / n_tokens
+        |      ELSE 0.0 END AS top_frac
+        |  FROM m JOIN tw ON m.doc_id = tw.doc_id)
+        |SELECT doc_id, n_tokens,
+        |  floor(mean_len * 1000000.0 + 0.5) / 1000000.0 AS mean_word_len,
+        |  floor(alpha_frac * 1000000.0 + 0.5) / 1000000.0 AS alpha_frac,
+        |  stop_hits,
+        |  floor(top_frac * 1000000.0 + 0.5) / 1000000.0 AS top_word_frac,
+        |  CAST(CASE WHEN n_tokens BETWEEN 30 AND 100000
+        |        AND mean_len BETWEEN 3.0 AND 10.0
+        |        AND alpha_frac >= 0.8
+        |        AND stop_hits >= 1
+        |        AND top_frac <= 0.12
+        |       THEN 1 ELSE 0 END AS BIGINT) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // drift monitor: shares and smoothed KL/TV contributions — the ln()
+    // term is rounded at 6 dp in both engines like every libm call here
+    "q56_distribution_drift" ->
+      """WITH a AS (SELECT source, count(*) AS cnt_a FROM documents
+        |           WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT source, count(*) AS cnt_b FROM documents
+        |      WHERE doc_id % 2 = 1 GROUP BY 1),
+        |m AS (SELECT coalesce(a.source, b.source) AS source,
+        |        CAST(coalesce(cnt_a, 0) AS BIGINT) AS cnt_a,
+        |        CAST(coalesce(cnt_b, 0) AS BIGINT) AS cnt_b
+        |      FROM a FULL OUTER JOIN b ON a.source = b.source),
+        |t AS (SELECT CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |        CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+        |        CAST(count(*) AS BIGINT) AS k FROM m),
+        |p AS (SELECT source, cnt_a, cnt_b,
+        |        CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + k AS DOUBLE) AS p_a,
+        |        CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE) AS p_b
+        |      FROM m, t)
+        |SELECT source, cnt_a, cnt_b,
+        |  floor(p_a * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+        |  floor(p_b * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+        |  floor(p_a * ln(p_a / p_b) * 1000000.0 + 0.5) / 1000000.0 AS kl_term,
+        |  floor(abs(p_a - p_b) / 2.0 * 1000000.0 + 0.5) / 1000000.0 AS tv_term
+        |FROM p ORDER BY source""".stripMargin,
 
     // Scores are rounded half-up at 6 dp BEFORE ranking in both engines,
     // so libm-vs-Java ln() ULP differences cannot flip a rank.

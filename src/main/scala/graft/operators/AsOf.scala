@@ -59,4 +59,43 @@ object AsOf {
     carried.filter(col("__side") === 1)
       .select(leftCols.map(col) ++ payload: _*)
   }
+
+  /** Forward as-of join: for each left row, attach the EARLIEST right row
+    * whose timestamp is >= the left row's timestamp, per key — the
+    * "next state change" twin of [[joinAsOf]] (e.g. time-to-next-order,
+    * next price revision). Same sort-based shape: one union, one hash
+    * exchange on the key, one window pass — the forward frame
+    * `(currentRow, unboundedFollowing)` with `first(ignoreNulls)` replaces
+    * the backward frame's `last`. Left rows tag `__side = 0` so a right
+    * row at exactly the left timestamp sorts inside the frame
+    * (inclusive >=). Right rows must be unique per (key, ts), as in
+    * [[joinAsOf]].
+    */
+  def joinAsOfForward(left: DataFrame, right: DataFrame,
+                      leftKey: String, rightKey: String,
+                      leftTs: String, rightTs: String,
+                      payloadCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val payload = payloadCols.map(c => col(c))
+
+    val taggedRight = right.select(
+      (col(rightKey).as("__k") +: col(rightTs).as("__ts") +: lit(1).as("__side") +:
+        payloadCols.map(col)) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val taggedLeft = left.select(
+      (col(leftKey).as("__k") +: col(leftTs).as("__ts") +: lit(0).as("__side") +:
+        payloadCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))) ++
+        leftCols.map(col): _*)
+
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val carried = payloadCols.foldLeft(taggedRight.unionByName(taggedLeft)) {
+      (df, c) => df.withColumn(c, first(col(c), ignoreNulls = true).over(w))
+    }
+
+    carried.filter(col("__side") === 0)
+      .select(leftCols.map(col) ++ payload: _*)
+  }
 }

@@ -394,4 +394,57 @@ object TextOps {
       .withColumn("redacted",
         regexp_replace(deEmailed, PhoneRegex, "<PHONE>"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Appendix A,
+    * "quality filtering"): per-document structural metrics plus the
+    * conjunction keep flag, restricted to the rules computable from a
+    * single-line text column — word-count band, mean-word-length band,
+    * minimum alphabetic-word fraction, minimum stopword hits, and a
+    * maximum top-word share (the single-word repetition screen; the
+    * n-gram duplicate screen is [[repetitionStats]]).
+    *
+    * Scale shape: the scalar metrics are one narrow codegen'd projection.
+    * The top-word share is explode → (doc, word) count → per-doc max —
+    * two hash aggregations with map-side partials, re-joined on doc_id.
+    * No windows, no quadratic blocks; every stage is decomposable.
+    */
+  def gopherRules(docs: DataFrame,
+                  minWords: Long = 30, maxWords: Long = 100000,
+                  meanLenMin: Double = 3.0, meanLenMax: Double = 10.0,
+                  minAlphaFrac: Double = 0.8, minStopHits: Long = 1,
+                  maxTopWordFrac: Double = 0.12): DataFrame = {
+    val tok = tokens(col("text"))
+    val metrics = docs.select(col("doc_id"),
+      letBound(tok) { t =>
+        struct(
+          size(t).cast("long").as("n_tokens"),
+          aggregate(transform(t, x => length(x).cast("long")),
+            lit(0L), (acc, x) => acc + x).cast("double").as("sum_len"),
+          size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+          stopwordHits(t, langStopwords.head._2).cast("long").as("stop_hits"))
+      }.as("m"))
+      .select(col("doc_id"), col("m.*"))
+    val topWord = docs
+      .select(col("doc_id"), explode(tok).as("__w"))
+      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id")).agg(max(col("__c")).as("top_cnt"))
+    val n = col("n_tokens").cast("double")
+    val meanLen = when(n > 0, col("sum_len") / n).otherwise(lit(0.0))
+    val alphaFrac = when(n > 0, col("n_alpha").cast("double") / n).otherwise(lit(0.0))
+    val topFrac = when(n > 0, col("top_cnt").cast("double") / n).otherwise(lit(0.0))
+    val keep =
+      col("n_tokens").between(minWords, maxWords) &&
+        meanLen.between(meanLenMin, meanLenMax) &&
+        alphaFrac >= minAlphaFrac &&
+        col("stop_hits") >= minStopHits &&
+        topFrac <= maxTopWordFrac
+    metrics.join(topWord, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"),
+        roundHalfUp(meanLen, 6).as("mean_word_len"),
+        roundHalfUp(alphaFrac, 6).as("alpha_frac"),
+        col("stop_hits"),
+        roundHalfUp(topFrac, 6).as("top_word_frac"),
+        when(keep, lit(1L)).otherwise(lit(0L)).as("keep"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -45,6 +45,30 @@ class DiffSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got == Map(1L -> "unchanged", 2L -> "changed"))
   }
+
+  test("distributionDrift computes smoothed shares, KL and TV terms") {
+    val a = Seq("web", "web", "web", "books").toDF("source")
+    val b = Seq("web", "books", "wiki", "wiki").toDF("source")
+    val rows = Diff.distributionDrift(a, b, "source").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6))).toMap
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // 3 categories in the union; totals 4 and 4 -> smoothed denominator 7
+    val (pWebA, pWebB) = (4.0 / 7.0, 2.0 / 7.0)
+    assert(rows("web")._1 == 3L && rows("web")._2 == 1L)
+    assert(rows("web")._3 == r6(pWebA) && rows("web")._4 == r6(pWebB))
+    assert(rows("web")._5 == r6(pWebA * math.log(pWebA / pWebB)))
+    assert(rows("web")._6 == r6((pWebA - pWebB).abs / 2.0))
+    // category absent from a: count 0, still a finite negative KL term
+    assert(rows("wiki")._1 == 0L && rows("wiki")._2 == 2L)
+    val (pWikiA, pWikiB) = (1.0 / 7.0, 3.0 / 7.0)
+    assert(rows("wiki")._5 == r6(pWikiA * math.log(pWikiA / pWikiB)))
+    assert(rows("wiki")._5 < 0.0)
+    // TV distance (sum of tv_term) is symmetric and in [0, 1]
+    val tv = rows.values.map(_._6).sum
+    assert(tv > 0.0 && tv <= 1.0)
+  }
 }
 
 class TimeSeriesSpec extends SparkSpec {

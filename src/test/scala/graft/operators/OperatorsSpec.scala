@@ -731,4 +731,84 @@ class AsOfSpec extends graft.SparkSpec {
     }.toMap
     assert(out == expected2)
   }
+
+  test("forward asof join picks earliest right >= left ts, inclusive, " +
+    "null after last") {
+    val left = Seq(
+      (1L, 100L, 5L),   // before first right row -> matches 10
+      (2L, 100L, 10L),  // exactly at right ts 10 -> matches (inclusive)
+      (3L, 100L, 25L),  // between 20 and 30 -> matches 30
+      (4L, 100L, 35L),  // after last right row for the key -> null
+      (5L, 200L, 10L)   // other key -> matches 40
+    ).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (100L, 10L, "a"), (100L, 20L, "b"), (100L, 30L, "c"),
+      (200L, 40L, "z")).toDF("rk", "rts", "payload")
+    val out = AsOf.joinAsOfForward(left, right, "k", "rk", "ts", "rts",
+      Seq("payload"))
+      .orderBy("event_id").collect()
+      .map(r => (r.getLong(0), Option(r.getString(3))))
+    assert(out.toSeq == Seq(
+      (1L, Some("a")), (2L, Some("a")), (3L, Some("c")), (4L, None),
+      (5L, Some("z"))))
+  }
+
+  test("forward asof join equals naive per-row minimum on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.fill(200)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .zipWithIndex.map { case ((k, ts), i) => (i.toLong, k, ts) }
+    val right = Seq.fill(60)((rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong))
+      .distinct.zipWithIndex.map { case ((k, ts), i) => (k, ts, i.toLong) }
+    val out = AsOf.joinAsOfForward(
+      left.toDF("event_id", "k", "ts"),
+      Dedup.exactDedup(right.toDF("rk", "rts", "pid"), Seq("rk", "rts"), "pid"),
+      "k", "rk", "ts", "rts", Seq("pid")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val dedupedRight = right.groupBy(r => (r._1, r._2))
+      .map { case (_, rs) => rs.minBy(_._3) }.toSeq
+    val expected = left.map { case (id, k, ts) =>
+      id -> dedupedRight.filter(r => r._1 == k && r._2 >= ts)
+        .sortBy(_._2).headOption.map(_._3)
+    }.toMap
+    assert(out == expected)
+  }
+}
+
+class GopherRulesSpec extends graft.SparkSpec {
+  import spark.implicits._
+
+  test("gopherRules metrics and keep flag on hand-computed docs") {
+    val docs = Seq(
+      // 50 tokens over 10 distinct words: top word 'the' x5 (frac 0.1),
+      // mean word length 3.1, stop hits 5 -> keep
+      (1L, ("the cat sat on mat today dog ran far now " * 5).trim),
+      // too short (< 30 words) -> rejected by the word-count band
+      (2L, "the tiny doc"),
+      // 40 tokens but one word repeated 20x -> top_word_frac 0.5 -> reject
+      (3L, (("spam " * 20) + ("the dog ran far now " * 4)).trim)
+    ).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val d1 = out(1L)
+    assert(d1.getAs[Long]("n_tokens") == 50L)
+    assert(d1.getAs[Long]("stop_hits") == 5L)   // 'the' x5; 'on' not in list
+    assert(d1.getAs[Double]("top_word_frac") == 0.1)
+    assert(d1.getAs[Double]("mean_word_len") == 3.1)
+    assert(d1.getAs[Long]("keep") == 1L)
+    assert(out(2L).getAs[Long]("keep") == 0L)
+    val d3 = out(3L)
+    assert(d3.getAs[Long]("n_tokens") == 40L)
+    assert(d3.getAs[Double]("top_word_frac") == 0.5)
+    assert(d3.getAs[Long]("keep") == 0L)
+  }
+
+  test("gopherRules survives the empty document") {
+    val docs = Seq((1L, "")).toDF("doc_id", "text")
+    val out = TextOps.gopherRules(docs).collect()
+    assert(out.length == 1)
+    // split("") yields [""]: one empty token, zero length, zero stopwords
+    assert(out(0).getAs[Long]("keep") == 0L)
+  }
 }
