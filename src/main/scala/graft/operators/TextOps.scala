@@ -403,10 +403,13 @@ object TextOps {
     * maximum top-word share (the single-word repetition screen; the
     * n-gram duplicate screen is [[repetitionStats]]).
     *
-    * Scale shape: the scalar metrics are one narrow codegen'd projection.
-    * The top-word share is explode → (doc, word) count → per-doc max —
-    * two hash aggregations with map-side partials, re-joined on doc_id.
-    * No windows, no quadratic blocks; every stage is decomposable.
+    * Scale shape: ONE narrow codegen-friendly projection, zero shuffle
+    * (only the presentation sort at the end). The top-word count — the
+    * tempting explode → (doc, word) count → per-doc max, a full-corpus
+    * shuffle of every token — is instead a per-document run-length scan
+    * over the SORTED token array (`array_sort` + `aggregate`): O(n log n)
+    * local work per document, nothing crosses the wire. At 100 TB the
+    * difference is shuffling the corpus vs shuffling nothing.
     */
   def gopherRules(docs: DataFrame,
                   minWords: Long = 30, maxWords: Long = 100000,
@@ -416,18 +419,29 @@ object TextOps {
     val tok = tokens(col("text"))
     val metrics = docs.select(col("doc_id"),
       letBound(tok) { t =>
+        // longest equal-run in the sorted array == max word multiplicity
+        val topCnt = letBound(array_sort(t)) { s =>
+          aggregate(s,
+            struct(lit("").as("w"), lit(0L).as("run"), lit(0L).as("best")),
+            (acc, x) => {
+              val run = when(x === acc.getField("w"),
+                acc.getField("run") + 1).otherwise(lit(1L))
+              struct(x.as("w"), run.as("run"),
+                greatest(acc.getField("best"), run).as("best"))
+            },
+            acc => acc.getField("best"))
+        }
         struct(
           size(t).cast("long").as("n_tokens"),
-          aggregate(transform(t, x => length(x).cast("long")),
-            lit(0L), (acc, x) => acc + x).cast("double").as("sum_len"),
+          // split-on-space identity: sum of token lengths == text length
+          // minus the separator count — exact for ANY text, one length()
+          // call instead of a per-token pass
+          (length(col("text")) - size(t) + 1).cast("double").as("sum_len"),
           size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-          stopwordHits(t, langStopwords.head._2).cast("long").as("stop_hits"))
+          stopwordHits(t, langStopwords.head._2).cast("long").as("stop_hits"),
+          topCnt.as("top_cnt"))
       }.as("m"))
       .select(col("doc_id"), col("m.*"))
-    val topWord = docs
-      .select(col("doc_id"), explode(tok).as("__w"))
-      .groupBy(col("doc_id"), col("__w")).agg(count(lit(1)).as("__c"))
-      .groupBy(col("doc_id")).agg(max(col("__c")).as("top_cnt"))
     val n = col("n_tokens").cast("double")
     val meanLen = when(n > 0, col("sum_len") / n).otherwise(lit(0.0))
     val alphaFrac = when(n > 0, col("n_alpha").cast("double") / n).otherwise(lit(0.0))
@@ -438,7 +452,7 @@ object TextOps {
         alphaFrac >= minAlphaFrac &&
         col("stop_hits") >= minStopHits &&
         topFrac <= maxTopWordFrac
-    metrics.join(topWord, Seq("doc_id"))
+    metrics
       .select(col("doc_id"), col("n_tokens"),
         roundHalfUp(meanLen, 6).as("mean_word_len"),
         roundHalfUp(alphaFrac, 6).as("alpha_frac"),
