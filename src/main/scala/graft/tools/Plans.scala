@@ -182,7 +182,28 @@ object Plans {
         |positives — result identical to the plain join, but only
         |maybe-matching fact rows reach the join's exchange. With a
         |selective dim at 100 TB that is the difference between shuffling
-        |the fact table and shuffling a rounding error of it.""".stripMargin)
+        |the fact table and shuffling a rounding error of it.""".stripMargin,
+    "t14_gopher_rules" ->
+      """Gopher structural quality rules. ONE narrow projection computes
+        |every metric — including the top-word share, which is a run-length
+        |scan over the sorted token array instead of the tempting
+        |explode -> (doc, word) -> max pipeline (that would shuffle every
+        |token of the corpus for a per-document statistic). The only
+        |Exchange in the plan is the presentation sort; drop the final
+        |orderBy in pipeline use and the operator is entirely
+        |shuffle-free.""".stripMargin,
+    "e5_asof_forward" ->
+      """Forward as-of join (next event at-or-after). Same sort-based shape
+        |as the backward e2: union both tagged sides, ONE hash exchange on
+        |the key, one window sort; first(ignoreNulls) over the forward
+        |frame replaces last() over the backward frame. No range-join pair
+        |explosion at any scale.""".stripMargin,
+    "q56_distribution_drift" ->
+      """Drift monitor. Each snapshot aggregates to (category, count) with
+        |map-side partials — the shuffle carries O(distinct categories),
+        |not rows. The totals aggregate is a single row, broadcast back
+        |(BroadcastNestedLoopJoin over a 1-row side is the scalar-subquery
+        |shape). Nothing in the plan scales with corpus size.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
