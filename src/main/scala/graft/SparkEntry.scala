@@ -1048,6 +1048,11 @@ object SparkEntry {
     "t14_gopher_rules" -> ((s, dir) =>
       TextOps.gopherRules(T(s, dir, "documents"))),
 
+    // token-distribution entropy (information-density quality signal) —
+    // shuffle-free sorted-run scan, like t14
+    "t16_token_entropy" -> ((s, dir) =>
+      TextOps.tokenEntropy(T(s, dir, "documents"))),
+
     // distribution drift between two ingest snapshots (doc_id parity
     // simulates day-1 vs day-2): per-source shares, smoothed KL and TV
     // contributions — the corpus-monitoring operator
@@ -1337,6 +1342,21 @@ object SparkEntry {
         c = 32, iters = 5)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
         "qid", "qvec", k = 5, cents, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // product-quantization ADC top-k with exact re-rank (scan-compression
+    // ANN path): 16 subspaces x 16 centroids -> 16 codes/vector, ADC
+    // shortlist of 50 re-ranked exactly (recall 0.98 vs s1, gated in
+    // PqSpec); rows-only check (codes are data-dependent)
+    "s6_pq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 5)
+      Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", topK = 5, books, m = 16, k = 16, rerank = 50)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -2329,6 +2349,25 @@ object SparkEntry {
         |        AND top_frac <= 0.12
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // token entropy: H = ln(n) - sum(c*ln c)/n over token multiplicities.
+    // Both engines sum c*ln(c) in different orders (sorted-run scan vs
+    // unordered group-by) — double addition reorder noise is ~1e-13,
+    // absorbed by the 6 dp rounding like every libm call here.
+    "t16_token_entropy" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |c AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+        |      FROM (SELECT doc_id, unnest(tk) AS w FROM tk) GROUP BY 1, 2),
+        |e AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS nd,
+        |        sum(c * ln(c)) AS s
+        |      FROM c GROUP BY 1)
+        |SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+        |  floor((CASE WHEN n > 0 THEN ln(n) - s / n ELSE 0.0 END)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS entropy,
+        |  floor((CASE WHEN n > 1 THEN (ln(n) - s / n) / ln(n) ELSE 0.0 END)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS norm_entropy
+        |FROM e ORDER BY doc_id""".stripMargin,
 
     // drift monitor: shares and smoothed KL/TV contributions — the ln()
     // term is rounded at 6 dp in both engines like every libm call here

@@ -31,6 +31,29 @@ object GraftFunctions {
       s"$what must be an int literal, got $other")
   }
 
+  /** Parses a literal (m·k)×subDim PQ codebook matrix + (m, k) literals
+    * into the flat row-major layout the kernels index.
+    */
+  private def pqCodebookLit(mat: Expression, mE: Expression, kE: Expression,
+                            what: String): (Seq[Float], Int, Int, Int) = {
+    val rows = mat match {
+      case Literal(v: ArrayData, _) =>
+        (0 until v.numElements()).map { i =>
+          val row = v.getArray(i)
+          (0 until row.numElements()).map(j => row.getFloat(j)).toArray
+        }
+      case other => throw new IllegalArgumentException(
+        s"$what codebook must be a literal matrix, got $other")
+    }
+    require(rows.nonEmpty && rows.map(_.length).distinct.size == 1,
+      s"$what codebook must be a non-empty rectangular matrix")
+    val m = intLit(mE, s"$what m")
+    val k = intLit(kE, s"$what k")
+    require(rows.length == m * k,
+      s"$what codebook must have m*k = ${m * k} rows, got ${rows.length}")
+    (rows.flatten.toSeq, m, k, rows.head.length)
+  }
+
   /** (name, builder) for every custom function. */
   private val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
@@ -62,6 +85,14 @@ object GraftFunctions {
           s"graft_ivf_probes centroids must be a literal matrix, got $other")
       }
       IvfProbes(es(0), flat, c, dim, intLit(es(2), "graft_ivf_probes nprobe"))
+    }),
+    "graft_pq_encode" -> (es => {
+      val (flat, m, k, subDim) = pqCodebookLit(es(1), es(2), es(3), "graft_pq_encode")
+      PqEncode(es(0), flat, m, k, subDim)
+    }),
+    "graft_pq_adc" -> (es => {
+      val (flat, m, k, subDim) = pqCodebookLit(es(2), es(3), es(4), "graft_pq_adc")
+      PqAdcCosine(es(0), es(1), flat, m, k, subDim)
     }),
     "graft_minhash" -> (es => {
       val k = intLit(es(1), "graft_minhash k")
@@ -148,6 +179,21 @@ object GraftFunctions {
   def ivfProbes(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_ivf_probes", asFloatArray(vec),
       typedLit(centroids), lit(nprobe))
+
+  /** m PQ codes of an `array<float>` vector under a trained
+    * (m·k)×subDim codebook — see [[PqEncode]].
+    */
+  def pqEncode(vec: Column, codebook: Seq[Seq[Float]], m: Int, k: Int): Column =
+    call_function("graft_pq_encode", asFloatArray(vec),
+      typedLit(codebook), lit(m), lit(k))
+
+  /** ADC cosine of (codes, query) under a trained codebook —
+    * exactly cosine(query, reconstruction(codes)); see [[PqAdcCosine]].
+    */
+  def pqAdc(codes: Column, qvec: Column, codebook: Seq[Seq[Float]],
+            m: Int, k: Int): Column =
+    call_function("graft_pq_adc", codes, asFloatArray(qvec),
+      typedLit(codebook), lit(m), lit(k))
 
   /** k Bloom bit positions of a key (cast to string, like
     * [[graft.operators.Sampling.hashBucket]]) — see [[BloomPositions]].

@@ -1,0 +1,165 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
+
+/** Product-quantization kernels (Jégou et al., "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011): a vector is split into `m`
+  * contiguous subspaces of `subDim` dims; each subvector is replaced by
+  * the id of its nearest codebook centroid (L2, ties to the lower id).
+  * A 64-dim float vector compresses to m small ints — the classic
+  * memory/IO lever for corpus-scale ANN (16–64× smaller scan footprint).
+  *
+  * Scoring is asymmetric distance computation (ADC): the query stays
+  * full-precision and is compared against the RECONSTRUCTION (the
+  * concatenated centroids selected by the codes), so the returned value
+  * is exactly `cosine(q, reconstruction(codes))` — approximation error
+  * comes only from quantizing the corpus, never the query.
+  *
+  * Both kernels are codegen'd expressions; the trained codebook rides in
+  * the plan as a codegen reference object (executors need no side input).
+  */
+object PqKernel {
+
+  /** m codes: per subspace the L2-nearest centroid id (tie → lower id). */
+  def encode(vec: ArrayData, mat: Array[Float], m: Int, k: Int,
+             subDim: Int): ArrayData = {
+    val n = vec.numElements()
+    val codes = new Array[Int](m)
+    var s = 0
+    while (s < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val off = (s * k + c) * subDim
+        var d = 0.0
+        var i = 0
+        while (i < subDim) {
+          val idx = s * subDim + i
+          val x =
+            if (idx < n && !vec.isNullAt(idx)) vec.getFloat(idx).toDouble
+            else 0.0
+          val diff = x - mat(off + i).toDouble
+          d += diff * diff
+          i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      codes(s) = best
+      s += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  /** cosine(query, reconstruction(codes)); 0.0 when either norm is 0. */
+  def adcCosine(codes: ArrayData, q: ArrayData, mat: Array[Float],
+                normsSq: Array[Double], m: Int, k: Int,
+                subDim: Int): Double = {
+    val nq = q.numElements()
+    var dot = 0.0
+    var nx = 0.0
+    var qn = 0.0
+    var s = 0
+    while (s < m) {
+      val c = codes.getInt(s)
+      val off = (s * k + c) * subDim
+      nx += normsSq(s * k + c)
+      var i = 0
+      while (i < subDim) {
+        val idx = s * subDim + i
+        val qi =
+          if (idx < nq && !q.isNullAt(idx)) q.getFloat(idx).toDouble else 0.0
+        dot += qi * mat(off + i).toDouble
+        qn += qi * qi
+        i += 1
+      }
+      s += 1
+    }
+    if (nx == 0.0 || qn == 0.0) 0.0 else dot / math.sqrt(nx * qn)
+  }
+
+  /** Per-centroid squared L2 norms of a flat (m·k)×subDim codebook. */
+  def centroidNormsSq(mat: Array[Float], rows: Int, subDim: Int): Array[Double] = {
+    val out = new Array[Double](rows)
+    var r = 0
+    while (r < rows) {
+      var acc = 0.0
+      var i = 0
+      while (i < subDim) {
+        val v = mat(r * subDim + i).toDouble
+        acc += v * v
+        i += 1
+      }
+      out(r) = acc
+      r += 1
+    }
+    out
+  }
+}
+
+/** `array<int>` of m PQ codes for an `array<float>` vector. The codebook
+  * is held as a Seq so case-class equality stays structural (array
+  * identity would defeat Catalyst canonicalization — same rule as
+  * [[IvfProbes]]).
+  */
+case class PqEncode(child: Expression, codebook: Seq[Float], m: Int, k: Int,
+                    subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  require(m > 0 && k > 0 && subDim > 0)
+  require(codebook.length == m * k * subDim, "codebook shape mismatch")
+
+  @transient private lazy val mat: Array[Float] = codebook.toArray
+
+  override def prettyName: String = "graft_pq_encode"
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(input: Any): Any =
+    PqKernel.encode(input.asInstanceOf[ArrayData], mat, m, k, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("pqMat", mat, "float[]")
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.PqKernel.encode($v, $matRef, $m, $k, $subDim);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC cosine of (codes: array<int>, query: array<float>) under a trained
+  * codebook — exactly `cosine(query, reconstruction(codes))`.
+  */
+case class PqAdcCosine(left: Expression, right: Expression,
+                       codebook: Seq[Float], m: Int, k: Int, subDim: Int)
+    extends BinaryExpression {
+  require(m > 0 && k > 0 && subDim > 0)
+  require(codebook.length == m * k * subDim, "codebook shape mismatch")
+
+  @transient private lazy val mat: Array[Float] = codebook.toArray
+  @transient private lazy val normsSq: Array[Double] =
+    PqKernel.centroidNormsSq(mat, m * k, subDim)
+
+  override def prettyName: String = "graft_pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(codes: Any, q: Any): Any =
+    PqKernel.adcCosine(codes.asInstanceOf[ArrayData], q.asInstanceOf[ArrayData],
+      mat, normsSq, m, k, subDim)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("pqMat", mat, "float[]")
+    val normsRef = ctx.addReferenceObj("pqNorms", normsSq, "double[]")
+    nullSafeCodeGen(ctx, ev, (c, q) =>
+      s"${ev.value} = graft.functions.PqKernel.adcCosine($c, $q, $matRef, $normsRef, $m, $k, $subDim);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -251,4 +251,111 @@ object Similarity {
       corpus.withColumn(vecCol, quantizeInt8(col(vecCol))),
       queries.withColumn(qvecCol, quantizeInt8(col(qvecCol))),
       idCol, vecCol, qidCol, qvecCol, k, excludeSelf)
+
+  /** Deterministic product-quantization codebooks: `m` subspaces of
+    * dim/m dims, `k` centroids each, trained per subspace with the same
+    * bounded driver-side Lloyd shape as [[trainCentroids]] but under L2
+    * (the PQ objective; subvectors are NOT normalized). Init = `k`
+    * evenly spaced subvectors of the id-ordered sample; empty cells keep
+    * their centroid; no RNG anywhere.
+    *
+    * @return (m·k)×subDim matrix, rows ordered (subspace-major, then
+    *         centroid id) — the layout [[graft.functions.PqEncode]] and
+    *         [[graft.functions.PqAdcCosine]] index
+    */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int = 8, k: Int = 16, iters: Int = 5,
+                       maxTrain: Int = 10000): Seq[Seq[Float]] = {
+    val sample = emb
+      .select(col(idCol).as("__oid"), col(vecCol).cast("array<float>").as("v"))
+      .orderBy(col("__oid"))
+      .limit(maxTrain)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"need >= $k training vectors, got ${sample.length}")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val subDim = dim / m
+
+    (0 until m).flatMap { s =>
+      val subs = sample.map { v =>
+        Array.tabulate(subDim)(i => v(s * subDim + i).toDouble)
+      }
+      val stride = subs.length / k
+      var cents = Array.tabulate(k)(c => subs(c * stride).clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        subs.foreach { x =>
+          var bestC = 0; var bestD = Double.MaxValue
+          var ci = 0
+          while (ci < k) {
+            var d = 0.0; var i = 0
+            while (i < subDim) {
+              val diff = x(i) - cents(ci)(i); d += diff * diff; i += 1
+            }
+            if (d < bestD) { bestD = d; bestC = ci }
+            ci += 1
+          }
+          var i = 0
+          while (i < subDim) { sums(bestC)(i) += x(i); i += 1 }
+          counts(bestC) += 1
+        }
+        cents = Array.tabulate(k)(ci =>
+          if (counts(ci) == 0) cents(ci)
+          else sums(ci).map(_ / counts(ci)))
+      }
+      cents.map(_.map(_.toFloat).toSeq).toSeq
+    }
+  }
+
+  /** Approximate top-k via product quantization with ADC scoring: the
+    * corpus is encoded ONCE to m small ints per vector (a narrow
+    * codegen'd projection — 16–64× less data than the float vectors),
+    * queries stay full precision, and each candidate is scored as
+    * `cosine(query, reconstruction(codes))` by the codegen'd
+    * [[graft.functions.PqAdcCosine]] kernel. Ranking is the bounded
+    * TopKByScore aggregate (map-side partials, shuffle = O(k×partitions)).
+    *
+    * Scale shape (100 TB): this is the SCAN-compression path, orthogonal
+    * to LSH/IVF candidate pruning — the full corpus is still visited, but
+    * as m-byte codes instead of 4·dim-byte vectors, so the scan is
+    * IO-bound at a fraction of the bytes; compose with [[ivfTopK]]'s
+    * cells for IVF-PQ when both levers are needed. The codebook is a
+    * plan literal; executors need no side input.
+    *
+    * `rerank > topK` enables the standard two-stage pipeline: ADC
+    * shortlists `rerank` candidates per query from the compressed scan,
+    * then ONLY those rows re-join the full-precision vectors (a selective
+    * join keyed on id — O(queries·rerank) rows, independent of corpus
+    * size) and exact cosine re-ranks the final `topK`. This recovers most
+    * of the recall lost to quantization while still never scanning the
+    * float corpus.
+    */
+  def pqTopK(corpus: DataFrame, queries: DataFrame,
+             idCol: String, vecCol: String,
+             qidCol: String, qvecCol: String,
+             topK: Int, codebooks: Seq[Seq[Float]], m: Int, k: Int,
+             rerank: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val coded = corpus.select(col(idCol),
+      GraftFunctions.pqEncode(col(vecCol), codebooks, m, k).as("__codes"))
+    val joined = coded.crossJoin(broadcast(queries))
+    val withSim = joined.withColumn("sim",
+      round(GraftFunctions.pqAdc(col("__codes"), col(qvecCol), codebooks, m, k), 6))
+    val filtered =
+      if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
+    if (rerank <= topK) rankTopK(filtered, idCol, qidCol, topK)
+    else {
+      val shortlist = rankTopK(filtered, idCol, qidCol, rerank)
+        .select(col(qidCol), col(idCol))
+      val exact = shortlist
+        .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+        .join(broadcast(queries), Seq(qidCol))
+        .withColumn("sim",
+          round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
+      rankTopK(exact, idCol, qidCol, topK)
+    }
+  }
 }

@@ -461,4 +461,65 @@ object TextOps {
         when(keep, lit(1L)).otherwise(lit(0L)).as("keep"))
       .orderBy(col("doc_id"))
   }
+
+  /** Per-document token-distribution entropy — the information-density
+    * quality signal (near-zero entropy = TEMPLATED/repeated content even
+    * when individual n-grams pass the repetition screens):
+    * H = ln(n) − (Σ cᵢ·ln cᵢ)/n over token multiplicities cᵢ, plus the
+    * ln(n)-normalized variant in [0, 1].
+    *
+    * Scale shape: like [[gopherRules]], the multiplicity profile comes
+    * from a run-length scan over the SORTED token array — one narrow
+    * projection, zero shuffle (only the presentation sort) — instead of
+    * the explode → (doc, token) count pipeline that would shuffle every
+    * token of the corpus for a per-document number.
+    */
+  def tokenEntropy(docs: DataFrame): DataFrame = {
+    val tok = tokens(col("text"))
+    docs.select(col("doc_id"),
+      letBound(array_sort(tok)) { s =>
+        aggregate(s,
+          // null sentinel, NOT "": the empty string is a real token (the
+          // sorted array of an empty text is [""]) and must start a run —
+          // x === null is null-falsy, so the first element always takes
+          // the new-run branch
+          struct(lit(null).cast("string").as("w"), lit(0L).as("run"),
+            lit(0L).as("nd"), lit(0.0).as("acc")),
+          (acc, x) => {
+            val same = x === acc.getField("w")
+            val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
+            // a run's c·ln(c) term is banked when the NEXT run starts...
+            val banked = when(same || acc.getField("run") === 0,
+              acc.getField("acc"))
+              .otherwise(acc.getField("acc") +
+                acc.getField("run").cast("double") *
+                  log(acc.getField("run").cast("double")))
+            struct(x.as("w"), run.as("run"),
+              when(same, acc.getField("nd"))
+                .otherwise(acc.getField("nd") + 1).as("nd"),
+              banked.as("acc"))
+          },
+          // ... and the LAST run is flushed here
+          acc => struct(
+            acc.getField("nd").as("nd"),
+            when(acc.getField("run") > 0,
+              acc.getField("acc") + acc.getField("run").cast("double") *
+                log(acc.getField("run").cast("double")))
+              .otherwise(acc.getField("acc")).as("acc"),
+            size(s).cast("long").as("n")))
+      }.as("m"))
+      .select(col("doc_id"),
+        col("m.n").as("n_tokens"),
+        col("m.nd").as("n_distinct"),
+        roundHalfUp(
+          when(col("m.n") > 0,
+            log(col("m.n").cast("double")) - col("m.acc") / col("m.n"))
+            .otherwise(lit(0.0)), 6).as("entropy"),
+        roundHalfUp(
+          when(col("m.n") > 1,
+            (log(col("m.n").cast("double")) - col("m.acc") / col("m.n")) /
+              log(col("m.n").cast("double")))
+            .otherwise(lit(0.0)), 6).as("norm_entropy"))
+      .orderBy(col("doc_id"))
+  }
 }
