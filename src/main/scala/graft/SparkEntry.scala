@@ -1360,6 +1360,22 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // IVF-PQ composition (cells prune WHICH rows, codes compress HOW
+    // they're read) + exact re-rank; rows-only, recall gated in PqSpec
+    "s7_ivfpq_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+        c = 32, iters = 5)
+      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 16, k = 16, iters = 5)
+      Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        "qid", "qvec", topK = 5, cents, nprobe = 8, books, m = 16, k = 16,
+        rerank = 50)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // distributed mean pooling: exact per-label centroids in ONE pass
     // (decomposable vector-sum aggregate, no explode fan-out); output
     // flattened to scalars for the oracle compare

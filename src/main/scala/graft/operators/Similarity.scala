@@ -347,15 +347,60 @@ object Similarity {
     val filtered =
       if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
     if (rerank <= topK) rankTopK(filtered, idCol, qidCol, topK)
-    else {
-      val shortlist = rankTopK(filtered, idCol, qidCol, rerank)
-        .select(col(qidCol), col(idCol))
-      val exact = shortlist
-        .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
-        .join(broadcast(queries), Seq(qidCol))
-        .withColumn("sim",
-          round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
-      rankTopK(exact, idCol, qidCol, topK)
-    }
+    else rerankExact(rankTopK(filtered, idCol, qidCol, rerank),
+      corpus, queries, idCol, vecCol, qidCol, qvecCol, topK)
+  }
+
+  /** Exact-cosine re-rank of an ADC/LSH shortlist: only the shortlisted
+    * (query, id) pairs — O(queries·rerank) rows, independent of corpus
+    * size — re-join the full-precision vectors.
+    */
+  private def rerankExact(shortlist: DataFrame,
+                          corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String,
+                          qidCol: String, qvecCol: String,
+                          topK: Int): DataFrame = {
+    val exact = shortlist
+      .select(col(qidCol), col(idCol))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(queries), Seq(qidCol))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col(vecCol), col(qvecCol)), 6))
+    rankTopK(exact, idCol, qidCol, topK)
+  }
+
+  /** IVF-PQ top-k — the classic composed index (coarse cells prune WHICH
+    * vectors are visited; PQ codes compress HOW they are read): the
+    * corpus carries (cell, codes) — one narrow kernel projection each —
+    * queries probe `nprobe` cells, candidates meet in a hash join on the
+    * cell id, ADC scores the codes, and the shortlist re-ranks exactly.
+    *
+    * Scale shape (100 TB): a query visits ~nprobe/c of the corpus
+    * (IVF pruning) AND each visited row is m small ints instead of
+    * 4·dim bytes (PQ compression) — the two levers multiply. No corpus
+    * replication (cells are disjoint); both the quantizer and the
+    * codebook are plan literals, so executors need no side input.
+    */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame,
+                idCol: String, vecCol: String,
+                qidCol: String, qvecCol: String,
+                topK: Int, centroids: Seq[Seq[Float]], nprobe: Int,
+                codebooks: Seq[Seq[Float]], m: Int, k: Int,
+                rerank: Int = 0, excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    val coded = corpus.select(col(idCol),
+      element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1)
+        .as("cell"),
+      GraftFunctions.pqEncode(col(vecCol), codebooks, m, k).as("__codes"))
+    val qb = queries.withColumn("cell",
+      explode(GraftFunctions.ivfProbes(col(qvecCol), centroids, nprobe)))
+    val joined = coded.join(broadcast(qb), Seq("cell"))
+    val withSim = joined.withColumn("sim",
+      round(GraftFunctions.pqAdc(col("__codes"), col(qvecCol), codebooks, m, k), 6))
+    val filtered =
+      if (excludeSelf) withSim.filter(col(idCol) =!= col(qidCol)) else withSim
+    if (rerank <= topK) rankTopK(filtered, idCol, qidCol, topK)
+    else rerankExact(rankTopK(filtered, idCol, qidCol, rerank),
+      corpus, queries, idCol, vecCol, qidCol, qvecCol, topK)
   }
 }

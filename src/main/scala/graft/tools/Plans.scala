@@ -203,7 +203,23 @@ object Plans {
         |map-side partials — the shuffle carries O(distinct categories),
         |not rows. The totals aggregate is a single row, broadcast back
         |(BroadcastNestedLoopJoin over a 1-row side is the scalar-subquery
-        |shape). Nothing in the plan scales with corpus size.""".stripMargin)
+        |shape). Nothing in the plan scales with corpus size.""".stripMargin,
+    "s6_pq_topk" ->
+      """Product-quantization ANN. The corpus reduces to m small ints per
+        |vector via the codegen'd graft_pq_encode projection (the codebook
+        |is a plan literal — no executor side input), ADC scores ride the
+        |broadcast query join, and partial_graft_topk bounds the shuffle to
+        |the shortlist. The shortlist — O(queries·rerank) rows, independent
+        |of corpus size — then re-joins the float vectors for exact
+        |re-ranking. At 100 TB the compressed scan reads 16x fewer bytes
+        |and only shortlisted rows ever touch full precision.""".stripMargin,
+    "s7_ivfpq_topk" ->
+      """IVF-PQ composed index. The corpus projection carries (cell, codes)
+        |— both codegen'd kernel calls in ONE pass; queries probe nprobe
+        |cells (hash join on the cell id, broadcast query side), so a query
+        |visits ~nprobe/c of the corpus AND reads each visited row as m
+        |ints: the pruning and compression levers multiply. Shortlist
+        |re-rank as in s6.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")

@@ -72,6 +72,29 @@ class PqSpec extends SparkSpec {
     assert(reranked >= 0.8, s"re-ranked recall collapsed: $reranked")
   }
 
+  test("ivf-pq composition recall vs the exact baseline") {
+    val emb = Tables.table(spark, sf001, "embeddings")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries,
+      "vec_id", "embedding", "qid", "qvec", k = 5)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      c = 32, iters = 5)
+    val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 16, k = 16, iters = 5)
+    val approx = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", topK = 5, cents, nprobe = 8, books, m = 16, k = 16,
+      rerank = 50)
+      .select(col("qid"), col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    info(f"IVF-PQ recall@5 = $recall%.2f (32 cells nprobe 8, 16x16 PQ, rerank 50)")
+    // bounded above by IVF's candidate recall (~0.78 at nprobe=8)
+    assert(recall >= 0.5, s"IVF-PQ recall collapsed: $recall")
+  }
+
   test("codebook trainer is deterministic and correctly shaped") {
     val emb = Tables.table(spark, sf001, "embeddings")
     val b1 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding", m = 4, k = 8)
