@@ -1084,6 +1084,16 @@ object SparkEntry {
         .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
         .orderBy(col("user_id"), col("event_type"))),
 
+    // curation-aware dedup: keep the BEST duplicate (max value, tie ->
+    // min event_id) through one decomposable min_by aggregate
+    "d10_dedup_best" -> ((s, dir) =>
+      Dedup.exactDedupBest(
+        T(s, dir, "events")
+          .select(col("user_id"), col("event_type"), col("event_id"), col("value")),
+        Seq("user_id", "event_type"), "value", "event_id")
+        .select(col("user_id"), col("event_type"), col("event_id"), col("value"))
+        .orderBy(col("user_id"), col("event_type"))),
+
     // MinHash+LSH near-dup (portable seeded affine family — full
     // signature/banding pipeline reproduced in the DuckDB oracle)
     "d2_minhash_neardup" -> ((s, dir) =>
@@ -1405,6 +1415,15 @@ object SparkEntry {
 
     "m3_resize_meta" -> ((s, dir) =>
       Multimodal.resizeMeta(T(s, dir, "documents"), maxDim = 256)),
+
+    // content-addressed media dedup: byte-identical payloads grouped by
+    // SHA-256 (30-char text prefixes stand in for thumbnail bytes and
+    // contain real duplicate mass in the fixture)
+    "m5_media_dedup" -> ((s, dir) =>
+      Multimodal.contentDedup(
+        T(s, dir, "documents")
+          .withColumn("payload", substring(col("text"), 1, 30).cast("binary")),
+        "doc_id", "payload")),
 
     // distributed decode via mapPartitions (stub codec — rows-only: the
     // checksum folds UTF-8 BYTES, which ANSI SQL cannot iterate)
@@ -2510,6 +2529,15 @@ object SparkEntry {
         |  FROM events) WHERE rn = 1
         |ORDER BY user_id, event_type""".stripMargin,
 
+    // best-copy dedup: the window twin of the (-score, tie) min_by
+    "d10_dedup_best" ->
+      """SELECT user_id, event_type, event_id, value FROM (
+        |  SELECT user_id, event_type, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |                       ORDER BY value DESC, event_id) AS rn
+        |  FROM events) WHERE rn = 1
+        |ORDER BY user_id, event_type""".stripMargin,
+
     // Full MinHash+LSH twin: same signatures (seeded affine family embedded
     // as literals), same band keys (polynomial fold), same candidates
     // (pairs sharing any band key), same exact-Jaccard verification.
@@ -3056,5 +3084,15 @@ object SparkEntry {
         |    64 + (octet_length(encode(text)) * 17) % 512 AS height
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
+
+    // content digest dedup: sha256 hex is identical across engines on the
+    // same bytes (ASCII prefix -> chars == bytes)
+    "m5_media_dedup" ->
+      """SELECT sha256(substring(text, 1, 30)) AS digest,
+        |  CAST(count(*) AS BIGINT) AS n_copies,
+        |  min(doc_id) AS keep_id,
+        |  CAST(min(length(substring(text, 1, 30))) AS BIGINT) AS n_bytes
+        |FROM documents GROUP BY 1
+        |ORDER BY keep_id""".stripMargin,
   )
 }

@@ -57,6 +57,36 @@ object Dedup {
         if (keys.contains(c)) col(c) else col("__rep").getField(c).as(c)): _*)
   }
 
+  /** [[exactDedup]] keeping the BEST duplicate instead of the first:
+    * representative = argmax of the NUMERIC `scoreCol` (quality, recency,
+    * trust…), ties broken by the MINIMUM `tieBreaker`. This is the
+    * curation-aware dedup every crawl pipeline wants — when five mirrors
+    * carry the same content, keep the highest-quality copy, not the
+    * lowest id.
+    *
+    * Same scale shape as [[exactDedup]]: ONE hash shuffle on the keys —
+    * `min_by` under the lexicographic ordering struct (−score, tie)
+    * realizes (score DESC, tie ASC) in a single decomposable aggregate
+    * with map-side partial reduction, so high-duplication corpora reduce
+    * before the wire. Both ordering columns are null-guarded like the
+    * base operator.
+    */
+  def exactDedupBest(df: DataFrame, keys: Seq[String], scoreCol: String,
+                     tieBreaker: String): DataFrame = {
+    val payload = df.columns.toSeq.filterNot(keys.contains)
+    val score = when(col(scoreCol).isNotNull, col(scoreCol))
+      .otherwise(raise_error(lit(
+        s"exactDedupBest: null score '$scoreCol' — representative " +
+          "selection requires a non-null ordering value"))
+        .cast(df.schema(scoreCol).dataType))
+    val ord = struct((-score.cast("double")).as("__neg_score"),
+      guardedTieBreaker(df, tieBreaker).as("__tb"))
+    df.groupBy(keys.map(col): _*)
+      .agg(min_by(struct(payload.map(col): _*), ord).as("__rep"))
+      .select(df.columns.toSeq.map(c =>
+        if (keys.contains(c)) col(c) else col("__rep").getField(c).as(c)): _*)
+  }
+
   /** The tie-breaker column, hardened to raise on null (a null ordering
     * value would silently produce a nondeterministic / null representative).
     * Codegen-friendly: one null check per row.

@@ -139,4 +139,29 @@ object Multimodal {
         }
       }
   }
+
+  /** Content-addressed media dedup: group byte-identical payloads by
+    * their SHA-256 digest, keep the lowest-id copy, report the copy
+    * count — the "same image uploaded N times" dedup every media
+    * pipeline runs before feature extraction.
+    *
+    * Scale shape: ONE hash shuffle keyed on the 32-byte digest (never
+    * the payload itself — the blob stays columnar at rest; only digest +
+    * scalars cross the wire), decomposable min/count aggregates with
+    * map-side partials. Digest collisions are cryptographically
+    * negligible, so no byte-level verify pass is needed (unlike the
+    * similarity dedups, which must verify their candidates).
+    *
+    * @param media  DataFrame with an id column and a binary payload column
+    */
+  def contentDedup(media: DataFrame, idCol: String,
+                   payloadCol: String): DataFrame =
+    media
+      .select(col(idCol), sha2(col(payloadCol), 256).as("digest"),
+        length(col(payloadCol)).cast("long").as("__n"))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"),
+        min(col(idCol)).as("keep_id"),
+        min(col("__n")).as("n_bytes"))
+      .orderBy(col("keep_id"))
 }

@@ -18,6 +18,35 @@ class DedupSpec extends SparkSpec {
       Seq((1L, "a", 10.0), (5L, "b", 50.0)))
   }
 
+  test("exactDedupBest keeps the max-score row, ties to the min tiebreaker") {
+    val df = Seq(
+      (1L, "a", 10.0), (3L, "a", 30.0), (2L, "a", 30.0),  // tie at 30 -> id 2
+      (5L, "b", 50.0)).toDF("id", "k", "v")
+    val out = Dedup.exactDedupBest(df, Seq("k"), "v", "id")
+      .orderBy("k").collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((2L, "a", 30.0), (5L, "b", 50.0)))
+  }
+
+  test("contentDedup groups byte-identical payloads and keeps the min id") {
+    val df = Seq(
+      (1L, "same-bytes"), (4L, "same-bytes"), (2L, "other"))
+      .toDF("doc_id", "s")
+      .withColumn("payload", col("s").cast("binary"))
+    val out = Multimodal.contentDedup(df, "doc_id", "payload").collect()
+    assert(out.length == 2)
+    val byKeep = out.map(r =>
+      r.getAs[Long]("keep_id") ->
+        (r.getAs[Long]("n_copies"), r.getAs[Long]("n_bytes"))).toMap
+    assert(byKeep(1L) == ((2L, 10L)))
+    assert(byKeep(2L) == ((1L, 5L)))
+    // digest column really is the sha-256 hex of the bytes
+    val d = out.find(_.getAs[Long]("keep_id") == 2L).get.getAs[String]("digest")
+    val expect = java.security.MessageDigest.getInstance("SHA-256")
+      .digest("other".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(d == expect)
+  }
+
   test("exactDedup raises on a null tieBreaker instead of degrading silently") {
     val df = Seq((Some(1L), "a", 10.0), (None, "a", 20.0))
       .toDF("id", "k", "v")
