@@ -22,10 +22,11 @@ object Bench {
     "q39_agg_battery", "q43_hof_battery", "q49_null_battery",
     "q51_stats_battery", "q52_lateral_topn", "q53_grouping_sets")
   private val qUtils = Set(
-    "q16_props_extract", "q17_monthly_revenue", "q20_hash_sample",
-    "q21_train_test_split", "q22_corpus_stats", "q30_cube_grouping",
-    "q32_stratified_sample", "q44_join_types", "q45_snapshot_diff",
-    "q46_gap_fill", "q50_weighted_sample", "q55_source_cap",
+    "q12_events_hourly", "q16_props_extract", "q17_monthly_revenue",
+    "q20_hash_sample", "q21_train_test_split", "q22_corpus_stats",
+    "q30_cube_grouping", "q32_stratified_sample", "q41_temperature_mix",
+    "q44_join_types", "q45_snapshot_diff", "q46_gap_fill",
+    "q48_temperature_epochs", "q50_weighted_sample", "q55_source_cap",
     "q56_distribution_drift")
   private val tMicro = Set(
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",

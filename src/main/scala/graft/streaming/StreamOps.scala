@@ -85,6 +85,19 @@ object StreamOps {
     stream.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys)
 
+  /** Streaming content-addressed media dedup: the streaming twin of
+    * [[graft.operators.Multimodal.contentDedup]] — each arriving payload
+    * reduces to its SHA-256 digest and [[dedupStream]]'s watermark-bounded
+    * state passes only first sightings. State carries 32-byte digests,
+    * never blobs, and expires with the watermark — the only shape that
+    * survives an unbounded media firehose.
+    */
+  def mediaDedupStream(stream: DataFrame, payloadCol: String, tsCol: String,
+                       watermark: String): DataFrame =
+    dedupStream(
+      stream.withColumn("digest", sha2(col(payloadCol), 256)),
+      Seq("digest"), tsCol, watermark)
+
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * against the (broadcast) static dimension — no stream-side state, no
     * watermark needed; the dimension is re-resolvable per batch so slowly

@@ -183,6 +183,29 @@ class StreamOpsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming media dedup passes first sightings of a payload only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val out = StreamOps.mediaDedupStream(
+      mem.toDF().toDF("id", "ts", "s")
+        .withColumn("payload", org.apache.spark.sql.functions.col("s")
+          .cast("binary")),
+      "payload", "ts", "10 minutes")
+    val q = out.writeStream.format("memory").queryName("mediadeduped")
+      .outputMode("append").start()
+    try {
+      val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      mem.addData((1L, t, "blob-A"), (2L, t, "blob-A"), (3L, t, "blob-B"))
+      q.processAllAvailable()
+      mem.addData((4L, t, "blob-A"), (5L, t, "blob-C")) // cross-batch dup
+      q.processAllAvailable()
+      val ids = spark.table("mediadeduped").collect().map(_.getLong(0)).sorted
+      // one row per distinct payload: the first id that carried it
+      assert(ids.toSeq == Seq(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("bloomScreenStream drops history keys, passes new keys through") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
