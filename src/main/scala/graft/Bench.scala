@@ -95,13 +95,17 @@ object Bench {
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""t_micro":${tMicro.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}},""" +
-      s""""sf":"$sfDir","cpus":$cpus}"""
+      s""""sf":"$sfDir","cpus":"$cpus"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // Compact stdout line. Failures stay visible as -1 on individual
     // entries; a failed aggregate member is excluded from its group sum but
     // surfaces in "failed". The total EXCLUDES -1 sentinels.
-    def f2(v: Double): String = if (v < 0) "-1" else f"$v%.2f"
+    // Locale.ROOT: a default locale with decimal commas (de_DE…) would
+    // print 1,23 and break the JSON this whole harness exists to emit.
+    def f2(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val grouped = Seq("q_batteries" -> qBatteries, "q_utils" -> qUtils,
       "t_micro" -> tMicro)
     val groupEntries = grouped.map { case (gname, members) =>
@@ -115,7 +119,11 @@ object Bench {
       .map { case (k, v) => s""""$k":${f2(v)}""" }.mkString("{", ",", "}")
     val ok = results.values.filter(_ >= 0)
     val total = if (ok.nonEmpty) ok.sum else 0.0
-    val sfNum = sfDir.split("sf").lastOption.getOrElse("0")
+    // Emit sf as a bare number ONLY when the dir provably ends in sf<num>;
+    // any other path falls back to a quoted string — an unquoted surprise
+    // here is invalid JSON, the exact failure this harness guards against.
+    val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
+      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")

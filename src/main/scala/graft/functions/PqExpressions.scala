@@ -23,10 +23,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType}
   */
 object PqKernel {
 
-  /** m codes: per subspace the L2-nearest centroid id (tie → lower id). */
+  /** m codes: per subspace the L2-nearest centroid id (tie → lower id).
+    * The vector length must match the codebook's m·subDim — silently
+    * zero-padding a wrong-dimension vector would encode garbage.
+    */
   def encode(vec: ArrayData, mat: Array[Float], m: Int, k: Int,
              subDim: Int): ArrayData = {
     val n = vec.numElements()
+    if (n != m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_encode: vector has $n dims, codebook expects ${m * subDim}")
     val codes = new Array[Int](m)
     var s = 0
     while (s < m) {
@@ -55,10 +61,19 @@ object PqKernel {
     new GenericArrayData(codes)
   }
 
-  /** cosine(query, reconstruction(codes)); 0.0 when either norm is 0. */
+  /** cosine(query, reconstruction(codes)); 0.0 when either norm is 0.
+    * Codes are validated against (m, k): graft_pq_adc is a registered SQL
+    * function, so foreign codes (wrong codebook, wrong m) must raise a
+    * diagnosable error, not read another subspace's centroids or walk off
+    * the matrix inside generated code.
+    */
   def adcCosine(codes: ArrayData, q: ArrayData, mat: Array[Float],
                 normsSq: Array[Double], m: Int, k: Int,
                 subDim: Int): Double = {
+    if (codes.numElements() != m)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: expected $m codes, got ${codes.numElements()} — " +
+          "codes were not produced by this codebook's graft_pq_encode")
     val nq = q.numElements()
     var dot = 0.0
     var nx = 0.0
@@ -66,6 +81,10 @@ object PqKernel {
     var s = 0
     while (s < m) {
       val c = codes.getInt(s)
+      if (c < 0 || c >= k)
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: code $c out of range [0, $k) at subspace $s — " +
+            "codes were not produced by this codebook's graft_pq_encode")
       val off = (s * k + c) * subDim
       nx += normsSq(s * k + c)
       var i = 0

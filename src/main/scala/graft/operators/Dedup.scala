@@ -48,11 +48,18 @@ object Dedup {
     * Ties on `tieBreaker` within a key pick an unspecified candidate —
     * supply a per-key-unique tieBreaker when full determinism matters.
     */
-  def exactDedup(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame = {
+  def exactDedup(df: DataFrame, keys: Seq[String], tieBreaker: String): DataFrame =
+    dedupByOrdering(df, keys, guardedTieBreaker(df, tieBreaker))
+
+  /** Shared representative-selection core: one hash shuffle on the keys,
+    * `min_by(payload struct, ordering)` with map-side partial reduction;
+    * output columns keep the input order.
+    */
+  private def dedupByOrdering(df: DataFrame, keys: Seq[String],
+                              ordering: Column): DataFrame = {
     val payload = df.columns.toSeq.filterNot(keys.contains)
     df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(payload.map(col): _*),
-        guardedTieBreaker(df, tieBreaker)).as("__rep"))
+      .agg(min_by(struct(payload.map(col): _*), ordering).as("__rep"))
       .select(df.columns.toSeq.map(c =>
         if (keys.contains(c)) col(c) else col("__rep").getField(c).as(c)): _*)
   }
@@ -73,18 +80,14 @@ object Dedup {
     */
   def exactDedupBest(df: DataFrame, keys: Seq[String], scoreCol: String,
                      tieBreaker: String): DataFrame = {
-    val payload = df.columns.toSeq.filterNot(keys.contains)
     val score = when(col(scoreCol).isNotNull, col(scoreCol))
       .otherwise(raise_error(lit(
         s"exactDedupBest: null score '$scoreCol' — representative " +
           "selection requires a non-null ordering value"))
         .cast(df.schema(scoreCol).dataType))
-    val ord = struct((-score.cast("double")).as("__neg_score"),
-      guardedTieBreaker(df, tieBreaker).as("__tb"))
-    df.groupBy(keys.map(col): _*)
-      .agg(min_by(struct(payload.map(col): _*), ord).as("__rep"))
-      .select(df.columns.toSeq.map(c =>
-        if (keys.contains(c)) col(c) else col("__rep").getField(c).as(c)): _*)
+    dedupByOrdering(df, keys,
+      struct((-score.cast("double")).as("__neg_score"),
+        guardedTieBreaker(df, tieBreaker).as("__tb")))
   }
 
   /** The tie-breaker column, hardened to raise on null (a null ordering

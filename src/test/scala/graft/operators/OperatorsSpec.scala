@@ -761,6 +761,27 @@ class AsOfSpec extends graft.SparkSpec {
     assert(out == expected2)
   }
 
+  test("asof join never stitches payload columns from different right rows") {
+    // matching right row carries (null, 5.0); a LATER right row carries
+    // ('B', 7.0). Per-column carry would fill the null orderkey from 'B'
+    // while keeping total=5.0 — a composite row that never existed.
+    val left = Seq((1L, 100L, 15L)).toDF("event_id", "k", "ts")
+    val right = Seq(
+      (100L, 10L, Option.empty[String], Some(5.0)),
+      (100L, 20L, Some("B"), Some(7.0))).toDF("rk", "rts", "okey", "total")
+    val back = AsOf.joinAsOf(left, right, "k", "rk", "ts", "rts",
+      Seq("okey", "total")).collect().head
+    assert(back.isNullAt(3) && back.getDouble(4) == 5.0)
+    // forward twin: left at ts=15 matches the ts=20 row ('B', 7.0); the
+    // EARLIER row's null must not leak either
+    val right2 = Seq(
+      (100L, 10L, Some("A"), Option.empty[Double]),
+      (100L, 20L, Some("B"), Some(7.0))).toDF("rk", "rts", "okey", "total")
+    val fwd = AsOf.joinAsOfForward(left, right2, "k", "rk", "ts", "rts",
+      Seq("okey", "total")).collect().head
+    assert(fwd.getString(3) == "B" && fwd.getDouble(4) == 7.0)
+  }
+
   test("forward asof join picks earliest right >= left ts, inclusive, " +
     "null after last") {
     val left = Seq(
