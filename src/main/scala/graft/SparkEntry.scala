@@ -7,7 +7,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{GraftFunctions, TextFunctions}
-import graft.operators.{AsOf, Clustering, Dedup, Diff, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TimeSeries}
+import graft.operators.{Analytics, AsOf, Clustering, Dedup, Diff, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TimeSeries}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1063,6 +1063,20 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         "source")
     }),
+
+    // ordered funnel (view -> click -> purchase): conditional-min chain,
+    // one decomposable aggregation per step, all keyed on the user
+    "q57_funnel_steps" -> ((s, dir) =>
+      Analytics.funnelSteps(
+        T(s, dir, "events").withColumn("ts_secs", expr("ts div 1000000000")),
+        "user_id", "ts_secs", "event_type",
+        Seq("view", "click", "purchase"))),
+
+    // weekly cohort retention triangle over first-event cohorts
+    "q58_retention_cohorts" -> ((s, dir) =>
+      Analytics.retentionCohorts(
+        T(s, dir, "events").withColumn("ts_secs", expr("ts div 1000000000")),
+        "user_id", "ts_secs")),
 
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
@@ -2384,6 +2398,40 @@ object SparkEntry {
         |        AND top_frac <= 0.12
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // funnel: the conditional-min chain reproduced step by step; a null
+    // previous step nulls the comparison, so later steps stay null
+    "q57_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS ts FROM events),
+        |s1 AS (SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |       FROM e GROUP BY 1),
+        |s2 AS (SELECT e.user_id, t1,
+        |         min(CASE WHEN event_type = 'click' AND e.ts >= t1
+        |             THEN e.ts END) AS t2
+        |       FROM e JOIN s1 USING (user_id) GROUP BY e.user_id, t1),
+        |s3 AS (SELECT e.user_id, t1, t2,
+        |         min(CASE WHEN event_type = 'purchase' AND e.ts >= t2
+        |             THEN e.ts END) AS t3
+        |       FROM e JOIN s2 USING (user_id) GROUP BY e.user_id, t1, t2)
+        |SELECT user_id, t1, t2, t3,
+        |  CAST((CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) +
+        |       (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS steps_reached
+        |FROM s3 ORDER BY user_id""".stripMargin,
+
+    // retention triangle: weeks are integer buckets of epoch seconds
+    "q58_retention_cohorts" ->
+      """WITH e AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort_week FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, wk FROM e)
+        |SELECT cohort_week, wk - cohort_week AS week_offset,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // token entropy: H = ln(n) - sum(c*ln c)/n over token multiplicities.
     // Both engines sum c*ln(c) in different orders (sorted-run scan vs
