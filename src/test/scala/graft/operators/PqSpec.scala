@@ -108,6 +108,46 @@ class PqSpec extends SparkSpec {
 class TokenEntropySpec extends SparkSpec {
   import spark.implicits._
 
+  test("tokenEntropy equals the naive per-doc computation on random docs") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "bb", "ccc", "dd", "e", "ffff")
+    val docs = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(40)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val naive = docs.map { case (id, text) =>
+      val tok = text.split(" ", -1)
+      val counts = tok.groupBy(identity).view.mapValues(_.length.toDouble)
+      val n = tok.length.toDouble
+      val h = math.log(n) - counts.values.map(c => c * math.log(c)).sum / n
+      id -> (tok.length.toLong, counts.size.toLong, r6(h),
+        if (n > 1) r6(h / math.log(n)) else 0.0)
+    }.toMap
+    val got = TextOps.tokenEntropy(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == naive)
+  }
+
+  test("gopherRules top-word share equals the naive maximum multiplicity " +
+    "on random docs") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("the", "cat", "dog", "runs", "fast", "a")
+    val docs = (1 to 200).map { i =>
+      val n = 1 + rnd.nextInt(60)
+      (i.toLong, Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val naive = docs.map { case (id, text) =>
+      val tok = text.split(" ", -1)
+      id -> r6(tok.groupBy(identity).values.map(_.length).max.toDouble / tok.length)
+    }.toMap
+    val got = TextOps.gopherRules(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("top_word_frac")).toMap
+    assert(got == naive)
+  }
+
   test("tokenEntropy matches the closed form on hand-built docs") {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val docs = Seq(
