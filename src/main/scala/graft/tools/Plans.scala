@@ -219,7 +219,26 @@ object Plans {
         |cells (hash join on the cell id, broadcast query side), so a query
         |visits ~nprobe/c of the corpus AND reads each visited row as m
         |ints: the pruning and compression levers multiply. Shortlist
-        |re-rank as in s6.""".stripMargin)
+        |re-rank as in s6.""".stripMargin,
+    "t16_token_entropy" ->
+      """Token-distribution entropy. Like t14, the multiplicity profile is
+        |a run-length scan over the sorted token array inside ONE narrow
+        |projection — the only Exchange is the presentation sort. The
+        |explode -> (doc, token) count alternative would shuffle every
+        |token of the corpus for a per-document number.""".stripMargin,
+    "q57_funnel_steps" ->
+      """Ordered funnel. One conditional-min aggregation per step, each
+        |needing the previous step's timestamp — the chain re-joins the
+        |event table per step but EVERY groupBy/join is keyed on user_id:
+        |three hash exchanges total for a 3-step funnel (the per-user
+        |aggregate sides broadcast at this scale; at 100 TB AQE picks the
+        |shuffle join and the partitioning is reused). No windows over
+        |event history, nothing quadratic.""".stripMargin,
+    "q58_retention_cohorts" ->
+      """Retention triangle. Cohort assignment is a min-aggregation,
+        |activity is a distinct (user, week) projection — both decompose
+        |with map-side partials on the user key; the final cell count
+        |shuffles O(users x active-weeks) rows, never raw events.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
