@@ -86,6 +86,7 @@ object GraftFunctions {
       }
       IvfProbes(es(0), flat, c, dim, intLit(es(2), "graft_ivf_probes nprobe"))
     }),
+    "graft_run_stats" -> (es => TokenRunStats(es(0))),
     "graft_pq_encode" -> (es => {
       val (flat, m, k, subDim) = pqCodebookLit(es(1), es(2), es(3), "graft_pq_encode")
       PqEncode(es(0), flat, m, k, subDim)
@@ -179,6 +180,12 @@ object GraftFunctions {
   def ivfProbes(vec: Column, centroids: Seq[Seq[Float]], nprobe: Int): Column =
     call_function("graft_ivf_probes", asFloatArray(vec),
       typedLit(centroids), lit(nprobe))
+
+  /** struct<n_tokens, n_distinct, top_count, sum_c_ln_c> multiplicity
+    * profile of an `array<string>` token column — see [[TokenRunStats]].
+    */
+  def runStats(tokens: Column): Column =
+    call_function("graft_run_stats", tokens)
 
   /** m PQ codes of an `array<float>` vector under a trained
     * (m·k)×subDim codebook — see [[PqEncode]].

@@ -403,34 +403,23 @@ object TextOps {
     * maximum top-word share (the single-word repetition screen; the
     * n-gram duplicate screen is [[repetitionStats]]).
     *
-    * Scale shape: ONE narrow codegen-friendly projection, zero shuffle
-    * (only the presentation sort at the end). The top-word count — the
-    * tempting explode → (doc, word) count → per-doc max, a full-corpus
-    * shuffle of every token — is instead a per-document run-length scan
-    * over the SORTED token array (`array_sort` + `aggregate`): O(n log n)
-    * local work per document, nothing crosses the wire. At 100 TB the
-    * difference is shuffling the corpus vs shuffling nothing.
+    * Scale shape: ONE narrow codegen'd projection, zero shuffle (only the
+    * presentation sort at the end). The top-word count — the tempting
+    * explode → (doc, word) count → per-doc max, a full-corpus shuffle of
+    * every token — is instead the one-pass [[graft.functions.TokenRunStats]]
+    * kernel over the token array: O(n log n) local work per document,
+    * nothing crosses the wire. At 100 TB the difference is shuffling the
+    * corpus vs shuffling nothing.
     */
   def gopherRules(docs: DataFrame,
                   minWords: Long = 30, maxWords: Long = 100000,
                   meanLenMin: Double = 3.0, meanLenMax: Double = 10.0,
                   minAlphaFrac: Double = 0.8, minStopHits: Long = 1,
                   maxTopWordFrac: Double = 0.12): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     val tok = tokens(col("text"))
     val metrics = docs.select(col("doc_id"),
       letBound(tok) { t =>
-        // longest equal-run in the sorted array == max word multiplicity
-        val topCnt = letBound(array_sort(t)) { s =>
-          aggregate(s,
-            struct(lit("").as("w"), lit(0L).as("run"), lit(0L).as("best")),
-            (acc, x) => {
-              val run = when(x === acc.getField("w"),
-                acc.getField("run") + 1).otherwise(lit(1L))
-              struct(x.as("w"), run.as("run"),
-                greatest(acc.getField("best"), run).as("best"))
-            },
-            acc => acc.getField("best"))
-        }
         struct(
           size(t).cast("long").as("n_tokens"),
           // split-on-space identity: sum of token lengths == text length
@@ -439,7 +428,8 @@ object TextOps {
           (length(col("text")) - size(t) + 1).cast("double").as("sum_len"),
           size(filter(t, x => x.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
           stopwordHits(t, langStopwords.head._2).cast("long").as("stop_hits"),
-          topCnt.as("top_cnt"))
+          graft.functions.GraftFunctions.runStats(t)
+            .getField("top_count").as("top_cnt"))
       }.as("m"))
       .select(col("doc_id"), col("m.*"))
     val n = col("n_tokens").cast("double")
@@ -469,56 +459,28 @@ object TextOps {
     * ln(n)-normalized variant in [0, 1].
     *
     * Scale shape: like [[gopherRules]], the multiplicity profile comes
-    * from a run-length scan over the SORTED token array — one narrow
-    * projection, zero shuffle (only the presentation sort) — instead of
-    * the explode → (doc, token) count pipeline that would shuffle every
-    * token of the corpus for a per-document number.
+    * from the one-pass [[graft.functions.TokenRunStats]] kernel — one
+    * narrow codegen'd projection, zero shuffle (only the presentation
+    * sort) — instead of the explode → (doc, token) count pipeline that
+    * would shuffle every token of the corpus for a per-document number.
     */
   def tokenEntropy(docs: DataFrame): DataFrame = {
-    val tok = tokens(col("text"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
     docs.select(col("doc_id"),
-      letBound(array_sort(tok)) { s =>
-        aggregate(s,
-          // null sentinel, NOT "": the empty string is a real token (the
-          // sorted array of an empty text is [""]) and must start a run —
-          // x === null is null-falsy, so the first element always takes
-          // the new-run branch
-          struct(lit(null).cast("string").as("w"), lit(0L).as("run"),
-            lit(0L).as("nd"), lit(0.0).as("acc")),
-          (acc, x) => {
-            val same = x === acc.getField("w")
-            val run = when(same, acc.getField("run") + 1).otherwise(lit(1L))
-            // a run's c·ln(c) term is banked when the NEXT run starts...
-            val banked = when(same || acc.getField("run") === 0,
-              acc.getField("acc"))
-              .otherwise(acc.getField("acc") +
-                acc.getField("run").cast("double") *
-                  log(acc.getField("run").cast("double")))
-            struct(x.as("w"), run.as("run"),
-              when(same, acc.getField("nd"))
-                .otherwise(acc.getField("nd") + 1).as("nd"),
-              banked.as("acc"))
-          },
-          // ... and the LAST run is flushed here
-          acc => struct(
-            acc.getField("nd").as("nd"),
-            when(acc.getField("run") > 0,
-              acc.getField("acc") + acc.getField("run").cast("double") *
-                log(acc.getField("run").cast("double")))
-              .otherwise(acc.getField("acc")).as("acc"),
-            size(s).cast("long").as("n")))
-      }.as("m"))
+      graft.functions.GraftFunctions.runStats(tokens(col("text"))).as("m"))
       .select(col("doc_id"),
-        col("m.n").as("n_tokens"),
-        col("m.nd").as("n_distinct"),
+        col("m.n_tokens").as("n_tokens"),
+        col("m.n_distinct").as("n_distinct"),
         roundHalfUp(
-          when(col("m.n") > 0,
-            log(col("m.n").cast("double")) - col("m.acc") / col("m.n"))
+          when(col("m.n_tokens") > 0,
+            log(col("m.n_tokens").cast("double")) -
+              col("m.sum_c_ln_c") / col("m.n_tokens"))
             .otherwise(lit(0.0)), 6).as("entropy"),
         roundHalfUp(
-          when(col("m.n") > 1,
-            (log(col("m.n").cast("double")) - col("m.acc") / col("m.n")) /
-              log(col("m.n").cast("double")))
+          when(col("m.n_tokens") > 1,
+            (log(col("m.n_tokens").cast("double")) -
+              col("m.sum_c_ln_c") / col("m.n_tokens")) /
+              log(col("m.n_tokens").cast("double")))
             .otherwise(lit(0.0)), 6).as("norm_entropy"))
       .orderBy(col("doc_id"))
   }

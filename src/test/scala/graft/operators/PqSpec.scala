@@ -148,6 +148,24 @@ class TokenEntropySpec extends SparkSpec {
     assert(got == naive)
   }
 
+  test("runStats kernel handles empty arrays and null elements") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (1L, Seq[String]()),                         // empty -> all zeros
+      (2L, Seq("x", null, "x", null))              // nulls group as one run
+    ).toDF("id", "tok")
+    val got = df.select(col("id"),
+      GraftFunctions.runStats(col("tok")).as("m"))
+      .select(col("id"), col("m.n_tokens"), col("m.n_distinct"),
+        col("m.top_count"), col("m.sum_c_ln_c"))
+      .collect().map(r =>
+        r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).toMap
+    assert(got(1L) == ((0L, 0L, 0L, 0.0)))
+    val two = 2.0 * math.log(2.0)
+    assert(got(2L) == ((4L, 2L, 2L, two + two)))
+  }
+
   test("tokenEntropy matches the closed form on hand-built docs") {
     def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val docs = Seq(
