@@ -27,7 +27,7 @@ object Bench {
     "q30_cube_grouping", "q32_stratified_sample", "q41_temperature_mix",
     "q44_join_types", "q45_snapshot_diff", "q46_gap_fill",
     "q48_temperature_epochs", "q50_weighted_sample", "q55_source_cap",
-    "q56_distribution_drift", "q58_retention_cohorts")
+    "q56_distribution_drift", "q58_retention_cohorts", "q59_quality_mix")
   private val tMicro = Set(
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t6_decontaminate", "t7_pack_chunks", "t8_repetition",

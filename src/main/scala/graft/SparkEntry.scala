@@ -40,6 +40,12 @@ object SparkEntry {
     ListMap("en" -> 0.5, "fr" -> 0.25, "es" -> 0.2, "de" -> 0.1)
   private val StratifiedDefault = 0.05
 
+  /** q59 per-decile keep rates (ascending quality; decile 10 = best) —
+    * single source for the query AND its oracle CASE expression.
+    */
+  private val QualityMixRates: Seq[Double] =
+    Seq(0.02, 0.05, 0.1, 0.15, 0.2, 0.3, 0.4, 0.6, 0.8, 1.0)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     queries("q7_flagship_nation_avg")(spark, "/root/testdata/sf0.001")
@@ -1062,6 +1068,16 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(2)) === 0),
         docs.filter(pmod(col("doc_id"), lit(2)) === 1),
         "source")
+    }),
+
+    // quality-decile mixing: ntile bins over the engine-exact quality
+    // score, per-bin hash-stable keep rates (top decile kept, tail
+    // thinned) — the curation twin of the domain-temperature mix
+    "q59_quality_mix" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityCol(col("text")).as("quality"))
+      Sampling.qualityBinMix(scored, "doc_id", "quality", QualityMixRates)
+        .orderBy(col("doc_id"))
     }),
 
     // ordered funnel (view -> click -> purchase): conditional-min chain,
@@ -2398,6 +2414,24 @@ object SparkEntry {
         |        AND top_frac <= 0.12
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // quality-decile mix: same quality expression, same ntile total
+    // order, same hash-bucket keep rule per bin
+    "q59_quality_mix" -> {
+      val cases = QualityMixRates.zipWithIndex.map { case (r, i) =>
+        s"WHEN ${i + 1} THEN ${graft.operators.Sampling.bucketThreshold(r)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, quality, bin FROM (
+         |${duckWithBucket("doc_id, quality, bin", "doc_id",
+             s"""(SELECT doc_id, quality,
+                |   CAST(ntile(${QualityMixRates.length})
+                |        OVER (ORDER BY quality, doc_id) AS BIGINT) AS bin
+                | FROM (SELECT doc_id, $duckQualityExpr AS quality
+                |       FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                |             FROM documents))) q59src""".stripMargin)})
+         |WHERE bkt < CASE bin $cases END
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // funnel: the conditional-min chain reproduced step by step; a null
     // previous step nulls the comparison, so later steps stay null

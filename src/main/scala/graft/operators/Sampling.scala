@@ -247,4 +247,34 @@ object Sampling {
       when(hashBucket(col(keyCol)) < bucketThreshold(testFraction),
         lit("test")).otherwise(lit("train")))
   }
+
+  /** Quality-stratified mixing: rows rank into `rates.length` equal-size
+    * quality bins (ntile over the TOTAL (score, key) order; the last bin
+    * is the best) and each bin keeps its own hash-stable fraction — the
+    * "keep the top decile, thin the tail" curation mix, orthogonal to
+    * the domain-temperature mix of [[temperatureMix]].
+    *
+    * Scale note: ntile is a global sort. At corpus scale, swap the bin
+    * assignment for broadcast quantile BOUNDARIES (compose
+    * [[Percentiles.exactPercentilesRanged]] or a sketch) — the keep
+    * logic is unchanged. The ntile formulation is kept on the query
+    * surface because it is engine-exact (a deterministic total order
+    * yields identical bins in the DuckDB oracle), which is what the
+    * correctness gate needs.
+    *
+    * @param rates keep fraction per bin, ascending quality order
+    */
+  def qualityBinMix(df: DataFrame, keyCol: String, scoreCol: String,
+                    rates: Seq[Double]): DataFrame = {
+    require(rates.nonEmpty && rates.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must all be in [0,1]: $rates")
+    GraftFunctions.register(df.sparkSession)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol), col(keyCol))
+    val thr = rates.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (r, i)) =>
+      when(col("bin") === (i + 1), lit(bucketThreshold(r))).otherwise(acc)
+    }
+    df.withColumn("bin", ntile(rates.length).over(w).cast("long"))
+      .filter(hashBucket(col(keyCol)) < thr)
+  }
 }

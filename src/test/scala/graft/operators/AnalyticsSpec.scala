@@ -32,6 +32,25 @@ class AnalyticsSpec extends SparkSpec {
     assert(r.getLong(1) == 10L && r.getLong(2) == 40L && r.getLong(3) == 2L)
   }
 
+  test("qualityBinMix bins by rank and keeps rate-0 bins empty, " +
+    "rate-1 bins whole") {
+    import org.apache.spark.sql.functions.col
+    // 40 rows, 4 bins of 10 by ascending score; bin 1 dropped entirely,
+    // bin 4 kept entirely, middle bins hash-thinned
+    val df = (1 to 40).map(i => (i.toLong, i.toDouble)).toDF("id", "score")
+    val out = Sampling.qualityBinMix(df, "id", "score",
+      rates = Seq(0.0, 0.5, 0.5, 1.0))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bins = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!bins.contains(1L))              // rate 0.0 -> nothing survives
+    assert(bins(4L) == 10)                  // rate 1.0 -> the whole bin
+    // middle bins: some but not all rows survive the hash thinning
+    assert(bins.getOrElse(2L, 0) + bins.getOrElse(3L, 0) > 0)
+    assert(bins.getOrElse(2L, 0) < 10 || bins.getOrElse(3L, 0) < 10)
+    // bin assignment follows the (score, id) rank: ids 31..40 are bin 4
+    assert(out.filter(_._2 == 4L).map(_._1).forall(id => id > 30))
+  }
+
   test("retentionCohorts builds the triangle from first-event cohorts") {
     val w = 7L * 24 * 3600
     val events = Seq(
