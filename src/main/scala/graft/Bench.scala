@@ -87,6 +87,10 @@ object Bench {
       System.gc()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // JSON string escape for env-provided values (path with a quote or
+    // backslash must not corrupt the artifact this harness exists to emit)
+    def esc(s: String): String =
+      s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
     // Full-fidelity artifact: every query, full precision, plus the
     // aggregate membership, for the judge / PLANS.md cross-reference.
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
@@ -95,7 +99,7 @@ object Bench {
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""t_micro":${tMicro.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}},""" +
-      s""""sf":"$sfDir","cpus":"$cpus"}"""
+      s""""sf":"${esc(sfDir)}","cpus":"${esc(cpus)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
     // Compact stdout line. Failures stay visible as -1 on individual
@@ -123,7 +127,7 @@ object Bench {
     // any other path falls back to a quoted string — an unquoted surprise
     // here is invalid JSON, the exact failure this harness guards against.
     val sfNum = "sf([0-9]+(?:\\.[0-9]+)?)/?$".r.findFirstMatchIn(sfDir)
-      .map(_.group(1)).getOrElse("\"" + sfDir + "\"")
+      .map(_.group(1)).getOrElse("\"" + esc(sfDir) + "\"")
     val failedJson =
       if (failed.isEmpty) ""
       else failed.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")

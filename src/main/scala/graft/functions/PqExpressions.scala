@@ -46,8 +46,7 @@ object PqKernel {
         while (i < subDim) {
           val idx = s * subDim + i
           val x =
-            if (idx < n && !vec.isNullAt(idx)) vec.getFloat(idx).toDouble
-            else 0.0
+            if (!vec.isNullAt(idx)) vec.getFloat(idx).toDouble else 0.0
           val diff = x - mat(off + i).toDouble
           d += diff * diff
           i += 1
@@ -74,12 +73,20 @@ object PqKernel {
       throw new IllegalArgumentException(
         s"graft_pq_adc: expected $m codes, got ${codes.numElements()} — " +
           "codes were not produced by this codebook's graft_pq_encode")
-    val nq = q.numElements()
+    if (q.numElements() != m * subDim)
+      throw new IllegalArgumentException(
+        s"graft_pq_adc: query has ${q.numElements()} dims, codebook " +
+          s"expects ${m * subDim} — silent zero-padding would return a " +
+          "plausible but wrong similarity")
     var dot = 0.0
     var nx = 0.0
     var qn = 0.0
     var s = 0
     while (s < m) {
+      if (codes.isNullAt(s))
+        throw new IllegalArgumentException(
+          s"graft_pq_adc: null code at subspace $s — codes were not " +
+            "produced by this codebook's graft_pq_encode")
       val c = codes.getInt(s)
       if (c < 0 || c >= k)
         throw new IllegalArgumentException(
@@ -90,8 +97,7 @@ object PqKernel {
       var i = 0
       while (i < subDim) {
         val idx = s * subDim + i
-        val qi =
-          if (idx < nq && !q.isNullAt(idx)) q.getFloat(idx).toDouble else 0.0
+        val qi = if (!q.isNullAt(idx)) q.getFloat(idx).toDouble else 0.0
         dot += qi * mat(off + i).toDouble
         qn += qi * qi
         i += 1

@@ -262,12 +262,18 @@ object Sampling {
     * yields identical bins in the DuckDB oracle), which is what the
     * correctness gate needs.
     *
+    * Output schema = input + `bin` (1-based quality bin, kept for
+    * downstream stratification); an input that already carries a `bin`
+    * column is refused rather than silently overwritten.
+    *
     * @param rates keep fraction per bin, ascending quality order
     */
   def qualityBinMix(df: DataFrame, keyCol: String, scoreCol: String,
                     rates: Seq[Double]): DataFrame = {
     require(rates.nonEmpty && rates.forall(r => r >= 0.0 && r <= 1.0),
       s"rates must all be in [0,1]: $rates")
+    require(!df.columns.contains("bin"),
+      "qualityBinMix adds a 'bin' column; the input already has one")
     GraftFunctions.register(df.sparkSession)
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col(scoreCol), col(keyCol))

@@ -93,10 +93,16 @@ object StreamOps {
     * survives an unbounded media firehose.
     */
   def mediaDedupStream(stream: DataFrame, payloadCol: String, tsCol: String,
-                       watermark: String): DataFrame =
+                       watermark: String): DataFrame = {
+    // Output schema = input + `digest` (the content id — useful
+    // downstream); a pre-existing digest column would be silently
+    // OVERWRITTEN by withColumn, so refuse it loudly instead.
+    require(!stream.columns.contains("digest"),
+      "mediaDedupStream adds a 'digest' column; the input already has one")
     dedupStream(
       stream.withColumn("digest", sha2(col(payloadCol), 256)),
       Seq("digest"), tsCol, watermark)
+  }
 
   /** Stream-static enrichment join: each micro-batch of the stream joins
     * against the (broadcast) static dimension — no stream-side state, no
