@@ -31,7 +31,7 @@ object Bench {
   private val tMicro = Set(
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t6_decontaminate", "t7_pack_chunks", "t8_repetition",
-    "t12_sliding_chunks", "t16_token_entropy")
+    "t12_sliding_chunks", "t16_token_entropy", "t17_semantic_decontaminate")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1094,6 +1094,17 @@ object SparkEntry {
         T(s, dir, "events").withColumn("ts_secs", expr("ts div 1000000000")),
         "user_id", "ts_secs")),
 
+    // semantic decontamination: embedding twin of t6's n-gram overlap —
+    // max cosine vs the (broadcast) benchmark set, flag at tau
+    "t17_semantic_decontaminate" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.semanticContamination(
+        emb.filter(col("vec_id") >= 25),
+        emb.filter(col("vec_id") < 25)
+          .select(col("embedding").as("bench_vec")),
+        "vec_id", "embedding", "bench_vec", tau = 0.35)
+    }),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -2414,6 +2425,23 @@ object SparkEntry {
         |        AND top_frac <= 0.12
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // semantic decontamination: DOUBLE[] cosine is bit-parity with the
+    // codegen'd kernel (d5 proved the recipe); max over pre-rounded sims
+    "t17_semantic_decontaminate" ->
+      """WITH c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id >= 25),
+        |b AS (SELECT CAST(embedding AS DOUBLE[]) AS w
+        |      FROM embeddings WHERE vec_id < 25),
+        |s AS (SELECT c.vec_id,
+        |        max(round(list_dot_product(v, w)
+        |              / sqrt(list_dot_product(v, v)
+        |                     * list_dot_product(w, w)), 6)) AS max_sim
+        |      FROM c, b GROUP BY 1)
+        |SELECT vec_id, max_sim,
+        |  CAST(CASE WHEN max_sim >= 0.35 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS contaminated
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     // quality-decile mix: same quality expression, same ntile total
     // order, same hash-bucket keep rule per bin

@@ -369,6 +369,34 @@ object Similarity {
     rankTopK(exact, idCol, qidCol, topK)
   }
 
+  /** Semantic decontamination: for every corpus vector, the maximum
+    * cosine against ANY benchmark vector, plus the `contaminated` flag
+    * (max ≥ tau) — the embedding-space twin of the n-gram overlap
+    * decontamination ([[TextOps.contaminationPairs]]): a paraphrased
+    * benchmark row that shares no n-grams still sits close in embedding
+    * space, and training on it leaks the benchmark.
+    *
+    * Scale shape: the benchmark side is broadcast (benchmarks are small
+    * by construction), the corpus is scanned ONCE with the codegen'd
+    * cosine kernel, and the per-id max is a decomposable aggregate with
+    * map-side partials. For a benchmark too large to broadcast, bucket
+    * the pair generation with [[lshTopK]]'s SRP tables and keep only the
+    * max per corpus id — the flag semantics are unchanged.
+    */
+  def semanticContamination(corpus: DataFrame, bench: DataFrame,
+                            idCol: String, vecCol: String,
+                            benchVecCol: String, tau: Double): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
+    corpus.crossJoin(broadcast(bench.select(col(benchVecCol))))
+      .groupBy(col(idCol))
+      .agg(max(round(GraftFunctions.cosineSim(col(vecCol), col(benchVecCol)), 6))
+        .as("max_sim"))
+      .select(col(idCol), col("max_sim"),
+        when(col("max_sim") >= tau, lit(1L)).otherwise(lit(0L))
+          .as("contaminated"))
+      .orderBy(col(idCol))
+  }
+
   /** IVF-PQ top-k — the classic composed index (coarse cells prune WHICH
     * vectors are visited; PQ codes compress HOW they are read): the
     * corpus carries (cell, codes) — one narrow kernel projection each —
