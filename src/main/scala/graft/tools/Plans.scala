@@ -238,7 +238,13 @@ object Plans {
       """Retention triangle. Cohort assignment is a min-aggregation,
         |activity is a distinct (user, week) projection — both decompose
         |with map-side partials on the user key; the final cell count
-        |shuffles O(users x active-weeks) rows, never raw events.""".stripMargin)
+        |shuffles O(users x active-weeks) rows, never raw events.""".stripMargin,
+    "t17_semantic_decontaminate" ->
+      """Semantic decontamination. The benchmark side broadcasts
+        |(BroadcastNestedLoopJoin over the small side), the corpus streams
+        |once through the codegen'd graft_cosine kernel, and the per-id max
+        |is partial -> exchange -> final — the shuffle carries one row per
+        |corpus id, not the pair fan-out.""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
