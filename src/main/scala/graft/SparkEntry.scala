@@ -1094,6 +1094,14 @@ object SparkEntry {
         T(s, dir, "events").withColumn("ts_secs", expr("ts div 1000000000")),
         "user_id", "ts_secs")),
 
+    // curation pipeline: Gopher keep -> entropy floor -> semantic
+    // decontamination -> hash split, as one composed statement
+    "p3_curation_corpus" -> ((s, dir) =>
+      Pipelines.curationCorpus(
+        T(s, dir, "documents"), T(s, dir, "embeddings"),
+        benchIdBelow = 25, minNormEntropy = 0.73, tau = 0.35,
+        testFraction = 0.1)),
+
     // semantic decontamination: embedding twin of t6's n-gram overlap —
     // max cosine vs the (broadcast) benchmark set, flag at tau
     "t17_semantic_decontaminate" -> ((s, dir) => {
@@ -2425,6 +2433,65 @@ object SparkEntry {
         |        AND top_frac <= 0.12
         |       THEN 1 ELSE 0 END AS BIGINT) AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // p3: the whole curation pipeline as ONE statement — Gopher keep on
+    // unrounded ratios (as t14), entropy floor on the ROUNDED
+    // norm_entropy (the operator filters its rounded output column),
+    // semantic keep on the rounded max cosine, hash-bucket split
+    "p3_curation_corpus" -> {
+      val thr = graft.operators.Sampling.bucketThreshold(0.1)
+      s"""WITH tk AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |gm AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |    CAST(list_aggregate([length(t) for t in tk], 'sum') AS DOUBLE)
+         |      AS sum_len,
+         |    CAST(len(list_filter(tk, t -> regexp_matches(t, '[A-Za-z]')))
+         |      AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(tk, t -> t IN
+         |      ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+         |      AS stop_hits
+         |  FROM tk),
+         |gtw AS (SELECT doc_id, max(c) AS top_cnt FROM (
+         |    SELECT doc_id, w, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(tk) AS w FROM tk) GROUP BY 1, 2)
+         |  GROUP BY 1),
+         |g AS (SELECT gm.doc_id FROM gm JOIN gtw ON gm.doc_id = gtw.doc_id
+         |      WHERE n_tokens BETWEEN 30 AND 100000
+         |        AND (CASE WHEN n_tokens > 0 THEN sum_len / n_tokens
+         |             ELSE 0.0 END) BETWEEN 3.0 AND 10.0
+         |        AND (CASE WHEN n_tokens > 0
+         |             THEN CAST(n_alpha AS DOUBLE) / n_tokens
+         |             ELSE 0.0 END) >= 0.8
+         |        AND stop_hits >= 1
+         |        AND (CASE WHEN n_tokens > 0
+         |             THEN CAST(top_cnt AS DOUBLE) / n_tokens
+         |             ELSE 0.0 END) <= 0.12),
+         |ec AS (SELECT doc_id, w, CAST(count(*) AS DOUBLE) AS c
+         |       FROM (SELECT doc_id, unnest(tk) AS w FROM tk) GROUP BY 1, 2),
+         |ee AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |         sum(c * ln(c)) AS s FROM ec GROUP BY 1),
+         |enk AS (SELECT doc_id, norm_entropy FROM (
+         |    SELECT doc_id,
+         |      floor((CASE WHEN n > 1 THEN (ln(n) - s / n) / ln(n)
+         |             ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0
+         |        AS norm_entropy
+         |    FROM ee) WHERE norm_entropy >= 0.73),
+         |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |       FROM embeddings WHERE vec_id >= 25),
+         |bv AS (SELECT CAST(embedding AS DOUBLE[]) AS w
+         |       FROM embeddings WHERE vec_id < 25),
+         |sck AS (SELECT vec_id AS doc_id, max_sim FROM (
+         |    SELECT cv.vec_id,
+         |      max(round(list_dot_product(v, w)
+         |            / sqrt(list_dot_product(v, v)
+         |                   * list_dot_product(w, w)), 6)) AS max_sim
+         |    FROM cv, bv GROUP BY 1) WHERE max_sim < 0.35),
+         |kept AS (SELECT g.doc_id, enk.norm_entropy, sck.max_sim
+         |         FROM g JOIN enk USING (doc_id) JOIN sck USING (doc_id))
+         |SELECT doc_id, norm_entropy, max_sim,
+         |  CASE WHEN bkt < $thr THEN 'test' ELSE 'train' END AS split
+         |FROM (${duckWithBucket("doc_id, norm_entropy, max_sim", "doc_id", "kept")})
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // semantic decontamination: DOUBLE[] cosine is bit-parity with the
     // codegen'd kernel (d5 proved the recipe); max over pre-rounded sims

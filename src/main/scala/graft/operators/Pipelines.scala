@@ -109,4 +109,52 @@ object Pipelines {
       .select(col("doc_id"), col("lang"), col("quality"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** The curation pipeline over the round's structural screens —
+    * Gopher-rule keep → token-entropy floor → embedding-space benchmark
+    * decontamination → hash-stable split. Complements [[trainingCorpus]]
+    * (which screens by composite quality + near-dup clusters + n-gram
+    * contamination): these screens are all per-document structural or
+    * embedding-space signals, the modern curation recipe.
+    *
+    * Scale shape: the Gopher and entropy screens are shuffle-free narrow
+    * projections (TokenRunStats kernel); the semantic screen broadcasts
+    * the benchmark and reduces to a per-id max; the joins are id-set
+    * semi-joins far smaller than the corpus; the split is stateless.
+    *
+    * @param docs           candidates (doc_id, text, …)
+    * @param emb            embeddings keyed by vec_id == doc_id
+    * @param benchIdBelow   vec_id < this are the benchmark stand-ins
+    *                       (excluded from the corpus)
+    * @param minNormEntropy keep docs with norm_entropy >= this
+    * @param tau            semantic contamination cosine threshold
+    * @param testFraction   hash-stable test-split share
+    * @return (doc_id, norm_entropy, max_sim, split) ordered by doc_id
+    */
+  def curationCorpus(docs: DataFrame, emb: DataFrame, benchIdBelow: Long,
+                     minNormEntropy: Double, tau: Double,
+                     testFraction: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+
+    val structuralOk = TextOps.gopherRules(docs)
+      .filter(col("keep") === 1L).select(col("doc_id"))
+    val entropyOk = TextOps.tokenEntropy(docs)
+      .filter(col("norm_entropy") >= minNormEntropy)
+      .select(col("doc_id"), col("norm_entropy"))
+    val semantic = Similarity.semanticContamination(
+      emb.filter(col("vec_id") >= benchIdBelow),
+      emb.filter(col("vec_id") < benchIdBelow)
+        .select(col("embedding").as("bench_vec")),
+      "vec_id", "embedding", "bench_vec", tau)
+      .filter(col("contaminated") === 0L)
+      .select(col("vec_id").as("doc_id"), col("max_sim"))
+
+    val kept = structuralOk
+      .join(entropyOk, Seq("doc_id"))
+      .join(semantic, Seq("doc_id"))
+
+    Sampling.trainTestSplit(kept, "doc_id", testFraction)
+      .select(col("doc_id"), col("norm_entropy"), col("max_sim"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }
