@@ -16,6 +16,12 @@ run / fork := true
 // bench summary JSON line out of that window. Suppress it.
 ThisBuild / showSuccess := false
 Global / excludeLintKeys += showSuccess
+// Route the forked run's stdout straight through, without sbt's logger
+// "[info] " prefix: the bench driver parses the LAST stdout line as JSON
+// and the prefix alone defeats that parse (BENCH_r05 recorded
+// "parsed": null even though the summary line fit the 2000-char tail).
+run / connectInput := false
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

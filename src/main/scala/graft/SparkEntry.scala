@@ -3263,12 +3263,14 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
 
     // content digest dedup: sha256 hex is identical across engines on the
-    // same bytes (ASCII prefix -> chars == bytes)
+    // same bytes. n_bytes counts BYTES on both sides (octet_length of the
+    // UTF-8 encoding, the m3 pattern) — length() counts CHARACTERS and
+    // diverges the moment a fixture prefix carries a non-ASCII codepoint.
     "m5_media_dedup" ->
       """SELECT sha256(substring(text, 1, 30)) AS digest,
         |  CAST(count(*) AS BIGINT) AS n_copies,
         |  min(doc_id) AS keep_id,
-        |  CAST(min(length(substring(text, 1, 30))) AS BIGINT) AS n_bytes
+        |  CAST(min(octet_length(encode(substring(text, 1, 30)))) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1
         |ORDER BY keep_id""".stripMargin,
   )

@@ -45,8 +45,11 @@ object PqKernel {
         var i = 0
         while (i < subDim) {
           val idx = s * subDim + i
-          val x =
-            if (!vec.isNullAt(idx)) vec.getFloat(idx).toDouble else 0.0
+          if (vec.isNullAt(idx))
+            throw new IllegalArgumentException(
+              s"graft_pq_encode: null element at dim $idx — substituting " +
+                "0.0 would encode a plausible but wrong code")
+          val x = vec.getFloat(idx).toDouble
           val diff = x - mat(off + i).toDouble
           d += diff * diff
           i += 1
@@ -97,7 +100,11 @@ object PqKernel {
       var i = 0
       while (i < subDim) {
         val idx = s * subDim + i
-        val qi = if (!q.isNullAt(idx)) q.getFloat(idx).toDouble else 0.0
+        if (q.isNullAt(idx))
+          throw new IllegalArgumentException(
+            s"graft_pq_adc: null query element at dim $idx — substituting " +
+              "0.0 would return a plausible but wrong similarity")
+        val qi = q.getFloat(idx).toDouble
         dot += qi * mat(off + i).toDouble
         qn += qi * qi
         i += 1

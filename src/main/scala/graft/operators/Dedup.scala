@@ -80,13 +80,32 @@ object Dedup {
     */
   def exactDedupBest(df: DataFrame, keys: Seq[String], scoreCol: String,
                      tieBreaker: String): DataFrame = {
-    val score = when(col(scoreCol).isNotNull, col(scoreCol))
-      .otherwise(raise_error(lit(
-        s"exactDedupBest: null score '$scoreCol' — representative " +
-          "selection requires a non-null ordering value"))
-        .cast(df.schema(scoreCol).dataType))
+    import org.apache.spark.sql.types._
+    val dt = df.schema(scoreCol).dataType
+    // Exact descending encoding, per type — a blanket cast-to-double would
+    // collapse integral scores above 2^53 into ties and pick a quietly
+    // wrong representative. Integrals widen BEFORE negation so MinValue
+    // can't overflow (-Long.MinValue == Long.MinValue in two's complement);
+    // floats raise on NaN the same way nulls do (NaN negates to NaN, which
+    // sorts LAST under min_by — a silently losing score, not an error).
+    val raw = col(scoreCol)
+    val bad: Column = dt match {
+      case FloatType | DoubleType => raw.isNull || isnan(raw)
+      case _                      => raw.isNull
+    }
+    val score = when(!bad, raw).otherwise(raise_error(lit(
+      s"exactDedupBest: null or NaN score '$scoreCol' — representative " +
+        "selection requires an orderable score value")).cast(dt))
+    val negScore: Column = dt match {
+      case ByteType | ShortType | IntegerType => -score.cast(LongType)
+      case LongType                           => -score.cast(DecimalType(20, 0))
+      case _: DecimalType                     => -score
+      case FloatType | DoubleType             => -score
+      case other => throw new IllegalArgumentException(
+        s"exactDedupBest: score column '$scoreCol' must be numeric, got $other")
+    }
     dedupByOrdering(df, keys,
-      struct((-score.cast("double")).as("__neg_score"),
+      struct(negScore.as("__neg_score"),
         guardedTieBreaker(df, tieBreaker).as("__tb")))
   }
 

@@ -28,6 +28,27 @@ class DedupSpec extends SparkSpec {
       Seq((2L, "a", 30.0), (5L, "b", 50.0)))
   }
 
+  test("exactDedupBest orders long scores above 2^53 exactly") {
+    // 2^53 and 2^53 + 1 collapse to the same double; the native-type
+    // ordering must still tell them apart and keep the larger.
+    val big = 1L << 53
+    val df = Seq(
+      (1L, "a", big), (2L, "a", big + 1)).toDF("id", "k", "score")
+    val out = Dedup.exactDedupBest(df, Seq("k"), "score", "id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L))
+  }
+
+  test("exactDedupBest raises on a NaN score instead of losing it silently") {
+    val df = Seq((1L, "a", Double.NaN), (2L, "a", 1.0)).toDF("id", "k", "v")
+    val ex = intercept[Exception] {
+      Dedup.exactDedupBest(df, Seq("k"), "v", "id").collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("null or NaN score")), ex.toString)
+  }
+
   test("contentDedup groups byte-identical payloads and keeps the min id") {
     val df = Seq(
       (1L, "same-bytes"), (4L, "same-bytes"), (2L, "other"))
