@@ -6,7 +6,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{GraftFunctions, TextFunctions}
+import graft.functions.{AnnModels, GraftFunctions, TextFunctions}
 import graft.operators.{Analytics, AsOf, Clustering, Dedup, Diff, Multimodal, Percentiles, Pipelines, RefOps, Sampling, Sessionize, Similarity, Sketches, Skew, TextOps, TimeSeries}
 import graft.sources.Tables
 
@@ -1390,47 +1390,46 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
-    // IVF ANN: trained coarse quantizer cells + nprobe probing
-    // (quantizer is engine-internal — rows-only; recall gated in
-    // LshRecallSpec against the exact baseline)
+    // IVF ANN: frozen offline-trained coarse quantizer (AnnModels — the
+    // production IVF shape: a fixed model artifact, not per-query
+    // retraining) + nprobe probing. Oracle-checked end to end via the
+    // centroid literals embedded in the oracle SQL; recall additionally
+    // gated in LshRecallSpec against the exact baseline.
     "s3_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
-        c = 32, iters = 5)
       Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
-        "qid", "qvec", k = 5, cents, nprobe = 8)
+        "qid", "qvec", k = 5, AnnModels.ivfCentroids, nprobe = 8)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
     // product-quantization ADC top-k with exact re-rank (scan-compression
     // ANN path): 16 subspaces x 16 centroids -> 16 codes/vector, ADC
     // shortlist of 50 re-ranked exactly (recall 0.98 vs s1, gated in
-    // PqSpec); rows-only check (codes are data-dependent)
+    // PqSpec). Frozen codebooks (AnnModels) make encode -> ADC -> re-rank
+    // fully oracle-checked: the same literals ride in the oracle SQL.
     "s6_pq_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
-        m = 16, k = 16, iters = 5)
       Similarity.pqTopK(emb, queries, "vec_id", "embedding",
-        "qid", "qvec", topK = 5, books, m = 16, k = 16, rerank = 50)
+        "qid", "qvec", topK = 5, AnnModels.pqCodebooks,
+        m = AnnModels.pqM, k = AnnModels.pqK, rerank = 50)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
     // IVF-PQ composition (cells prune WHICH rows, codes compress HOW
-    // they're read) + exact re-rank; rows-only, recall gated in PqSpec
+    // they're read) + exact re-rank; both frozen models embed in the
+    // oracle SQL, so the composed pipeline is oracle-checked; recall
+    // gated in PqSpec
     "s7_ivfpq_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-      val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
-        c = 32, iters = 5)
-      val books = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
-        m = 16, k = 16, iters = 5)
       Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
-        "qid", "qvec", topK = 5, cents, nprobe = 8, books, m = 16, k = 16,
+        "qid", "qvec", topK = 5, AnnModels.ivfCentroids, nprobe = 8,
+        AnnModels.pqCodebooks, m = AnnModels.pqM, k = AnnModels.pqK,
         rerank = 50)
         .withColumn("rank", col("rank").cast("long"))
     }),
@@ -1631,6 +1630,95 @@ object SparkEntry {
     """round(list_dot_product(a.v, b.v)
       |          / sqrt(list_dot_product(a.v, a.v)
       |                 * list_dot_product(b.v, b.v)), 6)""".stripMargin
+
+  /** Double literal that parses back to EXACTLY the widened float: Java's
+    * `Double.toString` emits the shortest decimal that round-trips the
+    * double, and float→double widening is exact, so DuckDB sees the same
+    * 64-bit value the codegen'd kernels compute with.
+    */
+  private def dLit(f: Float): String = f.toDouble.toString
+
+  /** `cent(cid, cv)` VALUES rows — the frozen IVF coarse quantizer
+    * (AnnModels) as DOUBLE[] literals.
+    */
+  private def duckIvfCentVals: String =
+    AnnModels.ivfCentroids.zipWithIndex.map { case (cv, i) =>
+      s"($i, [${cv.map(dLit).mkString(", ")}]::DOUBLE[])"
+    }.mkString(",\n")
+
+  /** Top-`nprobe` centroid cells per vector by (inner product DESC, cid
+    * ASC) — the exact selection rule of [[graft.functions.IvfProbe]]
+    * (strict-< insertion keeps the lower id on ties). `filter` restricts
+    * the vector set (e.g. the query side); `cols` picks the projection.
+    */
+  private def duckIvfCells(nprobe: Int, cols: String,
+                           filter: String = ""): String =
+    s"""SELECT $cols FROM (
+       |  SELECT e.vec_id, e.v, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
+       |  FROM emb e, cent c$filter) WHERE rn <= $nprobe""".stripMargin
+
+  /** `cb(s, c, sub, nrm)` VALUES rows — the frozen PQ codebook (AnnModels)
+    * as DOUBLE[] literals plus each centroid's squared L2 norm, summed in
+    * index order exactly like [[graft.functions.PqKernel.centroidNormsSq]]
+    * (the ADC kernel's `nx` accumulates these per-subspace partials, NOT a
+    * flat sum over the reconstruction — the oracle must preserve that
+    * grouping for bit-parity).
+    */
+  private def duckPqCbVals: String =
+    AnnModels.pqCodebooks.zipWithIndex.map { case (sub, r) =>
+      val s = r / AnnModels.pqK
+      val c = r % AnnModels.pqK
+      var nrm = 0.0
+      sub.foreach { f => val d = f.toDouble; nrm += d * d }
+      s"($s, $c, [${sub.map(dLit).mkString(", ")}]::DOUBLE[], $nrm)"
+    }.mkString(",\n")
+
+  /** PQ encode + reconstruction CTE pair (`enc`, `rec`): per (vector,
+    * subspace) the L2-nearest codebook centroid (ties → lower id, the
+    * kernel's strict-< rule), then the concatenated reconstruction and
+    * the subspace-grouped squared norm. The distance is an explicit
+    * left-associated 4-term chain — the same accumulation order as
+    * [[graft.functions.PqKernel.encode]]'s inner loop.
+    */
+  private def duckPqRecCtes: String = {
+    val sub = AnnModels.pqSubDim
+    val dist = (0 until sub).map { i =>
+      s"(e.v[cb.s*$sub + ${i + 1}] - cb.sub[${i + 1}]) * " +
+        s"(e.v[cb.s*$sub + ${i + 1}] - cb.sub[${i + 1}])"
+    }.mkString(" + ")
+    s"""enc AS (SELECT vec_id, s, sub, nrm FROM (
+       |  SELECT e.vec_id, cb.s, cb.sub, cb.nrm,
+       |    row_number() OVER (PARTITION BY e.vec_id, cb.s
+       |      ORDER BY $dist, cb.c) AS rn
+       |  FROM emb e, cb) WHERE rn = 1),
+       |rec AS (SELECT vec_id, flatten(list(sub ORDER BY s)) AS recon,
+       |    list_reduce(list(nrm ORDER BY s), (a, b) -> a + b) AS nx
+       |  FROM enc GROUP BY vec_id)""".stripMargin
+  }
+
+  /** ADC-shortlist → exact-re-rank tail shared by s6/s7: rank the ADC
+    * scores (sim DESC, id ASC — TopKByScore's tie-break), keep `rerank`,
+    * re-score ONLY those pairs with exact cosine, keep `topK`. `qv` must
+    * be a (qid, qv) CTE with ONE row per query (the re-rank side must not
+    * join the per-cell probe rows — that duplicates shortlist pairs).
+    */
+  private def duckAdcRerankTail(rerank: Int, topK: Int): String =
+    s"""sl AS (SELECT qid, vec_id FROM (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+       |  FROM adc) WHERE rn <= $rerank),
+       |ex AS (SELECT sl.qid, sl.vec_id,
+       |    round(list_dot_product(c.v, q.qv)
+       |          / sqrt(list_dot_product(c.v, c.v)
+       |                 * list_dot_product(q.qv, q.qv)), 6) AS sim
+       |  FROM sl JOIN emb c ON c.vec_id = sl.vec_id JOIN qv q ON q.qid = sl.qid)
+       |SELECT qid, vec_id, sim, rank FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM ex) WHERE rank <= $topK
+       |ORDER BY qid, rank""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops — the
@@ -3190,6 +3278,70 @@ object SparkEntry {
          |  FROM sc) WHERE rank <= 5
          |ORDER BY qid, rank""".stripMargin
     },
+
+    // IVF ANN fully reproduced in SQL: the frozen coarse quantizer
+    // (AnnModels, trained offline by the deterministic RNG-free trainer)
+    // embeds as DOUBLE[] literals; cell assignment = argmax inner product
+    // (ties -> lower cid, the kernel's strict-< rule), queries probe
+    // their 8 nearest cells, candidates meet on the cell id.
+    "s3_ivf_topk" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |cent(cid, cv) AS (VALUES $duckIvfCentVals),
+         |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell")}),
+         |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
+        " WHERE e.vec_id < 10")}),
+         |sc AS (SELECT q.qid, c.vec_id,
+         |    round(list_dot_product(c.v, q.qv)
+         |          / sqrt(list_dot_product(c.v, c.v)
+         |                 * list_dot_product(q.qv, q.qv)), 6) AS sim
+         |  FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.qid)
+         |SELECT qid, vec_id, sim, rank FROM (
+         |  SELECT qid, vec_id, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+         |  FROM sc) WHERE rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
+
+    // PQ ADC + exact re-rank fully reproduced in SQL: frozen codebooks as
+    // literals, encode = per-subspace argmin L2 (left-assoc 4-term dist
+    // chain, ties -> lower code), ADC = dot(q, reconstruction) over the
+    // subspace-grouped norm (the kernel's exact accumulation), shortlist
+    // 50 re-ranked by exact cosine to top 5.
+    "s6_pq_topk" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |cb(s, c, sub, nrm) AS (VALUES $duckPqCbVals),
+         |qv AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+         |$duckPqRecCtes,
+         |adc AS (SELECT q.qid, r.vec_id,
+         |    round(CASE WHEN r.nx = 0 OR list_dot_product(q.qv, q.qv) = 0 THEN 0.0
+         |          ELSE list_dot_product(q.qv, r.recon)
+         |               / sqrt(r.nx * list_dot_product(q.qv, q.qv)) END, 6) AS sim
+         |  FROM rec r, qv q WHERE r.vec_id <> q.qid),
+         |${duckAdcRerankTail(rerank = 50, topK = 5)}""".stripMargin,
+
+    // IVF-PQ composed pipeline in SQL: both frozen models embed as
+    // literals — cells prune WHICH corpus rows are ADC-scored, codes
+    // compress HOW, shortlist re-ranks exactly. The re-rank joins the
+    // one-row-per-query qv CTE, never the per-cell probe rows.
+    "s7_ivfpq_topk" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |cent(cid, cv) AS (VALUES $duckIvfCentVals),
+         |cb(s, c, sub, nrm) AS (VALUES $duckPqCbVals),
+         |qv AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+         |cells AS (${duckIvfCells(1, "vec_id, cid AS cell")}),
+         |qp AS (${duckIvfCells(8, "vec_id AS qid, v AS q, cid AS cell",
+        " WHERE e.vec_id < 10")}),
+         |$duckPqRecCtes,
+         |adc AS (SELECT qp.qid, r.vec_id,
+         |    round(CASE WHEN r.nx = 0 OR list_dot_product(qp.q, qp.q) = 0 THEN 0.0
+         |          ELSE list_dot_product(qp.q, r.recon)
+         |               / sqrt(r.nx * list_dot_product(qp.q, qp.q)) END, 6) AS sim
+         |  FROM cells cl JOIN qp ON cl.cell = qp.cell
+         |  JOIN rec r ON r.vec_id = cl.vec_id
+         |  WHERE cl.vec_id <> qp.qid),
+         |${duckAdcRerankTail(rerank = 50, topK = 5)}""".stripMargin,
 
     // Quantization twin: identical floor(x·scale + 0.5) arithmetic on
     // double-widened floats, then integer dot products — exact in both
