@@ -1473,14 +1473,15 @@ object SparkEntry {
           .withColumn("payload", substring(col("text"), 1, 30).cast("binary")),
         "doc_id", "payload")),
 
-    // distributed decode via mapPartitions (stub codec — rows-only: the
-    // checksum folds UTF-8 BYTES, which ANSI SQL cannot iterate)
+    // REAL image decode via mapPartitions (javax.imageio): deterministic
+    // tiny PNGs are encoded AND decoded by the actual codec; PNG is
+    // lossless, so the decoded integer pixel statistics equal the pattern
+    // arithmetic the oracle SQL evaluates — dimension swaps, row-order or
+    // channel-order bugs all break the parity.
     "m4_decode_features" -> ((s, dir) =>
-      Multimodal.decodeFeatures(T(s, dir, "documents"), dims = 4).toDF()
-        .select(col("doc_id"), col("media_type"),
-          col("n_bytes").cast("long").as("n_bytes"), col("checksum"),
-          TextFunctions.roundHalfUp(col("feature")(0), 6).as("f0"),
-          TextFunctions.roundHalfUp(col("feature")(1), 6).as("f1"))
+      Multimodal.decodeImageFeatures(
+        Multimodal.imagePayloads(T(s, dir, "documents"), "doc_id"),
+        "doc_id", "payload").toDF()
         .orderBy(col("doc_id"))),
   )
 
@@ -3425,5 +3426,28 @@ object SparkEntry {
         |  CAST(min(octet_length(encode(substring(text, 1, 30)))) AS BIGINT) AS n_bytes
         |FROM documents GROUP BY 1
         |ORDER BY keep_id""".stripMargin,
+
+    // Real-codec round-trip check: the Spark side PNG-encodes the
+    // deterministic test card with javax.imageio and DECODES it back;
+    // PNG is lossless, so the decoded pixel statistics must equal this
+    // direct evaluation of the pattern (exact integer arithmetic). The
+    // position weight (y·w + x + 1) and distinct channel multipliers
+    // catch row-order and channel-order decoder bugs, not just totals.
+    "m4_decode_features" ->
+      """WITH g AS (SELECT doc_id, 4 + (doc_id % 5) AS w,
+        |                  4 + ((doc_id // 5) % 5) AS h FROM documents),
+        |xs AS (SELECT unnest(range(8)) AS x),
+        |ys AS (SELECT unnest(range(8)) AS y),
+        |px AS (SELECT g.doc_id, g.w, g.h, xs.x, ys.y,
+        |    (g.doc_id*31 + xs.x*7 + ys.y*13) % 256 AS r,
+        |    (g.doc_id*17 + xs.x*3 + ys.y*29) % 256 AS gg,
+        |    (g.doc_id*53 + xs.x*11 + ys.y*5) % 256 AS b
+        |  FROM g, xs, ys WHERE xs.x < g.w AND ys.y < g.h)
+        |SELECT doc_id, CAST(min(w) AS BIGINT) AS width,
+        |  CAST(min(h) AS BIGINT) AS height,
+        |  CAST(min(w) * min(h) AS BIGINT) AS n_pixels,
+        |  CAST(sum(r + gg + b) AS BIGINT) AS pix_sum,
+        |  CAST(sum((r + 2*gg + 3*b) * (y*w + x + 1)) AS BIGINT) AS pix_wsum
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -10,21 +10,19 @@ import graft.functions.TextFunctions
   * metadata, and run decode / feature-extraction as distributed
   * per-partition batch jobs.
   *
-  * STUB NOTICE: this container has no image/audio codecs, so the *decode
-  * math* is a clearly-marked deterministic fake ([[StubDecoder]]). The
-  * Spark-side plumbing is real and is what matters at 100 TB: binary
-  * columns ride through parquet scans untouched (no row-level decode in
-  * Catalyst), metadata extraction is a codegen'd projection, and heavy
-  * decoding runs via `mapPartitions` so per-partition setup (a real codec
-  * would open a decoder context once per partition, not per row) is
-  * amortized — the Scala analog of a Pandas-UDF `mapInPandas` batch.
+  * The image path is a REAL codec: [[ImageCodec]] PNG-encodes and decodes
+  * through `javax.imageio` (pure JVM, headless-safe), and the m4 oracle
+  * verifies the decoded pixels bit-for-bit. Audio/video decode — which
+  * WOULD need native codecs this container lacks — keeps the identical
+  * plumbing with a test-double decoder in the spec suite. The Spark-side
+  * shape is what matters at 100 TB: binary columns ride through parquet
+  * scans untouched (no row-level decode in Catalyst), metadata extraction
+  * is a codegen'd projection, and heavy decoding runs via `mapPartitions`
+  * so per-partition setup (a codec context opens once per partition, not
+  * per row) is amortized — the Scala analog of a Pandas-UDF `mapInPandas`
+  * batch.
   */
 object Multimodal {
-
-  /** Typed row for the decoded-feature Dataset path. */
-  final case class MediaFeature(doc_id: Long, media_type: String,
-                                n_bytes: Int, checksum: Long,
-                                feature: Array[Double])
 
   /** Attach a fake binary payload + media_type to the documents table
     * (the fixtures carry no real media; text bytes stand in for the blob).
@@ -94,49 +92,123 @@ object Multimodal {
       .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))
       .orderBy(col("doc_id"))
 
-  /** STUB decode: deterministic fake "decoder". A real deployment swaps
-    * the body for an actual codec call; signature, batching, and schema
-    * stay identical.
+  /** Decoded-image feature row: real dimensions plus exact integer pixel
+    * statistics (order- and channel-sensitive), all BIGINT so the oracle
+    * compare is exact in any engine.
     */
-  object StubDecoder {
-    /** Fake per-blob feature vector: byte-sum folded into `dims` buckets. */
-    def decode(payload: Array[Byte], dims: Int): Array[Double] = {
-      val out = new Array[Double](dims)
-      var i = 0
-      while (i < payload.length) {
-        out(i % dims) += (payload(i) & 0xff).toDouble / 255.0
-        i += 1
+  final case class ImageFeature(doc_id: Long, width: Long, height: Long,
+                                n_pixels: Long, pix_sum: Long, pix_wsum: Long)
+
+  /** REAL pure-JVM image codec (javax.imageio — no native libraries, works
+    * headless): tiny deterministic RGB test-card images, PNG-encoded with
+    * `ImageIO.write` and decoded back with `ImageIO.read`. PNG is lossless,
+    * so decode(encode(pattern)) returns the exact pixel grid — which makes
+    * the whole codec round-trip oracle-checkable: DuckDB reproduces the
+    * pattern arithmetic directly, and any encoder/decoder deviation
+    * (dimension swap, channel order, row order, color management) breaks
+    * the integer parity.
+    */
+  object ImageCodec {
+    import java.awt.image.BufferedImage
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import javax.imageio.ImageIO
+
+    // ImageIO needs no display, but pin headless (when unset) so a stray
+    // DISPLAY env var never routes AWT to X11 inside executor JVMs.
+    if (System.getProperty("java.awt.headless") == null)
+      System.setProperty("java.awt.headless", "true")
+
+    /** Deterministic per-id test card: w in 4..8, h in 4..8, channel
+      * values are small affine patterns of (id, x, y) mod 256 — the same
+      * formulas the m4 oracle SQL evaluates.
+      */
+    def synthPng(id: Long): Array[Byte] = {
+      val w = (4 + Math.floorMod(id, 5)).toInt
+      val h = (4 + Math.floorMod(id / 5, 5)).toInt
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = Math.floorMod(id * 31 + x * 7 + y * 13, 256).toInt
+          val g = Math.floorMod(id * 17 + x * 3 + y * 29, 256).toInt
+          val b = Math.floorMod(id * 53 + x * 11 + y * 5, 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
       }
-      out
+      val out = new ByteArrayOutputStream()
+      ImageIO.write(img, "png", out)
+      out.toByteArray
     }
 
-    def checksum(payload: Array[Byte]): Long = {
-      var h = 0L
-      var i = 0
-      while (i < payload.length) {
-        h = (h * TextFunctions.FpBase + (payload(i) & 0xff)) % TextFunctions.FpPrime
-        i += 1
+    /** Decode a PNG/BMP payload and reduce it to exact integer features:
+      * dimensions, Σ(r+g+b), and the position-weighted
+      * Σ(r + 2g + 3b)·(y·w + x + 1) — the weight makes pixel ORDER and
+      * channel assignment observable, so a decoder that flips rows or
+      * swaps channels fails the oracle even when the plain sum matches.
+      */
+    def decode(id: Long, payload: Array[Byte]): ImageFeature = {
+      val img = ImageIO.read(new ByteArrayInputStream(payload))
+      if (img == null)
+        throw new IllegalArgumentException(
+          s"ImageCodec.decode: payload for id $id is not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var wsum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          sum += r + g + b
+          wsum += (r + 2L * g + 3L * b) * (y.toLong * w + x + 1)
+          x += 1
+        }
+        y += 1
       }
-      h
+      ImageFeature(id, w.toLong, h.toLong, w.toLong * h, sum, wsum)
     }
   }
 
-  /** Distributed decode via mapPartitions: decoder state is created once
-    * per partition (the expensive part for a real codec), then streamed
-    * over the rows — the batch shape a 1000-executor job needs.
+  /** Attach a REAL (tiny, deterministic) PNG payload per row — stands in
+    * for the media fixture this sandbox cannot ship. Encoding runs in
+    * `mapPartitions` so a real encoder's per-partition context cost is
+    * amortized; the blob then rides as an opaque binary column like any
+    * production media column.
     */
-  def decodeFeatures(docs: DataFrame, dims: Int = 8): Dataset[MediaFeature] = {
+  def imagePayloads(docs: DataFrame, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withPayload(docs)
-      .select(col("doc_id"), col("media_type"), col("payload"))
-      .as[(Long, String, Array[Byte])]
+    docs.select(col(idCol).cast("long"))
+      .as[Long]
+      .mapPartitions { ids =>
+        // per-partition encoder init would go here (codec context)
+        ids.map(id => (id, ImageCodec.synthPng(id)))
+      }
+      .toDF(idCol, "payload")
+  }
+
+  /** Distributed REAL image decode via mapPartitions: decoder state is
+    * created once per partition (the expensive part for a codec), then
+    * streamed over the rows — the batch shape a 1000-executor job needs.
+    * Per-row output is a handful of BIGINTs: the decoded pixels never
+    * cross a shuffle, only the reduced features do.
+    */
+  def decodeImageFeatures(media: DataFrame, idCol: String,
+                          payloadCol: String): Dataset[ImageFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder init would go here (codec context, model…)
-        rows.map { case (id, mt, payload) =>
-          MediaFeature(id, mt, payload.length,
-            StubDecoder.checksum(payload), StubDecoder.decode(payload, dims))
-        }
+        rows.map { case (id, payload) => ImageCodec.decode(id, payload) }
       }
   }
 

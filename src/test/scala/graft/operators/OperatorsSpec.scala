@@ -580,19 +580,70 @@ class TextOpsSpec extends SparkSpec {
   }
 }
 
+/** Test double for the codec-less modalities (audio/video): the
+  * mapPartitions plumbing is identical to the real image path; only the
+  * per-row decode body differs. Top-level so the task closure captures
+  * this serializable object, not the spec class. Main has no stubbed
+  * decode anymore.
+  */
+object StubCodec extends Serializable {
+  def decode(payload: Array[Byte], dims: Int): Array[Double] = {
+    val out = new Array[Double](dims)
+    var i = 0
+    while (i < payload.length) {
+      out(i % dims) += (payload(i) & 0xff).toDouble / 255.0
+      i += 1
+    }
+    out
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
-  test("decodeFeatures runs distributed with per-partition batching") {
+  test("real image codec: PNG encode → ImageIO decode round-trips exactly") {
     val docs = Tables.documents(spark, sf001).limit(50)
-    val feats = Multimodal.decodeFeatures(docs, dims = 4).collect()
+    val feats = Multimodal.decodeImageFeatures(
+      Multimodal.imagePayloads(docs, "doc_id"), "doc_id", "payload")
+      .collect().sortBy(_.doc_id)
     assert(feats.length == 50)
-    assert(feats.forall(_.feature.length == 4))
-    // checksum matches the column-level fingerprint of the same bytes
-    val fp = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.charFingerprint(col("text")).as("fp"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    feats.foreach(f => assert(f.checksum == fp(f.doc_id)))
+    // independent re-derivation of the deterministic test-card stats
+    feats.foreach { f =>
+      val id = f.doc_id
+      val w = 4 + Math.floorMod(id, 5)
+      val h = 4 + Math.floorMod(id / 5, 5)
+      assert(f.width == w && f.height == h && f.n_pixels == w * h)
+      var sum = 0L; var wsum = 0L
+      for (y <- 0L until h; x <- 0L until w) {
+        val r = Math.floorMod(id * 31 + x * 7 + y * 13, 256)
+        val g = Math.floorMod(id * 17 + x * 3 + y * 29, 256)
+        val b = Math.floorMod(id * 53 + x * 11 + y * 5, 256)
+        sum += r + g + b
+        wsum += (r + 2 * g + 3 * b) * (y * w + x + 1)
+      }
+      assert(f.pix_sum == sum, s"pix_sum for doc $id")
+      assert(f.pix_wsum == wsum, s"pix_wsum for doc $id")
+    }
+  }
+
+  test("decode raises on a non-image payload instead of emitting garbage") {
+    val ex = intercept[Exception] {
+      Multimodal.decodeImageFeatures(
+        Seq((7L, "not a png".getBytes("UTF-8"))).toDF("doc_id", "payload"),
+        "doc_id", "payload").collect()
+    }
+    assert(ex.toString.contains("not a decodable image") ||
+      Option(ex.getCause).exists(_.toString.contains("not a decodable image")))
+  }
+
+  test("generic decode plumbing works with a pluggable test-double codec") {
+    val docs = Tables.documents(spark, sf001).limit(20)
+    val feats = docs.select(col("doc_id"), col("text").cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(rows =>
+        rows.map { case (id, p) => (id, StubCodec.decode(p, 4)) })
+      .collect()
+    assert(feats.length == 20 && feats.forall(_._2.length == 4))
   }
 
   test("frameSample covers every offset stride of each doc") {
