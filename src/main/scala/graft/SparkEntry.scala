@@ -1256,6 +1256,24 @@ object SparkEntry {
           threshold = 0.2))
     }),
 
+    // the persisted-index flow: corpus signatures built + written ONCE
+    // (one corpus text scan), then the batch probes the parquet index —
+    // zero corpus scans per batch. Same result as b3 (the oracle is b3's
+    // SQL verbatim); the index dir is keyed by the data dir so SFs don't
+    // collide.
+    "b3b_minhash_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.2)
+      val ixPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeSignatureIndex(
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", ixPath, p)
+      Dedup.minHashNearDupPairsIncremental(
+        docs.filter(col("doc_id") % 5 === 4),
+        Dedup.readSignatureIndex(s, ixPath), "doc_id", "text", p)
+    }),
+
     // the complete incremental-dedup pattern: bloom screen, then exact
     // anti-join verification of ONLY the maybe-set — result is exact
     // (oracle = plain NOT IN), the bloom just shrinks the join
@@ -2933,6 +2951,15 @@ object SparkEntry {
     // incremental near-dup: same signature/band CTEs, pair condition
     // crosses batch x corpus instead of the a < c self-join
     "b3_minhash_incremental" ->
+      s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
+             pairCond = "a.doc_id % 5 = 4 AND c.doc_id % 5 <> 4")}
+         |SELECT id_a AS batch_id, id_b AS corpus_id, jaccard
+         |FROM pairs ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // the persisted-index probe computes the SAME pair set — the index is
+    // an execution artifact (who computes the corpus signatures, when),
+    // invisible to the result; oracle is b3's SQL verbatim
+    "b3b_minhash_index" ->
       s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
              pairCond = "a.doc_id % 5 = 4 AND c.doc_id % 5 <> 4")}
          |SELECT id_a AS batch_id, id_b AS corpus_id, jaccard

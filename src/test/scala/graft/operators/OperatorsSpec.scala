@@ -154,6 +154,59 @@ class DedupSpec extends SparkSpec {
     assert(incr == expected)
   }
 
+  test("persisted signature index probe equals the live incremental path") {
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 12).flatMap { d =>
+      val toks = (1 to 30).map(i => s"i${d}t$i")
+      val mutated = toks.updated(rnd.nextInt(30), "MUT")
+      Seq((2L * d, toks.mkString(" ")), (2L * d + 1, mutated.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val live = Dedup.minHashNearDupPairsIncremental(batch, corpus,
+      "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("mh_index").toString
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir, p)
+      val ix = Dedup.readSignatureIndex(spark, dir)
+      // the index persists pre-capped band rows + sized signatures
+      assert(ix.bands.columns.toSet == Set("id", "band", "bkey"))
+      assert(ix.signatures.columns.toSet == Set("id", "shingles", "sz", "minhash"))
+      val indexed = Dedup.minHashNearDupPairsIncremental(batch, ix,
+        "doc_id", "text", p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(live.nonEmpty && indexed == live)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("signature index bakes the maxBucket cap at write time") {
+    // 10 byte-identical docs land in ONE bucket per band; cap 3 keeps the
+    // 3 lowest ids per (band, bkey) in the written band table.
+    val docs = (0L until 10L).map(i => (i, "same tokens all the way down here"))
+      .toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2, maxBucket = 3)
+    val dir = java.nio.file.Files.createTempDirectory("mh_cap").toString
+    try {
+      Dedup.writeSignatureIndex(docs, "doc_id", "text", dir, p)
+      val bands = Dedup.readSignatureIndex(spark, dir).bands
+        .groupBy($"band", $"bkey").agg(
+          count(lit(1)).as("n"), collect_set($"id").as("ids"))
+        .collect()
+      assert(bands.forall(_.getLong(2) <= 3))
+      assert(bands.forall(_.getSeq[Long](3).toSet == Set(0L, 1L, 2L)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("simhash: identical docs get identical signatures, near docs are close") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
