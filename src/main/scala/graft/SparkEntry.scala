@@ -1288,6 +1288,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // sharded-filter screen (the 10^10-key scale path: 4 hash-range
+    // filters, probe = shuffle hash join on the shard id — no monolithic
+    // broadcast). maybe_dup is bit-exact oracled: the oracle reproduces
+    // the shard routing AND each shard's distinct-position set in SQL.
+    "b1b_bloom_sharded" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def key = concat(col("lang"), lit(":"),
+        element_at(split(col("text"), " "), 1))
+      val blooms = Dedup.bloomFilterSharded(
+        docs.filter(col("doc_id") % 5 =!= 4), key, shards = 4)
+      Dedup.bloomScreenSharded(docs.filter(col("doc_id") % 5 === 4),
+        blooms, key, shards = 4)
+        .select(col("doc_id"), key.as("key"), col("maybe_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // sharded full incremental dedup — exact key-absence contract is
+    // unchanged (oracle = b2's NOT IN verbatim); sharding is execution
+    // geometry only
+    "b2b_bloom_sharded_new" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      def key = concat(col("lang"), lit(":"),
+        element_at(split(col("text"), " "), 1))
+      Dedup.bloomIncrementalDedupSharded(
+        docs.filter(col("doc_id") % 5 === 4),
+        docs.filter(col("doc_id") % 5 =!= 4), key, shards = 4)
+        .select(col("doc_id"), key.as("key"))
+        .orderBy(col("doc_id"))
+    }),
+
     // bloom runtime-filter join: fact side screened by the dim-key bloom
     // BEFORE the shuffle; false positives die in the join, so the result
     // is bit-identical to the plain join the oracle runs
@@ -2968,6 +2998,44 @@ object SparkEntry {
     // exact incremental dedup: the bloom is an internal accelerator, the
     // contract is plain key-absence
     "b2_bloom_exact_new" ->
+      """WITH keyed AS (
+        |  SELECT doc_id, lang || ':' || string_split(text, ' ')[1] AS key
+        |  FROM documents)
+        |SELECT doc_id, key FROM keyed
+        |WHERE doc_id % 5 = 4
+        |  AND key NOT IN (SELECT key FROM keyed WHERE doc_id % 5 <> 4)
+        |ORDER BY doc_id""".stripMargin,
+
+    // sharded screen, bit-exact: shard = h1 % 4 (the same portable
+    // fingerprint), each shard's filter is its distinct-position set, and
+    // a batch row probes ONLY its own shard — an empty shard (no corpus
+    // row routed there) is definite absence, the left join's coalesce
+    "b1b_bloom_sharded" ->
+      s"""WITH keyed AS (
+         |  SELECT doc_id, lang || ':' || string_split(text, ' ')[1] AS key
+         |  FROM documents),
+         |h AS (
+         |  SELECT doc_id, key,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split(key, '')]),
+         |      (acc, x) -> (acc * 131 + x) % $ShP) AS h1
+         |  FROM keyed),
+         |hh AS (SELECT doc_id, key, h1, ${duckMix("h1")} AS h2 FROM h),
+         |pos AS (
+         |  SELECT doc_id, key, h1 % 4 AS shard,
+         |    [(h1 + i * h2) % 262144 for i in range(0, 7)] AS ps
+         |  FROM hh),
+         |cp AS (
+         |  SELECT shard, list(DISTINCT p) AS cpl
+         |  FROM (SELECT shard, unnest(ps) AS p FROM pos WHERE doc_id % 5 <> 4)
+         |  GROUP BY shard)
+         |SELECT doc_id, key,
+         |  coalesce(list_has_all(cpl, ps), false) AS maybe_dup
+         |FROM pos LEFT JOIN cp ON pos.shard = cp.shard
+         |WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
+
+    // sharded full dedup: same exact key-absence contract as b2
+    "b2b_bloom_sharded_new" ->
       """WITH keyed AS (
         |  SELECT doc_id, lang || ':' || string_split(text, ' ')[1] AS key
         |  FROM documents)

@@ -618,8 +618,9 @@ object Dedup {
     *
     * Sizing: false-positive rate ≈ (1 - e^(-k·n/m))^k; the default
     * k = 7 is optimal near m/n = 10 bits per key. At 10^10 corpus keys
-    * use mBits ≈ 2^37 (16 GiB) — still a broadcast-able one-row frame on
-    * executor-sized memory, or shard the filter by key range.
+    * a single filter would be 2^37 bits (16 GiB) — too big to broadcast;
+    * use [[bloomFilterSharded]], which splits it into hash-range shards
+    * that never co-reside in one executor.
     */
   def bloomFilter(corpus: DataFrame, key: Column,
                   mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
@@ -687,6 +688,88 @@ object Dedup {
     // contract, so materializing it once beats re-scanning per reference.
     val bloom = bloomFilter(corpus, key, mBits, k)
     val screened = bloomScreen(batch, bloom, key, mBits, k).localCheckpoint()
+    val definite = screened.filter(!col("maybe_dup")).drop("maybe_dup")
+    val verified = screened.filter(col("maybe_dup")).drop("maybe_dup")
+      .join(corpus.select(key.as("__corpus_key")).distinct(),
+        key === col("__corpus_key"), "left_anti")
+    definite.unionByName(verified)
+  }
+
+  /** Deterministic shard id of a key: the portable polynomial fingerprint
+    * (non-negative, ANSI-reproducible — the same h1 the Bloom oracle
+    * rebuilds in SQL) mod `shards`. Hash ranges, not value ranges, so
+    * shards stay balanced under any key distribution.
+    */
+  private def bloomShard(key: Column, shards: Int): Column =
+    pmod(charFingerprint(key.cast("string")), lit(shards))
+
+  /** Sharded Bloom filter: `shards` independent filters, one row each
+    * (shard, words, mbits, k, shards), each covering only the keys whose
+    * fingerprint routes to it.
+    *
+    * Why this exists: at 10^10 corpus keys and 10 bits/key a monolithic
+    * filter is a 16 GiB single row — unbroadcastable. Sharding splits it
+    * into `shards` filters of mBits each that NEVER co-reside: the probe
+    * is a shuffle hash join on the shard id, so an executor holds the one
+    * filter row its partition needs, not the whole array. The per-shard
+    * false-positive geometry is the classic formula with n/shards keys
+    * per filter — same accuracy per bit as the monolith.
+    */
+  def bloomFilterSharded(corpus: DataFrame, key: Column, shards: Int,
+                         mBits: Int = 1 << 18, k: Int = 7): DataFrame = {
+    require(shards >= 2, s"bloomFilterSharded: need >= 2 shards, got $shards")
+    GraftFunctions.register(corpus.sparkSession)
+    corpus
+      .groupBy(bloomShard(key, shards).as("shard"))
+      .agg(GraftFunctions.bloomAgg(
+        GraftFunctions.bloomPositions(key, k, mBits), mBits).as("words"))
+      .withColumn("mbits", lit(mBits))
+      .withColumn("k", lit(k))
+      .withColumn("shards", lit(shards))
+      .localCheckpoint()
+  }
+
+  /** Screen a batch against a SHARDED corpus Bloom filter. Each batch row
+    * routes to exactly one shard by the same fingerprint the build used;
+    * the join is hinted shuffle-hash (NOT broadcast — broadcasting all
+    * shards would re-concentrate the 16 GiB the sharding exists to
+    * split). A shard with no corpus keys has no filter row; the left join
+    * maps that to maybe_dup = false, which is correct — nothing was ever
+    * inserted there, so the key is definitely absent.
+    */
+  def bloomScreenSharded(batch: DataFrame, blooms: DataFrame, key: Column,
+                         shards: Int, mBits: Int = 1 << 18,
+                         k: Int = 7): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    val meta = blooms.select(col("mbits"), col("k"), col("shards")).head()
+    require(meta.getInt(0) == mBits && meta.getInt(1) == k &&
+      meta.getInt(2) == shards,
+      s"bloom geometry mismatch: filter built with (mBits=${meta.getInt(0)}, " +
+        s"k=${meta.getInt(1)}, shards=${meta.getInt(2)}), probed with " +
+        s"(mBits=$mBits, k=$k, shards=$shards)")
+    batch
+      .withColumn("__bloom_shard", bloomShard(key, shards))
+      .join(blooms.select(col("shard").as("__bloom_shard"), col("words"))
+        .hint("shuffle_hash"),
+        Seq("__bloom_shard"), "left")
+      .withColumn("maybe_dup", coalesce(
+        GraftFunctions.bloomContains(col("words"),
+          GraftFunctions.bloomPositions(key, k, mBits)), lit(false)))
+      .drop("words", "__bloom_shard")
+  }
+
+  /** [[bloomIncrementalDedup]] over the sharded filter — identical exact
+    * semantics (the result is still plain key-absence; sharding only
+    * changes which filter row screens which key), memory-bounded at any
+    * corpus size.
+    */
+  def bloomIncrementalDedupSharded(batch: DataFrame, corpus: DataFrame,
+                                   key: Column, shards: Int,
+                                   mBits: Int = 1 << 18,
+                                   k: Int = 7): DataFrame = {
+    val blooms = bloomFilterSharded(corpus, key, shards, mBits, k)
+    val screened = bloomScreenSharded(batch, blooms, key, shards, mBits, k)
+      .localCheckpoint()
     val definite = screened.filter(!col("maybe_dup")).drop("maybe_dup")
     val verified = screened.filter(col("maybe_dup")).drop("maybe_dup")
       .join(corpus.select(key.as("__corpus_key")).distinct(),

@@ -145,4 +145,55 @@ class BloomSpec extends SparkSpec {
       .collect().head.getSeq[Long](0)
     assert(wordsUnion == wordsWhole)
   }
+
+  test("sharded routing is complete: no false negatives across any shard") {
+    // every corpus key must screen maybe_dup = true through the SHARDED
+    // probe — i.e. each key's probe lands on the shard its build row
+    // landed on; a routing mismatch would show up as a false negative
+    val corpus = (0 until 300).map(i => s"key$i").toDF("key")
+    val batchPresent = (0 until 300 by 3).map(i => s"key$i").toDF("key")
+    val blooms = Dedup.bloomFilterSharded(corpus, col("key"), shards = 8,
+      mBits, k)
+    val screened = Dedup.bloomScreenSharded(batchPresent, blooms, col("key"),
+      shards = 8, mBits, k)
+    assert(screened.filter(!col("maybe_dup")).count() == 0)
+  }
+
+  test("sharded screen handles empty shards as definite absence") {
+    // a 2-key corpus occupies at most 2 of 8 shards; batch keys routed to
+    // the empty shards must come back maybe_dup = false (not dropped, not
+    // erroring on the missing filter row)
+    val corpus = Seq("alpha", "beta").toDF("key")
+    val batch = (0 until 64).map(i => s"probe$i").toDF("key")
+    val blooms = Dedup.bloomFilterSharded(corpus, col("key"), shards = 8,
+      mBits, k)
+    assert(blooms.count() <= 2)
+    val screened = Dedup.bloomScreenSharded(batch, blooms, col("key"),
+      shards = 8, mBits, k)
+    assert(screened.count() == 64, "left join must keep every batch row")
+  }
+
+  test("sharded incremental dedup equals the monolithic exact result") {
+    val corpus = (0 until 200).map(i => s"c$i").toDF("key")
+    val batch = ((150 until 250).map(i => s"c$i") ++ Seq("fresh1", "fresh2"))
+      .toDF("key")
+    val mono = Dedup.bloomIncrementalDedup(batch, corpus, col("key"),
+      mBits, k).collect().map(_.getString(0)).sorted.toSeq
+    val shard = Dedup.bloomIncrementalDedupSharded(batch, corpus, col("key"),
+      shards = 4, mBits, k).collect().map(_.getString(0)).sorted.toSeq
+    val expected = ((200 until 250).map(i => s"c$i") ++
+      Seq("fresh1", "fresh2")).sorted
+    assert(mono == expected && shard == expected)
+  }
+
+  test("sharded probe rejects a shard-count mismatch loudly") {
+    val corpus = (0 until 50).map(i => s"x$i").toDF("key")
+    val blooms = Dedup.bloomFilterSharded(corpus, col("key"), shards = 4,
+      mBits, k)
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.bloomScreenSharded(corpus, blooms, col("key"), shards = 8,
+        mBits, k)
+    }
+    assert(ex.getMessage.contains("geometry mismatch"))
+  }
 }
