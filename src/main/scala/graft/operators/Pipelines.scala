@@ -52,9 +52,13 @@ object Pipelines {
       .localCheckpoint()
 
     // near-dup removal: keep each cluster's representative (min id);
-    // docs in no pair are untouched
+    // docs in no pair are untouched. Star contraction, not min-label
+    // propagation: a pipeline entry point cannot assume its duplicate
+    // graph is shallow (template families chain A~B~C... through
+    // mutation series), and large-star/small-star is O(log n) rounds on
+    // ANY component shape where label propagation needs diameter rounds.
     val pairs = Dedup.minHashNearDupPairs(cand, "doc_id", "text", minhash)
-    val dupIds = Clustering.nearDupClusters(pairs)
+    val dupIds = Clustering.nearDupClustersStar(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
 

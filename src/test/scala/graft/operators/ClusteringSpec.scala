@@ -100,6 +100,33 @@ class PipelinesSpec extends SparkSpec {
     assert(out.map(_._1).toSeq == Seq(10L, 14L))
     assert(out.forall(r => r._2 == "train" || r._2 == "test"))
   }
+
+  test("trainingCorpus collapses an adversarial CHAIN of near-dups") {
+    // doc i = unique 15-word block H_i ++ H_{i+1}: adjacent docs share
+    // exactly one block (shingle-Jaccard ≈ 0.30), docs 2+ apart share
+    // NOTHING — the duplicate graph is a 20-node PATH, the shape where
+    // min-label propagation needs diameter rounds; the pipeline's star
+    // path must still collapse it to one representative. Bands of 1 row
+    // (32 independent probes) make banding recall ≈ 1 at J = 0.3, so the
+    // path premise is not at the mercy of the 4-row banding curve.
+    def block(k: Int) = (0 until 15).map(j => s"b${k}w$j")
+    val docs = (0 until 20).map { i =>
+      (i.toLong + 100L, "en", (block(i) ++ block(i + 1)).mkString(" "))
+    }.toDF("doc_id", "lang", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 32, shingle = 3,
+      threshold = 0.05)
+    // confirm the premise: the pair graph is exactly the consecutive path
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == (100L until 119L).map(i => (i, i + 1)).toSet,
+      s"premise: expected a pure 20-node path, got $pairs")
+    val bench = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    val out = Pipelines.trainingCorpus(docs, bench,
+      qualityMin = 0.0, minhash = p, contamN = 3, contamMin = 999,
+      testFraction = 0.5)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(100L), s"only the chain minimum survives, got $out")
+  }
 }
 
 class IncrementalIngestSpec extends SparkSpec {
