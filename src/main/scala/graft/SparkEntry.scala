@@ -891,6 +891,9 @@ object SparkEntry {
 
     // approximate distinct (HLL++) — sketch values are engine-specific,
     // no SQL oracle (rows-only check)
+    // rows-only (HLL++ internals are engine-specific), but the accuracy
+    // contract is test-gated: SketchAccuracySpec asserts |approx - exact|
+    // / exact <= 4·rsd per group — the sketch twin of the ANN recall gates
     "a1_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
@@ -903,7 +906,9 @@ object SparkEntry {
     // global estimate WITHOUT rescanning raw data — the pre-aggregated
     // rollup pattern that lets a 100 TB pipeline answer distinct-count
     // questions at any grouping from a tiny sketch table. Sketch bytes
-    // are engine-specific — rows-only check.
+    // are engine-specific — rows-only check; the accuracy AND the
+    // union-merge-tracks-direct-sketch contracts are test-gated in
+    // SketchAccuracySpec (the sketch twin of the ANN recall gates).
     "a3_hll_union" -> ((s, dir) => {
       val perType = T(s, dir, "events")
         .groupBy(col("event_type"))
