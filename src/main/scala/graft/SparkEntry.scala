@@ -1085,6 +1085,19 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // the corpus-scale twin: decile boundaries extracted by distributed
+    // order statistics (one range exchange, no global window sort),
+    // broadcast as literals into a stateless bin projection — results
+    // bit-identical to q59 (pair-valued boundaries preserve ntile's tie
+    // split), so the oracle is q59's SQL verbatim
+    "q59b_quality_mix_bounds" -> ((s, dir) => {
+      val scored = T(s, dir, "documents")
+        .select(col("doc_id"), TextOps.qualityCol(col("text")).as("quality"))
+      Sampling.qualityBinMixBoundaries(scored, "doc_id", "quality",
+        QualityMixRates)
+        .orderBy(col("doc_id"))
+    }),
+
     // ordered funnel (view -> click -> purchase): conditional-min chain,
     // one decomposable aggregation per step, all keyed on the user
     "q57_funnel_steps" -> ((s, dir) =>
@@ -2666,6 +2679,23 @@ object SparkEntry {
                 | FROM (SELECT doc_id, $duckQualityExpr AS quality
                 |       FROM (SELECT doc_id, string_split(text, ' ') AS tk
                 |             FROM documents))) q59src""".stripMargin)})
+         |WHERE bkt < CASE bin $cases END
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // boundary-broadcast twin — bit-identical contract, same oracle
+    "q59b_quality_mix_bounds" -> {
+      val cases = QualityMixRates.zipWithIndex.map { case (r, i) =>
+        s"WHEN ${i + 1} THEN ${graft.operators.Sampling.bucketThreshold(r)}"
+      }.mkString(" ")
+      s"""SELECT doc_id, quality, bin FROM (
+         |${duckWithBucket("doc_id, quality, bin", "doc_id",
+             s"""(SELECT doc_id, quality,
+                |   CAST(ntile(${QualityMixRates.length})
+                |        OVER (ORDER BY quality, doc_id) AS BIGINT) AS bin
+                | FROM (SELECT doc_id, $duckQualityExpr AS quality
+                |       FROM (SELECT doc_id, string_split(text, ' ') AS tk
+                |             FROM documents))) q59bsrc""".stripMargin)})
          |WHERE bkt < CASE bin $cases END
          |ORDER BY doc_id""".stripMargin
     },

@@ -283,4 +283,94 @@ object Sampling {
     df.withColumn("bin", ntile(rates.length).over(w).cast("long"))
       .filter(hashBucket(col(keyCol)) < thr)
   }
+
+  /** Two-pass, boundary-broadcast twin of [[qualityBinMix]] — the corpus-
+    * scale formulation promised in its scale note, returning BIT-IDENTICAL
+    * results (same bins, same kept rows, same oracle).
+    *
+    * Instead of one global ntile sort, pass 1 extracts the (score, key)
+    * PAIRS sitting at ntile's cutoff ranks using distributed order
+    * statistics: one `repartitionByRange` exchange of narrow pairs, a
+    * parallel per-partition sort, per-partition sizes cumulated into
+    * global offsets (tiny driver step), then each partition emits only
+    * the rows whose global rank is a cutoff — `bins - 1` rows total.
+    * Pair-valued boundaries (not value-only) are what make this EXACTLY
+    * ntile: ties on the score are ordered by key on both sides of the
+    * comparison, so a boundary never splits differently than the window
+    * formulation.
+    *
+    * Pass 2 is a stateless codegen'd projection: bin(x) = 1 + #{boundary
+    * < (score, key)} over the broadcast literals, then the same per-bin
+    * hash-keep filter. At 100 TB pass 1 shuffles ~16 bytes/row once and
+    * pass 2 is shuffle-free — no stage ever sorts the corpus globally.
+    */
+  def qualityBinMixBoundaries(df: DataFrame, keyCol: String, scoreCol: String,
+                              rates: Seq[Double]): DataFrame = {
+    import org.apache.spark.TaskContext
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    require(rates.nonEmpty && rates.forall(r => r >= 0.0 && r <= 1.0),
+      s"rates must all be in [0,1]: $rates")
+    require(!df.columns.contains("bin"),
+      "qualityBinMixBoundaries adds a 'bin' column; the input already has one")
+    GraftFunctions.register(df.sparkSession)
+    val b = rates.length
+
+    val pairs = df.select(col(scoreCol).as("__s"), col(keyCol).as("__k"))
+    val ranged = pairs
+      .repartitionByRange(col("__s"), col("__k"))
+      .sortWithinPartitions(col("__s"), col("__k"))
+    val sizeSchema = StructType(Seq(StructField("pid", LongType, false),
+      StructField("n", LongType, false)))
+    val sizes = ranged.mapPartitions { it =>
+      Iterator.single(Row(
+        TaskContext.getPartitionId().toLong,
+        it.map(_ => 1L).sum))
+    }(Encoders.row(sizeSchema))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = sizes.values.sum
+    // ntile's cumulative bin sizes: the first (n mod b) bins are one
+    // bigger. cuts(i) = last rank of bin i+1; boundary pairs sit AT those
+    // ranks. Duplicate cut ranks (more bins than rows) keep their
+    // multiplicity in the fold below — exactly ntile's degenerate split.
+    val cuts = (1 until b).map(i => i.toLong * (n / b) + math.min(i.toLong, n % b))
+      .filter(_ > 0)
+    val rankSet = cuts.toSet
+    val offsets = {
+      val nParts = sizes.keys.foldLeft(-1L)(math.max) + 1
+      val off = collection.mutable.Map[Long, Long]()
+      var acc = 0L
+      (0L until nParts).foreach { pid =>
+        off(pid) = acc
+        acc += sizes.getOrElse(pid, 0L)
+      }
+      off.toMap
+    }
+    val bSchema = StructType(pairs.schema.fields :+
+      StructField("__rank", LongType, nullable = false))
+    val rankToPair = ranged.mapPartitions { it =>
+      val pid = TaskContext.getPartitionId().toLong
+      var r = offsets(pid)
+      it.flatMap { row =>
+        r += 1
+        if (rankSet.contains(r)) Some(Row(row.get(0), row.get(1), r))
+        else None
+      }
+    }(Encoders.row(bSchema))
+      .collect().map(r => r.getLong(2) -> (r.get(0), r.get(1))).toMap
+
+    val pairCol = struct(col(scoreCol).as("s"), col(keyCol).cast(
+      df.schema(keyCol).dataType).as("k"))
+    val binExpr = cuts.foldLeft(lit(1L)) { case (acc, cut) =>
+      val (bs, bk) = rankToPair(cut)
+      acc + when(pairCol > struct(lit(bs).cast(df.schema(scoreCol).dataType).as("s"),
+        lit(bk).cast(df.schema(keyCol).dataType).as("k")), lit(1L))
+        .otherwise(lit(0L))
+    }
+    val thr = rates.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (r, i)) =>
+      when(col("bin") === (i + 1), lit(bucketThreshold(r))).otherwise(acc)
+    }
+    df.withColumn("bin", binExpr)
+      .filter(hashBucket(col(keyCol)) < thr)
+  }
 }

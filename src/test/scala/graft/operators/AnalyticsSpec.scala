@@ -51,6 +51,32 @@ class AnalyticsSpec extends SparkSpec {
     assert(out.filter(_._2 == 4L).map(_._1).forall(id => id > 30))
   }
 
+  test("qualityBinMixBoundaries is bit-identical to the ntile formulation") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    // heavy score TIES (scores drawn from 10 values over 200 rows) — the
+    // case where value-only boundaries would split differently than
+    // ntile; pair-valued boundaries must match exactly
+    val df = (1 to 200).map(i => (i.toLong, (rnd.nextInt(10) / 3.0)))
+      .toDF("id", "score")
+    val rates = Seq(0.0, 0.3, 0.7, 1.0, 0.5)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val ntileOut = rows(Sampling.qualityBinMix(df, "id", "score", rates))
+    val boundsOut = rows(Sampling.qualityBinMixBoundaries(df, "id", "score", rates))
+    assert(ntileOut.nonEmpty && boundsOut == ntileOut)
+  }
+
+  test("qualityBinMixBoundaries handles more bins than rows (degenerate)") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score")
+    val rates = Seq.fill(10)(1.0)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(rows(Sampling.qualityBinMixBoundaries(df, "id", "score", rates)) ==
+      rows(Sampling.qualityBinMix(df, "id", "score", rates)))
+  }
+
   test("retentionCohorts builds the triangle from first-event cohorts") {
     val w = 7L * 24 * 3600
     val events = Seq(
