@@ -51,8 +51,14 @@ object Bench {
     // Warm the JVM (codegen cache, JIT, parquet reader classes) with one
     // pass at the smallest scale factor so the timed numbers below measure
     // steady-state engine throughput rather than first-query class loading.
+    // Optional subset (comma-separated names) for scale checkpoints — the
+    // driver's per-round invocation sets no filter and times everything.
+    val picked = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .fold(SparkEntry.queries)(sel =>
+        SparkEntry.queries.filter { case (k, _) => sel(k) })
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
-    SparkEntry.queries.values.foreach { fn =>
+    picked.values.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // The warm pass itself leaves cached blocks behind — clear them so the
@@ -63,7 +69,7 @@ object Bench {
     // methodology): a single timing conflates the query with whatever GC
     // debt the previous queries left behind. A failed query records the -1
     // sentinel so it is never mistaken for a fast one.
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }

@@ -1173,6 +1173,15 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
         Seq(col("lang")), n = 3, threshold = 0.2)),
 
+    // the df-ascending prefix-order variant (classic AllPairs refinement
+    // for Zipfian corpora): the completeness lemma holds for ANY global
+    // prefix order, so the result set — and the oracle, the naive
+    // quadratic join — is IDENTICAL to d3; only candidate volume differs.
+    // Both paths measured at sf1 in BENCH_SF1.json (dfOrdered crossover).
+    "d3b_ngram_jaccard_df" -> ((s, dir) =>
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text",
+        Seq(col("lang")), n = 3, threshold = 0.2, dfOrdered = true)),
+
     // SimHash signatures (portable mixed polynomial hash — oracle-checked)
     "d4_simhash" -> ((s, dir) =>
       Dedup.withSimHash(T(s, dir, "documents"), "text")
@@ -1197,6 +1206,17 @@ object SparkEntry {
     "d5b_embedding_lsh" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64)),
+
+    // the corpus-density variant: 8 planes = 256 buckets/table. SRP bucket
+    // space is FIXED by the planes dial, so occupancy (and the bucket
+    // self-join) grows quadratically with corpus size until planes tracks
+    // log2(corpus/target-bucket) — measured at sf1: d5b (5 planes) went
+    // 43x on 10x data, this variant stays ~linear (BENCH_SF1.json). Same
+    // verify threshold; candidates differ (higher precision, lower
+    // per-table recall), and the oracle reproduces THIS pipeline exactly.
+    "d5c_embedding_lsh_scaled" -> ((s, dir) =>
+      Dedup.embeddingNearDupLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.4, dim = 64, planes = 8)),
 
     // near-dup clusters: connected components over the MinHash pair graph
     // (min-label propagation to convergence; oracle = recursive
@@ -3331,6 +3351,31 @@ object SparkEntry {
         |  WHERE len(a.sh) * 0.2 <= len(b.sh) AND len(b.sh) * 0.2 <= len(a.sh))
         |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
 
+    // df-ordered path: same result set by the completeness lemma — the
+    // oracle is d3's naive quadratic join verbatim
+    "d3b_ngram_jaccard_df" ->
+      """WITH th AS (
+        |  SELECT lang, doc_id,
+        |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       [CAST(unicode(c) AS BIGINT) for c in string_split(t, '')]),
+        |       (acc, x) -> (acc * 131 + x) % 9007199254740881)
+        |     for t in string_split(text, ' ')] AS th
+        |  FROM documents),
+        |s AS (
+        |  SELECT lang, doc_id,
+        |    list_distinct([((((th[i]) * 131 + th[i+1]) % 9007199254740881) * 131 + th[i+2]) % 9007199254740881
+        |                   for i in range(1, len(th) - 1)]) AS sh
+        |  FROM th WHERE len(th) >= 3)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    floor(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |          / (len(a.sh) + len(b.sh)
+        |             - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE))
+        |          * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |  FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        |  WHERE len(a.sh) * 0.2 <= len(b.sh) AND len(b.sh) * 0.2 <= len(a.sh))
+        |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin,
+
     // Containment twin: same shingle sets, naive within-language join
     // (complete by construction — the Spark side's small-side prefix
     // filter is the lossless scale path).
@@ -3377,6 +3422,21 @@ object SparkEntry {
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |            FROM embeddings),
          |bk AS (${duckSrpBk(tables = 16, planes = 5, dim = 64)}),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM bk x JOIN bk y
+         |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |sc AS (SELECT c.id_a, c.id_b, $duckCos AS cos
+         |       FROM cand c JOIN emb a ON a.vec_id = c.id_a
+         |                   JOIN emb b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // same pipeline at the 8-plane bucket density (the plane constants of
+    // tables 0..15 at planes=8 — a different seeded family than d5b's)
+    "d5c_embedding_lsh_scaled" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 8, dim = 64)}),
          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
          |         FROM bk x JOIN bk y
          |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),

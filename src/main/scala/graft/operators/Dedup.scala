@@ -490,6 +490,14 @@ object Dedup {
     * trades recall against pruning, measured by `EmbeddingLshSpec`
     * against the exact all-pairs baseline.
     *
+    * MEASURED (BENCH_SF1.json): the bucket space 2^planes is FIXED, so a
+    * growing corpus packs more vectors per bucket and the self-join goes
+    * quadratic — 5 planes took 43× the time on 10× the vectors, 8 planes
+    * (d5c) restored ~linear scaling on the same data. Operationally:
+    * planes must track log2(corpus / target-bucket-occupancy); re-derive
+    * the recall budget (p^planes per table) and raise `tables` if the
+    * threshold demands it.
+    *
     * Scale shape: bucketing is one narrow kernel projection (all
     * tables × planes dot products in a single [[graft.functions.SrpBuckets]]
     * call); candidates come from hash-partitioned bucket self-joins with
@@ -802,8 +810,11 @@ object Dedup {
     * window pass; wins when blocks are large or the token distribution
     * is Zipfian (i.e., real text at corpus scale) — on the near-uniform
     * synthetic fixture the extra pass costs more than it prunes
-    * (measured 2.4 s vs 1.6 s at sf0.1), so the default stays hash-order
-    * and real-corpus deployments flip the flag. The completeness
+    * (measured 2.4 s vs 1.6 s at sf0.1, and re-checked at 10× the data:
+    * 5.2 s vs 3.3 s at sf1, BENCH_SF1.json — the crossover tracks token
+    * SKEW, not raw scale, and the synthetic corpus stays near-uniform at
+    * any SF), so the default stays hash-order and real-corpus
+    * deployments flip the flag. The completeness
     * lemma holds for ANY global total order, so the result set is
     * unchanged — both paths are checked against the same naive-join
     * oracle. The prefix uses |X| - floor(t|X|) + 1 (>= the tight bound,

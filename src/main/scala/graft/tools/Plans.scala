@@ -157,6 +157,37 @@ object Plans {
         |graft_bloom_contains — k bit probes per row, no batch shuffle.
         |At 100 TB the corpus is scanned once per ingest cycle to build
         |the filter; every subsequent batch never touches it.""".stripMargin,
+    "b1b_bloom_sharded" ->
+      """Sharded Bloom screen — the 10^10-key path. The build groups the
+        |corpus by hash-range shard (partial_graft_bloom_agg per shard
+        |BEFORE the exchange: one small partial per (task, shard)); the
+        |probe routes each batch row to its shard and meets its ONE filter
+        |row in a ShuffledHashJoin on the shard id — no filter broadcast
+        |anywhere in the plan, which is the point: an executor holds only
+        |the shard its partition needs. The left join maps empty shards to
+        |maybe_dup = false (definite absence).""".stripMargin,
+
+    "b3b_minhash_index" ->
+      """Persisted-index incremental MinHash probe. The plan shows the
+        |scale contract: the CORPUS side reads back `signatures`/`bands`
+        |parquet (narrow scans of precomputed columns — zero corpus TEXT
+        |scans, no graft_minhash/graft_shingles kernel on the corpus
+        |subtree, no per-probe window: the bucket cap was baked at index
+        |write time); only the BATCH side runs the signature kernels. At
+        |daily-ingest scale the index is written once per corpus growth
+        |and every batch pays only its own signatures plus two small
+        |joins.""".stripMargin,
+
+    "q59b_quality_mix_bounds" ->
+      """Boundary-broadcast quality mix. The binning stage has NO window
+        |operator and no global sort: the bin is a codegen'd chain of
+        |struct comparisons against the 9 boundary literals extracted in
+        |pass 1 (range exchange of narrow pairs, per-partition sort, tiny
+        |collects), composed with the stateless hash-keep filter — the
+        |whole pass-2 plan is scan -> project -> filter. Contrast q59,
+        |whose ntile needs a single-partition global sort of the scored
+        |corpus.""".stripMargin,
+
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs
         |partial -> exchange -> final; context counts derive from the
