@@ -1212,8 +1212,10 @@ object SparkEntry {
     // self-join) grows quadratically with corpus size until planes tracks
     // log2(corpus/target-bucket) — measured at sf1: d5b (5 planes) went
     // 43x on 10x data, this variant stays ~linear (BENCH_SF1.json). Same
-    // verify threshold; candidates differ (higher precision, lower
-    // per-table recall), and the oracle reproduces THIS pipeline exactly.
+    // verify threshold; per-table recall drops with planes (measured 0.29
+    // vs d5b's 0.81 at cos 0.4, floored in EmbeddingLshSpec — raise
+    // `tables` when a deployment needs density AND recall), and the
+    // oracle reproduces THIS pipeline exactly.
     "d5c_embedding_lsh_scaled" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.4, dim = 64, planes = 8)),

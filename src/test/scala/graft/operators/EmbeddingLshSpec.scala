@@ -40,6 +40,26 @@ class EmbeddingLshSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f < 0.7")
   }
 
+  test("scaled 8-plane config (d5c): precision 1.0, recall documented and floored") {
+    // the corpus-density config trades per-table recall for 8x lower
+    // bucket occupancy (BENCH_SF1.json): at cos 0.4, p ≈ 0.63 per plane,
+    // p^8 ≈ 0.025 per table, 16 tables => ~0.33 expected recall. The
+    // floor here gates against a BROKEN pipeline (recall collapsing to
+    // ~0), not against the configured trade — raise `tables` when a
+    // deployment needs both the density and the recall.
+    val dir = "/root/testdata/sf0.01"
+    val want = exactPairs(dir, 0.4)
+    val got = Dedup.embeddingNearDupLsh(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", threshold = 0.4, dim = 64, planes = 8)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want), s"unverified pairs: ${got -- want}")
+    val recall = (got & want).size.toDouble / want.size
+    info(f"8-plane (d5c) recall vs exact all-pairs: $recall%.2f " +
+      s"(${got.size}/${want.size})")
+    assert(recall >= 0.15, f"recall $recall%.2f < 0.15 — pipeline broken")
+  }
+
   test("embeddingNearDupLsh at a high threshold finds planted near-identical pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)
