@@ -99,6 +99,27 @@ object Clustering {
   def representatives(clustered: DataFrame): DataFrame =
     clustered.filter(col("id") === col("cluster"))
 
+  /** Auto-selecting clustering — the cheap "diameter probe": run min-label
+    * propagation for at most `probeRounds` rounds (it converges in 2–4 on
+    * the tiny-clique graphs near-dup workloads produce, at half the
+    * shuffles per round of star contraction); if the graph turns out
+    * deeper than the probe (mutation chains, citation paths), fall back
+    * to star contraction, which is O(log n) rounds on ANY shape. The
+    * probe's worst case is `probeRounds` cheap rounds of wasted work on a
+    * deep graph; the common shallow case pays nothing — the fast path IS
+    * the answer. Same contract as both underlying methods: (id, cluster)
+    * with cluster = min id of the component.
+    */
+  def nearDupClustersAuto(pairs: DataFrame, idACol: String = "id_a",
+                          idBCol: String = "id_b",
+                          probeRounds: Int = 6): DataFrame =
+    try nearDupClusters(pairs, idACol, idBCol, maxIter = probeRounds)
+    catch {
+      case e: IllegalStateException
+          if e.getMessage != null && e.getMessage.contains("did not converge") =>
+        nearDupClustersStar(pairs, idACol, idBCol)
+    }
+
   /** Connected components by alternating large-star / small-star
     * contraction (Kiveris et al., "Connected Components in MapReduce and
     * Beyond", SoCC'14) — the O(log n)-round scale path promised in

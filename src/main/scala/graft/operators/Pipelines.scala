@@ -52,13 +52,14 @@ object Pipelines {
       .localCheckpoint()
 
     // near-dup removal: keep each cluster's representative (min id);
-    // docs in no pair are untouched. Star contraction, not min-label
-    // propagation: a pipeline entry point cannot assume its duplicate
-    // graph is shallow (template families chain A~B~C... through
-    // mutation series), and large-star/small-star is O(log n) rounds on
-    // ANY component shape where label propagation needs diameter rounds.
+    // docs in no pair are untouched. Auto-selected clustering: a pipeline
+    // entry point cannot assume its duplicate graph is shallow (template
+    // families chain A~B~C... through mutation series), so label
+    // propagation is only PROBED for a few rounds — the cheap fast path
+    // for the common tiny-clique graphs — and deep graphs fall back to
+    // star contraction (O(log n) rounds on any component shape).
     val pairs = Dedup.minHashNearDupPairs(cand, "doc_id", "text", minhash)
-    val dupIds = Clustering.nearDupClustersStar(pairs)
+    val dupIds = Clustering.nearDupClustersAuto(pairs)
       .filter(col("id") =!= col("cluster"))
       .select(col("id").as("doc_id"))
 

@@ -75,6 +75,24 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(reps.toSeq == Seq(1L, 10L))
   }
+
+  test("auto-select resolves a shallow clique graph on the fast path") {
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Clustering.nearDupClustersAuto(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("auto-select falls back to star on a deep chain and stays correct") {
+    // a 60-node path: diameter 59 >> the 6-round probe, so label
+    // propagation cannot converge and the star fallback must produce the
+    // full component anyway
+    val pairs = (0L until 59L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Clustering.nearDupClustersAuto(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == 60 && out.values.forall(_ == 0L))
+  }
 }
 
 class PipelinesSpec extends SparkSpec {
