@@ -4,6 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.plans.Checkpoints
+
 /** Connected components over a near-dup pair list — the step that turns
   * pairwise `(id_a, id_b, score)` evidence (MinHash, SimHash, Jaccard,
   * embedding cosine) into dedup groups: every document gets the minimum
@@ -74,9 +76,13 @@ object Clustering {
         .localCheckpoint()
       val changed = next.filter(col("lbl") < col("__old")).count()
       // previous round's checkpointed blocks are no longer referenced.
-      // `prev` must be the CHECKPOINTED frame itself — unpersisting a
-      // derived select would be a no-op and leak the round's blocks.
-      if (prev != null) prev.unpersist()
+      // Checkpoints.free, NOT Dataset.unpersist: unpersist() is a silent
+      // no-op on a checkpointed frame (CacheManager only tracks cached
+      // queries) — the probe-leak spec in ClusteringSpec counts the
+      // persisted RDDs to prove the blocks actually go away. Safe here
+      // because a freed round is never read again (a local checkpoint
+      // has no lineage to recompute from).
+      if (prev != null) Checkpoints.free(prev)
       prev = ckpt
       ckpt = next
       labels = next.select(col("id"), col("lbl"))
@@ -84,12 +90,20 @@ object Clustering {
       iter += 1
     }
     edges.unpersist()
-    if (prev != null) prev.unpersist()
-    if (!converged)
+    if (prev != null) Checkpoints.free(prev)
+    if (!converged) {
+      // The final round's checkpointed blocks are about to become
+      // unreachable — nobody will consume `labels` on the throw path.
+      // Without this, nearDupClustersAuto's ROUTINE fallback (deep graph
+      // -> probe throws -> star contraction) would leak probeRounds'
+      // worth of localCheckpoint blocks per call until the
+      // ContextCleaner happened to GC the references.
+      Checkpoints.free(ckpt)
       throw new IllegalStateException(
         s"nearDupClusters did not converge within $maxIter rounds " +
           "(component diameter exceeds maxIter) — raise maxIter; a " +
           "silently partial clustering would under-deduplicate")
+    }
     labels.select(col("id"), col("lbl").as("cluster")).orderBy(col("id"))
   }
 
@@ -183,17 +197,21 @@ object Clustering {
       // exact fixpoint test over two checkpointed edge sets
       converged = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
-      if (prev != null) prev.unpersist()
+      // Checkpoints.free (see nearDupClusters): Dataset.unpersist is a
+      // no-op on checkpointed frames; the freed round is never re-read.
+      if (prev != null) Checkpoints.free(prev)
       prev = edges
       edges = next
       iter += 1
     }
-    if (prev != null) prev.unpersist()
-    if (!converged)
+    if (prev != null) Checkpoints.free(prev)
+    if (!converged) {
+      Checkpoints.free(edges)
       throw new IllegalStateException(
         s"nearDupClustersStar did not converge within $maxIter rounds — " +
           "raise maxIter; a silently partial clustering would " +
           "under-deduplicate")
+    }
     // fixpoint = disjoint stars: every non-root points at its component
     // min; roots point at themselves.
     edges.select(col("u").as("id"), col("v").as("cluster"))

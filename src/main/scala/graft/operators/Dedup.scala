@@ -749,7 +749,15 @@ object Dedup {
                          shards: Int, mBits: Int = 1 << 18,
                          k: Int = 7): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
-    val meta = blooms.select(col("mbits"), col("k"), col("shards")).head()
+    // An EMPTY corpus produces zero filter rows (groupBy, not a global
+    // agg) — nothing was ever inserted, so every key is definitely
+    // absent. Short-circuit instead of head()-ing a row that isn't there;
+    // the monolithic bloomScreen handles this case via its always-one-row
+    // global aggregate and the two paths must agree.
+    val metaOpt = blooms.select(col("mbits"), col("k"), col("shards"))
+      .limit(1).collect().headOption
+    if (metaOpt.isEmpty) return batch.withColumn("maybe_dup", lit(false))
+    val meta = metaOpt.get
     require(meta.getInt(0) == mBits && meta.getInt(1) == k &&
       meta.getInt(2) == shards,
       s"bloom geometry mismatch: filter built with (mBits=${meta.getInt(0)}, " +

@@ -173,6 +173,26 @@ class BloomSpec extends SparkSpec {
     assert(screened.count() == 64, "left join must keep every batch row")
   }
 
+  test("sharded screen of an EMPTY corpus: every key definitely absent") {
+    // an empty corpus builds ZERO filter rows (groupBy, not a global agg);
+    // the screen must agree with the monolithic path's semantics — nothing
+    // was ever inserted, so every batch key is definitely new
+    import spark.implicits._
+    val corpus = spark.emptyDataset[String].toDF("key")
+    val batch = (0 until 16).map(i => s"n$i").toDF("key")
+    val blooms = Dedup.bloomFilterSharded(corpus, col("key"), shards = 8,
+      mBits, k)
+    assert(blooms.count() == 0)
+    val screened = Dedup.bloomScreenSharded(batch, blooms, col("key"),
+      shards = 8, mBits, k)
+    assert(screened.count() == 16)
+    assert(screened.filter(col("maybe_dup")).count() == 0)
+    // and the full incremental dedup keeps the whole batch
+    val kept = Dedup.bloomIncrementalDedupSharded(batch, corpus, col("key"),
+      shards = 8, mBits, k).collect().map(_.getString(0)).sorted.toSeq
+    assert(kept == (0 until 16).map(i => s"n$i").sorted)
+  }
+
   test("sharded incremental dedup equals the monolithic exact result") {
     val corpus = (0 until 200).map(i => s"c$i").toDF("key")
     val batch = ((150 until 250).map(i => s"c$i") ++ Seq("fresh1", "fresh2"))

@@ -84,6 +84,26 @@ class ClusteringSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("non-converged probe leaves no cached blocks behind") {
+    // the auto-selector makes the nearDupClusters throw path ROUTINE for
+    // deep graphs — every probe must clean up its localCheckpoint blocks
+    // (edges persist + per-round checkpoints), or each fallback leaks
+    // probeRounds' worth of storage until the ContextCleaner notices
+    val pairs = (0L until 30L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    intercept[IllegalStateException] {
+      Clustering.nearDupClusters(pairs, maxIter = 3)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"leaked persisted RDDs: $leaked")
+    // same contract for the star path's non-convergence throw
+    intercept[IllegalStateException] {
+      Clustering.nearDupClustersStar(pairs, maxIter = 1)
+    }
+    val leakedStar = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leakedStar.isEmpty, s"star path leaked persisted RDDs: $leakedStar")
+  }
+
   test("auto-select falls back to star on a deep chain and stays correct") {
     // a 60-node path: diameter 59 >> the 6-round probe, so label
     // propagation cannot converge and the star fallback must produce the
