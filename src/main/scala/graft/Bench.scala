@@ -99,7 +99,13 @@ object Bench {
       s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
     // Full-fidelity artifact: every query, full precision, plus the
     // aggregate membership, for the judge / PLANS.md cross-reference.
-    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL", "BENCH_DETAIL.json")
+    // A SPARK_GRAFT_ONLY subset run must NEVER clobber the canonical
+    // full-round artifact with partial detail (VERDICT tooling reads it)
+    // — unless the caller also pointed SPARK_GRAFT_DETAIL somewhere
+    // explicitly, a subset run writes to a subset-suffixed file instead.
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
+      if (sys.env.contains("SPARK_GRAFT_ONLY")) "BENCH_DETAIL_SUBSET.json"
+      else "BENCH_DETAIL.json")
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

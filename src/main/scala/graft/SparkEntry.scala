@@ -1211,14 +1211,28 @@ object SparkEntry {
     // space is FIXED by the planes dial, so occupancy (and the bucket
     // self-join) grows quadratically with corpus size until planes tracks
     // log2(corpus/target-bucket) — measured at sf1: d5b (5 planes) went
-    // 43x on 10x data, this variant stays ~linear (BENCH_SF1.json). Same
-    // verify threshold; per-table recall drops with planes (measured 0.29
-    // vs d5b's 0.81 at cos 0.4, floored in EmbeddingLshSpec — raise
-    // `tables` when a deployment needs density AND recall), and the
-    // oracle reproduces THIS pipeline exactly.
+    // 43x on 10x data, this variant stays ~linear (BENCH_SF1.json).
+    // Hamming-1 multi-probe pays the recall cost of the density: each
+    // vector probes 1+8 buckets/table, lifting recall at cos 0.4 from
+    // the single-probe 0.29 to ~0.9 (gated >= 0.6 in EmbeddingLshSpec)
+    // at the same bucket occupancy. The oracle reproduces THIS pipeline
+    // exactly, probes included.
     "d5c_embedding_lsh_scaled" -> ((s, dir) =>
       Dedup.embeddingNearDupLsh(T(s, dir, "embeddings"), "vec_id", "embedding",
-        threshold = 0.4, dim = 64, planes = 8)),
+        threshold = 0.4, dim = 64, planes = 8, multiProbe = true)),
+
+    // the AUTO-DENSITY variant — the production entry point: planes come
+    // from the corpus size (ceil(log2(n/32)), srpPlanesFor), multi-probe
+    // on. At the verify SF (500 vectors) the probe picks 4 planes — the
+    // oracle below freezes THAT family (same recipe as the frozen ANN
+    // models: the choice is a pure function of the fixture, so the SQL
+    // literal is reproducible); at sf0.1 it picks 6, at the synthetic sf1
+    // 10 — occupancy, and therefore per-bucket join work, stays ~constant
+    // as the corpus grows (the dial BENCH_SF1 proved manual is now data-
+    // driven).
+    "d5d_embedding_lsh_auto" -> ((s, dir) =>
+      Dedup.embeddingNearDupLshAuto(T(s, dir, "embeddings"), "vec_id",
+        "embedding", threshold = 0.4, dim = 64)),
 
     // near-dup clusters: connected components over the MinHash pair graph
     // (min-label propagation to convergence; oracle = recursive
@@ -1719,6 +1733,15 @@ object SparkEntry {
     """round(list_dot_product(a.v, b.v)
       |          / sqrt(list_dot_product(a.v, a.v)
       |                 * list_dot_product(b.v, b.v)), 6)""".stripMargin
+
+  /** UNNEST list body for Hamming-1 multi-probe over a `bkt` column:
+    * the bucket itself plus each single-bit flip — the probe rule of
+    * [[graft.operators.Dedup.embeddingNearDupLsh]] (multiProbe) and
+    * [[graft.operators.Similarity.lshTopK]].
+    */
+  private def duckHamming1Probes(planes: Int): String =
+    ("bkt" +: (0 until planes).map(j => s"xor(bkt, ${1L << j})"))
+      .mkString(", ")
 
   /** Double literal that parses back to EXACTLY the widened float: Java's
     * `Double.toString` emits the shortest decimal that round-trips the
@@ -3434,13 +3457,39 @@ object SparkEntry {
          |ORDER BY id_a, id_b""".stripMargin,
 
     // same pipeline at the 8-plane bucket density (the plane constants of
-    // tables 0..15 at planes=8 — a different seeded family than d5b's)
+    // tables 0..15 at planes=8 — a different seeded family than d5b's),
+    // WITH Hamming-1 multi-probe: the probe side unnests its own bucket
+    // plus every single-bit flip, exactly the operator's candidate rule
     "d5c_embedding_lsh_scaled" ->
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |            FROM embeddings),
          |bk AS (${duckSrpBk(tables = 16, planes = 8, dim = 64)}),
+         |pr AS (SELECT vec_id, tbl, u.p AS bkt
+         |       FROM bk, UNNEST([${duckHamming1Probes(8)}]) AS u(p)),
          |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
-         |         FROM bk x JOIN bk y
+         |         FROM bk x JOIN pr y
+         |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
+         |sc AS (SELECT c.id_a, c.id_b, $duckCos AS cos
+         |       FROM cand c JOIN emb a ON a.vec_id = c.id_a
+         |                   JOIN emb b ON b.vec_id = c.id_b)
+         |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    // the auto-density pipeline. planes = srpPlanesFor(count(embeddings))
+    // is a PURE function of the fixture: 500 vectors at the verify SF ->
+    // ceil(log2(500/32)) = 4 planes — frozen here as literals exactly
+    // like the ANN centroids/codebooks (the operator recomputes the same
+    // choice from the same data, so the SQL stays in lockstep); probes =
+    // own bucket + 4 single-bit flips (multi-probe is always on in the
+    // auto path).
+    "d5d_embedding_lsh_auto" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 4, dim = 64)}),
+         |pr AS (SELECT vec_id, tbl, u.p AS bkt
+         |       FROM bk, UNNEST([${duckHamming1Probes(4)}]) AS u(p)),
+         |cand AS (SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM bk x JOIN pr y
          |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id),
          |sc AS (SELECT c.id_a, c.id_b, $duckCos AS cos
          |       FROM cand c JOIN emb a ON a.vec_id = c.id_a
@@ -3452,13 +3501,11 @@ object SparkEntry {
     // query probes = own bucket plus each single-bit flip, candidates
     // OR across 16 tables, ranked (sim DESC, id ASC) like s1.
     "s2_lsh_topk" -> {
-      val probes = ("bkt" +: (0 until 8).map(j => s"xor(bkt, ${1L << j})"))
-        .mkString(", ")
       s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
          |            FROM embeddings),
          |bk AS (${duckSrpBk(tables = 16, planes = 8, dim = 64)}),
          |qp AS (SELECT vec_id AS qid, tbl, u.p AS bkt
-         |       FROM bk, UNNEST([$probes]) AS u(p) WHERE vec_id < 10),
+         |       FROM bk, UNNEST([${duckHamming1Probes(8)}]) AS u(p) WHERE vec_id < 10),
          |cand AS (SELECT DISTINCT q.qid, c.vec_id
          |         FROM bk c JOIN qp q ON c.tbl = q.tbl AND c.bkt = q.bkt
          |         WHERE c.vec_id <> q.qid),

@@ -252,11 +252,16 @@ object Dedup {
     */
   /** A persisted MinHash signature index: `signatures` (id, shingles, sz,
     * minhash) for exact-Jaccard verification, `bands` (band, bkey, id) for
-    * candidate generation — both parquet tables under one path, written by
-    * [[writeSignatureIndex]], probed by the indexed
-    * [[minHashNearDupPairsIncremental]] overload.
+    * candidate generation, and the [[MinHashParams]] the index was BUILT
+    * with — all under one path, written by [[writeSignatureIndex]], probed
+    * by the indexed [[minHashNearDupPairsIncremental]] overload (which
+    * require-matches `params`, mirroring the sharded-Bloom geometry
+    * check: numHashes/bands/shingle/maxBucket are baked into the stored
+    * tables, so probing with different values would silently produce
+    * wrong or missing pairs).
     */
-  final case class MinHashIndex(signatures: DataFrame, bands: DataFrame)
+  final case class MinHashIndex(signatures: DataFrame, bands: DataFrame,
+                                params: MinHashParams)
 
   /** Build + persist the corpus signature index with ONE corpus text scan:
     * the signature table (shingles + minhash) is written first, then the
@@ -292,13 +297,110 @@ object Dedup {
       .filter(col("__bn") <= p.maxBucket)
       .drop("__bn")
       .write.mode("overwrite").parquet(s"$path/bands")
+    writeIndexParams(corpus.sparkSession, path, p)
   }
 
-  /** Open a persisted signature index written by [[writeSignatureIndex]]. */
+  /** Persist the build params beside the tables — the index's geometry
+    * record. numHashes/bands/shingle are baked into the stored signature
+    * and band rows; maxBucket was enforced at write time. A probe (or
+    * append) with different values would be silently wrong, so readers
+    * carry these and the probe overload require-matches them.
+    */
+  private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
+                               path: String, p: MinHashParams): Unit = {
+    import spark.implicits._
+    Seq((p.numHashes, p.bands, p.shingle, p.threshold, p.maxBucket))
+      .toDF("num_hashes", "bands", "shingle", "threshold", "max_bucket")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Open a persisted signature index written by [[writeSignatureIndex]].
+    * Fails loudly on an index without a params table — probing a
+    * params-less index would bypass the geometry check.
+    */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
-                         path: String): MinHashIndex =
+                         path: String): MinHashIndex = {
+    val pr =
+      try spark.read.parquet(s"$path/params").head()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"signature index at $path has no readable params table — " +
+            "was it written by writeSignatureIndex?", e)
+      }
+    val p = MinHashParams(numHashes = pr.getInt(0), bands = pr.getInt(1),
+      shingle = pr.getInt(2), threshold = pr.getDouble(3),
+      maxBucket = pr.getInt(4))
     MinHashIndex(spark.read.parquet(s"$path/signatures"),
-      spark.read.parquet(s"$path/bands"))
+      spark.read.parquet(s"$path/bands"), p)
+  }
+
+  /** Append a new batch to a persisted signature index WITHOUT touching
+    * the existing corpus rows — the maintenance path of a production
+    * incremental-dedup loop (daily ingest: screen the batch against the
+    * index, ingest the survivors, append their signatures).
+    *
+    * Params come from the INDEX's own params table (never from the
+    * caller — a mismatched append would corrupt the index silently).
+    * The write-time `maxBucket` cap is re-enforced across the COMBINED
+    * bucket: a batch row enters a (band, bkey) bucket only while
+    * existing-occupancy + its id-rank within the batch stays ≤ the cap —
+    * exactly the rows a full rebuild from corpus ∪ batch would keep
+    * (proven by `OperatorsSpec`'s append-equivalence test).
+    *
+    * CONTRACT (enforced): batch ids must be strictly greater than every
+    * id already in the index. The cap keeps the LOWEST ids per bucket,
+    * so appending lower ids would require evicting already-written band
+    * rows — an out-of-order backfill should rebuild via
+    * [[writeSignatureIndex]] instead. Real ingest pipelines assign
+    * monotonically increasing ids, so the append path never rewrites a
+    * byte of existing data: one batch-sized write to each table, one
+    * column-pruned scan of the existing band table for occupancy.
+    */
+  def appendSignatureIndex(batch: DataFrame, idCol: String, textCol: String,
+                           path: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val ix = readSignatureIndex(spark, path)
+    val p = ix.params
+    // Materialized ONCE: referenced by the monotonic-id check, the
+    // signatures append, and the band derivation — and the checkpoint
+    // also guarantees the band job cannot re-read the signatures dir
+    // after this append lands in it.
+    val newSigs = withMinHashSignature(batch, textCol, p)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("shingles"),
+        size(col("shingles")).as("sz"), col("minhash"))
+      .localCheckpoint()
+    val maxRow = ix.signatures.agg(max(col("id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val clash = newSigs.filter(col("id") <= lit(maxRow.get(0))).limit(1).count()
+      require(clash == 0,
+        s"appendSignatureIndex: batch contains ids <= the index max " +
+          s"(${maxRow.get(0)}) — the write-time bucket cap keeps the " +
+          "lowest ids, so out-of-order appends would need eviction; " +
+          "rebuild with writeSignatureIndex instead")
+    }
+    newSigs.write.mode("append").parquet(s"$path/signatures")
+    // Existing per-bucket occupancy, materialized BEFORE the band append
+    // so the job writing to the path never also reads it.
+    val occ = ix.bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__occ"))
+      .localCheckpoint()
+    val bandStructs = array((0 until p.bands).map { b =>
+      struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
+    }: _*)
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    newSigs.select(col("id"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("__bn", row_number().over(wB))
+      .join(occ, Seq("band", "bkey"), "left")
+      .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
+      .select("id", "band", "bkey")
+      .write.mode("append").parquet(s"$path/bands")
+    graft.plans.Checkpoints.free(newSigs)
+    graft.plans.Checkpoints.free(occ)
+  }
 
   /** Indexed incremental near-dup: the batch probes a PERSISTED corpus
     * index — the corpus text is not touched at all (zero corpus scans per
@@ -312,6 +414,21 @@ object Dedup {
                                      idCol: String, textCol: String,
                                      p: MinHashParams): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
+    // Geometry check, mirroring bloomScreenSharded: numHashes/bands/
+    // shingle are baked into the persisted signature and band rows, so a
+    // mismatched probe would silently produce wrong or missing pairs —
+    // fail loudly instead. (threshold is probe-time only: it filters the
+    // verified pairs, nothing stored depends on it. maxBucket was
+    // enforced at write time — a differing probe value would do nothing,
+    // which is its own kind of silent, so it must match too.)
+    val ip = index.params
+    require(ip.numHashes == p.numHashes && ip.bands == p.bands &&
+      ip.shingle == p.shingle && ip.maxBucket == p.maxBucket,
+      s"signature index params mismatch: index built with (numHashes=" +
+        s"${ip.numHashes}, bands=${ip.bands}, shingle=${ip.shingle}, " +
+        s"maxBucket=${ip.maxBucket}), probed with (numHashes=" +
+        s"${p.numHashes}, bands=${p.bands}, shingle=${p.shingle}, " +
+        s"maxBucket=${p.maxBucket})")
     val bSigned = withMinHashSignature(batch, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))
@@ -508,7 +625,8 @@ object Dedup {
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int,
                           tables: Int = 16, planes: Int = 5,
-                          maxBucket: Int = 100000): DataFrame = {
+                          maxBucket: Int = 100000,
+                          multiProbe: Boolean = false): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.select(col(idCol).as("id"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
@@ -519,7 +637,30 @@ object Dedup {
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
     val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"))
-    val r = capped.select(col("tbl"), col("bkt"), col("id").as("id_b"))
+    // Hamming-1 multi-probe (the recall lever that makes DENSE plane
+    // configs usable, same mechanics as Similarity.lshTopK): the probe
+    // side emits its own bucket plus every single-bit flip, so a pair
+    // whose per-table signatures differ in at most ONE plane still
+    // collides. Per-table collision rises from p^planes to
+    // p^planes + planes·p^(planes-1)(1-p) — at cos 0.4 (p ≈ 0.63) the
+    // 8-plane config goes 0.025 → 0.14 per table, ~0.91 expected recall
+    // across 16 tables vs 0.33 single-probe (gated in EmbeddingLshSpec).
+    // Cost is (1+planes)× probe rows into the SAME bucket join — the
+    // candidate bound stays maxBucket² per bucket (both sides re-capped).
+    val rRows =
+      if (!multiProbe) capped
+      else {
+        val flips = col("bkt") +: (0 until planes).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j)))
+        val probes = capped.select(col("id"), col("tbl"),
+          explode(array(flips: _*)).as("bkt"))
+        val wP = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
+        probes
+          .withColumn("__bn", row_number().over(wP))
+          .filter(col("__bn") <= maxBucket)
+          .drop("__bn")
+      }
+    val r = rRows.select(col("tbl"), col("bkt"), col("id").as("id_b"))
     val candidates = l.join(r, Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
@@ -531,6 +672,50 @@ object Dedup {
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The SRP plane count for a corpus of `n` vectors at a target mean
+    * bucket occupancy: ceil(log2(n / targetOccupancy)), clamped to
+    * [4, 24]. This is the formula [[embeddingNearDupLsh]]'s scaladoc
+    * documents and BENCH_SF1 measured the absence of: the bucket space
+    * 2^planes is FIXED, so at constant planes a growing corpus packs
+    * quadratically more candidate pairs per bucket (5 planes went 43× on
+    * 10× the vectors); planes must track log2(corpus) to hold occupancy —
+    * and therefore per-bucket join work — constant. Exposed as a pure
+    * function so the growth law is directly testable.
+    */
+  def srpPlanesFor(n: Long, targetOccupancy: Int = 32): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be > 0: $targetOccupancy")
+    val raw = math.ceil(
+      math.log(math.max(n, 1L).toDouble / targetOccupancy) / math.log(2.0)).toInt
+    math.min(24, math.max(4, raw))
+  }
+
+  /** [[embeddingNearDupLsh]] with the plane density chosen FROM THE DATA:
+    * one count of the corpus (for a parquet source that is footer
+    * metadata, not a scan) picks `planes = ceil(log2(n /
+    * targetOccupancy))` via [[srpPlanesFor]], and Hamming-1 multi-probe
+    * is switched on to pay the recall cost of the denser buckets
+    * (per-table collision p^planes + planes·p^(planes-1)(1-p); ~0.9+
+    * expected recall at cos 0.4 across 16 tables at any clamp-range
+    * density). This removes the one manual scale dial the fixed-planes
+    * operator left: a pipeline pointed at 10× the corpus gets +log2(10)
+    * ≈ 3 planes automatically and keeps ~constant per-bucket join work.
+    *
+    * The size probe is an exact `count`, not `approx_count_distinct`: it
+    * is at least as cheap (decomposable, no distinct shuffle, satisfied
+    * from parquet row-group stats) and — unlike an HLL estimate that
+    * wobbles ±2% — cannot nondeterministically flip the plane choice
+    * when n sits near a power-of-two boundary, which matters for an
+    * operator whose results are oracle-replayed engine-to-engine.
+    */
+  def embeddingNearDupLshAuto(emb: DataFrame, idCol: String, vecCol: String,
+                              threshold: Double, dim: Int,
+                              tables: Int = 16, targetOccupancy: Int = 32,
+                              maxBucket: Int = 100000): DataFrame = {
+    val n = emb.count()
+    embeddingNearDupLsh(emb, idCol, vecCol, threshold, dim, tables,
+      srpPlanesFor(n, targetOccupancy), maxBucket, multiProbe = true)
   }
 
   /** Fuzzy (edit-distance) near-dup pairs over a SHORT key — titles,

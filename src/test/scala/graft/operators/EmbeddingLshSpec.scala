@@ -40,24 +40,74 @@ class EmbeddingLshSpec extends SparkSpec {
     assert(recall >= 0.7, f"recall $recall%.2f < 0.7")
   }
 
-  test("scaled 8-plane config (d5c): precision 1.0, recall documented and floored") {
-    // the corpus-density config trades per-table recall for 8x lower
-    // bucket occupancy (BENCH_SF1.json): at cos 0.4, p ≈ 0.63 per plane,
-    // p^8 ≈ 0.025 per table, 16 tables => ~0.33 expected recall. The
-    // floor here gates against a BROKEN pipeline (recall collapsing to
-    // ~0), not against the configured trade — raise `tables` when a
-    // deployment needs both the density and the recall.
+  test("scaled 8-plane config (d5c): multi-probe recovers recall >= 0.6") {
+    // the corpus-density config packs 8x fewer vectors per bucket than
+    // d5b (BENCH_SF1.json); single-probe that costs recall (measured
+    // 0.29 at cos 0.4: p ≈ 0.63, p^8 ≈ 0.025/table). Hamming-1
+    // multi-probe lifts per-table collision to p^8 + 8·p^7(1-p) ≈ 0.14
+    // => ~0.91 expected across 16 tables — gated here at 0.6 with
+    // precision still exactly 1.0 (every candidate is cosine-verified).
     val dir = "/root/testdata/sf0.01"
     val want = exactPairs(dir, 0.4)
     val got = Dedup.embeddingNearDupLsh(Tables.embeddings(spark, dir),
-      "vec_id", "embedding", threshold = 0.4, dim = 64, planes = 8)
+      "vec_id", "embedding", threshold = 0.4, dim = 64, planes = 8,
+      multiProbe = true)
       .select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got.subsetOf(want), s"unverified pairs: ${got -- want}")
     val recall = (got & want).size.toDouble / want.size
-    info(f"8-plane (d5c) recall vs exact all-pairs: $recall%.2f " +
+    info(f"8-plane multi-probe (d5c) recall vs exact all-pairs: $recall%.2f " +
       s"(${got.size}/${want.size})")
-    assert(recall >= 0.15, f"recall $recall%.2f < 0.15 — pipeline broken")
+    assert(recall >= 0.6, f"recall $recall%.2f < 0.6")
+  }
+
+  test("multi-probe is a superset of single-probe at the same config") {
+    // Hamming-1 probing only ADDS candidate buckets; with verification
+    // exact, the result set must grow monotonically
+    val dir = "/root/testdata/sf0.01"
+    def pairs(mp: Boolean) = Dedup.embeddingNearDupLsh(
+      Tables.embeddings(spark, dir), "vec_id", "embedding",
+      threshold = 0.4, dim = 64, planes = 8, multiProbe = mp)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val single = pairs(mp = false)
+    val multi = pairs(mp = true)
+    assert(single.subsetOf(multi),
+      s"single-probe pairs missing under multi-probe: ${single -- multi}")
+    assert(multi.size > single.size, "multi-probe must add recall here")
+  }
+
+  test("srpPlanesFor tracks log2(corpus) and clamps sanely") {
+    import Dedup.srpPlanesFor
+    // the growth law: +1 plane per corpus doubling above the floor
+    assert(srpPlanesFor(500) == 4)        // verify SF fixture
+    assert(srpPlanesFor(2000) == 6)       // bench SF fixture
+    assert(srpPlanesFor(20000) == 10)     // synthetic sf1
+    assert(srpPlanesFor(20000000) == 20)  // ~corpus scale at occ 32
+    // monotone non-decreasing in n
+    val ns = Seq(1L, 10L, 100L, 1000L, 10000L, 100000L, 1000000L,
+      1000000000L, 1000000000000L)
+    val ps = ns.map(srpPlanesFor(_))
+    assert(ps == ps.sorted, s"not monotone: ${ns.zip(ps)}")
+    // clamps: tiny corpora never under 4 planes, absurd ones cap at 24
+    assert(srpPlanesFor(0) == 4 && srpPlanesFor(1) == 4)
+    assert(srpPlanesFor(Long.MaxValue) == 24)
+    // occupancy dial shifts the curve
+    assert(srpPlanesFor(2048, targetOccupancy = 2) == 10)
+  }
+
+  test("auto path: precision 1.0 and multi-probe recall at the chosen density") {
+    val dir = "/root/testdata/sf0.01"
+    val want = exactPairs(dir, 0.4)
+    val got = Dedup.embeddingNearDupLshAuto(Tables.embeddings(spark, dir),
+      "vec_id", "embedding", threshold = 0.4, dim = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(want), s"unverified pairs: ${got -- want}")
+    val recall = (got & want).size.toDouble / want.size
+    info(f"auto (4-plane multi-probe) recall vs exact all-pairs: $recall%.2f " +
+      s"(${got.size}/${want.size})")
+    assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
   test("embeddingNearDupLsh at a high threshold finds planted near-identical pairs") {

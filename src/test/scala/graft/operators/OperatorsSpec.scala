@@ -207,6 +207,89 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("indexed probe rejects a params mismatch loudly") {
+    val docs = (0L until 6L).map(i => (i, s"some document number $i with words"))
+      .toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2)
+    val dir = java.nio.file.Files.createTempDirectory("mh_params").toString
+    try {
+      Dedup.writeSignatureIndex(docs, "doc_id", "text", dir, p)
+      val ix = Dedup.readSignatureIndex(spark, dir)
+      assert(ix.params == p, "round-tripped params")
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.minHashNearDupPairsIncremental(docs, ix, "doc_id", "text",
+          p.copy(bands = 4))
+      }
+      assert(ex.getMessage.contains("params mismatch"))
+      // threshold is probe-time only — differing threshold must NOT throw
+      Dedup.minHashNearDupPairsIncremental(docs, ix, "doc_id", "text",
+        p.copy(threshold = 0.9))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
+  test("appendSignatureIndex equals a rebuild from corpus union batch") {
+    // near-identical docs so buckets collide across the corpus/batch
+    // split, plus a tight cap so the combined-occupancy rule is exercised:
+    // batch rows must fill buckets only up to cap - existing.
+    val mk = (i: Long) => (i, "the same base tokens here plus " +
+      (if (i % 3 == 0) "alpha" else "beta") + s" tail$i")
+    val corpus = (0L until 8L).map(mk).toDF("doc_id", "text")
+    val batch = (8L until 14L).map(mk).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2, maxBucket = 4)
+    val dirA = java.nio.file.Files.createTempDirectory("mh_app").toString
+    val dirR = java.nio.file.Files.createTempDirectory("mh_reb").toString
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", dirA, p)
+      Dedup.appendSignatureIndex(batch, "doc_id", "text", dirA)
+      Dedup.writeSignatureIndex(corpus.union(batch), "doc_id", "text", dirR, p)
+      val a = Dedup.readSignatureIndex(spark, dirA)
+      val r = Dedup.readSignatureIndex(spark, dirR)
+      def sigSet(ix: Dedup.MinHashIndex) = ix.signatures
+        .select($"id", $"sz", $"minhash").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Long](2))).toSet
+      def bandSet(ix: Dedup.MinHashIndex) = ix.bands.collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      assert(sigSet(a) == sigSet(r), "signature tables diverge")
+      assert(bandSet(a) == bandSet(r), "band tables diverge")
+      assert(a.params == r.params)
+      // and a probe through the appended index equals the rebuilt one
+      val probe = (20L until 23L).map(mk).toDF("doc_id", "text")
+      def pairs(dir: String) = Dedup.minHashNearDupPairsIncremental(probe,
+        Dedup.readSignatureIndex(spark, dir), "doc_id", "text", p)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      assert(pairs(dirA) == pairs(dirR))
+      assert(pairs(dirA).nonEmpty, "fixture must produce cross pairs")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirR)).deleteRecursively()
+    }
+  }
+
+  test("appendSignatureIndex rejects out-of-order ids loudly") {
+    val corpus = (10L until 16L).map(i => (i, s"corpus doc $i tokens here"))
+      .toDF("doc_id", "text")
+    val stale = Seq((3L, "a stale backfill document")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("mh_mono").toString
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir,
+        Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3))
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.appendSignatureIndex(stale, "doc_id", "text", dir)
+      }
+      assert(ex.getMessage.contains("out-of-order") ||
+        ex.getMessage.contains("ids <= the index max"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("simhash: identical docs get identical signatures, near docs are close") {
     val df = Seq(
       (0L, "alpha beta gamma delta epsilon zeta"),
