@@ -108,4 +108,58 @@ class PropertiesSpec extends AnyFunSuite {
       m == mix(h0) && m >= 0 && m < ShP
     })
   }
+
+  // -- TopKByScore buffer: the O(k·partitions) shuffle promise --
+
+  // scores from a SMALL set force heavy ties (the tie-break path);
+  // ids may repeat too (the aggregate does not dedup)
+  private val scoredPairs: Gen[List[(Double, Long)]] =
+    Gen.listOf(Gen.zip(
+      Gen.oneOf(0.0, 0.25, 0.5, 0.5, 1.0, -1.0, 2.5),
+      Gen.chooseNum(0L, 50L)))
+
+  test("TopKHeap never exceeds k through any offer/merge sequence (forAll)") {
+    // the operator's network claim — shuffle rows per group = heap size —
+    // holds ONLY if the bound survives arbitrary partitioning into
+    // partial buffers and arbitrary merge order, not just the happy path
+    check("topk-bound", Prop.forAll(
+      scoredPairs, Gen.chooseNum(1, 8), Gen.chooseNum(1, 6)) { (xs, k, nChunks) =>
+      val chunks = if (xs.isEmpty) List(Nil)
+        else xs.grouped(math.max(1, xs.size / nChunks)).toList
+      val heaps = chunks.map { c =>
+        val h = new TopKHeap(k)
+        c.foreach { case (s, id) =>
+          h.offer(s, id)
+          assert(h.size <= k, s"offer overflowed: ${h.size} > $k")
+        }
+        h
+      }
+      val merged = heaps.reduceLeft { (a, b) =>
+        var i = 0
+        while (i < b.size) { a.offer(b.scores(i), b.ids(i)); i += 1 }
+        assert(a.size <= k, s"merge overflowed: ${a.size} > $k")
+        a
+      }
+      merged.size <= k && merged.size == math.min(k, xs.size)
+    })
+  }
+
+  test("TopKHeap merge result equals the global sorted take-k (forAll)") {
+    // partition + merge must be indistinguishable from one sorted pass:
+    // the algebraic-aggregate property that makes map-side partials safe
+    check("topk-alg", Prop.forAll(
+      scoredPairs, Gen.chooseNum(1, 8), Gen.chooseNum(1, 6)) { (xs, k, nChunks) =>
+      val chunks = if (xs.isEmpty) List(Nil)
+        else xs.grouped(math.max(1, xs.size / nChunks)).toList
+      val merged = chunks.map { c =>
+        val h = new TopKHeap(k); c.foreach { case (s, id) => h.offer(s, id) }; h
+      }.reduceLeft { (a, b) =>
+        var i = 0
+        while (i < b.size) { a.offer(b.scores(i), b.ids(i)); i += 1 }
+        a
+      }
+      val want = xs.sortBy { case (s, id) => (-s, id) }.take(k)
+      merged.sortedDesc.toList == want
+    })
+  }
 }

@@ -110,6 +110,37 @@ class EmbeddingLshSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("maxBucket cap bounds an adversarial hot bucket, single- and multi-probe") {
+    import spark.implicits._
+    // 30 identical vectors collapse every table's hot bucket to occupancy
+    // 30; cap 4 must keep the 4 lowest ids per bucket, so the output is
+    // exactly C(4,2) pairs among ids 0..3 (cos 1.0) — in BOTH probe
+    // modes: multi-probe adds neighbor buckets, but those hold no base
+    // rows here, and the probe side is re-capped per target bucket, so
+    // the bound must not loosen. A distinct cold pair stays unaffected.
+    val rnd = new scala.util.Random(17)
+    val hotVec = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val coldBase = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val coldNear = coldBase.map(x => x + 0.005f * rnd.nextGaussian().toFloat)
+    val rows = (0L until 30L).map(i => (i, hotVec)) ++
+      Seq((100L, coldBase), (101L, coldNear))
+    val df = rows.toDF("vec_id", "embedding")
+    for (mp <- Seq(false, true)) {
+      val got = Dedup.embeddingNearDupLsh(df, "vec_id", "embedding",
+        threshold = 0.9, dim = 16, tables = 8, planes = 6,
+        maxBucket = 4, multiProbe = mp)
+        .select("id_a", "id_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val wantHot = (for { a <- 0L until 4L; b <- (a + 1) until 4L }
+        yield (a, b)).toSet
+      assert(got.filter(_._1 < 100L) == wantHot,
+        s"multiProbe=$mp: hot pairs not capped to 4 lowest ids: " +
+          got.filter(_._1 < 100L))
+      assert(got.contains((100L, 101L)),
+        s"multiProbe=$mp: cold planted pair lost under the cap")
+    }
+  }
+
   test("embeddingNearDupLsh at a high threshold finds planted near-identical pairs") {
     import spark.implicits._
     val rnd = new scala.util.Random(5)

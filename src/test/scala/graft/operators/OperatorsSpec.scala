@@ -207,6 +207,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("maxBucket cap bounds an adversarial hot bucket; cold pairs unaffected") {
+    // adversarial skew: 40 byte-identical docs put ONE bucket per band at
+    // occupancy 40 — uncapped, the band self-join would emit C(40,2) =
+    // 780 candidate pairs from those buckets alone; the cap must bound it
+    // to the C(cap,2) pairs among the cap LOWEST ids (the deterministic
+    // write-time rule), which is exactly the naive all-pairs result over
+    // the capped universe. A planted near-dup pair in COLD buckets must
+    // be untouched by the cap.
+    val hot = (0L until 40L).map(i =>
+      (i, "identical adversarial content shared by every hot document"))
+    val cold = Seq(
+      (100L, "a perfectly normal document about unrelated cold topics one"),
+      (101L, "a perfectly normal document about unrelated cold topics two"))
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2, maxBucket = 5)
+    val got = Dedup.minHashNearDupPairs(docs, "doc_id", "text", p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val hotPairs = got.filter(_._1 < 100L)
+    // capped universe = ids 0..4 in every hot bucket -> exactly C(5,2)
+    // pairs, each with exact jaccard 1.0 (identical shingle sets)
+    val wantHot = (for {
+      a <- 0L until 5L; b <- (a + 1) until 5L
+    } yield (a, b, 1.0)).toSet
+    assert(hotPairs == wantHot,
+      s"hot-bucket candidates not capped to the 5 lowest ids: $hotPairs")
+    // the cold planted pair survives with its exact jaccard
+    val coldPairs = got.filter(_._1 >= 100L)
+    assert(coldPairs.map(x => (x._1, x._2)) == Set((100L, 101L)),
+      s"cold pair affected by the cap: $coldPairs")
+  }
+
   test("indexed probe rejects a params mismatch loudly") {
     val docs = (0L until 6L).map(i => (i, s"some document number $i with words"))
       .toDF("doc_id", "text")
