@@ -9,8 +9,16 @@ import graft.sources.Tables
   * engine-specific and therefore can never hash-match a DuckDB oracle
   * (a1 approx_count_distinct, a3 DataSketches HLL union): the rows-only
   * driver check is backed here by test-gated error bounds against the
-  * EXACT distinct counts on the fixture — the same pattern the ANN
-  * queries use (rows-only + recall gate).
+  * EXACT distinct counts — the same pattern the ANN queries use
+  * (rows-only + recall gate).
+  *
+  * Gated at BOTH fixture scales: sf0.001 exercises the sparse /
+  * near-exact register regime; sf0.1 (600k lineitem rows, 100k events)
+  * is where HLL++ actually estimates — per-group cardinalities in the
+  * tens of thousands, far past the sparse-mode cutoff, so the measured
+  * relative error here is the real rsd-bounded behavior a deployment
+  * sees, not sparse-mode exactness. Measured errors are `info`d so the
+  * suite log doubles as the accuracy artifact per round.
   */
 class SketchAccuracySpec extends SparkSpec {
 
@@ -19,62 +27,79 @@ class SketchAccuracySpec extends SparkSpec {
   // that only a broken sketch violates.
   private val eps = 0.20
 
+  private val dirs = Seq("sf0.001" -> sf001, "sf0.1" -> "/root/testdata/sf0.1")
+
   test("a1 contract: approx_count_distinct within 4·rsd of exact per group") {
-    val li = Tables.table(spark, sf001, "lineitem")
-    val rows = li.groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_partkey")).as("approx"),
-        countDistinct(col("l_partkey")).as("exact"))
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val approx = r.getLong(1).toDouble
-      val exact = r.getLong(2).toDouble
-      assert(exact > 0)
-      val relErr = math.abs(approx - exact) / exact
-      assert(relErr <= eps,
-        s"group ${r.getString(0)}: approx=$approx exact=$exact relErr=$relErr")
+    for ((label, dir) <- dirs) {
+      val li = Tables.table(spark, dir, "lineitem")
+      val rows = li.groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx"),
+          countDistinct(col("l_partkey")).as("exact"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val approx = r.getLong(1).toDouble
+        val exact = r.getLong(2).toDouble
+        assert(exact > 0)
+        val relErr = math.abs(approx - exact) / exact
+        info(f"$label a1 group ${r.getString(0)}: approx=${approx.toLong} " +
+          f"exact=${exact.toLong} relErr=$relErr%.4f")
+        assert(relErr <= eps,
+          s"$label group ${r.getString(0)}: approx=$approx exact=$exact " +
+            s"relErr=$relErr")
+      }
     }
   }
 
   test("a3 contract: HLL estimates within bound, per group and global") {
-    val ev = Tables.events(spark, sf001)
-    val rows = ev.groupBy(col("event_type"))
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx"),
-        countDistinct(col("user_id")).as("exact"))
-      .collect()
-    assert(rows.nonEmpty)
-    rows.foreach { r =>
-      val relErr = math.abs(r.getLong(1).toDouble - r.getLong(2)) / r.getLong(2)
-      assert(relErr <= eps,
-        s"group ${r.getString(0)}: approx=${r.getLong(1)} " +
-          s"exact=${r.getLong(2)} relErr=$relErr")
+    for ((label, dir) <- dirs) {
+      val ev = Tables.events(spark, dir)
+      val rows = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx"),
+          countDistinct(col("user_id")).as("exact"))
+        .collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val relErr = math.abs(r.getLong(1).toDouble - r.getLong(2)) / r.getLong(2)
+        info(f"$label a3 group ${r.getString(0)}: approx=${r.getLong(1)} " +
+          f"exact=${r.getLong(2)} relErr=$relErr%.4f")
+        assert(relErr <= eps,
+          s"$label group ${r.getString(0)}: approx=${r.getLong(1)} " +
+            s"exact=${r.getLong(2)} relErr=$relErr")
+      }
+      val g = ev.agg(
+        expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx"),
+        countDistinct(col("user_id")).as("exact")).head()
+      val gErr = math.abs(g.getLong(0).toDouble - g.getLong(1)) / g.getLong(1)
+      info(f"$label a3 global: approx=${g.getLong(0)} exact=${g.getLong(1)} " +
+        f"relErr=$gErr%.4f")
+      assert(gErr <= eps, s"$label global: approx=${g.getLong(0)} " +
+        s"exact=${g.getLong(1)} relErr=$gErr")
     }
-    val g = ev.agg(
-      expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("approx"),
-      countDistinct(col("user_id")).as("exact")).head()
-    val gErr = math.abs(g.getLong(0).toDouble - g.getLong(1)) / g.getLong(1)
-    assert(gErr <= eps, s"global: approx=${g.getLong(0)} " +
-      s"exact=${g.getLong(1)} relErr=$gErr")
   }
 
   test("a3 contract: union-merged rollup tracks the direct global sketch") {
     // the mergeability claim a3 sells: union-merging per-group sketches
     // must estimate the global distinct count as well as sketching the
     // raw column directly — no accuracy cliff at the merge
-    val ev = Tables.events(spark, sf001)
-    val merged = ev.groupBy(col("event_type"))
-      .agg(expr("hll_sketch_agg(user_id)").as("sk"))
-      .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
-      .head().getLong(0).toDouble
-    val direct = ev
-      .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("e"))
-      .head().getLong(0).toDouble
-    val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
-    assert(math.abs(merged - exact) / exact <= eps,
-      s"merged=$merged exact=$exact")
-    // merged vs direct should agree far tighter than the error bound —
-    // the union keeps max registers, it does not resample
-    assert(math.abs(merged - direct) / exact <= 0.05,
-      s"merged=$merged direct=$direct exact=$exact")
+    for ((label, dir) <- dirs) {
+      val ev = Tables.events(spark, dir)
+      val merged = ev.groupBy(col("event_type"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"))
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("e"))
+        .head().getLong(0).toDouble
+      val direct = ev
+        .agg(expr("hll_sketch_estimate(hll_sketch_agg(user_id))").as("e"))
+        .head().getLong(0).toDouble
+      val exact = ev.agg(countDistinct(col("user_id"))).head().getLong(0).toDouble
+      info(f"$label a3 merged=${merged.toLong} direct=${direct.toLong} " +
+        f"exact=${exact.toLong}")
+      assert(math.abs(merged - exact) / exact <= eps,
+        s"$label merged=$merged exact=$exact")
+      // merged vs direct should agree far tighter than the error bound —
+      // the union keeps max registers, it does not resample
+      assert(math.abs(merged - direct) / exact <= 0.05,
+        s"$label merged=$merged direct=$direct exact=$exact")
+    }
   }
 }
