@@ -51,6 +51,31 @@ class SketchAccuracySpec extends SparkSpec {
     }
   }
 
+  test("a2 contract: production-accuracy quantile sketch tracks the exact ranks") {
+    // a2 itself pins accuracy = 1e6 so the sketch is rank-EXACT at the
+    // verify SF (that is what lets its DuckDB oracle hash-match); a
+    // deployment uses the default accuracy 1e4. This gates the default's
+    // error at sf0.1: rank error <= n·1e-4 = 60 of ~600k rows, which on
+    // this value distribution (~4000 rows per distinct quantity) can
+    // shift the reported quantile by at most one neighboring value.
+    val li = Tables.table(spark, "/root/testdata/sf0.1", "lineitem")
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9))").as("q"))
+      .collect().map(r => r.getString(0) ->
+        (r.getSeq[Double](1)(0), r.getSeq[Double](1)(1))).toMap
+    val groups = li.select(col("l_returnflag"), col("l_quantity"))
+      .collect().groupBy(_.getString(0))
+    approx.foreach { case (g, (p50, p90)) =>
+      val vals = groups(g).map(_.getDouble(1)).sorted
+      def disc(p: Double) = vals(math.ceil(p * vals.length).toInt - 1)
+      val (e50, e90) = (disc(0.5), disc(0.9))
+      info(f"a2 default-accuracy group $g: p50 $p50 (exact $e50), " +
+        f"p90 $p90 (exact $e90)")
+      assert(math.abs(p50 - e50) <= 1.0, s"$g p50: approx $p50 exact $e50")
+      assert(math.abs(p90 - e90) <= 1.0, s"$g p90: approx $p90 exact $e90")
+    }
+  }
+
   test("a3 contract: HLL estimates within bound, per group and global") {
     for ((label, dir) <- dirs) {
       val ev = Tables.events(spark, dir)

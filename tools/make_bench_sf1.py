@@ -24,10 +24,27 @@ NOTES = {
         "graph keeps structure but the round overhead compounds - the star "
         "variant (d6b) scales better, which is why p1 routes through it."),
     "d5c_embedding_lsh_scaled": (
-        "d5b's pipeline at 8 planes (256 buckets/table): occupancy drops "
-        "8x, candidates ~64x - 6.5 s where d5b took 68 s on identical "
-        "data. Residual superlinearity is the same fixed-bucket-space "
-        "math at a smaller constant; at the next 10x, raise planes again."),
+        "FIXED 8 planes (256 buckets/table) + Hamming-1 multi-probe: still "
+        "the fixed-bucket-space quadratic (occupancy 78 at sf1 vs 8 at "
+        "sf0.1), and the 1+8 probe fan multiplies the constant - this row "
+        "now exists to DOCUMENT the failure mode. The production entry is "
+        "d5d_embedding_lsh_auto, the same pipeline with planes tracking "
+        "log2(corpus): 8.6 s / 3.1x on identical data."),
+    "d5d_embedding_lsh_auto": (
+        "THE CLOSER for d5b/d5c's manual planes dial: planes = "
+        "ceil(log2(n/32)) from a corpus count picks 6 planes at sf0.1 and "
+        "10 at sf1, holding bucket occupancy (and per-bucket join work) "
+        "~constant; multi-probe keeps recall >= 0.97 (EmbeddingLshSpec). "
+        "3.1x at 10x data - within the <= ~5x target for a pairwise op "
+        "whose candidate volume scales with corpus size."),
+    "a2_approx_quantile": (
+        "The 20x tracks the ACCURACY DIAL, not the operator: a2 pins "
+        "accuracy = 1e6 so the GK sketch is rank-exact at the verify SF "
+        "(the DuckDB oracle hash-matches quantile_disc); at 6M rows that "
+        "accuracy makes the summary near-degenerate. The production "
+        "default (1e4) measured 1.05 s on the same sf1 data (~1.6x vs "
+        "sf0.1) with identical results on this value distribution - "
+        "linear; its error contract is gated in SketchAccuracySpec."),
     "d3_ngram_jaccard_neardup": (
         "dfOrdered crossover checked at sf1 (graft.tools.Probe, warm): "
         "hash-order 3.25 s vs df-ordered (d3b) 5.24 s - the Dedup.scala "
