@@ -1328,6 +1328,23 @@ object SparkEntry {
         Dedup.readSignatureIndex(s, ixPath), "doc_id", "text", p)
     }),
 
+    // the persisted-index flow for EMBEDDINGS — b3b's twin: the corpus is
+    // bucketed + written once (auto plane density from the corpus count:
+    // 4 planes at the verify SF, 6 at sf0.1), then each batch probes the
+    // parquet index with Hamming-1 multi-probe under the index's own
+    // stored geometry; corpus vectors are read only for verified
+    // candidates. Oracle reproduces the whole pipeline (the 4-plane
+    // family frozen as literals, like d5d).
+    "b4_embedding_index" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val ixPath = s"${System.getProperty("java.io.tmpdir")}/graft_srp_index_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeSrpIndex(emb.filter(col("vec_id") % 5 =!= 4), "vec_id",
+        "embedding", ixPath, dim = 64)
+      Dedup.embeddingNearDupLshIncremental(emb.filter(col("vec_id") % 5 === 4),
+        Dedup.readSrpIndex(s, ixPath), "vec_id", "embedding", threshold = 0.4)
+    }),
+
     // the complete incremental-dedup pattern: bloom screen, then exact
     // anti-join verification of ONLY the maybe-set — result is exact
     // (oracle = plain NOT IN), the bloom just shrinks the join
@@ -3474,6 +3491,26 @@ object SparkEntry {
          |                   JOIN emb b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // the persisted-SRP-index probe: corpus = vec_id % 5 <> 4 (400
+    // vectors at the verify SF -> srpPlanesFor picks 4 planes, the same
+    // frozen family as d5d), batch = % 5 = 4 probing with Hamming-1
+    // multi-probe; cross pairs only, exact-cosine verified.
+    "b4_embedding_index" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 4, dim = 64)}),
+         |pr AS (SELECT vec_id, tbl, u.p AS bkt
+         |       FROM bk, UNNEST([${duckHamming1Probes(4)}]) AS u(p)
+         |       WHERE vec_id % 5 = 4),
+         |cand AS (SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
+         |         FROM pr x JOIN bk y
+         |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND y.vec_id % 5 <> 4),
+         |sc AS (SELECT c.batch_id, c.corpus_id, $duckCos AS cos
+         |       FROM cand c JOIN emb a ON a.vec_id = c.batch_id
+         |                   JOIN emb b ON b.vec_id = c.corpus_id)
+         |SELECT batch_id, corpus_id, cos FROM sc WHERE cos >= 0.4
+         |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // the auto-density pipeline. planes = srpPlanesFor(count(embeddings))
     // is a PURE function of the fixture: 500 vectors at the verify SF ->

@@ -718,6 +718,154 @@ object Dedup {
       srpPlanesFor(n, targetOccupancy), maxBucket, multiProbe = true)
   }
 
+  /** A persisted SRP bucket index — the embedding twin of [[MinHashIndex]]
+    * for incremental embedding dedup: `vectors` (id, v) for exact-cosine
+    * verification, `buckets` (tbl, bkt, id) for candidate generation, and
+    * the geometry the index was BUILT with. Probes derive every parameter
+    * from the index itself, so a geometry mismatch is unrepresentable.
+    */
+  final case class SrpIndex(vectors: DataFrame, buckets: DataFrame,
+                            tables: Int, planes: Int, dim: Int,
+                            maxBucket: Int)
+
+  /** Build + persist the corpus SRP index with ONE corpus scan: vectors
+    * written first, buckets derived from the WRITTEN vectors (the corpus
+    * is never re-read), `maxBucket` skew cap baked at write time ordered
+    * by id — the same production shape as [[writeSignatureIndex]].
+    * Plane density is chosen FROM THE DATA ([[srpPlanesFor]]), so the
+    * index a 10×-larger corpus gets is automatically 10×-occupancy-
+    * equivalent; `tables`/`targetOccupancy` are the recall/density dials.
+    */
+  def writeSrpIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                    path: String, dim: Int, tables: Int = 16,
+                    targetOccupancy: Int = 32,
+                    maxBucket: Int = 100000): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val planes = srpPlanesFor(corpus.count(), targetOccupancy)
+    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
+      .write.mode("overwrite").parquet(s"$path/vectors")
+    val vecs = spark.read.parquet(s"$path/vectors")
+    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
+    vecs.select(col("id"),
+        posexplode(GraftFunctions.srpBuckets(col("v"), tables, planes, dim))
+          .as(Seq("tbl", "bkt")))
+      .withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= maxBucket)
+      .drop("__bn")
+      .write.mode("overwrite").parquet(s"$path/buckets")
+    import spark.implicits._
+    Seq((tables, planes, dim, maxBucket))
+      .toDF("tables", "planes", "dim", "max_bucket")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** Open a persisted SRP index written by [[writeSrpIndex]]. */
+  def readSrpIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): SrpIndex = {
+    val pr =
+      try spark.read.parquet(s"$path/params").head()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"SRP index at $path has no readable params table — was it " +
+            "written by writeSrpIndex?", e)
+      }
+    SrpIndex(spark.read.parquet(s"$path/vectors"),
+      spark.read.parquet(s"$path/buckets"),
+      tables = pr.getInt(0), planes = pr.getInt(1), dim = pr.getInt(2),
+      maxBucket = pr.getInt(3))
+  }
+
+  /** Incremental embedding near-dup: batch vectors against a PERSISTED
+    * corpus SRP index — cross-corpus pairs only, the corpus is never
+    * scanned (bucket join against the pre-capped index buckets; exact
+    * cosine against the index vectors restricted to candidates). The
+    * batch side probes with Hamming-1 multi-probe under the INDEX's own
+    * geometry — there is no params argument to get wrong. Output:
+    * (batch_id, corpus_id, cos) with cos ≥ threshold, deterministic
+    * order.
+    *
+    * At 100 TB: the index bucket table is (tbl, bkt, id) smalls; a
+    * day's batch emits tables·(1+planes) probe rows per vector and the
+    * join is hash-partitioned on (tbl, bkt) — candidate volume tracks
+    * batch-side bucket occupancy, never corpus². Only candidates read
+    * corpus vectors (a selective id join), so the heavy float columns
+    * stay columnar-pruned until the verify step.
+    */
+  def embeddingNearDupLshIncremental(batch: DataFrame, index: SrpIndex,
+                                     idCol: String, vecCol: String,
+                                     threshold: Double): DataFrame = {
+    GraftFunctions.register(batch.sparkSession)
+    val bVecs = batch.select(col(idCol).as("batch_id"),
+      col(vecCol).cast("array<float>").as("bv"))
+    val flips = col("bkt") +: (0 until index.planes).map(j =>
+      col("bkt").bitwiseXOR(lit(1L << j)))
+    val bProbes = bVecs.select(col("batch_id"),
+        posexplode(GraftFunctions.srpBuckets(col("bv"), index.tables,
+          index.planes, index.dim)).as(Seq("tbl", "bkt")))
+      .select(col("batch_id"), col("tbl"),
+        explode(array(flips: _*)).as("bkt"))
+    val candidates = bProbes
+      .join(index.buckets.select(col("tbl"), col("bkt"),
+        col("id").as("corpus_id")), Seq("tbl", "bkt"))
+      .select("batch_id", "corpus_id").distinct()
+    candidates
+      .join(bVecs, "batch_id")
+      .join(index.vectors.select(col("id").as("corpus_id"), col("v").as("cv")),
+        "corpus_id")
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("bv"), col("cv")), 6))
+      .filter(col("cos") >= threshold)
+      .select(col("batch_id"), col("corpus_id"), col("cos"))
+      .orderBy(col("batch_id"), col("corpus_id"))
+  }
+
+  /** Append a batch to a persisted SRP index — same maintenance contract
+    * as [[appendSignatureIndex]]: params come from the index, the
+    * write-time bucket cap is re-enforced against existing occupancy
+    * (batch rows fill a bucket only up to cap − occupancy, in id order),
+    * and batch ids must be strictly greater than every indexed id (the
+    * cap keeps the LOWEST ids; an out-of-order backfill should rebuild).
+    * Append ≡ full rebuild for monotone ids, spec-proven — with the one
+    * documented divergence of any auto-density index: planes stay at the
+    * WRITE-time choice until a rebuild, so after the corpus doubles a few
+    * times, rebuild with [[writeSrpIndex]] to restore target occupancy
+    * (the index is one narrow table; the rebuild is cheap relative to
+    * the text/media it indexes).
+    */
+  def appendSrpIndex(batch: DataFrame, idCol: String, vecCol: String,
+                     path: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val ix = readSrpIndex(spark, path)
+    val newVecs = batch.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .localCheckpoint()
+    val maxRow = ix.vectors.agg(max(col("id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val clash = newVecs.filter(col("id") <= lit(maxRow.get(0))).limit(1).count()
+      require(clash == 0,
+        s"appendSrpIndex: batch contains ids <= the index max " +
+          s"(${maxRow.get(0)}) — out-of-order appends would need eviction; " +
+          "rebuild with writeSrpIndex instead")
+    }
+    newVecs.write.mode("append").parquet(s"$path/vectors")
+    val occ = ix.buckets.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("__occ"))
+      .localCheckpoint()
+    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
+    newVecs.select(col("id"),
+        posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
+          ix.dim)).as(Seq("tbl", "bkt")))
+      .withColumn("__bn", row_number().over(wB))
+      .join(occ, Seq("tbl", "bkt"), "left")
+      .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
+      .select("id", "tbl", "bkt")
+      .write.mode("append").parquet(s"$path/buckets")
+    graft.plans.Checkpoints.free(newVecs)
+    graft.plans.Checkpoints.free(occ)
+  }
+
   /** Fuzzy (edit-distance) near-dup pairs over a SHORT key — titles,
     * names, normalized URLs: `(id_a, id_b, dist)` with
     * levenshtein ≤ maxDist. The missing family member between exact

@@ -84,6 +84,17 @@ object Plans {
         |volume is n²/2^planes per table — the planes knob trades recall
         |(measured 0.81, gated >= 0.7) against pruning; never an all-pairs
         |product.""".stripMargin,
+    "d5d_embedding_lsh_auto" ->
+      """Auto-density embedding near-dup — the production entry for the d5
+        |family. The plan is d5b's bucket self-join with two additions
+        |visible here: planes came from a corpus count (ceil(log2(n/32)),
+        |so bucket occupancy — and per-bucket join work — stays ~constant
+        |as the corpus grows; BENCH_SF1: 3.1x at 10x data where the fixed
+        |5-plane config went 43x), and the probe side explodes each base
+        |bucket into 1+planes Hamming-1 probes before its own skew cap, so
+        |the denser bucket space keeps recall (0.97+ measured, gated in
+        |EmbeddingLshSpec). Both sides re-capped -> candidates stay
+        |<= maxBucket² per bucket even under adversarial skew.""".stripMargin,
     "q30_cube_grouping" ->
       """CUBE aggregation. Spark plans Expand (4 grouping-set replicas per
         |input row) feeding ONE partial -> exchange -> final aggregation:

@@ -110,6 +110,85 @@ class EmbeddingLshSpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
   }
 
+  test("persisted SRP index probe: precision 1.0, recall vs brute-force cross pairs") {
+    import org.apache.spark.sql.functions.col
+    val dir = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, dir)
+    GraftFunctions.register(spark)
+    val corpus = emb.filter(col("vec_id") % 5 =!= 4)
+    val batch = emb.filter(col("vec_id") % 5 === 4)
+    // exact cross-side baseline (batch × corpus, cos >= 0.4)
+    val want = batch.select(col("vec_id").as("ba"), col("embedding").as("va"))
+      .crossJoin(corpus.select(col("vec_id").as("ca"), col("embedding").as("vb")))
+      .withColumn("cos", round(GraftFunctions.cosineSim(col("va"), col("vb")), 6))
+      .filter(col("cos") >= 0.4)
+      .select("ba", "ca").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.nonEmpty)
+    val ixDir = java.nio.file.Files.createTempDirectory("srp_ix").toString
+    try {
+      Dedup.writeSrpIndex(corpus, "vec_id", "embedding", ixDir, dim = 64)
+      val ix = Dedup.readSrpIndex(spark, ixDir)
+      assert(ix.planes == Dedup.srpPlanesFor(corpus.count()),
+        "stored planes must be the auto choice for the corpus size")
+      val got = Dedup.embeddingNearDupLshIncremental(batch, ix, "vec_id",
+        "embedding", threshold = 0.4)
+        .select("batch_id", "corpus_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(want), s"unverified pairs: ${got -- want}")
+      val recall = (got & want).size.toDouble / want.size
+      info(f"SRP index probe recall vs exact cross pairs: $recall%.2f " +
+        s"(${got.size}/${want.size})")
+      assert(recall >= 0.8, f"recall $recall%.2f < 0.8")
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(ixDir)).deleteRecursively()
+    }
+  }
+
+  test("appendSrpIndex equals a rebuild; out-of-order ids rejected") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(23)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 60L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val batch = (60L until 90L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val dirA = java.nio.file.Files.createTempDirectory("srp_app").toString
+    val dirR = java.nio.file.Files.createTempDirectory("srp_reb").toString
+    try {
+      Dedup.writeSrpIndex(corpus, "vec_id", "embedding", dirA, dim = 16,
+        maxBucket = 3)
+      Dedup.appendSrpIndex(batch, "vec_id", "embedding", dirA)
+      // rebuild at the APPENDED index's plane choice: append keeps the
+      // write-time density (documented divergence), so the equivalence
+      // claim is against a rebuild pinned to the same occupancy target
+      // that yields those planes for 60 vectors
+      val planes = Dedup.readSrpIndex(spark, dirA).planes
+      Dedup.writeSrpIndex(corpus.union(batch), "vec_id", "embedding", dirR,
+        dim = 16, targetOccupancy = math.max(1,
+          (90 / math.pow(2, planes)).ceil.toInt), maxBucket = 3)
+      val a = Dedup.readSrpIndex(spark, dirA)
+      val r = Dedup.readSrpIndex(spark, dirR)
+      assert(a.planes == r.planes, s"plane mismatch: ${a.planes} vs ${r.planes}")
+      def bset(ix: Dedup.SrpIndex) = ix.buckets.collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      def vset(ix: Dedup.SrpIndex) = ix.vectors.select(col("id")).collect()
+        .map(_.getLong(0)).toSet
+      assert(vset(a) == vset(r))
+      assert(bset(a) == bset(r), "bucket tables diverge after append")
+      // out-of-order append refused
+      val stale = Seq((5L, vec())).toDF("vec_id", "embedding")
+      val ex = intercept[IllegalArgumentException] {
+        Dedup.appendSrpIndex(stale, "vec_id", "embedding", dirA)
+      }
+      assert(ex.getMessage.contains("ids <= the index max"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dirA)).deleteRecursively()
+      new Directory(new java.io.File(dirR)).deleteRecursively()
+    }
+  }
+
   test("maxBucket cap bounds an adversarial hot bucket, single- and multi-probe") {
     import spark.implicits._
     // 30 identical vectors collapse every table's hot bucket to occupancy
