@@ -84,6 +84,17 @@ object Plans {
         |volume is n²/2^planes per table — the planes knob trades recall
         |(measured 0.81, gated >= 0.7) against pruning; never an all-pairs
         |product.""".stripMargin,
+    "b4_embedding_index" ->
+      """Persisted-SRP-index incremental embedding dedup. The plan shows
+        |the production probe shape: the corpus side is a parquet SCAN of
+        |the pre-bucketed index table (no srp kernel, no window cap — both
+        |were paid once at write time), the batch side explodes into
+        |1+planes Hamming-1 probes per table, candidates meet in a hash
+        |join on (tbl, bkt), and ONLY candidate ids join back to the index
+        |vector table for the codegen'd cosine verify — the float columns
+        |stay pruned out of the bucket join entirely. Per-batch cost
+        |tracks batch size; the 100 TB corpus contributes one narrow
+        |bucket scan.""".stripMargin,
     "d5d_embedding_lsh_auto" ->
       """Auto-density embedding near-dup — the production entry for the d5
         |family. The plan is d5b's bucket self-join with two additions
