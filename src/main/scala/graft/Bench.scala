@@ -22,16 +22,20 @@ object Bench {
     "q39_agg_battery", "q43_hof_battery", "q49_null_battery",
     "q51_stats_battery", "q52_lateral_topn", "q53_grouping_sets")
   private val qUtils = Set(
-    "q12_events_hourly", "q16_props_extract", "q17_monthly_revenue",
+    "q9_customers_without_orders", "q10_customers_with_big_orders",
+    "q11_rollup_flag_status", "q12_events_hourly", "q14_set_ops",
+    "q16_props_extract", "q17_monthly_revenue",
     "q20_hash_sample", "q21_train_test_split", "q22_corpus_stats",
     "q30_cube_grouping", "q32_stratified_sample", "q41_temperature_mix",
     "q44_join_types", "q45_snapshot_diff", "q46_gap_fill",
-    "q48_temperature_epochs", "q50_weighted_sample", "q55_source_cap",
-    "q56_distribution_drift", "q58_retention_cohorts", "q59_quality_mix")
+    "q47_grouped_topk", "q48_temperature_epochs", "q50_weighted_sample",
+    "q54_histogram", "q55_source_cap", "q56_distribution_drift",
+    "q57_funnel_steps", "q58_retention_cohorts", "q59_quality_mix")
   private val tMicro = Set(
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t6_decontaminate", "t7_pack_chunks", "t8_repetition",
-    "t12_sliding_chunks", "t16_token_entropy", "t17_semantic_decontaminate")
+    "t9_tfidf_topterms", "t12_sliding_chunks", "t16_token_entropy",
+    "t17_semantic_decontaminate", "t18_source_overlap")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

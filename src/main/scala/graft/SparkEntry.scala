@@ -1131,6 +1131,13 @@ object SparkEntry {
         "vec_id", "embedding", "bench_vec", tau = 0.35)
     }),
 
+    // cross-source overlap matrix: exact pairwise Jaccard of per-source
+    // distinct shingle vocabularies — the contamination diagnostic a
+    // curation run reports BEFORE mixing sources
+    "t18_source_overlap" -> ((s, dir) =>
+      TextOps.sourceOverlapMatrix(T(s, dir, "documents"), "source", "text",
+        n = 3)),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -2726,6 +2733,32 @@ object SparkEntry {
         |  CAST(CASE WHEN max_sim >= 0.35 THEN 1 ELSE 0 END AS BIGINT)
         |    AS contaminated
         |FROM s ORDER BY vec_id""".stripMargin,
+
+    // source overlap: the same portable polynomial shingle hash as d3,
+    // vocabularies deduped per source, pairwise intersection counts via
+    // the shingle self-join
+    "t18_source_overlap" ->
+      """WITH th AS (
+        |  SELECT source, doc_id,
+        |    [list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |       [CAST(unicode(c) AS BIGINT) for c in string_split(t, '')]),
+        |       (acc, x) -> (acc * 131 + x) % 9007199254740881)
+        |     for t in string_split(text, ' ')] AS th
+        |  FROM documents),
+        |v AS (
+        |  SELECT DISTINCT source AS src, unnest(list_distinct(
+        |    [((((th[i]) * 131 + th[i+1]) % 9007199254740881) * 131 + th[i+2]) % 9007199254740881
+        |     for i in range(1, len(th) - 1)])) AS tok
+        |  FROM th WHERE len(th) >= 3),
+        |sz AS (SELECT src, count(*) AS sz FROM v GROUP BY 1),
+        |c AS (SELECT a.src AS src_a, b.src AS src_b, count(*) AS common
+        |      FROM v a JOIN v b ON a.tok = b.tok AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT c.src_a, c.src_b, sa.sz AS sz_a, sb.sz AS sz_b, c.common,
+        |  floor(CAST(c.common AS DOUBLE) / (sa.sz + sb.sz - c.common)
+        |        * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+        |FROM c JOIN sz sa ON sa.src = c.src_a JOIN sz sb ON sb.src = c.src_b
+        |ORDER BY src_a, src_b""".stripMargin,
 
     // quality-decile mix: same quality expression, same ntile total
     // order, same hash-bucket keep rule per bin

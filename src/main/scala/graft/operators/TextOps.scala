@@ -484,4 +484,52 @@ object TextOps {
             .otherwise(lit(0.0)), 6).as("norm_entropy"))
       .orderBy(col("doc_id"))
   }
+
+  /** Cross-source overlap matrix: for every pair of corpus sources, the
+    * exact Jaccard similarity of their distinct hashed word-n-gram
+    * vocabularies — the contamination diagnostic a curation pipeline runs
+    * BEFORE mixing sources (two crawls of the same site, a dataset that
+    * repackages another, a benchmark leaked into a training source all
+    * show up as an off-diagonal spike). Output one row per unordered
+    * source pair: (src_a, src_b, sz_a, sz_b, common, jaccard),
+    * deterministic order.
+    *
+    * Scale shape: the per-source vocabulary is a distinct partial
+    * aggregation over the shingle kernel's output (the shuffle carries
+    * distinct (source, shingle) rows, never raw postings); per-source
+    * sizes are one tiny grouped count (|sources| rows, broadcast back);
+    * the pairwise intersection is an inverted-index self-join keyed on
+    * the shingle followed by a decomposable pair count — a shingle
+    * present in df sources contributes C(df,2) pair rows, so total join
+    * work is Σ C(df_s,2) ≤ |vocab|·C(|sources|,2)/|vocab| — bounded by
+    * the source count, NOT the document count, and there is no
+    * document-level pairing anywhere. The vocabulary frame feeds both
+    * join sides, so the exchange on the shingle key is computed once and
+    * reused.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
+                          n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val vocab = docs
+      .select(col(groupCol).as("src"),
+        explode(hashedShingleSet(col(textCol), n)).as("tok"))
+      .distinct()
+    val sizes = vocab.groupBy(col("src")).agg(count(lit(1)).as("sz"))
+    val common = vocab.select(col("src").as("src_a"), col("tok"))
+      .join(vocab.select(col("src").as("src_b"), col("tok")), Seq("tok"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes.select(col("src").as("src_a"),
+        col("sz").as("sz_a"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("src").as("src_b"),
+        col("sz").as("sz_b"))), Seq("src_b"))
+      .withColumn("jaccard", roundHalfUp(col("common").cast("double") /
+        (col("sz_a") + col("sz_b") - col("common")), 6))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("src_a"), col("src_b"), col("sz_a"), col("sz_b"),
+        col("common"), col("jaccard"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
 }

@@ -1094,6 +1094,58 @@ class GopherRulesSpec extends graft.SparkSpec {
     assert(d3.getAs[Long]("keep") == 0L)
   }
 
+  test("sourceOverlapMatrix equals naive per-source vocabulary Jaccard") {
+    import graft.functions.TextFunctions
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "webA"),
+      (1L, "beta gamma delta epsilon zeta eta theta", "webA"),
+      // exact copy of doc 0 in another source -> off-diagonal spike
+      (2L, "alpha beta gamma delta epsilon zeta", "webB"),
+      (3L, "one two three four five six seven", "webB"),
+      (4L, "cats purr dogs bark birds sing loudly", "books")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlapMatrix(docs, "source", "text", n = 3)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val vocab = docs
+      .select(col("source"),
+        explode(TextFunctions.hashedShingleSet(col("text"), 3)).as("tok"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    val expected = (for {
+      a <- vocab.keys; b <- vocab.keys
+      if a < b
+      common = (vocab(a) & vocab(b)).size
+      if common > 0
+    } yield (a, b) -> ((vocab(a).size.toLong, vocab(b).size.toLong,
+      common.toLong,
+      math.floor(common.toDouble /
+        (vocab(a).size + vocab(b).size - common) * 1e6 + 0.5) / 1e6))).toMap
+    assert(out == expected)
+    assert(out.contains(("webA", "webB")))
+    // zero-intersection pairs never join, so they are absent, not 0.0 rows
+    assert(!out.keys.exists { case (a, b) => a == "books" || b == "books" })
+  }
+
+  test("sourceOverlapMatrix minJaccard drops weak pairs, keeps strong") {
+    GraftFunctions.register(spark)
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "a"),
+      (1L, "alpha beta gamma delta epsilon zeta", "b"),  // jaccard 1.0 with a
+      (2L, "alpha beta gamma nine ten eleven twelve", "c")  // weak overlap
+    ).toDF("doc_id", "text", "source")
+    val all = TextOps.sourceOverlapMatrix(docs, "source", "text", n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(all == Set(("a", "b"), ("a", "c"), ("b", "c")))
+    val strong = TextOps.sourceOverlapMatrix(docs, "source", "text", n = 3,
+        minJaccard = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(strong == Set(("a", "b")))
+  }
+
   test("gopherRules survives the empty document") {
     val docs = Seq((1L, "")).toDF("doc_id", "text")
     val out = TextOps.gopherRules(docs).collect()
