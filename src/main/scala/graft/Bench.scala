@@ -35,7 +35,8 @@ object Bench {
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t6_decontaminate", "t7_pack_chunks", "t8_repetition",
     "t9_tfidf_topterms", "t12_sliding_chunks", "t16_token_entropy",
-    "t17_semantic_decontaminate", "t18_source_overlap")
+    "t17_semantic_decontaminate", "t18_source_overlap",
+    "t18b_source_overlap_minhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

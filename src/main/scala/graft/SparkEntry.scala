@@ -1138,6 +1138,13 @@ object SparkEntry {
       TextOps.sourceOverlapMatrix(T(s, dir, "documents"), "source", "text",
         n = 3)),
 
+    // the 100 TB twin: per-source k=64 MinHash signatures (union = element-
+    // wise min of the codegen'd per-doc signatures), est. Jaccard = match
+    // fraction; shuffle is O(sources·k), independent of corpus size
+    "t18b_source_overlap_minhash" -> ((s, dir) =>
+      TextOps.sourceOverlapMinHash(T(s, dir, "documents"), "source", "text",
+        n = 3, numHashes = 64)),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -2759,6 +2766,38 @@ object SparkEntry {
         |        * 1000000.0 + 0.5) / 1000000.0 AS jaccard
         |FROM c JOIN sz sa ON sa.src = c.src_a JOIN sz sb ON sb.src = c.src_b
         |ORDER BY src_a, src_b""".stripMargin,
+
+    // MinHash source overlap: per-source signature = per-coefficient min
+    // over the source's (mod-p) vocabulary — the same affine family the
+    // Spark kernel uses, embedded as literals; estimate = fraction of
+    // matching positions
+    "t18b_source_overlap_minhash" -> {
+      val k = 64
+      val (as, bs) = graft.functions.MinHashCoeffs(k)
+      val m = graft.functions.MinHashCoeffs.Prime
+      val sigItems = as.zip(bs).map { case (a, b) =>
+        s"list_min([($a * x + $b) % $m for x in xs])"
+      }.mkString(",\n      ")
+      s"""WITH ${duckTokenHashes()},
+         |${duckShingleSets()},
+         |v AS (
+         |  SELECT DISTINCT d.source AS src, unnest(s.sh) % $m AS x
+         |  FROM s JOIN documents d USING (doc_id)),
+         |xs AS (SELECT src, list(x) AS xs FROM v GROUP BY src),
+         |sig AS (
+         |  SELECT src, [
+         |      $sigItems] AS sig
+         |  FROM xs),
+         |p AS (
+         |  SELECT a.src AS src_a, b.src AS src_b,
+         |    CAST(len(list_filter(range(1, ${k + 1}),
+         |      i -> a.sig[i] = b.sig[i])) AS BIGINT) AS matches
+         |  FROM sig a JOIN sig b ON a.src < b.src)
+         |SELECT src_a, src_b, matches,
+         |  floor(CAST(matches AS DOUBLE) / $k * 1000000.0 + 0.5)
+         |    / 1000000.0 AS est_jaccard
+         |FROM p WHERE matches >= 1 ORDER BY src_a, src_b""".stripMargin
+    },
 
     // quality-decile mix: same quality expression, same ntile total
     // order, same hash-bucket keep rule per bin

@@ -507,6 +507,57 @@ object TextOps {
     * join sides, so the exchange on the shingle key is computed once and
     * reused.
     */
+  /** MinHash-approximate twin of [[sourceOverlapMatrix]] — the 100 TB
+    * path. The exact matrix self-joins the full per-source vocabulary
+    * (shuffle O(distinct (source, shingle))); at web-crawl scale a single
+    * source's vocabulary is billions of shingles and even the deduped
+    * postings join dominates. This variant compresses each source to a
+    * k-value MinHash signature and estimates Jaccard as the fraction of
+    * matching signature positions (the classic unbiased estimator,
+    * stderr ≈ sqrt(J(1−J)/k)).
+    *
+    * The load-bearing property: the signature of a vocabulary UNION is
+    * the element-wise minimum of the members' signatures. So the
+    * per-source signature needs no vocabulary materialization at all —
+    * each document computes its own signature with the codegen'd
+    * [[graft.functions.MinHashSig]] kernel (no shuffle), and one grouped
+    * min-aggregation folds them: the shuffle carries at most
+    * |sources|·k·partitions partial minima, INDEPENDENT of corpus size.
+    * The pairwise compare then runs on |sources|·k rows — driver-trivial
+    * however big the corpus.
+    *
+    * Same coefficient family as every MinHash op here
+    * ([[graft.functions.MinHashCoeffs]]), so the oracle reproduces each
+    * signature value bit-for-bit. Output: (src_a, src_b, matches,
+    * est_jaccard), src_a < src_b, pairs with zero matching positions
+    * omitted (mirrors the exact matrix, where zero-intersection pairs
+    * never join). Sources whose documents yield no shingles carry no
+    * signature and are absent, as in the exact matrix.
+    */
+  def sourceOverlapMinHash(docs: DataFrame, groupCol: String, textCol: String,
+                           n: Int = 3, numHashes: Int = 64,
+                           minEstJaccard: Double = 0.0): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    val sig = docs
+      .select(col(groupCol).as("src"),
+        graft.functions.GraftFunctions.minHashSig(
+          hashedShingleSet(col(textCol), n), numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("src"), posexplode(col("sig")).as(Seq("pos", "mh")))
+      .groupBy(col("src"), col("pos")).agg(min(col("mh")).as("mh"))
+    val matches = sig.select(col("src").as("src_a"), col("pos"), col("mh"))
+      .join(sig.select(col("src").as("src_b"), col("pos"), col("mh")),
+        Seq("pos", "mh"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("matches"))
+    matches
+      .withColumn("est_jaccard",
+        roundHalfUp(col("matches").cast("double") / lit(numHashes), 6))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
   def sourceOverlapMatrix(docs: DataFrame, groupCol: String, textCol: String,
                           n: Int = 3, minJaccard: Double = 0.0): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)

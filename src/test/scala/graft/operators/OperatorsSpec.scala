@@ -1146,6 +1146,49 @@ class GopherRulesSpec extends graft.SparkSpec {
     assert(strong == Set(("a", "b")))
   }
 
+  test("sourceOverlapMinHash equals naive per-source signature compare") {
+    import graft.functions.{TextFunctions, MinHashCoeffs}
+    GraftFunctions.register(spark)
+    val k = 16
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta", "a"),
+      (1L, "beta gamma delta epsilon zeta eta theta iota", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b"),   // = doc 0
+      (3L, "one two three four five six seven eight", "b"),
+      (4L, "cats purr dogs bark birds sing loudly today", "c"),
+      (5L, "", "d")  // no shingles -> source d absent entirely
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.sourceOverlapMinHash(docs, "source", "text",
+        n = 3, numHashes = k)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // naive: per-source vocab via the same kernel, signatures in Scala
+    val (as, bs) = MinHashCoeffs(k)
+    val p = MinHashCoeffs.Prime
+    val vocab = docs
+      .select(col("source"),
+        explode(TextFunctions.hashedShingleSet(col("text"), 3)).as("tok"))
+      .distinct().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, xs) => s -> xs.map(_._2).toSet }
+    def sig(v: Set[Long]): Seq[Long] =
+      (0 until k).map(i => v.map(x => (as(i) * (x % p) + bs(i)) % p).min)
+    val expected = (for {
+      a <- vocab.keys; b <- vocab.keys
+      if a < b
+      m = sig(vocab(a)).zip(sig(vocab(b))).count { case (x, y) => x == y }
+      if m > 0
+    } yield (a, b) -> ((m.toLong,
+      math.floor(m.toDouble / k * 1e6 + 0.5) / 1e6))).toMap
+    assert(out == expected)
+    // a and b share doc 0's shingles -> some positions must match
+    assert(out(("a", "b"))._1 >= 1)
+    // a shingle-less source carries no signature and is absent
+    assert(!vocab.contains("d") && !out.keys.exists(k2 =>
+      k2._1 == "d" || k2._2 == "d"))
+  }
+
   test("gopherRules survives the empty document") {
     val docs = Seq((1L, "")).toDF("doc_id", "text")
     val out = TextOps.gopherRules(docs).collect()
