@@ -1431,6 +1431,15 @@ object SparkEntry {
         contamN = 3, contamMin = 5, testFraction = 0.1)
     }),
 
+    // leakage-safe split: near-dup clusters (banded LSH pairs -> connected
+    // components) share one hash key, so no pair ever straddles the
+    // train/test boundary; singletons reduce to the plain hash split
+    "p4_leakage_safe_split" -> ((s, dir) =>
+      Pipelines.leakageSafeSplit(T(s, dir, "documents"),
+        minhash = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+          threshold = 0.2),
+        testFraction = 0.25)),
+
     // incremental counterpart of p1: ingest a new batch against the
     // corpus — bloom exact screen, cross-corpus near-dup screen, quality
     // floor, hash split; every screen is per-doc independent, so the
@@ -3111,6 +3120,28 @@ object SparkEntry {
          |  FROM (SELECT unnest(ps) AS p FROM pos WHERE doc_id % 5 <> 4))
          |SELECT doc_id, key, list_has_all(cpl, ps) AS maybe_dup
          |FROM pos, cp WHERE doc_id % 5 = 4 ORDER BY doc_id""".stripMargin,
+
+    // leakage-safe split: same pair graph + recursive closure as p1/d6,
+    // cluster = min reachable id (self for singletons), then the standard
+    // bucket rule applied to the CLUSTER key
+    "p4_leakage_safe_split" ->
+      s"""WITH RECURSIVE
+         |${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)},
+         |ce AS (SELECT id_a AS a, id_b AS b FROM pairs
+         |       UNION SELECT id_b, id_a FROM pairs),
+         |r AS (
+         |  SELECT a AS id, a AS reach FROM ce
+         |  UNION
+         |  SELECT ce.a, r.reach FROM ce JOIN r ON ce.b = r.id),
+         |cl AS (SELECT id, min(reach) AS c FROM r GROUP BY id),
+         |k AS (
+         |  SELECT d.doc_id, COALESCE(cl.c, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN cl ON cl.id = d.doc_id)
+         |SELECT doc_id, cluster,
+         |  CASE WHEN bkt < ${graft.operators.Sampling.bucketThreshold(0.25)}
+         |       THEN 'test' ELSE 'train' END AS split
+         |FROM (${duckWithBucket("doc_id, cluster", "cluster", "k")})
+         |ORDER BY doc_id""".stripMargin,
 
     // incremental ingest: exact screen, cross near-dup screen, quality
     // floor, bucket split — all per-doc predicates over the batch

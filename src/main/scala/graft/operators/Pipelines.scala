@@ -162,4 +162,44 @@ object Pipelines {
       .select(col("doc_id"), col("norm_entropy"), col("max_sim"), col("split"))
       .orderBy(col("doc_id"))
   }
+
+  /** Leakage-safe train/test split: near-duplicate documents NEVER
+    * straddle the split boundary. A plain per-document hash split (p1's
+    * final stage) is correct after dedup removes the duplicates; when a
+    * pipeline keeps all copies (multi-epoch corpora, provenance-preserving
+    * curation, ablation studies), hashing each doc_id independently puts
+    * ~2·f·(1−f) of every near-dup pair across the boundary — the classic
+    * eval-leakage bug where the model is scored on paraphrases of its own
+    * training data.
+    *
+    * Fix: hash the near-dup CLUSTER, not the document. Banded-LSH pairs →
+    * connected components (auto-selected clustering, same as p1) → each
+    * doc keyed by its cluster representative (its own id when it is in no
+    * pair) → the standard hash-stable bucket rule on that key. Members of
+    * a cluster share the key, so they land on the same side by
+    * construction; singletons reduce to the plain split.
+    *
+    * Scale shape (100 TB): the pair graph and cluster map are orders of
+    * magnitude smaller than the corpus (only docs occurring in some pair),
+    * so the corpus-side cost is ONE left join against the cluster map —
+    * broadcastable in the common case, AQE-planned otherwise — and the
+    * stateless bucket projection. The corpus shuffles at most once.
+    *
+    * @return (doc_id, cluster, split) ordered by doc_id; `cluster` is the
+    *         split key (component min id, or the doc's own id)
+    */
+  def leakageSafeSplit(docs: DataFrame,
+                       minhash: Dedup.MinHashParams,
+                       testFraction: Double): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    val pairs = Dedup.minHashNearDupPairs(docs, "doc_id", "text", minhash)
+    val clusters = Clustering.nearDupClustersAuto(pairs)
+      .withColumnRenamed("id", "doc_id")
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+    Sampling.trainTestSplit(keyed, "cluster", testFraction)
+      .select(col("doc_id"), col("cluster"), col("split"))
+      .orderBy(col("doc_id"))
+  }
 }

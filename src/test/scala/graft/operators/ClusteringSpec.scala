@@ -165,6 +165,36 @@ class PipelinesSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(out == Seq(100L), s"only the chain minimum survives, got $out")
   }
+  test("leakageSafeSplit co-assigns every near-dup pair; singletons match " +
+      "the plain split") {
+    // same 20-node path as above: a chain A~B~...~T must land ENTIRELY on
+    // one side even though only adjacent docs are pairwise similar
+    def block(k: Int) = (0 until 15).map(j => s"c${k}w$j")
+    val chain = (0 until 20).map { i =>
+      (i.toLong + 100L, (block(i) ++ block(i + 1)).mkString(" "))
+    }
+    val singletons = (0 until 30).map(i =>
+      (i.toLong + 500L, (0 until 20).map(j => s"u${i}x$j").mkString(" ")))
+    val docs = (chain ++ singletons).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 32, shingle = 3,
+      threshold = 0.05)
+    val out = Pipelines.leakageSafeSplit(docs, p, testFraction = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.length == 50)
+    // no pair straddles: the whole chain shares cluster 100 and one side
+    val chainRows = out.filter(_._1 < 500L)
+    assert(chainRows.forall(_._2 == 100L))
+    assert(chainRows.map(_._3).distinct.length == 1)
+    // singletons: cluster = own id, split = the plain per-doc hash split
+    val single = out.filter(_._1 >= 500L)
+    assert(single.forall(r => r._2 == r._1))
+    val plain = Sampling.trainTestSplit(
+      singletons.toDF("doc_id", "text"), "doc_id", 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(single.forall(r => plain(r._1) == r._3))
+    // both sides are populated (hash rule really splits at f = 0.5)
+    assert(single.map(_._3).distinct.length == 2)
+  }
 }
 
 class IncrementalIngestSpec extends SparkSpec {
