@@ -1306,6 +1306,13 @@ object SparkEntry {
       Dedup.duplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
         window = 8)),
 
+    // the transform twin: excise every duplicated span from the text (the
+    // Lee-et-al dedup step itself); only marked positions shuffle, the
+    // excision is a linear codegen'd projection
+    "d8b_span_scrub" -> ((s, dir) =>
+      Dedup.scrubDuplicatedSpans(T(s, dir, "documents"), "doc_id", "text",
+        window = 8)),
+
     // containment near-dup (overlap / min-size): the quote / partial-copy
     // detector — high where Jaccard collapses under length mismatch;
     // small-side prefix filter against full postings, exact verify
@@ -3082,6 +3089,45 @@ object SparkEntry {
          |         THEN CAST(COALESCE(pd.dup_tokens, 0) AS DOUBLE) / wl.n_tokens
          |         ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
          |FROM wl LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // Span scrub: same marked positions as d8, covered set = union of
+    // marked windows, kept = positions not covered, text rejoined
+    "d8b_span_scrub" ->
+      s"""WITH ${duckTokenHashes()},
+         |wl AS (
+         |  SELECT doc_id,
+         |    CASE WHEN len(th) >= 8 THEN
+         |      [${(0 until 8).foldLeft("CAST(0 AS BIGINT)")((acc, j) =>
+                   s"(($acc) * 131 + th[i+$j]) % $ShP")}
+         |       for i in range(1, len(th) - 6)]
+         |    ELSE CAST([] AS BIGINT[]) END AS ws
+         |  FROM th),
+         |w AS (
+         |  SELECT doc_id, CAST(unnest(range(1, len(ws) + 1)) AS BIGINT) AS pos,
+         |    unnest(ws) AS wh
+         |  FROM wl),
+         |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+         |mk AS (SELECT w.doc_id, w.pos FROM w JOIN dup USING (wh)),
+         |mp AS (SELECT doc_id, list(pos ORDER BY pos) AS mpos
+         |       FROM mk GROUP BY doc_id),
+         |base AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+         |c AS (
+         |  SELECT b.doc_id, b.tk,
+         |    list_distinct(flatten([range(p, p + 8)
+         |      for p in COALESCE(mp.mpos, CAST([] AS BIGINT[]))])) AS cov
+         |  FROM base b LEFT JOIN mp USING (doc_id)),
+         |k AS (
+         |  SELECT doc_id, tk, cov,
+         |    list_filter(range(1, len(tk) + 1),
+         |      i -> NOT list_contains(cov, i)) AS kept
+         |  FROM c)
+         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CAST(len(cov) AS BIGINT) AS dup_tokens,
+         |  -- array_to_string([], ...) is NULL in DuckDB; Spark's
+         |  -- array_join yields '' for a fully-scrubbed doc
+         |  COALESCE(array_to_string([tk[i] for i in kept], ' '), '')
+         |    AS clean_text
+         |FROM k ORDER BY doc_id""".stripMargin,
 
     // Connected components over the same pair graph: recursive
     // transitive closure, cluster = min reachable id.

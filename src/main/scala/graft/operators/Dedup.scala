@@ -1364,4 +1364,59 @@ object Dedup {
             .otherwise(lit(0.0)), 6).as("dup_frac"))
       .orderBy(col(idCol))
   }
+
+  /** The TRANSFORM twin of [[duplicatedSpans]]: excise every cross-document
+    * duplicated span from the text (the actual dedup step of Lee et al.
+    * 2022 — the profile only reports what this removes). A token survives
+    * iff no duplicated window covers its position.
+    *
+    * Scale shape (100 TB): the only shuffles carry (id, marked window
+    * position) pairs — the DUPLICATED part of the corpus, not the corpus
+    * — plus one id-keyed join of the text against the per-doc marked-
+    * position lists (small arrays; broadcastable when duplication is
+    * sparse). The excision itself is a narrow per-row projection built
+    * from codegen'd collection functions, linear per document:
+    * covered = distinct positions under any marked window,
+    * kept = array_except(1..n, covered) (hash-set lookup, order
+    * preserved), clean text = the kept tokens rejoined. The corpus text
+    * never shuffles and is read exactly once.
+    *
+    * Output: (id, n_tokens, dup_tokens, clean_text) ordered by id;
+    * `dup_tokens` matches [[duplicatedSpans]] (merged spans partition the
+    * covered set). Documents shorter than `window` pass through verbatim.
+    */
+  def scrubDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                           window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2: $window")
+    GraftFunctions.register(df.sparkSession)
+    val w = df.select(col(idCol).as("id"),
+        posexplode(windowHashes(col(textCol), window)))
+      .select(col("id"), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("wh"))
+    val dup = w.groupBy(col("wh"))
+      .agg(countDistinct(col("id")).as("__nd"))
+      .filter(col("__nd") > 1)
+      .select(col("wh"))
+    val mpos = w.join(dup, "wh")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("mpos"))
+    df.select(col(idCol).as("id"), col(textCol).as("__text"))
+      .join(mpos, Seq("id"), "left")
+      .select(col("id"),
+        letBound(tokens(col("__text"))) { tk =>
+          letBound(array_distinct(flatten(transform(
+            coalesce(col("mpos"), array().cast("array<long>")),
+            p => sequence(p, p + lit(window - 1L)))))) { cov =>
+            struct(
+              size(tk).cast("long").as("n_tokens"),
+              size(cov).cast("long").as("dup_tokens"),
+              array_join(transform(
+                array_except(sequence(lit(1L), size(tk).cast("long")), cov),
+                i => element_at(tk, i.cast("int"))), " ").as("clean_text"))
+          }
+        }.as("__s"))
+      .select(col("id").as(idCol), col("__s.n_tokens"),
+        col("__s.dup_tokens"), col("__s.clean_text"))
+      .orderBy(col(idCol))
+  }
 }

@@ -484,6 +484,42 @@ class DedupSpec extends SparkSpec {
     assert(out.toSeq == Seq((0L, 26L, 16L, 2L), (1L, 26L, 16L, 2L),
       (2L, 16L, 0L, 0L)))
   }
+
+  test("scrubDuplicatedSpans excises exactly the duplicated spans") {
+    // same planted-span shape as the profile spec: doc0/doc1 share the
+    // 9-token prefix a1..a9 (one merged span, tokens 1..9); unique tails
+    // must survive verbatim; doc2 untouched; doc3 is shorter than the
+    // window and passes through even though it textually contains a1..a5
+    val shared = (1 to 9).map("a" + _)
+    val tail0 = (10 to 20).map("b" + _)
+    val tail1 = (1 to 11).map("c" + _)
+    val doc0 = (shared ++ tail0).mkString(" ")
+    val doc1 = (shared ++ tail1).mkString(" ")
+    val doc2 = (1 to 20).map("u" + _).mkString(" ")
+    val doc3 = (1 to 5).map("a" + _).mkString(" ")
+    val df = Seq((0L, doc0), (1L, doc1), (2L, doc2), (3L, doc3))
+      .toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", window = 8)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (0L, 20L, 9L, tail0.mkString(" ")),
+      (1L, 20L, 9L, tail1.mkString(" ")),
+      (2L, 20L, 0L, doc2),
+      (3L, 5L, 0L, doc3)))
+    // dup_tokens agrees with the profile on identical input
+    val prof = Dedup.duplicatedSpans(df, "doc_id", "text", window = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, _, dup, _) => prof(id) == dup })
+  }
+
+  test("scrubDuplicatedSpans empties a fully-duplicated doc") {
+    val t = (1 to 12).map("x" + _).mkString(" ")
+    val df = Seq((0L, t), (1L, t)).toDF("doc_id", "text")
+    val out = Dedup.scrubDuplicatedSpans(df, "doc_id", "text", window = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq((0L, 12L, ""), (1L, 12L, "")))
+  }
 }
 
 class SimilaritySpec extends SparkSpec {
