@@ -402,6 +402,81 @@ object Dedup {
     graft.plans.Checkpoints.free(occ)
   }
 
+  /** Compact a persisted signature index in place. Every
+    * [[appendSignatureIndex]] lands one batch-sized file set per table,
+    * so a daily-ingest index accumulates hundreds of small files — each
+    * probe then pays per-file open/footer costs and tiny row groups
+    * defeat min/max pruning. Compaction rewrites the two tables with
+    * IDENTICAL content into right-sized, probe-friendly layouts:
+    * signatures range-partitioned by id (the verify join prunes on id
+    * min/max), bands hash-clustered by (band, bkey) (the probe join's
+    * key — co-located row groups). Params are untouched.
+    *
+    * Swap is write-to-temp → delete → rename per table, the classic
+    * Hive-style compaction; a production deployment on an object store
+    * would put the swap behind a transactional table format or catalog
+    * pointer flip, which changes none of the logic here. No-op when a
+    * table already has no more files than the target.
+    *
+    * @return per-table (files before, files after), for observability
+    */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            targetFileBytes: Long = 128L << 20)
+      : Map[String, (Int, Int)] = {
+    readSignatureIndex(spark, path) // validates the index + params table
+    compactIndexTables(spark, path, targetFileBytes, Map(
+      "signatures" -> ((df, n) => df.repartitionByRange(n, col("id"))),
+      "bands" -> ((df, n) => df.repartition(n, col("band"), col("bkey")))))
+  }
+
+  /** [[compactSignatureIndex]]'s twin for the persisted SRP embedding
+    * index ([[writeSrpIndex]] / [[appendSrpIndex]]): vectors
+    * range-partitioned by id (candidate verification joins prune on id),
+    * buckets hash-clustered by (tbl, bkt) (the probe join's key).
+    */
+  def compactSrpIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String,
+                      targetFileBytes: Long = 128L << 20)
+      : Map[String, (Int, Int)] = {
+    readSrpIndex(spark, path) // validates the index + params table
+    compactIndexTables(spark, path, targetFileBytes, Map(
+      "vectors" -> ((df, n) => df.repartitionByRange(n, col("id"))),
+      "buckets" -> ((df, n) => df.repartition(n, col("tbl"), col("bkt")))))
+  }
+
+  /** Shared compaction core: per table, rewrite into
+    * ceil(bytes / targetFileBytes) files under the given layout, swap via
+    * write-to-temp → delete → rename; no-op when already compact. */
+  private def compactIndexTables(spark: org.apache.spark.sql.SparkSession,
+                                 path: String, targetFileBytes: Long,
+                                 layouts: Map[String, (DataFrame, Int) => DataFrame])
+      : Map[String, (Int, Int)] = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    layouts.map { case (sub, layout) =>
+      val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      val fs = dir.getFileSystem(conf)
+      val files = fs.listStatus(dir)
+        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val parts = math.max(1L, math.ceil(
+        files.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
+      val stats =
+        if (files.length <= parts) (files.length, files.length)
+        else {
+          val tmp = new org.apache.hadoop.fs.Path(s"$path/__compacting_$sub")
+          layout(spark.read.parquet(dir.toString), parts)
+            .write.mode("overwrite").parquet(tmp.toString)
+          require(fs.delete(dir, true), s"compact: could not remove old $dir")
+          require(fs.rename(tmp, dir), s"compact: could not swap $tmp -> $dir")
+          val after = fs.listStatus(dir)
+            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+          (files.length, after)
+        }
+      sub -> stats
+    }
+  }
+
   /** Indexed incremental near-dup: the batch probes a PERSISTED corpus
     * index — the corpus text is not touched at all (zero corpus scans per
     * batch; the index was one scan at write time). Semantics identical to

@@ -189,6 +189,45 @@ class EmbeddingLshSpec extends SparkSpec {
     }
   }
 
+  test("compactSrpIndex shrinks files, preserves rows and geometry") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(29)
+    def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
+    val corpus = (0L until 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("srp_cpt").toString
+    def files(sub: String): Int =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    try {
+      Dedup.writeSrpIndex(corpus, "vec_id", "embedding", dir, dim = 16)
+      (0 until 2).foreach { b =>
+        val batch = (40L + 10 * b until 50L + 10 * b).map(i => (i, vec()))
+          .toDF("vec_id", "embedding")
+        Dedup.appendSrpIndex(batch, "vec_id", "embedding", dir)
+      }
+      val before = Dedup.readSrpIndex(spark, dir)
+      def bset(ix: Dedup.SrpIndex) = ix.buckets.collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      def vset(ix: Dedup.SrpIndex) = ix.vectors.select(col("id")).collect()
+        .map(_.getLong(0)).toSet
+      val (v0, b0) = (vset(before), bset(before))
+      assert(files("vectors") > 1 && files("buckets") > 1)
+      val stats = Dedup.compactSrpIndex(spark, dir,
+        targetFileBytes = Long.MaxValue)
+      assert(stats("vectors")._2 == 1 && stats("buckets")._2 == 1)
+      assert(files("vectors") == 1 && files("buckets") == 1)
+      val after = Dedup.readSrpIndex(spark, dir)
+      assert(vset(after) == v0 && bset(after) == b0,
+        "compaction changed index rows")
+      assert(after.planes == before.planes && after.tables == before.tables
+        && after.dim == before.dim && after.maxBucket == before.maxBucket)
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("maxBucket cap bounds an adversarial hot bucket, single- and multi-probe") {
     import spark.implicits._
     // 30 identical vectors collapse every table's hot bucket to occupancy

@@ -303,6 +303,59 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("compactSignatureIndex shrinks files, preserves content and probes") {
+    val mk = (i: Long) => (i, "the same base tokens here plus " +
+      (if (i % 3 == 0) "alpha" else "beta") + s" tail$i")
+    val corpus = (0L until 8L).map(mk).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.2, maxBucket = 4)
+    val dir = java.nio.file.Files.createTempDirectory("mh_cpt").toString
+    def files(sub: String): Int =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir, p)
+      // three appended batches -> three extra file sets per table
+      (0 until 3).foreach { b =>
+        val batch = (8L + 4 * b until 12L + 4 * b).map(mk).toDF("doc_id", "text")
+        Dedup.appendSignatureIndex(batch, "doc_id", "text", dir)
+      }
+      val before = Dedup.readSignatureIndex(spark, dir)
+      def sigSet(ix: Dedup.MinHashIndex) = ix.signatures
+        .select($"id", $"sz", $"minhash").collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Long](2))).toSet
+      def bandSet(ix: Dedup.MinHashIndex) = ix.bands.collect()
+        .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+      val (s0, b0) = (sigSet(before), bandSet(before))
+      val probe = (30L until 33L).map(mk).toDF("doc_id", "text")
+      def pairs() = Dedup.minHashNearDupPairsIncremental(probe,
+        Dedup.readSignatureIndex(spark, dir), "doc_id", "text", p)
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2))).toSet
+      val pairsBefore = pairs()
+      assert(pairsBefore.nonEmpty, "fixture must produce cross pairs")
+      val filesBefore = (files("signatures"), files("bands"))
+      assert(filesBefore._1 > 1 && filesBefore._2 > 1,
+        s"appends must have fragmented the tables, got $filesBefore")
+      val stats = Dedup.compactSignatureIndex(spark, dir,
+        targetFileBytes = Long.MaxValue)
+      assert(stats("signatures")._1 == filesBefore._1)
+      assert(stats("signatures")._2 == 1 && stats("bands")._2 == 1)
+      assert(files("signatures") == 1 && files("bands") == 1)
+      val after = Dedup.readSignatureIndex(spark, dir)
+      assert(sigSet(after) == s0, "compaction changed the signature rows")
+      assert(bandSet(after) == b0, "compaction changed the band rows")
+      assert(after.params == p, "compaction touched params")
+      assert(pairs() == pairsBefore, "probe results diverged")
+      // idempotent: already-compact tables are left alone
+      val again = Dedup.compactSignatureIndex(spark, dir,
+        targetFileBytes = Long.MaxValue)
+      assert(again("signatures") == ((1, 1)) && again("bands") == ((1, 1)))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(dir)).deleteRecursively()
+    }
+  }
+
   test("appendSignatureIndex rejects out-of-order ids loudly") {
     val corpus = (10L until 16L).map(i => (i, s"corpus doc $i tokens here"))
       .toDF("doc_id", "text")
