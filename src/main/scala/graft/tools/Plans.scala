@@ -210,6 +210,46 @@ object Plans {
         |whose ntile needs a single-partition global sort of the scored
         |corpus.""".stripMargin,
 
+    "t18_source_overlap" ->
+      """Cross-source vocabulary overlap. The per-source distinct
+        |vocabulary is ONE (src, shingle) exchange — at runtime AQE
+        |replaces the other three references with ReusedExchange (verified
+        |with Probe's finalized plan), so the corpus text is scanned and
+        |shingled once. Pairwise work is the shingle-keyed self-join whose
+        |volume is sum C(df,2) per shingle — bounded by the SOURCE count,
+        |never the document count — and the per-source sizes arrive
+        |broadcast. Zero-intersection pairs never materialize.""".stripMargin,
+
+    "t18b_source_overlap_minhash" ->
+      """MinHash source overlap — t18's corpus-scale twin. The per-doc
+        |signature is one graft_minhash kernel call fused into the scan
+        |projection; the per-source fold is a (src, pos) min-aggregation
+        |with partial_min BEFORE the exchange, so the shuffle carries at
+        |most sources x k x partitions partial minima regardless of corpus
+        |size. The pairwise compare joins two sources x k frames (one
+        |broadcast) — driver-trivial at any scale. Estimator stderr
+        |~= sqrt(J(1-J)/64).""".stripMargin,
+
+    "d8b_span_scrub" ->
+      """Duplicated-span scrub (the Lee-et-al transform). Three shuffles,
+        |all bounded by the DUPLICATED subset: the >1-doc window-hash
+        |aggregate (two-phase count-distinct), the marked-position
+        |collect_list per doc, and the final order. The corpus text itself
+        |never shuffles — it joins the (tiny) marked-position lists
+        |broadcast, and the excision is a single codegen'd projection:
+        |covered = union of marked windows, kept = array_except over the
+        |position sequence (hash-set lookup), rejoin. Linear per document,
+        |no window operator, no token explosion on the text path.""".stripMargin,
+
+    "p4_leakage_safe_split" ->
+      """Leakage-safe split. The corpus-side plan is exactly one left join
+        |against the cluster map (orders of magnitude smaller than the
+        |corpus — only docs in some near-dup pair) plus the stateless
+        |codegen'd bucket projection on the CLUSTER key; the pair graph
+        |and connected components run on the pairs only. No corpus
+        |self-join, no window, at most one corpus shuffle (and AQE can
+        |broadcast the cluster map at runtime when it is small).""".stripMargin,
+
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs
         |partial -> exchange -> final; context counts derive from the

@@ -24,6 +24,13 @@ object Probe {
     picked.foreach { n =>
       println(s"===== PLAN $n =====")
       val df = graft.SparkEntry.queries(n)(spark, d)
+      // Execute THIS df's plan before printing: AQE finalizes the plan at
+      // runtime (isFinalPlan=true), which is where exchange/stage reuse
+      // shows up — the pre-execution print hides ReusedQueryStage. Both
+      // `write` and `foreachPartition` wrap the query in a NEW
+      // QueryExecution (leaving this instance unfinalized), so drive the
+      // executedPlan instance itself.
+      df.queryExecution.executedPlan.execute().count()
       println(df.queryExecution.executedPlan.toString)
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
