@@ -29,13 +29,13 @@ NOTES = {
         "sf0.1), and the 1+8 probe fan multiplies the constant - this row "
         "now exists to DOCUMENT the failure mode. The production entry is "
         "d5d_embedding_lsh_auto, the same pipeline with planes tracking "
-        "log2(corpus): 8.6 s / 3.1x on identical data."),
+        "log2(corpus): 8.6 s / ~3x on identical data."),
     "d5d_embedding_lsh_auto": (
         "THE CLOSER for d5b/d5c's manual planes dial: planes = "
         "ceil(log2(n/32)) from a corpus count picks 6 planes at sf0.1 and "
         "10 at sf1, holding bucket occupancy (and per-bucket join work) "
         "~constant; multi-probe keeps recall >= 0.97 (EmbeddingLshSpec). "
-        "3.1x at 10x data - within the <= ~5x target for a pairwise op "
+        "~3x at 10x data (2.5-3.1 across runs) - within the <= ~5x target for a pairwise op "
         "whose candidate volume scales with corpus size."),
     "a2_approx_quantile": (
         "The 20x tracks the ACCURACY DIAL, not the operator: a2 pins "
@@ -45,6 +45,40 @@ NOTES = {
         "default (1e4) measured 1.05 s on the same sf1 data (~1.6x vs "
         "sf0.1) with identical results on this value distribution - "
         "linear; its error contract is gated in SketchAccuracySpec."),
+    "d9_containment_pairs": (
+        "Sub-linear (~4-5x at 10x data across runs) but the highest of the linear "
+        "inverted-index family because containment's asymmetry only "
+        "admits a prefix bound on the SMALLER set: the larger side posts "
+        "its FULL token list (one row per token, no prefix prune), and "
+        "the min-denominator qualifies far more candidate pairs per "
+        "posting than Jaccard's union-denominator at the same nominal "
+        "threshold. Inherent to the operator's completeness argument "
+        "(overlap >= t*min pigeonholes only the small side), not a plan "
+        "defect - the join stays postings-length-bounded, never "
+        "quadratic."),
+    "d3b_ngram_jaccard_df": (
+        "Same pipeline as d3 plus a corpus-wide document-frequency "
+        "aggregation whose key space is the VOCABULARY - which MakeScale "
+        "grows 10x by construction (vocabulary-disjoint replicas). On "
+        "this near-uniform synthetic corpus the df-ascending prefix "
+        "prunes nothing (see the d3 crossover note), so d3b pays the "
+        "10x-keyed df shuffle with no candidate reduction: 3.8x vs d3's "
+        "2.1x. Real Zipfian corpora are where the df ordering wins; "
+        "both paths stay oracle-identical."),
+    "t18_source_overlap": (
+        "Exact pairwise source-overlap shuffles the full distinct "
+        "(source, token) vocabulary, which MakeScale grows 10x by "
+        "construction - 3.7x time at 10x vocabulary is sub-linear, but "
+        "the row exists as the EXACT baseline: the production corpus-"
+        "scale entry is t18b_source_overlap_minhash (O(sources*k) "
+        "signatures independent of corpus size, 2.6x here, stderr "
+        "~= sqrt(J(1-J)/k))."),
+    "d8b_span_scrub": (
+        "d8's span profile (2.6x) plus the excision: covered positions "
+        "rejoin the corpus by id and a linear codegen'd pass rebuilds "
+        "the kept text - one extra O(total tokens) shuffle of (id, "
+        "position) pairs, corpus text still read once and never "
+        "shuffled. 3.5x at 10x data, sub-linear."),
     "d3_ngram_jaccard_neardup": (
         "dfOrdered crossover checked at sf1 (graft.tools.Probe, warm): "
         "hash-order 3.25 s vs df-ordered (d3b) 5.24 s - the Dedup.scala "
