@@ -1462,6 +1462,43 @@ object SparkEntry {
         testFraction = 0.1)
     }),
 
+    // the GOVERNED ingest loop (the streaming foreachBatch body of
+    // StreamOps.indexedDedupStream) as a batch query: fresh signature
+    // index from the id-low corpus, then two monotone batches through
+    // ingestBatchWithIndex — within-batch cluster representative +
+    // committed-index screen, novel docs to the per-batch output dirs,
+    // signatures appended between batches (batch B IS screened against
+    // batch A's survivors, which only works if the append landed). The
+    // ledger/exactly-once mechanics are spec-tested
+    // (IndexedDedupStreamSpec); this row proves the loop's RESULT —
+    // both generations — against one DuckDB replay.
+    "p5_indexed_ingest_loop" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.2)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_ingest_loop_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ix = s"$base/ix"; val out = s"$base/out"
+      Dedup.writeSignatureIndex(docs.filter(col("doc_id") <= c1),
+        "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(s, ix)
+      Dedup.ingestBatchWithIndex(
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text", ix, out, batchId = 0L)
+      Dedup.ingestBatchWithIndex(docs.filter(col("doc_id") > c2),
+        "doc_id", "text", ix, out, batchId = 1L)
+      s.read.parquet(s"$out/batch_id=0").withColumn("batch_id", lit(0L))
+        .union(s.read.parquet(s"$out/batch_id=1")
+          .withColumn("batch_id", lit(1L)))
+        .select(col("doc_id"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -3207,6 +3244,49 @@ object SparkEntry {
          |  CASE WHEN bkt < ${graft.operators.Sampling.bucketThreshold(0.1)}
          |       THEN 'test' ELSE 'train' END AS split
          |FROM (${duckWithBucket("doc_id, lang, quality", "doc_id", "kept")})
+         |ORDER BY doc_id""".stripMargin,
+
+    // governed ingest loop: one global banded pair set, then the two
+    // generations replayed — batch A's within-closure + corpus screen,
+    // batch B's within-closure + (corpus ∪ novel-A) screen; the
+    // committed-index semantics mean a dropped A doc never screens B
+    "p5_indexed_ingest_loop" ->
+      s"""WITH RECURSIVE
+         |${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)},
+         |cut AS (SELECT (max(doc_id)*3)//5 AS c1, (max(doc_id)*4)//5 AS c2
+         |        FROM documents),
+         |ea AS (SELECT id_a AS a, id_b AS b FROM pairs, cut
+         |         WHERE id_a > c1 AND id_a <= c2 AND id_b > c1 AND id_b <= c2
+         |       UNION SELECT id_b, id_a FROM pairs, cut
+         |         WHERE id_a > c1 AND id_a <= c2 AND id_b > c1 AND id_b <= c2),
+         |ra AS (SELECT a AS id, a AS reach FROM ea
+         |       UNION SELECT ea.a, ra.reach FROM ea JOIN ra ON ea.b = ra.id),
+         |dupa AS (SELECT id FROM (SELECT id, min(reach) AS c FROM ra GROUP BY id)
+         |         WHERE c < id),
+         |crossa AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
+         |           WHERE p.id_a <= cut.c1 AND p.id_b > cut.c1
+         |             AND p.id_b <= cut.c2),
+         |novela AS (SELECT doc_id FROM documents, cut
+         |           WHERE doc_id > c1 AND doc_id <= c2
+         |             AND doc_id NOT IN (SELECT id FROM dupa)
+         |             AND doc_id NOT IN (SELECT id FROM crossa)),
+         |eb AS (SELECT id_a AS a, id_b AS b FROM pairs, cut
+         |         WHERE id_a > c2 AND id_b > c2
+         |       UNION SELECT id_b, id_a FROM pairs, cut
+         |         WHERE id_a > c2 AND id_b > c2),
+         |rb AS (SELECT a AS id, a AS reach FROM eb
+         |       UNION SELECT eb.a, rb.reach FROM eb JOIN rb ON eb.b = rb.id),
+         |dupb AS (SELECT id FROM (SELECT id, min(reach) AS c FROM rb GROUP BY id)
+         |         WHERE c < id),
+         |crossb AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
+         |           WHERE p.id_b > cut.c2
+         |             AND (p.id_a <= cut.c1
+         |                  OR p.id_a IN (SELECT doc_id FROM novela))),
+         |novelb AS (SELECT doc_id FROM documents, cut WHERE doc_id > c2
+         |             AND doc_id NOT IN (SELECT id FROM dupb)
+         |             AND doc_id NOT IN (SELECT id FROM crossb))
+         |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM novela
+         |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM novelb
          |ORDER BY doc_id""".stripMargin,
 
     // fuzzy dedup: the band blocking is lossless, so the naive quadratic

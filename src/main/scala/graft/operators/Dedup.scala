@@ -1494,4 +1494,192 @@ object Dedup {
         col("__s.dup_tokens"), col("__s.clean_text"))
       .orderBy(col(idCol))
   }
+
+  /** Per-batch outcome of [[ingestBatchWithIndex]], for observability and
+    * for the specs that assert replay idempotence.
+    */
+  final case class IngestBatchStats(batchId: Long, batchRows: Long,
+                                    novelRows: Long, watermarkBefore: Long,
+                                    watermarkAfter: Long, replayed: Boolean)
+
+  private val LedgerCols =
+    Seq("batch_id", "watermark_before", "watermark_after", "novel_rows")
+
+  /** Bootstrap the ingest ledger of a signature index — the committed-
+    * watermark record [[ingestBatchWithIndex]] is governed by. Must run
+    * while the index is CONSISTENT (right after [[writeSignatureIndex]] /
+    * [[appendSignatureIndex]], or at stream setup before any governed
+    * batch): the current signature max becomes the base watermark, below
+    * which every row is treated as committed corpus. Idempotent — a
+    * ledger that already exists is left untouched.
+    */
+  def initIngestLedger(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_ledger")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) {
+      import spark.implicits._
+      val maxRow = readSignatureIndex(spark, indexPath)
+        .signatures.agg(max(col("id"))).head()
+      val w0 = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+      Seq((-1L, w0, w0, 0L)).toDF(LedgerCols: _*)
+        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    }
+  }
+
+  private def readIngestLedger(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String): DataFrame =
+    try spark.read.parquet(s"$indexPath/ingest_ledger")
+    catch {
+      case e: Exception => throw new IllegalArgumentException(
+        s"signature index at $indexPath has no ingest ledger — call " +
+          "initIngestLedger (or indexedDedupStream, which does) before " +
+          "governed batch ingest", e)
+    }
+
+  /** One micro-batch of the production incremental-dedup loop, EXACTLY
+    * ONCE under crash/replay — the piece that turns the persisted
+    * signature index into a streaming ingest pipeline
+    * (`StreamOps.indexedDedupStream` wraps this in `foreachBatch`).
+    *
+    * Per batch: within-batch near-dups collapse to their cluster
+    * representative (min id, the same policy as `Pipelines.trainingCorpus`),
+    * survivors are screened against the COMMITTED corpus index, novel docs
+    * land in `outPath/batch_id=<id>/` and their signatures/bands append to
+    * the index; finally one ledger row commits the batch.
+    *
+    * Exactly-once mechanics — the ledger watermark is the linchpin:
+    *  - Every read of the index is filtered to `id <= w`, the COMMITTED
+    *    watermark (max ledgered `watermark_after`; for a replayed batch,
+    *    its own ledgered `watermark_before`). Rows a crashed attempt
+    *    appended beyond `w` are invisible, so the batch's novel set is a
+    *    pure function of (ledger, batch) — bit-identical on every replay,
+    *    and batch docs can never collide with their own half-appended
+    *    signatures.
+    *  - The output write is a per-batch directory overwrite: a replay
+    *    rewrites the same rows into the same directory, never duplicates.
+    *  - Index appends are self-healing: expected rows are re-derived from
+    *    the novel set and anti-joined against the physical tail
+    *    (`id > w`), so a torn append (signatures landed, bands did not —
+    *    parquet jobs commit atomically but independently) appends exactly
+    *    the missing remainder. The band derivation reuses the write-time
+    *    cap rule against committed-bucket occupancy, so the healed index
+    *    ≡ a clean [[appendSignatureIndex]] of the novel set.
+    *  - The ledger row is written LAST — it is the commit marker. A crash
+    *    anywhere earlier replays into the identical computation; a crash
+    *    after the ledger write replays as a recognized no-op (same
+    *    `watermark_before` is reused, appends find nothing missing).
+    *
+    * CONTRACT: batch ids are strictly greater than the committed
+    * watermark (monotone ingest ids, same as [[appendSignatureIndex]]),
+    * and batches arrive through one governed stream (Structured
+    * Streaming's serial foreachBatch — no concurrent writers).
+    *
+    * Scale shape: the committed-corpus side is the indexed probe
+    * (zero corpus text reads); everything else is batch-sized — the
+    * ledger is one row per batch and only ≤ 1 row of it is ever
+    * collected.
+    */
+  def ingestBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
+                           indexPath: String, outPath: String,
+                           batchId: Long): IngestBatchStats = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val ix = readSignatureIndex(spark, indexPath)
+    val p = ix.params
+    val ledger = readIngestLedger(spark, indexPath)
+
+    // Committed watermark: a replayed batch MUST re-run against its own
+    // pre-batch watermark, not the current one (its first attempt may
+    // already have advanced the index). One aggregation job over the
+    // (one-row-per-batch) ledger answers all three questions.
+    val lRow = ledger.agg(
+      max(col("watermark_after")),
+      count(when(col("batch_id") === lit(batchId), 1)),
+      max(when(col("batch_id") === lit(batchId),
+        col("watermark_before")))).head()
+    require(lRow.getLong(1) <= 1,
+      s"ingest ledger at $indexPath has ${lRow.getLong(1)} rows for batch " +
+        s"$batchId — the ledger is corrupt (concurrent writers?)")
+    val replayed = lRow.getLong(1) == 1
+    val w: Long = if (replayed) lRow.getLong(2) else lRow.getLong(0)
+
+    val b = batch.localCheckpoint()
+    // batch geometry in one job: row count, max id, watermark clashes
+    val gRow = b.agg(count(lit(1)), max(col(idCol).cast("long")),
+      count(when(col(idCol) <= lit(w), 1))).head()
+    val batchRows = gRow.getLong(0)
+    require(gRow.getLong(2) == 0,
+      s"ingestBatchWithIndex: batch $batchId contains ids <= the " +
+        s"committed watermark ($w) — ingest ids must be monotone across " +
+        "batches (an out-of-order backfill should rebuild the index)")
+
+    // The committed view of the index: everything a crashed attempt may
+    // have appended beyond the watermark is invisible.
+    val committed = MinHashIndex(ix.signatures.filter(col("id") <= lit(w)),
+      ix.bands.filter(col("id") <= lit(w)), p)
+
+    // Within-batch near-dups → cluster representative (min id), then the
+    // cross-corpus screen against the committed index.
+    val withinDup = graft.operators.Clustering.nearDupClustersAuto(
+        minHashNearDupPairs(b, idCol, textCol, p))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val crossDup = minHashNearDupPairsIncremental(b, committed, idCol,
+        textCol, p)
+      .select(col("batch_id").as(idCol)).distinct()
+    val novel = b.join(withinDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val novelRows = novel.count()
+
+    // (1) Output: per-batch directory overwrite — replay-idempotent.
+    novel.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+    // (2) Self-healing index append: derive the expected rows, append
+    // only what the physical tail is missing.
+    val newSigs = withMinHashSignature(novel, textCol, p)
+      .filter(size(col("shingles")) > 0)
+      .select(col(idCol).as("id"), col("shingles"),
+        size(col("shingles")).as("sz"), col("minhash"))
+      .localCheckpoint()
+    newSigs
+      .join(ix.signatures.filter(col("id") > lit(w)).select("id"),
+        Seq("id"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/signatures")
+    val occ = committed.bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("__occ"))
+      .localCheckpoint()
+    val bandStructs = array((0 until p.bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
+    }: _*)
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    newSigs.select(col("id"), explode(bandStructs).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+      .withColumn("__bn", row_number().over(wB))
+      .join(occ, Seq("band", "bkey"), "left")
+      .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
+      .select("id", "band", "bkey")
+      .join(ix.bands.filter(col("id") > lit(w))
+          .select("id", "band", "bkey"),
+        Seq("id", "band", "bkey"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/bands")
+
+    // (3) Ledger row LAST — the commit marker. The processed watermark is
+    // the max BATCH id (dup'd and unsignable docs advance it too: they
+    // are processed, just never indexed).
+    val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
+    if (!replayed) {
+      import spark.implicits._
+      Seq((batchId, w, wAfter, novelRows)).toDF(LedgerCols: _*)
+        .coalesce(1).write.mode("append")
+        .parquet(s"$indexPath/ingest_ledger")
+    }
+    graft.plans.Checkpoints.free(newSigs)
+    graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(novel)
+    graft.plans.Checkpoints.free(b)
+    IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+  }
 }

@@ -128,6 +128,44 @@ object StreamOps {
     graft.operators.Dedup.bloomScreen(stream, bloom, key, mBits, k)
       .filter(!col("maybe_dup")).drop("maybe_dup")
 
+  /** The streaming production incremental-dedup loop over a persisted
+    * MinHash signature index: new document files land in `inPath`, each
+    * micro-batch is deduped within itself (cluster representative) and
+    * against the committed index, novel docs are written to
+    * `outPath/batch_id=<n>/` and appended to the index — exactly once
+    * under crash/restart, governed by the index's ingest ledger (the full
+    * mechanics are on [[graft.operators.Dedup.ingestBatchWithIndex]],
+    * which this wraps in `foreachBatch`; the stream checkpoint replays an
+    * unfinished batch with the same id and data, and the ledger makes
+    * that replay bit-identical and append-idempotent).
+    *
+    * This is the loop [[graft.operators.Dedup.writeSignatureIndex]]'s
+    * docs promise: build the index once, then every arriving batch pays
+    * its own size — zero corpus text reads — and the index grows with
+    * the accepted stream. Run [[graft.operators.Dedup.compactSignatureIndex]]
+    * periodically from a maintenance job (not inside the loop) to fold
+    * the per-batch file sets.
+    */
+  def indexedDedupStream(spark: SparkSession, inPath: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         idCol: String, textCol: String,
+                         indexPath: String, outPath: String,
+                         checkpoint: String,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    graft.operators.Dedup.initIngestLedger(spark, indexPath)
+    spark.readStream.schema(schema).parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.ingestBatchWithIndex(
+          batch, idCol, textCol, indexPath, outPath, batchId)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Event-time windowed aggregation with a watermark — tumbling 1 h
     * windows over the events stream (the windowed-agg surface the
     * reference lacks but any stream engine needs; late rows beyond the

@@ -1,0 +1,207 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The streaming incremental-dedup loop over the persisted MinHash
+  * signature index ([[StreamOps.indexedDedupStream]] /
+  * [[Dedup.ingestBatchWithIndex]]): end-to-end exactly-once across
+  * restarts, ledger-governed replay idempotence, and torn-append
+  * self-healing — the crash contracts the operator's docs state,
+  * asserted rather than assumed.
+  */
+class IndexedDedupStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = Dedup.MinHashParams(numHashes = 32, bands = 8,
+    shingle = 3, threshold = 0.2)
+  private val schema = StructType(Seq(StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  // Three disjoint-vocabulary families (within-family docs differ only in
+  // the tail token: 18 of 20 shared shingles, J ≈ 0.9 — far above the
+  // 0.2 threshold and essentially certain to band-collide at 8 bands)
+  // plus fully unique docs (J = 0 against everything).
+  private def famA(i: Long) =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      s"kilo lima mike november oscar papa quebec romeo sierra tail$i"
+  private def famB(i: Long) =
+    "zinc copper iron nickel cobalt silver platinum mercury lead tin " +
+      s"gold carbon boron neon argon xenon radon helium lithium tail$i"
+  private def famC(i: Long) =
+    "maple oak birch cedar willow aspen spruce poplar alder elm " +
+      s"hazel rowan linden beech hornbeam chestnut walnut pecan fir tail$i"
+  private def uniq(i: Long) =
+    (0 until 8).map(j => s"unique${i}tok$j").mkString(" ")
+
+  private def corpus: DataFrame = Seq(
+    0L -> famA(0), 1L -> famA(1), 2L -> famB(2), 3L -> uniq(3))
+    .toDF("doc_id", "text")
+
+  // batch 1: 10 cross-dups corpus famA, 11/12 are within-batch famC dups
+  // (11 is the min-id representative), 13 is novel.
+  private def batch1: DataFrame = Seq(
+    10L -> famA(10), 11L -> famC(11), 12L -> famC(12), 13L -> uniq(13))
+    .toDF("doc_id", "text")
+
+  // batch 2: 20 cross-dups the batch-1 survivor 11 (so it is only dropped
+  // if batch 1's novel docs actually reached the index), 21 is novel,
+  // 22 cross-dups corpus famB.
+  private def batch2: DataFrame = Seq(
+    20L -> famC(20), 21L -> uniq(21), 22L -> famB(22))
+    .toDF("doc_id", "text")
+
+  private def sigSet(dir: String) =
+    Dedup.readSignatureIndex(spark, dir).signatures
+      .select($"id", $"sz", $"minhash").collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getSeq[Long](2))).toSet
+  private def bandSet(dir: String) =
+    Dedup.readSignatureIndex(spark, dir).bands.collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSet
+  private def outIds(out: String): Set[Long] =
+    spark.read.schema(schema.add("batch_id", LongType)).parquet(out)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+  private def rmrf(dir: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("streaming loop: two drops across restarts, exactly-once output, " +
+      "index equals a rebuild from corpus union accepted docs") {
+    val base = Files.createTempDirectory("graft-ixdedup").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ix = s"$base/ix"; val ixR = s"$base/ixR"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+
+      batch1.coalesce(1).write.mode("append").parquet(in)
+      val q1 = StreamOps.indexedDedupStream(spark, in, schema, "doc_id",
+        "text", ix, out, cp)
+      q1.awaitTermination(120000)
+
+      assert(outIds(out) == Set(11L, 13L),
+        "batch 1 must keep the famC representative and the unique doc, " +
+          "drop the corpus dup and the within-batch dup")
+
+      // second drop through a RESTARTED stream on the same checkpoint
+      batch2.coalesce(1).write.mode("append").parquet(in)
+      val q2 = StreamOps.indexedDedupStream(spark, in, schema, "doc_id",
+        "text", ix, out, cp)
+      q2.awaitTermination(120000)
+
+      assert(outIds(out) == Set(11L, 13L, 21L),
+        "batch 2 must drop the dup of batch 1's survivor (via the index) " +
+          "and the corpus dup, keep the unique doc")
+
+      // the grown index is content-identical to a from-scratch rebuild
+      // over corpus + everything accepted
+      val accepted = batch1.filter($"doc_id".isin(11L, 13L))
+        .union(batch2.filter($"doc_id" === 21L))
+      Dedup.writeSignatureIndex(corpus.union(accepted), "doc_id", "text",
+        ixR, p)
+      assert(sigSet(ix) == sigSet(ixR), "signature tables diverge")
+      assert(bandSet(ix) == bandSet(ixR), "band tables diverge")
+
+      // ledger: bootstrap row + one committed row per batch
+      val ledger = spark.read.parquet(s"$ix/ingest_ledger")
+        .orderBy($"batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(ledger.length == 3, s"ledger rows: ${ledger.mkString(", ")}")
+      assert(ledger(0) == (-1L, 3L, 3L, 0L))
+      assert(ledger(1) == (0L, 3L, 13L, 2L))
+      assert(ledger(2) == (1L, 13L, 22L, 1L))
+    } finally rmrf(base)
+  }
+
+  test("replaying a committed batch is recognized and changes nothing") {
+    val base = Files.createTempDirectory("graft-ixreplay").toString
+    val out = s"$base/out"; val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      val s1 = Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ix,
+        out, batchId = 7L)
+      assert(!s1.replayed && s1.novelRows == 2L && s1.watermarkBefore == 3L
+        && s1.watermarkAfter == 13L)
+      val (sig1, band1, out1) = (sigSet(ix), bandSet(ix), outIds(out))
+
+      // the replay: same batch id, same data — e.g. a crash after the
+      // ledger commit but before the stream checkpoint advanced
+      val s2 = Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ix,
+        out, batchId = 7L)
+      assert(s2.replayed, "second run must recognize the ledgered batch")
+      assert(s2.novelRows == s1.novelRows &&
+        s2.watermarkBefore == s1.watermarkBefore)
+      assert(sigSet(ix) == sig1, "replay appended signature rows")
+      assert(bandSet(ix) == band1, "replay appended band rows")
+      assert(outIds(out) == out1)
+      assert(spark.read.parquet(s"$ix/ingest_ledger")
+        .filter($"batch_id" === 7L).count() == 1L,
+        "replay must not write a second ledger row")
+    } finally rmrf(base)
+  }
+
+  test("torn append self-heals: signatures landed, bands and ledger did not") {
+    val base = Files.createTempDirectory("graft-ixtorn").toString
+    val out = s"$base/out"; val ix = s"$base/ix"; val ixT = s"$base/ixT"
+    try {
+      // twin indexes; ixT suffers the crash, ix is the clean-run truth
+      Seq(ix, ixT).foreach { d =>
+        Dedup.writeSignatureIndex(corpus, "doc_id", "text", d, p)
+        Dedup.initIngestLedger(spark, d)
+      }
+      Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ix,
+        s"$base/outClean", batchId = 0L)
+
+      // the crash: the attempt computed novel = {11, 13}, committed the
+      // signatures append, then died before the bands append and the
+      // ledger row. A partial output from the same attempt is also left
+      // behind (overwrite must fix it on replay).
+      val novel = batch1.filter($"doc_id".isin(11L, 13L))
+      Dedup.withMinHashSignature(novel, "text", p)
+        .select($"doc_id".as("id"), $"shingles",
+          size($"shingles").as("sz"), $"minhash")
+        .write.mode("append").parquet(s"$ixT/signatures")
+      batch1.filter($"doc_id" === 11L)
+        .write.mode("overwrite").parquet(s"$out/batch_id=0")
+
+      // replay through the governed path: heals the bands, fixes the
+      // output, commits the ledger
+      val s = Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ixT,
+        out, batchId = 0L)
+      assert(!s.replayed, "no ledger row landed, so this is not a replay")
+      assert(s.novelRows == 2L)
+      assert(sigSet(ixT) == sigSet(ix),
+        "healed signatures diverge from the clean run (duplicated tail?)")
+      assert(bandSet(ixT) == bandSet(ix),
+        "healed bands diverge from the clean run")
+      assert(outIds(out) == Set(11L, 13L),
+        "the partial output directory must be overwritten, not merged")
+      assert(spark.read.parquet(s"$ixT/ingest_ledger")
+        .filter($"batch_id" === 0L).count() == 1L)
+    } finally rmrf(base)
+  }
+
+  test("ledger bootstrap is idempotent; out-of-order batch ids throw") {
+    val base = Files.createTempDirectory("graft-ixmono").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.initIngestLedger(spark, ix) // second call must not reset
+      assert(spark.read.parquet(s"$ix/ingest_ledger").count() == 1L)
+      val stale = Seq(2L -> uniq(99)).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ingestBatchWithIndex(stale, "doc_id", "text", ix,
+          s"$base/out", batchId = 0L)
+      }
+      assert(e.getMessage.contains("monotone"))
+    } finally rmrf(base)
+  }
+}
