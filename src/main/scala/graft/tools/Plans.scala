@@ -250,6 +250,22 @@ object Plans {
         |self-join, no window, at most one corpus shuffle (and AQE can
         |broadcast the cluster map at runtime when it is small).""".stripMargin,
 
+    "p5_indexed_ingest_loop" ->
+      """The governed streaming ingest loop, run as two generations. Per
+        |batch the plan family is: banded self-join WITHIN the batch only
+        |(batch-sized buckets, never the corpus), cluster rounds on that
+        |pair graph only, one band-key probe join against the persisted
+        |index's PRE-CAPPED bucket table (zero corpus text reads — the
+        |verify join touches stored signatures, not documents), and
+        |batch-sized appends. The corpus contributes nothing per batch
+        |but pruned index scans: at 100 TB the per-batch cost tracks the
+        |BATCH, which is the whole point of the ledger/index design. The
+        |bench time (~7 s) is the END-TO-END pipeline including the
+        |one-off index build over 60% of the corpus (~b3b's cost) and
+        |two generations of physical parquet writes — it is a pipeline
+        |row like p1/p2, not an operator row; the exactly-once ledger
+        |bookkeeping adds three one-row aggregation jobs per batch.""".stripMargin,
+
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs
         |partial -> exchange -> final; context counts derive from the

@@ -68,7 +68,7 @@ NOTES = {
     "t18_source_overlap": (
         "Exact pairwise source-overlap shuffles the full distinct "
         "(source, token) vocabulary, which MakeScale grows 10x by "
-        "construction - 3.7x time at 10x vocabulary is sub-linear, but "
+        "construction - ~4x time at 10x vocabulary is sub-linear, but "
         "the row exists as the EXACT baseline: the production corpus-"
         "scale entry is t18b_source_overlap_minhash (O(sources*k) "
         "signatures independent of corpus size, 2.6x here, stderr "
@@ -78,7 +78,27 @@ NOTES = {
         "rejoin the corpus by id and a linear codegen'd pass rebuilds "
         "the kept text - one extra O(total tokens) shuffle of (id, "
         "position) pairs, corpus text still read once and never "
-        "shuffled. 3.5x at 10x data, sub-linear."),
+        "shuffled. ~3.5-4x at 10x data across runs, sub-linear."),
+    "p5_indexed_ingest_loop": (
+        "The governed ingest loop end-to-end (index build over 60% of the "
+        "corpus + two ledger-committed batch generations with physical "
+        "writes): 1.8x at 10x data - per-batch work tracks the BATCH "
+        "(within-batch banding + committed-index probe), the corpus "
+        "contributes only the ~linear one-off index build, which is the "
+        "design claim of the persisted-index/ledger architecture, here "
+        "measured."),
+    "b4_embedding_index": (
+        "SRP index build over 80% of the embeddings + incremental probe: "
+        "3.3-4.1x across runs at 10x vectors. The build dominates - the "
+        "projection kernel is linear but the write-time bucket cap is a "
+        "row_number window over (tbl,bkt), a shuffle that grows with the "
+        "corpus; probes stay batch-sized (constant occupancy via auto "
+        "planes). Sub-linear vs the 10x data factor; the probe-side plan "
+        "is audited in PLANS.md."),
+    "e2_asof_enrich": (
+        "As-of join: the range-partitioned sort IS the operator (same "
+        "shape as q15's order-statistics 2.15x) - ~3x at 10x rows tracks "
+        "the 10x sort volume, sub-linear vs the data factor."),
     "d3_ngram_jaccard_neardup": (
         "dfOrdered crossover checked at sf1 (graft.tools.Probe, warm): "
         "hash-order 3.25 s vs df-ordered (d3b) 5.24 s - the Dedup.scala "
