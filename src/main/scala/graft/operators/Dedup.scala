@@ -427,7 +427,12 @@ object Dedup {
     readSignatureIndex(spark, path) // validates the index + params table
     compactIndexTables(spark, path, targetFileBytes, Map(
       "signatures" -> ((df, n) => df.repartitionByRange(n, col("id"))),
-      "bands" -> ((df, n) => df.repartition(n, col("band"), col("bkey")))))
+      "bands" -> ((df, n) => df.repartition(n, col("band"), col("bkey"))),
+      // the ingest ledger (when the index is stream-governed) accretes
+      // one tiny file per committed batch — same small-files decay, same
+      // cure; absent on a batch-only index and skipped (0, 0)
+      "ingest_ledger" -> ((df, n) =>
+        df.repartitionByRange(n, col("batch_id")))))
   }
 
   /** [[compactSignatureIndex]]'s twin for the persisted SRP embedding
@@ -457,6 +462,7 @@ object Dedup {
     layouts.map { case (sub, layout) =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = dir.getFileSystem(conf)
+      if (!fs.exists(dir)) sub -> ((0, 0)) else {
       val files = fs.listStatus(dir)
         .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       val parts = math.max(1L, math.ceil(
@@ -474,6 +480,7 @@ object Dedup {
           (files.length, after)
         }
       sub -> stats
+      }
     }
   }
 

@@ -188,6 +188,42 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("ledger compaction folds per-batch files, preserves governance") {
+    val base = Files.createTempDirectory("graft-ixlcpt").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    def ledgerRows() = spark.read.parquet(s"$ix/ingest_ledger")
+      .orderBy($"batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      (0 until 3).foreach { i =>
+        val b = Seq(100L + 10 * i -> uniq(100 + 10 * i),
+          101L + 10 * i -> uniq(101 + 10 * i)).toDF("doc_id", "text")
+        Dedup.ingestBatchWithIndex(b, "doc_id", "text", ix, out, i.toLong)
+      }
+      val before = ledgerRows()
+      assert(before.length == 4) // bootstrap + 3 committed batches
+      val stats = Dedup.compactSignatureIndex(spark, ix)
+      val (lb, la) = stats("ingest_ledger")
+      assert(lb >= 4 && la < lb,
+        s"ledger must fold its per-batch files: $lb -> $la")
+      assert(ledgerRows() == before, "compaction changed ledger content")
+      // governance intact: a replay is still recognized against its own
+      // watermark, and a fresh batch still commits
+      val s2 = Dedup.ingestBatchWithIndex(
+        Seq(110L -> uniq(110), 111L -> uniq(111)).toDF("doc_id", "text"),
+        "doc_id", "text", ix, out, 1L)
+      assert(s2.replayed && s2.watermarkBefore == before(2)._2)
+      val s3 = Dedup.ingestBatchWithIndex(
+        Seq(130L -> uniq(130)).toDF("doc_id", "text"),
+        "doc_id", "text", ix, out, 3L)
+      assert(!s3.replayed && s3.watermarkBefore == 121L &&
+        s3.watermarkAfter == 130L)
+    } finally rmrf(base)
+  }
+
   test("ledger bootstrap is idempotent; out-of-order batch ids throw") {
     val base = Files.createTempDirectory("graft-ixmono").toString
     val ix = s"$base/ix"
