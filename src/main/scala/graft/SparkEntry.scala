@@ -1499,6 +1499,36 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // p5's embedding twin: the governed loop over the persisted SRP
+    // index (auto 4-plane geometry at the verify SF, multi-probe on),
+    // same ledger mechanics, embedding-family dedup semantics —
+    // within-batch SRP-LSH cluster representative + committed-index
+    // probe, exact-cosine verification everywhere.
+    "p6_embedding_ingest_loop" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_srp_loop_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ix = s"$base/ix"; val out = s"$base/out"
+      Dedup.writeSrpIndex(emb.filter(col("vec_id") <= c1), "vec_id",
+        "embedding", ix, dim = 64)
+      Dedup.initSrpIngestLedger(s, ix)
+      Dedup.ingestBatchWithSrpIndex(
+        emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+        "vec_id", "embedding", ix, out, batchId = 0L, threshold = 0.4)
+      Dedup.ingestBatchWithSrpIndex(emb.filter(col("vec_id") > c2),
+        "vec_id", "embedding", ix, out, batchId = 1L, threshold = 0.4)
+      s.read.parquet(s"$out/batch_id=0").withColumn("batch_id", lit(0L))
+        .union(s.read.parquet(s"$out/batch_id=1")
+          .withColumn("batch_id", lit(1L)))
+        .select(col("vec_id"), col("batch_id"))
+        .orderBy(col("vec_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -3288,6 +3318,76 @@ object SparkEntry {
          |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM novela
          |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM novelb
          |ORDER BY doc_id""".stripMargin,
+
+    // p5's embedding twin: same two-generation replay over the SRP
+    // machinery — 4-plane frozen family (the auto choice at the verify
+    // SF), Hamming-1 probes, exact-cosine verification at 0.4; batch B's
+    // committed set = corpus ∪ batch-A survivors
+    "p6_embedding_ingest_loop" ->
+      s"""WITH RECURSIVE
+         |emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |        FROM embeddings),
+         |cut AS (SELECT (max(vec_id)*3)//5 AS c1, (max(vec_id)*4)//5 AS c2
+         |        FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 4, dim = 64)}),
+         |pr AS (SELECT vec_id, tbl, u.p AS bkt
+         |       FROM bk, UNNEST([${duckHamming1Probes(4)}]) AS u(p)),
+         |paira AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+         |          FROM bk x JOIN pr y ON x.tbl = y.tbl AND x.bkt = y.bkt, cut
+         |          WHERE x.vec_id > cut.c1 AND x.vec_id <= cut.c2
+         |            AND y.vec_id > cut.c1 AND y.vec_id <= cut.c2
+         |            AND x.vec_id < y.vec_id),
+         |pva AS (SELECT p.ida, p.idb FROM paira p
+         |        JOIN emb a ON a.vec_id = p.ida
+         |        JOIN emb b ON b.vec_id = p.idb
+         |        WHERE $duckCos >= 0.4),
+         |ea AS (SELECT ida AS a, idb AS b FROM pva
+         |       UNION SELECT idb, ida FROM pva),
+         |ra AS (SELECT a AS id, a AS reach FROM ea
+         |       UNION SELECT ea.a, ra.reach FROM ea JOIN ra ON ea.b = ra.id),
+         |dupa AS (SELECT id FROM (SELECT id, min(reach) AS c FROM ra GROUP BY id)
+         |         WHERE c < id),
+         |canxa AS (SELECT DISTINCT x.vec_id AS cid, y.vec_id AS bid
+         |          FROM bk x JOIN pr y ON x.tbl = y.tbl AND x.bkt = y.bkt, cut
+         |          WHERE x.vec_id <= cut.c1 AND y.vec_id > cut.c1
+         |            AND y.vec_id <= cut.c2),
+         |crossa AS (SELECT DISTINCT p.bid AS id FROM canxa p
+         |           JOIN emb a ON a.vec_id = p.cid
+         |           JOIN emb b ON b.vec_id = p.bid
+         |           WHERE $duckCos >= 0.4),
+         |novela AS (SELECT vec_id FROM embeddings, cut
+         |           WHERE vec_id > c1 AND vec_id <= c2
+         |             AND vec_id NOT IN (SELECT id FROM dupa)
+         |             AND vec_id NOT IN (SELECT id FROM crossa)),
+         |pairb AS (SELECT DISTINCT x.vec_id AS ida, y.vec_id AS idb
+         |          FROM bk x JOIN pr y ON x.tbl = y.tbl AND x.bkt = y.bkt, cut
+         |          WHERE x.vec_id > cut.c2 AND y.vec_id > cut.c2
+         |            AND x.vec_id < y.vec_id),
+         |pvb AS (SELECT p.ida, p.idb FROM pairb p
+         |        JOIN emb a ON a.vec_id = p.ida
+         |        JOIN emb b ON b.vec_id = p.idb
+         |        WHERE $duckCos >= 0.4),
+         |eb AS (SELECT ida AS a, idb AS b FROM pvb
+         |       UNION SELECT idb, ida FROM pvb),
+         |rb AS (SELECT a AS id, a AS reach FROM eb
+         |       UNION SELECT eb.a, rb.reach FROM eb JOIN rb ON eb.b = rb.id),
+         |dupb AS (SELECT id FROM (SELECT id, min(reach) AS c FROM rb GROUP BY id)
+         |         WHERE c < id),
+         |canxb AS (SELECT DISTINCT x.vec_id AS cid, y.vec_id AS bid
+         |          FROM bk x JOIN pr y ON x.tbl = y.tbl AND x.bkt = y.bkt, cut
+         |          WHERE y.vec_id > cut.c2
+         |            AND (x.vec_id <= cut.c1
+         |                 OR x.vec_id IN (SELECT vec_id FROM novela))),
+         |crossb AS (SELECT DISTINCT p.bid AS id FROM canxb p
+         |           JOIN emb a ON a.vec_id = p.cid
+         |           JOIN emb b ON b.vec_id = p.bid
+         |           WHERE $duckCos >= 0.4),
+         |novelb AS (SELECT vec_id FROM embeddings, cut WHERE vec_id > c2
+         |             AND vec_id NOT IN (SELECT id FROM dupb)
+         |             AND vec_id NOT IN (SELECT id FROM crossb))
+         |SELECT vec_id, CAST(0 AS BIGINT) AS batch_id FROM novela
+         |UNION ALL SELECT vec_id, CAST(1 AS BIGINT) AS batch_id FROM novelb
+         |ORDER BY vec_id""".stripMargin,
 
     // fuzzy dedup: the band blocking is lossless, so the naive quadratic
     // join with the same distance bound is an exact twin

@@ -1521,13 +1521,23 @@ object Dedup {
     * ledger that already exists is left untouched.
     */
   def initIngestLedger(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String): Unit = {
+                       indexPath: String): Unit =
+    bootstrapLedger(spark, indexPath,
+      readSignatureIndex(spark, indexPath).signatures)
+
+  /** [[initIngestLedger]]'s twin for a persisted SRP embedding index —
+    * the base watermark comes from the index's vector table. */
+  def initSrpIngestLedger(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String): Unit =
+    bootstrapLedger(spark, indexPath, readSrpIndex(spark, indexPath).vectors)
+
+  private def bootstrapLedger(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, rows: DataFrame): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_ledger")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) {
       import spark.implicits._
-      val maxRow = readSignatureIndex(spark, indexPath)
-        .signatures.agg(max(col("id"))).head()
+      val maxRow = rows.agg(max(col("id"))).head()
       val w0 = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
       Seq((-1L, w0, w0, 0L)).toDF(LedgerCols: _*)
         .coalesce(1).write.mode("overwrite").parquet(dir.toString)
@@ -1596,20 +1606,7 @@ object Dedup {
     val p = ix.params
     val ledger = readIngestLedger(spark, indexPath)
 
-    // Committed watermark: a replayed batch MUST re-run against its own
-    // pre-batch watermark, not the current one (its first attempt may
-    // already have advanced the index). One aggregation job over the
-    // (one-row-per-batch) ledger answers all three questions.
-    val lRow = ledger.agg(
-      max(col("watermark_after")),
-      count(when(col("batch_id") === lit(batchId), 1)),
-      max(when(col("batch_id") === lit(batchId),
-        col("watermark_before")))).head()
-    require(lRow.getLong(1) <= 1,
-      s"ingest ledger at $indexPath has ${lRow.getLong(1)} rows for batch " +
-        s"$batchId — the ledger is corrupt (concurrent writers?)")
-    val replayed = lRow.getLong(1) == 1
-    val w: Long = if (replayed) lRow.getLong(2) else lRow.getLong(0)
+    val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
 
     val b = batch.localCheckpoint()
     // batch geometry in one job: row count, max id, watermark clashes
@@ -1677,13 +1674,121 @@ object Dedup {
     // the max BATCH id (dup'd and unsignable docs advance it too: they
     // are processed, just never indexed).
     val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
-    if (!replayed) {
-      import spark.implicits._
-      Seq((batchId, w, wAfter, novelRows)).toDF(LedgerCols: _*)
-        .coalesce(1).write.mode("append")
-        .parquet(s"$indexPath/ingest_ledger")
-    }
+    if (!replayed)
+      commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
     graft.plans.Checkpoints.free(newSigs)
+    graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(novel)
+    graft.plans.Checkpoints.free(b)
+    IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+  }
+
+  /** Committed watermark for one governed batch: a replayed batch MUST
+    * re-run against its own pre-batch watermark, not the current one
+    * (its first attempt may already have advanced the index). One
+    * aggregation job over the (one-row-per-batch) ledger answers all
+    * three questions. */
+  private def resolveBatchWatermark(ledger: DataFrame, batchId: Long,
+                                    indexPath: String): (Boolean, Long) = {
+    val lRow = ledger.agg(
+      max(col("watermark_after")),
+      count(when(col("batch_id") === lit(batchId), 1)),
+      max(when(col("batch_id") === lit(batchId),
+        col("watermark_before")))).head()
+    require(lRow.getLong(1) <= 1,
+      s"ingest ledger at $indexPath has ${lRow.getLong(1)} rows for batch " +
+        s"$batchId — the ledger is corrupt (concurrent writers?)")
+    val replayed = lRow.getLong(1) == 1
+    (replayed, if (replayed) lRow.getLong(2) else lRow.getLong(0))
+  }
+
+  private def commitLedgerRow(spark: org.apache.spark.sql.SparkSession,
+                              indexPath: String, batchId: Long, w: Long,
+                              wAfter: Long, novelRows: Long): Unit = {
+    import spark.implicits._
+    Seq((batchId, w, wAfter, novelRows)).toDF(LedgerCols: _*)
+      .coalesce(1).write.mode("append")
+      .parquet(s"$indexPath/ingest_ledger")
+  }
+
+  /** [[ingestBatchWithIndex]]'s twin for the persisted SRP EMBEDDING
+    * index: one governed micro-batch of embedding near-dup ingest,
+    * exactly once under crash/replay. Identical ledger mechanics (see
+    * [[ingestBatchWithIndex]] — watermark-filtered committed view,
+    * per-batch output overwrite, self-healing appends, ledger row
+    * commits last); the dedup semantics are the embedding family's:
+    * within-batch pairs via SRP-LSH UNDER THE INDEX'S OWN GEOMETRY
+    * (multi-probe on), cluster representative kept, survivors screened
+    * by the incremental index probe, exact-cosine verification
+    * everywhere. `StreamOps.indexedEmbeddingDedupStream` wraps this in
+    * `foreachBatch`.
+    */
+  def ingestBatchWithSrpIndex(batch: DataFrame, idCol: String,
+                              vecCol: String, indexPath: String,
+                              outPath: String, batchId: Long,
+                              threshold: Double): IngestBatchStats = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val ix = readSrpIndex(spark, indexPath)
+    val ledger = readIngestLedger(spark, indexPath)
+    val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
+
+    val b = batch.localCheckpoint()
+    val gRow = b.agg(count(lit(1)), max(col(idCol).cast("long")),
+      count(when(col(idCol) <= lit(w), 1))).head()
+    val batchRows = gRow.getLong(0)
+    require(gRow.getLong(2) == 0,
+      s"ingestBatchWithSrpIndex: batch $batchId contains ids <= the " +
+        s"committed watermark ($w) — ingest ids must be monotone across " +
+        "batches (an out-of-order backfill should rebuild the index)")
+
+    val committed = SrpIndex(ix.vectors.filter(col("id") <= lit(w)),
+      ix.buckets.filter(col("id") <= lit(w)),
+      ix.tables, ix.planes, ix.dim, ix.maxBucket)
+
+    val withinDup = graft.operators.Clustering.nearDupClustersAuto(
+        embeddingNearDupLsh(b, idCol, vecCol, threshold, ix.dim,
+          tables = ix.tables, planes = ix.planes, maxBucket = ix.maxBucket,
+          multiProbe = true))
+      .filter(col("id") =!= col("cluster"))
+      .select(col("id").as(idCol))
+    val crossDup = embeddingNearDupLshIncremental(b, committed, idCol,
+        vecCol, threshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    val novel = b.join(withinDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+      .localCheckpoint()
+    val novelRows = novel.count()
+
+    novel.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+
+    val newVecs = novel.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .localCheckpoint()
+    newVecs
+      .join(ix.vectors.filter(col("id") > lit(w)).select("id"),
+        Seq("id"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/vectors")
+    val occ = committed.buckets.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("__occ"))
+      .localCheckpoint()
+    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
+    newVecs.select(col("id"),
+        posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
+          ix.dim)).as(Seq("tbl", "bkt")))
+      .withColumn("__bn", row_number().over(wB))
+      .join(occ, Seq("tbl", "bkt"), "left")
+      .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
+      .select("id", "tbl", "bkt")
+      .join(ix.buckets.filter(col("id") > lit(w))
+          .select("id", "tbl", "bkt"),
+        Seq("id", "tbl", "bkt"), "left_anti")
+      .write.mode("append").parquet(s"$indexPath/buckets")
+
+    val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
+    if (!replayed)
+      commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
+    graft.plans.Checkpoints.free(newVecs)
     graft.plans.Checkpoints.free(occ)
     graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)

@@ -166,6 +166,33 @@ object StreamOps {
       .start()
   }
 
+  /** [[indexedDedupStream]]'s twin for EMBEDDING near-dup over a
+    * persisted SRP index: same governed `foreachBatch` loop
+    * (`graft.operators.Dedup.ingestBatchWithSrpIndex` — ledger-governed,
+    * exactly-once, self-healing appends), with the dedup semantics of
+    * the embedding family (SRP-LSH candidates under the index's own
+    * geometry, exact-cosine verification at `threshold`).
+    */
+  def indexedEmbeddingDedupStream(spark: SparkSession, inPath: String,
+                                  schema: org.apache.spark.sql.types.StructType,
+                                  idCol: String, vecCol: String,
+                                  indexPath: String, outPath: String,
+                                  checkpoint: String, threshold: Double,
+                                  trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    graft.operators.Dedup.initSrpIngestLedger(spark, indexPath)
+    spark.readStream.schema(schema).parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Dedup.ingestBatchWithSrpIndex(
+          batch, idCol, vecCol, indexPath, outPath, batchId, threshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Event-time windowed aggregation with a watermark — tumbling 1 h
     * windows over the events stream (the windowed-agg surface the
     * reference lacks but any stream engine needs; late rows beyond the
