@@ -266,6 +266,15 @@ object Plans {
         |row like p1/p2, not an operator row; the exactly-once ledger
         |bookkeeping adds three one-row aggregation jobs per batch.""".stripMargin,
 
+    "p6_embedding_ingest_loop" ->
+      """p5's embedding twin — same governed-loop plan family: SRP bucket
+        |self-join WITHIN the batch only (multi-probe fan bounded by the
+        |index's plane count), cluster rounds on the batch pair graph, one
+        |bucket-key probe join against the persisted index's pre-capped
+        |bucket table (corpus vectors touched only for verified
+        |candidates), batch-sized appends. Per-batch cost tracks the
+        |batch; the corpus contributes pruned index scans only.""".stripMargin,
+
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs
         |partial -> exchange -> final; context counts derive from the

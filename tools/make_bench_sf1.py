@@ -99,6 +99,25 @@ NOTES = {
         "As-of join: the range-partitioned sort IS the operator (same "
         "shape as q15's order-statistics 2.15x) - ~3x at 10x rows tracks "
         "the 10x sort volume, sub-linear vs the data factor."),
+    "m4_decode_features": (
+        "Real javax.imageio PNG decode in mapPartitions: cost is per "
+        "image byte (codec-bound, ~2.9-3.5x across runs at 10x images, "
+        "sub-linear); pixels reduce to per-partition BIGINT stats before "
+        "any shuffle, so only the decode scales, not the exchange."),
+    "d4b_simhash_pairs": (
+        "SimHash banded pair generation + Hamming verify: linear work "
+        "(one signature per doc, bounded band fan); the ~3x at 10x data "
+        "reflects the fixed-overhead share of the small sf0.1 time "
+        "(0.35 s), not plan growth."),
+    "p6_embedding_ingest_loop": (
+        "p5's embedding twin end-to-end: ~4.3x at 10x vectors, "
+        "sub-linear. Higher constant than p5's 1.8x because the auto "
+        "plane density rises with the corpus (7 planes at sf0.1, 10 at "
+        "sf1), so the Hamming-1 multi-probe fan grows from 8 to 11 "
+        "probes per vector per table - the price of holding bucket "
+        "occupancy constant; candidate volume per batch stays bounded, "
+        "nothing quadratic (same plan family as b4/d5d, audited in "
+        "PLANS.md)."),
     "d3_ngram_jaccard_neardup": (
         "dfOrdered crossover checked at sf1 (graft.tools.Probe, warm): "
         "hash-order 3.25 s vs df-ordered (d3b) 5.24 s - the Dedup.scala "
