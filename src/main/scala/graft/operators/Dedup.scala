@@ -261,7 +261,170 @@ object Dedup {
     * wrong or missing pairs).
     */
   final case class MinHashIndex(signatures: DataFrame, bands: DataFrame,
-                                params: MinHashParams)
+                                params: MinHashParams, shards: Int = 0)
+
+  /** Number of storage shards the persisted band/bucket/occupancy tables
+    * are `partitionBy`'d into: `shard = pmod(hash(bucket key), shards)`.
+    * A probe knows its batch's bucket keys, so it derives the touched
+    * shard set and filters the scan with a LITERAL partition predicate —
+    * the plan prunes non-matching `shard=K/` directories at the storage
+    * layer instead of scanning the whole table into the join. At 10^10
+    * docs with 256 shards, a small batch reads ~its own shards' worth of
+    * band data per probe, not the full index.
+    */
+  private val IndexShardsDefault = 16
+
+  /** The storage-shard column for a persisted bucket table. Spark's
+    * `hash` (Murmur3, fixed seed) is deterministic across sessions, so
+    * the write-time layout and every later probe derive identical shard
+    * values. */
+  private def shardCol(keys: Seq[Column], shards: Int): Column =
+    pmod(hash(keys: _*), lit(shards))
+
+  /** Distinct shard literals a probe/append batch touches — bounded by
+    * the shard count, so the collect is O(shards) however large the
+    * batch. Empty batch → empty list (callers map that to a false
+    * predicate: no shards, no candidates). */
+  private def touchedShards(rows: DataFrame, keys: Seq[String],
+                            shards: Int): Seq[Int] =
+    rows.select(shardCol(keys.map(col), shards).as("__shard"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** Literal partition predicate for the touched-shard set. `isin` with
+    * an empty list is a degenerate always-false in Spark — make that
+    * explicit instead of relying on it. */
+  private def shardFilter(shardsTouched: Seq[Int]): Column =
+    if (shardsTouched.isEmpty) lit(false)
+    else col("shard").isin(shardsTouched.map(Int.box): _*)
+
+  // ---- index epoch: concurrency fencing for persisted indexes ----
+  //
+  // Parquet has no compare-and-swap, so true mutual exclusion is
+  // impossible here; what CAN be built is fail-loud detection. The epoch
+  // table accumulates one row per mutation, current epoch = max. Every
+  // mutator claims the index up front (advanceEpoch: re-read + append,
+  // throws if the index moved since the caller read it), and the two
+  // operations with a long vulnerable window re-CHECK before their
+  // commit point: compaction before the directory swap, a governed
+  // ingest batch before its ledger row. The loser of an interleaving
+  // throws instead of silently corrupting — and a governed batch that
+  // loses simply replays (its appends are self-healing), so the fence
+  // costs nothing but the error.
+
+  /** Current epoch of a persisted index (max over the epoch table);
+    * 0 for an index written before the epoch table existed. */
+  private[graft] def indexEpoch(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/epoch")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0L
+    else {
+      val row = spark.read.parquet(dir.toString).agg(max(col("epoch"))).head()
+      if (row.isNullAt(0)) 0L else row.getLong(0)
+    }
+  }
+
+  /** Claim the index for a mutation: require the epoch is still
+    * `expected`, then advance it. Throws when another mutator advanced
+    * the epoch since the caller read it — the fail-loud half of the
+    * single-writer contract. Returns the new epoch.
+    */
+  private[graft] def advanceEpoch(spark: org.apache.spark.sql.SparkSession,
+                                  path: String, expected: Long): Long = {
+    val cur = indexEpoch(spark, path)
+    if (cur != expected)
+      throw new IllegalStateException(
+        s"index at $path moved from epoch $expected to $cur under a " +
+          "concurrent mutation — writers must be serialized (quiesce the " +
+          "governed stream before compaction / maintenance appends)")
+    import spark.implicits._
+    Seq(expected + 1L).toDF("epoch").coalesce(1)
+      .write.mode("append").parquet(s"$path/epoch")
+    expected + 1L
+  }
+
+  /** Fence check without a bump — the pre-commit re-check of a governed
+    * batch: the epoch must still be the one this mutation claimed. */
+  private def requireEpoch(spark: org.apache.spark.sql.SparkSession,
+                           path: String, claimed: Long): Unit = {
+    val cur = indexEpoch(spark, path)
+    if (cur != claimed)
+      throw new IllegalStateException(
+        s"index at $path moved from epoch $claimed to $cur while this " +
+          "batch was in flight (concurrent compaction or writer) — " +
+          "aborting before the ledger commit; the batch is safe to replay")
+  }
+
+  private def writeEpoch0(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Unit = {
+    import spark.implicits._
+    Seq(0L).toDF("epoch").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/epoch")
+  }
+
+  // ---- persisted bucket occupancy: the O(batch) cap bookkeeping ----
+  //
+  // The write-time skew cap needs per-bucket occupancy of the EXISTING
+  // index. Recomputing it per append (`bands.groupBy(band, bkey).count()`)
+  // is a full scan + shuffle-aggregate of the band table — O(index) work
+  // per batch, the one scale-killer a long-running ingest stream would
+  // hit at 10^10 docs. Instead the index carries `occupancy/`: one row
+  // per (bucket, append) describing exactly the band rows that append
+  // landed — the delta needs NO recomputation, it is the grouped count
+  // of the rows just written. Reads sum the (shard-pruned) deltas.
+  //
+  // Exactly-once: each delta row carries `wm`, the max ingested id of the
+  // append that produced it, and every governed read filters `wm <= w`
+  // (the batch's committed watermark). Delta boundaries are batch
+  // boundaries, so the filtered sum equals the committed band count per
+  // bucket — and a replayed batch sees the exact occupancy its first
+  // attempt saw, whatever later batches appended. Deltas are never folded
+  // across `wm` (compaction re-files them, preserving rows): folding
+  // would break the replay filter.
+
+  /** Committed per-bucket occupancy from the side table: shard-pruned to
+    * the buckets a batch can touch, summed over delta rows with
+    * `wm <= watermark`. Pass `watermark = Long.MaxValue` for the
+    * ungoverned maintenance path (all deltas count). */
+  private def readOccupancy(spark: org.apache.spark.sql.SparkSession,
+                            path: String, keyCols: Seq[String],
+                            shardsTouched: Option[Seq[Int]],
+                            watermark: Long): DataFrame = {
+    val occ =
+      try spark.read.parquet(s"$path/occupancy")
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"index at $path has no readable occupancy table — was it " +
+            "written by this library's writeSignatureIndex/writeSrpIndex?", e)
+      }
+    val pruned = shardsTouched.fold(occ)(s => occ.filter(shardFilter(s)))
+    pruned.filter(col("wm") <= lit(watermark))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("occ")).as("__occ"))
+  }
+
+  /** Append one occupancy delta: the grouped count of exactly the bucket
+    * rows `appended` describes, stamped with the append's watermark and
+    * sharded like the bucket table. Skipped when a delta for this `wm`
+    * already landed (parquet jobs commit atomically, so a torn governed
+    * attempt either wrote the whole delta or none — the presence check
+    * makes the replay idempotent). */
+  private def appendOccupancyDelta(spark: org.apache.spark.sql.SparkSession,
+                                   path: String, appended: DataFrame,
+                                   keyCols: Seq[String], shards: Int,
+                                   wm: Long, checkPresent: Boolean): Unit = {
+    if (checkPresent) {
+      val present = spark.read.parquet(s"$path/occupancy")
+        .filter(col("wm") === lit(wm)).limit(1).count() > 0
+      if (present) return
+    }
+    appended.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("wm", lit(wm))
+      .withColumn("shard", shardCol(keyCols.map(col), shards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("append").parquet(s"$path/occupancy")
+  }
 
   /** Build + persist the corpus signature index with ONE corpus text scan:
     * the signature table (shingles + minhash) is written first, then the
@@ -279,14 +442,17 @@ object Dedup {
     */
   def writeSignatureIndex(corpus: DataFrame, idCol: String, textCol: String,
                           path: String,
-                          p: MinHashParams = MinHashParams()): Unit = {
-    GraftFunctions.register(corpus.sparkSession)
+                          p: MinHashParams = MinHashParams(),
+                          shards: Int = IndexShardsDefault): Unit = {
+    require(shards > 0, "shards must be positive")
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
     withMinHashSignature(corpus, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"),
         size(col("shingles")).as("sz"), col("minhash"))
       .write.mode("overwrite").parquet(s"$path/signatures")
-    val sigs = corpus.sparkSession.read.parquet(s"$path/signatures")
+    val sigs = spark.read.parquet(s"$path/signatures")
     val bandStructs = array((0 until p.bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
     }: _*)
@@ -296,8 +462,23 @@ object Dedup {
       .withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= p.maxBucket)
       .drop("__bn")
-      .write.mode("overwrite").parquet(s"$path/bands")
-    writeIndexParams(corpus.sparkSession, path, p)
+      .withColumn("shard", shardCol(Seq(col("band"), col("bkey")), shards))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/bands")
+    // Base occupancy from the WRITTEN bands (one narrow scan at build
+    // time, never again): one delta row per bucket, stamped with the
+    // corpus max id — every committed watermark is >= it, so governed
+    // reads always count the base.
+    val bands = spark.read.parquet(s"$path/bands")
+    val maxRow = bands.agg(max(col("id").cast("long"))).head()
+    val baseWm = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("wm", lit(baseWm))
+      .withColumn("shard", shardCol(Seq(col("band"), col("bkey")), shards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
+    writeIndexParams(spark, path, p, shards)
+    writeEpoch0(spark, path)
   }
 
   /** Persist the build params beside the tables — the index's geometry
@@ -307,10 +488,12 @@ object Dedup {
     * carry these and the probe overload require-matches them.
     */
   private def writeIndexParams(spark: org.apache.spark.sql.SparkSession,
-                               path: String, p: MinHashParams): Unit = {
+                               path: String, p: MinHashParams,
+                               shards: Int): Unit = {
     import spark.implicits._
-    Seq((p.numHashes, p.bands, p.shingle, p.threshold, p.maxBucket))
-      .toDF("num_hashes", "bands", "shingle", "threshold", "max_bucket")
+    Seq((p.numHashes, p.bands, p.shingle, p.threshold, p.maxBucket, shards))
+      .toDF("num_hashes", "bands", "shingle", "threshold", "max_bucket",
+        "shards")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
   }
@@ -328,11 +511,16 @@ object Dedup {
           s"signature index at $path has no readable params table — " +
             "was it written by writeSignatureIndex?", e)
       }
-    val p = MinHashParams(numHashes = pr.getInt(0), bands = pr.getInt(1),
-      shingle = pr.getInt(2), threshold = pr.getDouble(3),
-      maxBucket = pr.getInt(4))
+    val p = MinHashParams(numHashes = pr.getAs[Int]("num_hashes"),
+      bands = pr.getAs[Int]("bands"), shingle = pr.getAs[Int]("shingle"),
+      threshold = pr.getAs[Double]("threshold"),
+      maxBucket = pr.getAs[Int]("max_bucket"))
+    // shards absent on a pre-sharding index: 0 disables partition pruning
+    // (the band table has no shard layout to prune)
+    val shards = if (pr.schema.fieldNames.contains("shards"))
+      pr.getAs[Int]("shards") else 0
     MinHashIndex(spark.read.parquet(s"$path/signatures"),
-      spark.read.parquet(s"$path/bands"), p)
+      spark.read.parquet(s"$path/bands"), p, shards)
   }
 
   /** Append a new batch to a persisted signature index WITHOUT touching
