@@ -37,6 +37,15 @@ object Bench {
     "t9_tfidf_topterms", "t12_sliding_chunks", "t16_token_entropy",
     "t17_semantic_decontaminate", "t18_source_overlap",
     "t18b_source_overlap_minhash")
+  // Documented-failure rows, kept on purpose as anti-examples: d5b/d5c pin
+  // the fixed-plane SRP geometry whose per-bucket work grows quadratically
+  // with corpus size (BENCH_SF1: 23.4x at 10x data) — the production entry
+  // is d5d (auto plane density). They are timed and recorded in
+  // BENCH_DETAIL.json like everything else, but folded into their own
+  // labeled group and EXCLUDED from the headline total so the total tracks
+  // production entries only and the intentional anti-example never reads
+  // as a regression.
+  private val docRows = Set("d5b_embedding_lsh", "d5c_embedding_lsh_scaled")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -46,7 +55,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: re-registering the graft function family per query
+    // emits a SimpleFunctionRegistry "function replaced" WARN line each
+    // time, and the driver keeps only the last ~2000 chars of output — the
+    // spam would eat the budget the JSON summary line needs.
+    spark.sparkContext.setLogLevel("ERROR")
     // Benchmark action: the noop sink evaluates EVERY projected expression
     // and row (count() would let Catalyst prune unreferenced projections and
     // the final sort, timing narrow queries as bare scans).
@@ -115,7 +128,8 @@ object Bench {
       .mkString("{\"queries\":{", ",", "},") +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-      s""""t_micro":${tMicro.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}},""" +
+      s""""t_micro":${tMicro.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""docrows":${docRows.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")}},""" +
       s""""sf":"${esc(sfDir)}","cpus":"${esc(cpus)}"}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(detailPath), detail)
     catch { case e: Throwable => System.err.println(s"[bench] detail write failed: $e") }
@@ -128,15 +142,17 @@ object Bench {
       if (v < 0) "-1"
       else String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val grouped = Seq("q_batteries" -> qBatteries, "q_utils" -> qUtils,
-      "t_micro" -> tMicro)
+      "t_micro" -> tMicro, "docrows" -> docRows)
     val groupEntries = grouped.map { case (gname, members) =>
       val ok = results.collect { case (k, v) if members(k) && v >= 0 => v }
       gname -> ok.sum
     }
     val individual = results.filterNot { case (k, _) =>
-      qBatteries(k) || qUtils(k) || tMicro(k) }
+      qBatteries(k) || qUtils(k) || tMicro(k) || docRows(k) }
     val failed = results.collect { case (k, v) if v < 0 => k }.toSeq
-    val ok = results.values.filter(_ >= 0)
+    // Headline total: production entries only — the documented-failure
+    // group is reported under "docrows" but never taxes the total.
+    val ok = results.collect { case (k, v) if v >= 0 && !docRows(k) => v }
     val total = if (ok.nonEmpty) ok.sum else 0.0
     // Emit sf as a bare number ONLY when the dir provably ends in sf<num>;
     // any other path falls back to a quoted string — an unquoted surprise

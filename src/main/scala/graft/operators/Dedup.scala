@@ -300,16 +300,20 @@ object Dedup {
   // ---- index epoch: concurrency fencing for persisted indexes ----
   //
   // Parquet has no compare-and-swap, so true mutual exclusion is
-  // impossible here; what CAN be built is fail-loud detection. The epoch
-  // table accumulates one row per mutation, current epoch = max. Every
-  // mutator claims the index up front (advanceEpoch: re-read + append,
-  // throws if the index moved since the caller read it), and the two
-  // operations with a long vulnerable window re-CHECK before their
-  // commit point: compaction before the directory swap, a governed
-  // ingest batch before its ledger row. The loser of an interleaving
-  // throws instead of silently corrupting — and a governed batch that
-  // loses simply replays (its appends are self-healing), so the fence
-  // costs nothing but the error.
+  // impossible here; what CAN be built is BEST-EFFORT fail-loud
+  // detection. The epoch table accumulates one (epoch, token) row per
+  // mutation, current epoch = max. Every mutator claims the index up
+  // front (advanceEpoch: re-read, append a uniquely-tokened row, re-read
+  // again and require its row is the SOLE claimant of the new epoch),
+  // and the two operations with a long vulnerable window re-CHECK before
+  // their commit point: compaction before each directory swap, a
+  // governed ingest batch before its ledger row. The loser of an
+  // interleaving throws instead of silently corrupting — and a governed
+  // batch that loses simply replays (its appends are self-healing), so
+  // the fence costs nothing but the error. Best-effort means a racer
+  // whose append lands after the other's re-read can escape detection
+  // for the claim itself — the commit-point re-checks are the backstop;
+  // writers are still contractually serialized.
 
   /** Current epoch of a persisted index (max over the epoch table);
     * 0 for an index written before the epoch table existed. */
@@ -338,14 +342,27 @@ object Dedup {
           "concurrent mutation — writers must be serialized (quiesce the " +
           "governed stream before compaction / maintenance appends)")
     import spark.implicits._
-    Seq(expected + 1L).toDF("epoch").coalesce(1)
+    val token = java.util.UUID.randomUUID().toString
+    Seq((expected + 1L, token)).toDF("epoch", "token").coalesce(1)
       .write.mode("append").parquet(s"$path/epoch")
+    // No CAS under parquet: two racers can both pass the check above and
+    // both append expected+1. Re-read and require this mutation's token
+    // is the SOLE claimant — a detected collision throws on whichever
+    // racer(s) observe it (both, when both re-read after both appends).
+    val claim = spark.read.parquet(s"$path/epoch")
+      .filter(col("epoch") === lit(expected + 1L))
+      .agg(count(lit(1)), min(col("token"))).head()
+    if (claim.getLong(0) != 1L || claim.getString(1) != token)
+      throw new IllegalStateException(
+        s"index at $path: epoch ${expected + 1} was claimed by " +
+          s"${claim.getLong(0)} concurrent mutations — aborting this one; " +
+          "writers must be serialized")
     expected + 1L
   }
 
   /** Fence check without a bump — the pre-commit re-check of a governed
     * batch: the epoch must still be the one this mutation claimed. */
-  private def requireEpoch(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def requireEpoch(spark: org.apache.spark.sql.SparkSession,
                            path: String, claimed: Long): Unit = {
     val cur = indexEpoch(spark, path)
     if (cur != claimed)
@@ -358,8 +375,39 @@ object Dedup {
   private def writeEpoch0(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
     import spark.implicits._
-    Seq(0L).toDF("epoch").coalesce(1)
+    Seq((0L, "genesis")).toDF("epoch", "token").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/epoch")
+  }
+
+  /** Append bucket rows (band rows / SRP bucket rows) to a persisted
+    * bucket table, PRESERVING its storage layout. A `partitionBy` table
+    * and plain files must never mix in one directory: Spark binds a
+    * partitioned read to the discovered `shard=K/` layout and silently
+    * drops root-level files, so an unpartitioned append would make every
+    * appended row invisible to later probes. Sharded index → sharded
+    * append; legacy (`shards == 0`) index → plain append.
+    */
+  private def appendBucketRows(rows: DataFrame, path: String, sub: String,
+                               keyCols: Seq[String], shards: Int): Unit = {
+    if (shards > 0)
+      rows.withColumn("shard", shardCol(keyCols.map(col), shards))
+        .write.partitionBy("shard").mode("append").parquet(s"$path/$sub")
+    else
+      rows.write.mode("append").parquet(s"$path/$sub")
+  }
+
+  /** Max id of `rows` as the watermark stamp for an occupancy delta —
+    * fails loudly when ids are not long-castable (the occupancy/ledger
+    * watermark contract is monotone LONG ids; a silent null cast would
+    * quietly break every governed read). */
+  private def watermarkOf(rows: DataFrame, idName: String): Long = {
+    val r = rows.agg(count(lit(1)), max(col(idName).cast("long")),
+      count(when(col(idName).isNotNull &&
+        col(idName).cast("long").isNull, 1))).head()
+    require(r.getLong(2) == 0,
+      s"index ids must cast to long (watermark contract); found " +
+        s"${r.getLong(2)} non-castable '$idName' values")
+    if (r.getLong(0) == 0) -1L else r.getLong(1)
   }
 
   // ---- persisted bucket occupancy: the O(batch) cap bookkeeping ----
@@ -386,7 +434,7 @@ object Dedup {
     * the buckets a batch can touch, summed over delta rows with
     * `wm <= watermark`. Pass `watermark = Long.MaxValue` for the
     * ungoverned maintenance path (all deltas count). */
-  private def readOccupancy(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def readOccupancy(spark: org.apache.spark.sql.SparkSession,
                             path: String, keyCols: Seq[String],
                             shardsTouched: Option[Seq[Int]],
                             watermark: Long): DataFrame = {
@@ -469,8 +517,7 @@ object Dedup {
     // corpus max id — every committed watermark is >= it, so governed
     // reads always count the base.
     val bands = spark.read.parquet(s"$path/bands")
-    val maxRow = bands.agg(max(col("id").cast("long"))).head()
-    val baseWm = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
+    val baseWm = watermarkOf(bands, "id")
     bands.groupBy(col("band"), col("bkey"))
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(baseWm))
@@ -542,8 +589,10 @@ object Dedup {
     * rows — an out-of-order backfill should rebuild via
     * [[writeSignatureIndex]] instead. Real ingest pipelines assign
     * monotonically increasing ids, so the append path never rewrites a
-    * byte of existing data: one batch-sized write to each table, one
-    * column-pruned scan of the existing band table for occupancy.
+    * byte of existing data: one batch-sized write to each table, and on
+    * a sharded index the existing occupancy comes from the shard-pruned
+    * `occupancy/` side table — O(batch), never a band-table scan (a
+    * legacy unsharded index falls back to recomputing it).
     */
   def appendSignatureIndex(batch: DataFrame, idCol: String, textCol: String,
                            path: String): Unit = {
@@ -551,6 +600,9 @@ object Dedup {
     GraftFunctions.register(spark)
     val ix = readSignatureIndex(spark, path)
     val p = ix.params
+    // Claim the index: serializes this maintenance append against
+    // compaction and the governed stream, fail-loud (see advanceEpoch).
+    advanceEpoch(spark, path, indexEpoch(spark, path))
     // Materialized ONCE: referenced by the monotonic-id check, the
     // signatures append, and the band derivation — and the checkpoint
     // also guarantees the band job cannot re-read the signatures dir
@@ -570,24 +622,40 @@ object Dedup {
           "rebuild with writeSignatureIndex instead")
     }
     newSigs.write.mode("append").parquet(s"$path/signatures")
-    // Existing per-bucket occupancy, materialized BEFORE the band append
-    // so the job writing to the path never also reads it.
-    val occ = ix.bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__occ"))
-      .localCheckpoint()
     val bandStructs = array((0 until p.bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
     }: _*)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    newSigs.select(col("id"), explode(bandStructs).as("bk"))
+    val batchBands = newSigs.select(col("id"), explode(bandStructs).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Existing per-bucket occupancy: the incrementally-maintained side
+    // table on a sharded index — pruned to the shards this batch can
+    // touch, O(batch) however large the index — or recomputed from the
+    // band table on a legacy unsharded index. Materialized BEFORE the
+    // appends so no job both reads and writes the same directory.
+    val occ =
+      (if (ix.shards > 0)
+         readOccupancy(spark, path, Seq("band", "bkey"),
+           Some(touchedShards(batchBands, Seq("band", "bkey"), ix.shards)),
+           Long.MaxValue)
+       else ix.bands.groupBy(col("band"), col("bkey"))
+         .agg(count(lit(1)).as("__occ")))
+      .localCheckpoint()
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    // Checkpointed: the capped set feeds both the band append and the
+    // occupancy delta, and must be the same rows in both.
+    val capped = batchBands
       .withColumn("__bn", row_number().over(wB))
       .join(occ, Seq("band", "bkey"), "left")
       .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
       .select("id", "band", "bkey")
-      .write.mode("append").parquet(s"$path/bands")
+      .localCheckpoint()
+    appendBucketRows(capped, path, "bands", Seq("band", "bkey"), ix.shards)
+    if (ix.shards > 0 && !capped.isEmpty)
+      appendOccupancyDelta(spark, path, capped, Seq("band", "bkey"),
+        ix.shards, watermarkOf(newSigs, "id"), checkPresent = false)
     graft.plans.Checkpoints.free(newSigs)
     graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(capped)
   }
 
   /** Compact a persisted signature index in place. Every
@@ -612,15 +680,30 @@ object Dedup {
                             path: String,
                             targetFileBytes: Long = 128L << 20)
       : Map[String, (Int, Int)] = {
-    readSignatureIndex(spark, path) // validates the index + params table
-    compactIndexTables(spark, path, targetFileBytes, Map(
-      "signatures" -> ((df, n) => df.repartitionByRange(n, col("id"))),
-      "bands" -> ((df, n) => df.repartition(n, col("band"), col("bkey"))),
-      // the ingest ledger (when the index is stream-governed) accretes
-      // one tiny file per committed batch — same small-files decay, same
-      // cure; absent on a batch-only index and skipped (0, 0)
-      "ingest_ledger" -> ((df, n) =>
-        df.repartitionByRange(n, col("batch_id")))))
+    val ix = readSignatureIndex(spark, path) // validates index + params
+    val sharded = if (ix.shards > 0) Seq("shard") else Nil
+    compactIndexTables(spark, path, targetFileBytes, Seq(
+      IndexTableLayout("signatures",
+        (df, n) => df.repartitionByRange(n, col("id"))),
+      // sharded tables cluster by (shard, key...) and keep their
+      // partitionBy("shard") layout — flattening shard to a data column
+      // would disable the storage-level pruning sharding exists for
+      IndexTableLayout("bands",
+        (df, n) => df.repartition(n,
+          (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
+        partitionCols = sharded),
+      IndexTableLayout("occupancy",
+        (df, n) => df.repartition(n,
+          (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
+        partitionCols = sharded),
+      // the ingest ledger / stats / epoch tables accrete one tiny file
+      // per committed batch or mutation — same small-files decay, same
+      // cure (rows preserved verbatim); absent tables skip as (0, 0)
+      IndexTableLayout("ingest_ledger",
+        (df, n) => df.repartitionByRange(n, col("batch_id"))),
+      IndexTableLayout("ingest_stats",
+        (df, n) => df.repartitionByRange(n, col("batch_id"))),
+      IndexTableLayout("epoch", (df, n) => df.coalesce(1))))
   }
 
   /** [[compactSignatureIndex]]'s twin for the persisted SRP embedding
@@ -632,44 +715,95 @@ object Dedup {
                       path: String,
                       targetFileBytes: Long = 128L << 20)
       : Map[String, (Int, Int)] = {
-    readSrpIndex(spark, path) // validates the index + params table
-    compactIndexTables(spark, path, targetFileBytes, Map(
-      "vectors" -> ((df, n) => df.repartitionByRange(n, col("id"))),
-      "buckets" -> ((df, n) => df.repartition(n, col("tbl"), col("bkt")))))
+    val ix = readSrpIndex(spark, path) // validates the index + params
+    val sharded = if (ix.shards > 0) Seq("shard") else Nil
+    compactIndexTables(spark, path, targetFileBytes, Seq(
+      IndexTableLayout("vectors",
+        (df, n) => df.repartitionByRange(n, col("id"))),
+      IndexTableLayout("buckets",
+        (df, n) => df.repartition(n,
+          (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
+        partitionCols = sharded),
+      IndexTableLayout("occupancy",
+        (df, n) => df.repartition(n,
+          (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
+        partitionCols = sharded),
+      IndexTableLayout("ingest_ledger",
+        (df, n) => df.repartitionByRange(n, col("batch_id"))),
+      IndexTableLayout("ingest_stats",
+        (df, n) => df.repartitionByRange(n, col("batch_id"))),
+      IndexTableLayout("epoch", (df, n) => df.coalesce(1))))
   }
 
+  /** One table's compaction recipe: the shuffle layout for the rewrite
+    * and the partition columns the on-disk layout must keep. */
+  private final case class IndexTableLayout(
+      sub: String, layout: (DataFrame, Int) => DataFrame,
+      partitionCols: Seq[String] = Nil)
+
   /** Shared compaction core: per table, rewrite into
-    * ceil(bytes / targetFileBytes) files under the given layout, swap via
-    * write-to-temp → delete → rename; no-op when already compact. */
+    * ~ceil(bytes / targetFileBytes) files under the given layout
+    * (preserving any `partitionBy` directory structure), swap via
+    * write-to-temp → delete → rename; no-op when already compact.
+    * Files are counted RECURSIVELY — a `partitionBy` table keeps its
+    * data under `shard=K/` subdirectories, which a root-level listing
+    * would miss entirely.
+    *
+    * Concurrency: claims the index epoch up front and re-checks it
+    * before EVERY directory swap — a governed batch (or any other
+    * mutator) landing mid-compaction makes the compaction abort with
+    * the temp directory cleaned up and all already-swapped tables left
+    * consistent (each swap preserves content exactly). */
   private def compactIndexTables(spark: org.apache.spark.sql.SparkSession,
                                  path: String, targetFileBytes: Long,
-                                 layouts: Map[String, (DataFrame, Int) => DataFrame])
+                                 layouts: Seq[IndexTableLayout])
       : Map[String, (Int, Int)] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    layouts.map { case (sub, layout) =>
+    val claimed = advanceEpoch(spark, path, indexEpoch(spark, path))
+    layouts.map { case IndexTableLayout(sub, layout, partitionCols) =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) sub -> ((0, 0)) else {
-      val files = fs.listStatus(dir)
-        .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      val files = listParquetFilesRec(fs, dir)
       val parts = math.max(1L, math.ceil(
         files.map(_.getLen).sum.toDouble / targetFileBytes).toLong).toInt
+      // a partitioned table cannot go below one file per occupied
+      // partition directory — don't churn it when it's already there
+      val floor =
+        if (partitionCols.isEmpty) parts
+        else math.max(parts, fs.listStatus(dir).count(_.isDirectory))
       val stats =
-        if (files.length <= parts) (files.length, files.length)
+        if (files.length <= floor) (files.length, files.length)
         else {
           val tmp = new org.apache.hadoop.fs.Path(s"$path/__compacting_$sub")
-          layout(spark.read.parquet(dir.toString), parts)
-            .write.mode("overwrite").parquet(tmp.toString)
+          val out = layout(spark.read.parquet(dir.toString), parts)
+          val w = out.write.mode("overwrite")
+          (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
+           else w).parquet(tmp.toString)
+          try requireEpoch(spark, path, claimed)
+          catch { case e: Throwable => fs.delete(tmp, true); throw e }
           require(fs.delete(dir, true), s"compact: could not remove old $dir")
           require(fs.rename(tmp, dir), s"compact: could not swap $tmp -> $dir")
-          val after = fs.listStatus(dir)
-            .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          (files.length, after)
+          (files.length, listParquetFilesRec(fs, dir).length)
         }
       sub -> stats
       }
+    }.toMap
+  }
+
+  /** All parquet data files under `dir`, recursing into partition
+    * directories. */
+  private def listParquetFilesRec(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val buf = Seq.newBuilder[org.apache.hadoop.fs.FileStatus]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) buf += f
     }
+    buf.result()
   }
 
   /** Indexed incremental near-dup: the batch probes a PERSISTED corpus
@@ -708,9 +842,33 @@ object Dedup {
     val bBands = bSigned.select(col("id").as("batch_id"),
         explode(bandStructs).as("bk"))
       .select(col("batch_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val candidates = bBands
-      .join(index.bands.select(col("band"), col("bkey"), col("id").as("corpus_id")),
-        Seq("band", "bkey"))
+    // On a sharded index the batch side derives the same storage-shard
+    // value the write laid the band table out by, and the band scan is
+    // filtered to the batch's touched-shard set with a LITERAL partition
+    // predicate: static partition pruning skips every `shard=K/`
+    // directory this batch never touches, guaranteed by the plan
+    // (PartitionFilters) rather than left to dynamic-pruning heuristics.
+    // The touched-set collect is bounded by the shard count; the batch
+    // band rows are checkpointed so the collect and the join share one
+    // signature computation.
+    val (bKeyed, ixBands, joinKeys) =
+      if (index.shards > 0) {
+        val keyed = bBands.withColumn("shard",
+          shardCol(Seq(col("band"), col("bkey")), index.shards))
+          .localCheckpoint()
+        val touched = keyed.select(col("shard")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        (keyed,
+          index.bands.filter(shardFilter(touched))
+            .select(col("shard"), col("band"), col("bkey"),
+              col("id").as("corpus_id")),
+          Seq("shard", "band", "bkey"))
+      } else
+        (bBands,
+          index.bands.select(col("band"), col("bkey"),
+            col("id").as("corpus_id")),
+          Seq("band", "bkey"))
+    val candidates = bKeyed.join(ixBands, joinKeys)
       .select("batch_id", "corpus_id").distinct()
     candidates
       .join(bSigned.select(col("id").as("batch_id"),
@@ -996,7 +1154,7 @@ object Dedup {
     */
   final case class SrpIndex(vectors: DataFrame, buckets: DataFrame,
                             tables: Int, planes: Int, dim: Int,
-                            maxBucket: Int)
+                            maxBucket: Int, shards: Int = 0)
 
   /** Build + persist the corpus SRP index with ONE corpus scan: vectors
     * written first, buckets derived from the WRITTEN vectors (the corpus
@@ -1009,7 +1167,9 @@ object Dedup {
   def writeSrpIndex(corpus: DataFrame, idCol: String, vecCol: String,
                     path: String, dim: Int, tables: Int = 16,
                     targetOccupancy: Int = 32,
-                    maxBucket: Int = 100000): Unit = {
+                    maxBucket: Int = 100000,
+                    shards: Int = IndexShardsDefault): Unit = {
+    require(shards > 0, "shards must be positive")
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     val planes = srpPlanesFor(corpus.count(), targetOccupancy)
@@ -1023,12 +1183,24 @@ object Dedup {
       .withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
-      .write.mode("overwrite").parquet(s"$path/buckets")
+      .withColumn("shard", shardCol(Seq(col("tbl"), col("bkt")), shards))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/buckets")
+    // Base occupancy from the WRITTEN buckets (see writeSignatureIndex —
+    // one narrow scan at build time, maintained by deltas ever after).
+    val buckets = spark.read.parquet(s"$path/buckets")
+    val baseWm = watermarkOf(buckets, "id")
+    buckets.groupBy(col("tbl"), col("bkt"))
+      .agg(count(lit(1)).as("occ"))
+      .withColumn("wm", lit(baseWm))
+      .withColumn("shard", shardCol(Seq(col("tbl"), col("bkt")), shards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
     import spark.implicits._
-    Seq((tables, planes, dim, maxBucket))
-      .toDF("tables", "planes", "dim", "max_bucket")
+    Seq((tables, planes, dim, maxBucket, shards))
+      .toDF("tables", "planes", "dim", "max_bucket", "shards")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    writeEpoch0(spark, path)
   }
 
   /** Open a persisted SRP index written by [[writeSrpIndex]]. */
@@ -1041,10 +1213,14 @@ object Dedup {
           s"SRP index at $path has no readable params table — was it " +
             "written by writeSrpIndex?", e)
       }
+    // shards absent on a pre-sharding index: 0 disables partition pruning
+    val shards = if (pr.schema.fieldNames.contains("shards"))
+      pr.getAs[Int]("shards") else 0
     SrpIndex(spark.read.parquet(s"$path/vectors"),
       spark.read.parquet(s"$path/buckets"),
-      tables = pr.getInt(0), planes = pr.getInt(1), dim = pr.getInt(2),
-      maxBucket = pr.getInt(3))
+      tables = pr.getAs[Int]("tables"), planes = pr.getAs[Int]("planes"),
+      dim = pr.getAs[Int]("dim"), maxBucket = pr.getAs[Int]("max_bucket"),
+      shards = shards)
   }
 
   /** Incremental embedding near-dup: batch vectors against a PERSISTED
@@ -1076,9 +1252,32 @@ object Dedup {
           index.planes, index.dim)).as(Seq("tbl", "bkt")))
       .select(col("batch_id"), col("tbl"),
         explode(array(flips: _*)).as("bkt"))
-    val candidates = bProbes
-      .join(index.buckets.select(col("tbl"), col("bkt"),
-        col("id").as("corpus_id")), Seq("tbl", "bkt"))
+    // Sharded index: derive the storage shard on the probe side (AFTER
+    // the multi-probe flips — flipped buckets live in their own shards)
+    // and filter the bucket scan to the touched-shard set with a LITERAL
+    // partition predicate: static pruning of the `shard=K/` directories
+    // this batch never probes, guaranteed by the plan (PartitionFilters)
+    // rather than left to dynamic-pruning heuristics. The collect is
+    // bounded by the shard count; the probe rows are checkpointed so the
+    // collect and the join share one SRP computation.
+    val (pKeyed, ixBuckets, joinKeys) =
+      if (index.shards > 0) {
+        val keyed = bProbes.withColumn("shard",
+          shardCol(Seq(col("tbl"), col("bkt")), index.shards))
+          .localCheckpoint()
+        val touched = keyed.select(col("shard")).distinct()
+          .collect().map(_.getInt(0)).toSeq
+        (keyed,
+          index.buckets.filter(shardFilter(touched))
+            .select(col("shard"), col("tbl"), col("bkt"),
+              col("id").as("corpus_id")),
+          Seq("shard", "tbl", "bkt"))
+      } else
+        (bProbes,
+          index.buckets.select(col("tbl"), col("bkt"),
+            col("id").as("corpus_id")),
+          Seq("tbl", "bkt"))
+    val candidates = pKeyed.join(ixBuckets, joinKeys)
       .select("batch_id", "corpus_id").distinct()
     candidates
       .join(bVecs, "batch_id")
@@ -1108,6 +1307,7 @@ object Dedup {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, path)
+    advanceEpoch(spark, path, indexEpoch(spark, path))
     val newVecs = batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .localCheckpoint()
@@ -1120,20 +1320,33 @@ object Dedup {
           "rebuild with writeSrpIndex instead")
     }
     newVecs.write.mode("append").parquet(s"$path/vectors")
-    val occ = ix.buckets.groupBy(col("tbl"), col("bkt"))
-      .agg(count(lit(1)).as("__occ"))
+    val batchBuckets = newVecs.select(col("id"),
+      posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
+        ix.dim)).as(Seq("tbl", "bkt")))
+    // Existing occupancy: shard-pruned side table on a sharded index
+    // (O(batch)), recomputed from the bucket table on a legacy one.
+    val occ =
+      (if (ix.shards > 0)
+         readOccupancy(spark, path, Seq("tbl", "bkt"),
+           Some(touchedShards(batchBuckets, Seq("tbl", "bkt"), ix.shards)),
+           Long.MaxValue)
+       else ix.buckets.groupBy(col("tbl"), col("bkt"))
+         .agg(count(lit(1)).as("__occ")))
       .localCheckpoint()
     val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
-    newVecs.select(col("id"),
-        posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
-          ix.dim)).as(Seq("tbl", "bkt")))
+    val capped = batchBuckets
       .withColumn("__bn", row_number().over(wB))
       .join(occ, Seq("tbl", "bkt"), "left")
       .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
       .select("id", "tbl", "bkt")
-      .write.mode("append").parquet(s"$path/buckets")
+      .localCheckpoint()
+    appendBucketRows(capped, path, "buckets", Seq("tbl", "bkt"), ix.shards)
+    if (ix.shards > 0 && !capped.isEmpty)
+      appendOccupancyDelta(spark, path, capped, Seq("tbl", "bkt"),
+        ix.shards, watermarkOf(newVecs, "id"), checkPresent = false)
     graft.plans.Checkpoints.free(newVecs)
     graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(capped)
   }
 
   /** Fuzzy (edit-distance) near-dup pairs over a SHORT key — titles,
@@ -1700,6 +1913,32 @@ object Dedup {
   private val LedgerCols =
     Seq("batch_id", "watermark_before", "watermark_after", "novel_rows")
 
+  /** Persist one governed batch's [[IngestBatchStats]] beside the index
+    * (`ingest_stats/`, one row per committed batch) — the audit trail a
+    * production operator reads for novel/dup rates without replaying the
+    * stream. Idempotent under replay: a row for this batch id that
+    * already landed is left alone (the recomputed row would be
+    * bit-identical anyway — the batch is a pure function of ledger +
+    * data). `replayed` is deliberately NOT persisted: it describes the
+    * attempt, not the batch, and would differ across replays.
+    */
+  def appendIngestStats(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, s: IngestBatchStats): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_stats")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir)) {
+      val present = spark.read.parquet(dir.toString)
+        .filter(col("batch_id") === lit(s.batchId)).limit(1).count() > 0
+      if (present) return
+    }
+    import spark.implicits._
+    Seq((s.batchId, s.batchRows, s.novelRows, s.watermarkBefore,
+        s.watermarkAfter))
+      .toDF("batch_id", "batch_rows", "novel_rows", "watermark_before",
+        "watermark_after")
+      .coalesce(1).write.mode("append").parquet(dir.toString)
+  }
+
   /** Bootstrap the ingest ledger of a signature index — the committed-
     * watermark record [[ingestBatchWithIndex]] is governed by. Must run
     * while the index is CONSISTENT (right after [[writeSignatureIndex]] /
@@ -1793,6 +2032,10 @@ object Dedup {
     val ix = readSignatureIndex(spark, indexPath)
     val p = ix.params
     val ledger = readIngestLedger(spark, indexPath)
+    // Claim the index for this mutation; re-checked before the ledger
+    // commit, so a compaction landing mid-batch makes this batch abort
+    // (and replay) instead of committing over a moved index.
+    val claimed = advanceEpoch(spark, indexPath, indexEpoch(spark, indexPath))
 
     val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
 
@@ -1807,9 +2050,10 @@ object Dedup {
         "batches (an out-of-order backfill should rebuild the index)")
 
     // The committed view of the index: everything a crashed attempt may
-    // have appended beyond the watermark is invisible.
+    // have appended beyond the watermark is invisible. Shards carry over
+    // so the screen probe keeps its partition pruning.
     val committed = MinHashIndex(ix.signatures.filter(col("id") <= lit(w)),
-      ix.bands.filter(col("id") <= lit(w)), p)
+      ix.bands.filter(col("id") <= lit(w)), p, ix.shards)
 
     // Within-batch near-dups → cluster representative (min id), then the
     // cross-corpus screen against the committed index.
@@ -1839,33 +2083,66 @@ object Dedup {
       .join(ix.signatures.filter(col("id") > lit(w)).select("id"),
         Seq("id"), "left_anti")
       .write.mode("append").parquet(s"$indexPath/signatures")
-    val occ = committed.bands.groupBy(col("band"), col("bkey"))
-      .agg(count(lit(1)).as("__occ"))
-      .localCheckpoint()
     val bandStructs = array((0 until p.bands).map { bnd =>
       struct(lit(bnd).as("band"),
         bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
     }: _*)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    newSigs.select(col("id"), explode(bandStructs).as("bk"))
+    val batchBands = newSigs.select(col("id"), explode(bandStructs).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+    // Committed occupancy: on a sharded index from the side table (delta
+    // rows with wm <= w — exactly the committed band counts; shard-pruned
+    // to the buckets this batch can touch, so the read is O(batch), never
+    // O(index)); legacy unsharded index recomputes from committed bands.
+    val touched =
+      if (ix.shards > 0)
+        touchedShards(batchBands, Seq("band", "bkey"), ix.shards)
+      else Nil
+    val occ =
+      (if (ix.shards > 0)
+         readOccupancy(spark, indexPath, Seq("band", "bkey"),
+           Some(touched), w)
+       else committed.bands.groupBy(col("band"), col("bkey"))
+         .agg(count(lit(1)).as("__occ")))
+      .localCheckpoint()
+    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+    // The full expected band set of this batch (checkpointed: it feeds
+    // the self-healing anti-join append AND the occupancy delta, and the
+    // two must describe the same rows).
+    val capped = batchBands
       .withColumn("__bn", row_number().over(wB))
       .join(occ, Seq("band", "bkey"), "left")
       .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
       .select("id", "band", "bkey")
-      .join(ix.bands.filter(col("id") > lit(w))
-          .select("id", "band", "bkey"),
-        Seq("id", "band", "bkey"), "left_anti")
-      .write.mode("append").parquet(s"$indexPath/bands")
+      .localCheckpoint()
+    val tail = {
+      val t = ix.bands.filter(col("id") > lit(w))
+      if (ix.shards > 0) t.filter(shardFilter(touched)) else t
+    }
+    appendBucketRows(
+      capped.join(tail.select("id", "band", "bkey"),
+        Seq("id", "band", "bkey"), "left_anti"),
+      indexPath, "bands", Seq("band", "bkey"), ix.shards)
 
     // (3) Ledger row LAST — the commit marker. The processed watermark is
     // the max BATCH id (dup'd and unsignable docs advance it too: they
     // are processed, just never indexed).
     val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
-    if (!replayed)
+    // Occupancy delta stamped with the batch's committed watermark: a
+    // governed read at any later watermark w' >= wAfter counts it, a
+    // replay of THIS batch (filtering wm <= its own w) does not — and the
+    // presence check makes a replayed delta append a no-op. The delta is
+    // the FULL expected set, not the healed remainder: a torn first
+    // attempt may have appended the bands but not the delta.
+    if (ix.shards > 0 && !capped.isEmpty)
+      appendOccupancyDelta(spark, indexPath, capped, Seq("band", "bkey"),
+        ix.shards, wAfter, checkPresent = true)
+    if (!replayed) {
+      requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
+    }
     graft.plans.Checkpoints.free(newSigs)
     graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)
     IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
@@ -1919,6 +2196,7 @@ object Dedup {
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, indexPath)
     val ledger = readIngestLedger(spark, indexPath)
+    val claimed = advanceEpoch(spark, indexPath, indexEpoch(spark, indexPath))
     val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
 
     val b = batch.localCheckpoint()
@@ -1932,7 +2210,7 @@ object Dedup {
 
     val committed = SrpIndex(ix.vectors.filter(col("id") <= lit(w)),
       ix.buckets.filter(col("id") <= lit(w)),
-      ix.tables, ix.planes, ix.dim, ix.maxBucket)
+      ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
 
     val withinDup = graft.operators.Clustering.nearDupClustersAuto(
         embeddingNearDupLsh(b, idCol, vecCol, threshold, ix.dim,
@@ -1957,27 +2235,47 @@ object Dedup {
       .join(ix.vectors.filter(col("id") > lit(w)).select("id"),
         Seq("id"), "left_anti")
       .write.mode("append").parquet(s"$indexPath/vectors")
-    val occ = committed.buckets.groupBy(col("tbl"), col("bkt"))
-      .agg(count(lit(1)).as("__occ"))
+    val batchBuckets = newVecs.select(col("id"),
+      posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
+        ix.dim)).as(Seq("tbl", "bkt")))
+    val touched =
+      if (ix.shards > 0)
+        touchedShards(batchBuckets, Seq("tbl", "bkt"), ix.shards)
+      else Nil
+    val occ =
+      (if (ix.shards > 0)
+         readOccupancy(spark, indexPath, Seq("tbl", "bkt"),
+           Some(touched), w)
+       else committed.buckets.groupBy(col("tbl"), col("bkt"))
+         .agg(count(lit(1)).as("__occ")))
       .localCheckpoint()
     val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
-    newVecs.select(col("id"),
-        posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
-          ix.dim)).as(Seq("tbl", "bkt")))
+    val capped = batchBuckets
       .withColumn("__bn", row_number().over(wB))
       .join(occ, Seq("tbl", "bkt"), "left")
       .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
       .select("id", "tbl", "bkt")
-      .join(ix.buckets.filter(col("id") > lit(w))
-          .select("id", "tbl", "bkt"),
-        Seq("id", "tbl", "bkt"), "left_anti")
-      .write.mode("append").parquet(s"$indexPath/buckets")
+      .localCheckpoint()
+    val tail = {
+      val t = ix.buckets.filter(col("id") > lit(w))
+      if (ix.shards > 0) t.filter(shardFilter(touched)) else t
+    }
+    appendBucketRows(
+      capped.join(tail.select("id", "tbl", "bkt"),
+        Seq("id", "tbl", "bkt"), "left_anti"),
+      indexPath, "buckets", Seq("tbl", "bkt"), ix.shards)
 
     val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
-    if (!replayed)
+    if (ix.shards > 0 && !capped.isEmpty)
+      appendOccupancyDelta(spark, indexPath, capped, Seq("tbl", "bkt"),
+        ix.shards, wAfter, checkPresent = true)
+    if (!replayed) {
+      requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
+    }
     graft.plans.Checkpoints.free(newVecs)
     graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)
     IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)

@@ -157,9 +157,10 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.ingestBatchWithIndex(
+        val stats = graft.operators.Dedup.ingestBatchWithIndex(
           batch, idCol, textCol, indexPath, outPath, batchId)
-        ()
+        // per-batch audit row (novel/dup rates) — idempotent on replay
+        graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -184,9 +185,9 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.operators.Dedup.ingestBatchWithSrpIndex(
+        val stats = graft.operators.Dedup.ingestBatchWithSrpIndex(
           batch, idCol, vecCol, indexPath, outPath, batchId, threshold)
-        ()
+        graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -88,13 +88,17 @@ object Plans {
       """Persisted-SRP-index incremental embedding dedup. The plan shows
         |the production probe shape: the corpus side is a parquet SCAN of
         |the pre-bucketed index table (no srp kernel, no window cap — both
-        |were paid once at write time), the batch side explodes into
-        |1+planes Hamming-1 probes per table, candidates meet in a hash
-        |join on (tbl, bkt), and ONLY candidate ids join back to the index
+        |were paid once at write time) PRUNED at the storage layer — the
+        |bucket table is partitionBy(shard)'d and the probe filters the
+        |scan to the batch's touched-shard set with a literal predicate,
+        |so the FileScan's PartitionFilters skips every shard=K/ directory
+        |this batch never probes. The batch side explodes into 1+planes
+        |Hamming-1 probes per table, candidates meet in a hash join on
+        |(shard, tbl, bkt), and ONLY candidate ids join back to the index
         |vector table for the codegen'd cosine verify — the float columns
         |stay pruned out of the bucket join entirely. Per-batch cost
-        |tracks batch size; the 100 TB corpus contributes one narrow
-        |bucket scan.""".stripMargin,
+        |tracks batch size; the 100 TB corpus contributes a shard-pruned
+        |narrow bucket scan.""".stripMargin,
     "d5d_embedding_lsh_auto" ->
       """Auto-density embedding near-dup — the production entry for the d5
         |family. The plan is d5b's bucket self-join with two additions
@@ -195,10 +199,16 @@ object Plans {
         |parquet (narrow scans of precomputed columns — zero corpus TEXT
         |scans, no graft_minhash/graft_shingles kernel on the corpus
         |subtree, no per-probe window: the bucket cap was baked at index
-        |write time); only the BATCH side runs the signature kernels. At
-        |daily-ingest scale the index is written once per corpus growth
-        |and every batch pays only its own signatures plus two small
-        |joins.""".stripMargin,
+        |write time), and the band scan is PRUNED at the storage layer:
+        |the table is partitionBy(shard)'d, the probe derives the batch's
+        |touched-shard set (a collect bounded by the shard count) and
+        |filters with a literal predicate — the FileScan's
+        |PartitionFilters line shows shard IN (...), so non-matching
+        |shard=K/ directories are never read. Only the BATCH side runs
+        |the signature kernels. At daily-ingest scale the index is
+        |written once per corpus growth and every batch pays its own
+        |signatures plus two small joins over its own shards' worth of
+        |band data — never the full index.""".stripMargin,
 
     "q59b_quality_mix_bounds" ->
       """Boundary-broadcast quality mix. The binning stage has NO window
@@ -264,7 +274,15 @@ object Plans {
         |one-off index build over 60% of the corpus (~b3b's cost) and
         |two generations of physical parquet writes — it is a pipeline
         |row like p1/p2, not an operator row; the exactly-once ledger
-        |bookkeeping adds three one-row aggregation jobs per batch.""".stripMargin,
+        |bookkeeping adds three one-row aggregation jobs per batch.
+        |Round 8 closed the one O(index) per-batch job: per-bucket
+        |occupancy for the skew cap now comes from the incrementally
+        |maintained occupancy/ side table (each append folds the grouped
+        |count of exactly the rows it just wrote, stamped with its
+        |watermark), read shard-pruned to the buckets the batch touches —
+        |O(batch) per batch, never a full band-table aggregate — and the
+        |probe's band scan is storage-pruned via the partitionBy(shard)
+        |layout (PartitionFilters, see b3b).""".stripMargin,
 
     "p6_embedding_ingest_loop" ->
       """p5's embedding twin — same governed-loop plan family: SRP bucket
@@ -273,7 +291,10 @@ object Plans {
         |bucket-key probe join against the persisted index's pre-capped
         |bucket table (corpus vectors touched only for verified
         |candidates), batch-sized appends. Per-batch cost tracks the
-        |batch; the corpus contributes pruned index scans only.""".stripMargin,
+        |batch; the corpus contributes pruned index scans only — the
+        |bucket scan shard-pruned via PartitionFilters (see b4) and the
+        |cap occupancy from the shard-pruned occupancy/ side table
+        |(see p5), both O(batch).""".stripMargin,
 
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs

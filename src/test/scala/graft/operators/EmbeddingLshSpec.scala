@@ -196,9 +196,16 @@ class EmbeddingLshSpec extends SparkSpec {
     def vec() = Array.fill(16)(rnd.nextGaussian().toFloat)
     val corpus = (0L until 40L).map(i => (i, vec())).toDF("vec_id", "embedding")
     val dir = java.nio.file.Files.createTempDirectory("srp_cpt").toString
-    def files(sub: String): Int =
-      new java.io.File(s"$dir/$sub").listFiles()
-        .count(_.getName.endsWith(".parquet"))
+    // recursive: sharded tables keep their data under shard=K/ dirs
+    def files(sub: String): Int = {
+      def rec(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0)
+      rec(new java.io.File(s"$dir/$sub"))
+    }
+    def shardDirs(sub: String): Int =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .map(_.count(_.isDirectory)).getOrElse(0)
     try {
       Dedup.writeSrpIndex(corpus, "vec_id", "embedding", dir, dim = 16)
       (0 until 2).foreach { b =>
@@ -212,11 +219,13 @@ class EmbeddingLshSpec extends SparkSpec {
       def vset(ix: Dedup.SrpIndex) = ix.vectors.select(col("id")).collect()
         .map(_.getLong(0)).toSet
       val (v0, b0) = (vset(before), bset(before))
-      assert(files("vectors") > 1 && files("buckets") > 1)
+      assert(files("vectors") > 1 && files("buckets") > shardDirs("buckets"))
       val stats = Dedup.compactSrpIndex(spark, dir,
         targetFileBytes = Long.MaxValue)
-      assert(stats("vectors")._2 == 1 && stats("buckets")._2 == 1)
-      assert(files("vectors") == 1 && files("buckets") == 1)
+      assert(stats("vectors")._2 == 1)
+      assert(stats("buckets")._2 == shardDirs("buckets"))
+      assert(files("vectors") == 1 && files("buckets") == shardDirs("buckets"))
+      assert(files("occupancy") == shardDirs("occupancy"))
       val after = Dedup.readSrpIndex(spark, dir)
       assert(vset(after) == v0 && bset(after) == b0,
         "compaction changed index rows")

@@ -172,8 +172,9 @@ class DedupSpec extends SparkSpec {
     try {
       Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir, p)
       val ix = Dedup.readSignatureIndex(spark, dir)
-      // the index persists pre-capped band rows + sized signatures
-      assert(ix.bands.columns.toSet == Set("id", "band", "bkey"))
+      // the index persists pre-capped band rows + sized signatures (the
+      // band table carries its storage-shard partition column back)
+      assert(ix.bands.columns.toSet == Set("id", "band", "bkey", "shard"))
       assert(ix.signatures.columns.toSet == Set("id", "shingles", "sz", "minhash"))
       val indexed = Dedup.minHashNearDupPairsIncremental(batch, ix,
         "doc_id", "text", p)
@@ -310,9 +311,16 @@ class DedupSpec extends SparkSpec {
     val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
       threshold = 0.2, maxBucket = 4)
     val dir = java.nio.file.Files.createTempDirectory("mh_cpt").toString
-    def files(sub: String): Int =
-      new java.io.File(s"$dir/$sub").listFiles()
-        .count(_.getName.endsWith(".parquet"))
+    // recursive: sharded tables keep their data under shard=K/ dirs
+    def files(sub: String): Int = {
+      def rec(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0)
+      rec(new java.io.File(s"$dir/$sub"))
+    }
+    def shardDirs(sub: String): Int =
+      Option(new java.io.File(s"$dir/$sub").listFiles())
+        .map(_.count(_.isDirectory)).getOrElse(0)
     try {
       Dedup.writeSignatureIndex(corpus, "doc_id", "text", dir, p)
       // three appended batches -> three extra file sets per table
@@ -334,22 +342,28 @@ class DedupSpec extends SparkSpec {
       val pairsBefore = pairs()
       assert(pairsBefore.nonEmpty, "fixture must produce cross pairs")
       val filesBefore = (files("signatures"), files("bands"))
-      assert(filesBefore._1 > 1 && filesBefore._2 > 1,
+      // sharded floor: one file per occupied shard dir is already compact
+      assert(filesBefore._1 > 1 && filesBefore._2 > shardDirs("bands"),
         s"appends must have fragmented the tables, got $filesBefore")
       val stats = Dedup.compactSignatureIndex(spark, dir,
         targetFileBytes = Long.MaxValue)
       assert(stats("signatures")._1 == filesBefore._1)
-      assert(stats("signatures")._2 == 1 && stats("bands")._2 == 1)
-      assert(files("signatures") == 1 && files("bands") == 1)
+      assert(stats("signatures")._2 == 1)
+      assert(stats("bands")._2 == shardDirs("bands"))
+      assert(files("signatures") == 1 && files("bands") == shardDirs("bands"))
+      // the occupancy side table compacts to the same sharded floor
+      assert(files("occupancy") == shardDirs("occupancy"))
       val after = Dedup.readSignatureIndex(spark, dir)
       assert(sigSet(after) == s0, "compaction changed the signature rows")
       assert(bandSet(after) == b0, "compaction changed the band rows")
       assert(after.params == p, "compaction touched params")
       assert(pairs() == pairsBefore, "probe results diverged")
       // idempotent: already-compact tables are left alone
+      val bandFloor = shardDirs("bands")
       val again = Dedup.compactSignatureIndex(spark, dir,
         targetFileBytes = Long.MaxValue)
-      assert(again("signatures") == ((1, 1)) && again("bands") == ((1, 1)))
+      assert(again("signatures") == ((1, 1)) &&
+        again("bands") == ((bandFloor, bandFloor)))
     } finally {
       import scala.reflect.io.Directory
       new Directory(new java.io.File(dir)).deleteRecursively()
@@ -1276,6 +1290,52 @@ class GopherRulesSpec extends graft.SparkSpec {
     // a shingle-less source carries no signature and is absent
     assert(!vocab.contains("d") && !out.keys.exists(k2 =>
       k2._1 == "d" || k2._2 == "d"))
+  }
+
+  test("sourceOverlapMinHash accuracy tracks exact Jaccard across [0,0.9]") {
+    // The t18b accuracy contract: est_jaccard is the classic k-sample
+    // MinHash estimator with stderr ~= sqrt(J(1-J)/k). Build source pairs
+    // whose EXACT shingle Jaccard spans ~[0, 0.1, 0.5, 0.9] and gate
+    // |est - exact| <= 4*stderr (+ the 1/k quantization floor) — the same
+    // 4-sigma style bound SketchAccuracySpec holds HLL to.
+    GraftFunctions.register(spark)
+    val k = 128
+    // Each pseudo-doc is 20 globally-unique words -> 18 globally-unique
+    // 3-shingles, so per-source vocabularies are unions of equal-sized
+    // disjoint blocks and shingle-set Jaccard == doc-share Jaccard by
+    // construction. Pairs: 18/20 shared docs -> J=0.9; 10/20 -> 0.5;
+    // 2/20 -> 0.1; disjoint -> 0 (absent from the exact matrix).
+    def doc(tag: String, i: Int): String =
+      (0 until 20).map(j => s"w${tag}_${i}_$j").mkString(" ")
+    def rows(src: String, tag: String, ids: Range): Seq[(String, String)] =
+      ids.map(i => (src, doc(tag, i)))
+    val docs = (
+      rows("a1", "a", 0 until 19) ++ rows("a2", "a", 1 until 20) ++
+      rows("b1", "b", 0 until 15) ++ rows("b2", "b", 5 until 20) ++
+      rows("c1", "c", 0 until 11) ++ rows("c2", "c", 9 until 20) ++
+      rows("d1", "d", 0 until 10) ++ rows("d2", "e", 0 until 10)
+    ).toDF("source", "text")
+    def pairMap(df: org.apache.spark.sql.DataFrame, vCol: String) =
+      df.select(col("src_a"), col("src_b"), col(vCol)).collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val exact = pairMap(
+      TextOps.sourceOverlapMatrix(docs, "source", "text", n = 3), "jaccard")
+    val est = pairMap(
+      TextOps.sourceOverlapMinHash(docs, "source", "text", n = 3,
+        numHashes = k), "est_jaccard")
+    // fixture sanity: the intended J targets actually materialized
+    assert(math.abs(exact(("a1", "a2")) - 0.9) < 0.02)
+    assert(math.abs(exact(("b1", "b2")) - 0.5) < 0.02)
+    assert(math.abs(exact(("c1", "c2")) - 0.1) < 0.02)
+    assert(!exact.contains(("d1", "d2")), "disjoint pair must be absent")
+    // the gate, over EVERY pair either side surfaced (absent -> J/est = 0)
+    (exact.keySet ++ est.keySet).foreach { pair =>
+      val j = exact.getOrElse(pair, 0.0)
+      val e = est.getOrElse(pair, 0.0)
+      val bound = 4.0 * math.sqrt(j * (1 - j) / k) + 1.0 / k
+      assert(math.abs(e - j) <= bound,
+        s"$pair: est=$e exact=$j bound=$bound")
+    }
   }
 
   test("gopherRules survives the empty document") {
