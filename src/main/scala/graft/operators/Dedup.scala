@@ -848,16 +848,17 @@ object Dedup {
     // predicate: static partition pruning skips every `shard=K/`
     // directory this batch never touches, guaranteed by the plan
     // (PartitionFilters) rather than left to dynamic-pruning heuristics.
-    // The touched-set collect is bounded by the shard count; the batch
-    // band rows are checkpointed so the collect and the join share one
-    // signature computation.
+    // The touched-set collect is bounded by the shard count and
+    // recomputes the batch-side signature kernel once more rather than
+    // checkpointing it: the probe result is lazy, so a checkpoint could
+    // never be freed here, and retained blocks accumulating across the
+    // probes of a long-running ingest stream are a worse cost than one
+    // extra batch-sized kernel pass (a stateless probe leaks nothing).
     val (bKeyed, ixBands, joinKeys) =
       if (index.shards > 0) {
         val keyed = bBands.withColumn("shard",
           shardCol(Seq(col("band"), col("bkey")), index.shards))
-          .localCheckpoint()
-        val touched = keyed.select(col("shard")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val touched = touchedShards(bBands, Seq("band", "bkey"), index.shards)
         (keyed,
           index.bands.filter(shardFilter(touched))
             .select(col("shard"), col("band"), col("bkey"),
@@ -1046,9 +1047,20 @@ object Dedup {
     * Scale shape: bucketing is one narrow kernel projection (all
     * tables × planes dot products in a single [[graft.functions.SrpBuckets]]
     * call); candidates come from hash-partitioned bucket self-joins with
-    * a `maxBucket` skew cap — never an all-pairs product; verification
-    * joins the two vector sides back by id and runs the codegen'd cosine
-    * kernel once per surviving candidate.
+    * a `maxBucket` skew cap — never an all-pairs product. VERIFY SHAPE
+    * (the 100× lesson): the vectors ride WITH the bucket rows into the
+    * join, and the codegen'd cosine + threshold filter run pipelined in
+    * the join stage itself — only SURVIVING near-dup pairs are ever
+    * exchanged again (for the final distinct). The previous shape
+    * (distinct the candidate ids, then join each vector side back by id)
+    * exchanged every candidate PAIR carrying two full vectors — at 100×
+    * bench scale that is a ~0.5B-pair × ~0.5 KB shuffle (hundreds of GB
+    * of spill, measured as a disk-full failure); shipping the vectors
+    * once per bucket ROW instead is ~occupancy/2 times cheaper, and the
+    * per-pair work that remains is flops, not I/O. Pairs colliding in
+    * several buckets compute the same cosine more than once — identical
+    * values, deduplicated by the post-filter distinct, so results are
+    * bit-identical.
     */
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int,
@@ -1056,7 +1068,7 @@ object Dedup {
                           maxBucket: Int = 100000,
                           multiProbe: Boolean = false): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
-    val bucketed = emb.select(col(idCol).as("id"),
+    val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
         .as(Seq("tbl", "bkt")))
     val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
@@ -1064,7 +1076,8 @@ object Dedup {
       .withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
-    val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"))
+    val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"),
+      col("v").as("va"))
     // Hamming-1 multi-probe (the recall lever that makes DENSE plane
     // configs usable, same mechanics as Similarity.lshTopK): the probe
     // side emits its own bucket plus every single-bit flip, so a pair
@@ -1080,7 +1093,7 @@ object Dedup {
       else {
         val flips = col("bkt") +: (0 until planes).map(j =>
           col("bkt").bitwiseXOR(lit(1L << j)))
-        val probes = capped.select(col("id"), col("tbl"),
+        val probes = capped.select(col("id"), col("v"), col("tbl"),
           explode(array(flips: _*)).as("bkt"))
         val wP = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
         probes
@@ -1088,17 +1101,14 @@ object Dedup {
           .filter(col("__bn") <= maxBucket)
           .drop("__bn")
       }
-    val r = rRows.select(col("tbl"), col("bkt"), col("id").as("id_b"))
-    val candidates = l.join(r, Seq("tbl", "bkt"))
+    val r = rRows.select(col("tbl"), col("bkt"), col("id").as("id_b"),
+      col("v").as("vb"))
+    l.join(r, Seq("tbl", "bkt"))
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
-    val vecs = emb.select(col(idCol).as("id"), col(vecCol).as("v"))
-    candidates
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
       .withColumn("cos", round(GraftFunctions.cosineSim(col("va"), col("vb")), 6))
       .filter(col("cos") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos"))
+      .distinct()
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -1258,15 +1268,17 @@ object Dedup {
     // partition predicate: static pruning of the `shard=K/` directories
     // this batch never probes, guaranteed by the plan (PartitionFilters)
     // rather than left to dynamic-pruning heuristics. The collect is
-    // bounded by the shard count; the probe rows are checkpointed so the
-    // collect and the join share one SRP computation.
+    // bounded by the shard count and recomputes the batch-side SRP
+    // kernel once more rather than checkpointing the probe rows: the
+    // probe result is lazy, so a checkpoint could never be freed here,
+    // and retained blocks accumulating across a long-running ingest
+    // stream's probes are a worse cost than one extra batch-sized
+    // kernel pass (a stateless probe leaks nothing).
     val (pKeyed, ixBuckets, joinKeys) =
       if (index.shards > 0) {
         val keyed = bProbes.withColumn("shard",
           shardCol(Seq(col("tbl"), col("bkt")), index.shards))
-          .localCheckpoint()
-        val touched = keyed.select(col("shard")).distinct()
-          .collect().map(_.getInt(0)).toSeq
+        val touched = touchedShards(bProbes, Seq("tbl", "bkt"), index.shards)
         (keyed,
           index.buckets.filter(shardFilter(touched))
             .select(col("shard"), col("tbl"), col("bkt"),
@@ -1279,10 +1291,18 @@ object Dedup {
           Seq("tbl", "bkt"))
     val candidates = pKeyed.join(ixBuckets, joinKeys)
       .select("batch_id", "corpus_id").distinct()
+    // Verify join order matters at scale: the NARROW candidate set
+    // exchanges against the corpus vector table first (selective id
+    // join), and the batch vectors — small by the incremental contract —
+    // broadcast LAST, so the cosine + threshold filter run pipelined and
+    // no candidate row carrying a full vector is ever shuffled. The
+    // reverse order (batch vectors first) exchanged every candidate pair
+    // widened by its batch vector on the corpus-id join — the 100×-bench
+    // spill failure mode, see embeddingNearDupLsh.
     candidates
-      .join(bVecs, "batch_id")
       .join(index.vectors.select(col("id").as("corpus_id"), col("v").as("cv")),
         "corpus_id")
+      .join(broadcast(bVecs), "batch_id")
       .withColumn("cos", round(GraftFunctions.cosineSim(col("bv"), col("cv")), 6))
       .filter(col("cos") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("cos"))
