@@ -1465,7 +1465,7 @@ object SparkEntry {
     // the GOVERNED ingest loop (the streaming foreachBatch body of
     // StreamOps.indexedDedupStream) as a batch query: fresh signature
     // index from the id-low corpus, then two monotone batches through
-    // ingestBatchWithIndex — within-batch cluster representative +
+    // ingestBatchWithIndex — greedy-star within-batch screen +
     // committed-index screen, novel docs to the per-batch output dirs,
     // signatures appended between batches (batch B IS screened against
     // batch A's survivors, which only works if the append landed). The
@@ -1502,7 +1502,7 @@ object SparkEntry {
     // p5's embedding twin: the governed loop over the persisted SRP
     // index (auto 4-plane geometry at the verify SF, multi-probe on),
     // same ledger mechanics, embedding-family dedup semantics —
-    // within-batch SRP-LSH cluster representative + committed-index
+    // greedy-star within-batch SRP-LSH screen + committed-index
     // probe, exact-cosine verification everywhere.
     "p6_embedding_ingest_loop" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
@@ -3285,14 +3285,9 @@ object SparkEntry {
          |${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2)},
          |cut AS (SELECT (max(doc_id)*3)//5 AS c1, (max(doc_id)*4)//5 AS c2
          |        FROM documents),
-         |ea AS (SELECT id_a AS a, id_b AS b FROM pairs, cut
-         |         WHERE id_a > c1 AND id_a <= c2 AND id_b > c1 AND id_b <= c2
-         |       UNION SELECT id_b, id_a FROM pairs, cut
-         |         WHERE id_a > c1 AND id_a <= c2 AND id_b > c1 AND id_b <= c2),
-         |ra AS (SELECT a AS id, a AS reach FROM ea
-         |       UNION SELECT ea.a, ra.reach FROM ea JOIN ra ON ea.b = ra.id),
-         |dupa AS (SELECT id FROM (SELECT id, min(reach) AS c FROM ra GROUP BY id)
-         |         WHERE c < id),
+         |dupa AS (SELECT DISTINCT id_b AS id FROM pairs, cut
+         |         WHERE id_a > c1 AND id_a <= c2
+         |           AND id_b > c1 AND id_b <= c2),
          |crossa AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
          |           WHERE p.id_a <= cut.c1 AND p.id_b > cut.c1
          |             AND p.id_b <= cut.c2),
@@ -3300,14 +3295,8 @@ object SparkEntry {
          |           WHERE doc_id > c1 AND doc_id <= c2
          |             AND doc_id NOT IN (SELECT id FROM dupa)
          |             AND doc_id NOT IN (SELECT id FROM crossa)),
-         |eb AS (SELECT id_a AS a, id_b AS b FROM pairs, cut
-         |         WHERE id_a > c2 AND id_b > c2
-         |       UNION SELECT id_b, id_a FROM pairs, cut
+         |dupb AS (SELECT DISTINCT id_b AS id FROM pairs, cut
          |         WHERE id_a > c2 AND id_b > c2),
-         |rb AS (SELECT a AS id, a AS reach FROM eb
-         |       UNION SELECT eb.a, rb.reach FROM eb JOIN rb ON eb.b = rb.id),
-         |dupb AS (SELECT id FROM (SELECT id, min(reach) AS c FROM rb GROUP BY id)
-         |         WHERE c < id),
          |crossb AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
          |           WHERE p.id_b > cut.c2
          |             AND (p.id_a <= cut.c1
@@ -3341,12 +3330,7 @@ object SparkEntry {
          |        JOIN emb a ON a.vec_id = p.ida
          |        JOIN emb b ON b.vec_id = p.idb
          |        WHERE $duckCos >= 0.4),
-         |ea AS (SELECT ida AS a, idb AS b FROM pva
-         |       UNION SELECT idb, ida FROM pva),
-         |ra AS (SELECT a AS id, a AS reach FROM ea
-         |       UNION SELECT ea.a, ra.reach FROM ea JOIN ra ON ea.b = ra.id),
-         |dupa AS (SELECT id FROM (SELECT id, min(reach) AS c FROM ra GROUP BY id)
-         |         WHERE c < id),
+         |dupa AS (SELECT DISTINCT idb AS id FROM pva),
          |canxa AS (SELECT DISTINCT x.vec_id AS cid, y.vec_id AS bid
          |          FROM bk x JOIN pr y ON x.tbl = y.tbl AND x.bkt = y.bkt, cut
          |          WHERE x.vec_id <= cut.c1 AND y.vec_id > cut.c1
@@ -3367,12 +3351,7 @@ object SparkEntry {
          |        JOIN emb a ON a.vec_id = p.ida
          |        JOIN emb b ON b.vec_id = p.idb
          |        WHERE $duckCos >= 0.4),
-         |eb AS (SELECT ida AS a, idb AS b FROM pvb
-         |       UNION SELECT idb, ida FROM pvb),
-         |rb AS (SELECT a AS id, a AS reach FROM eb
-         |       UNION SELECT eb.a, rb.reach FROM eb JOIN rb ON eb.b = rb.id),
-         |dupb AS (SELECT id FROM (SELECT id, min(reach) AS c FROM rb GROUP BY id)
-         |         WHERE c < id),
+         |dupb AS (SELECT DISTINCT idb AS id FROM pvb),
          |canxb AS (SELECT DISTINCT x.vec_id AS cid, y.vec_id AS bid
          |          FROM bk x JOIN pr y ON x.tbl = y.tbl AND x.bkt = y.bkt, cut
          |          WHERE y.vec_id > cut.c2

@@ -299,34 +299,81 @@ object Dedup {
 
   // ---- index epoch: concurrency fencing for persisted indexes ----
   //
-  // Parquet has no compare-and-swap, so true mutual exclusion is
-  // impossible here; what CAN be built is BEST-EFFORT fail-loud
-  // detection. The epoch table accumulates one (epoch, token) row per
-  // mutation, current epoch = max. Every mutator claims the index up
-  // front (advanceEpoch: re-read, append a uniquely-tokened row, re-read
-  // again and require its row is the SOLE claimant of the new epoch),
-  // and the two operations with a long vulnerable window re-CHECK before
-  // their commit point: compaction before each directory swap, a
-  // governed ingest batch before its ledger row. The loser of an
-  // interleaving throws instead of silently corrupting — and a governed
-  // batch that loses simply replays (its appends are self-healing), so
-  // the fence costs nothing but the error. Best-effort means a racer
-  // whose append lands after the other's re-read can escape detection
-  // for the claim itself — the commit-point re-checks are the backstop;
-  // writers are still contractually serialized.
+  // An object store / DFS has no compare-and-swap, so true mutual
+  // exclusion is impossible here; what CAN be built is BEST-EFFORT
+  // fail-loud detection. The `epoch/` directory accumulates one
+  // zero-byte CLAIM FILE per mutation, named `claim-<epoch>-<token>`;
+  // current epoch = max over the file names. Every mutator claims the
+  // index up front (create a uniquely-tokened claim file at epoch+1,
+  // re-list and require it is the SOLE claimant of that epoch), and the
+  // two operations with a long vulnerable window re-CHECK before their
+  // commit point: compaction before each directory swap, a governed
+  // ingest batch before its ledger row. The loser of an interleaving
+  // throws instead of silently corrupting — and a governed batch that
+  // loses simply replays (its appends are self-healing), so the fence
+  // costs nothing but the error. Best-effort means a racer whose claim
+  // lands after the other's re-list can escape detection for the claim
+  // itself — the commit-point re-checks are the backstop; writers are
+  // still contractually serialized.
+  //
+  // Claim files, not a parquet table, deliberately: the fence is
+  // consulted 2-3 times per governed MICRO-BATCH, and every parquet
+  // read/append of even a one-row table is a full Spark job (listing +
+  // footer + task scheduling, ~0.2-0.3 s each at local[32] — measured
+  // as a visible fraction of the p5/p6 bench entries). Name-encoded
+  // claim files make every fence op a driver-side filesystem METADATA
+  // call: create is atomic on HDFS and read-after-write-consistent on
+  // S3, list is strongly consistent on both. Metadata work should be
+  // metadata ops; Spark jobs are for data.
 
-  /** Current epoch of a persisted index (max over the epoch table);
-    * 0 for an index written before the epoch table existed. */
+  private def epochDirOf(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/epoch")
+
+  private val EpochClaimRe = "claim-([0-9]{20})-(.+)".r
+
+  /** (epoch, token) pairs parsed from the claim-file names; tolerates
+    * foreign files (e.g. _SUCCESS markers) by ignoring them. */
+  private def epochClaims(fs: org.apache.hadoop.fs.FileSystem,
+                          dir: org.apache.hadoop.fs.Path): Seq[(Long, String)] =
+    fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case EpochClaimRe(e, tok) => Some(e.toLong -> tok)
+      case _ => None
+    })
+
+  private def epochClaimFile(dir: org.apache.hadoop.fs.Path, epoch: Long,
+                             token: String) =
+    new org.apache.hadoop.fs.Path(dir, f"claim-$epoch%020d-$token")
+
+  /** Current epoch of a persisted index (max over the claim files);
+    * 0 for an index written before the epoch fence existed. Falls back
+    * to the legacy one-row-per-mutation parquet epoch table when the
+    * directory holds parquet instead of claim files. */
   private[graft] def indexEpoch(spark: org.apache.spark.sql.SparkSession,
                                 path: String): Long = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/epoch")
+    val dir = epochDirOf(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) 0L
-    else {
-      val row = spark.read.parquet(dir.toString).agg(max(col("epoch"))).head()
-      if (row.isNullAt(0)) 0L else row.getLong(0)
+    else epochClaims(fs, dir) match {
+      case claims if claims.nonEmpty => claims.map(_._1).max
+      case _ if fs.listStatus(dir).exists(_.getPath.getName.endsWith(".parquet")) =>
+        val row = spark.read.parquet(dir.toString)
+          .agg(max(col("epoch"))).head()
+        if (row.isNullAt(0)) 0L else row.getLong(0)
+      case _ => 0L
     }
   }
+
+  /** Claim the index for a mutation at whatever its current epoch is:
+    * one epoch read + the tokened append/re-check of [[advanceEpoch]].
+    * The mutation entry points use this instead of
+    * `advanceEpoch(spark, path, indexEpoch(spark, path))` — that pattern
+    * reads the (tiny, but one-Spark-job-per-read) epoch table twice and
+    * its stale-claim check is vacuous when `expected` was read a
+    * microsecond earlier; the sole-claimant re-check is the fence that
+    * actually bites. */
+  private[graft] def claimEpoch(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Long =
+    appendEpochClaim(spark, path, indexEpoch(spark, path))
 
   /** Claim the index for a mutation: require the epoch is still
     * `expected`, then advance it. Throws when another mutator advanced
@@ -341,21 +388,27 @@ object Dedup {
         s"index at $path moved from epoch $expected to $cur under a " +
           "concurrent mutation — writers must be serialized (quiesce the " +
           "governed stream before compaction / maintenance appends)")
-    import spark.implicits._
+    appendEpochClaim(spark, path, expected)
+  }
+
+  private def appendEpochClaim(spark: org.apache.spark.sql.SparkSession,
+                               path: String, expected: Long): Long = {
+    val dir = epochDirOf(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val token = java.util.UUID.randomUUID().toString
-    Seq((expected + 1L, token)).toDF("epoch", "token").coalesce(1)
-      .write.mode("append").parquet(s"$path/epoch")
-    // No CAS under parquet: two racers can both pass the check above and
-    // both append expected+1. Re-read and require this mutation's token
-    // is the SOLE claimant — a detected collision throws on whichever
-    // racer(s) observe it (both, when both re-read after both appends).
-    val claim = spark.read.parquet(s"$path/epoch")
-      .filter(col("epoch") === lit(expected + 1L))
-      .agg(count(lit(1)), min(col("token"))).head()
-    if (claim.getLong(0) != 1L || claim.getString(1) != token)
+    // overwrite=false: atomic create — two racers with the same token
+    // path cannot both succeed (tokens are unique anyway)
+    fs.create(epochClaimFile(dir, expected + 1L, token), false).close()
+    // No CAS on a filesystem: two racers can both read `expected` and
+    // both create a claim at expected+1. Re-list and require this
+    // mutation's token is the SOLE claimant — a detected collision
+    // throws on whichever racer(s) observe it (both, when both re-list
+    // after both creates).
+    val rivals = epochClaims(fs, dir).filter(_._1 == expected + 1L)
+    if (rivals.length != 1 || rivals.head._2 != token)
       throw new IllegalStateException(
         s"index at $path: epoch ${expected + 1} was claimed by " +
-          s"${claim.getLong(0)} concurrent mutations — aborting this one; " +
+          s"${rivals.length} concurrent mutations — aborting this one; " +
           "writers must be serialized")
     expected + 1L
   }
@@ -374,9 +427,11 @@ object Dedup {
 
   private def writeEpoch0(spark: org.apache.spark.sql.SparkSession,
                           path: String): Unit = {
-    import spark.implicits._
-    Seq((0L, "genesis")).toDF("epoch", "token").coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/epoch")
+    val dir = epochDirOf(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+    fs.mkdirs(dir)
+    fs.create(epochClaimFile(dir, 0L, "genesis"), true).close()
   }
 
   /** Append bucket rows (band rows / SRP bucket rows) to a persisted
@@ -390,7 +445,13 @@ object Dedup {
   private def appendBucketRows(rows: DataFrame, path: String, sub: String,
                                keyCols: Seq[String], shards: Int): Unit = {
     if (shards > 0)
+      // repartition by shard BEFORE the partitionBy write: without it
+      // every shuffle partition opens a writer per shard directory it
+      // touches — up to (partitions x shards) tiny files PER APPEND, a
+      // small-files explosion that compounds over a long-running ingest
+      // stream. With it: at most one file per occupied shard.
       rows.withColumn("shard", shardCol(keyCols.map(col), shards))
+        .repartition(col("shard"))
         .write.partitionBy("shard").mode("append").parquet(s"$path/$sub")
     else
       rows.write.mode("append").parquet(s"$path/$sub")
@@ -430,14 +491,14 @@ object Dedup {
   // across `wm` (compaction re-files them, preserving rows): folding
   // would break the replay filter.
 
-  /** Committed per-bucket occupancy from the side table: shard-pruned to
-    * the buckets a batch can touch, summed over delta rows with
-    * `wm <= watermark`. Pass `watermark = Long.MaxValue` for the
-    * ungoverned maintenance path (all deltas count). */
-  private[graft] def readOccupancy(spark: org.apache.spark.sql.SparkSession,
-                            path: String, keyCols: Seq[String],
-                            shardsTouched: Option[Seq[Int]],
-                            watermark: Long): DataFrame = {
+  /** Raw occupancy delta rows, shard-pruned, no aggregation: the
+    * governed path reads this ONCE per batch (checkpointed) and derives
+    * both the committed cap view (`wm <= w`, aggregated) and the replay
+    * presence flag (`wm == wAfter`) from it — one parquet
+    * discovery+scan instead of two. */
+  private[graft] def readOccupancyRaw(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            shardsTouched: Option[Seq[Int]]): DataFrame = {
     val occ =
       try spark.read.parquet(s"$path/occupancy")
       catch {
@@ -445,27 +506,47 @@ object Dedup {
           s"index at $path has no readable occupancy table — was it " +
             "written by this library's writeSignatureIndex/writeSrpIndex?", e)
       }
-    val pruned = shardsTouched.fold(occ)(s => occ.filter(shardFilter(s)))
-    pruned.filter(col("wm") <= lit(watermark))
+    shardsTouched.fold(occ)(s => occ.filter(shardFilter(s)))
+  }
+
+  /** Committed per-bucket occupancy from the side table: shard-pruned to
+    * the buckets a batch can touch, summed over delta rows with
+    * `wm <= watermark`. Pass `watermark = Long.MaxValue` for the
+    * ungoverned maintenance path (all deltas count). */
+  private[graft] def readOccupancy(spark: org.apache.spark.sql.SparkSession,
+                            path: String, keyCols: Seq[String],
+                            shardsTouched: Option[Seq[Int]],
+                            watermark: Long): DataFrame =
+    // One exchange, one aggregate — this is the governed hot path. Delta
+    // uniqueness per (bucket, wm) is a WRITE-side contract (the governed
+    // path's presence check against its one raw occupancy read); folding
+    // duplicates here instead was measured at +3-5 s per ingest-loop
+    // bench entry (a second shuffle stage per occupancy read).
+    occupancyAt(readOccupancyRaw(spark, path, shardsTouched), keyCols,
+      watermark)
+
+  /** The committed cap view of raw occupancy rows at a watermark. */
+  private def occupancyAt(occRaw: DataFrame, keyCols: Seq[String],
+                          watermark: Long): DataFrame =
+    occRaw.filter(col("wm") <= lit(watermark))
       .groupBy(keyCols.map(col): _*)
       .agg(sum(col("occ")).as("__occ"))
-  }
 
   /** Append one occupancy delta: the grouped count of exactly the bucket
     * rows `appended` describes, stamped with the append's watermark and
-    * sharded like the bucket table. Skipped when a delta for this `wm`
-    * already landed (parquet jobs commit atomically, so a torn governed
-    * attempt either wrote the whole delta or none — the presence check
-    * makes the replay idempotent). */
+    * sharded like the bucket table.
+    *
+    * Idempotence is the CALLER's contract: only the governed path can
+    * replay (a torn attempt that appended its delta but crashed before
+    * its ledger row re-runs the whole batch), and it skips the append
+    * when its one raw occupancy read already shows a delta at this
+    * batch's `wm` stamp. Maintenance appends ([[appendSignatureIndex]] /
+    * [[appendSrpIndex]]) have no replay mechanism — a crashed one must
+    * be rebuilt, never re-run — so they append unconditionally. */
   private def appendOccupancyDelta(spark: org.apache.spark.sql.SparkSession,
                                    path: String, appended: DataFrame,
                                    keyCols: Seq[String], shards: Int,
-                                   wm: Long, checkPresent: Boolean): Unit = {
-    if (checkPresent) {
-      val present = spark.read.parquet(s"$path/occupancy")
-        .filter(col("wm") === lit(wm)).limit(1).count() > 0
-      if (present) return
-    }
+                                   wm: Long): Unit = {
     appended.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(wm))
@@ -511,6 +592,10 @@ object Dedup {
       .filter(col("__bn") <= p.maxBucket)
       .drop("__bn")
       .withColumn("shard", shardCol(Seq(col("band"), col("bkey")), shards))
+      // clustered one task per shard: bounded file count (<= shards) and
+      // shard-pure row groups; parallelism = min(shuffle partitions,
+      // shards), which a warehouse-scale build raises via the shards dial
+      .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/bands")
     // Base occupancy from the WRITTEN bands (one narrow scan at build
     // time, never again): one delta row per bucket, stamped with the
@@ -602,7 +687,7 @@ object Dedup {
     val p = ix.params
     // Claim the index: serializes this maintenance append against
     // compaction and the governed stream, fail-loud (see advanceEpoch).
-    advanceEpoch(spark, path, indexEpoch(spark, path))
+    claimEpoch(spark, path)
     // Materialized ONCE: referenced by the monotonic-id check, the
     // signatures append, and the band derivation — and the checkpoint
     // also guarantees the band job cannot re-read the signatures dir
@@ -652,7 +737,7 @@ object Dedup {
     appendBucketRows(capped, path, "bands", Seq("band", "bkey"), ix.shards)
     if (ix.shards > 0 && !capped.isEmpty)
       appendOccupancyDelta(spark, path, capped, Seq("band", "bkey"),
-        ix.shards, watermarkOf(newSigs, "id"), checkPresent = false)
+        ix.shards, watermarkOf(newSigs, "id"))
     graft.plans.Checkpoints.free(newSigs)
     graft.plans.Checkpoints.free(occ)
     graft.plans.Checkpoints.free(capped)
@@ -692,18 +777,22 @@ object Dedup {
         (df, n) => df.repartition(n,
           (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
         partitionCols = sharded),
+      // dropDuplicates folds the byte-identical deltas replayed governed
+      // attempts append (legit rows are unique on (bucket, wm), so only
+      // replay duplicates match on every column)
       IndexTableLayout("occupancy",
-        (df, n) => df.repartition(n,
+        (df, n) => df.dropDuplicates().repartition(n,
           (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
         partitionCols = sharded),
-      // the ingest ledger / stats / epoch tables accrete one tiny file
-      // per committed batch or mutation — same small-files decay, same
-      // cure (rows preserved verbatim); absent tables skip as (0, 0)
+      // the ingest ledger / stats tables accrete one tiny file per
+      // committed batch — same small-files decay, same cure (rows
+      // preserved verbatim); absent tables skip as (0, 0). Epoch claim
+      // FILES are pruned separately (compactIndexTables keeps only the
+      // current claim).
       IndexTableLayout("ingest_ledger",
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
-        (df, n) => df.repartitionByRange(n, col("batch_id"))),
-      IndexTableLayout("epoch", (df, n) => df.coalesce(1))))
+        (df, n) => df.repartitionByRange(n, col("batch_id")))))
   }
 
   /** [[compactSignatureIndex]]'s twin for the persisted SRP embedding
@@ -725,14 +814,13 @@ object Dedup {
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
         partitionCols = sharded),
       IndexTableLayout("occupancy",
-        (df, n) => df.repartition(n,
+        (df, n) => df.dropDuplicates().repartition(n,
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
         partitionCols = sharded),
       IndexTableLayout("ingest_ledger",
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
-        (df, n) => df.repartitionByRange(n, col("batch_id"))),
-      IndexTableLayout("epoch", (df, n) => df.coalesce(1))))
+        (df, n) => df.repartitionByRange(n, col("batch_id")))))
   }
 
   /** One table's compaction recipe: the shuffle layout for the rewrite
@@ -760,7 +848,19 @@ object Dedup {
       : Map[String, (Int, Int)] = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
-    val claimed = advanceEpoch(spark, path, indexEpoch(spark, path))
+    val claimed = claimEpoch(spark, path)
+    // Prune stale epoch claim files (one accretes per mutation): only
+    // the CURRENT epoch — `claimed`, this compaction's own claim — is
+    // ever consulted again, and a racer can only be creating claims at
+    // epochs > claimed, which the filter never touches.
+    locally {
+      val edir = epochDirOf(path)
+      val efs = edir.getFileSystem(conf)
+      if (efs.exists(edir))
+        epochClaims(efs, edir).filter(_._1 < claimed).foreach {
+          case (e, tok) => efs.delete(epochClaimFile(edir, e, tok), false)
+        }
+    }
     layouts.map { case IndexTableLayout(sub, layout, partitionCols) =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = dir.getFileSystem(conf)
@@ -1194,6 +1294,7 @@ object Dedup {
       .filter(col("__bn") <= maxBucket)
       .drop("__bn")
       .withColumn("shard", shardCol(Seq(col("tbl"), col("bkt")), shards))
+      .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/buckets")
     // Base occupancy from the WRITTEN buckets (see writeSignatureIndex —
     // one narrow scan at build time, maintained by deltas ever after).
@@ -1327,7 +1428,7 @@ object Dedup {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, path)
-    advanceEpoch(spark, path, indexEpoch(spark, path))
+    claimEpoch(spark, path)
     val newVecs = batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .localCheckpoint()
@@ -1363,7 +1464,7 @@ object Dedup {
     appendBucketRows(capped, path, "buckets", Seq("tbl", "bkt"), ix.shards)
     if (ix.shards > 0 && !capped.isEmpty)
       appendOccupancyDelta(spark, path, capped, Seq("tbl", "bkt"),
-        ix.shards, watermarkOf(newVecs, "id"), checkPresent = false)
+        ix.shards, watermarkOf(newVecs, "id"))
     graft.plans.Checkpoints.free(newVecs)
     graft.plans.Checkpoints.free(occ)
     graft.plans.Checkpoints.free(capped)
@@ -2055,7 +2156,7 @@ object Dedup {
     // Claim the index for this mutation; re-checked before the ledger
     // commit, so a compaction landing mid-batch makes this batch abort
     // (and replay) instead of committing over a moved index.
-    val claimed = advanceEpoch(spark, indexPath, indexEpoch(spark, indexPath))
+    val claimed = claimEpoch(spark, indexPath)
 
     val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
 
@@ -2075,12 +2176,21 @@ object Dedup {
     val committed = MinHashIndex(ix.signatures.filter(col("id") <= lit(w)),
       ix.bands.filter(col("id") <= lit(w)), p, ix.shards)
 
-    // Within-batch near-dups → cluster representative (min id), then the
-    // cross-corpus screen against the committed index.
-    val withinDup = graft.operators.Clustering.nearDupClustersAuto(
-        minHashNearDupPairs(b, idCol, textCol, p))
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
+    // Within-batch screen: greedy star rule — drop any doc with a
+    // SMALLER-id near-duplicate in the same batch (pairs carry
+    // id_a < id_b, so the drop set is exactly the distinct id_b side).
+    // Equivalent to the connected-component representative on
+    // clique-shaped duplicate groups (the overwhelmingly common case)
+    // but needs NO iterative label propagation: the CC variant chains
+    // O(component diameter) Spark jobs into EVERY micro-batch, ~1.5 s
+    // of the measured per-batch floor at the verify SF and unbounded
+    // on adversarial chains. On transitive chains star keeps every
+    // local minimum — per-pair near-dup semantics rather than cluster
+    // semantics, the right screen for dedup (distant chain members are
+    // not near-duplicates of each other). d6/d6b expose both semantics
+    // as batch operators; p1's pipeline routes through star too.
+    val withinDup = minHashNearDupPairs(b, idCol, textCol, p)
+      .select(col("id_b").as(idCol)).distinct()
     val crossDup = minHashNearDupPairsIncremental(b, committed, idCol,
         textCol, p)
       .select(col("batch_id").as(idCol)).distinct()
@@ -2109,21 +2219,24 @@ object Dedup {
     }: _*)
     val batchBands = newSigs.select(col("id"), explode(bandStructs).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Committed occupancy: on a sharded index from the side table (delta
-    // rows with wm <= w — exactly the committed band counts; shard-pruned
-    // to the buckets this batch can touch, so the read is O(batch), never
-    // O(index)); legacy unsharded index recomputes from committed bands.
+    // Committed occupancy: on a sharded index from the side table's RAW
+    // delta rows (shard-pruned to the buckets this batch can touch, so
+    // the read is O(batch), never O(index)) — read ONCE, checkpointed,
+    // serving both the committed cap view (wm <= w) and the replay
+    // presence flag (wm == wAfter) with no second directory scan. The
+    // checkpoint also guarantees nothing downstream re-reads occupancy/
+    // after this batch appends to it. Legacy unsharded index recomputes
+    // from committed bands, wrapped in the same (occ, wm) shape.
     val touched =
       if (ix.shards > 0)
         touchedShards(batchBands, Seq("band", "bkey"), ix.shards)
       else Nil
-    val occ =
-      (if (ix.shards > 0)
-         readOccupancy(spark, indexPath, Seq("band", "bkey"),
-           Some(touched), w)
+    val occRaw =
+      (if (ix.shards > 0) readOccupancyRaw(spark, indexPath, Some(touched))
        else committed.bands.groupBy(col("band"), col("bkey"))
-         .agg(count(lit(1)).as("__occ")))
+         .agg(count(lit(1)).as("occ")).withColumn("wm", lit(w)))
       .localCheckpoint()
+    val occ = occupancyAt(occRaw, Seq("band", "bkey"), w)
     val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
     // The full expected band set of this batch (checkpointed: it feeds
     // the self-healing anti-join append AND the occupancy delta, and the
@@ -2153,15 +2266,16 @@ object Dedup {
     // presence check makes a replayed delta append a no-op. The delta is
     // the FULL expected set, not the healed remainder: a torn first
     // attempt may have appended the bands but not the delta.
-    if (ix.shards > 0 && !capped.isEmpty)
+    if (ix.shards > 0 && !capped.isEmpty &&
+        occRaw.filter(col("wm") === lit(wAfter)).isEmpty)
       appendOccupancyDelta(spark, indexPath, capped, Seq("band", "bkey"),
-        ix.shards, wAfter, checkPresent = true)
+        ix.shards, wAfter)
     if (!replayed) {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
     }
     graft.plans.Checkpoints.free(newSigs)
-    graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)
@@ -2216,7 +2330,7 @@ object Dedup {
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, indexPath)
     val ledger = readIngestLedger(spark, indexPath)
-    val claimed = advanceEpoch(spark, indexPath, indexEpoch(spark, indexPath))
+    val claimed = claimEpoch(spark, indexPath)
     val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
 
     val b = batch.localCheckpoint()
@@ -2232,12 +2346,11 @@ object Dedup {
       ix.buckets.filter(col("id") <= lit(w)),
       ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
 
-    val withinDup = graft.operators.Clustering.nearDupClustersAuto(
-        embeddingNearDupLsh(b, idCol, vecCol, threshold, ix.dim,
-          tables = ix.tables, planes = ix.planes, maxBucket = ix.maxBucket,
-          multiProbe = true))
-      .filter(col("id") =!= col("cluster"))
-      .select(col("id").as(idCol))
+    // Greedy star within-batch screen — see ingestBatchWithIndex.
+    val withinDup = embeddingNearDupLsh(b, idCol, vecCol, threshold, ix.dim,
+        tables = ix.tables, planes = ix.planes, maxBucket = ix.maxBucket,
+        multiProbe = true)
+      .select(col("id_b").as(idCol)).distinct()
     val crossDup = embeddingNearDupLshIncremental(b, committed, idCol,
         vecCol, threshold)
       .select(col("batch_id").as(idCol)).distinct()
@@ -2262,13 +2375,12 @@ object Dedup {
       if (ix.shards > 0)
         touchedShards(batchBuckets, Seq("tbl", "bkt"), ix.shards)
       else Nil
-    val occ =
-      (if (ix.shards > 0)
-         readOccupancy(spark, indexPath, Seq("tbl", "bkt"),
-           Some(touched), w)
+    val occRaw =
+      (if (ix.shards > 0) readOccupancyRaw(spark, indexPath, Some(touched))
        else committed.buckets.groupBy(col("tbl"), col("bkt"))
-         .agg(count(lit(1)).as("__occ")))
+         .agg(count(lit(1)).as("occ")).withColumn("wm", lit(w)))
       .localCheckpoint()
+    val occ = occupancyAt(occRaw, Seq("tbl", "bkt"), w)
     val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
     val capped = batchBuckets
       .withColumn("__bn", row_number().over(wB))
@@ -2286,15 +2398,16 @@ object Dedup {
       indexPath, "buckets", Seq("tbl", "bkt"), ix.shards)
 
     val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
-    if (ix.shards > 0 && !capped.isEmpty)
+    if (ix.shards > 0 && !capped.isEmpty &&
+        occRaw.filter(col("wm") === lit(wAfter)).isEmpty)
       appendOccupancyDelta(spark, indexPath, capped, Seq("tbl", "bkt"),
-        ix.shards, wAfter, checkPresent = true)
+        ix.shards, wAfter)
     if (!replayed) {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
     }
     graft.plans.Checkpoints.free(newVecs)
-    graft.plans.Checkpoints.free(occ)
+    graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)

@@ -97,6 +97,15 @@ object MakeScale {
     val emb = load("embeddings")
     val vk = maxOf(emb, "vec_id")
     val dim = 64
+    // Rotation 7k mod 64 repeats every 64 replicas (7 is invertible mod
+    // 64, so k and k+64 get the SAME permutation of the SAME base
+    // vectors — bit-identical replicas, i.e. a flood of spurious exact
+    // near-dup pairs). Compose a second isometry for the second block of
+    // 64: global negation (preserves every within-replica dot product,
+    // sends the colliding pair to cosine −1). Unique through factor 128.
+    require(factor <= 128,
+      s"embedding replication supports factor <= 128 (got $factor): " +
+        "rotation x negation runs out of distinct isometries")
     write(replicate(emb) { (d, k) =>
       if (k == 0) d
       else {
@@ -105,8 +114,9 @@ object MakeScale {
         // decorrelating across replicas
         val perm = transform(sequence(lit(0), lit(dim - 1)),
           i => element_at(col("embedding"), pmod(i + lit(7 * k), lit(dim)) + 1))
+        val iso = if (k < 64) perm else transform(perm, x => -x)
         d.withColumn("vec_id", col("vec_id") + lit(k.toLong * vk))
-          .withColumn("embedding", perm.cast("array<float>"))
+          .withColumn("embedding", iso.cast("array<float>"))
           .withColumn("label", col("label") + lit(k * 1000))
       }
     }, "embeddings")

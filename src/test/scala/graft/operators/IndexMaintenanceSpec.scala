@@ -92,7 +92,8 @@ class IndexMaintenanceSpec extends SparkSpec {
         batchId = 1L)
       occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
 
-      // a replay of the committed batch appends no second delta
+      // a replay of the committed batch appends no second delta (the
+      // governed path's shard+wm-pruned presence check skips it)
       val occBefore = spark.read.parquet(s"$ix/occupancy").count()
       Dedup.ingestBatchWithIndex(torn, "doc_id", "text", ix, out,
         batchId = 1L)
@@ -100,9 +101,13 @@ class IndexMaintenanceSpec extends SparkSpec {
         "replay must not append a second occupancy delta")
       occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
 
-      // compaction re-files the deltas without changing the counts
+      // compaction re-files the deltas without changing the counts (and
+      // its defense-in-depth dropDuplicates leaves unique rows unique)
       Dedup.compactSignatureIndex(spark, ix, targetFileBytes = Long.MaxValue)
       occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+      val occRows = spark.read.parquet(s"$ix/occupancy")
+      assert(occRows.count() == occRows.dropDuplicates().count(),
+        "occupancy delta rows must stay unique through compaction")
     } finally rmrf(base)
   }
 
