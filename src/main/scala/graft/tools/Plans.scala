@@ -263,38 +263,42 @@ object Plans {
     "p5_indexed_ingest_loop" ->
       """The governed streaming ingest loop, run as two generations. Per
         |batch the plan family is: banded self-join WITHIN the batch only
-        |(batch-sized buckets, never the corpus), cluster rounds on that
-        |pair graph only, one band-key probe join against the persisted
-        |index's PRE-CAPPED bucket table (zero corpus text reads — the
-        |verify join touches stored signatures, not documents), and
-        |batch-sized appends. The corpus contributes nothing per batch
-        |but pruned index scans: at 100 TB the per-batch cost tracks the
-        |BATCH, which is the whole point of the ledger/index design. The
-        |bench time (~7 s) is the END-TO-END pipeline including the
-        |one-off index build over 60% of the corpus (~b3b's cost) and
-        |two generations of physical parquet writes — it is a pipeline
-        |row like p1/p2, not an operator row; the exactly-once ledger
-        |bookkeeping adds three one-row aggregation jobs per batch.
-        |Round 8 closed the one O(index) per-batch job: per-bucket
-        |occupancy for the skew cap now comes from the incrementally
-        |maintained occupancy/ side table (each append folds the grouped
-        |count of exactly the rows it just wrote, stamped with its
-        |watermark), read shard-pruned to the buckets the batch touches —
-        |O(batch) per batch, never a full band-table aggregate — and the
-        |probe's band scan is storage-pruned via the partitionBy(shard)
-        |layout (PartitionFilters, see b3b).""".stripMargin,
+        |(batch-sized buckets, never the corpus) feeding the greedy-star
+        |screen — a single distinct over the pair output's id_b side, no
+        |iterative cluster rounds in the loop — one band-key probe join
+        |against the persisted index's PRE-CAPPED bucket table (zero
+        |corpus text reads — the verify join touches stored signatures,
+        |not documents), and batch-sized appends. The corpus contributes
+        |nothing per batch but pruned index scans: at 100 TB the
+        |per-batch cost tracks the BATCH, which is the whole point of
+        |the ledger/index design — measured flat across two decades
+        |(BENCH_SF10: 3.1x at 100x data). The bench time is the
+        |END-TO-END pipeline including the one-off index build over 60%
+        |of the corpus (~b3b's cost) and two generations of physical
+        |parquet writes — a pipeline row like p1/p2, not an operator
+        |row. Round 9 cut the loop's fixed overhead ~30%: per-bucket
+        |occupancy comes from ONE shard-pruned raw read of the
+        |occupancy/ side table (committed cap view at the batch
+        |watermark + replay-presence flag from the same checkpointed
+        |scan), the epoch fence is name-encoded claim files (driver-side
+        |metadata ops, not per-mutation Spark jobs), and sharded appends
+        |repartition by shard so each lands at most one file per
+        |occupied shard. The probe's band scan stays storage-pruned via
+        |the partitionBy(shard) layout (PartitionFilters, see b3b).""".stripMargin,
 
     "p6_embedding_ingest_loop" ->
       """p5's embedding twin — same governed-loop plan family: SRP bucket
         |self-join WITHIN the batch only (multi-probe fan bounded by the
-        |index's plane count), cluster rounds on the batch pair graph, one
-        |bucket-key probe join against the persisted index's pre-capped
-        |bucket table (corpus vectors touched only for verified
-        |candidates), batch-sized appends. Per-batch cost tracks the
-        |batch; the corpus contributes pruned index scans only — the
-        |bucket scan shard-pruned via PartitionFilters (see b4) and the
-        |cap occupancy from the shard-pruned occupancy/ side table
-        |(see p5), both O(batch).""".stripMargin,
+        |index's plane count) feeding the greedy-star screen (one
+        |distinct, no cluster rounds), one bucket-key probe join against
+        |the persisted index's pre-capped bucket table (corpus vectors
+        |touched only for verified candidates), batch-sized appends.
+        |Per-batch cost tracks the batch; the corpus contributes pruned
+        |index scans only — the bucket scan shard-pruned via
+        |PartitionFilters (see b4) and the cap occupancy from ONE
+        |shard-pruned raw occupancy read (see p5), both O(batch). The
+        |decade ratio (BENCH_SF10: ~19x at 100x) is the log-growing
+        |multi-probe fan of the auto plane density, not the loop.""".stripMargin,
 
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs
