@@ -1563,6 +1563,16 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("rep"))
         .orderBy(col("doc_id"), col("rep"))),
 
+    // DSIR importance resampling (Xie et al. 2023): hashed unigram+bigram
+    // bucket distributions fit in one scan (target = English docs), the
+    // 9-dp-rounded log-ratio vector scores every doc in one shuffle-free
+    // codegen pass, selection = deterministic hash-Gumbel top-k
+    "q60_dsir_sample" -> ((s, dir) =>
+      Sampling.dsirResample(T(s, dir, "documents"), "doc_id", "text",
+        col("lang") === "en", k = 200, buckets = 512)
+        .select(col("doc_id"), col("dsir_score"), col("dsir_key"))
+        .orderBy(col("dsir_key").desc, col("doc_id"))),
+
     // deterministic train/test split: disjoint, exhaustive, reproducible
     "q21_train_test_split" -> ((s, dir) =>
       Sampling.trainTestSplit(T(s, dir, "documents"), "doc_id", 0.1)
@@ -3572,6 +3582,49 @@ object SparkEntry {
          |                            ORDER BY skey DESC, doc_id) AS BIGINT) AS rk
          |  FROM w)
          |WHERE rk <= 5 ORDER BY lang, rk""".stripMargin,
+
+    // DSIR importance resampling: the full pipeline — hashed unigram +
+    // bigram features, Laplace-smoothed bucket log-ratios (9-dp rounded),
+    // ordered list_reduce score (bit-identical to the codegen kernel's
+    // in-order sum), hash-Gumbel keys, top-k
+    "q60_dsir_sample" -> {
+      val B = 512
+      s"""WITH ${duckTokenHashes("documents")},
+         |f AS (
+         |  SELECT d.doc_id AS doc_id, d.lang AS lang,
+         |    th || [((th[i]) * 131 + th[i+1]) % $ShP
+         |           for i in range(1, len(th))] AS fh
+         |  FROM documents d JOIN th ON th.doc_id = d.doc_id),
+         |bc AS (
+         |  SELECT b, count(*) AS raw,
+         |    count(CASE WHEN lang = 'en' THEN 1 END) AS tgt
+         |  FROM (SELECT lang, unnest(fh) % $B AS b FROM f)
+         |  GROUP BY b),
+         |tot AS (SELECT sum(raw) AS rawtot, sum(tgt) AS tgttot FROM bc),
+         |lrv AS (
+         |  SELECT gs.b AS b,
+         |    floor((ln((coalesce(bc.tgt, 0) + 1.0) / (tot.tgttot + $B))
+         |         - ln((coalesce(bc.raw, 0) + 1.0) / (tot.rawtot + $B)))
+         |          * 1000000000.0 + 0.5) / 1000000000.0 AS lr
+         |  FROM generate_series(0, ${B - 1}) gs(b)
+         |  LEFT JOIN bc ON bc.b = gs.b CROSS JOIN tot),
+         |lrl AS (SELECT list(lr ORDER BY b) AS l FROM lrv),
+         |sc AS (
+         |  SELECT doc_id,
+         |    floor(list_reduce(list_prepend(0.0, [l[1 + (h % $B)] for h in fh]),
+         |          (a, x) -> a + x) * 1000000.0 + 0.5) / 1000000.0 AS dsir_score
+         |  FROM f CROSS JOIN lrl),
+         |gk AS (
+         |  SELECT doc_id, dsir_score,
+         |    floor((dsir_score - ln(-ln((bkt + 0.5) / 10000.0)))
+         |          * 1000000.0 + 0.5) / 1000000.0 AS dsir_key
+         |  FROM (${duckWithBucket("doc_id, dsir_score", "doc_id", "sc")}))
+         |SELECT doc_id, dsir_score, dsir_key FROM (
+         |  SELECT doc_id, dsir_score, dsir_key,
+         |    row_number() OVER (ORDER BY dsir_key DESC, doc_id) AS rn FROM gk)
+         |WHERE rn <= 200
+         |ORDER BY dsir_key DESC, doc_id""".stripMargin
+    },
 
     // Moment battery. corr/covar/stddev/var/regr_* are definitionally
     // identical across engines; skewness and kurtosis are NOT (DuckDB

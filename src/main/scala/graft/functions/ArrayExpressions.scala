@@ -64,3 +64,55 @@ case class IntersectCountSorted(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Sum of per-bucket weights over a hashed-feature list:
+  * `sum(weights[h mod B])` for each hash `h` in `left`, with
+  * B = weights.length and non-negative hashes (the polynomial token /
+  * window hashes are < 2^53). The scoring half of hashed-n-gram
+  * importance weighting (DSIR, Xie et al. 2023): the weight vector is a
+  * LITERAL array (bounded by the bucket count, broadcast inside the
+  * generated code), so scoring a 100 TB corpus is one shuffle-free
+  * codegen'd map pass — no join against a feature table, no per-row
+  * allocation. Summation is in list order (index 0..n-1), which the
+  * oracle reproduces with an ordered `list_reduce` for bit-identical
+  * doubles.
+  */
+case class BucketWeightSum(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def prettyName: String = "graft_bucket_score"
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val h = a.asInstanceOf[ArrayData]
+    val w = b.asInstanceOf[ArrayData]
+    val bCnt = w.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < h.numElements()) {
+      s += w.getDouble((h.getLong(i) % bCnt).toInt)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val bCnt = ctx.freshName("bCnt")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      s"""
+         |int $n = $a.numElements();
+         |int $bCnt = $b.numElements();
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $b.getDouble((int) ($a.getLong($i) % $bCnt));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

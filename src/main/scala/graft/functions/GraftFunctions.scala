@@ -59,6 +59,7 @@ object GraftFunctions {
     "graft_cosine" -> (es => CosineSimilarity(es(0), es(1))),
     "graft_dot" -> (es => DotProduct(es(0), es(1))),
     "graft_intersect_count" -> (es => IntersectCountSorted(es(0), es(1))),
+    "graft_bucket_score" -> (es => BucketWeightSum(es(0), es(1))),
     "graft_topk" -> (topkBuilder _),
     "graft_simhash" -> (es => SimHashBits(es(0), intLit(es(1), "graft_simhash width"))),
     "graft_token_hashes" -> (es => PolyTokenHashes(es(0))),
@@ -147,6 +148,13 @@ object GraftFunctions {
     */
   def intersectCountSorted(a: Column, b: Column): Column =
     call_function("graft_intersect_count", a, b)
+
+  /** `sum(weights[h mod weights.length])` over a hashed-feature list —
+    * the shuffle-free scoring pass of hashed-n-gram importance weighting
+    * (see [[BucketWeightSum]]). `weights` must be a literal
+    * `array<double>`. */
+  def bucketScore(hashes: Column, weights: Column): Column =
+    call_function("graft_bucket_score", hashes, weights)
 
   /** Bounded top-k aggregate: array<struct<score,id>> of the k best
     * (score DESC, id ASC) pairs, with map-side partial reduction —

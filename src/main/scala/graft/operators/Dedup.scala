@@ -287,8 +287,13 @@ object Dedup {
     * predicate: no shards, no candidates). */
   private def touchedShards(rows: DataFrame, keys: Seq[String],
                             shards: Int): Seq[Int] =
+    // collect_set, not distinct().collect(): one partial+final aggregate
+    // of at most `shards` ints instead of a full-width shuffle — this
+    // runs once per governed micro-batch, so its fixed cost is part of
+    // the ingest loop's per-batch floor
     rows.select(shardCol(keys.map(col), shards).as("__shard"))
-      .distinct().collect().map(_.getInt(0)).toSeq
+      .agg(collect_set(col("__shard"))).head()
+      .getSeq[Int](0)
 
   /** Literal partition predicate for the touched-shard set. `isin` with
     * an empty list is a degenerate always-false in Spark — make that
@@ -547,11 +552,15 @@ object Dedup {
                                    path: String, appended: DataFrame,
                                    keyCols: Seq[String], shards: Int,
                                    wm: Long): Unit = {
-    appended.groupBy(keyCols.map(col): _*)
+    // shard = f(bucket key), so grouping by (shard, key...) is the same
+    // partitioning as grouping by key alone — ONE shuffle keyed to the
+    // write layout, instead of groupBy(key) + repartition(shard); the
+    // delta is per-bucket rows of the batch, tiny, and this runs once
+    // per governed micro-batch
+    appended.withColumn("shard", shardCol(keyCols.map(col), shards))
+      .groupBy((col("shard") +: keyCols.map(col)): _*)
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(wm))
-      .withColumn("shard", shardCol(keyCols.map(col), shards))
-      .repartition(col("shard"))
       .write.partitionBy("shard").mode("append").parquet(s"$path/occupancy")
   }
 
@@ -603,11 +612,12 @@ object Dedup {
     // reads always count the base.
     val bands = spark.read.parquet(s"$path/bands")
     val baseWm = watermarkOf(bands, "id")
-    bands.groupBy(col("band"), col("bkey"))
+    // the written bands carry `shard` as their partition column, and
+    // shard = f(band, bkey) — grouping by all three is one shuffle
+    // already keyed to the partitionBy layout (no second repartition)
+    bands.groupBy(col("shard"), col("band"), col("bkey"))
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(baseWm))
-      .withColumn("shard", shardCol(Seq(col("band"), col("bkey")), shards))
-      .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
     writeIndexParams(spark, path, p, shards)
     writeEpoch0(spark, path)
@@ -1300,11 +1310,12 @@ object Dedup {
     // one narrow scan at build time, maintained by deltas ever after).
     val buckets = spark.read.parquet(s"$path/buckets")
     val baseWm = watermarkOf(buckets, "id")
-    buckets.groupBy(col("tbl"), col("bkt"))
+    // shard is the written buckets' partition column and a pure function
+    // of (tbl, bkt): grouping by all three is one shuffle already keyed
+    // to the partitionBy layout (no second repartition)
+    buckets.groupBy(col("shard"), col("tbl"), col("bkt"))
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(baseWm))
-      .withColumn("shard", shardCol(Seq(col("tbl"), col("bkt")), shards))
-      .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
     import spark.implicits._
     Seq((tables, planes, dim, maxBucket, shards))
@@ -2203,12 +2214,16 @@ object Dedup {
     novel.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
     // (2) Self-healing index append: derive the expected rows, append
-    // only what the physical tail is missing.
+    // only what the physical tail is missing. No checkpoint of its own:
+    // `novel` IS checkpointed and the signature kernels are
+    // deterministic, so every consumer (signatures append, band
+    // derivation) sees identical rows — recomputing the kernels over the
+    // in-memory novel blocks is cheaper than a second materialization
+    // (the governed batch's fixed job count is its measured floor).
     val newSigs = withMinHashSignature(novel, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"),
         size(col("shingles")).as("sz"), col("minhash"))
-      .localCheckpoint()
     newSigs
       .join(ix.signatures.filter(col("id") > lit(w)).select("id"),
         Seq("id"), "left_anti")
@@ -2274,7 +2289,6 @@ object Dedup {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
     }
-    graft.plans.Checkpoints.free(newSigs)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(novel)
@@ -2361,9 +2375,11 @@ object Dedup {
 
     novel.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
 
+    // Plain projection of the checkpointed `novel` — deterministic for
+    // both consumers (vector append, bucket derivation), no second
+    // materialization (see ingestBatchWithIndex's newSigs note).
     val newVecs = novel.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
-      .localCheckpoint()
     newVecs
       .join(ix.vectors.filter(col("id") > lit(w)).select("id"),
         Seq("id"), "left_anti")
@@ -2406,7 +2422,6 @@ object Dedup {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
     }
-    graft.plans.Checkpoints.free(newVecs)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(novel)

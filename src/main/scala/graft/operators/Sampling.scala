@@ -34,14 +34,18 @@ object Sampling {
   /** Mixer rounds (each: xor-shift then affine, mod [[TextFunctions.FpPrime]]). */
   val MixRounds = 3
 
-  /** Stable bucket in [0, Buckets) for a key column. */
-  def hashBucket(key: Column): Column = {
+  /** Full-resolution mixed hash in [0, FpPrime) — the value behind
+    * [[hashBucket]]. */
+  private[graft] def hashMixed(key: Column): Column = {
     val h0 = TextFunctions.charFingerprint(key.cast("string"))
-    val mixed = (0 until MixRounds).foldLeft(h0)((h, _) =>
+    (0 until MixRounds).foldLeft(h0)((h, _) =>
       (h.bitwiseXOR(shiftright(h, 13)) * lit(1021L) + lit(12345L))
         % lit(TextFunctions.FpPrime))
-    pmod(mixed, lit(Buckets.toLong))
   }
+
+  /** Stable bucket in [0, Buckets) for a key column. */
+  def hashBucket(key: Column): Column =
+    pmod(hashMixed(key), lit(Buckets.toLong))
 
   /** Keep rows whose key hashes into the first `fraction` of buckets.
     * Same key → same decision, on every run and every engine.
@@ -382,4 +386,119 @@ object Sampling {
     df.withColumn("bin", binExpr)
       .filter(hashBucket(col(keyCol)) < thr)
   }
+
+  // ---- DSIR: data selection via importance resampling ----
+  //
+  // Xie et al., "Data Selection for Language Models via Importance
+  // Resampling" (NeurIPS 2023): featurize documents as hashed word
+  // unigram + bigram counts folded into a bounded bucket vector, fit the
+  // target and raw bucket distributions, weight each document by the sum
+  // of its features' log-likelihood ratios, and select by Gumbel top-k
+  // over the weights (importance resampling, not argmax).
+  //
+  // Spark shape at 100 TB:
+  //  - fit: ONE corpus scan; the per-bucket counts partial-aggregate
+  //    map-side, so the shuffle is O(partitions x buckets) — corpus-size-
+  //    independent — and the collected model is O(buckets), a few KB.
+  //  - score: ONE shuffle-free codegen'd map pass — the log-ratio vector
+  //    rides into the generated code as a LITERAL array
+  //    ([[graft.functions.BucketWeightSum]]); no join against a feature
+  //    table, no per-row allocation.
+  //  - select: deterministic hash-Gumbel keys (RNG-free and key-stable,
+  //    the [[sampleByHash]] contract) + a bounded TakeOrdered top-k. For
+  //    fraction-scale selection at 10^10 docs, threshold `dsir_key` at an
+  //    approx quantile instead of ranking — the key column is already
+  //    computed, so the selection stays one filter.
+  //
+  // Cross-engine determinism: log-ratios are half-up rounded at 9 dp,
+  // scores and keys at 6 dp, and the score sums features in list order —
+  // the oracle's ordered list_reduce over the same rounded doubles is
+  // bit-identical.
+
+  /** The fitted importance model: `logRatios(b)` = 9-dp-rounded
+    * ln(p_target(b)) - ln(p_raw(b)) under Laplace smoothing. */
+  final case class DsirModel(buckets: Int, logRatios: Array[Double])
+
+  /** Hashed unigram + bigram feature list of a text column (duplicates
+    * kept — DSIR weights repeated n-grams), in deterministic order:
+    * unigram token hashes first, then rolling bigram folds. */
+  private def dsirFeatures(text: Column): Column =
+    concat(TextFunctions.tokenHashes(text),
+      TextFunctions.windowHashes(text, 2))
+
+  /** Signed cross-engine half-up rounding (toward +inf at ties):
+    * floor(x * 10^n + 0.5) / 10^n — [[TextFunctions.roundHalfUp]]'s
+    * contract extended to negative values (importance weights are
+    * signed). */
+  private def roundSigned(c: Column, n: Int): Column = {
+    val p = math.pow(10, n)
+    floor(c * lit(p) + lit(0.5)) / lit(p)
+  }
+
+  /** Fit the DSIR importance model in one corpus scan. `targetPred`
+    * marks the in-domain rows (the target sample lives IN the corpus —
+    * a trusted source, a language, a quality gate); the raw distribution
+    * is the whole corpus. The grouped bucket counts partial-aggregate
+    * map-side and the collect is bounded by `buckets`.
+    */
+  def dsirFit(docs: DataFrame, textCol: String, targetPred: Column,
+              buckets: Int = 4096): DsirModel = {
+    require(buckets > 0, "buckets must be positive")
+    GraftFunctions.register(docs.sparkSession)
+    val rows = docs
+      .select(explode(dsirFeatures(col(textCol))).as("h"),
+        targetPred.cast("boolean").as("__tgt"))
+      .groupBy(pmod(col("h"), lit(buckets.toLong)).as("b"))
+      .agg(count(lit(1)).as("raw"), count(when(col("__tgt"), 1)).as("tgt"))
+      .collect()
+    val raw = new Array[Long](buckets)
+    val tgt = new Array[Long](buckets)
+    rows.foreach { r =>
+      val b = r.getLong(0).toInt
+      raw(b) = r.getLong(1); tgt(b) = r.getLong(2)
+    }
+    val rawTot = raw.sum.toDouble
+    val tgtTot = tgt.sum.toDouble
+    val lr = Array.tabulate(buckets) { b =>
+      val v = math.log((tgt(b) + 1.0) / (tgtTot + buckets)) -
+        math.log((raw(b) + 1.0) / (rawTot + buckets))
+      math.floor(v * 1e9 + 0.5) / 1e9
+    }
+    DsirModel(buckets, lr)
+  }
+
+  /** Add `dsir_score` (6-dp-rounded importance weight) — the shuffle-free
+    * codegen'd scoring pass over a fitted model. */
+  def dsirScored(docs: DataFrame, textCol: String,
+                 model: DsirModel): DataFrame = {
+    GraftFunctions.register(docs.sparkSession)
+    docs.withColumn("dsir_score",
+      roundSigned(GraftFunctions.bucketScore(dsirFeatures(col(textCol)),
+        lit(model.logRatios)), 6))
+  }
+
+  /** Gumbel-top-k importance resample: fit + score + select the `k`
+    * documents with the largest `dsir_score + Gumbel(hash(id))`. The
+    * Gumbel perturbation makes the selection a weighted sample without
+    * replacement (softmax over weights) rather than a deterministic
+    * argmax — DSIR's diversity argument — while staying RNG-free:
+    * u = (hashBucket(id) + 0.5) / Buckets, g = -ln(-ln(u)); the same
+    * document gets the same key on every run and every engine.
+    * Output carries `dsir_score` and the 6-dp `dsir_key`.
+    */
+  def dsirResample(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column, k: Int,
+                   buckets: Int = 4096): DataFrame = {
+    require(k > 0, "k must be positive")
+    val model = dsirFit(docs, textCol, targetPred, buckets)
+    // bucket-resolution uniform, the same convention as weightedSampleARes:
+    // u = (bucket + 0.5) / Buckets, never 0 or 1, so the Gumbel is finite
+    val u = (hashBucket(col(idCol)) + lit(0.5)) / lit(Buckets.toDouble)
+    dsirScored(docs, textCol, model)
+      .withColumn("dsir_key",
+        roundSigned(col("dsir_score") - log(-log(u)), 6))
+      .orderBy(col("dsir_key").desc, col(idCol))
+      .limit(k)
+  }
+
 }

@@ -19,10 +19,40 @@ object IngestProfile {
     graft.functions.GraftFunctions.register(spark)
     import graft.operators.Dedup
 
+    // job-level breakdown: count jobs and their scheduler time per phase
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobTimes =
+      new java.util.concurrent.ConcurrentLinkedQueue[(Long, String)]()
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+          val site = Option(js.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          jobs.put(js.jobId, (js.time, site))
+        }
+        override def onJobEnd(
+            je: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+          val v = jobs.remove(je.jobId)
+          if (v != null) jobTimes.add((je.time - v._1, v._2))
+        }
+      })
+
     def t[A](label: String)(f: => A): A = {
+      jobTimes.clear()
       val t0 = System.nanoTime()
       val r = f
-      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      Thread.sleep(150) // let the listener bus drain
+      val times = {
+        val it = jobTimes.iterator()
+        val b = Seq.newBuilder[(Long, String)]
+        while (it.hasNext) b += it.next(); b.result()
+      }
+      println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
+        f"${times.length}%3d jobs")
+      times.sortBy(-_._1).take(10).foreach { case (ms, site) =>
+        println(f"      $ms%5d ms  $site%s")
+      }
       r
     }
 

@@ -318,6 +318,18 @@ object Plans {
         |thresholds, and a codegen'd hash-bucket filter over the corpus —
         |the corpus itself is never shuffled. The same plan at 100 TB is
         |scan-bound, which is the floor for a full-corpus resample.""".stripMargin,
+    "q60_dsir_sample" ->
+      """DSIR importance resampling (Xie et al. 2023). Fit is ONE corpus
+        |scan whose hashed-n-gram bucket counts partial-aggregate map-side
+        |(shuffle O(partitions x buckets), corpus-size-independent; model
+        |collect O(buckets)). Scoring is a SHUFFLE-FREE codegen'd map pass:
+        |the 9-dp-rounded log-ratio vector rides into the generated code
+        |as a literal array (graft_bucket_score), so there is no join
+        |against a feature table and no per-row allocation. Selection is
+        |hash-Gumbel keys (RNG-free, key-stable) + TakeOrdered top-k —
+        |at 10^10 docs the same key column thresholds at an approx
+        |quantile instead of ranking. The whole pipeline touches the
+        |corpus exactly twice and shuffles none of it.""".stripMargin,
     "q42_bloom_runtime_filter" ->
       """Bloom runtime-filter join. The dim side reduces to one 32 KiB
         |filter (decomposable aggregate), broadcast-screens the fact scan
