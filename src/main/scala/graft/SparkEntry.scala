@@ -1248,6 +1248,15 @@ object SparkEntry {
       Dedup.embeddingNearDupLshAuto(T(s, dir, "embeddings"), "vec_id",
         "embedding", threshold = 0.4, dim = 64)),
 
+    // SemDeDup: frozen-quantizer clustering (the s3 IVF centroid artifact)
+    // + within-cell greedy-star cosine dedup — the cluster boundary is the
+    // candidate blocker, so pair work is sum(cell^2), never corpus^2
+    "d11_semdedup" -> ((s, dir) =>
+      Dedup.semDeDup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        AnnModels.ivfCentroids, threshold = 0.4)
+        .select(col("vec_id"), col("cell").cast("long").as("cell"))
+        .orderBy(col("vec_id"))),
+
     // near-dup clusters: connected components over the MinHash pair graph
     // (min-label propagation to convergence; oracle = recursive
     // transitive-closure CTE)
@@ -3894,6 +3903,23 @@ object SparkEntry {
          |                   JOIN emb b ON b.vec_id = c.id_b)
          |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.4
          |ORDER BY id_a, id_b""".stripMargin,
+
+    // SemDeDup: frozen-centroid assignment (the s3 cell rule), within-cell
+    // pairs at rounded cosine >= threshold, greedy star (NOT IN id_b)
+    "d11_semdedup" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |cent(cid, cv) AS (VALUES $duckIvfCentVals),
+         |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell")}),
+         |pairs AS (
+         |  SELECT b.vec_id AS id_b FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.v, b.v)
+         |        / sqrt(list_dot_product(a.v, a.v)
+         |               * list_dot_product(b.v, b.v)), 6) >= 0.4)
+         |SELECT vec_id, CAST(cell AS BIGINT) AS cell FROM cells
+         |WHERE vec_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY vec_id""".stripMargin,
 
     // SRP-LSH ANN with Hamming-1 multi-probe, fully reproduced in SQL:
     // query probes = own bucket plus each single-bit flip, candidates

@@ -1266,6 +1266,54 @@ object Dedup {
       srpPlanesFor(n, targetOccupancy), maxBucket, multiProbe = true)
   }
 
+  /** SemDeDup (Abbas et al., 2023 — arXiv:2303.09540): semantic
+    * deduplication by clustering the embedding space with a FROZEN
+    * coarse quantizer and dropping within-cluster near-duplicates
+    * (cosine ≥ threshold, greedy star: a vector survives iff it has no
+    * smaller-id near-dup in its cell). The cluster boundary is the
+    * candidate blocker — the curation-side reuse of the IVF ANN tier's
+    * plan family (s3): same frozen centroid artifact, same codegen'd
+    * assignment kernel.
+    *
+    * Spark shape at 100 TB: the centroid matrix is an offline-trained
+    * O(cells·dim) artifact riding into the codegen'd
+    * [[graft.functions.IvfProbes]] kernel as a literal, so assignment is
+    * one shuffle-free map pass; the pairwise verify is an equi-join on
+    * the cell id, so candidate volume is Σ cell², never corpus², and the
+    * `maxCell` skew cap bounds a pathological cell exactly like the
+    * LSH-bucket caps (capped-out rows pass through unexamined instead of
+    * exploding the join quadratically). Production SemDeDup sizes the
+    * quantizer so cells hold ~10³-10⁴ vectors; the cap is the guard for
+    * the cells that ignore the sizing.
+    *
+    * @return the KEPT rows as (idCol, cell) — the curated corpus ids
+    *         with their cluster assignment
+    */
+  def semDeDup(emb: DataFrame, idCol: String, vecCol: String,
+               centroids: Seq[Seq[Float]], threshold: Double,
+               maxCell: Int = 100000): DataFrame = {
+    GraftFunctions.register(emb.sparkSession)
+    val assigned = emb.select(col(idCol).as("id"),
+        col(vecCol).cast("array<float>").as("v"))
+      .withColumn("cell",
+        element_at(GraftFunctions.ivfProbes(col("v"), centroids, 1), 1))
+    val wC = Window.partitionBy(col("cell")).orderBy(col("id"))
+    val capped = assigned
+      .withColumn("__cn", row_number().over(wC))
+      .filter(col("__cn") <= maxCell)
+      .drop("__cn")
+    val drop = capped.select(col("cell"), col("id").as("id_a"),
+        col("v").as("va"))
+      .join(capped.select(col("cell"), col("id").as("id_b"),
+        col("v").as("vb")), Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(round(GraftFunctions.cosineSim(col("va"), col("vb")), 6)
+        >= threshold)
+      .select(col("id_b").as("id")).distinct()
+    assigned.join(drop, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), col("cell"))
+  }
+
   /** A persisted SRP bucket index — the embedding twin of [[MinHashIndex]]
     * for incremental embedding dedup: `vectors` (id, v) for exact-cosine
     * verification, `buckets` (tbl, bkt, id) for candidate generation, and

@@ -318,6 +318,16 @@ object Plans {
         |thresholds, and a codegen'd hash-bucket filter over the corpus —
         |the corpus itself is never shuffled. The same plan at 100 TB is
         |scan-bound, which is the floor for a full-corpus resample.""".stripMargin,
+    "d11_semdedup" ->
+      """SemDeDup: cluster-scoped semantic dedup. Assignment is one
+        |shuffle-free codegen'd map pass (the frozen IVF centroid matrix
+        |rides into graft_ivf_probes as a literal — the s3 ANN artifact
+        |reused for curation); the pairwise cosine verify is an equi-join
+        |on the cell id, so candidate volume is sum(cell population^2),
+        |never corpus^2, and the maxCell row_number cap bounds any
+        |pathological cell exactly like the LSH-bucket caps. The greedy
+        |star (anti-join on the dropped id_b side) keeps one
+        |representative per dup group with no iterative clustering.""".stripMargin,
     "q60_dsir_sample" ->
       """DSIR importance resampling (Xie et al. 2023). Fit is ONE corpus
         |scan whose hashed-n-gram bucket counts partial-aggregate map-side

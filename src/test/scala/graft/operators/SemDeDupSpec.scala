@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.GraftFunctions
+
+/** SemDeDup (Dedup.semDeDup): frozen-quantizer cell assignment +
+  * within-cell greedy-star cosine dedup.
+  */
+class SemDeDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two axis-aligned unit centroids: cell 0 = x-dominant, cell 1 = y-dominant
+  private val centroids: Seq[Seq[Float]] = Seq(Seq(1f, 0f), Seq(0f, 1f))
+
+  test("keeps one representative per within-cell dup group") {
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.05f)),  // cell 0, group head
+      (2L, Seq(1.0f, 0.05f)),  // exact dup of 1 -> dropped
+      (3L, Seq(0.7f, 0.4f)),   // cell 0, NOT a near-dup of 1 at 0.995
+      (4L, Seq(0.1f, 1.0f)),   // cell 1, group head
+      (5L, Seq(0.1f, 1.0f)),   // exact dup of 4 -> dropped
+      (6L, Seq(0.999f, 0.05f)) // near-dup of 1 and 2 -> dropped (star)
+    ).toDF("id", "v")
+    val kept = Dedup.semDeDup(emb, "id", "v", centroids, threshold = 0.995)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(kept.keySet == Set(1L, 3L, 4L))
+    assert(kept(1L) == 0 && kept(3L) == 0 && kept(4L) == 1)
+  }
+
+  test("cluster boundary blocks cross-cell comparisons") {
+    // identical direction, but straddling the cell boundary: both kept
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.9f)), // dot 1.0 vs 0.9 -> cell 0
+      (2L, Seq(0.9f, 1.0f))  // dot 0.9 vs 1.0 -> cell 1
+    ).toDF("id", "v")
+    val kept = Dedup.semDeDup(emb, "id", "v", centroids, threshold = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L))
+  }
+
+  test("maxCell cap bounds the join; capped-out rows pass through") {
+    val emb = (1L to 5L).map(i => (i, Seq(1.0f, 0.0f))).toDF("id", "v")
+    val kept = Dedup.semDeDup(emb, "id", "v", centroids, threshold = 0.9,
+      maxCell = 3)
+      .collect().map(_.getLong(0)).toSet
+    // rows 1-3 are examined (1 kept, 2-3 dropped); 4-5 are beyond the cap
+    // and pass through unexamined
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
+  test("equals the naive per-cell all-pairs formulation") {
+    // deterministic pseudo-random 2-d vectors across both cells
+    val emb = (1L to 40L).map { i =>
+      val a = ((i * 37 + 11) % 19).toFloat / 19f
+      val b = ((i * 53 + 7) % 23).toFloat / 23f
+      (i, Seq(a + 0.05f, b + 0.05f))
+    }.toDF("id", "v")
+    val thr = 0.97
+    val kept = Dedup.semDeDup(emb, "id", "v", centroids, thr)
+      .collect().map(_.getLong(0)).toSet
+
+    GraftFunctions.register(spark)
+    val assigned = emb.select(col("id"),
+        col("v").cast("array<float>").as("v"))
+      .withColumn("cell",
+        element_at(GraftFunctions.ivfProbes(col("v"), centroids, 1), 1))
+    val a = assigned.select(col("cell").as("ca"), col("id").as("ia"),
+      col("v").as("va"))
+    val b = assigned.select(col("cell").as("cb"), col("id").as("ib"),
+      col("v").as("vb"))
+    val dropped = a.crossJoin(b)
+      .filter(col("ca") === col("cb") && col("ia") < col("ib"))
+      .filter(round(GraftFunctions.cosineSim(col("va"), col("vb")), 6) >= thr)
+      .select("ib").distinct().collect().map(_.getLong(0)).toSet
+    val expected = (1L to 40L).toSet -- dropped
+    assert(kept == expected)
+  }
+}
