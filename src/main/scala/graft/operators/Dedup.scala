@@ -171,6 +171,57 @@ object Dedup {
     (0 until rowsPerBand).foldLeft(lit(0L))((acc, r) =>
       (acc * lit(FpBase) + element_at(sig, band * rowsPerBand + r + 1)) % lit(ShPrime))
 
+  /** Keep the `cap` LOWEST ids per bucket — the skew guard every LSH
+    * family applies before its bucket join — WITHOUT sorting the whole
+    * table. The plain form (`row_number` over a bucket-partitioned
+    * window) globally sorts every exploded row by (bucket, id); the sort
+    * is pure overhead for every bucket under the cap, and at index-build
+    * scale it was the measured second-decade cost (BENCH_SF10: shuffle
+    * spill at ~3.2M-row windows while occupancy sat at ~32/bucket, four
+    * orders of magnitude under the cap). Here a per-bucket count —
+    * map-side combined, shuffle O(distinct buckets), never wider than
+    * the bucket keys — finds the OVER-cap buckets first; they are rare
+    * by construction (the cap exists for adversarial skew, plane/band
+    * density is engineered for occupancy ≪ cap), so only their rows pay
+    * the window and everything else passes through unsorted. The cap
+    * cost tracks the skew, not the corpus.
+    *
+    * No hot buckets (the production steady state) returns `rows`
+    * untouched — the whole cap collapses to one narrow count job. A hot
+    * set too large to broadcast (`maxHotBuckets`, adversarial corpus)
+    * falls back to the plain full window. All three paths keep exactly
+    * the same rows; callers' results are bit-identical (spec-proven on
+    * skewed + fallback fixtures).
+    *
+    * The `rows` subtree is evaluated up to three times on the hot path
+    * (count, semi, anti — the two broadcast builds dedupe via exchange
+    * reuse): callers pass cheaply-recomputable subtrees (kernel
+    * projections over parquet), where the re-read is far cheaper than
+    * checkpointing wide exploded rows — the same trade
+    * [[minHashNearDupPairs]] documents for its signature subtree.
+    */
+  private[graft] def capBucketRows(rows: DataFrame, keyCols: Seq[String],
+                                   idName: String, cap: Int,
+                                   maxHotBuckets: Long = 4000000L): DataFrame = {
+    val keys = keyCols.map(col)
+    val wB = Window.partitionBy(keys: _*).orderBy(col(idName))
+    def fullWindow = rows.withColumn("__bn", row_number().over(wB))
+      .filter(col("__bn") <= cap).drop("__bn")
+    val hot = rows.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
+      .filter(col("__cnt") > cap)
+      .select(keys: _*)
+    val nHot = hot.count()
+    if (nHot == 0L) rows
+    else if (nHot > maxHotBuckets) fullWindow
+    else {
+      val hotRows = rows.join(broadcast(hot), keyCols, "left_semi")
+        .withColumn("__bn", row_number().over(wB))
+        .filter(col("__bn") <= cap)
+        .drop("__bn")
+      rows.join(broadcast(hot), keyCols, "left_anti").unionByName(hotRows)
+    }
+  }
+
   /** Near-duplicate pairs via MinHash banding LSH, verified with exact
     * Jaccard on the shingle sets. Output: (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard >= threshold, deterministic order.
@@ -197,12 +248,9 @@ object Dedup {
       .select(col("id"), explode(bandStructs).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
 
-    // Cap pathological buckets (skew guard for the self-join at scale).
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    val capped = exploded
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= p.maxBucket)
-      .drop("__bn")
+    // Cap pathological buckets (skew guard for the self-join at scale):
+    // hot buckets only — the un-skewed corpus never sorts.
+    val capped = capBucketRows(exploded, Seq("band", "bkey"), "id", p.maxBucket)
 
     val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
     val r = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
@@ -594,12 +642,11 @@ object Dedup {
     val bandStructs = array((0 until p.bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
     }: _*)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    sigs.select(col("id"), explode(bandStructs).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= p.maxBucket)
-      .drop("__bn")
+    capBucketRows(
+        sigs.select(col("id"), explode(bandStructs).as("bk"))
+          .select(col("id"), col("bk.band").as("band"),
+            col("bk.bkey").as("bkey")),
+        Seq("band", "bkey"), "id", p.maxBucket)
       .withColumn("shard", shardCol(Seq(col("band"), col("bkey")), shards))
       // clustered one task per shard: bounded file count (<= shards) and
       // shard-pure row groups; parallelism = min(shuffle partitions,
@@ -1013,11 +1060,8 @@ object Dedup {
     }
     val bSigned = sign(batch)
     val cSigned = sign(corpus)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    val cBands = bandRows(cSigned)
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= p.maxBucket)
-      .drop("__bn")
+    val cBands = capBucketRows(bandRows(cSigned), Seq("band", "bkey"), "id",
+      p.maxBucket)
     val candidates = bandRows(bSigned).select(col("band"), col("bkey"),
         col("id").as("batch_id"))
       .join(cBands.select(col("band"), col("bkey"), col("id").as("corpus_id")),
@@ -1091,11 +1135,7 @@ object Dedup {
       .select(col("id"), col("simhash"), explode(bandStructs).as("bk"))
       .select(col("id"), col("simhash"),
         col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    val capped = exploded
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    val capped = capBucketRows(exploded, Seq("band", "bkey"), "id", maxBucket)
     val l = capped.select(col("band"), col("bkey"),
       col("id").as("id_a"), col("simhash").as("sig_a"))
     val r = capped.select(col("band"), col("bkey"),
@@ -1181,11 +1221,7 @@ object Dedup {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
         .as(Seq("tbl", "bkt")))
-    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
-    val capped = bucketed
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    val capped = capBucketRows(bucketed, Seq("tbl", "bkt"), "id", maxBucket)
     val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"),
       col("v").as("va"))
     // Hamming-1 multi-probe (the recall lever that makes DENSE plane
@@ -1205,11 +1241,7 @@ object Dedup {
           col("bkt").bitwiseXOR(lit(1L << j)))
         val probes = capped.select(col("id"), col("v"), col("tbl"),
           explode(array(flips: _*)).as("bkt"))
-        val wP = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
-        probes
-          .withColumn("__bn", row_number().over(wP))
-          .filter(col("__bn") <= maxBucket)
-          .drop("__bn")
+        capBucketRows(probes, Seq("tbl", "bkt"), "id", maxBucket)
       }
     val r = rRows.select(col("tbl"), col("bkt"), col("id").as("id_b"),
       col("v").as("vb"))
@@ -1297,11 +1329,7 @@ object Dedup {
         col(vecCol).cast("array<float>").as("v"))
       .withColumn("cell",
         element_at(GraftFunctions.ivfProbes(col("v"), centroids, 1), 1))
-    val wC = Window.partitionBy(col("cell")).orderBy(col("id"))
-    val capped = assigned
-      .withColumn("__cn", row_number().over(wC))
-      .filter(col("__cn") <= maxCell)
-      .drop("__cn")
+    val capped = capBucketRows(assigned, Seq("cell"), "id", maxCell)
     val drop = capped.select(col("cell"), col("id").as("id_a"),
         col("v").as("va"))
       .join(capped.select(col("cell"), col("id").as("id_b"),
@@ -1344,13 +1372,11 @@ object Dedup {
     corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
       .write.mode("overwrite").parquet(s"$path/vectors")
     val vecs = spark.read.parquet(s"$path/vectors")
-    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
-    vecs.select(col("id"),
-        posexplode(GraftFunctions.srpBuckets(col("v"), tables, planes, dim))
-          .as(Seq("tbl", "bkt")))
-      .withColumn("__bn", row_number().over(wB))
-      .filter(col("__bn") <= maxBucket)
-      .drop("__bn")
+    capBucketRows(
+        vecs.select(col("id"),
+          posexplode(GraftFunctions.srpBuckets(col("v"), tables, planes, dim))
+            .as(Seq("tbl", "bkt"))),
+        Seq("tbl", "bkt"), "id", maxBucket)
       .withColumn("shard", shardCol(Seq(col("tbl"), col("bkt")), shards))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/buckets")
