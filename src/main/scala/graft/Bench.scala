@@ -76,12 +76,26 @@ object Bench {
       .fold(SparkEntry.queries)(sel =>
         SparkEntry.queries.filter { case (k, _) => sel(k) })
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // Release EVERY persisted block, including localCheckpoint RDDs that
+    // catalog.clearCache() cannot see (it only tracks cached queries —
+    // see graft.plans.Checkpoints). Operators that return lazy frames
+    // over internal checkpoints (bloom filters, multi-probe LSH, pipeline
+    // staging tables) cannot free them in-operator; without this sweep
+    // those blocks accumulate across 134 queries × 2-3 runs and the
+    // eviction/spill churn lands on whichever queries run late in the
+    // suite — measured in round 9 as 73 s recorded for a query a quiet
+    // JVM runs in 10.8 s.
+    def sweepStorage(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
+    }
     picked.values.foreach { fn =>
       try run(fn, warmDir) catch { case _: Throwable => () }
     }
     // The warm pass itself leaves cached blocks behind — clear them so the
     // FIRST measured query starts as clean as every later one.
-    spark.catalog.clearCache()
+    sweepStorage()
     System.gc()
     // Best-of-2 per query (steady-state throughput, standard bench
     // methodology): a single timing conflates the query with whatever GC
@@ -90,8 +104,13 @@ object Bench {
     val results = picked.map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
-        try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        val elapsed =
+          try { run(fn, sfDir); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        // OUTSIDE the timed window: drop this run's leaked checkpoint
+        // blocks before the next run, so run 2 never pays run 1's debt.
+        sweepStorage()
+        elapsed
       }
       val two = (1 to 2).map(_ => timed())
       // Adaptive third run: when the two timings disagree by >1.5x BOTH may
@@ -107,7 +126,7 @@ object Bench {
         } else two
       // Drop leftover cached blocks between queries, then collect OUTSIDE
       // the timed window (JMH-style forced GC between measurements).
-      spark.catalog.clearCache()
+      sweepStorage()
       System.gc()
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }

@@ -29,6 +29,12 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Release checkpoint blocks operators can't free in-operator (see
+      // Bench.sweepStorage) — 134 queries of accumulated leaked blocks
+      // is avoidable memory pressure on the correctness gate too.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -30,6 +30,42 @@ import graft.functions.TextFunctions._
   */
 object Dedup {
 
+  /** JVM-wide schema cache for the persisted-index tables (signatures,
+    * bands, vectors, buckets, occupancy, ledger, params). Every
+    * `spark.read.parquet` without a schema runs a footer-inference job
+    * (~20 ms of fixed scheduling cost) — and the governed ingest loop
+    * re-opens the SAME tables every micro-batch. An index table's schema
+    * is immutable by contract (append-only writes, layout-preserving
+    * compaction), so the first read's inferred schema is reused for the
+    * path's lifetime: batch 1..n pay ZERO inference jobs. Keyed by path;
+    * a path that is deleted and rebuilt gets the same schema again by
+    * the same contract, so staleness is structurally impossible.
+    */
+  private val indexSchemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.types.StructType]()
+
+  /** Drop cached schemas under an index root — called by the overwrite
+    * builds (writeSignatureIndex/writeSrpIndex), which are the only
+    * operations allowed to change a table's schema (e.g. rebuilding a
+    * legacy unsharded fixture as sharded at the same path). */
+  private def invalidateIndexSchemas(root: String): Unit = {
+    val it = indexSchemaCache.keySet().iterator()
+    while (it.hasNext) if (it.next().startsWith(root)) it.remove()
+  }
+
+  /** Read one persisted-index table with the cached-schema fast path. */
+  private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame = {
+    val cached = indexSchemaCache.get(path)
+    if (cached != null) spark.read.schema(cached).parquet(path)
+    else {
+      val df = spark.read.parquet(path)
+      indexSchemaCache.put(path, df.schema)
+      df
+    }
+  }
+
   /** Exact dedup: keep one deterministic representative row per key
     * (lowest `tieBreaker`). `dropDuplicates` alone keeps an arbitrary row —
     * unacceptable for a reproducible pipeline.
@@ -199,10 +235,29 @@ object Dedup {
     * projections over parquet), where the re-read is far cheaper than
     * checkpointing wide exploded rows — the same trade
     * [[minHashNearDupPairs]] documents for its signature subtree.
+    * Callers whose subtree is NOT cheap (an arbitrary upstream pipeline)
+    * must checkpoint before calling — see the SRP multi-probe path.
+    *
+    * NOTE: this is an EAGER operator — the hot-bucket count runs one
+    * Spark job at plan-construction time (even when no bucket is hot).
+    * That job is a narrow map-side-combined count over `rows`, and it is
+    * what lets the steady state skip the window sort entirely.
+    *
+    * NULL bucket keys (an IVF `cell` miss, a band key off a null
+    * signature) form a real bucket in all three paths: the window
+    * partition groups NULLs together, and the semi/anti joins here are
+    * null-safe (`<=>`), so a hot NULL bucket is capped identically to a
+    * hot non-null one — the bit-identical-paths claim holds with NULLs
+    * present (spec-proven on a null-keyed fixture).
+    *
+    * `maxHotBuckets` bounds the broadcast build of the hot-key set: at
+    * the 1M default a worst-case multi-column key set stays in the tens
+    * of MB on the driver; past it the plain full window takes over
+    * (correct, just sorts everything).
     */
   private[graft] def capBucketRows(rows: DataFrame, keyCols: Seq[String],
                                    idName: String, cap: Int,
-                                   maxHotBuckets: Long = 4000000L): DataFrame = {
+                                   maxHotBuckets: Long = 1000000L): DataFrame = {
     val keys = keyCols.map(col)
     val wB = Window.partitionBy(keys: _*).orderBy(col(idName))
     def fullWindow = rows.withColumn("__bn", row_number().over(wB))
@@ -214,11 +269,18 @@ object Dedup {
     if (nHot == 0L) rows
     else if (nHot > maxHotBuckets) fullWindow
     else {
-      val hotRows = rows.join(broadcast(hot), keyCols, "left_semi")
+      // Rename the hot side so the null-safe condition is unambiguous
+      // (hot derives from `rows`; a bare column-name join would both be
+      // null-UNSAFE and risk self-join ambiguity).
+      val hotB = broadcast(
+        hot.select(keyCols.map(k => col(k).as(s"__hot_$k")): _*))
+      val hotCond = keyCols.map(k => col(k) <=> col(s"__hot_$k"))
+        .reduce(_ && _)
+      val hotRows = rows.join(hotB, hotCond, "left_semi")
         .withColumn("__bn", row_number().over(wB))
         .filter(col("__bn") <= cap)
         .drop("__bn")
-      rows.join(broadcast(hot), keyCols, "left_anti").unionByName(hotRows)
+      rows.join(hotB, hotCond, "left_anti").unionByName(hotRows)
     }
   }
 
@@ -553,7 +615,7 @@ object Dedup {
                             path: String,
                             shardsTouched: Option[Seq[Int]]): DataFrame = {
     val occ =
-      try spark.read.parquet(s"$path/occupancy")
+      try readIndexTable(spark, s"$path/occupancy")
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"index at $path has no readable occupancy table — was it " +
@@ -633,12 +695,13 @@ object Dedup {
     require(shards > 0, "shards must be positive")
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
+    invalidateIndexSchemas(path)
     withMinHashSignature(corpus, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"),
         size(col("shingles")).as("sz"), col("minhash"))
       .write.mode("overwrite").parquet(s"$path/signatures")
-    val sigs = spark.read.parquet(s"$path/signatures")
+    val sigs = readIndexTable(spark, s"$path/signatures")
     val bandStructs = array((0 until p.bands).map { b =>
       struct(lit(b).as("band"), bandKey(col("minhash"), b, p.rowsPerBand).as("bkey"))
     }: _*)
@@ -657,7 +720,7 @@ object Dedup {
     // time, never again): one delta row per bucket, stamped with the
     // corpus max id — every committed watermark is >= it, so governed
     // reads always count the base.
-    val bands = spark.read.parquet(s"$path/bands")
+    val bands = readIndexTable(spark, s"$path/bands")
     val baseWm = watermarkOf(bands, "id")
     // the written bands carry `shard` as their partition column, and
     // shard = f(band, bkey) — grouping by all three is one shuffle
@@ -694,7 +757,7 @@ object Dedup {
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): MinHashIndex = {
     val pr =
-      try spark.read.parquet(s"$path/params").head()
+      try readIndexTable(spark, s"$path/params").head()
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"signature index at $path has no readable params table — " +
@@ -708,8 +771,17 @@ object Dedup {
     // (the band table has no shard layout to prune)
     val shards = if (pr.schema.fieldNames.contains("shards"))
       pr.getAs[Int]("shards") else 0
-    MinHashIndex(spark.read.parquet(s"$path/signatures"),
-      spark.read.parquet(s"$path/bands"), p, shards)
+    // Stable read-back column order: partitionBy(shard) storage appends
+    // the partition column on read and may reorder the data columns, so
+    // normalize to the logical contract (id, band, bkey[, shard]) here —
+    // every consumer, positional or by-name, sees the same schema
+    // regardless of the physical layout generation.
+    val bandsRaw = readIndexTable(spark, s"$path/bands")
+    val bands =
+      if (bandsRaw.columns.contains("shard"))
+        bandsRaw.select("id", "band", "bkey", "shard")
+      else bandsRaw.select("id", "band", "bkey")
+    MinHashIndex(readIndexTable(spark, s"$path/signatures"), bands, p, shards)
   }
 
   /** Append a new batch to a persisted signature index WITHOUT touching
@@ -1221,7 +1293,11 @@ object Dedup {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
         .as(Seq("tbl", "bkt")))
-    val capped = capBucketRows(bucketed, Seq("tbl", "bkt"), "id", maxBucket)
+    val cappedRaw = capBucketRows(bucketed, Seq("tbl", "bkt"), "id", maxBucket)
+    // Multi-probe re-caps an expansion of `capped` (below), which would
+    // otherwise nest two capBucketRows evaluations — checkpoint once so
+    // BOTH join sides and the outer cap read materialized blocks.
+    val capped = if (multiProbe) cappedRaw.localCheckpoint() else cappedRaw
     val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"),
       col("v").as("va"))
     // Hamming-1 multi-probe (the recall lever that makes DENSE plane
@@ -1234,6 +1310,18 @@ object Dedup {
     // across 16 tables vs 0.33 single-probe (gated in EmbeddingLshSpec).
     // Cost is (1+planes)× probe rows into the SAME bucket join — the
     // candidate bound stays maxBucket² per bucket (both sides re-capped).
+    //
+    // `capped` is itself a capBucketRows output, and the OUTER cap below
+    // evaluates its input up to 3× (count/semi/anti) — nested, that
+    // compounds to ~9× the bucket kernel over `emb`, which may be an
+    // arbitrary upstream pipeline the "cheaply-recomputable subtree"
+    // assumption doesn't cover. localCheckpoint breaks the nesting: one
+    // evaluation of the inner cap, and every outer re-read is a cheap
+    // block scan. The retained blocks (n·tables narrow rows + one vector
+    // copy each) cannot be freed inside a lazy operator — harness-side,
+    // Bench/Verify release them after materialization via
+    // [[graft.plans.Checkpoints.free]] on the result plan (it unpersists
+    // every LogicalRDD leaf, nested checkpoints included).
     val rRows =
       if (!multiProbe) capped
       else {
@@ -1368,10 +1456,11 @@ object Dedup {
     require(shards > 0, "shards must be positive")
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
+    invalidateIndexSchemas(path)
     val planes = srpPlanesFor(corpus.count(), targetOccupancy)
     corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
       .write.mode("overwrite").parquet(s"$path/vectors")
-    val vecs = spark.read.parquet(s"$path/vectors")
+    val vecs = readIndexTable(spark, s"$path/vectors")
     capBucketRows(
         vecs.select(col("id"),
           posexplode(GraftFunctions.srpBuckets(col("v"), tables, planes, dim))
@@ -1382,7 +1471,7 @@ object Dedup {
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/buckets")
     // Base occupancy from the WRITTEN buckets (see writeSignatureIndex —
     // one narrow scan at build time, maintained by deltas ever after).
-    val buckets = spark.read.parquet(s"$path/buckets")
+    val buckets = readIndexTable(spark, s"$path/buckets")
     val baseWm = watermarkOf(buckets, "id")
     // shard is the written buckets' partition column and a pure function
     // of (tbl, bkt): grouping by all three is one shuffle already keyed
@@ -1403,7 +1492,7 @@ object Dedup {
   def readSrpIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): SrpIndex = {
     val pr =
-      try spark.read.parquet(s"$path/params").head()
+      try readIndexTable(spark, s"$path/params").head()
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"SRP index at $path has no readable params table — was it " +
@@ -1412,8 +1501,14 @@ object Dedup {
     // shards absent on a pre-sharding index: 0 disables partition pruning
     val shards = if (pr.schema.fieldNames.contains("shards"))
       pr.getAs[Int]("shards") else 0
-    SrpIndex(spark.read.parquet(s"$path/vectors"),
-      spark.read.parquet(s"$path/buckets"),
+    // Stable read-back column order (see readSignatureIndex): normalize
+    // the sharded bucket table to (id, tbl, bkt[, shard]).
+    val bucketsRaw = readIndexTable(spark, s"$path/buckets")
+    val buckets =
+      if (bucketsRaw.columns.contains("shard"))
+        bucketsRaw.select("id", "tbl", "bkt", "shard")
+      else bucketsRaw.select("id", "tbl", "bkt")
+    SrpIndex(readIndexTable(spark, s"$path/vectors"), buckets,
       tables = pr.getAs[Int]("tables"), planes = pr.getAs[Int]("planes"),
       dim = pr.getAs[Int]("dim"), maxBucket = pr.getAs[Int]("max_bucket"),
       shards = shards)
@@ -2179,7 +2274,7 @@ object Dedup {
 
   private def readIngestLedger(spark: org.apache.spark.sql.SparkSession,
                                indexPath: String): DataFrame =
-    try spark.read.parquet(s"$indexPath/ingest_ledger")
+    try readIndexTable(spark, s"$indexPath/ingest_ledger")
     catch {
       case e: Exception => throw new IllegalArgumentException(
         s"signature index at $indexPath has no ingest ledger — call " +

@@ -371,6 +371,11 @@ object Sampling {
       }
     }(Encoders.row(bSchema))
       .collect().map(r => r.getLong(2) -> (r.get(0), r.get(1))).toMap
+    // Both passes over the ranged pairs are done and the result plan
+    // below scores `df` directly — release the checkpoint blocks now
+    // instead of leaking them for the session lifetime (Dataset.unpersist
+    // would silently no-op on a checkpointed frame; see Checkpoints).
+    graft.plans.Checkpoints.free(ranged)
 
     val pairCol = struct(col(scoreCol).as("s"), col(keyCol).cast(
       df.schema(keyCol).dataType).as("k"))

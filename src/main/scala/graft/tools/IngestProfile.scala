@@ -27,8 +27,10 @@ object IngestProfile {
       new org.apache.spark.scheduler.SparkListener {
         override def onJobStart(
             js: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
-          val site = Option(js.properties)
-            .flatMap(p => Option(p.getProperty("callSite.short"))).getOrElse("?")
+          // the result stage's name is the action's call site ("parquet at
+          // Dedup.scala:2345") — the per-line map the floor-cutting work
+          // needs; callSite.short is absent from job properties here
+          val site = js.stageInfos.lastOption.map(_.name).getOrElse("?")
           jobs.put(js.jobId, (js.time, site))
         }
         override def onJobEnd(
@@ -50,7 +52,7 @@ object IngestProfile {
       }
       println(f"  $label%-28s ${(System.nanoTime() - t0) / 1e9}%6.2f s  " +
         f"${times.length}%3d jobs")
-      times.sortBy(-_._1).take(10).foreach { case (ms, site) =>
+      times.sortBy(-_._1).take(48).foreach { case (ms, site) =>
         println(f"      $ms%5d ms  $site%s")
       }
       r

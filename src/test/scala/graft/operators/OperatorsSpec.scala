@@ -240,6 +240,32 @@ class DedupSpec extends SparkSpec {
       s"cold pair affected by the cap: $coldPairs")
   }
 
+  test("capBucketRows caps a hot NULL-keyed bucket identically on all paths") {
+    // NULL bucket keys are real (an IVF cell miss, a band key off a null
+    // signature): the window path groups NULLs into one partition, so the
+    // hot broadcast path must treat NULL as the same bucket — its
+    // semi/anti joins are null-safe (<=>). Fixture: a NULL bucket and a
+    // non-null bucket both over cap, plus an under-cap bucket.
+    val rows = (
+      (0L until 10L).map(i => (Option.empty[String], i)) ++ // hot NULL bucket
+      (10L until 20L).map(i => (Some("hot"), i)) ++         // hot non-null
+      (20L until 22L).map(i => (Some("cold"), i))           // under cap
+    ).toDF("k", "id")
+    def norm(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSet
+    val hotPath = norm(Dedup.capBucketRows(rows, Seq("k"), "id", 3))
+    // maxHotBuckets = 0 forces the plain full-window fallback on the same
+    // input — the reference semantics the hot path must match bit-for-bit
+    val windowPath = norm(Dedup.capBucketRows(rows, Seq("k"), "id", 3,
+      maxHotBuckets = 0L))
+    val want = ((0L until 3L).map(i => (None, i)) ++
+      (10L until 13L).map(i => (Some("hot"), i)) ++
+      (20L until 22L).map(i => (Some("cold"), i))).toSet
+    assert(windowPath == want, s"window path wrong: $windowPath")
+    assert(hotPath == want,
+      s"hot path diverges from the window path on a NULL bucket: $hotPath")
+  }
+
   test("indexed probe rejects a params mismatch loudly") {
     val docs = (0L until 6L).map(i => (i, s"some document number $i with words"))
       .toDF("doc_id", "text")
