@@ -45,6 +45,28 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[String,
       org.apache.spark.sql.types.StructType]()
 
+  /** Params-row cache, same contract as the schema cache: an index's
+    * params table is written once per build and never mutated (appends
+    * require-match it, compaction preserves it), so re-collecting the
+    * one-row table every governed micro-batch is a pure fixed-cost job.
+    * Invalidated alongside the schemas by the overwrite builds.
+    */
+  private val indexParamsCache =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      org.apache.spark.sql.Row]()
+
+  /** head() of `path` (a params table) through the cache. */
+  private def readParamsRow(spark: org.apache.spark.sql.SparkSession,
+                            path: String): org.apache.spark.sql.Row = {
+    val cached = indexParamsCache.get(path)
+    if (cached != null) cached
+    else {
+      val r = readIndexTable(spark, path).head()
+      indexParamsCache.put(path, r)
+      r
+    }
+  }
+
   /** Drop cached schemas under an index root — called by the overwrite
     * builds (writeSignatureIndex/writeSrpIndex), which are the only
     * operations allowed to change a table's schema (e.g. rebuilding a
@@ -52,6 +74,8 @@ object Dedup {
   private def invalidateIndexSchemas(root: String): Unit = {
     val it = indexSchemaCache.keySet().iterator()
     while (it.hasNext) if (it.next().startsWith(root)) it.remove()
+    val pit = indexParamsCache.keySet().iterator()
+    while (pit.hasNext) if (pit.next().startsWith(root)) pit.remove()
   }
 
   /** Read one persisted-index table with the cached-schema fast path. */
@@ -257,11 +281,17 @@ object Dedup {
     */
   private[graft] def capBucketRows(rows: DataFrame, keyCols: Seq[String],
                                    idName: String, cap: Int,
-                                   maxHotBuckets: Long = 1000000L): DataFrame = {
+                                   maxHotBuckets: Long = 1000000L,
+                                   eager: Boolean = true): DataFrame = {
     val keys = keyCols.map(col)
     val wB = Window.partitionBy(keys: _*).orderBy(col(idName))
     def fullWindow = rows.withColumn("__bn", row_number().over(wB))
       .filter(col("__bn") <= cap).drop("__bn")
+    // eager=false: stay LAZY (no hot-bucket count job at construction) by
+    // always taking the window path — right for BATCH-sized inputs inside
+    // per-micro-batch loops, where a tiny window sort folds into the
+    // surrounding job and the count's fixed scheduling cost dominates.
+    if (!eager) return fullWindow
     val hot = rows.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > cap)
       .select(keys: _*)
@@ -287,9 +317,17 @@ object Dedup {
   /** Near-duplicate pairs via MinHash banding LSH, verified with exact
     * Jaccard on the shingle sets. Output: (id_a, id_b, jaccard) with
     * id_a < id_b, jaccard >= threshold, deterministic order.
+    *
+    * `eagerCap` (default true) selects the adaptive skew cap, which runs
+    * one hot-bucket count job at plan construction; the governed ingest
+    * loop passes false for its batch-sized within-screen — the lazy
+    * window cap folds into the batch's one materialization job, trimming
+    * the per-micro-batch fixed job count (identical rows either way,
+    * spec-proven path equivalence).
     */
   def minHashNearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                          p: MinHashParams = MinHashParams()): DataFrame = {
+                          p: MinHashParams = MinHashParams(),
+                          eagerCap: Boolean = true): DataFrame = {
     GraftFunctions.register(df.sparkSession)
     // NOTE (measured, twice): do NOT localCheckpoint `signed` here even
     // though it is referenced three times — serializing the shingle
@@ -312,7 +350,8 @@ object Dedup {
 
     // Cap pathological buckets (skew guard for the self-join at scale):
     // hot buckets only — the un-skewed corpus never sorts.
-    val capped = capBucketRows(exploded, Seq("band", "bkey"), "id", p.maxBucket)
+    val capped = capBucketRows(exploded, Seq("band", "bkey"), "id",
+      p.maxBucket, eager = eagerCap)
 
     val l = capped.select(col("band"), col("bkey"), col("id").as("id_a"))
     val r = capped.select(col("band"), col("bkey"), col("id").as("id_b"))
@@ -757,7 +796,7 @@ object Dedup {
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                          path: String): MinHashIndex = {
     val pr =
-      try readIndexTable(spark, s"$path/params").head()
+      try readParamsRow(spark, s"$path/params")
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"signature index at $path has no readable params table — " +
@@ -1045,7 +1084,19 @@ object Dedup {
     */
   def minHashNearDupPairsIncremental(batch: DataFrame, index: MinHashIndex,
                                      idCol: String, textCol: String,
-                                     p: MinHashParams): DataFrame = {
+                                     p: MinHashParams): DataFrame =
+    minHashNearDupPairsIncremental(batch, index, idCol, textCol, p, None)
+
+  /** [[minHashNearDupPairsIncremental]] with a caller-provided
+    * touched-shard SUPERSET: the governed batch loop computes the batch's
+    * touched shards once and shares the set between this probe and its
+    * occupancy read, saving one collect job per micro-batch. A superset
+    * only weakens pruning (extra shard dirs scanned), never correctness —
+    * the band join still matches on the full key.
+    */
+  private[graft] def minHashNearDupPairsIncremental(
+      batch: DataFrame, index: MinHashIndex, idCol: String, textCol: String,
+      p: MinHashParams, touchedHint: Option[Seq[Int]]): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
     // Geometry check, mirroring bloomScreenSharded: numHashes/bands/
     // shingle are baked into the persisted signature and band rows, so a
@@ -1087,7 +1138,8 @@ object Dedup {
       if (index.shards > 0) {
         val keyed = bBands.withColumn("shard",
           shardCol(Seq(col("band"), col("bkey")), index.shards))
-        val touched = touchedShards(bBands, Seq("band", "bkey"), index.shards)
+        val touched = touchedHint.getOrElse(
+          touchedShards(bBands, Seq("band", "bkey"), index.shards))
         (keyed,
           index.bands.filter(shardFilter(touched))
             .select(col("shard"), col("band"), col("bkey"),
@@ -1288,16 +1340,23 @@ object Dedup {
                           threshold: Double, dim: Int,
                           tables: Int = 16, planes: Int = 5,
                           maxBucket: Int = 100000,
-                          multiProbe: Boolean = false): DataFrame = {
+                          multiProbe: Boolean = false,
+                          eagerCap: Boolean = true): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
         .as(Seq("tbl", "bkt")))
-    val cappedRaw = capBucketRows(bucketed, Seq("tbl", "bkt"), "id", maxBucket)
+    val cappedRaw = capBucketRows(bucketed, Seq("tbl", "bkt"), "id",
+      maxBucket, eager = eagerCap)
     // Multi-probe re-caps an expansion of `capped` (below), which would
     // otherwise nest two capBucketRows evaluations — checkpoint once so
     // BOTH join sides and the outer cap read materialized blocks.
-    val capped = if (multiProbe) cappedRaw.localCheckpoint() else cappedRaw
+    // eagerCap=false (the governed loop's batch-sized screen): both caps
+    // are plain lazy windows, so there is no nesting amplification to
+    // break and the whole operator stays a single lazy plan — no
+    // checkpoint, no leaked blocks per micro-batch.
+    val capped =
+      if (multiProbe && eagerCap) cappedRaw.localCheckpoint() else cappedRaw
     val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"),
       col("v").as("va"))
     // Hamming-1 multi-probe (the recall lever that makes DENSE plane
@@ -1329,7 +1388,8 @@ object Dedup {
           col("bkt").bitwiseXOR(lit(1L << j)))
         val probes = capped.select(col("id"), col("v"), col("tbl"),
           explode(array(flips: _*)).as("bkt"))
-        capBucketRows(probes, Seq("tbl", "bkt"), "id", maxBucket)
+        capBucketRows(probes, Seq("tbl", "bkt"), "id", maxBucket,
+          eager = eagerCap)
       }
     val r = rRows.select(col("tbl"), col("bkt"), col("id").as("id_b"),
       col("v").as("vb"))
@@ -1492,7 +1552,7 @@ object Dedup {
   def readSrpIndex(spark: org.apache.spark.sql.SparkSession,
                    path: String): SrpIndex = {
     val pr =
-      try readIndexTable(spark, s"$path/params").head()
+      try readParamsRow(spark, s"$path/params")
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"SRP index at $path has no readable params table — was it " +
@@ -1532,7 +1592,17 @@ object Dedup {
     */
   def embeddingNearDupLshIncremental(batch: DataFrame, index: SrpIndex,
                                      idCol: String, vecCol: String,
-                                     threshold: Double): DataFrame = {
+                                     threshold: Double): DataFrame =
+    embeddingNearDupLshIncremental(batch, index, idCol, vecCol, threshold,
+      None)
+
+  /** [[embeddingNearDupLshIncremental]] with a caller-provided
+    * touched-shard SUPERSET of the batch's multi-probe buckets (see the
+    * MinHash twin): the governed loop shares one collect between this
+    * probe and its occupancy read. A superset only weakens pruning. */
+  private[graft] def embeddingNearDupLshIncremental(
+      batch: DataFrame, index: SrpIndex, idCol: String, vecCol: String,
+      threshold: Double, touchedHint: Option[Seq[Int]]): DataFrame = {
     GraftFunctions.register(batch.sparkSession)
     val bVecs = batch.select(col(idCol).as("batch_id"),
       col(vecCol).cast("array<float>").as("bv"))
@@ -1559,7 +1629,8 @@ object Dedup {
       if (index.shards > 0) {
         val keyed = bProbes.withColumn("shard",
           shardCol(Seq(col("tbl"), col("bkt")), index.shards))
-        val touched = touchedShards(bProbes, Seq("tbl", "bkt"), index.shards)
+        val touched = touchedHint.getOrElse(
+          touchedShards(bProbes, Seq("tbl", "bkt"), index.shards))
         (keyed,
           index.buckets.filter(shardFilter(touched))
             .select(col("shard"), col("tbl"), col("bkt"),
@@ -2325,9 +2396,59 @@ object Dedup {
     * ledger is one row per batch and only ≤ 1 row of it is ever
     * collected.
     */
+  /** Run one governed micro-batch with ADAPTIVE EXECUTION OFF, restoring
+    * the caller's setting afterwards. Rationale: AQE submits every
+    * shuffle stage as its own Spark job, which at micro-batch cadence
+    * turns the governed loop's fixed overhead into ~a dozen extra
+    * scheduler round-trips per batch (measured: 38 → 24 jobs/batch at
+    * sf0.1) while buying nothing — the loop's plans are a fixed,
+    * audited family whose skew surfaces are already bounded explicitly
+    * (maxBucket caps, shard layout), and the shuffle sizes track the
+    * batch, not the corpus. This mirrors Structured Streaming's own
+    * stance: Spark pins plans (restricts AQE) for stateful micro-batch
+    * operators for the same reason. Batch operators outside the loop
+    * keep AQE.
+    */
+  private def withPinnedPlan[A](
+      spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
+    val kA = "spark.sql.adaptive.enabled"
+    val kS = "spark.sql.shuffle.partitions"
+    val prevA = spark.conf.getOption(kA)
+    val prevS = spark.conf.getOption(kS)
+    spark.conf.set(kA, "false")
+    def restore(k: String, v: Option[String]): Unit = v match {
+      case Some(x) => spark.conf.set(k, x)
+      case None    => spark.conf.unset(k)
+    }
+    try f
+    finally { restore(kA, prevA); restore(kS, prevS) }
+  }
+
+  /** Shuffle-partition count for one governed micro-batch, from its
+    * measured row count: the sizing decision AQE's coalescer makes per
+    * stage at runtime, made ONCE up front from the batch geometry the
+    * front fold already collected — so pinning the plan (no per-stage
+    * job submissions) does not leave tiny batches paying 32-task
+    * overhead per shuffle. ~50k docs per partition keeps the exploded
+    * band/bucket rows in the tens of MB; the session's configured value
+    * is the ceiling, so a corpus-scale batch keeps its full
+    * parallelism. Restored by [[withPinnedPlan]] after the batch.
+    */
+  private def batchShufflePartitions(batchRows: Long, prev: Int): Int =
+    math.max(1, math.min(prev, (batchRows / 50000L + 1).toInt))
+
   def ingestBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
                            indexPath: String, outPath: String,
-                           batchId: Long): IngestBatchStats = {
+                           batchId: Long): IngestBatchStats =
+    withPinnedPlan(batch.sparkSession) {
+      ingestBatchWithIndexImpl(batch, idCol, textCol, indexPath, outPath,
+        batchId)
+    }
+
+  private def ingestBatchWithIndexImpl(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String,
+      batchId: Long): IngestBatchStats = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSignatureIndex(spark, indexPath)
@@ -2338,23 +2459,77 @@ object Dedup {
     // (and replay) instead of committing over a moved index.
     val claimed = claimEpoch(spark, indexPath)
 
-    val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
-
     val b = batch.localCheckpoint()
-    // batch geometry in one job: row count, max id, watermark clashes
-    val gRow = b.agg(count(lit(1)), max(col(idCol).cast("long")),
-      count(when(col(idCol) <= lit(w), 1))).head()
-    val batchRows = gRow.getLong(0)
-    require(gRow.getLong(2) == 0,
+    // FRONT FOLD — one job answers every scalar the batch needs up
+    // front: the ledger state (committed watermark, replay detection)
+    // crossed with the batch geometry (row count, min/max id, cast
+    // health). Both sides are one-row aggregates, so the cross join is a
+    // trivial broadcast; previously these were two sequential jobs and
+    // the watermark-clash count needed `w` before it could even be
+    // planned — comparing min(id) > w instead removes that dependency.
+    val front = ledger.agg(
+        max(col("watermark_after")).as("l_after"),
+        count(when(col("batch_id") === lit(batchId), 1)).as("l_cnt"),
+        max(when(col("batch_id") === lit(batchId),
+          col("watermark_before"))).as("l_before"))
+      .crossJoin(b.agg(
+        count(lit(1)).as("g_cnt"),
+        max(col(idCol).cast("long")).as("g_max"),
+        min(col(idCol).cast("long")).as("g_min"),
+        count(when(col(idCol).isNotNull &&
+          col(idCol).cast("long").isNull, 1)).as("g_bad")))
+      .head()
+    require(front.getLong(1) <= 1,
+      s"ingest ledger at $indexPath has ${front.getLong(1)} rows for " +
+        s"batch $batchId — the ledger is corrupt (concurrent writers?)")
+    val replayed = front.getLong(1) == 1
+    val w = if (replayed) front.getLong(2) else front.getLong(0)
+    val batchRows = front.getLong(3)
+    require(front.getLong(6) == 0,
+      s"ingestBatchWithIndex: batch $batchId has ${front.getLong(6)} " +
+        s"non-long-castable '$idCol' values — the watermark contract " +
+        "requires monotone long ids")
+    require(batchRows == 0 || front.getLong(5) > w,
       s"ingestBatchWithIndex: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
+    // Size every shuffle below to the batch (restored by withPinnedPlan)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      batchShufflePartitions(batchRows,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
 
     // The committed view of the index: everything a crashed attempt may
     // have appended beyond the watermark is invisible. Shards carry over
     // so the screen probe keeps its partition pruning.
     val committed = MinHashIndex(ix.signatures.filter(col("id") <= lit(w)),
       ix.bands.filter(col("id") <= lit(w)), p, ix.shards)
+
+    // TORN-TAIL CHECK — one row-group-pruned job (parquet min/max stats
+    // skip every committed row group; a clean index reads ~no data).
+    // Appends land in order sigs → bands → occupancy → ledger, so an
+    // empty signature tail proves NO prior attempt wrote anything past
+    // `w`: the self-healing anti-joins and the occupancy replay-presence
+    // probe are all skipped on the clean path (the overwhelmingly common
+    // one), and only a genuinely torn or replayed batch pays for healing.
+    val torn = !ix.signatures.filter(col("id") > lit(w)).isEmpty
+
+    // Touched shards of the WHOLE batch, collected once and shared by
+    // the cross-index probe, the occupancy read and the band-tail filter
+    // (previously two separate collects). A superset of the novel rows'
+    // touched set — supersets only weaken pruning, never correctness.
+    val bandStructs = array((0 until p.bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
+    }: _*)
+    val touched =
+      if (ix.shards > 0)
+        touchedShards(
+          withMinHashSignature(b, textCol, p)
+            .filter(size(col("shingles")) > 0)
+            .select(explode(bandStructs).as("bk"))
+            .select(col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+          Seq("band", "bkey"), ix.shards)
+      else Nil
 
     // Within-batch screen: greedy star rule — drop any doc with a
     // SMALLER-id near-duplicate in the same batch (pairs carry
@@ -2369,52 +2544,56 @@ object Dedup {
     // semantics, the right screen for dedup (distant chain members are
     // not near-duplicates of each other). d6/d6b expose both semantics
     // as batch operators; p1's pipeline routes through star too.
-    val withinDup = minHashNearDupPairs(b, idCol, textCol, p)
+    // eagerCap=false: the batch-sized skew cap stays lazy and folds into
+    // the `novel` checkpoint job instead of running its own count.
+    val withinDup = minHashNearDupPairs(b, idCol, textCol, p,
+        eagerCap = false)
       .select(col("id_b").as(idCol)).distinct()
     val crossDup = minHashNearDupPairsIncremental(b, committed, idCol,
-        textCol, p)
+        textCol, p, if (ix.shards > 0) Some(touched) else None)
       .select(col("batch_id").as(idCol)).distinct()
-    val novel = b.join(withinDup, Seq(idCol), "left_anti")
-      .join(crossDup, Seq(idCol), "left_anti")
-      .localCheckpoint()
-    val novelRows = novel.count()
 
     // (1) Output: per-batch directory overwrite — replay-idempotent.
-    novel.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    // The output write IS the materialization of the whole screen DAG:
+    // `novel` reads it straight back (schema from `b` — zero inference
+    // jobs) as the staging table for every downstream consumer, instead
+    // of paying a separate localCheckpoint job + in-memory blocks for
+    // rows that had to be written anyway.
+    val novelOut = s"$outPath/batch_id=$batchId"
+    b.join(withinDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(novelOut)
+    val novel = spark.read.schema(b.schema).parquet(novelOut)
 
-    // (2) Self-healing index append: derive the expected rows, append
-    // only what the physical tail is missing. No checkpoint of its own:
-    // `novel` IS checkpointed and the signature kernels are
-    // deterministic, so every consumer (signatures append, band
-    // derivation) sees identical rows — recomputing the kernels over the
-    // in-memory novel blocks is cheaper than a second materialization
-    // (the governed batch's fixed job count is its measured floor).
+    // (2) Self-healing index append: derive the expected rows; on a torn
+    // batch, append only what the physical tail is missing (anti-join);
+    // on the clean path (tail proven empty above) append directly. No
+    // checkpoint of its own: `novel` IS checkpointed and the signature
+    // kernels are deterministic, so every consumer (signatures append,
+    // band derivation) sees identical rows — recomputing the kernels
+    // over the in-memory novel blocks is cheaper than a second
+    // materialization (the governed batch's fixed job count is its
+    // measured floor).
     val newSigs = withMinHashSignature(novel, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"),
         size(col("shingles")).as("sz"), col("minhash"))
-    newSigs
-      .join(ix.signatures.filter(col("id") > lit(w)).select("id"),
-        Seq("id"), "left_anti")
+    (if (torn)
+       newSigs.join(ix.signatures.filter(col("id") > lit(w)).select("id"),
+         Seq("id"), "left_anti")
+     else newSigs)
       .write.mode("append").parquet(s"$indexPath/signatures")
-    val bandStructs = array((0 until p.bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
-    }: _*)
     val batchBands = newSigs.select(col("id"), explode(bandStructs).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
     // Committed occupancy: on a sharded index from the side table's RAW
     // delta rows (shard-pruned to the buckets this batch can touch, so
     // the read is O(batch), never O(index)) — read ONCE, checkpointed,
-    // serving both the committed cap view (wm <= w) and the replay
-    // presence flag (wm == wAfter) with no second directory scan. The
-    // checkpoint also guarantees nothing downstream re-reads occupancy/
-    // after this batch appends to it. Legacy unsharded index recomputes
-    // from committed bands, wrapped in the same (occ, wm) shape.
-    val touched =
-      if (ix.shards > 0)
-        touchedShards(batchBands, Seq("band", "bkey"), ix.shards)
-      else Nil
+    // serving both the committed cap view (wm <= w) and, on a torn
+    // batch, the replay presence flag (wm == wAfter) with no second
+    // directory scan. The checkpoint also guarantees nothing downstream
+    // re-reads occupancy/ after this batch appends to it. Legacy
+    // unsharded index recomputes from committed bands, wrapped in the
+    // same (occ, wm) shape.
     val occRaw =
       (if (ix.shards > 0) readOccupancyRaw(spark, indexPath, Some(touched))
        else committed.bands.groupBy(col("band"), col("bkey"))
@@ -2431,27 +2610,43 @@ object Dedup {
       .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
       .select("id", "band", "bkey")
       .localCheckpoint()
-    val tail = {
-      val t = ix.bands.filter(col("id") > lit(w))
-      if (ix.shards > 0) t.filter(shardFilter(touched)) else t
-    }
-    appendBucketRows(
-      capped.join(tail.select("id", "band", "bkey"),
-        Seq("id", "band", "bkey"), "left_anti"),
-      indexPath, "bands", Seq("band", "bkey"), ix.shards)
+    val bandAppend =
+      if (torn) {
+        val tail = ix.bands.filter(col("id") > lit(w))
+        val tailPruned =
+          if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
+        capped.join(tailPruned.select("id", "band", "bkey"),
+          Seq("id", "band", "bkey"), "left_anti")
+      } else capped
+    appendBucketRows(bandAppend, indexPath, "bands", Seq("band", "bkey"),
+      ix.shards)
 
     // (3) Ledger row LAST — the commit marker. The processed watermark is
     // the max BATCH id (dup'd and unsignable docs advance it too: they
     // are processed, just never indexed).
-    val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
+    val wAfter = if (batchRows == 0) w else math.max(w, front.getLong(4))
+    // LATE FOLD — one job over the already-checkpointed frames answers
+    // the remaining scalars: novel row count (ledger bookkeeping),
+    // capped-band count (delta non-emptiness) and, only when torn, the
+    // replay presence flag. Previously three separate jobs.
+    val lateBase = novel.agg(count(lit(1)).as("n_novel"))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+    val late =
+      (if (ix.shards > 0 && torn)
+         lateBase.crossJoin(occRaw.agg(
+           count(when(col("wm") === lit(wAfter), 1)).as("n_replay")))
+       else lateBase).head()
+    val novelRows = late.getLong(0)
+    val deltaPresent = ix.shards > 0 && torn && late.getLong(2) > 0
     // Occupancy delta stamped with the batch's committed watermark: a
     // governed read at any later watermark w' >= wAfter counts it, a
     // replay of THIS batch (filtering wm <= its own w) does not — and the
     // presence check makes a replayed delta append a no-op. The delta is
     // the FULL expected set, not the healed remainder: a torn first
-    // attempt may have appended the bands but not the delta.
-    if (ix.shards > 0 && !capped.isEmpty &&
-        occRaw.filter(col("wm") === lit(wAfter)).isEmpty)
+    // attempt may have appended the bands but not the delta (append
+    // order proves a CLEAN batch cannot have a pre-existing delta, so
+    // the presence probe only runs when torn).
+    if (ix.shards > 0 && late.getLong(1) > 0 && !deltaPresent)
       appendOccupancyDelta(spark, indexPath, capped, Seq("band", "bkey"),
         ix.shards, wAfter)
     if (!replayed) {
@@ -2460,37 +2655,51 @@ object Dedup {
     }
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
-    graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)
     IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
   }
 
-  /** Committed watermark for one governed batch: a replayed batch MUST
-    * re-run against its own pre-batch watermark, not the current one
-    * (its first attempt may already have advanced the index). One
-    * aggregation job over the (one-row-per-batch) ledger answers all
-    * three questions. */
-  private def resolveBatchWatermark(ledger: DataFrame, batchId: Long,
-                                    indexPath: String): (Boolean, Long) = {
-    val lRow = ledger.agg(
-      max(col("watermark_after")),
-      count(when(col("batch_id") === lit(batchId), 1)),
-      max(when(col("batch_id") === lit(batchId),
-        col("watermark_before")))).head()
-    require(lRow.getLong(1) <= 1,
-      s"ingest ledger at $indexPath has ${lRow.getLong(1)} rows for batch " +
-        s"$batchId — the ledger is corrupt (concurrent writers?)")
-    val replayed = lRow.getLong(1) == 1
-    (replayed, if (replayed) lRow.getLong(2) else lRow.getLong(0))
-  }
-
+  /** Append the one-row commit marker DRIVER-SIDE with the parquet-java
+    * writer: the four longs are already scalars on the driver, so
+    * running a Spark job (plan + schedule + task + commit protocol) to
+    * write them is pure fixed overhead in the governed loop's floor.
+    * The file is plain parquet with the same column names/types the
+    * Spark-written bootstrap row uses (required vs optional int64 merge
+    * cleanly), so every reader — Spark, the DuckDB oracle — sees one
+    * homogeneous table. Atomicity matches the Spark path: parquet
+    * writers only make the file visible complete (the footer is the
+    * commit), and the governed stream is the sole writer by contract.
+    */
   private def commitLedgerRow(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, batchId: Long, w: Long,
                               wAfter: Long, novelRows: Long): Unit = {
-    import spark.implicits._
-    Seq((batchId, w, wAfter, novelRows)).toDF(LedgerCols: _*)
-      .coalesce(1).write.mode("append")
-      .parquet(s"$indexPath/ingest_ledger")
+    import org.apache.parquet.schema.Types
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
+    val schema = {
+      val b = Types.buildMessage()
+      LedgerCols.foreach(c => b.addField(
+        Types.required(INT64).named(c)))
+      b.named("graft_ingest_ledger")
+    }
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new org.apache.hadoop.fs.Path(
+      s"$indexPath/ingest_ledger/ledger-$batchId-" +
+        java.util.UUID.randomUUID().toString + ".parquet")
+    val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
+        .fromPath(file, conf))
+      .withType(schema)
+      .withConf(conf)
+      .build()
+    try {
+      val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        schema).newGroup()
+      g.add("batch_id", batchId)
+      g.add("watermark_before", w)
+      g.add("watermark_after", wAfter)
+      g.add("novel_rows", novelRows)
+      writer.write(g)
+    } finally writer.close()
   }
 
   /** [[ingestBatchWithIndex]]'s twin for the persisted SRP EMBEDDING
@@ -2508,58 +2717,124 @@ object Dedup {
   def ingestBatchWithSrpIndex(batch: DataFrame, idCol: String,
                               vecCol: String, indexPath: String,
                               outPath: String, batchId: Long,
-                              threshold: Double): IngestBatchStats = {
+                              threshold: Double): IngestBatchStats =
+    withPinnedPlan(batch.sparkSession) {
+      ingestBatchWithSrpIndexImpl(batch, idCol, vecCol, indexPath, outPath,
+        batchId, threshold)
+    }
+
+  private def ingestBatchWithSrpIndexImpl(
+      batch: DataFrame, idCol: String, vecCol: String, indexPath: String,
+      outPath: String, batchId: Long,
+      threshold: Double): IngestBatchStats = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, indexPath)
     val ledger = readIngestLedger(spark, indexPath)
     val claimed = claimEpoch(spark, indexPath)
-    val (replayed, w) = resolveBatchWatermark(ledger, batchId, indexPath)
 
     val b = batch.localCheckpoint()
-    val gRow = b.agg(count(lit(1)), max(col(idCol).cast("long")),
-      count(when(col(idCol) <= lit(w), 1))).head()
-    val batchRows = gRow.getLong(0)
-    require(gRow.getLong(2) == 0,
+    // FRONT FOLD — one job for ledger state × batch geometry (see the
+    // MinHash twin for the full rationale).
+    val front = ledger.agg(
+        max(col("watermark_after")).as("l_after"),
+        count(when(col("batch_id") === lit(batchId), 1)).as("l_cnt"),
+        max(when(col("batch_id") === lit(batchId),
+          col("watermark_before"))).as("l_before"))
+      .crossJoin(b.agg(
+        count(lit(1)).as("g_cnt"),
+        max(col(idCol).cast("long")).as("g_max"),
+        min(col(idCol).cast("long")).as("g_min"),
+        count(when(col(idCol).isNotNull &&
+          col(idCol).cast("long").isNull, 1)).as("g_bad")))
+      .head()
+    require(front.getLong(1) <= 1,
+      s"ingest ledger at $indexPath has ${front.getLong(1)} rows for " +
+        s"batch $batchId — the ledger is corrupt (concurrent writers?)")
+    val replayed = front.getLong(1) == 1
+    val w = if (replayed) front.getLong(2) else front.getLong(0)
+    val batchRows = front.getLong(3)
+    require(front.getLong(6) == 0,
+      s"ingestBatchWithSrpIndex: batch $batchId has ${front.getLong(6)} " +
+        s"non-long-castable '$idCol' values — the watermark contract " +
+        "requires monotone long ids")
+    require(batchRows == 0 || front.getLong(5) > w,
       s"ingestBatchWithSrpIndex: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
+    // Size every shuffle below to the batch (restored by withPinnedPlan)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      batchShufflePartitions(batchRows,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
 
     val committed = SrpIndex(ix.vectors.filter(col("id") <= lit(w)),
       ix.buckets.filter(col("id") <= lit(w)),
       ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
 
+    // TORN-TAIL CHECK — append order is vectors → buckets → occupancy →
+    // ledger, so an empty vector tail proves the clean path (see the
+    // MinHash twin); row-group stats make this ~free on a clean index.
+    val torn = !ix.vectors.filter(col("id") > lit(w)).isEmpty
+
+    // Touched shards of the batch's MULTI-PROBE bucket set (base + every
+    // Hamming-1 flip), collected once and shared by the cross-index
+    // probe, the occupancy read and the bucket-tail filter — a superset
+    // of the novel rows' base buckets, so pruning stays correct.
+    val touched =
+      if (ix.shards > 0) {
+        val flips = col("bkt") +: (0 until ix.planes).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j)))
+        touchedShards(
+          b.select(posexplode(GraftFunctions.srpBuckets(
+              col(vecCol).cast("array<float>"), ix.tables, ix.planes,
+              ix.dim)).as(Seq("tbl", "bkt")))
+            .select(col("tbl"), explode(array(flips: _*)).as("bkt")),
+          Seq("tbl", "bkt"), ix.shards)
+      } else Nil
+
     // Greedy star within-batch screen — see ingestBatchWithIndex.
+    // eagerCap stays TRUE here, unlike the MinHash twin: the SRP screen's
+    // no-hot fast path (skip the window entirely) was measured worth
+    // ~12% of the whole p6 entry at sf0.1, while the MinHash screen was
+    // parity either way (its band rows are far narrower than the
+    // multi-probe bucket rows). The multi-probe checkpoint this implies
+    // is freed right after the output write below — no per-batch leak.
     val withinDup = embeddingNearDupLsh(b, idCol, vecCol, threshold, ix.dim,
         tables = ix.tables, planes = ix.planes, maxBucket = ix.maxBucket,
-        multiProbe = true)
+        multiProbe = true, eagerCap = true)
       .select(col("id_b").as(idCol)).distinct()
     val crossDup = embeddingNearDupLshIncremental(b, committed, idCol,
-        vecCol, threshold)
+        vecCol, threshold, if (ix.shards > 0) Some(touched) else None)
       .select(col("batch_id").as(idCol)).distinct()
-    val novel = b.join(withinDup, Seq(idCol), "left_anti")
-      .join(crossDup, Seq(idCol), "left_anti")
-      .localCheckpoint()
-    val novelRows = novel.count()
 
-    novel.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+    // Output write = the screen DAG's one materialization; read straight
+    // back as the staging table (see the MinHash twin).
+    val novelOut = s"$outPath/batch_id=$batchId"
+    b.join(withinDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(novelOut)
+    // The within-screen's multi-probe checkpoint is dead the moment the
+    // write lands (novel is parquet-backed from here on) — free its
+    // blocks NOW; a production stream runs unbounded batches and cannot
+    // afford one leaked block set per micro-batch. (free() unpersists
+    // every LogicalRDD leaf of the plan, which includes `b`; the final
+    // free(b) below is then a no-op, kept for the early-exit paths.)
+    graft.plans.Checkpoints.free(withinDup)
+    val novel = spark.read.schema(b.schema).parquet(novelOut)
 
     // Plain projection of the checkpointed `novel` — deterministic for
     // both consumers (vector append, bucket derivation), no second
     // materialization (see ingestBatchWithIndex's newSigs note).
     val newVecs = novel.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
-    newVecs
-      .join(ix.vectors.filter(col("id") > lit(w)).select("id"),
-        Seq("id"), "left_anti")
+    (if (torn)
+       newVecs.join(ix.vectors.filter(col("id") > lit(w)).select("id"),
+         Seq("id"), "left_anti")
+     else newVecs)
       .write.mode("append").parquet(s"$indexPath/vectors")
     val batchBuckets = newVecs.select(col("id"),
       posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
         ix.dim)).as(Seq("tbl", "bkt")))
-    val touched =
-      if (ix.shards > 0)
-        touchedShards(batchBuckets, Seq("tbl", "bkt"), ix.shards)
-      else Nil
     val occRaw =
       (if (ix.shards > 0) readOccupancyRaw(spark, indexPath, Some(touched))
        else committed.buckets.groupBy(col("tbl"), col("bkt"))
@@ -2573,18 +2848,30 @@ object Dedup {
       .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
       .select("id", "tbl", "bkt")
       .localCheckpoint()
-    val tail = {
-      val t = ix.buckets.filter(col("id") > lit(w))
-      if (ix.shards > 0) t.filter(shardFilter(touched)) else t
-    }
-    appendBucketRows(
-      capped.join(tail.select("id", "tbl", "bkt"),
-        Seq("id", "tbl", "bkt"), "left_anti"),
-      indexPath, "buckets", Seq("tbl", "bkt"), ix.shards)
+    val bucketAppend =
+      if (torn) {
+        val tail = ix.buckets.filter(col("id") > lit(w))
+        val tailPruned =
+          if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
+        capped.join(tailPruned.select("id", "tbl", "bkt"),
+          Seq("id", "tbl", "bkt"), "left_anti")
+      } else capped
+    appendBucketRows(bucketAppend, indexPath, "buckets", Seq("tbl", "bkt"),
+      ix.shards)
 
-    val wAfter = if (batchRows == 0) w else math.max(w, gRow.getLong(1))
-    if (ix.shards > 0 && !capped.isEmpty &&
-        occRaw.filter(col("wm") === lit(wAfter)).isEmpty)
+    val wAfter = if (batchRows == 0) w else math.max(w, front.getLong(4))
+    // LATE FOLD — one job for novel count + capped count (+ replay
+    // presence when torn); see the MinHash twin.
+    val lateBase = novel.agg(count(lit(1)).as("n_novel"))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+    val late =
+      (if (ix.shards > 0 && torn)
+         lateBase.crossJoin(occRaw.agg(
+           count(when(col("wm") === lit(wAfter), 1)).as("n_replay")))
+       else lateBase).head()
+    val novelRows = late.getLong(0)
+    val deltaPresent = ix.shards > 0 && torn && late.getLong(2) > 0
+    if (ix.shards > 0 && late.getLong(1) > 0 && !deltaPresent)
       appendOccupancyDelta(spark, indexPath, capped, Seq("tbl", "bkt"),
         ix.shards, wAfter)
     if (!replayed) {
@@ -2593,7 +2880,6 @@ object Dedup {
     }
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
-    graft.plans.Checkpoints.free(novel)
     graft.plans.Checkpoints.free(b)
     IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
   }

@@ -385,9 +385,12 @@ object Sampling {
         lit(bk).cast(df.schema(keyCol).dataType).as("k")), lit(1L))
         .otherwise(lit(0L))
     }
-    val thr = rates.zipWithIndex.foldLeft(lit(-1L)) { case (acc, (r, i)) =>
-      when(col("bin") === (i + 1), lit(bucketThreshold(r))).otherwise(acc)
-    }
+    // Literal lookup array instead of a nested when-chain: one bounded
+    // element_at per row however many bins there are (bin is 1-based and
+    // provably in [1, b] — binExpr is 1 + a sum of b-1 indicators).
+    val thr = element_at(
+      array(rates.map(r => lit(bucketThreshold(r))): _*),
+      col("bin").cast("int"))
     df.withColumn("bin", binExpr)
       .filter(hashBucket(col(keyCol)) < thr)
   }

@@ -135,6 +135,17 @@ object Similarity {
     * their centroid. Fully deterministic — no RNG, stable across runs
     * and engines.
     *
+    * Scale shape of the sample: `orderBy(id).limit(maxTrain)` compiles
+    * to TakeOrderedAndProject — per-partition top-k, NOT a global sort —
+    * so executor work is O(rows log maxTrain); the driver merge is
+    * O(partitions × maxTrain) rows, which bounds how large maxTrain
+    * should be on a very wide corpus (at 10⁴ partitions × the 10⁴
+    * default ≈ 10⁸ candidate rows, prefer training on a pre-sampled
+    * table). The lowest-id window is a deliberate choice: it is the one
+    * deterministic sample reproducible across engines with no RNG and
+    * no hash-function coupling, and the frozen AnnModels artifact (and
+    * its parity spec) pins it.
+    *
     * @return c L2-normalized centroids (row-major)
     */
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,

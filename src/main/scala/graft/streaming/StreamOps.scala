@@ -142,16 +142,27 @@ object StreamOps {
     * This is the loop [[graft.operators.Dedup.writeSignatureIndex]]'s
     * docs promise: build the index once, then every arriving batch pays
     * its own size — zero corpus text reads — and the index grows with
-    * the accepted stream. Run [[graft.operators.Dedup.compactSignatureIndex]]
-    * periodically from a maintenance job (not inside the loop) to fold
-    * the per-batch file sets.
+    * the accepted stream.
+    *
+    * FILE-COUNT HYGIENE: every committed batch appends one file set per
+    * table plus a ledger row, an occupancy delta and epoch claims — an
+    * unattended long-running stream decays into a small-files swamp.
+    * `compactEvery = N` folds the index in-loop after every Nth
+    * COMMITTED batch via [[graft.operators.Dedup.compactSignatureIndex]]
+    * — safe exactly BECAUSE it runs between `foreachBatch` invocations
+    * of the serial stream (no batch in flight) and under the index's
+    * epoch fence (the compaction advances the epoch; a concurrent
+    * maintenance job would abort, not corrupt). Replays skip it (a
+    * replayed batch must see the index generation its first attempt
+    * saw). 0 = never (run compaction from a maintenance job instead).
     */
   def indexedDedupStream(spark: SparkSession, inPath: String,
                          schema: org.apache.spark.sql.types.StructType,
                          idCol: String, textCol: String,
                          indexPath: String, outPath: String,
                          checkpoint: String,
-                         trigger: Trigger = Trigger.AvailableNow())
+                         trigger: Trigger = Trigger.AvailableNow(),
+                         compactEvery: Int = 0)
       : StreamingQuery = {
     graft.operators.Dedup.initIngestLedger(spark, indexPath)
     spark.readStream.schema(schema).parquet(inPath)
@@ -161,6 +172,10 @@ object StreamOps {
           batch, idCol, textCol, indexPath, outPath, batchId)
         // per-batch audit row (novel/dup rates) — idempotent on replay
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
+        if (compactEvery > 0 && !stats.replayed &&
+            (batchId + 1) % compactEvery == 0)
+          graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -179,7 +194,8 @@ object StreamOps {
                                   idCol: String, vecCol: String,
                                   indexPath: String, outPath: String,
                                   checkpoint: String, threshold: Double,
-                                  trigger: Trigger = Trigger.AvailableNow())
+                                  trigger: Trigger = Trigger.AvailableNow(),
+                                  compactEvery: Int = 0)
       : StreamingQuery = {
     graft.operators.Dedup.initSrpIngestLedger(spark, indexPath)
     spark.readStream.schema(schema).parquet(inPath)
@@ -188,6 +204,12 @@ object StreamOps {
         val stats = graft.operators.Dedup.ingestBatchWithSrpIndex(
           batch, idCol, vecCol, indexPath, outPath, batchId, threshold)
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
+        // in-loop compaction between serial batches, epoch-fenced — see
+        // indexedDedupStream
+        if (compactEvery > 0 && !stats.replayed &&
+            (batchId + 1) % compactEvery == 0)
+          graft.operators.Dedup.compactSrpIndex(spark, indexPath)
+        ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

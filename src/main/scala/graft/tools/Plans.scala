@@ -284,7 +284,21 @@ object Plans {
         |metadata ops, not per-mutation Spark jobs), and sharded appends
         |repartition by shard so each lands at most one file per
         |occupied shard. The probe's band scan stays storage-pruned via
-        |the partitionBy(shard) layout (PartitionFilters, see b3b).""".stripMargin,
+        |the partitionBy(shard) layout (PartitionFilters, see b3b).
+        |Round 10 cut the remaining floor again (48 -> ~18 jobs/batch,
+        |warm seconds -30% in IngestProfile): the batch runs a PINNED
+        |plan — AQE off inside the governed batch only, because per-stage
+        |job submission was pure scheduler overhead for a fixed, audited
+        |plan family whose skew surfaces are already capped explicitly,
+        |with shuffle partitions sized once from the measured batch
+        |geometry (the sizing decision AQE would have made per stage) —
+        |one front job folds ledger state x batch geometry, one late job
+        |folds novel/capped/replay counts, a row-group-pruned torn-tail
+        |probe lets the CLEAN path append without self-healing
+        |anti-joins, the output write doubles as the staging
+        |materialization, index schemas/params are JVM-cached (zero
+        |per-batch inference jobs), and the one-row ledger commit is a
+        |driver-side parquet-java write (no Spark job).""".stripMargin,
 
     "p6_embedding_ingest_loop" ->
       """p5's embedding twin — same governed-loop plan family: SRP bucket
@@ -298,7 +312,13 @@ object Plans {
         |PartitionFilters (see b4) and the cap occupancy from ONE
         |shard-pruned raw occupancy read (see p5), both O(batch). The
         |decade ratio (BENCH_SF10: ~19x at 100x) is the log-growing
-        |multi-probe fan of the auto plane density, not the loop.""".stripMargin,
+        |multi-probe fan of the auto plane density, not the loop. Shares
+        |p5's round-10 pinned-plan/front-fold/late-fold/clean-path floor
+        |cuts; its within-batch screen keeps the EAGER adaptive cap
+        |(unlike p5's lazy window cap) — the no-hot fast path skips the
+        |window sort on the wide multi-probe bucket rows, measured worth
+        |~12% of the whole entry at sf0.1, and the screen's multi-probe
+        |checkpoint is freed the moment the batch output write lands.""".stripMargin,
 
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs

@@ -50,6 +50,49 @@ class SemDeDupSpec extends SparkSpec {
     assert(kept == Set(1L, 4L, 5L))
   }
 
+  test("adversarial single hot cell: every vector in ONE cell, cap far " +
+      "below occupancy — capped semantics exact, overflow untouched") {
+    // The SemDeDup worst case: a degenerate quantizer assignment packs
+    // the whole corpus into one IVF cell (occupancy 300 vs cap 40), the
+    // shape that would make the within-cell join quadratic in the corpus
+    // without the cap. Structure inside the cell: 100 three-member
+    // near-dup groups (exact duplicates, cos = 1), all x-dominant so
+    // every row lands in cell 0.
+    // y spread 0.12 apart keeps adjacent direction classes at cos ≤
+    // 0.993 (< threshold) while every class stays x-dominant (cell 0)
+    val emb = (0L until 300L).map { i =>
+      val g = i / 3 // dup group
+      (i, Seq(1.0f, (g % 7).toFloat * 0.12f)) // class direction, cos=1 within
+    }.toDF("id", "v")
+    val cap = 40
+    val kept = Dedup.semDeDup(emb, "id", "v", centroids, threshold = 0.9999,
+        maxCell = cap)
+      .collect().map(_.getLong(0)).toSet
+
+    // Documented cap semantics: only the cap LOWEST ids are examined;
+    // the greedy star runs exactly over that universe; every row beyond
+    // the cap passes through unexamined. Oracle: naive all-pairs over
+    // ids 0..39 at the same threshold.
+    val universe = (0L until cap.toLong)
+    val dropped = (for {
+      a <- universe; b <- universe
+      if a < b && (a / 3 == b / 3 || {
+        // same direction class (g % 7) → cos 1 across groups too
+        (a / 3) % 7 == (b / 3) % 7
+      })
+    } yield b).toSet
+    val expected = (0L until 300L).toSet -- dropped
+    assert(kept == expected,
+      s"capped hot-cell semantics diverge (missing=${expected -- kept}, " +
+        s"extra=${kept -- expected})")
+    // sanity: the cap actually bit — uncapped, the 0.9999 threshold
+    // would drop ~every non-representative row
+    val keptUncapped = Dedup.semDeDup(emb, "id", "v", centroids,
+        threshold = 0.9999).collect().length
+    assert(keptUncapped < kept.size,
+      "fixture must distinguish capped from uncapped behavior")
+  }
+
   test("equals the naive per-cell all-pairs formulation") {
     // deterministic pseudo-random 2-d vectors across both cells
     val emb = (1L to 40L).map { i =>

@@ -224,6 +224,61 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("in-loop compaction (compactEvery) loses no rows and keeps replay " +
+      "governance across a restart") {
+    val base = Files.createTempDirectory("graft-ixautocpt").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ix = s"$base/ix"; val ixR = s"$base/ixR"
+    def files(sub: String): Int = {
+      def rec(f: java.io.File): Int =
+        if (f.isFile) (if (f.getName.endsWith(".parquet")) 1 else 0)
+        else Option(f.listFiles()).map(_.map(rec).sum).getOrElse(0)
+      rec(new java.io.File(s"$ix/$sub"))
+    }
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+
+      // batch 0 through a compacting stream (compactEvery = 1: compaction
+      // fires after EVERY committed batch — the most adversarial cadence)
+      batch1.coalesce(1).write.mode("append").parquet(in)
+      val q1 = StreamOps.indexedDedupStream(spark, in, schema, "doc_id",
+        "text", ix, out, cp, compactEvery = 1)
+      q1.awaitTermination(120000)
+      val sigFilesAfterCpt = files("signatures")
+
+      // batch 1 through a RESTARTED stream on the same checkpoint — the
+      // restart must read the POST-compaction index generation cleanly
+      batch2.coalesce(1).write.mode("append").parquet(in)
+      val q2 = StreamOps.indexedDedupStream(spark, in, schema, "doc_id",
+        "text", ix, out, cp, compactEvery = 1)
+      q2.awaitTermination(120000)
+
+      // identical accepted set to the non-compacting stream test
+      assert(outIds(out) == Set(11L, 13L, 21L),
+        "mid-stream compaction changed the accepted set")
+      // index content equals a rebuild over corpus + accepted — nothing
+      // lost, nothing duplicated by the compaction rewrites
+      val accepted = batch1.filter($"doc_id".isin(11L, 13L))
+        .union(batch2.filter($"doc_id" === 21L))
+      Dedup.writeSignatureIndex(corpus.union(accepted), "doc_id", "text",
+        ixR, p)
+      assert(sigSet(ix) == sigSet(ixR),
+        "signature tables diverge after in-loop compaction")
+      assert(bandSet(ix) == bandSet(ixR),
+        "band tables diverge after in-loop compaction")
+      // the compactions actually folded files (batch 1's append would
+      // otherwise strictly grow the set compaction left behind)
+      assert(files("signatures") <= sigFilesAfterCpt + 1,
+        s"file folding ineffective: $sigFilesAfterCpt -> ${files("signatures")}")
+      // governance intact: replaying the last committed batch by hand is
+      // recognized and is a no-op
+      val s = Dedup.ingestBatchWithIndex(batch2, "doc_id", "text", ix,
+        out, batchId = 1L)
+      assert(s.replayed, "replay not recognized after in-loop compaction")
+      assert(outIds(out) == Set(11L, 13L, 21L))
+    } finally rmrf(base)
+  }
+
   test("ledger bootstrap is idempotent; out-of-order batch ids throw") {
     val base = Files.createTempDirectory("graft-ixmono").toString
     val ix = s"$base/ix"
