@@ -143,8 +143,18 @@ object Bench {
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_DETAIL",
       if (sys.env.contains("SPARK_GRAFT_ONLY")) "BENCH_DETAIL_SUBSET.json"
       else "BENCH_DETAIL.json")
+    // Standing conventions for readers of this artifact (see BASELINE.md
+    // "Round-over-round comparability" for the full statement).
+    val notes =
+      "docrows (d5b/d5c fixed-plane anti-examples) are timed here but " +
+        "excluded from the stdout headline total (r9+). Round-over-round " +
+        "ratios: compare per-query values over the common query set, " +
+        "never stdout totals. Per-run storage sweep (r10+) releases " +
+        "leaked checkpoint blocks between runs, so these timings are " +
+        "directly comparable to quiet-JVM SPARK_GRAFT_ONLY subset runs."
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
+      s""""notes":"${esc(notes)}",""" +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""t_micro":${tMicro.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

@@ -72,10 +72,12 @@ object Dedup {
     * operations allowed to change a table's schema (e.g. rebuilding a
     * legacy unsharded fixture as sharded at the same path). */
   private def invalidateIndexSchemas(root: String): Unit = {
+    // path-boundary match: invalidating "/ix/a" must not touch "/ix/ab"
+    def under(k: String) = k == root || k.startsWith(root + "/")
     val it = indexSchemaCache.keySet().iterator()
-    while (it.hasNext) if (it.next().startsWith(root)) it.remove()
+    while (it.hasNext) if (under(it.next())) it.remove()
     val pit = indexParamsCache.keySet().iterator()
-    while (pit.hasNext) if (pit.next().startsWith(root)) pit.remove()
+    while (pit.hasNext) if (under(pit.next())) pit.remove()
   }
 
   /** Read one persisted-index table with the cached-schema fast path. */
@@ -282,7 +284,20 @@ object Dedup {
   private[graft] def capBucketRows(rows: DataFrame, keyCols: Seq[String],
                                    idName: String, cap: Int,
                                    maxHotBuckets: Long = 1000000L,
-                                   eager: Boolean = true): DataFrame = {
+                                   eager: Boolean = true): DataFrame =
+    capBucketRowsWithInfo(rows, keyCols, idName, cap, maxHotBuckets,
+      eager)._1
+
+  /** [[capBucketRows]] plus the hot-path signal: `_2` is true iff the
+    * eager count found over-cap buckets (so the returned plan contains
+    * the semi/anti joins that re-evaluate `rows` up to 3×). Callers that
+    * nest caps use it to decide whether materializing the intermediate
+    * is worth it — see [[embeddingNearDupLsh]]'s multi-probe path.
+    */
+  private[graft] def capBucketRowsWithInfo(
+      rows: DataFrame, keyCols: Seq[String], idName: String, cap: Int,
+      maxHotBuckets: Long = 1000000L,
+      eager: Boolean = true): (DataFrame, Boolean) = {
     val keys = keyCols.map(col)
     val wB = Window.partitionBy(keys: _*).orderBy(col(idName))
     def fullWindow = rows.withColumn("__bn", row_number().over(wB))
@@ -291,13 +306,13 @@ object Dedup {
     // always taking the window path — right for BATCH-sized inputs inside
     // per-micro-batch loops, where a tiny window sort folds into the
     // surrounding job and the count's fixed scheduling cost dominates.
-    if (!eager) return fullWindow
+    if (!eager) return (fullWindow, false)
     val hot = rows.groupBy(keys: _*).agg(count(lit(1)).as("__cnt"))
       .filter(col("__cnt") > cap)
       .select(keys: _*)
     val nHot = hot.count()
-    if (nHot == 0L) rows
-    else if (nHot > maxHotBuckets) fullWindow
+    if (nHot == 0L) (rows, false)
+    else if (nHot > maxHotBuckets) (fullWindow, false)
     else {
       // Rename the hot side so the null-safe condition is unambiguous
       // (hot derives from `rows`; a bare column-name join would both be
@@ -310,7 +325,7 @@ object Dedup {
         .withColumn("__bn", row_number().over(wB))
         .filter(col("__bn") <= cap)
         .drop("__bn")
-      rows.join(hotB, hotCond, "left_anti").unionByName(hotRows)
+      (rows.join(hotB, hotCond, "left_anti").unionByName(hotRows), true)
     }
   }
 
@@ -1346,17 +1361,24 @@ object Dedup {
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
         .as(Seq("tbl", "bkt")))
-    val cappedRaw = capBucketRows(bucketed, Seq("tbl", "bkt"), "id",
-      maxBucket, eager = eagerCap)
-    // Multi-probe re-caps an expansion of `capped` (below), which would
-    // otherwise nest two capBucketRows evaluations — checkpoint once so
-    // BOTH join sides and the outer cap read materialized blocks.
+    val (cappedRaw, innerHot) = capBucketRowsWithInfo(bucketed,
+      Seq("tbl", "bkt"), "id", maxBucket, eager = eagerCap)
+    // Multi-probe re-caps an expansion of `capped` (below). When the
+    // INNER cap took its hot path, that nests two 3×-evaluating cap
+    // plans — up to ~9× the bucket kernel over `emb` — so materialize
+    // once. When the inner cap was a no-hot pass-through (the un-skewed
+    // production steady state), the outer cap's re-evaluations are plain
+    // narrow kernel scans (~4× total, the documented cheap case) and a
+    // checkpoint would be the WORSE trade: at corpus scale it writes
+    // tables× the corpus vector rows into block storage, and the blocks
+    // cannot be freed inside a lazy operator. Callers whose `emb` is an
+    // expensive upstream pipeline should localCheckpoint it before
+    // calling (operator contract, as with minHashNearDupPairs).
     // eagerCap=false (the governed loop's batch-sized screen): both caps
-    // are plain lazy windows, so there is no nesting amplification to
-    // break and the whole operator stays a single lazy plan — no
-    // checkpoint, no leaked blocks per micro-batch.
+    // are plain lazy windows — single lazy plan, nothing to break.
     val capped =
-      if (multiProbe && eagerCap) cappedRaw.localCheckpoint() else cappedRaw
+      if (multiProbe && eagerCap && innerHot) cappedRaw.localCheckpoint()
+      else cappedRaw
     val l = capped.select(col("tbl"), col("bkt"), col("id").as("id_a"),
       col("v").as("va"))
     // Hamming-1 multi-probe (the recall lever that makes DENSE plane
@@ -1370,14 +1392,10 @@ object Dedup {
     // Cost is (1+planes)× probe rows into the SAME bucket join — the
     // candidate bound stays maxBucket² per bucket (both sides re-capped).
     //
-    // `capped` is itself a capBucketRows output, and the OUTER cap below
-    // evaluates its input up to 3× (count/semi/anti) — nested, that
-    // compounds to ~9× the bucket kernel over `emb`, which may be an
-    // arbitrary upstream pipeline the "cheaply-recomputable subtree"
-    // assumption doesn't cover. localCheckpoint breaks the nesting: one
-    // evaluation of the inner cap, and every outer re-read is a cheap
-    // block scan. The retained blocks (n·tables narrow rows + one vector
-    // copy each) cannot be freed inside a lazy operator — harness-side,
+    // The OUTER cap below evaluates its input up to 3× (count/semi/
+    // anti); `capped` was checkpointed above exactly when that nesting
+    // would compound (inner hot path). When a checkpoint was taken, its
+    // blocks cannot be freed inside a lazy operator — harness-side,
     // Bench/Verify release them after materialization via
     // [[graft.plans.Checkpoints.free]] on the result plan (it unpersists
     // every LogicalRDD leaf, nested checkpoints included).
@@ -1444,6 +1462,25 @@ object Dedup {
     val n = emb.count()
     embeddingNearDupLsh(emb, idCol, vecCol, threshold, dim, tables,
       srpPlanesFor(n, targetOccupancy), maxBucket, multiProbe = true)
+  }
+
+  /** The SemDeDup quantizer sizing law, exposed as a pure function like
+    * [[srpPlanesFor]]: cells ∝ corpus at a target mean cell occupancy,
+    * so the within-cell pair bound Σ cell² tracks n·occupancy — linear
+    * in the corpus — instead of n²/cells. A quantizer FROZEN at a
+    * smaller corpus's size makes per-cell work grow quadratically with
+    * corpus growth (measured: the frozen-32 sf10 audit in BENCH_SF10
+    * runs 3.8× slower than this sizing on identical data). `minCells`
+    * floors tiny corpora (driver k-means needs a few vectors per cell);
+    * `maxCells` caps the centroid literal the assignment kernel carries.
+    */
+  def semDedupCellsFor(n: Long, targetOccupancy: Int = 64,
+                       minCells: Int = 32, maxCells: Int = 1 << 16): Int = {
+    require(targetOccupancy > 0, s"targetOccupancy must be > 0: $targetOccupancy")
+    require(minCells > 0 && maxCells >= minCells,
+      s"bad cell clamp: [$minCells, $maxCells]")
+    val raw = math.ceil(math.max(n, 1L).toDouble / targetOccupancy).toInt
+    math.min(maxCells, math.max(minCells, raw))
   }
 
   /** SemDeDup (Abbas et al., 2023 — arXiv:2303.09540): semantic
@@ -2298,17 +2335,29 @@ object Dedup {
                         indexPath: String, s: IngestBatchStats): Unit = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_stats")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // Replay-idempotence by FILENAME: the stats file carries its batch id
+    // (stats-<id>-...), so the presence probe is one metadata list — no
+    // Spark read job per batch. Compaction rewrites the table with
+    // spark part-* names; those legacy-named files fall back to a one-off
+    // read-based check so a replay after compaction stays a no-op.
     if (fs.exists(dir)) {
-      val present = spark.read.parquet(dir.toString)
-        .filter(col("batch_id") === lit(s.batchId)).limit(1).count() > 0
-      if (present) return
+      val names = fs.listStatus(dir).map(_.getPath.getName)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+      if (names.exists(_.startsWith(s"stats-${s.batchId}-"))) return
+      if (names.exists(!_.startsWith("stats-"))) {
+        val present = spark.read.parquet(dir.toString)
+          .filter(col("batch_id") === lit(s.batchId)).limit(1).count() > 0
+        if (present) return
+      }
     }
-    import spark.implicits._
-    Seq((s.batchId, s.batchRows, s.novelRows, s.watermarkBefore,
-        s.watermarkAfter))
-      .toDF("batch_id", "batch_rows", "novel_rows", "watermark_before",
-        "watermark_after")
-      .coalesce(1).write.mode("append").parquet(dir.toString)
+    writeOneRowParquet(spark,
+      new org.apache.hadoop.fs.Path(dir,
+        s"stats-${s.batchId}-" + java.util.UUID.randomUUID().toString +
+          ".parquet"),
+      "graft_ingest_stats",
+      Seq("batch_id" -> s.batchId, "batch_rows" -> s.batchRows,
+        "novel_rows" -> s.novelRows, "watermark_before" -> s.watermarkBefore,
+        "watermark_after" -> s.watermarkAfter))
   }
 
   /** Bootstrap the ingest ledger of a signature index — the committed-
@@ -2474,10 +2523,13 @@ object Dedup {
           col("watermark_before"))).as("l_before"))
       .crossJoin(b.agg(
         count(lit(1)).as("g_cnt"),
-        max(col(idCol).cast("long")).as("g_max"),
-        min(col(idCol).cast("long")).as("g_min"),
-        count(when(col(idCol).isNotNull &&
-          col(idCol).cast("long").isNull, 1)).as("g_bad")))
+        // try_cast, not cast: ANSI mode would throw Spark's own
+        // CAST_INVALID_INPUT mid-job on a malformed id — the g_bad
+        // counter turns that into this operator's contract error instead
+        max(col(idCol).try_cast("long")).as("g_max"),
+        min(col(idCol).try_cast("long")).as("g_min"),
+        count(when(col(idCol).isNull ||
+          col(idCol).try_cast("long").isNull, 1)).as("g_bad")))
       .head()
     require(front.getLong(1) <= 1,
       s"ingest ledger at $indexPath has ${front.getLong(1)} rows for " +
@@ -2672,19 +2724,33 @@ object Dedup {
     */
   private def commitLedgerRow(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, batchId: Long, w: Long,
-                              wAfter: Long, novelRows: Long): Unit = {
+                              wAfter: Long, novelRows: Long): Unit =
+    writeOneRowParquet(spark,
+      new org.apache.hadoop.fs.Path(
+        s"$indexPath/ingest_ledger/ledger-$batchId-" +
+          java.util.UUID.randomUUID().toString + ".parquet"),
+      "graft_ingest_ledger",
+      LedgerCols.zip(Seq(batchId, w, wAfter, novelRows)))
+
+  /** Driver-side one-row all-long parquet append: plain parquet-java
+    * (same column names/types as the Spark-written rows beside it —
+    * required vs optional int64 merge cleanly), so the governed loop's
+    * per-batch bookkeeping rows cost zero Spark jobs. Atomicity matches
+    * the Spark path: the footer is the commit, and the governed stream
+    * is the sole writer by contract.
+    */
+  private def writeOneRowParquet(spark: org.apache.spark.sql.SparkSession,
+                                 file: org.apache.hadoop.fs.Path,
+                                 msgName: String,
+                                 cols: Seq[(String, Long)]): Unit = {
     import org.apache.parquet.schema.Types
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName.INT64
     val schema = {
       val b = Types.buildMessage()
-      LedgerCols.foreach(c => b.addField(
-        Types.required(INT64).named(c)))
-      b.named("graft_ingest_ledger")
+      cols.foreach { case (c, _) => b.addField(Types.required(INT64).named(c)) }
+      b.named(msgName)
     }
     val conf = spark.sparkContext.hadoopConfiguration
-    val file = new org.apache.hadoop.fs.Path(
-      s"$indexPath/ingest_ledger/ledger-$batchId-" +
-        java.util.UUID.randomUUID().toString + ".parquet")
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
         .fromPath(file, conf))
@@ -2694,10 +2760,7 @@ object Dedup {
     try {
       val g = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
         schema).newGroup()
-      g.add("batch_id", batchId)
-      g.add("watermark_before", w)
-      g.add("watermark_after", wAfter)
-      g.add("novel_rows", novelRows)
+      cols.foreach { case (c, v) => g.add(c, v) }
       writer.write(g)
     } finally writer.close()
   }
@@ -2743,10 +2806,13 @@ object Dedup {
           col("watermark_before"))).as("l_before"))
       .crossJoin(b.agg(
         count(lit(1)).as("g_cnt"),
-        max(col(idCol).cast("long")).as("g_max"),
-        min(col(idCol).cast("long")).as("g_min"),
-        count(when(col(idCol).isNotNull &&
-          col(idCol).cast("long").isNull, 1)).as("g_bad")))
+        // try_cast, not cast: ANSI mode would throw Spark's own
+        // CAST_INVALID_INPUT mid-job on a malformed id — the g_bad
+        // counter turns that into this operator's contract error instead
+        max(col(idCol).try_cast("long")).as("g_max"),
+        min(col(idCol).try_cast("long")).as("g_min"),
+        count(when(col(idCol).isNull ||
+          col(idCol).try_cast("long").isNull, 1)).as("g_bad")))
       .head()
     require(front.getLong(1) <= 1,
       s"ingest ledger at $indexPath has ${front.getLong(1)} rows for " +

@@ -48,9 +48,10 @@ object SemDedupScale {
     // frozen sf0.1 artifact — the d11 bench entry's quantizer
     timeKept("frozen32", graft.functions.AnnModels.ivfCentroids)
 
-    // production sizing: cells = n / targetOcc (clamped); train on the
-    // corpus with a sample bound that keeps the driver k-means tractable
-    val cells = math.max(32, math.min(8192, (n / targetOcc).toInt))
+    // production sizing via the library's own law; train on the corpus
+    // with a sample bound that keeps the driver k-means tractable
+    val cells = graft.operators.Dedup.semDedupCellsFor(n, targetOcc,
+      maxCells = 8192)
     val tTrain = System.nanoTime()
     val cents = graft.operators.Similarity.trainCentroids(
       emb, "vec_id", "embedding", c = cells, iters = 3,

@@ -93,6 +93,20 @@ class SemDeDupSpec extends SparkSpec {
       "fixture must distinguish capped from uncapped behavior")
   }
 
+  test("semDedupCellsFor: cells track the corpus at constant occupancy") {
+    // the growth law that keeps Σ cell² linear in n
+    val a = Dedup.semDedupCellsFor(1000000L, targetOccupancy = 64,
+      minCells = 1, maxCells = Int.MaxValue)
+    val b = Dedup.semDedupCellsFor(100000000L, targetOccupancy = 64,
+      minCells = 1, maxCells = Int.MaxValue)
+    assert(a == 15625 && b == 1562500, s"sizing law broken: $a, $b")
+    assert(b == 100 * a, "cells must scale linearly with the corpus")
+    // clamps: tiny corpora floor at minCells; huge ones cap at maxCells
+    assert(Dedup.semDedupCellsFor(10L) == 32)
+    assert(Dedup.semDedupCellsFor(Long.MaxValue) == (1 << 16))
+    intercept[IllegalArgumentException](Dedup.semDedupCellsFor(100L, 0))
+  }
+
   test("equals the naive per-cell all-pairs formulation") {
     // deterministic pseudo-random 2-d vectors across both cells
     val emb = (1L to 40L).map { i =>

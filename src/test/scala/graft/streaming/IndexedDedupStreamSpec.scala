@@ -279,6 +279,55 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("an EMPTY governed batch commits a ledger row, appends nothing") {
+    val base = Files.createTempDirectory("graft-ixempty").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      val (sig0, band0) = (sigSet(ix), bandSet(ix))
+      val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+      val s = Dedup.ingestBatchWithIndex(empty, "doc_id", "text", ix,
+        out, batchId = 0L)
+      assert(!s.replayed && s.batchRows == 0L && s.novelRows == 0L)
+      assert(s.watermarkBefore == s.watermarkAfter,
+        "an empty batch must not advance the watermark")
+      assert(sigSet(ix) == sig0 && bandSet(ix) == band0,
+        "empty batch appended index rows")
+      // the commit marker landed: a follow-up batch sees batch 0 as done
+      val s2 = Dedup.ingestBatchWithIndex(
+        Seq(50L -> uniq(50)).toDF("doc_id", "text"), "doc_id", "text",
+        ix, out, batchId = 1L)
+      assert(!s2.replayed && s2.novelRows == 1L)
+      // and replaying the empty batch is recognized
+      val s3 = Dedup.ingestBatchWithIndex(empty, "doc_id", "text", ix,
+        out, batchId = 0L)
+      assert(s3.replayed)
+    } finally rmrf(base)
+  }
+
+  test("non-long-castable batch ids fail loudly (watermark contract)") {
+    val base = Files.createTempDirectory("graft-ixbadid").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      val bad = Seq("not-a-number" -> uniq(60)).toDF("doc_id", "text")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ingestBatchWithIndex(bad, "doc_id", "text", ix,
+          s"$base/out", batchId = 0L)
+      }
+      assert(e.getMessage.contains("non-long-castable"))
+      // NULL ids are equally non-castable — loud failure, not an NPE
+      val withNull = Seq((null: String) -> uniq(61)).toDF("doc_id", "text")
+      val e2 = intercept[IllegalArgumentException] {
+        Dedup.ingestBatchWithIndex(withNull, "doc_id", "text", ix,
+          s"$base/out", batchId = 0L)
+      }
+      assert(e2.getMessage.contains("non-long-castable"))
+    } finally rmrf(base)
+  }
+
   test("ledger bootstrap is idempotent; out-of-order batch ids throw") {
     val base = Files.createTempDirectory("graft-ixmono").toString
     val ix = s"$base/ix"
