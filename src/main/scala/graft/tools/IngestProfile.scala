@@ -89,6 +89,37 @@ object IngestProfile {
         spark.read.parquet(s"$out/batch_id=1").count()
       }
     }
+
+    // p6 twin: the SRP embedding loop, same phase split
+    (1 to 2).foreach { round =>
+      println(s"== p6 round $round ==")
+      val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+      val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+      val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+      val base = s"/tmp/graft_profile_p6"
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ix = s"$base/ix"; val out = s"$base/out"
+      t("writeSrpIndex") {
+        Dedup.writeSrpIndex(emb.filter(col("vec_id") <= c1), "vec_id",
+          "embedding", ix, dim = 64)
+      }
+      t("initSrpIngestLedger")(Dedup.initSrpIngestLedger(spark, ix))
+      t("srpIngestBatch 0") {
+        Dedup.ingestBatchWithSrpIndex(
+          emb.filter(col("vec_id") > c1 && col("vec_id") <= c2),
+          "vec_id", "embedding", ix, out, batchId = 0L, threshold = 0.4)
+      }
+      t("srpIngestBatch 1") {
+        Dedup.ingestBatchWithSrpIndex(emb.filter(col("vec_id") > c2),
+          "vec_id", "embedding", ix, out, batchId = 1L, threshold = 0.4)
+      }
+      t("read result") {
+        spark.read.parquet(s"$out/batch_id=0").count()
+        spark.read.parquet(s"$out/batch_id=1").count()
+      }
+    }
     spark.stop()
   }
 }
