@@ -2445,18 +2445,24 @@ object Dedup {
     * ledger is one row per batch and only ≤ 1 row of it is ever
     * collected.
     */
-  /** Run one governed micro-batch with ADAPTIVE EXECUTION OFF, restoring
-    * the caller's setting afterwards. Rationale: AQE submits every
-    * shuffle stage as its own Spark job, which at micro-batch cadence
-    * turns the governed loop's fixed overhead into ~a dozen extra
-    * scheduler round-trips per batch (measured: 38 → 24 jobs/batch at
-    * sf0.1) while buying nothing — the loop's plans are a fixed,
-    * audited family whose skew surfaces are already bounded explicitly
-    * (maxBucket caps, shard layout), and the shuffle sizes track the
-    * batch, not the corpus. This mirrors Structured Streaming's own
-    * stance: Spark pins plans (restricts AQE) for stateful micro-batch
-    * operators for the same reason. Batch operators outside the loop
-    * keep AQE.
+  /** Save the execution confs a governed micro-batch tunes
+    * ([[tuneBatchExecution]]) and restore them when the batch ends —
+    * success or failure. The tuning itself happens INSIDE the batch,
+    * after the front fold measured the batch geometry: small batches
+    * pin the plan (AQE off — AQE submits every shuffle stage as its own
+    * Spark job, ~a dozen extra scheduler round-trips per batch of pure
+    * fixed cost; measured 38 → 24 jobs/batch at sf0.1), heavy batches
+    * keep adaptive execution (see [[PinnedPlanMaxExpandedRows]]); all
+    * batches size shuffle partitions to their expanded rows. Mirrors
+    * Structured Streaming's own stance of restricting AQE for stateful
+    * micro-batch operators. Batch operators outside the loop are
+    * untouched.
+    *
+    * The overrides are SESSION-scoped: an unrelated query planned on the
+    * same SparkSession during a governed batch would also see them for
+    * that window. The governed stream owns its session by contract
+    * (serial foreachBatch, sole writer); run ad-hoc analytics on a
+    * separate session (`spark.newSession()`) if they must overlap.
     */
   private def withPinnedPlan[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
@@ -2464,7 +2470,6 @@ object Dedup {
     val kS = "spark.sql.shuffle.partitions"
     val prevA = spark.conf.getOption(kA)
     val prevS = spark.conf.getOption(kS)
-    spark.conf.set(kA, "false")
     def restore(k: String, v: Option[String]): Unit = v match {
       case Some(x) => spark.conf.set(k, x)
       case None    => spark.conf.unset(k)
@@ -2473,18 +2478,50 @@ object Dedup {
     finally { restore(kA, prevA); restore(kS, prevS) }
   }
 
-  /** Shuffle-partition count for one governed micro-batch, from its
-    * measured row count: the sizing decision AQE's coalescer makes per
-    * stage at runtime, made ONCE up front from the batch geometry the
-    * front fold already collected — so pinning the plan (no per-stage
-    * job submissions) does not leave tiny batches paying 32-task
-    * overhead per shuffle. ~50k docs per partition keeps the exploded
-    * band/bucket rows in the tens of MB; the session's configured value
-    * is the ceiling, so a corpus-scale batch keeps its full
-    * parallelism. Restored by [[withPinnedPlan]] after the batch.
+  /** Expanded-row ceiling below which a governed batch pins its plan
+    * (AQE off). The pin is a FIXED-COST optimization: it removes ~a
+    * dozen per-stage job submissions per batch, which dominates when the
+    * batch's shuffles are tiny. Past this ceiling the regime inverts —
+    * stage scheduling is noise next to multi-million-row shuffles, and
+    * AQE's runtime decisions (skew-join splitting, partition coalescing,
+    * broadcast conversion) are worth real wall-clock (measured: an sf10
+    * embedding batch with ~8M probe rows ran minutes slower pinned).
+    * The batch decides per its own measured geometry — small batches
+    * get the job-floor win, heavy batches keep adaptive execution.
     */
-  private def batchShufflePartitions(batchRows: Long, prev: Int): Int =
-    math.max(1, math.min(prev, (batchRows / 50000L + 1).toInt))
+  private val PinnedPlanMaxExpandedRows = 2000000L
+
+  /** Apply the per-batch execution profile from the measured geometry:
+    * shuffle partitions sized to the expanded rows, and the plan pinned
+    * only in the small-batch regime. Confs are restored by
+    * [[withPinnedPlan]] when the batch ends.
+    */
+  private def tuneBatchExecution(spark: org.apache.spark.sql.SparkSession,
+                                 expandedRows: Long): Unit = {
+    if (expandedRows <= PinnedPlanMaxExpandedRows)
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      batchShufflePartitions(expandedRows,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+  }
+
+  /** Shuffle-partition count for one governed micro-batch, from the
+    * batch's EXPANDED row estimate (docs × bands for the MinHash loop,
+    * vectors × tables × (1 + planes) for the multi-probe SRP loop — the
+    * rows the screen's shuffles actually carry, NOT the raw batch row
+    * count): the sizing decision AQE's coalescer makes per stage at
+    * runtime, made ONCE up front from the geometry the front fold
+    * already collected — so pinning the plan (no per-stage job
+    * submissions) does not leave tiny batches paying 32-task overhead
+    * per shuffle. ~64k expanded rows per partition is a few MB; the
+    * session's configured value is the ceiling, so a corpus-scale batch
+    * keeps its full parallelism. Sizing by raw doc count was the bug
+    * this replaces: a 40k-doc sf10 batch got ONE partition while its
+    * probe join carried ~8M rows — every screen shuffle single-threaded.
+    * Restored by [[withPinnedPlan]] after the batch.
+    */
+  private def batchShufflePartitions(expandedRows: Long, prev: Int): Int =
+    math.max(1, math.min(prev, (expandedRows / 65536L + 1).toInt))
 
   def ingestBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
                            indexPath: String, outPath: String,
@@ -2545,10 +2582,9 @@ object Dedup {
       s"ingestBatchWithIndex: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
-    // Size every shuffle below to the batch (restored by withPinnedPlan)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      batchShufflePartitions(batchRows,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+    // Per-batch execution profile from the EXPANDED band-row estimate
+    // (restored by withPinnedPlan)
+    tuneBatchExecution(spark, batchRows * p.bands)
 
     // The committed view of the index: everything a crashed attempt may
     // have appended beyond the watermark is invisible. Shards carry over
@@ -2828,10 +2864,9 @@ object Dedup {
       s"ingestBatchWithSrpIndex: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
-    // Size every shuffle below to the batch (restored by withPinnedPlan)
-    spark.conf.set("spark.sql.shuffle.partitions",
-      batchShufflePartitions(batchRows,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+    // Per-batch execution profile from the EXPANDED multi-probe
+    // bucket-row estimate (restored by withPinnedPlan)
+    tuneBatchExecution(spark, batchRows * ix.tables * (1L + ix.planes))
 
     val committed = SrpIndex(ix.vectors.filter(col("id") <= lit(w)),
       ix.buckets.filter(col("id") <= lit(w)),
