@@ -285,13 +285,14 @@ object Plans {
         |repartition by shard so each lands at most one file per
         |occupied shard. The probe's band scan stays storage-pruned via
         |the partitionBy(shard) layout (PartitionFilters, see b3b).
-        |Round 10 cut the remaining floor again (48 -> ~18 jobs/batch,
-        |warm seconds -30% in IngestProfile): the batch runs a PINNED
-        |plan — AQE off inside the governed batch only, because per-stage
-        |job submission was pure scheduler overhead for a fixed, audited
-        |plan family whose skew surfaces are already capped explicitly,
-        |with shuffle partitions sized once from the measured batch
-        |geometry (the sizing decision AQE would have made per stage) —
+        |Round 10 cut the remaining floor again (48 -> ~20 jobs/batch,
+        |warm seconds -30% in IngestProfile): the batch tunes execution
+        |from its own measured geometry — shuffle partitions sized to
+        |the EXPANDED band/probe rows, and the plan PINNED (AQE off)
+        |only below a 2M expanded-row ceiling where per-stage job
+        |submission is pure fixed cost; heavy batches keep AQE's
+        |skew/coalesce machinery (a pinned 8M-probe-row sf10 batch
+        |measured 2.2x slower than adaptive) —
         |one front job folds ledger state x batch geometry, one late job
         |folds novel/capped/replay counts, a row-group-pruned torn-tail
         |probe lets the CLEAN path append without self-healing
