@@ -1527,6 +1527,32 @@ object Dedup {
       .select(col("id").as(idCol), col("cell"))
   }
 
+  /** [[semDeDup]] with the quantizer sized FROM THE DATA — the
+    * production one-call entry, composing the pieces the BENCH_SF10
+    * audit measured separately: `cells = ` [[semDedupCellsFor]]`(n)`
+    * (cells ∝ corpus at ~constant occupancy, so within-cell pair work
+    * stays linear in n) and the deterministic driver k-means of
+    * [[Similarity.trainCentroids]] (no RNG — same corpus, same
+    * centroids, every run). This removes the one manual scale dial the
+    * frozen-artifact operator leaves, exactly as
+    * [[embeddingNearDupLshAuto]] does for the SRP family — a pipeline
+    * pointed at 10× the corpus gets 10× the cells automatically.
+    *
+    * At true corpus scale, train the quantizer offline on a pre-sampled
+    * table and call [[semDeDup]] with the artifact instead — the
+    * training sample here is bounded (`max(4·cells, 10000)` vectors)
+    * but still a driver-side k-means.
+    */
+  def semDeDupAuto(emb: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, targetOccupancy: Int = 64,
+                   maxCell: Int = 100000, trainIters: Int = 3): DataFrame = {
+    val cells = semDedupCellsFor(emb.count(), targetOccupancy)
+    val centroids = Similarity.trainCentroids(emb, idCol, vecCol,
+      c = cells, iters = trainIters,
+      maxTrain = math.max(cells * 4, 10000))
+    semDeDup(emb, idCol, vecCol, centroids, threshold, maxCell)
+  }
+
   /** A persisted SRP bucket index — the embedding twin of [[MinHashIndex]]
     * for incremental embedding dedup: `vectors` (id, v) for exact-cosine
     * verification, `buckets` (tbl, bkt, id) for candidate generation, and

@@ -107,6 +107,29 @@ class SemDeDupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.semDedupCellsFor(100L, 0))
   }
 
+  test("semDeDupAuto equals the manual sizing-law + train + dedup composition") {
+    import graft.operators.Similarity
+    // deterministic spread of near-dup groups across the embedding space
+    val emb = (1L to 120L).map { i =>
+      val g = i / 2 // 60 two-member exact-dup groups
+      val a = ((g * 37 + 11) % 19).toFloat / 19f + 0.05f
+      val b = ((g * 53 + 7) % 23).toFloat / 23f + 0.05f
+      (i, Seq(a, b))
+    }.toDF("id", "v")
+    val auto = Dedup.semDeDupAuto(emb, "id", "v", threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    // the documented composition, by hand
+    val cells = Dedup.semDedupCellsFor(120L, 64)
+    val cents = Similarity.trainCentroids(emb, "id", "v", c = cells,
+      iters = 3, maxTrain = math.max(cells * 4, 10000))
+    val manual = Dedup.semDeDup(emb, "id", "v", cents, threshold = 0.9999)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(auto == manual, "auto path diverges from the documented composition")
+    // and it actually deduped: every surviving id is its group's min id
+    // unless its twin landed in a different cell (cluster-scoped semantics)
+    assert(auto.size < 120, "nothing was deduplicated")
+  }
+
   test("equals the naive per-cell all-pairs formulation") {
     // deterministic pseudo-random 2-d vectors across both cells
     val emb = (1L to 40L).map { i =>
