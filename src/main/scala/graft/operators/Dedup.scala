@@ -35,34 +35,52 @@ object Dedup {
     * `spark.read.parquet` without a schema runs a footer-inference job
     * (~20 ms of fixed scheduling cost) — and the governed ingest loop
     * re-opens the SAME tables every micro-batch. An index table's schema
-    * is immutable by contract (append-only writes, layout-preserving
-    * compaction), so the first read's inferred schema is reused for the
-    * path's lifetime: batch 1..n pay ZERO inference jobs. Keyed by path;
-    * a path that is deleted and rebuilt gets the same schema again by
-    * the same contract, so staleness is structurally impossible.
+    * is immutable within one index GENERATION (append-only writes,
+    * layout-preserving compaction); only the overwrite builds change it,
+    * and they rewrite `params/` — so every cache entry carries the
+    * params-dir modification time as its generation token and a stale
+    * entry self-invalidates on the next read, even when the rebuild
+    * happened in ANOTHER process (one driver-side FS stat per read, no
+    * Spark job). Same-JVM builds also invalidate eagerly.
     */
   private val indexSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.types.StructType]()
+      (Long, org.apache.spark.sql.types.StructType)]()
 
-  /** Params-row cache, same contract as the schema cache: an index's
-    * params table is written once per build and never mutated (appends
-    * require-match it, compaction preserves it), so re-collecting the
-    * one-row table every governed micro-batch is a pure fixed-cost job.
-    * Invalidated alongside the schemas by the overwrite builds.
+  /** Params-row cache, same generation-token contract as the schema
+    * cache: the params table is written once per build, appends
+    * require-match it, compaction preserves it.
     */
   private val indexParamsCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      org.apache.spark.sql.Row]()
+      (Long, org.apache.spark.sql.Row)]()
+
+  /** Generation token of the index owning `tablePath` (a direct child of
+    * the index root): the `params/` directory's modification time, which
+    * changes exactly when an overwrite build rewrites the index. -1 for
+    * a params-less (legacy/partial) root — those never change schema
+    * generations, so the constant token keeps caching correct.
+    */
+  private def indexGeneration(spark: org.apache.spark.sql.SparkSession,
+                              tablePath: String): Long = {
+    val cut = tablePath.lastIndexOf('/')
+    if (cut <= 0) return -1L
+    val p = new org.apache.hadoop.fs.Path(
+      tablePath.substring(0, cut) + "/params")
+    try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .getFileStatus(p).getModificationTime
+    catch { case _: Exception => -1L }
+  }
 
   /** head() of `path` (a params table) through the cache. */
   private def readParamsRow(spark: org.apache.spark.sql.SparkSession,
                             path: String): org.apache.spark.sql.Row = {
+    val gen = indexGeneration(spark, path)
     val cached = indexParamsCache.get(path)
-    if (cached != null) cached
+    if (cached != null && cached._1 == gen) cached._2
     else {
       val r = readIndexTable(spark, path).head()
-      indexParamsCache.put(path, r)
+      indexParamsCache.put(path, (gen, r))
       r
     }
   }
@@ -83,11 +101,13 @@ object Dedup {
   /** Read one persisted-index table with the cached-schema fast path. */
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
                              path: String): DataFrame = {
+    val gen = indexGeneration(spark, path)
     val cached = indexSchemaCache.get(path)
-    if (cached != null) spark.read.schema(cached).parquet(path)
+    if (cached != null && cached._1 == gen)
+      spark.read.schema(cached._2).parquet(path)
     else {
       val df = spark.read.parquet(path)
-      indexSchemaCache.put(path, df.schema)
+      indexSchemaCache.put(path, (gen, df.schema))
       df
     }
   }
@@ -1350,6 +1370,15 @@ object Dedup {
     * several buckets compute the same cosine more than once — identical
     * values, deduplicated by the post-filter distinct, so results are
     * bit-identical.
+    *
+    * STORAGE NOTE for long-running callers: on a SKEWED corpus (an
+    * over-cap hot bucket) the multi-probe path materializes its capped
+    * bucket table via `localCheckpoint`, and those blocks outlive the
+    * returned lazy frame. After materializing the result, release them
+    * with `graft.plans.Checkpoints.free(resultFrame)` (it unpersists
+    * every checkpointed leaf in the plan) — `Dataset.unpersist` alone is
+    * a silent no-op on checkpointed frames. Un-skewed corpora take no
+    * checkpoint and need no cleanup.
     */
   def embeddingNearDupLsh(emb: DataFrame, idCol: String, vecCol: String,
                           threshold: Double, dim: Int,
@@ -1546,7 +1575,16 @@ object Dedup {
   def semDeDupAuto(emb: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, targetOccupancy: Int = 64,
                    maxCell: Int = 100000, trainIters: Int = 3): DataFrame = {
-    val cells = semDedupCellsFor(emb.count(), targetOccupancy)
+    val n = emb.count()
+    // An empty corpus has nothing to train or dedup — return the empty
+    // (idCol, cell) frame instead of failing trainCentroids' sample
+    // requirement.
+    if (n == 0)
+      return emb.select(col(idCol), lit(0).as("cell")).limit(0)
+    // The sizing law floors at minCells for training stability, but a
+    // corpus SMALLER than the floor can only support one centroid per
+    // vector — clamp so the one-call entry works on any non-empty input.
+    val cells = math.min(n, semDedupCellsFor(n, targetOccupancy).toLong).toInt
     val centroids = Similarity.trainCentroids(emb, idCol, vecCol,
       c = cells, iters = trainIters,
       maxTrain = math.max(cells * 4, 10000))
@@ -2517,18 +2555,44 @@ object Dedup {
     */
   private val PinnedPlanMaxExpandedRows = 2000000L
 
+  /** Index-slice ceiling for the pin: the cross-index probe join's heavy
+    * side is the shard-pruned index slice, which grows with the INDEX
+    * while batches stay "small" — a batch-only regime test would pin a
+    * multi-GB sort-merge join on a grown index. Measured driver-side
+    * from file sizes (one metadata call, no Spark job).
+    */
+  private val PinnedPlanMaxIndexSliceBytes = 64L << 20
+
+  /** Total on-disk bytes of `subDirs` under `base` — the probe side's
+    * size proxy, from filesystem metadata only. Missing dirs count 0. */
+  private def dirBytes(spark: org.apache.spark.sql.SparkSession,
+                       base: String, subDirs: Seq[String]): Long = {
+    val bp = new org.apache.hadoop.fs.Path(base)
+    val fs = bp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    subDirs.map { d =>
+      val p = if (d.isEmpty) bp else new org.apache.hadoop.fs.Path(bp, d)
+      try fs.getContentSummary(p).getLength catch { case _: Exception => 0L }
+    }.sum
+  }
+
   /** Apply the per-batch execution profile from the measured geometry:
-    * shuffle partitions sized to the expanded rows, and the plan pinned
-    * only in the small-batch regime. Confs are restored by
-    * [[withPinnedPlan]] when the batch ends.
+    * shuffle partitions sized to the LARGER of the expanded batch rows
+    * and the index slice the probe join will read, and the plan pinned
+    * (AQE off) only when BOTH sides are small — the fixed-cost regime.
+    * Confs are restored by [[withPinnedPlan]] when the batch ends.
     */
   private def tuneBatchExecution(spark: org.apache.spark.sql.SparkSession,
-                                 expandedRows: Long): Unit = {
-    if (expandedRows <= PinnedPlanMaxExpandedRows)
+                                 expandedRows: Long,
+                                 indexSliceBytes: Long): Unit = {
+    if (expandedRows <= PinnedPlanMaxExpandedRows &&
+        indexSliceBytes <= PinnedPlanMaxIndexSliceBytes)
       spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val prev = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val byRows = batchShufflePartitions(expandedRows, prev)
+    val byBytes =
+      math.max(1, math.min(prev, (indexSliceBytes / (32L << 20) + 1).toInt))
     spark.conf.set("spark.sql.shuffle.partitions",
-      batchShufflePartitions(expandedRows,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt).toString)
+      math.max(byRows, byBytes).toString)
   }
 
   /** Shuffle-partition count for one governed micro-batch, from the
@@ -2608,10 +2672,6 @@ object Dedup {
       s"ingestBatchWithIndex: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
-    // Per-batch execution profile from the EXPANDED band-row estimate
-    // (restored by withPinnedPlan)
-    tuneBatchExecution(spark, batchRows * p.bands)
-
     // The committed view of the index: everything a crashed attempt may
     // have appended beyond the watermark is invisible. Shards carry over
     // so the screen probe keeps its partition pruning.
@@ -2644,6 +2704,12 @@ object Dedup {
             .select(col("bk.band").as("band"), col("bk.bkey").as("bkey")),
           Seq("band", "bkey"), ix.shards)
       else Nil
+    // Per-batch execution profile (restored by withPinnedPlan): the
+    // EXPANDED band-row estimate plus the on-disk size of the index
+    // slice the probe join will actually read (touched shards only)
+    tuneBatchExecution(spark, batchRows * p.bands,
+      dirBytes(spark, s"$indexPath/bands",
+        if (ix.shards > 0) touched.map(k => s"shard=$k") else Seq("")))
 
     // Within-batch screen: greedy star rule — drop any doc with a
     // SMALLER-id near-duplicate in the same batch (pairs carry
@@ -2797,9 +2863,16 @@ object Dedup {
   /** Driver-side one-row all-long parquet append: plain parquet-java
     * (same column names/types as the Spark-written rows beside it —
     * required vs optional int64 merge cleanly), so the governed loop's
-    * per-batch bookkeeping rows cost zero Spark jobs. Atomicity matches
-    * the Spark path: the footer is the commit, and the governed stream
-    * is the sole writer by contract.
+    * per-batch bookkeeping rows cost zero Spark jobs.
+    *
+    * DURABILITY: the row is written to a DOT-PREFIXED temp name in the
+    * same directory and renamed into place only after the writer closed
+    * (footer flushed). A crash mid-write leaves only a hidden `.tmp`
+    * file, which every parquet reader (Spark, DuckDB) skips — the same
+    * visible-only-when-complete guarantee the Spark commit protocol's
+    * `_temporary` staging gave the row this replaces. The rename is a
+    * same-directory metadata op (atomic on HDFS/local; create-complete
+    * semantics on object stores).
     */
   private def writeOneRowParquet(spark: org.apache.spark.sql.SparkSession,
                                  file: org.apache.hadoop.fs.Path,
@@ -2813,9 +2886,11 @@ object Dedup {
       b.named(msgName)
     }
     val conf = spark.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(file.getParent,
+      s".${file.getName}.tmp")
     val writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
       .builder(org.apache.parquet.hadoop.util.HadoopOutputFile
-        .fromPath(file, conf))
+        .fromPath(tmp, conf))
       .withType(schema)
       .withConf(conf)
       .build()
@@ -2825,6 +2900,9 @@ object Dedup {
       cols.foreach { case (c, v) => g.add(c, v) }
       writer.write(g)
     } finally writer.close()
+    val fs = file.getFileSystem(conf)
+    require(fs.rename(tmp, file),
+      s"could not commit $tmp -> $file (rename refused)")
   }
 
   /** [[ingestBatchWithIndex]]'s twin for the persisted SRP EMBEDDING
@@ -2890,10 +2968,6 @@ object Dedup {
       s"ingestBatchWithSrpIndex: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
-    // Per-batch execution profile from the EXPANDED multi-probe
-    // bucket-row estimate (restored by withPinnedPlan)
-    tuneBatchExecution(spark, batchRows * ix.tables * (1L + ix.planes))
-
     val committed = SrpIndex(ix.vectors.filter(col("id") <= lit(w)),
       ix.buckets.filter(col("id") <= lit(w)),
       ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
@@ -2918,6 +2992,12 @@ object Dedup {
             .select(col("tbl"), explode(array(flips: _*)).as("bkt")),
           Seq("tbl", "bkt"), ix.shards)
       } else Nil
+    // Per-batch execution profile (restored by withPinnedPlan): the
+    // EXPANDED multi-probe bucket-row estimate plus the on-disk size of
+    // the index slice the probe join will read (touched shards only)
+    tuneBatchExecution(spark, batchRows * ix.tables * (1L + ix.planes),
+      dirBytes(spark, s"$indexPath/buckets",
+        if (ix.shards > 0) touched.map(k => s"shard=$k") else Seq("")))
 
     // Greedy star within-batch screen — see ingestBatchWithIndex.
     // eagerCap stays TRUE here, unlike the MinHash twin: the SRP screen's
