@@ -37,15 +37,21 @@ object Dedup {
     * re-opens the SAME tables every micro-batch. An index table's schema
     * is immutable within one index GENERATION (append-only writes,
     * layout-preserving compaction); only the overwrite builds change it,
-    * and they rewrite `params/` — so every cache entry carries the
-    * params-dir modification time as its generation token and a stale
-    * entry self-invalidates on the next read, even when the rebuild
-    * happened in ANOTHER process (one driver-side FS stat per read, no
-    * Spark job). Same-JVM builds also invalidate eagerly.
+    * and they rewrite `params/` — so every cache entry carries a
+    * CONTENT-based generation token (the sorted data-file names inside
+    * `params/`; parquet part files embed a fresh write UUID, so any
+    * rewrite — even same-geometry, even sub-second — produces a new
+    * token) and a stale entry self-invalidates on the next read, even
+    * when the rebuild happened in ANOTHER process (one driver-side FS
+    * listing per read, no Spark job). Directory mtime was rejected as
+    * the token: coarse-mtime filesystems (1 s granularity) and object
+    * stores whose directory markers report a constant mtime would keep
+    * serving stale geometry after an out-of-process rebuild. Same-JVM
+    * builds also invalidate eagerly.
     */
   private val indexSchemaCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, org.apache.spark.sql.types.StructType)]()
+      (String, org.apache.spark.sql.types.StructType)]()
 
   /** Params-row cache, same generation-token contract as the schema
     * cache: the params table is written once per build, appends
@@ -53,23 +59,28 @@ object Dedup {
     */
   private val indexParamsCache =
     new java.util.concurrent.ConcurrentHashMap[String,
-      (Long, org.apache.spark.sql.Row)]()
+      (String, org.apache.spark.sql.Row)]()
 
   /** Generation token of the index owning `tablePath` (a direct child of
-    * the index root): the `params/` directory's modification time, which
-    * changes exactly when an overwrite build rewrites the index. -1 for
-    * a params-less (legacy/partial) root — those never change schema
+    * the index root): the sorted list of data-file names inside
+    * `params/`, which changes exactly when an overwrite build rewrites
+    * the index (parquet part-file names embed a per-write UUID — a
+    * content token no filesystem mtime semantics can fake). Empty for a
+    * params-less (legacy/partial) root — those never change schema
     * generations, so the constant token keeps caching correct.
     */
   private def indexGeneration(spark: org.apache.spark.sql.SparkSession,
-                              tablePath: String): Long = {
+                              tablePath: String): String = {
     val cut = tablePath.lastIndexOf('/')
-    if (cut <= 0) return -1L
+    if (cut <= 0) return ""
     val p = new org.apache.hadoop.fs.Path(
       tablePath.substring(0, cut) + "/params")
     try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .getFileStatus(p).getModificationTime
-    catch { case _: Exception => -1L }
+      .listStatus(p).iterator
+      .map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+      .toSeq.sorted.mkString(",")
+    catch { case _: Exception => "" }
   }
 
   /** head() of `path` (a params table) through the cache. */
@@ -1026,6 +1037,65 @@ object Dedup {
         (df, n) => df.repartitionByRange(n, col("batch_id")))))
   }
 
+  /** Heal the crash window of a compaction's directory swap: a process
+    * dying between `delete(table)` and `rename(tmp, table)` leaves the
+    * table's complete content ONLY under `__compacting_<sub>` — every
+    * subsequent index open then fails loudly, and with in-loop
+    * compaction ([[graft.streaming.StreamOps.indexedDedupStream]]'s
+    * `compactEvery`) that means a restarted stream fails on every batch
+    * until someone repairs the directory by hand. This runs the repair
+    * automatically: at compaction start and at governed-stream open
+    * (the ledger-init calls); safe to invoke any time.
+    *
+    * Per leftover `__compacting_<sub>` dir (under a fresh epoch claim,
+    * taken only when there IS something to heal — a concurrent mutator
+    * aborts at its own epoch re-check rather than corrupting):
+    *  - table dir ABSENT → the temp dir is the complete post-swap
+    *    content: rename it into place ("restored");
+    *  - table dir present → the crash (or an unfinished abort) happened
+    *    before the old table was removed — the table is intact and the
+    *    temp redundant: delete it ("removed").
+    *
+    * @return per-table action taken, empty when nothing to heal
+    */
+  def recoverCompaction(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Map[String, String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val leftovers =
+      try fs.listStatus(root).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(CompactingPrefix))
+      catch { case _: Exception =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    if (leftovers.isEmpty) Map.empty
+    else { claimEpoch(spark, path); recoverCompactionLeftovers(fs, root) }
+  }
+
+  private val CompactingPrefix = "__compacting_"
+
+  /** The swap-healing core — callers hold the epoch claim. */
+  private def recoverCompactionLeftovers(
+      fs: org.apache.hadoop.fs.FileSystem,
+      root: org.apache.hadoop.fs.Path): Map[String, String] = {
+    val leftovers =
+      try fs.listStatus(root).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(CompactingPrefix))
+      catch { case _: Exception =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    leftovers.map { s =>
+      val sub = s.getPath.getName.stripPrefix(CompactingPrefix)
+      val dir = new org.apache.hadoop.fs.Path(root, sub)
+      if (!fs.exists(dir)) {
+        require(fs.rename(s.getPath, dir),
+          s"recoverCompaction: could not restore ${s.getPath} -> $dir")
+        sub -> "restored"
+      } else {
+        fs.delete(s.getPath, true)
+        sub -> "removed"
+      }
+    }.toMap
+  }
+
   /** One table's compaction recipe: the shuffle layout for the rewrite
     * and the partition columns the on-disk layout must keep. */
   private final case class IndexTableLayout(
@@ -1052,6 +1122,13 @@ object Dedup {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val claimed = claimEpoch(spark, path)
+    // Heal any previous compaction's torn swap BEFORE counting files —
+    // a table whose content sits in __compacting_<sub> must be restored
+    // or this run would read an absent (or stale) directory.
+    locally {
+      val root = new org.apache.hadoop.fs.Path(path)
+      recoverCompactionLeftovers(root.getFileSystem(conf), root)
+    }
     // Prune stale epoch claim files (one accretes per mutation): only
     // the CURRENT epoch — `claimed`, this compaction's own claim — is
     // ever consulted again, and a racer can only be creating claims at
@@ -1079,7 +1156,8 @@ object Dedup {
       val stats =
         if (files.length <= floor) (files.length, files.length)
         else {
-          val tmp = new org.apache.hadoop.fs.Path(s"$path/__compacting_$sub")
+          val tmp =
+            new org.apache.hadoop.fs.Path(s"$path/$CompactingPrefix$sub")
           val out = layout(spark.read.parquet(dir.toString), parts)
           val w = out.write.mode("overwrite")
           (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*)
@@ -2433,15 +2511,21 @@ object Dedup {
     * ledger that already exists is left untouched.
     */
   def initIngestLedger(spark: org.apache.spark.sql.SparkSession,
-                       indexPath: String): Unit =
+                       indexPath: String): Unit = {
+    // stream-open healing: a crash mid-in-loop-compaction must not leave
+    // the restarted stream failing on an absent table dir
+    recoverCompaction(spark, indexPath)
     bootstrapLedger(spark, indexPath,
       readSignatureIndex(spark, indexPath).signatures)
+  }
 
   /** [[initIngestLedger]]'s twin for a persisted SRP embedding index —
     * the base watermark comes from the index's vector table. */
   def initSrpIngestLedger(spark: org.apache.spark.sql.SparkSession,
-                          indexPath: String): Unit =
+                          indexPath: String): Unit = {
+    recoverCompaction(spark, indexPath)
     bootstrapLedger(spark, indexPath, readSrpIndex(spark, indexPath).vectors)
+  }
 
   private def bootstrapLedger(spark: org.apache.spark.sql.SparkSession,
                               indexPath: String, rows: DataFrame): Unit = {
@@ -2589,8 +2673,11 @@ object Dedup {
       spark.conf.set("spark.sql.adaptive.enabled", "false")
     val prev = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val byRows = batchShufflePartitions(expandedRows, prev)
+    // clamp in the Long domain: the legacy-unsharded sentinel
+    // (Long.MaxValue) must saturate to `prev`, not overflow toInt
     val byBytes =
-      math.max(1, math.min(prev, (indexSliceBytes / (32L << 20) + 1).toInt))
+      math.max(1L, math.min(prev.toLong, indexSliceBytes / (32L << 20) + 1))
+        .toInt
     spark.conf.set("spark.sql.shuffle.partitions",
       math.max(byRows, byBytes).toString)
   }
@@ -2707,9 +2794,16 @@ object Dedup {
     // Per-batch execution profile (restored by withPinnedPlan): the
     // EXPANDED band-row estimate plus the on-disk size of the index
     // slice the probe join will actually read (touched shards only)
+    // Legacy unsharded index: no partition dirs to prune, so the size
+    // probe would getContentSummary the WHOLE bands table every
+    // micro-batch — an O(index files) recursive metadata walk on the
+    // driver. Skip it (sentinel = assume over-ceiling): AQE stays on and
+    // the byte-based partition floor saturates, both the right calls for
+    // an unprunable full-index probe join.
     tuneBatchExecution(spark, batchRows * p.bands,
-      dirBytes(spark, s"$indexPath/bands",
-        if (ix.shards > 0) touched.map(k => s"shard=$k") else Seq("")))
+      if (ix.shards > 0)
+        dirBytes(spark, s"$indexPath/bands", touched.map(k => s"shard=$k"))
+      else Long.MaxValue)
 
     // Within-batch screen: greedy star rule — drop any doc with a
     // SMALLER-id near-duplicate in the same batch (pairs carry
@@ -2995,9 +3089,12 @@ object Dedup {
     // Per-batch execution profile (restored by withPinnedPlan): the
     // EXPANDED multi-probe bucket-row estimate plus the on-disk size of
     // the index slice the probe join will read (touched shards only)
+    // Unsharded legacy index: skip the whole-table metadata walk — see
+    // the MinHash twin's note at its tuneBatchExecution call.
     tuneBatchExecution(spark, batchRows * ix.tables * (1L + ix.planes),
-      dirBytes(spark, s"$indexPath/buckets",
-        if (ix.shards > 0) touched.map(k => s"shard=$k") else Seq("")))
+      if (ix.shards > 0)
+        dirBytes(spark, s"$indexPath/buckets", touched.map(k => s"shard=$k"))
+      else Long.MaxValue)
 
     // Greedy star within-batch screen — see ingestBatchWithIndex.
     // eagerCap stays TRUE here, unlike the MinHash twin: the SRP screen's
@@ -3023,10 +3120,11 @@ object Dedup {
     // The within-screen's multi-probe checkpoint is dead the moment the
     // write lands (novel is parquet-backed from here on) — free its
     // blocks NOW; a production stream runs unbounded batches and cannot
-    // afford one leaked block set per micro-batch. (free() unpersists
-    // every LogicalRDD leaf of the plan, which includes `b`; the final
-    // free(b) below is then a no-op, kept for the early-exit paths.)
-    graft.plans.Checkpoints.free(withinDup)
+    // afford one leaked block set per micro-batch. freeExcept keeps the
+    // batch checkpoint `b` persisted BY CONSTRUCTION (it is also a leaf
+    // of this plan), so a future edit that reads `b` after this point
+    // cannot hit missing blocks; `b` is released at the end of the batch.
+    graft.plans.Checkpoints.freeExcept(withinDup, b)
     val novel = spark.read.schema(b.schema).parquet(novelOut)
 
     // Plain projection of the checkpointed `novel` — deterministic for

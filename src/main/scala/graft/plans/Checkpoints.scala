@@ -34,4 +34,20 @@ object Checkpoints {
     if (rdds.nonEmpty) rdds.foreach(_.unpersist(blocking = false))
     else df.unpersist()
   }
+
+  /** [[free]] scoped to the checkpoints `df` OWNS: leaves whose RDD also
+    * backs one of the `keep` frames stay persisted. A composite plan
+    * (e.g. a screen built OVER an input checkpoint that the caller still
+    * needs) can then release its inner materializations mid-flow without
+    * relying on "nothing downstream references the input" as an
+    * unenforced invariant — the input's blocks survive by construction.
+    */
+  def freeExcept(df: Dataset[_], keep: Dataset[_]*): Unit = {
+    val keepIds = keep.flatMap(
+      _.queryExecution.analyzed.collectLeaves()
+        .collect { case lr: LogicalRDD => lr.rdd.id }).toSet
+    df.queryExecution.analyzed.collectLeaves()
+      .collect { case lr: LogicalRDD if !keepIds(lr.rdd.id) => lr.rdd }
+      .foreach(_.unpersist(blocking = false))
+  }
 }

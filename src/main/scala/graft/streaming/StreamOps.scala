@@ -154,7 +154,11 @@ object StreamOps {
     * epoch fence (the compaction advances the epoch; a concurrent
     * maintenance job would abort, not corrupt). Replays skip it (a
     * replayed batch must see the index generation its first attempt
-    * saw). 0 = never (run compaction from a maintenance job instead).
+    * saw). A crash inside the compaction's directory swap self-heals:
+    * stream open runs [[graft.operators.Dedup.recoverCompaction]], which
+    * restores a table left stranded in `__compacting_<sub>` before the
+    * first batch reads the index. 0 = never (run compaction from a
+    * maintenance job instead).
     */
   def indexedDedupStream(spark: SparkSession, inPath: String,
                          schema: org.apache.spark.sql.types.StructType,

@@ -204,4 +204,127 @@ class IndexMaintenanceSpec extends SparkSpec {
       }
     } finally rmrf(base)
   }
+
+  test("recoverCompaction heals a torn compaction swap; stream open runs it") {
+    val base = Files.createTempDirectory("graft-recover").toString
+    val ix = s"$base/ix"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      Dedup.writeSignatureIndex(docs(0L to 9L: _*), "doc_id", "text", ix, p)
+      val bandsBefore = spark.read.parquet(s"$ix/bands")
+        .select("id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+      // crash-window state: the swap's delete(dir) happened, the
+      // rename(tmp, dir) did not — the table's only copy is the temp dir
+      require(fs.rename(path(s"$ix/bands"), path(s"$ix/__compacting_bands")))
+      val healed = Dedup.recoverCompaction(spark, ix)
+      assert(healed == Map("bands" -> "restored"), s"got $healed")
+      val bandsAfter = spark.read.parquet(s"$ix/bands")
+        .select("id", "band", "bkey").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(bandsAfter == bandsBefore,
+        "restored band table must carry the exact pre-crash rows")
+
+      // stale temp BESIDE an intact table (crash before the delete, or
+      // an unfinished abort): stream open removes it, table untouched
+      fs.mkdirs(path(s"$ix/__compacting_signatures"))
+      Dedup.initIngestLedger(spark, ix) // runs recoverCompaction
+      assert(!fs.exists(path(s"$ix/__compacting_signatures")),
+        "stream open must clear a redundant leftover temp dir")
+      assert(spark.read.parquet(s"$ix/signatures").count() > 0)
+
+      // idempotent when there is nothing to heal (and claims no epoch)
+      val epochBefore = fs.listStatus(path(s"$ix/epoch")).length
+      assert(Dedup.recoverCompaction(spark, ix).isEmpty)
+      assert(fs.listStatus(path(s"$ix/epoch")).length == epochBefore,
+        "a no-op recovery must not advance the epoch")
+    } finally rmrf(base)
+  }
+
+  test("index caches self-invalidate on an out-of-process rebuild even " +
+      "with a constant params mtime") {
+    val base = Files.createTempDirectory("graft-gen-token").toString
+    val ixA = s"$base/ixA"; val ixB = s"$base/ixB"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L, 3L), "doc_id", "text",
+        ixA, p)
+      assert(Dedup.readSignatureIndex(spark, ixA).params.bands == p.bands)
+      val mtime = fs.getFileStatus(path(s"$ixA/params")).getModificationTime
+
+      // an out-of-process rebuild with DIFFERENT geometry lands at the
+      // same path without this JVM's eager cache invalidation ever
+      // running — simulated by building elsewhere and renaming over
+      val p2 = p.copy(numHashes = 16, bands = 4)
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L, 3L), "doc_id", "text",
+        ixB, p2)
+      require(fs.delete(path(ixA), true))
+      require(fs.rename(path(ixB), path(ixA)))
+      // coarse-mtime / object-store directory semantics: the params
+      // dir's mtime reports the SAME value as before the rebuild
+      fs.setTimes(path(s"$ixA/params"), mtime, -1)
+      assert(fs.getFileStatus(path(s"$ixA/params"))
+        .getModificationTime == mtime, "test setup: mtime must be pinned")
+
+      // the content-based generation token must still see the rebuild —
+      // a dir-mtime token would serve the stale bands=8 geometry here
+      assert(Dedup.readSignatureIndex(spark, ixA).params.bands == 4,
+        "params cache served stale geometry after an out-of-process " +
+          "rebuild with unchanged params-dir mtime")
+    } finally rmrf(base)
+  }
+
+  test("governed ingest over a legacy unsharded index matches the sharded " +
+      "twin") {
+    val base = Files.createTempDirectory("graft-legacy-ingest").toString
+    val ixS = s"$base/ixS"; val ixL = s"$base/ixL"
+    val outS = s"$base/outS"; val outL = s"$base/outL"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      val corpus = docs(0L to 9L: _*)
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ixS, p)
+
+      // legacy fixture: same index, pre-sharding layout — bands without
+      // the shard column, params without the shards field, no occupancy
+      // side table (what an older version of this library wrote)
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ixL, p)
+      val flatBands = spark.read.parquet(s"$ixL/bands")
+        .select("id", "band", "bkey").localCheckpoint()
+      require(fs.delete(path(s"$ixL/bands"), true))
+      flatBands.write.parquet(s"$ixL/bands")
+      val pr = spark.read.parquet(s"$ixL/params")
+        .drop("shards").localCheckpoint()
+      require(fs.delete(path(s"$ixL/params"), true))
+      pr.coalesce(1).write.parquet(s"$ixL/params")
+      require(fs.delete(path(s"$ixL/occupancy"), true))
+      graft.plans.Checkpoints.free(flatBands)
+      graft.plans.Checkpoints.free(pr)
+      assert(Dedup.readSignatureIndex(spark, ixL).shards == 0,
+        "test setup: fixture must read back as a legacy unsharded index")
+
+      // the same two governed batches through both layouts — the legacy
+      // path (no shard pruning, occupancy recomputed from committed
+      // bands, size-probe skipped) must accept/drop identical documents
+      def novel(out: String): Set[Long] =
+        spark.read.parquet(out).select("doc_id").collect()
+          .map(_.getLong(0)).toSet
+      for ((ix, out) <- Seq((ixS, outS), (ixL, outL))) {
+        Dedup.initIngestLedger(spark, ix)
+        Dedup.ingestBatchWithIndex(docs(20L, 21L, 22L), "doc_id", "text",
+          ix, out, batchId = 0L)
+        Dedup.ingestBatchWithIndex(docs(30L, 31L), "doc_id", "text",
+          ix, out, batchId = 1L)
+      }
+      assert(novel(outL) == novel(outS),
+        "legacy unsharded governed ingest diverged from the sharded twin")
+      assert(novel(outL).nonEmpty, "test setup: some docs must survive")
+    } finally rmrf(base)
+  }
 }
