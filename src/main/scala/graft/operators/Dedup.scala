@@ -2708,28 +2708,30 @@ object Dedup {
         batchId)
     }
 
-  private def ingestBatchWithIndexImpl(
-      batch: DataFrame, idCol: String, textCol: String,
-      indexPath: String, outPath: String,
-      batchId: Long): IngestBatchStats = {
-    val spark = batch.sparkSession
-    GraftFunctions.register(spark)
-    val ix = readSignatureIndex(spark, indexPath)
-    val p = ix.params
-    val ledger = readIngestLedger(spark, indexPath)
-    // Claim the index for this mutation; re-checked before the ledger
-    // commit, so a compaction landing mid-batch makes this batch abort
-    // (and replay) instead of committing over a moved index.
-    val claimed = claimEpoch(spark, indexPath)
+  /** Per-batch governance scalars both governed loops resolve up front:
+    * replay flag, committed watermark `w`, and the batch geometry. */
+  private final case class BatchFront(replayed: Boolean, w: Long,
+                                      batchRows: Long, maxId: Long) {
+    /** Watermark after this batch commits — the max BATCH id: processed
+      * docs advance it even when dup'd or unsignable (they are
+      * processed, just never indexed). */
+    def wAfter: Long = if (batchRows == 0) w else math.max(w, maxId)
+  }
 
-    val b = batch.localCheckpoint()
-    // FRONT FOLD — one job answers every scalar the batch needs up
-    // front: the ledger state (committed watermark, replay detection)
-    // crossed with the batch geometry (row count, min/max id, cast
-    // health). Both sides are one-row aggregates, so the cross join is a
-    // trivial broadcast; previously these were two sequential jobs and
-    // the watermark-clash count needed `w` before it could even be
-    // planned — comparing min(id) > w instead removes that dependency.
+  /** FRONT FOLD — one job answers every scalar a governed batch needs up
+    * front: the ledger state (committed watermark, replay detection)
+    * crossed with the batch geometry (row count, min/max id, cast
+    * health). Both sides are one-row aggregates, so the cross join is a
+    * trivial broadcast; previously these were two sequential jobs and
+    * the watermark-clash count needed `w` before it could even be
+    * planned — comparing min(id) > w instead removes that dependency.
+    * Shared verbatim by the MinHash and SRP ingest loops (`opName` only
+    * labels the contract errors).
+    */
+  private def resolveBatchFront(ledger: DataFrame, b: DataFrame,
+                                idCol: String, batchId: Long,
+                                indexPath: String,
+                                opName: String): BatchFront = {
     val front = ledger.agg(
         max(col("watermark_after")).as("l_after"),
         count(when(col("batch_id") === lit(batchId), 1)).as("l_cnt"),
@@ -2752,13 +2754,87 @@ object Dedup {
     val w = if (replayed) front.getLong(2) else front.getLong(0)
     val batchRows = front.getLong(3)
     require(front.getLong(6) == 0,
-      s"ingestBatchWithIndex: batch $batchId has ${front.getLong(6)} " +
+      s"$opName: batch $batchId has ${front.getLong(6)} " +
         s"non-long-castable '$idCol' values — the watermark contract " +
         "requires monotone long ids")
     require(batchRows == 0 || front.getLong(5) > w,
-      s"ingestBatchWithIndex: batch $batchId contains ids <= the " +
+      s"$opName: batch $batchId contains ids <= the " +
         s"committed watermark ($w) — ingest ids must be monotone across " +
         "batches (an out-of-order backfill should rebuild the index)")
+    // g_max is NULL for an EMPTY batch — never read it there (wAfter
+    // stays w by the batchRows == 0 branch anyway)
+    BatchFront(replayed, w, batchRows,
+      if (batchRows == 0) w else front.getLong(4))
+  }
+
+  /** LATE FOLD + commit, shared by both governed loops: one job over the
+    * already-checkpointed frames answers the remaining scalars — novel
+    * row count (ledger bookkeeping), capped-bucket count (delta
+    * non-emptiness) and, only when torn, the replay presence flag
+    * (previously three separate jobs) — then lands the occupancy delta
+    * and, last, the ledger commit marker.
+    *
+    * The occupancy delta is stamped with the batch's committed
+    * watermark: a governed read at any later watermark w' >= wAfter
+    * counts it, a replay of THIS batch (filtering wm <= its own w) does
+    * not — and the presence check makes a replayed delta append a no-op.
+    * The delta is the FULL expected set, not the healed remainder: a
+    * torn first attempt may have appended the bucket rows but not the
+    * delta (append order proves a CLEAN batch cannot have a pre-existing
+    * delta, so the presence probe only runs when torn).
+    *
+    * @return the batch's novel row count
+    */
+  private def finishGovernedBatch(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String, novel: DataFrame,
+                                  capped: DataFrame, occRaw: DataFrame,
+                                  keyCols: Seq[String], shards: Int,
+                                  torn: Boolean, w: Long, wAfter: Long,
+                                  replayed: Boolean, claimed: Long,
+                                  batchId: Long): Long = {
+    val lateBase = novel.agg(count(lit(1)).as("n_novel"))
+      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+    val late =
+      (if (shards > 0 && torn)
+         lateBase.crossJoin(occRaw.agg(
+           count(when(col("wm") === lit(wAfter), 1)).as("n_replay")))
+       else lateBase).head()
+    val novelRows = late.getLong(0)
+    val deltaPresent = shards > 0 && torn && late.getLong(2) > 0
+    if (shards > 0 && late.getLong(1) > 0 && !deltaPresent)
+      appendOccupancyDelta(spark, indexPath, capped, keyCols, shards,
+        wAfter)
+    // Ledger row LAST — the commit marker; the epoch re-check makes a
+    // compaction landing mid-batch abort (and replay) this batch instead
+    // of letting it commit over a moved index.
+    if (!replayed) {
+      requireEpoch(spark, indexPath, claimed)
+      commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
+    }
+    novelRows
+  }
+
+  private def ingestBatchWithIndexImpl(
+      batch: DataFrame, idCol: String, textCol: String,
+      indexPath: String, outPath: String,
+      batchId: Long): IngestBatchStats = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val ix = readSignatureIndex(spark, indexPath)
+    val p = ix.params
+    val ledger = readIngestLedger(spark, indexPath)
+    // Claim the index for this mutation; re-checked before the ledger
+    // commit, so a compaction landing mid-batch makes this batch abort
+    // (and replay) instead of committing over a moved index.
+    val claimed = claimEpoch(spark, indexPath)
+
+    val b = batch.localCheckpoint()
+    // FRONT FOLD — see resolveBatchFront
+    val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
+      "ingestBatchWithIndex")
+    val replayed = front.replayed
+    val w = front.w
+    val batchRows = front.batchRows
     // The committed view of the index: everything a crashed attempt may
     // have appended beyond the watermark is invisible. Shards carry over
     // so the screen probe keeps its partition pruning.
@@ -2895,38 +2971,12 @@ object Dedup {
     appendBucketRows(bandAppend, indexPath, "bands", Seq("band", "bkey"),
       ix.shards)
 
-    // (3) Ledger row LAST — the commit marker. The processed watermark is
-    // the max BATCH id (dup'd and unsignable docs advance it too: they
-    // are processed, just never indexed).
-    val wAfter = if (batchRows == 0) w else math.max(w, front.getLong(4))
-    // LATE FOLD — one job over the already-checkpointed frames answers
-    // the remaining scalars: novel row count (ledger bookkeeping),
-    // capped-band count (delta non-emptiness) and, only when torn, the
-    // replay presence flag. Previously three separate jobs.
-    val lateBase = novel.agg(count(lit(1)).as("n_novel"))
-      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
-    val late =
-      (if (ix.shards > 0 && torn)
-         lateBase.crossJoin(occRaw.agg(
-           count(when(col("wm") === lit(wAfter), 1)).as("n_replay")))
-       else lateBase).head()
-    val novelRows = late.getLong(0)
-    val deltaPresent = ix.shards > 0 && torn && late.getLong(2) > 0
-    // Occupancy delta stamped with the batch's committed watermark: a
-    // governed read at any later watermark w' >= wAfter counts it, a
-    // replay of THIS batch (filtering wm <= its own w) does not — and the
-    // presence check makes a replayed delta append a no-op. The delta is
-    // the FULL expected set, not the healed remainder: a torn first
-    // attempt may have appended the bands but not the delta (append
-    // order proves a CLEAN batch cannot have a pre-existing delta, so
-    // the presence probe only runs when torn).
-    if (ix.shards > 0 && late.getLong(1) > 0 && !deltaPresent)
-      appendOccupancyDelta(spark, indexPath, capped, Seq("band", "bkey"),
-        ix.shards, wAfter)
-    if (!replayed) {
-      requireEpoch(spark, indexPath, claimed)
-      commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
-    }
+    // LATE FOLD + occupancy delta + ledger commit — see
+    // finishGovernedBatch
+    val wAfter = front.wAfter
+    val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
+      occRaw, Seq("band", "bkey"), ix.shards, torn, w, wAfter, replayed,
+      claimed, batchId)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(b)
@@ -3031,37 +3081,12 @@ object Dedup {
     val claimed = claimEpoch(spark, indexPath)
 
     val b = batch.localCheckpoint()
-    // FRONT FOLD — one job for ledger state × batch geometry (see the
-    // MinHash twin for the full rationale).
-    val front = ledger.agg(
-        max(col("watermark_after")).as("l_after"),
-        count(when(col("batch_id") === lit(batchId), 1)).as("l_cnt"),
-        max(when(col("batch_id") === lit(batchId),
-          col("watermark_before"))).as("l_before"))
-      .crossJoin(b.agg(
-        count(lit(1)).as("g_cnt"),
-        // try_cast, not cast: ANSI mode would throw Spark's own
-        // CAST_INVALID_INPUT mid-job on a malformed id — the g_bad
-        // counter turns that into this operator's contract error instead
-        max(col(idCol).try_cast("long")).as("g_max"),
-        min(col(idCol).try_cast("long")).as("g_min"),
-        count(when(col(idCol).isNull ||
-          col(idCol).try_cast("long").isNull, 1)).as("g_bad")))
-      .head()
-    require(front.getLong(1) <= 1,
-      s"ingest ledger at $indexPath has ${front.getLong(1)} rows for " +
-        s"batch $batchId — the ledger is corrupt (concurrent writers?)")
-    val replayed = front.getLong(1) == 1
-    val w = if (replayed) front.getLong(2) else front.getLong(0)
-    val batchRows = front.getLong(3)
-    require(front.getLong(6) == 0,
-      s"ingestBatchWithSrpIndex: batch $batchId has ${front.getLong(6)} " +
-        s"non-long-castable '$idCol' values — the watermark contract " +
-        "requires monotone long ids")
-    require(batchRows == 0 || front.getLong(5) > w,
-      s"ingestBatchWithSrpIndex: batch $batchId contains ids <= the " +
-        s"committed watermark ($w) — ingest ids must be monotone across " +
-        "batches (an out-of-order backfill should rebuild the index)")
+    // FRONT FOLD — see resolveBatchFront
+    val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
+      "ingestBatchWithSrpIndex")
+    val replayed = front.replayed
+    val w = front.w
+    val batchRows = front.batchRows
     val committed = SrpIndex(ix.vectors.filter(col("id") <= lit(w)),
       ix.buckets.filter(col("id") <= lit(w)),
       ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
@@ -3164,25 +3189,12 @@ object Dedup {
     appendBucketRows(bucketAppend, indexPath, "buckets", Seq("tbl", "bkt"),
       ix.shards)
 
-    val wAfter = if (batchRows == 0) w else math.max(w, front.getLong(4))
-    // LATE FOLD — one job for novel count + capped count (+ replay
-    // presence when torn); see the MinHash twin.
-    val lateBase = novel.agg(count(lit(1)).as("n_novel"))
-      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
-    val late =
-      (if (ix.shards > 0 && torn)
-         lateBase.crossJoin(occRaw.agg(
-           count(when(col("wm") === lit(wAfter), 1)).as("n_replay")))
-       else lateBase).head()
-    val novelRows = late.getLong(0)
-    val deltaPresent = ix.shards > 0 && torn && late.getLong(2) > 0
-    if (ix.shards > 0 && late.getLong(1) > 0 && !deltaPresent)
-      appendOccupancyDelta(spark, indexPath, capped, Seq("tbl", "bkt"),
-        ix.shards, wAfter)
-    if (!replayed) {
-      requireEpoch(spark, indexPath, claimed)
-      commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
-    }
+    val wAfter = front.wAfter
+    // LATE FOLD + occupancy delta + ledger commit — see
+    // finishGovernedBatch
+    val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
+      occRaw, Seq("tbl", "bkt"), ix.shards, torn, w, wAfter, replayed,
+      claimed, batchId)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(b)
