@@ -1821,7 +1821,7 @@ object Dedup {
             col("id").as("corpus_id")),
           Seq("tbl", "bkt"))
     val candidates = pKeyed.join(ixBuckets, joinKeys)
-      .select("batch_id", "corpus_id").distinct()
+      .select("batch_id", "corpus_id")
     // Verify join order matters at scale: the NARROW candidate set
     // exchanges against the corpus vector table first (selective id
     // join), and the batch vectors — small by the incremental contract —
@@ -1830,6 +1830,20 @@ object Dedup {
     // reverse order (batch vectors first) exchanged every candidate pair
     // widened by its batch vector on the corpus-id join — the 100×-bench
     // spill failure mode, see embeddingNearDupLsh.
+    //
+    // VERIFY-PIPELINED dedup: candidates are NOT distinct'd before the
+    // verify join — the multi-probe fan means a pair can collide in up
+    // to tables·(1+planes) buckets, and a pre-verify distinct exchanges
+    // that full candidate volume once just to exchange it again for the
+    // corpus-id join (at sf10, ~hundreds of millions of rows into a
+    // hash aggregate whose output feeds one more shuffle). Instead the
+    // duplicate candidates ride the corpus-id exchange directly, pay
+    // duplicate codegen'd cosines (cheap, pipelined), and only the
+    // SURVIVORS — threshold-filtered, tiny by definition — are
+    // distinct'd, where the post-join partitioning even collapses most
+    // duplicates map-side. Same trade the batch operator
+    // (embeddingNearDupLsh) already made; measured at sf10 (see
+    // BENCH_SF10 p6 note).
     candidates
       .join(index.vectors.select(col("id").as("corpus_id"), col("v").as("cv")),
         "corpus_id")
@@ -1837,6 +1851,7 @@ object Dedup {
       .withColumn("cos", round(GraftFunctions.cosineSim(col("bv"), col("cv")), 6))
       .filter(col("cos") >= threshold)
       .select(col("batch_id"), col("corpus_id"), col("cos"))
+      .distinct()
       .orderBy(col("batch_id"), col("corpus_id"))
   }
 
