@@ -967,11 +967,16 @@ object Dedup {
     * min/max), bands hash-clustered by (band, bkey) (the probe join's
     * key — co-located row groups). Params are untouched.
     *
-    * Swap is write-to-temp → delete → rename per table, the classic
-    * Hive-style compaction; a production deployment on an object store
-    * would put the swap behind a transactional table format or catalog
-    * pointer flip, which changes none of the logic here. No-op when a
-    * table already has no more files than the target.
+    * Swap is write-to-temp → rename-aside → rename per table: the old
+    * directory is moved to `__old_<sub>` BEFORE the temp renames into
+    * place, so at every instant at least one directory that no other
+    * process deletes holds the table's sole copy (a delete-then-rename
+    * swap had a window where the only copy sat in `__compacting_<sub>`,
+    * which a concurrent [[recoverCompaction]] may legitimately remove).
+    * A production deployment on an object store would put the swap
+    * behind a transactional table format or catalog pointer flip, which
+    * changes none of the logic here. No-op when a table already has no
+    * more files than the target.
     *
     * @return per-table (files before, files after), for observability
     */
@@ -1038,23 +1043,28 @@ object Dedup {
   }
 
   /** Heal the crash window of a compaction's directory swap: a process
-    * dying between `delete(table)` and `rename(tmp, table)` leaves the
-    * table's complete content ONLY under `__compacting_<sub>` — every
-    * subsequent index open then fails loudly, and with in-loop
-    * compaction ([[graft.streaming.StreamOps.indexedDedupStream]]'s
+    * dying mid-swap leaves the table's content under a marker directory
+    * (`__compacting_<sub>` — the rewritten temp — and/or `__old_<sub>` —
+    * the moved-aside original) with the table dir itself possibly
+    * absent; every subsequent index open then fails loudly, and with
+    * in-loop compaction ([[graft.streaming.StreamOps.indexedDedupStream]]'s
     * `compactEvery`) that means a restarted stream fails on every batch
     * until someone repairs the directory by hand. This runs the repair
     * automatically: at compaction start and at governed-stream open
     * (the ledger-init calls); safe to invoke any time.
     *
-    * Per leftover `__compacting_<sub>` dir (under a fresh epoch claim,
+    * Per table with any leftover marker (under a fresh epoch claim,
     * taken only when there IS something to heal — a concurrent mutator
     * aborts at its own epoch re-check rather than corrupting):
-    *  - table dir ABSENT → the temp dir is the complete post-swap
-    *    content: rename it into place ("restored");
-    *  - table dir present → the crash (or an unfinished abort) happened
-    *    before the old table was removed — the table is intact and the
-    *    temp redundant: delete it ("removed").
+    *  - table dir PRESENT → the markers are redundant copies (crash
+    *    before the move-aside, or after the swap completed but before
+    *    the old copy was removed): delete them ("removed");
+    *  - table dir absent, temp present → crash between the move-aside
+    *    and the temp rename: the temp is the complete post-swap content,
+    *    rename it into place and drop the old copy ("restored");
+    *  - table dir absent, only the old copy present → the temp was
+    *    removed (aborted swap, or a racer cleaned it): restore the
+    *    original ("restored").
     *
     * @return per-table action taken, empty when nothing to heal
     */
@@ -1062,36 +1072,53 @@ object Dedup {
                         path: String): Map[String, String] = {
     val root = new org.apache.hadoop.fs.Path(path)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val leftovers =
-      try fs.listStatus(root).filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith(CompactingPrefix))
-      catch { case _: Exception =>
-        Array.empty[org.apache.hadoop.fs.FileStatus] }
-    if (leftovers.isEmpty) Map.empty
+    if (swapLeftoverSubs(fs, root).isEmpty) Map.empty
     else { claimEpoch(spark, path); recoverCompactionLeftovers(fs, root) }
   }
 
   private val CompactingPrefix = "__compacting_"
+  private val OldCopyPrefix = "__old_"
 
-  /** The swap-healing core — callers hold the epoch claim. */
+  /** Table names with any leftover swap marker dir under `root`. */
+  private def swapLeftoverSubs(fs: org.apache.hadoop.fs.FileSystem,
+                               root: org.apache.hadoop.fs.Path): Seq[String] = {
+    val names =
+      try fs.listStatus(root).toSeq
+        .filter(_.isDirectory).map(_.getPath.getName)
+      catch { case _: Exception => Seq.empty[String] }
+    (names.collect { case n if n.startsWith(CompactingPrefix) =>
+        n.stripPrefix(CompactingPrefix) } ++
+      names.collect { case n if n.startsWith(OldCopyPrefix) =>
+        n.stripPrefix(OldCopyPrefix) }).distinct
+  }
+
+  /** The swap-healing core — callers hold the epoch claim. Every
+    * filesystem mutation's boolean return is require'd: reporting a
+    * repair that did not happen would leave callers (and the returned
+    * action map) lying about the index's state. */
   private def recoverCompactionLeftovers(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Map[String, String] = {
-    val leftovers =
-      try fs.listStatus(root).filter(s =>
-        s.isDirectory && s.getPath.getName.startsWith(CompactingPrefix))
-      catch { case _: Exception =>
-        Array.empty[org.apache.hadoop.fs.FileStatus] }
-    leftovers.map { s =>
-      val sub = s.getPath.getName.stripPrefix(CompactingPrefix)
+    swapLeftoverSubs(fs, root).map { sub =>
       val dir = new org.apache.hadoop.fs.Path(root, sub)
-      if (!fs.exists(dir)) {
-        require(fs.rename(s.getPath, dir),
-          s"recoverCompaction: could not restore ${s.getPath} -> $dir")
+      val tmp = new org.apache.hadoop.fs.Path(root, CompactingPrefix + sub)
+      val old = new org.apache.hadoop.fs.Path(root, OldCopyPrefix + sub)
+      def dropIfPresent(p: org.apache.hadoop.fs.Path): Unit =
+        if (fs.exists(p))
+          require(fs.delete(p, true),
+            s"recoverCompaction: could not remove stale $p")
+      if (fs.exists(dir)) {
+        dropIfPresent(tmp); dropIfPresent(old)
+        sub -> "removed"
+      } else if (fs.exists(tmp)) {
+        require(fs.rename(tmp, dir),
+          s"recoverCompaction: could not restore $tmp -> $dir")
+        dropIfPresent(old)
         sub -> "restored"
       } else {
-        fs.delete(s.getPath, true)
-        sub -> "removed"
+        require(fs.rename(old, dir),
+          s"recoverCompaction: could not restore $old -> $dir")
+        sub -> "restored"
       }
     }.toMap
   }
@@ -1105,7 +1132,7 @@ object Dedup {
   /** Shared compaction core: per table, rewrite into
     * ~ceil(bytes / targetFileBytes) files under the given layout
     * (preserving any `partitionBy` directory structure), swap via
-    * write-to-temp → delete → rename; no-op when already compact.
+    * write-to-temp → rename-aside → rename; no-op when already compact.
     * Files are counted RECURSIVELY — a `partitionBy` table keeps its
     * data under `shard=K/` subdirectories, which a root-level listing
     * would miss entirely.
@@ -1164,8 +1191,17 @@ object Dedup {
            else w).parquet(tmp.toString)
           try requireEpoch(spark, path, claimed)
           catch { case e: Throwable => fs.delete(tmp, true); throw e }
-          require(fs.delete(dir, true), s"compact: could not remove old $dir")
+          // Rename-aside swap: the original moves to __old_<sub> BEFORE
+          // the temp renames into place, so the table's sole copy never
+          // sits in __compacting_<sub> — the one directory a concurrent
+          // recoverCompaction (dir still present at its check) may
+          // legitimately delete. Any crash inside this window leaves a
+          // marker pair recoverCompactionLeftovers restores losslessly.
+          val old = new org.apache.hadoop.fs.Path(s"$path/$OldCopyPrefix$sub")
+          require(fs.rename(dir, old),
+            s"compact: could not move aside $dir -> $old")
           require(fs.rename(tmp, dir), s"compact: could not swap $tmp -> $dir")
+          require(fs.delete(old, true), s"compact: could not remove $old")
           (files.length, listParquetFilesRec(fs, dir).length)
         }
       sub -> stats

@@ -241,6 +241,43 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(Dedup.recoverCompaction(spark, ix).isEmpty)
       assert(fs.listStatus(path(s"$ix/epoch")).length == epochBefore,
         "a no-op recovery must not advance the epoch")
+
+      // rename-aside windows: crash between rename(dir, __old_) and
+      // rename(tmp, dir) — both markers present, dir absent; the temp is
+      // the complete post-swap content and wins, the old copy is dropped
+      val sigRows = spark.read.parquet(s"$ix/signatures")
+        .select("id").collect().map(_.getLong(0)).toSet
+      require(fs.rename(path(s"$ix/signatures"),
+        path(s"$ix/__old_signatures")))
+      require(fs.mkdirs(path(s"$ix/__compacting_signatures")))
+      fs.listStatus(path(s"$ix/__old_signatures")).foreach { f =>
+        org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+          path(s"$ix/__compacting_signatures/" + f.getPath.getName),
+          false, spark.sparkContext.hadoopConfiguration)
+      }
+      val healed2 = Dedup.recoverCompaction(spark, ix)
+      assert(healed2 == Map("signatures" -> "restored"), s"got $healed2")
+      assert(!fs.exists(path(s"$ix/__old_signatures")) &&
+        !fs.exists(path(s"$ix/__compacting_signatures")))
+      assert(spark.read.parquet(s"$ix/signatures")
+        .select("id").collect().map(_.getLong(0)).toSet == sigRows)
+
+      // crash after the swap completed but before the old copy was
+      // removed — dir present, __old_ redundant: dropped, table untouched
+      require(fs.mkdirs(path(s"$ix/__old_bands")))
+      val healed3 = Dedup.recoverCompaction(spark, ix)
+      assert(healed3 == Map("bands" -> "removed"), s"got $healed3")
+      assert(!fs.exists(path(s"$ix/__old_bands")))
+      assert(spark.read.parquet(s"$ix/bands").count() > 0)
+
+      // only the old copy survives (aborted swap whose temp was cleaned):
+      // restore it
+      require(fs.rename(path(s"$ix/signatures"),
+        path(s"$ix/__old_signatures")))
+      val healed4 = Dedup.recoverCompaction(spark, ix)
+      assert(healed4 == Map("signatures" -> "restored"), s"got $healed4")
+      assert(spark.read.parquet(s"$ix/signatures")
+        .select("id").collect().map(_.getLong(0)).toSet == sigRows)
     } finally rmrf(base)
   }
 
