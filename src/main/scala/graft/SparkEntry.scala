@@ -1358,6 +1358,28 @@ object SparkEntry {
         Dedup.readSignatureIndex(s, ixPath), "doc_id", "text", p)
     }),
 
+    // deletion/retraction on the persisted index (the takedown/GDPR path
+    // of a living corpus): ids with doc_id % 7 = 3 are tombstoned after
+    // the build — the probe stops matching them IMMEDIATELY (pending-
+    // tombstone anti-join; no compaction in this query, so the hot
+    // pending path is what the oracle checks). Oracle = b3's SQL on the
+    // RETAINED corpus.
+    "b3c_minhash_index_delete" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.2)
+      val ixPath = s"${System.getProperty("java.io.tmpdir")}/graft_mh_ixdel_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeSignatureIndex(
+        docs.filter(col("doc_id") % 5 =!= 4), "doc_id", "text", ixPath, p)
+      Dedup.deleteFromSignatureIndex(s, ixPath,
+        docs.filter(col("doc_id") % 5 =!= 4 && col("doc_id") % 7 === 3),
+        "doc_id")
+      Dedup.minHashNearDupPairsIncremental(
+        docs.filter(col("doc_id") % 5 === 4),
+        Dedup.readSignatureIndex(s, ixPath), "doc_id", "text", p)
+    }),
+
     // the persisted-index flow for EMBEDDINGS — b3b's twin: the corpus is
     // bucketed + written once (auto plane density from the corpus count:
     // 4 planes at the verify SF, 6 at sf0.1), then each batch probes the
@@ -1371,6 +1393,25 @@ object SparkEntry {
         java.lang.Integer.toHexString(dir.hashCode)
       Dedup.writeSrpIndex(emb.filter(col("vec_id") % 5 =!= 4), "vec_id",
         "embedding", ixPath, dim = 64)
+      Dedup.embeddingNearDupLshIncremental(emb.filter(col("vec_id") % 5 === 4),
+        Dedup.readSrpIndex(s, ixPath), "vec_id", "embedding", threshold = 0.4)
+    }),
+
+    // deletion + PHYSICAL purge on the SRP index: tombstone vec_id % 7 = 3,
+    // then compact — the rewrite drops the rows, folds the tombstones and
+    // appends negative occupancy deltas; the probe runs against the purged
+    // index (b3c checks the pending path, this one the post-compaction
+    // path). Oracle = b4's SQL on the retained corpus.
+    "b4c_embedding_index_delete" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val ixPath = s"${System.getProperty("java.io.tmpdir")}/graft_srp_ixdel_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeSrpIndex(emb.filter(col("vec_id") % 5 =!= 4), "vec_id",
+        "embedding", ixPath, dim = 64)
+      Dedup.deleteFromSrpIndex(s, ixPath,
+        emb.filter(col("vec_id") % 5 =!= 4 && col("vec_id") % 7 === 3),
+        "vec_id")
+      Dedup.compactSrpIndex(s, ixPath)
       Dedup.embeddingNearDupLshIncremental(emb.filter(col("vec_id") % 5 === 4),
         Dedup.readSrpIndex(s, ixPath), "vec_id", "embedding", threshold = 0.4)
     }),
@@ -3419,6 +3460,15 @@ object SparkEntry {
          |SELECT id_a AS batch_id, id_b AS corpus_id, jaccard
          |FROM pairs ORDER BY batch_id, corpus_id""".stripMargin,
 
+    // deletion is invisible to the result contract: the probe behaves as
+    // if the index were built on the RETAINED corpus (% 7 <> 3 removed)
+    "b3c_minhash_index_delete" ->
+      s"""WITH ${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
+             pairCond = "a.doc_id % 5 = 4 AND c.doc_id % 5 <> 4" +
+               " AND c.doc_id % 7 <> 3")}
+         |SELECT id_a AS batch_id, id_b AS corpus_id, jaccard
+         |FROM pairs ORDER BY batch_id, corpus_id""".stripMargin,
+
     // exact incremental dedup: the bloom is an internal accelerator, the
     // contract is plain key-absence
     "b2_bloom_exact_new" ->
@@ -3876,6 +3926,25 @@ object SparkEntry {
          |cand AS (SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
          |         FROM pr x JOIN bk y
          |           ON x.tbl = y.tbl AND x.bkt = y.bkt AND y.vec_id % 5 <> 4),
+         |sc AS (SELECT c.batch_id, c.corpus_id, $duckCos AS cos
+         |       FROM cand c JOIN emb a ON a.vec_id = c.batch_id
+         |                   JOIN emb b ON b.vec_id = c.corpus_id)
+         |SELECT batch_id, corpus_id, cos FROM sc WHERE cos >= 0.4
+         |ORDER BY batch_id, corpus_id""".stripMargin,
+
+    // post-compaction deleted-index probe ≡ the retained corpus
+    // (vec_id % 7 <> 3 dropped from the index side)
+    "b4c_embedding_index_delete" ->
+      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |            FROM embeddings),
+         |bk AS (${duckSrpBk(tables = 16, planes = 4, dim = 64)}),
+         |pr AS (SELECT vec_id, tbl, u.p AS bkt
+         |       FROM bk, UNNEST([${duckHamming1Probes(4)}]) AS u(p)
+         |       WHERE vec_id % 5 = 4),
+         |cand AS (SELECT DISTINCT x.vec_id AS batch_id, y.vec_id AS corpus_id
+         |         FROM pr x JOIN bk y
+         |           ON x.tbl = y.tbl AND x.bkt = y.bkt
+         |          AND y.vec_id % 5 <> 4 AND y.vec_id % 7 <> 3),
          |sc AS (SELECT c.batch_id, c.corpus_id, $duckCos AS cos
          |       FROM cand c JOIN emb a ON a.vec_id = c.batch_id
          |                   JOIN emb b ON b.vec_id = c.corpus_id)

@@ -759,6 +759,173 @@ object Dedup {
       .write.partitionBy("shard").mode("append").parquet(s"$path/occupancy")
   }
 
+  // ---- tombstones: deletion / retraction for persisted indexes ----
+  //
+  // A living 100-TB corpus sees takedowns and privacy deletes; forcing a
+  // full index rebuild per delete would make them operationally
+  // impossible. Instead deletes append id rows to a `tombstones/` table
+  // beside the index, and every index OPEN (readSignatureIndex /
+  // readSrpIndex) anti-joins the row tables against it — probes, the
+  // governed ingest loops and maintenance appends all see the retained
+  // corpus immediately, O(tombstones) extra work per open (broadcast
+  // when small, absent ⇒ zero cost). Physical reclamation is
+  // compaction's job: compactSignatureIndex / compactSrpIndex drop
+  // tombstoned rows from every table, append NEGATIVE occupancy deltas
+  // for the dropped bucket rows (so the write-time caps re-open for
+  // future ingest), and fold the tombstone table away.
+  //
+  // Contract: deleted ids are never re-ingested (takedown ids are
+  // retired, not recycled — while a tombstone is pending, a re-ingested
+  // row with the same id would be hidden by the same anti-join). The
+  // watermark/max-id monotonicity checks deliberately run against the
+  // PHYSICAL tables, so deletion never re-opens an id range.
+  //
+  // Cap caveat (documented divergence from rebuild-on-retained): a
+  // tombstoned row's bucket slots are only freed at compaction, and a
+  // row the write-time cap ALREADY excluded because a since-deleted row
+  // held the slot stays excluded until a rebuild — conservative in the
+  // dedup direction (fewer candidates, never phantom ones), and
+  // invisible below the cap, which real corpora sit under by sizing.
+
+  private def tombstoneDir(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/tombstones")
+
+  /** The pending tombstone id set of a persisted index, if any — one
+    * driver-side existence probe per index open. */
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Option[DataFrame] = {
+    val dir = tombstoneDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      Some(readIndexTable(spark, s"$path/tombstones").select("id"))
+    else None
+  }
+
+  /** Anti-join an index row table against the pending tombstones. */
+  private def liveRows(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
+
+  /** Drop any pending tombstone table — an overwrite REBUILD supersedes
+    * deletes (the new build's corpus simply omits the deleted rows);
+    * stale tombstones from the previous generation must never hide rows
+    * of the new one. Called by the write* builds only. */
+  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Unit = {
+    val dir = tombstoneDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(dir))
+      require(fs.delete(dir, true),
+        s"rebuild: could not clear stale tombstone table $dir")
+  }
+
+  /** Data files currently in the tombstone table (empty when absent). */
+  private def listTombstoneFiles(spark: org.apache.spark.sql.SparkSession,
+                                 path: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
+    val dir = tombstoneDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.map(_.getPath)
+      .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
+  }
+
+  private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+                               path: String, ids: DataFrame,
+                               idCol: String): Unit = {
+    claimEpoch(spark, path)
+    val t = ids.select(col(idCol).try_cast("long").as("id")).distinct()
+      .localCheckpoint()
+    require(t.filter(col("id").isNull).limit(1).isEmpty,
+      s"deleteFrom*Index: '$idCol' values must cast to long (the index " +
+        "id contract)")
+    // one file per delete op: tombstone sets are id-only longs (a
+    // million ids ≈ 8 MB), and the table is folded away at compaction
+    t.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    graft.plans.Checkpoints.free(t)
+  }
+
+  /** Delete (retract) ids from a persisted signature index. Takes
+    * effect on the NEXT index open: probes and the governed ingest loop
+    * stop matching the deleted docs immediately; their bytes are
+    * reclaimed — and their bucket-cap slots re-opened — by the next
+    * [[compactSignatureIndex]]. Deleting ids the index does not contain
+    * is a harmless no-op. Counts as a mutation under the epoch fence:
+    * a governed batch in flight aborts (and replays) rather than
+    * committing over the changed index.
+    */
+  def deleteFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, ids: DataFrame,
+                               idCol: String): Unit = {
+    readSignatureIndex(spark, path) // validates the index + params
+    appendTombstones(spark, path, ids, idCol)
+  }
+
+  /** [[deleteFromSignatureIndex]] for a driver-side id list. */
+  def deleteFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                               path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromSignatureIndex(spark, path, ids.toDF("id"), "id")
+  }
+
+  /** [[deleteFromSignatureIndex]]'s twin for a persisted SRP embedding
+    * index — same visibility, reclamation, and epoch semantics. */
+  def deleteFromSrpIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: DataFrame,
+                         idCol: String): Unit = {
+    readSrpIndex(spark, path) // validates the index + params
+    appendTombstones(spark, path, ids, idCol)
+  }
+
+  /** [[deleteFromSrpIndex]] for a driver-side id list. */
+  def deleteFromSrpIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromSrpIndex(spark, path, ids.toDF("id"), "id")
+  }
+
+  /** Compaction's tombstone epilogue: append the negative occupancy
+    * deltas for the bucket rows the rewrite just dropped (sharded
+    * indexes only — legacy ones recompute occupancy from the bucket
+    * table, which is already purged), then fold the tombstone table
+    * away. `negOcc` was checkpointed from the PRE-rewrite bucket table.
+    *
+    * The negative rows are stamped with the pre-rewrite physical max id:
+    * every future governed batch reads at a watermark ≥ it (so the caps
+    * re-open), while a replayed earlier batch (watermark < stamp) keeps
+    * seeing exactly the occupancy its first attempt saw. Crash windows
+    * are conservative by construction: dying before this epilogue leaves
+    * the tombstones pending (rows already dropped; the re-run computes
+    * empty negatives and just folds the table — those cap slots wait for
+    * a rebuild), never an undercounted bucket.
+    */
+  private def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
+                              path: String, negOcc: Option[DataFrame],
+                              stamp: Long,
+                              files: Seq[org.apache.hadoop.fs.Path]): Unit = {
+    negOcc.foreach { neg =>
+      if (!neg.isEmpty)
+        neg.withColumn("wm", lit(stamp))
+          .write.partitionBy("shard").mode("append")
+          .parquet(s"$path/occupancy")
+      graft.plans.Checkpoints.free(neg)
+    }
+    val dir = tombstoneDir(path)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // fold only the files LISTED before the rewrite read them: a
+    // tombstone appended mid-compaction (against the quiesce contract,
+    // but a privacy delete must never be lost silently) keeps its file
+    // and stays pending for the next compaction
+    files.foreach(f =>
+      require(!fs.exists(f) || fs.delete(f, false),
+        s"compact: could not fold tombstone file $f"))
+    // marker files (_SUCCESS etc.) don't count as pending tombstones
+    if (fs.exists(dir) && fs.listStatus(dir).forall { s =>
+          val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        })
+      require(fs.delete(dir, true),
+        s"compact: could not remove empty tombstone table $dir")
+  }
+
   /** Build + persist the corpus signature index with ONE corpus text scan:
     * the signature table (shingles + minhash) is written first, then the
     * band table derives from the WRITTEN minhash column — the corpus text
@@ -781,6 +948,7 @@ object Dedup {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     invalidateIndexSchemas(path)
+    clearTombstones(spark, path)
     withMinHashSignature(corpus, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"),
@@ -866,7 +1034,11 @@ object Dedup {
       if (bandsRaw.columns.contains("shard"))
         bandsRaw.select("id", "band", "bkey", "shard")
       else bandsRaw.select("id", "band", "bkey")
-    MinHashIndex(readIndexTable(spark, s"$path/signatures"), bands, p, shards)
+    // Pending tombstones hide deleted rows from every consumer (probes,
+    // governed loop, maintenance appends) until compaction purges them.
+    val tomb = readTombstones(spark, path)
+    MinHashIndex(liveRows(readIndexTable(spark, s"$path/signatures"), tomb),
+      liveRows(bands, tomb), p, shards)
   }
 
   /** Append a new batch to a persisted signature index WITHOUT touching
@@ -911,7 +1083,10 @@ object Dedup {
       .select(col(idCol).as("id"), col("shingles"),
         size(col("shingles")).as("sz"), col("minhash"))
       .localCheckpoint()
-    val maxRow = ix.signatures.agg(max(col("id"))).head()
+    // PHYSICAL max, not the tombstone-filtered view: deleted ids stay
+    // retired, so the monotone-id check must see every id ever written.
+    val maxRow = readIndexTable(spark, s"$path/signatures")
+      .agg(max(col("id"))).head()
     if (!maxRow.isNullAt(0)) {
       val clash = newSigs.filter(col("id") <= lit(maxRow.get(0))).limit(1).count()
       require(clash == 0,
@@ -986,16 +1161,36 @@ object Dedup {
       : Map[String, (Int, Int)] = {
     val ix = readSignatureIndex(spark, path) // validates index + params
     val sharded = if (ix.shards > 0) Seq("shard") else Nil
-    compactIndexTables(spark, path, targetFileBytes, Seq(
+    // Pending tombstones: the row-table rewrites drop the deleted rows;
+    // the dropped-bucket counts (negative occupancy deltas) and the
+    // purge stamp are checkpointed from the PRE-rewrite physical tables
+    // — the lazy plans would otherwise read the post-swap files. The
+    // file listing is taken BEFORE the read materializes, so the purge
+    // removes at most what this run provably dropped.
+    val tombFiles = listTombstoneFiles(spark, path)
+    val tomb = readTombstones(spark, path).map(_.localCheckpoint())
+    val negOcc = if (ix.shards > 0) tomb.map { t =>
+      readIndexTable(spark, s"$path/bands")
+        .join(t, Seq("id"), "left_semi")
+        .groupBy(col("shard"), col("band"), col("bkey"))
+        .agg((-count(lit(1))).as("occ"))
+        .localCheckpoint()
+    } else None
+    val stamp = if (tomb.isDefined)
+      watermarkOf(readIndexTable(spark, s"$path/signatures"), "id")
+    else -1L
+    def live(df: DataFrame) = liveRows(df, tomb)
+    val res = compactIndexTables(spark, path, targetFileBytes, Seq(
       IndexTableLayout("signatures",
-        (df, n) => df.repartitionByRange(n, col("id"))),
+        (df, n) => live(df).repartitionByRange(n, col("id")),
+        force = tomb.isDefined),
       // sharded tables cluster by (shard, key...) and keep their
       // partitionBy("shard") layout — flattening shard to a data column
       // would disable the storage-level pruning sharding exists for
       IndexTableLayout("bands",
-        (df, n) => df.repartition(n,
+        (df, n) => live(df).repartition(n,
           (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
-        partitionCols = sharded),
+        partitionCols = sharded, force = tomb.isDefined),
       // dropDuplicates folds the byte-identical deltas replayed governed
       // attempts append (legit rows are unique on (bucket, wm), so only
       // replay duplicates match on every column)
@@ -1012,6 +1207,11 @@ object Dedup {
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
         (df, n) => df.repartitionByRange(n, col("batch_id")))))
+    tomb.foreach { t =>
+      purgeTombstones(spark, path, negOcc, stamp, tombFiles)
+      graft.plans.Checkpoints.free(t)
+    }
+    res
   }
 
   /** [[compactSignatureIndex]]'s twin for the persisted SRP embedding
@@ -1025,13 +1225,28 @@ object Dedup {
       : Map[String, (Int, Int)] = {
     val ix = readSrpIndex(spark, path) // validates the index + params
     val sharded = if (ix.shards > 0) Seq("shard") else Nil
-    compactIndexTables(spark, path, targetFileBytes, Seq(
+    // tombstone purge — see compactSignatureIndex
+    val tombFiles = listTombstoneFiles(spark, path)
+    val tomb = readTombstones(spark, path).map(_.localCheckpoint())
+    val negOcc = if (ix.shards > 0) tomb.map { t =>
+      readIndexTable(spark, s"$path/buckets")
+        .join(t, Seq("id"), "left_semi")
+        .groupBy(col("shard"), col("tbl"), col("bkt"))
+        .agg((-count(lit(1))).as("occ"))
+        .localCheckpoint()
+    } else None
+    val stamp = if (tomb.isDefined)
+      watermarkOf(readIndexTable(spark, s"$path/vectors"), "id")
+    else -1L
+    def live(df: DataFrame) = liveRows(df, tomb)
+    val res = compactIndexTables(spark, path, targetFileBytes, Seq(
       IndexTableLayout("vectors",
-        (df, n) => df.repartitionByRange(n, col("id"))),
+        (df, n) => live(df).repartitionByRange(n, col("id")),
+        force = tomb.isDefined),
       IndexTableLayout("buckets",
-        (df, n) => df.repartition(n,
+        (df, n) => live(df).repartition(n,
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
-        partitionCols = sharded),
+        partitionCols = sharded, force = tomb.isDefined),
       IndexTableLayout("occupancy",
         (df, n) => df.dropDuplicates().repartition(n,
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
@@ -1040,6 +1255,11 @@ object Dedup {
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
         (df, n) => df.repartitionByRange(n, col("batch_id")))))
+    tomb.foreach { t =>
+      purgeTombstones(spark, path, negOcc, stamp, tombFiles)
+      graft.plans.Checkpoints.free(t)
+    }
+    res
   }
 
   /** Heal the crash window of a compaction's directory swap: a process
@@ -1124,10 +1344,13 @@ object Dedup {
   }
 
   /** One table's compaction recipe: the shuffle layout for the rewrite
-    * and the partition columns the on-disk layout must keep. */
+    * and the partition columns the on-disk layout must keep. `force`
+    * rewrites even an already-compact table — the tombstone purge needs
+    * the rewrite to HAPPEN (it is what drops the deleted rows), not just
+    * the file-count fix. */
   private final case class IndexTableLayout(
       sub: String, layout: (DataFrame, Int) => DataFrame,
-      partitionCols: Seq[String] = Nil)
+      partitionCols: Seq[String] = Nil, force: Boolean = false)
 
   /** Shared compaction core: per table, rewrite into
     * ~ceil(bytes / targetFileBytes) files under the given layout
@@ -1168,7 +1391,7 @@ object Dedup {
           case (e, tok) => efs.delete(epochClaimFile(edir, e, tok), false)
         }
     }
-    layouts.map { case IndexTableLayout(sub, layout, partitionCols) =>
+    layouts.map { case IndexTableLayout(sub, layout, partitionCols, force) =>
       val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
       val fs = dir.getFileSystem(conf)
       if (!fs.exists(dir)) sub -> ((0, 0)) else {
@@ -1181,7 +1404,7 @@ object Dedup {
         if (partitionCols.isEmpty) parts
         else math.max(parts, fs.listStatus(dir).count(_.isDirectory))
       val stats =
-        if (files.length <= floor) (files.length, files.length)
+        if (files.length <= floor && !force) (files.length, files.length)
         else {
           val tmp =
             new org.apache.hadoop.fs.Path(s"$path/$CompactingPrefix$sub")
@@ -1732,6 +1955,7 @@ object Dedup {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
     invalidateIndexSchemas(path)
+    clearTombstones(spark, path)
     val planes = srpPlanesFor(corpus.count(), targetOccupancy)
     corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
       .write.mode("overwrite").parquet(s"$path/vectors")
@@ -1779,11 +2003,14 @@ object Dedup {
     // Stable read-back column order (see readSignatureIndex): normalize
     // the sharded bucket table to (id, tbl, bkt[, shard]).
     val bucketsRaw = readIndexTable(spark, s"$path/buckets")
-    val buckets =
+    val buckets0 =
       if (bucketsRaw.columns.contains("shard"))
         bucketsRaw.select("id", "tbl", "bkt", "shard")
       else bucketsRaw.select("id", "tbl", "bkt")
-    SrpIndex(readIndexTable(spark, s"$path/vectors"), buckets,
+    // Pending tombstones hide deleted rows — see readSignatureIndex.
+    val tomb = readTombstones(spark, path)
+    val buckets = liveRows(buckets0, tomb)
+    SrpIndex(liveRows(readIndexTable(spark, s"$path/vectors"), tomb), buckets,
       tables = pr.getAs[Int]("tables"), planes = pr.getAs[Int]("planes"),
       dim = pr.getAs[Int]("dim"), maxBucket = pr.getAs[Int]("max_bucket"),
       shards = shards)
@@ -1913,7 +2140,9 @@ object Dedup {
     val newVecs = batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .localCheckpoint()
-    val maxRow = ix.vectors.agg(max(col("id"))).head()
+    // PHYSICAL max — deleted ids stay retired (see appendSignatureIndex)
+    val maxRow = readIndexTable(spark, s"$path/vectors")
+      .agg(max(col("id"))).head()
     if (!maxRow.isNullAt(0)) {
       val clash = newVecs.filter(col("id") <= lit(maxRow.get(0))).limit(1).count()
       require(clash == 0,
@@ -2566,8 +2795,12 @@ object Dedup {
     // stream-open healing: a crash mid-in-loop-compaction must not leave
     // the restarted stream failing on an absent table dir
     recoverCompaction(spark, indexPath)
+    readSignatureIndex(spark, indexPath) // validates index + params
+    // base watermark from the PHYSICAL table, not the tombstone-filtered
+    // view: deleted ids stay retired, so the watermark must clear every
+    // id ever written (id reuse would collide with pending tombstones)
     bootstrapLedger(spark, indexPath,
-      readSignatureIndex(spark, indexPath).signatures)
+      readIndexTable(spark, s"$indexPath/signatures"))
   }
 
   /** [[initIngestLedger]]'s twin for a persisted SRP embedding index —
@@ -2575,7 +2808,10 @@ object Dedup {
   def initSrpIngestLedger(spark: org.apache.spark.sql.SparkSession,
                           indexPath: String): Unit = {
     recoverCompaction(spark, indexPath)
-    bootstrapLedger(spark, indexPath, readSrpIndex(spark, indexPath).vectors)
+    readSrpIndex(spark, indexPath) // validates index + params
+    // physical table for the base watermark — see initIngestLedger
+    bootstrapLedger(spark, indexPath,
+      readIndexTable(spark, s"$indexPath/vectors"))
   }
 
   private def bootstrapLedger(spark: org.apache.spark.sql.SparkSession,

@@ -1,0 +1,254 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Deletion / retraction contracts of the persisted indexes
+  * ([[Dedup.deleteFromSignatureIndex]] / [[Dedup.deleteFromSrpIndex]]):
+  *
+  *  - a delete hides the ids from the NEXT index open (probes stop
+  *    matching immediately, no compaction required);
+  *  - probe-after-delete ≡ probe-of-a-rebuild on the retained corpus
+  *    (below the bucket cap, the documented equivalence);
+  *  - compaction physically purges the rows from every table, folds the
+  *    tombstone table away, and appends NEGATIVE occupancy deltas so
+  *    the side table still equals a recomputation from the bucket rows
+  *    on disk — and so the write-time cap re-opens for future appends;
+  *  - the governed ingest loop keeps exactly-once semantics across a
+  *    mid-stream delete (replays included), and a deleted doc stops
+  *    suppressing later near-duplicates.
+  */
+class IndexDeletionSpec extends SparkSpec {
+  import spark.implicits._
+
+  // no-cap params: the probe ≡ rebuild-on-retained equivalence is exact
+  // below the bucket cap (the cap caveat is exercised separately)
+  private val p = Dedup.MinHashParams(numHashes = 32, bands = 8,
+    shingle = 3, threshold = 0.2)
+
+  private def uniq(i: Long) =
+    (0 until 8).map(j => s"unique${i}tok$j").mkString(" ")
+  private def fam(i: Long) =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      s"kilo lima mike november oscar papa quebec romeo sierra tail$i"
+
+  private def docs(ids: Long*): DataFrame =
+    ids.map(i => i -> (if (i % 2 == 0) fam(i) else uniq(i)))
+      .toDF("doc_id", "text")
+
+  private def rmrf(dir: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  private def pairsOf(df: DataFrame): Set[(Long, Long)] =
+    df.select("batch_id", "corpus_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Occupancy side table (nonzero sums — a fully-deleted bucket nets
+    * to zero, which recomputation cannot see) vs recomputed counts. */
+  private def occupancyMatchesRecomputed(path: String, sub: String,
+                                         keys: Seq[String]): Unit = {
+    val side = Dedup.readOccupancy(spark, path, keys, None, Long.MaxValue)
+      .collect().map(r => keys.indices.map(r.get(_)).toList ->
+        r.getAs[Long]("__occ")).toMap.filter(_._2 != 0L)
+    val recomputed = spark.read.parquet(s"$path/$sub")
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("c"))
+      .collect().map(r => keys.indices.map(r.get(_)).toList ->
+        r.getAs[Long]("c")).toMap
+    assert(side == recomputed,
+      s"occupancy side table diverged from recomputed $sub counts: " +
+        s"side-only=${side.toSet -- recomputed.toSet}, " +
+        s"recomputed-only=${recomputed.toSet -- side.toSet}")
+  }
+
+  test("signature index: delete hides ids immediately, compaction purges " +
+      "them physically, probe equals a rebuild on the retained corpus") {
+    val base = Files.createTempDirectory("graft-del-sig").toString
+    val ix = s"$base/ix"; val retained = s"$base/retained"
+    try {
+      val corpus = docs(0L to 9L: _*)
+      val batch = docs(100L, 101L) // 100 near-dups every even (fam) doc
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+
+      val before = pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, ix), "doc_id", "text", p))
+      assert(before.exists(_._2 == 2L) && before.exists(_._2 == 4L),
+        s"fixture must near-dup the to-be-deleted ids: $before")
+
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(2L, 4L))
+      val after = pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, ix), "doc_id", "text", p))
+      assert(!after.exists(pr => pr._2 == 2L || pr._2 == 4L),
+        s"deleted ids must stop matching immediately: $after")
+      assert(after == before.filterNot(pr => pr._2 == 2L || pr._2 == 4L),
+        "delete must remove ONLY the tombstoned ids' pairs")
+
+      // ≡ a rebuild on the retained corpus (no cap in play)
+      Dedup.writeSignatureIndex(
+        corpus.filter(!$"doc_id".isin(2L, 4L)), "doc_id", "text", retained, p)
+      val rebuilt = pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, retained), "doc_id", "text", p))
+      assert(after == rebuilt, s"probe-after-delete $after != rebuild $rebuilt")
+
+      // compaction: physical purge + tombstone fold + negative deltas
+      Dedup.compactSignatureIndex(spark, ix)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")),
+        "compaction must fold the tombstone table away")
+      assert(spark.read.parquet(s"$ix/signatures")
+        .filter($"id".isin(2L, 4L)).isEmpty, "signatures must be purged")
+      assert(spark.read.parquet(s"$ix/bands")
+        .filter($"id".isin(2L, 4L)).isEmpty, "band rows must be purged")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+      val compacted = pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, ix), "doc_id", "text", p))
+      assert(compacted == rebuilt,
+        s"post-compaction probe $compacted != rebuild $rebuilt")
+
+      // deleting absent ids is a harmless no-op
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(99999L))
+      assert(pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, ix), "doc_id", "text", p)) == rebuilt)
+
+      // an overwrite rebuild at the same path supersedes pending deletes
+      // — stale tombstones must not hide rows of the new generation
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(6L))
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      assert(pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, ix), "doc_id", "text", p)) == before,
+        "a rebuild must clear the previous generation's tombstones")
+    } finally rmrf(base)
+  }
+
+  test("compaction re-opens bucket-cap slots freed by deletes") {
+    val base = Files.createTempDirectory("graft-del-cap").toString
+    val ix = s"$base/ix"
+    val capped = Dedup.MinHashParams(numHashes = 32, bands = 8,
+      shingle = 3, threshold = 0.2, maxBucket = 3)
+    try {
+      // evens share the fam family: cap 3 fills the family-shared
+      // buckets with ids 0,2,4; later family members are capped out of
+      // exactly those (their unshared tail-token buckets still admit)
+      Dedup.writeSignatureIndex(docs(0L, 2L, 4L), "doc_id", "text", ix,
+        capped)
+      def bucketsOf(id: Long): Set[(Int, Long)] =
+        spark.read.parquet(s"$ix/bands").filter($"id" === id)
+          .select("band", "bkey").collect()
+          .map(r => (r.getInt(0), r.getLong(1))).toSet
+      val atCap = spark.read.parquet(s"$ix/bands")
+        .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+        .filter($"c" === 3).select("band", "bkey").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      val cappedWith0 = atCap.intersect(bucketsOf(0L))
+      assert(cappedWith0.nonEmpty, "fixture must have full shared buckets")
+
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L))
+
+      // pre-compaction: the tombstoned rows still hold their slots
+      // (occupancy is conservative until the purge) — 10 stays out of
+      // every at-cap bucket
+      Dedup.appendSignatureIndex(docs(10L), "doc_id", "text", ix)
+      val blocked10 = bucketsOf(10L).intersect(cappedWith0)
+      assert(blocked10.isEmpty,
+        s"pre-purge appends must still honor the occupied cap: $blocked10")
+
+      // post-compaction: 0's slots are freed (negative deltas) — 12
+      // lands in at least one bucket that was at cap before the purge
+      Dedup.compactSignatureIndex(spark, ix)
+      Dedup.appendSignatureIndex(docs(12L), "doc_id", "text", ix)
+      val reopened12 = bucketsOf(12L).intersect(cappedWith0)
+      assert(reopened12.nonEmpty,
+        "compaction must re-open the cap slots the delete freed")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
+  test("SRP index: delete hides ids, compaction purges, probe equals a " +
+      "rebuild on the retained corpus") {
+    val base = Files.createTempDirectory("graft-del-srp").toString
+    val ix = s"$base/ix"; val retained = s"$base/retained"
+    val dim = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    }
+    try {
+      val corpus = (0 until 10).map(i => (i.toLong, vec(i))).toDF("id", "v")
+      // batch vectors are exact copies of corpus 3 and 5 → cos = 1.0
+      val batch = Seq((100L, vec(3)), (101L, vec(5))).toDF("id", "v")
+      Dedup.writeSrpIndex(corpus, "id", "v", ix, dim = dim, tables = 4)
+
+      val before = pairsOf(Dedup.embeddingNearDupLshIncremental(batch,
+        Dedup.readSrpIndex(spark, ix), "id", "v", threshold = 0.99))
+      assert(before == Set((100L, 3L), (101L, 5L)), s"fixture: $before")
+
+      Dedup.deleteFromSrpIndex(spark, ix, Seq(3L))
+      val after = pairsOf(Dedup.embeddingNearDupLshIncremental(batch,
+        Dedup.readSrpIndex(spark, ix), "id", "v", threshold = 0.99))
+      assert(after == Set((101L, 5L)),
+        s"deleted id must stop matching immediately: $after")
+
+      Dedup.writeSrpIndex(corpus.filter($"id" =!= 3L), "id", "v", retained,
+        dim = dim, tables = 4)
+      val rebuilt = pairsOf(Dedup.embeddingNearDupLshIncremental(batch,
+        Dedup.readSrpIndex(spark, retained), "id", "v", threshold = 0.99))
+      assert(after == rebuilt, s"$after != rebuild $rebuilt")
+
+      Dedup.compactSrpIndex(spark, ix)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")))
+      assert(spark.read.parquet(s"$ix/vectors").filter($"id" === 3L).isEmpty)
+      assert(spark.read.parquet(s"$ix/buckets").filter($"id" === 3L).isEmpty)
+      occupancyMatchesRecomputed(ix, "buckets", Seq("tbl", "bkt"))
+      val compacted = pairsOf(Dedup.embeddingNearDupLshIncremental(batch,
+        Dedup.readSrpIndex(spark, ix), "id", "v", threshold = 0.99))
+      assert(compacted == rebuilt)
+    } finally rmrf(base)
+  }
+
+  test("governed ingest keeps exactly-once across a mid-stream delete; " +
+      "a deleted doc stops suppressing later near-duplicates") {
+    val base = Files.createTempDirectory("graft-del-gov").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+
+      // batch 1: 100 (fam) near-dups corpus doc 0 → screened; 101 novel
+      val s1 = Dedup.ingestBatchWithIndex(docs(100L, 101L), "doc_id",
+        "text", ix, out, batchId = 1L)
+      assert(s1.novelRows == 1L, s"batch 1 expected 1 novel: $s1")
+
+      // retract the fam representative — the only fam doc in the index
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L))
+
+      // batch 2: 200 (fam) is no longer suppressed → ingested as novel
+      val s2 = Dedup.ingestBatchWithIndex(docs(200L), "doc_id", "text",
+        ix, out, batchId = 2L)
+      assert(s2.novelRows == 1L,
+        s"a deleted doc must stop suppressing near-dups: $s2")
+
+      // replay of batch 2 (crash after ledger commit): recognized, same
+      // result, no duplicate state
+      val s2r = Dedup.ingestBatchWithIndex(docs(200L), "doc_id", "text",
+        ix, out, batchId = 2L)
+      assert(s2r.replayed && s2r.novelRows == s2.novelRows &&
+        s2r.watermarkAfter == s2.watermarkAfter, s"replay diverged: $s2r")
+      assert(spark.read.parquet(s"$out/batch_id=2").count() == 1L)
+
+      // batch 3: 300 (fam) near-dups the now-indexed 200 → screened
+      val s3 = Dedup.ingestBatchWithIndex(docs(300L), "doc_id", "text",
+        ix, out, batchId = 3L)
+      assert(s3.novelRows == 0L,
+        s"the re-ingested family must suppress again: $s3")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+}
