@@ -379,12 +379,23 @@ object Sampling {
 
     val pairCol = struct(col(scoreCol).as("s"), col(keyCol).cast(
       df.schema(keyCol).dataType).as("k"))
-    val binExpr = cuts.foldLeft(lit(1L)) { case (acc, cut) =>
-      val (bs, bk) = rankToPair(cut)
-      acc + when(pairCol > struct(lit(bs).cast(df.schema(scoreCol).dataType).as("s"),
-        lit(bk).cast(df.schema(keyCol).dataType).as("k")), lit(1L))
-        .otherwise(lit(0L))
-    }
+    // bin = 1 + #{boundary < pair} over a LITERAL boundary array — a
+    // single size(filter(...)) whose expression tree is constant-depth
+    // however many bins there are. The previous formulation folded one
+    // when(...) indicator per cut into a nested chain: fine at 10
+    // deciles, but codegen depth (and Janino method size) grew linearly
+    // with the bin count. Same struct comparison per element, so the
+    // tie-exact pair semantics are bit-identical.
+    val binExpr =
+      if (cuts.isEmpty) lit(1L)
+      else {
+        val boundaries = array(cuts.map { cut =>
+          val (bs, bk) = rankToPair(cut)
+          struct(lit(bs).cast(df.schema(scoreCol).dataType).as("s"),
+            lit(bk).cast(df.schema(keyCol).dataType).as("k"))
+        }: _*)
+        lit(1L) + size(filter(boundaries, bnd => (pairCol > bnd))).cast("long")
+      }
     // Literal lookup array instead of a nested when-chain: one bounded
     // element_at per row however many bins there are (bin is 1-based and
     // provably in [1, b] — binExpr is 1 + a sum of b-1 indicators).

@@ -67,6 +67,22 @@ class AnalyticsSpec extends SparkSpec {
     assert(ntileOut.nonEmpty && boundsOut == ntileOut)
   }
 
+  test("qualityBinMixBoundaries stays ntile-exact at 100 bins") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    // 100 bins over 500 rows with score ties — the literal boundary
+    // array must keep pair-exact tie handling at a bin count the old
+    // nested when-chain would have made codegen-hostile
+    val df = (1 to 500).map(i => (i.toLong, (rnd.nextInt(25) / 7.0)))
+      .toDF("id", "score")
+    val rates = (1 to 100).map(i => (i % 4) * 0.25 + 0.25)
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ntileOut = rows(Sampling.qualityBinMix(df, "id", "score", rates))
+    val boundsOut = rows(Sampling.qualityBinMixBoundaries(df, "id", "score", rates))
+    assert(ntileOut.nonEmpty && boundsOut == ntileOut)
+  }
+
   test("qualityBinMixBoundaries handles more bins than rows (degenerate)") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, 1.0), (2L, 2.0)).toDF("id", "score")
