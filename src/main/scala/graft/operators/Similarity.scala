@@ -135,32 +135,58 @@ object Similarity {
     * their centroid. Fully deterministic — no RNG, stable across runs
     * and engines.
     *
-    * Scale shape of the sample: `orderBy(id).limit(maxTrain)` compiles
-    * to TakeOrderedAndProject — per-partition top-k, NOT a global sort —
-    * so executor work is O(rows log maxTrain); the driver merge is
-    * O(partitions × maxTrain) rows, which bounds how large maxTrain
-    * should be on a very wide corpus (at 10⁴ partitions × the 10⁴
-    * default ≈ 10⁸ candidate rows, prefer training on a pre-sampled
-    * table). The lowest-id window is a deliberate choice: it is the one
-    * deterministic sample reproducible across engines with no RNG and
-    * no hash-function coupling, and the frozen AnnModels artifact (and
-    * its parity spec) pins it.
+    * Scale shape of the sample ([[trainSample]]): one count, one
+    * hash-threshold filter (no shuffle, no sort anywhere on the
+    * executors), one bounded collect — corpus-size-independent driver
+    * work. The lowest-id window over the (possibly hash-pre-filtered)
+    * survivor set is a deliberate choice: deterministic and
+    * reproducible across engines with no RNG, and the frozen AnnModels
+    * artifact (and its parity spec) pins it.
     *
     * @return c L2-normalized centroids (row-major)
     */
+  /** Bounded deterministic training sample shared by [[trainCentroids]]
+    * and [[trainPqCodebooks]] — WITHOUT a corpus-wide sort. A corpus at
+    * or below 4·maxTrain rows is collected whole; a larger one is
+    * pre-filtered with a deterministic hash threshold
+    * (`pmod(hash(id), 2³⁰) < t`, `t` sized from one count so the
+    * expected survivor set is 2–4·maxTrain rows — Murmur3 with a fixed
+    * seed, so the same corpus always selects the same rows). Either way
+    * the bounded survivor set is sorted BY ID ON THE DRIVER (null-first,
+    * matching Spark's default) and truncated to maxTrain: the executors
+    * never range-exchange anything, and the id-window determinism the
+    * frozen AnnModels artifact pins is preserved verbatim for every
+    * corpus that fits the unfiltered branch (all committed fixtures do).
+    * The previous `orderBy(id).limit(maxTrain)` fell over Spark's top-K
+    * fallback threshold at exactly maxTrain = 10000 and planned a
+    * corpus-wide Exchange rangepartitioning — a global sort to take a
+    * 10k-row sample.
+    */
+  private def trainSample(emb: DataFrame, idCol: String, vecCol: String,
+                          maxTrain: Int): Array[Array[Float]] = {
+    val base = emb.select(col(idCol).as("__oid"),
+      col(vecCol).cast("array<float>").as("v"))
+    val n = base.count()
+    val picked =
+      if (n > 4L * maxTrain) {
+        val buckets = 1 << 30
+        val t = math.max(1L, 4L * maxTrain * buckets / n)
+        base.filter(pmod(hash(col("__oid")), lit(buckets)) < lit(t))
+      } else base
+    def lt(a: Any, b: Any): Boolean =
+      if (a == null) b != null
+      else if (b == null) false
+      else a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+    picked.collect()
+      .sortWith((x, y) => lt(x.get(0), y.get(0)))
+      .take(maxTrain)
+      .map(_.getSeq[Float](1).toArray)
+  }
+
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,
                      c: Int = 32, iters: Int = 5,
                      maxTrain: Int = 10000): Seq[Seq[Float]] = {
-    // Order by the RAW id column (any orderable type) — casting to long
-    // would silently null non-numeric ids and break the documented
-    // deterministic sample ordering.
-    val sample = emb
-      .select(col(idCol).as("__oid"), col(vecCol).cast("array<float>").as("v"))
-      .orderBy(col("__oid"))
-      .limit(maxTrain)
-      .select(col("v"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSample(emb, idCol, vecCol, maxTrain)
     require(sample.length >= c, s"need >= $c training vectors, got ${sample.length}")
     val dim = sample.head.length
 
@@ -277,13 +303,7 @@ object Similarity {
   def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
                        m: Int = 8, k: Int = 16, iters: Int = 5,
                        maxTrain: Int = 10000): Seq[Seq[Float]] = {
-    val sample = emb
-      .select(col(idCol).as("__oid"), col(vecCol).cast("array<float>").as("v"))
-      .orderBy(col("__oid"))
-      .limit(maxTrain)
-      .select(col("v"))
-      .collect()
-      .map(_.getSeq[Float](0).toArray)
+    val sample = trainSample(emb, idCol, vecCol, maxTrain)
     require(sample.length >= k, s"need >= $k training vectors, got ${sample.length}")
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")

@@ -35,4 +35,22 @@ class AnnModelsSpec extends SparkSpec {
     assert(fresh == AnnModels.pqCodebooks,
       "trainer or fixture drifted — re-run graft.tools.TrainModels")
   }
+
+  test("hash-prefiltered training sample (corpus > 4x maxTrain) is " +
+      "deterministic and partitioning-independent") {
+    val emb = Tables.embeddings(spark, dir) // 500 vectors at sf0.01
+    // maxTrain=64 forces the hash-threshold branch (500 > 4*64 = 256);
+    // the driver-side id sort must make the result independent of both
+    // run order and the physical partitioning of the input
+    val a = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      c = 8, iters = 3, maxTrain = 64)
+    val b = Similarity.trainCentroids(emb.repartition(7), "vec_id",
+      "embedding", c = 8, iters = 3, maxTrain = 64)
+    assert(a == b, "hash-prefiltered sample must not depend on layout")
+    val c1 = Similarity.trainPqCodebooks(emb, "vec_id", "embedding",
+      m = 8, k = 8, iters = 3, maxTrain = 64)
+    val c2 = Similarity.trainPqCodebooks(emb.repartition(3), "vec_id",
+      "embedding", m = 8, k = 8, iters = 3, maxTrain = 64)
+    assert(c1 == c2)
+  }
 }
