@@ -1145,6 +1145,24 @@ object SparkEntry {
       TextOps.sourceOverlapMinHash(T(s, dir, "documents"), "source", "text",
         n = 3, numHashes = 64)),
 
+    // Unicode normalization ahead of the dedup family: NFC canonical
+    // composition (codegen'd JDK kernel, same ICU-derived tables as
+    // DuckDB's nfc_normalize) + case-fold + whitespace collapse. The
+    // fixture is ASCII-clean, so the oracle pins the PLUMBING (the
+    // kernel runs on every row and is the identity exactly where it
+    // should be); the NFD-collision semantics are spec-proven on
+    // synthetic decomposed strings (NormalizeSpec).
+    "t19_normalize_text" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextOps.normalizeText(col("text"), caseFold = true,
+            collapseWhitespace = true).as("norm"),
+          length(TextOps.normalizeText(col("text"))).cast("long")
+            .as("nfc_len"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus summary statistics: the profile every ingest run reports
     "q22_corpus_stats" -> ((s, dir) =>
       T(s, dir, "documents")
@@ -2941,6 +2959,15 @@ object SparkEntry {
          |    / 1000000.0 AS est_jaccard
          |FROM p WHERE matches >= 1 ORDER BY src_a, src_b""".stripMargin
     },
+
+    // NFC + case-fold + whitespace collapse; DuckDB's nfc_normalize uses
+    // the same ICU-derived composition tables as the JDK kernel
+    "t19_normalize_text" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(nfc_normalize(text)), '\s+', ' ', 'g'))
+        |    AS norm,
+        |  CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // quality-decile mix: same quality expression, same ntile total
     // order, same hash-bucket keep rule per bin

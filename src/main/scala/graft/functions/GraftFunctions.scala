@@ -113,7 +113,8 @@ object GraftFunctions {
     "graft_cm_estimate" -> (es => CountMinEstimate(es(0), es(1),
       intLit(es(2), "graft_cm_estimate width"))),
     "graft_vec_avg" -> (es => VectorAvgAgg(es(0),
-      intLit(es(1), "graft_vec_avg dim"))))
+      intLit(es(1), "graft_vec_avg dim"))),
+    "graft_nfc" -> (es => NfcNormalize(es(0))))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
     * (see [[graft.GraftExtensions]]).
@@ -162,6 +163,12 @@ object GraftFunctions {
     */
   def topK(score: Column, id: Column, k: Int): Column =
     call_function("graft_topk", score, id.cast("long"), lit(k))
+
+  /** Unicode NFC normalization (canonical composition) of a string
+    * column — see [[NfcNormalize]]; already-NFC input (all ASCII)
+    * returns untouched. */
+  def nfcNormalize(text: Column): Column =
+    call_function("graft_nfc", text)
 
   /** SimHash signature (width low bits) of a token-hash stream
     * (`array<long>`, duplicates vote) — see [[SimHashBits]].

@@ -20,6 +20,27 @@ object TextOps {
   /** Regex-token pattern (BPE-ish: word pieces or single punctuation). */
   val TokenRegex = "[A-Za-z0-9]+|[^A-Za-z0-9\\s]"
 
+  /** Unicode-normalize a text column ahead of the shingle-based dedup
+    * family ([[Dedup.minHashNearDupPairs]], [[Dedup.writeSignatureIndex]],
+    * fingerprints, SimHash): NFC canonical composition (codegen'd JDK
+    * kernel, [[graft.functions.NfcNormalize]]), optional Unicode
+    * case-fold and whitespace collapse. Two canonically-equivalent
+    * encodings of the same text hash to DIFFERENT shingles, so an NFD
+    * copy of an NFC document reads as "novel" to every byte-level dedup
+    * op — compose this into the text column first
+    * (`df.withColumn("text", normalizeText(col("text")))`) and the
+    * variants collide exactly. A narrow, shuffle-free projection; the
+    * all-ASCII fast path returns the input untouched, so composing it
+    * unconditionally costs one normalization check per row at 100 TB.
+    */
+  def normalizeText(text: Column, caseFold: Boolean = false,
+                    collapseWhitespace: Boolean = false): Column = {
+    val nfc = graft.functions.GraftFunctions.nfcNormalize(text)
+    val cased = if (caseFold) lower(nfc) else nfc
+    if (collapseWhitespace) trim(regexp_replace(cased, "\\s+", " "))
+    else cased
+  }
+
   /** Per-doc token counts: whitespace tokens + regex tokens. */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.select(
