@@ -1262,6 +1262,67 @@ object Dedup {
     res
   }
 
+  /** Fragmentation-measured compaction trigger: compact ONLY when the
+    * index has measurably decayed — the auto mode of the governed
+    * streams' in-loop compaction, replacing the blind `compactEvery = N`
+    * dial. The measure is the append-accreting primary row table
+    * (`signatures` / `vectors` — every committed batch lands exactly one
+    * file set there): the index is fragmented when that table holds at
+    * least `fragmentFactor` × the file count a compaction would rewrite
+    * it to (ceil(bytes / targetFileBytes)), i.e. when a compaction
+    * would fold ≥ factor× — anything less is churn. Pending tombstones
+    * also trigger (compaction is what physically reclaims deletes).
+    *
+    * Cost per call: ONE driver-side listing of one flat directory —
+    * O(files) names, and self-limiting, because compaction fires before
+    * the listing can grow past ~factor × the byte-implied file count.
+    * Note a freshly built small index is often "fragmented" by this
+    * measure (a parallel build writes one file per task); the first
+    * trigger folds that too, then the index stays quiet until real
+    * append decay accrues.
+    */
+  def autoCompactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+                                path: String,
+                                targetFileBytes: Long = 128L << 20,
+                                fragmentFactor: Int = 8)
+      : Option[Map[String, (Int, Int)]] =
+    if (indexFragmented(spark, path, "signatures", targetFileBytes,
+        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty)
+      Some(compactSignatureIndex(spark, path, targetFileBytes))
+    else None
+
+  /** [[autoCompactSignatureIndex]]'s twin for the SRP embedding index
+    * (measured on the `vectors` table). */
+  def autoCompactSrpIndex(spark: org.apache.spark.sql.SparkSession,
+                          path: String,
+                          targetFileBytes: Long = 128L << 20,
+                          fragmentFactor: Int = 8)
+      : Option[Map[String, (Int, Int)]] =
+    if (indexFragmented(spark, path, "vectors", targetFileBytes,
+        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty)
+      Some(compactSrpIndex(spark, path, targetFileBytes))
+    else None
+
+  /** The fragmentation measure of one table — see
+    * [[autoCompactSignatureIndex]]. */
+  private def indexFragmented(spark: org.apache.spark.sql.SparkSession,
+                              path: String, sub: String,
+                              targetFileBytes: Long,
+                              fragmentFactor: Int): Boolean = {
+    require(fragmentFactor >= 2,
+      s"fragmentFactor must be >= 2 (got $fragmentFactor): 1 would " +
+        "re-trigger on every file-count above the byte-implied minimum")
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$sub")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) false
+    else {
+      val files = listParquetFilesRec(fs, dir)
+      val parts = math.max(1L, math.ceil(
+        files.map(_.getLen).sum.toDouble / targetFileBytes).toLong)
+      files.length >= fragmentFactor.toLong * parts
+    }
+  }
+
   /** Heal the crash window of a compaction's directory swap: a process
     * dying mid-swap leaves the table's content under a marker directory
     * (`__compacting_<sub>` — the rewritten temp — and/or `__old_<sub>` —
@@ -2989,20 +3050,25 @@ object Dedup {
 
   def ingestBatchWithIndex(batch: DataFrame, idCol: String, textCol: String,
                            indexPath: String, outPath: String,
-                           batchId: Long): IngestBatchStats =
+                           batchId: Long,
+                           quarantine: Boolean = false): IngestBatchStats =
     withPinnedPlan(batch.sparkSession) {
       ingestBatchWithIndexImpl(batch, idCol, textCol, indexPath, outPath,
-        batchId)
+        batchId, quarantine)
     }
 
   /** Per-batch governance scalars both governed loops resolve up front:
-    * replay flag, committed watermark `w`, and the batch geometry. */
+    * replay flag, committed watermark `w`, the batch geometry, and —
+    * quarantine mode only — the detected contract violation. */
   private final case class BatchFront(replayed: Boolean, w: Long,
-                                      batchRows: Long, maxId: Long) {
+                                      batchRows: Long, maxId: Long,
+                                      violation: Option[String] = None) {
     /** Watermark after this batch commits — the max BATCH id: processed
       * docs advance it even when dup'd or unsignable (they are
-      * processed, just never indexed). */
-    def wAfter: Long = if (batchRows == 0) w else math.max(w, maxId)
+      * processed, just never indexed). A QUARANTINED batch advances
+      * nothing: its ids are exactly what could not be trusted. */
+    def wAfter: Long =
+      if (batchRows == 0 || violation.isDefined) w else math.max(w, maxId)
   }
 
   /** FRONT FOLD — one job answers every scalar a governed batch needs up
@@ -3017,8 +3083,8 @@ object Dedup {
     */
   private def resolveBatchFront(ledger: DataFrame, b: DataFrame,
                                 idCol: String, batchId: Long,
-                                indexPath: String,
-                                opName: String): BatchFront = {
+                                indexPath: String, opName: String,
+                                quarantine: Boolean = false): BatchFront = {
     val front = ledger.agg(
         max(col("watermark_after")).as("l_after"),
         count(when(col("batch_id") === lit(batchId), 1)).as("l_cnt"),
@@ -3040,19 +3106,59 @@ object Dedup {
     val replayed = front.getLong(1) == 1
     val w = if (replayed) front.getLong(2) else front.getLong(0)
     val batchRows = front.getLong(3)
-    require(front.getLong(6) == 0,
-      s"$opName: batch $batchId has ${front.getLong(6)} " +
-        s"non-long-castable '$idCol' values — the watermark contract " +
-        "requires monotone long ids")
-    require(batchRows == 0 || front.getLong(5) > w,
-      s"$opName: batch $batchId contains ids <= the " +
-        s"committed watermark ($w) — ingest ids must be monotone across " +
-        "batches (an out-of-order backfill should rebuild the index)")
+    // Contract checks. Default: fail loudly (an exactly-once index must
+    // not guess). Quarantine mode: return the violation instead — the
+    // caller diverts the whole batch (the unit of exactly-once) to the
+    // quarantine directory and the stream continues.
+    val violation =
+      if (front.getLong(6) != 0)
+        Some(s"batch $batchId has ${front.getLong(6)} non-long-castable " +
+          s"'$idCol' values — the watermark contract requires monotone " +
+          "long ids")
+      else if (batchRows != 0 && front.getLong(5) <= w)
+        Some(s"batch $batchId contains ids <= the committed watermark " +
+          s"($w) — ingest ids must be monotone across batches (an " +
+          "out-of-order backfill should rebuild the index)")
+      else None
+    if (!quarantine) violation.foreach(v =>
+      throw new IllegalArgumentException(s"$opName: $v"))
     // g_max is NULL for an EMPTY batch — never read it there (wAfter
-    // stays w by the batchRows == 0 branch anyway)
+    // stays w by the batchRows == 0 branch anyway); same for a
+    // violating batch (g_max may be NULL or untrustworthy)
     BatchFront(replayed, w, batchRows,
-      if (batchRows == 0) w else front.getLong(4))
+      if (batchRows == 0 || violation.isDefined) w else front.getLong(4),
+      violation)
   }
+
+  /** Divert a contract-violating batch in QUARANTINE mode: the raw rows
+    * land under `<indexPath>/quarantine/batch_id=<id>/` (a per-batch
+    * overwrite, replay-idempotent like the novel output), the ledger
+    * records the batch with `novel_rows = -1` — the quarantine flag; the
+    * schema stays the homogeneous 4-long row every reader knows — and
+    * the watermark does not move (the ids are exactly what could not be
+    * trusted). Index tables are untouched, so replay semantics are
+    * intact by construction: a replayed quarantined batch recomputes the
+    * same violation, rewrites the same directory and skips the ledger
+    * append.
+    */
+  private def quarantineGovernedBatch(
+      spark: org.apache.spark.sql.SparkSession, b: DataFrame,
+      indexPath: String, batchId: Long, front: BatchFront,
+      claimed: Long): IngestBatchStats = {
+    b.write.mode("overwrite")
+      .parquet(s"$indexPath/quarantine/batch_id=$batchId")
+    if (!front.replayed) {
+      requireEpoch(spark, indexPath, claimed)
+      commitLedgerRow(spark, indexPath, batchId, front.w, front.w,
+        QuarantinedNovelRows)
+    }
+    IngestBatchStats(batchId, front.batchRows, QuarantinedNovelRows,
+      front.w, front.w, front.replayed)
+  }
+
+  /** `novel_rows` sentinel marking a quarantined batch in the ledger and
+    * the ingest stats (a real batch's novel count is never negative). */
+  val QuarantinedNovelRows: Long = -1L
 
   /** LATE FOLD + commit, shared by both governed loops: one job over the
     * already-checkpointed frames answers the remaining scalars — novel
@@ -3103,8 +3209,8 @@ object Dedup {
 
   private def ingestBatchWithIndexImpl(
       batch: DataFrame, idCol: String, textCol: String,
-      indexPath: String, outPath: String,
-      batchId: Long): IngestBatchStats = {
+      indexPath: String, outPath: String, batchId: Long,
+      quarantine: Boolean): IngestBatchStats = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSignatureIndex(spark, indexPath)
@@ -3118,7 +3224,13 @@ object Dedup {
     val b = batch.localCheckpoint()
     // FRONT FOLD — see resolveBatchFront
     val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
-      "ingestBatchWithIndex")
+      "ingestBatchWithIndex", quarantine)
+    if (front.violation.isDefined) {
+      val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
+        front, claimed)
+      graft.plans.Checkpoints.free(b)
+      return stats
+    }
     val replayed = front.replayed
     val w = front.w
     val batchRows = front.batchRows
@@ -3351,16 +3463,17 @@ object Dedup {
   def ingestBatchWithSrpIndex(batch: DataFrame, idCol: String,
                               vecCol: String, indexPath: String,
                               outPath: String, batchId: Long,
-                              threshold: Double): IngestBatchStats =
+                              threshold: Double,
+                              quarantine: Boolean = false): IngestBatchStats =
     withPinnedPlan(batch.sparkSession) {
       ingestBatchWithSrpIndexImpl(batch, idCol, vecCol, indexPath, outPath,
-        batchId, threshold)
+        batchId, threshold, quarantine)
     }
 
   private def ingestBatchWithSrpIndexImpl(
       batch: DataFrame, idCol: String, vecCol: String, indexPath: String,
-      outPath: String, batchId: Long,
-      threshold: Double): IngestBatchStats = {
+      outPath: String, batchId: Long, threshold: Double,
+      quarantine: Boolean): IngestBatchStats = {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, indexPath)
@@ -3370,7 +3483,13 @@ object Dedup {
     val b = batch.localCheckpoint()
     // FRONT FOLD — see resolveBatchFront
     val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
-      "ingestBatchWithSrpIndex")
+      "ingestBatchWithSrpIndex", quarantine)
+    if (front.violation.isDefined) {
+      val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
+        front, claimed)
+      graft.plans.Checkpoints.free(b)
+      return stats
+    }
     val replayed = front.replayed
     val w = front.w
     val batchRows = front.batchRows

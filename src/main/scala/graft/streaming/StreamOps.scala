@@ -158,7 +158,13 @@ object StreamOps {
     * stream open runs [[graft.operators.Dedup.recoverCompaction]], which
     * restores a table left stranded in `__compacting_<sub>` before the
     * first batch reads the index. 0 = never (run compaction from a
-    * maintenance job instead).
+    * maintenance job instead). `autoCompact = true` replaces the blind
+    * every-Nth dial with the MEASURED trigger
+    * ([[graft.operators.Dedup.autoCompactSignatureIndex]]): one flat
+    * directory listing per committed batch, compaction only when the
+    * index has actually decayed ≥ the fragmentation factor (or pending
+    * deletes await physical reclamation) — a fragmented stream
+    * self-compacts, an un-fragmented one never churns.
     */
   def indexedDedupStream(spark: SparkSession, inPath: String,
                          schema: org.apache.spark.sql.types.StructType,
@@ -166,19 +172,28 @@ object StreamOps {
                          indexPath: String, outPath: String,
                          checkpoint: String,
                          trigger: Trigger = Trigger.AvailableNow(),
-                         compactEvery: Int = 0)
+                         compactEvery: Int = 0,
+                         autoCompact: Boolean = false,
+                         quarantine: Boolean = false)
       : StreamingQuery = {
     graft.operators.Dedup.initIngestLedger(spark, indexPath)
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // quarantine = true: a contract-violating batch (non-monotone /
+        // non-castable ids) diverts whole to
+        // <indexPath>/quarantine/batch_id=N and the stream CONTINUES
+        // (ledger row carries novel_rows = -1); default stays fail-loud.
         val stats = graft.operators.Dedup.ingestBatchWithIndex(
-          batch, idCol, textCol, indexPath, outPath, batchId)
+          batch, idCol, textCol, indexPath, outPath, batchId, quarantine)
         // per-batch audit row (novel/dup rates) — idempotent on replay
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
-        if (compactEvery > 0 && !stats.replayed &&
-            (batchId + 1) % compactEvery == 0)
-          graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
+        if (!stats.replayed) {
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
+          else if (autoCompact)
+            graft.operators.Dedup.autoCompactSignatureIndex(spark, indexPath)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
@@ -199,20 +214,26 @@ object StreamOps {
                                   indexPath: String, outPath: String,
                                   checkpoint: String, threshold: Double,
                                   trigger: Trigger = Trigger.AvailableNow(),
-                                  compactEvery: Int = 0)
+                                  compactEvery: Int = 0,
+                                  autoCompact: Boolean = false,
+                                  quarantine: Boolean = false)
       : StreamingQuery = {
     graft.operators.Dedup.initSrpIngestLedger(spark, indexPath)
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val stats = graft.operators.Dedup.ingestBatchWithSrpIndex(
-          batch, idCol, vecCol, indexPath, outPath, batchId, threshold)
+          batch, idCol, vecCol, indexPath, outPath, batchId, threshold,
+          quarantine)
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
         // in-loop compaction between serial batches, epoch-fenced — see
-        // indexedDedupStream
-        if (compactEvery > 0 && !stats.replayed &&
-            (batchId + 1) % compactEvery == 0)
-          graft.operators.Dedup.compactSrpIndex(spark, indexPath)
+        // indexedDedupStream; autoCompact = the measured trigger
+        if (!stats.replayed) {
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+            graft.operators.Dedup.compactSrpIndex(spark, indexPath)
+          else if (autoCompact)
+            graft.operators.Dedup.autoCompactSrpIndex(spark, indexPath)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

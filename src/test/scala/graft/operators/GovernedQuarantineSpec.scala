@@ -1,0 +1,126 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Quarantine mode of the governed ingest loops: a contract-violating
+  * batch (ids at/below the committed watermark, or non-castable ids)
+  * diverts WHOLE to `<indexPath>/quarantine/batch_id=N/`, the ledger
+  * records it with the `novel_rows = -1` flag, the watermark does not
+  * move, and the stream continues — replays included. Default behavior
+  * (fail-loud) is pinned unchanged.
+  */
+class GovernedQuarantineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = Dedup.MinHashParams(numHashes = 32, bands = 8,
+    shingle = 3, threshold = 0.2)
+
+  private def uniq(i: Long) =
+    (0 until 8).map(j => s"unique${i}tok$j").mkString(" ")
+  private def docs(ids: Long*): DataFrame =
+    ids.map(i => i -> uniq(i)).toDF("doc_id", "text")
+
+  private def rmrf(dir: String): Unit = {
+    import scala.reflect.io.Directory
+    new Directory(new java.io.File(dir)).deleteRecursively()
+  }
+
+  test("default mode stays fail-loud on a non-monotone batch") {
+    val base = Files.createTempDirectory("graft-q-default").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ingestBatchWithIndex(docs(1L), "doc_id", "text", ix, out,
+          batchId = 1L)
+      }
+      assert(e.getMessage.contains("monotone"))
+    } finally rmrf(base)
+  }
+
+  test("quarantine mode diverts a bad batch, keeps the watermark, and " +
+      "the stream continues exactly-once (replays included)") {
+    val base = Files.createTempDirectory("graft-q-divert").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+
+      // batch 1: id 1 <= watermark (2) → quarantined whole
+      val s1 = Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text",
+        ix, out, batchId = 1L, quarantine = true)
+      assert(s1.novelRows == Dedup.QuarantinedNovelRows && !s1.replayed)
+      assert(s1.watermarkAfter == s1.watermarkBefore,
+        "a quarantined batch must not advance the watermark")
+      val qdir = s"$ix/quarantine/batch_id=1"
+      assert(spark.read.parquet(qdir).count() == 2L,
+        "the WHOLE batch is the quarantine unit")
+      // id 10 must NOT have entered the index (whole-batch divert)
+      assert(spark.read.parquet(s"$ix/signatures")
+        .filter($"id" === 10L).isEmpty)
+      val ledger1 = spark.read.parquet(s"$ix/ingest_ledger")
+        .filter($"batch_id" === 1L).collect()
+      assert(ledger1.length == 1 &&
+        ledger1.head.getAs[Long]("novel_rows") == -1L,
+        "the ledger must flag the quarantined batch with novel_rows = -1")
+
+      // replay of the quarantined batch: recognized, idempotent
+      val s1r = Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text",
+        ix, out, batchId = 1L, quarantine = true)
+      assert(s1r.replayed &&
+        s1r.novelRows == Dedup.QuarantinedNovelRows &&
+        s1r.watermarkAfter == s1.watermarkAfter)
+      assert(spark.read.parquet(s"$ix/ingest_ledger")
+        .filter($"batch_id" === 1L).count() == 1L,
+        "a replay must not duplicate the ledger row")
+      assert(spark.read.parquet(qdir).count() == 2L)
+
+      // the stream CONTINUES: the next good batch processes normally
+      // from the unmoved watermark
+      val s2 = Dedup.ingestBatchWithIndex(docs(20L, 21L), "doc_id", "text",
+        ix, out, batchId = 2L, quarantine = true)
+      assert(!s2.replayed && s2.novelRows == 2L &&
+        s2.watermarkBefore == s1.watermarkAfter &&
+        s2.watermarkAfter == 21L, s"continuation broke: $s2")
+      assert(spark.read.parquet(s"$out/batch_id=2").count() == 2L)
+    } finally rmrf(base)
+  }
+
+  test("quarantine mode diverts non-castable ids (both loop flavors)") {
+    val base = Files.createTempDirectory("graft-q-cast").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    val sx = s"$base/sx"; val sout = s"$base/sout"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      val bad = Seq(("not-a-number", "some text here ok")).toDF("doc_id", "text")
+      val s1 = Dedup.ingestBatchWithIndex(bad, "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      assert(s1.novelRows == Dedup.QuarantinedNovelRows)
+      assert(spark.read.parquet(s"$ix/quarantine/batch_id=1").count() == 1L)
+
+      // SRP twin
+      val dim = 4
+      val corpus = Seq((0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)))
+        .toDF("id", "v")
+      Dedup.writeSrpIndex(corpus, "id", "v", sx, dim = dim, tables = 2)
+      Dedup.initSrpIngestLedger(spark, sx)
+      val badVec = Seq(("oops", Array(0f, 0f, 1f, 0f))).toDF("id", "v")
+      val s2 = Dedup.ingestBatchWithSrpIndex(badVec, "id", "v", sx, sout,
+        batchId = 1L, threshold = 0.9, quarantine = true)
+      assert(s2.novelRows == Dedup.QuarantinedNovelRows)
+      assert(spark.read.parquet(s"$sx/quarantine/batch_id=1").count() == 1L)
+      // a good batch continues the SRP stream too
+      val s3 = Dedup.ingestBatchWithSrpIndex(
+        Seq((5L, Array(0f, 0f, 0f, 1f))).toDF("id", "v"), "id", "v", sx,
+        sout, batchId = 2L, threshold = 0.9, quarantine = true)
+      assert(!s3.replayed && s3.novelRows == 1L)
+    } finally rmrf(base)
+  }
+}

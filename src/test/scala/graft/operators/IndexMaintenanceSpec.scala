@@ -281,6 +281,54 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("autoCompact: a fragmented index self-compacts, an un-fragmented " +
+      "one never churns, pending deletes force reclamation") {
+    val base = Files.createTempDirectory("graft-autocompact").toString
+    val ix = s"$base/ix"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def sigFiles: Int = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$ix/signatures"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    try {
+      Dedup.writeSignatureIndex(docs(0L to 9L: _*), "doc_id", "text", ix, p)
+      // fold the build's one-file-per-task write, then: quiet index
+      Dedup.compactSignatureIndex(spark, ix)
+      val baseline = sigFiles
+      (1 to 3).foreach { _ =>
+        assert(Dedup.autoCompactSignatureIndex(spark, ix).isEmpty,
+          "an un-fragmented index must never churn")
+      }
+      assert(sigFiles == baseline)
+
+      // decay: each maintenance append lands one file set per table
+      var i = 0L
+      while (sigFiles < 8 * 1 && i < 32) { // fragmentFactor(8) x parts(1)
+        Dedup.appendSignatureIndex(docs(100L + i, 101L + i), "doc_id",
+          "text", ix)
+        i += 2
+      }
+      val fragmented = sigFiles
+      val res = Dedup.autoCompactSignatureIndex(spark, ix)
+      assert(res.nonEmpty, s"a fragmented index ($fragmented files) must " +
+        "self-compact")
+      assert(sigFiles < fragmented, "compaction must actually fold files")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+      assert(Dedup.autoCompactSignatureIndex(spark, ix).isEmpty,
+        "immediately after compaction the index is quiet again")
+
+      // pending tombstones force reclamation regardless of file counts
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L))
+      assert(Dedup.autoCompactSignatureIndex(spark, ix).nonEmpty,
+        "pending deletes must trigger physical reclamation")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")))
+      assert(Dedup.autoCompactSignatureIndex(spark, ix).isEmpty)
+    } finally rmrf(base)
+  }
+
   test("index caches self-invalidate on an out-of-process rebuild even " +
       "with a constant params mtime") {
     val base = Files.createTempDirectory("graft-gen-token").toString
