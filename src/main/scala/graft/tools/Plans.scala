@@ -430,7 +430,24 @@ object Plans {
         |(BroadcastNestedLoopJoin over the small side), the corpus streams
         |once through the codegen'd graft_cosine kernel, and the per-id max
         |is partial -> exchange -> final — the shuffle carries one row per
-        |corpus id, not the pair fan-out.""".stripMargin)
+        |corpus id, not the pair fan-out.""".stripMargin,
+    "b3c_minhash_index_delete" ->
+      """Deleted-index probe on the PENDING-tombstone path (deletes
+        |appended, compaction not yet run). The tombstone id set rides as
+        |a BroadcastHashJoin LeftAnti above each index-table scan — an
+        |O(tombstones) broadcast, never a corpus-side shuffle — and the
+        |band scan underneath keeps its literal shard PartitionFilters
+        |(the anti-join composes with, not instead of, the storage
+        |pruning). Zero corpus text scans, as in b3b; once compaction
+        |purges the rows the anti-joins vanish from the plan
+        |entirely (b4c shows that shape).""".stripMargin,
+    "b4c_embedding_index_delete" ->
+      """Deleted-SRP-index probe AFTER compaction: the rewrite physically
+        |dropped the tombstoned rows and folded the tombstone table, so
+        |the plan is byte-identical in shape to b4 — no anti-join, no
+        |residue; deletion costs the index nothing at probe time once
+        |reclaimed. (The pending-path overhead that b3c shows is the
+        |transient state between a delete and the next compaction.)""".stripMargin)
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
@@ -445,11 +462,17 @@ object Plans {
     sb.append("Generated by `graft.tools.Plans` at sf0.01 (plan shapes are\n")
     sb.append("scale-independent; AQE may re-plan joins at runtime from real\n")
     sb.append("stats). Regenerate after plan-affecting changes.\n")
+    // per-query dump budget: the MinHash literal arrays eat ~4k chars of
+    // any signature-kernel plan, so the deleted-index probe needs more
+    // room for its corpus-side subtree (the anti-joins the commentary
+    // points at) to survive truncation
+    val dumpChars = Map("b3c_minhash_index_delete" -> 24000)
+      .withDefaultValue(6000)
     commentary.foreach { case (name, comment) =>
       val df = graft.SparkEntry.queries(name)(spark, d)
       sb.append(s"\n## $name\n\n")
       sb.append(comment).append("\n\n```\n")
-      sb.append(df.queryExecution.executedPlan.toString.take(6000))
+      sb.append(df.queryExecution.executedPlan.toString.take(dumpChars(name)))
       sb.append("```\n")
     }
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
