@@ -47,6 +47,20 @@ NOTES = {
         "the log plane fan plus shuffle spill at 3.2M-row windows, not "
         "a super-linear candidate blowup - occupancy stays ~32/bucket "
         "by construction."),
+    "d11_semdedup": (
+        "~81x at 100x data, near-linear: the data-sized quantizer "
+        "(semDeDupCellsFor scales cell count with the corpus) holds "
+        "within-cell pair work bounded, so the decade ratio tracks the "
+        "assignment scan plus the capped within-cell verify. The frozen-"
+        "quantizer variant measured 3.8x SLOWER at sf10 "
+        "(tools/SemDedupScale audit) - the dial this auto entry closes."),
+    "q60_dsir_sample": (
+        "~3.6x at 100x data: DSIR's fit is ONE corpus scan with map-side "
+        "bucket partials (shuffle O(partitions x 4096 buckets), corpus-"
+        "size-independent), scoring is a shuffle-free codegen'd pass, and "
+        "selection is a bounded hash-Gumbel top-k - at sf0.1 the entry is "
+        "fixed-overhead-dominated, so the 100x corpus contributes only "
+        "the linear scan, which the flat decade ratio makes visible."),
     "d5d_embedding_lsh_auto": (
         "~91x at 100x data = LINEAR, the design target hit across two "
         "decades: planes = ceil(log2(n/32)) holds bucket occupancy "
