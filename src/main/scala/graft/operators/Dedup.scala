@@ -230,9 +230,19 @@ object Dedup {
     * `bands` bands of `numHashes / bands` rows each. Defaults tuned for
     * Jaccard ≥ ~0.5 recall with 32 hashes × 8 bands.
     */
+  /** `normalize = true` applies Unicode NFC ([[TextOps.normalizeText]])
+    * to the text BEFORE shingling, so canonically-equivalent encodings
+    * of the same text collide. It is part of the signature GEOMETRY:
+    * the persisted indexes store it in their params table and the probe
+    * require-matches it — an index written normalized and probed
+    * unnormalized (or vice versa) would silently miss pairs. Case-fold /
+    * whitespace collapse are intentionally NOT part of the baked
+    * geometry (they change semantics, not encoding) — compose them on
+    * the text column explicitly when wanted. */
   final case class MinHashParams(numHashes: Int = 32, bands: Int = 8,
                                  shingle: Int = 3, threshold: Double = 0.5,
-                                 maxBucket: Int = 1000) {
+                                 maxBucket: Int = 1000,
+                                 normalize: Boolean = false) {
     require(numHashes % bands == 0, "bands must divide numHashes")
     def rowsPerBand: Int = numHashes / bands
   }
@@ -249,7 +259,9 @@ object Dedup {
   def withMinHashSignature(df: DataFrame, textCol: String,
                            p: MinHashParams = MinHashParams()): DataFrame = {
     GraftFunctions.register(df.sparkSession)
-    df.withColumn("shingles", hashedShingleSet(col(textCol), p.shingle))
+    val text =
+      if (p.normalize) TextOps.normalizeText(col(textCol)) else col(textCol)
+    df.withColumn("shingles", hashedShingleSet(text, p.shingle))
       .withColumn("minhash",
         GraftFunctions.minHashSig(col("shingles"), p.numHashes))
   }
@@ -996,9 +1008,10 @@ object Dedup {
                                path: String, p: MinHashParams,
                                shards: Int): Unit = {
     import spark.implicits._
-    Seq((p.numHashes, p.bands, p.shingle, p.threshold, p.maxBucket, shards))
+    Seq((p.numHashes, p.bands, p.shingle, p.threshold, p.maxBucket, shards,
+        p.normalize))
       .toDF("num_hashes", "bands", "shingle", "threshold", "max_bucket",
-        "shards")
+        "shards", "normalize")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
   }
@@ -1019,7 +1032,10 @@ object Dedup {
     val p = MinHashParams(numHashes = pr.getAs[Int]("num_hashes"),
       bands = pr.getAs[Int]("bands"), shingle = pr.getAs[Int]("shingle"),
       threshold = pr.getAs[Double]("threshold"),
-      maxBucket = pr.getAs[Int]("max_bucket"))
+      maxBucket = pr.getAs[Int]("max_bucket"),
+      // absent on a pre-normalization index: unnormalized geometry
+      normalize = pr.schema.fieldNames.contains("normalize") &&
+        pr.getAs[Boolean]("normalize"))
     // shards absent on a pre-sharding index: 0 disables partition pruning
     // (the band table has no shard layout to prune)
     val shards = if (pr.schema.fieldNames.contains("shards"))
@@ -1540,12 +1556,14 @@ object Dedup {
     // which is its own kind of silent, so it must match too.)
     val ip = index.params
     require(ip.numHashes == p.numHashes && ip.bands == p.bands &&
-      ip.shingle == p.shingle && ip.maxBucket == p.maxBucket,
+      ip.shingle == p.shingle && ip.maxBucket == p.maxBucket &&
+      ip.normalize == p.normalize,
       s"signature index params mismatch: index built with (numHashes=" +
         s"${ip.numHashes}, bands=${ip.bands}, shingle=${ip.shingle}, " +
-        s"maxBucket=${ip.maxBucket}), probed with (numHashes=" +
-        s"${p.numHashes}, bands=${p.bands}, shingle=${p.shingle}, " +
-        s"maxBucket=${p.maxBucket})")
+        s"maxBucket=${ip.maxBucket}, normalize=${ip.normalize}), probed " +
+        s"with (numHashes=${p.numHashes}, bands=${p.bands}, " +
+        s"shingle=${p.shingle}, maxBucket=${p.maxBucket}, " +
+        s"normalize=${p.normalize})")
     val bSigned = withMinHashSignature(batch, textCol, p)
       .filter(size(col("shingles")) > 0)
       .select(col(idCol).as("id"), col("shingles"), col("minhash"))

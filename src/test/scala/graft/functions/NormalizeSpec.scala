@@ -54,6 +54,39 @@ class NormalizeSpec extends SparkSpec {
     assert(out(1L).isEmpty && out(2L).contains(""))
   }
 
+  test("normalize is persisted index geometry: a normalized index " +
+      "matches NFD probes, and a mismatched probe fails loudly") {
+    val base = java.nio.file.Files.createTempDirectory("graft-norm-ix")
+      .toString
+    val ix = s"$base/ix"
+    try {
+      val text = "alpha bravo charlie delta echo foxtrot golf hotel " +
+        "café résumé naïve india juliet kilo lima"
+      val corpus = Seq((1L, text)).toDF("doc_id", "text")
+      val batch = Seq((10L, java.text.Normalizer.normalize(text,
+        java.text.Normalizer.Form.NFD))).toDF("doc_id", "text")
+      val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.9, normalize = true)
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      val pairs = Dedup.minHashNearDupPairsIncremental(batch,
+        Dedup.readSignatureIndex(spark, ix), "doc_id", "text", p)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(pairs.toSeq == Seq((10L, 1L, 1.0)),
+        s"NFD batch must collide with the normalized index: ${pairs.toSeq}")
+      // read-back carries the flag; a mismatched probe is unrepresentable
+      assert(Dedup.readSignatureIndex(spark, ix).params.normalize)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.minHashNearDupPairsIncremental(batch,
+          Dedup.readSignatureIndex(spark, ix), "doc_id", "text",
+          p.copy(normalize = false))
+      }
+      assert(e.getMessage.contains("normalize"))
+    } finally {
+      import scala.reflect.io.Directory
+      new Directory(new java.io.File(base)).deleteRecursively()
+    }
+  }
+
   test("an NFD copy collides with its NFC original in MinHash dedup " +
       "after normalizeText, and not before") {
     val doc = "alpha bravo charlie delta echo foxtrot golf hotel " +
