@@ -126,6 +126,35 @@ class IndexDeletionSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("randomized: probe-after-delete equals rebuild-on-retained for " +
+      "arbitrary delete subsets, pending and purged") {
+    val rnd = new scala.util.Random(17)
+    (0 until 2).foreach { trial =>
+      val base = Files.createTempDirectory(s"graft-del-rand$trial").toString
+      val ix = s"$base/ix"; val retained = s"$base/retained"
+      try {
+        val ids = 0L to 19L
+        val corpus = docs(ids: _*)
+        val batch = docs(100L, 101L, 102L)
+        val dropped = ids.filter(_ => rnd.nextDouble() < 0.4)
+        Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+        Dedup.deleteFromSignatureIndex(spark, ix, dropped)
+        Dedup.writeSignatureIndex(
+          corpus.filter(!$"doc_id".isin(dropped.map(Long.box): _*)),
+          "doc_id", "text", retained, p)
+        def probeOf(path: String) =
+          pairsOf(Dedup.minHashNearDupPairsIncremental(batch,
+            Dedup.readSignatureIndex(spark, path), "doc_id", "text", p))
+        val rebuilt = probeOf(retained)
+        assert(probeOf(ix) == rebuilt,
+          s"trial $trial pending-path diverged (dropped=$dropped)")
+        Dedup.compactSignatureIndex(spark, ix)
+        assert(probeOf(ix) == rebuilt,
+          s"trial $trial purged-path diverged (dropped=$dropped)")
+      } finally rmrf(base)
+    }
+  }
+
   test("compaction re-opens bucket-cap slots freed by deletes") {
     val base = Files.createTempDirectory("graft-del-cap").toString
     val ix = s"$base/ix"

@@ -119,6 +119,54 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("quarantine mode: a contract-violating batch diverts and the " +
+      "STREAM continues across restarts") {
+    val base = Files.createTempDirectory("graft-ixquarantine").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+
+      // batch 0: good (novel unique docs)
+      Seq(100L -> uniq(100), 101L -> uniq(101)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      StreamOps.indexedDedupStream(spark, in, schema, "doc_id", "text",
+        ix, out, cp, quarantine = true).awaitTermination(120000)
+      assert(outIds(out) == Set(100L, 101L))
+
+      // batch 1: VIOLATES the monotone contract (id 50 <= watermark 101)
+      // — without quarantine this kills the stream; with it, diverted
+      Seq(50L -> uniq(50)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      StreamOps.indexedDedupStream(spark, in, schema, "doc_id", "text",
+        ix, out, cp, quarantine = true).awaitTermination(120000)
+      assert(spark.read.parquet(s"$ix/quarantine/batch_id=1").count() == 1L,
+        "the bad batch must land in the quarantine directory")
+      assert(outIds(out) == Set(100L, 101L),
+        "a quarantined batch must contribute no output")
+      assert(!sigSet(ix).exists(_._1 == 50L),
+        "a quarantined batch must not touch the index")
+
+      // batch 2: good again — the restarted stream continues from the
+      // unmoved watermark
+      Seq(200L -> uniq(200)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      StreamOps.indexedDedupStream(spark, in, schema, "doc_id", "text",
+        ix, out, cp, quarantine = true).awaitTermination(120000)
+      assert(outIds(out) == Set(100L, 101L, 200L),
+        "the stream must continue normally after a quarantined batch")
+
+      // ledger: bootstrap + good + flagged + good
+      val ledger = spark.read.parquet(s"$ix/ingest_ledger")
+        .orderBy($"batch_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      assert(ledger.length == 4, s"ledger: ${ledger.mkString(", ")}")
+      assert(ledger(2) == (1L, 101L, 101L, -1L),
+        s"quarantined row must be flagged with novel_rows = -1: ${ledger(2)}")
+      assert(ledger(3) == (2L, 101L, 200L, 1L))
+    } finally rmrf(base)
+  }
+
   test("replaying a committed batch is recognized and changes nothing") {
     val base = Files.createTempDirectory("graft-ixreplay").toString
     val out = s"$base/out"; val ix = s"$base/ix"
