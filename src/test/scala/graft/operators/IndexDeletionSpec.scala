@@ -242,6 +242,37 @@ class IndexDeletionSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("stale tombstones for already-purged ids never double-subtract " +
+      "occupancy (the crash window between rewrite and negative deltas)") {
+    val base = Files.createTempDirectory("graft-del-stale").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(docs(0L to 9L: _*), "doc_id", "text", ix, p)
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(2L, 4L))
+      Dedup.compactSignatureIndex(spark, ix)
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+      val occAfter = Dedup.readOccupancy(spark, ix, Seq("band", "bkey"),
+        None, Long.MaxValue).collect()
+        .map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("__occ")).toMap
+
+      // simulate the re-run after a crash that lost the negative-delta
+      // step: the same ids tombstoned again, but their rows are already
+      // physically gone — the recomputed drop counts must be empty, so
+      // occupancy must not move, and the stale tombstones must fold away
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(2L, 4L))
+      Dedup.compactSignatureIndex(spark, ix)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")))
+      val occAgain = Dedup.readOccupancy(spark, ix, Seq("band", "bkey"),
+        None, Long.MaxValue).collect()
+        .map(r => (r.get(0), r.get(1)) -> r.getAs[Long]("__occ")).toMap
+      assert(occAgain == occAfter,
+        "re-deleting purged ids must not subtract occupancy twice")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
   test("governed ingest keeps exactly-once across a mid-stream delete; " +
       "a deleted doc stops suppressing later near-duplicates") {
     val base = Files.createTempDirectory("graft-del-gov").toString
