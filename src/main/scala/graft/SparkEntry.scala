@@ -88,6 +88,43 @@ object SparkEntry {
       RefOps.filterJob(lines, "BUILDING").orderBy(col("value"))
     }),
 
+    // JSONL round-trip — the de-facto interchange format of LLM corpora
+    // (one JSON object per line). The corpus is WRITTEN as real JSONL
+    // files and read back under an explicit schema (no inference job);
+    // the oracle is the original table, so a hash match proves the
+    // write→escape→parse cycle is byte-faithful for every row. bigint +
+    // string columns only by design: JSON float round-trips are
+    // representation-hazardous and belong to columnar formats.
+    "r6_jsonl_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      T(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"),
+          col("n_chars"))
+        .write.mode("overwrite").json(out)
+      s.read.schema(
+          "doc_id BIGINT, text STRING, lang STRING, source STRING, " +
+            "n_chars BIGINT")
+        .json(out)
+        .orderBy(col("doc_id"))
+    }),
+
+    // ORC round-trip — Spark's second built-in columnar format. The
+    // customer table is written as ORC, read back, and aggregated with a
+    // FILTER that must reach the ORC scan (predicate pushdown exercises
+    // the format's own row-group statistics, not just the bytes).
+    "r7_orc_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      T(s, dir, "customer").write.mode("overwrite").orc(out)
+      s.read.orc(out)
+        .filter(col("c_mktsegment") =!= "BUILDING")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          TextFunctions.roundHalfUp(sum(col("c_acctbal")), 2).as("sum_bal"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // K1+A1 on the TYPED Dataset API: case-class Encoder, groupByKey, the
     // Aggregator whose (sum, count) buffer mirrors the reference's
     // SalaryReducer — compile-time types, same partial->merge->finish
@@ -2050,6 +2087,20 @@ object SparkEntry {
       """SELECT c_mktsegment,
         |floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the JSONL write→parse cycle is invisible to the result contract:
+    // reading back equals the original projection
+    "r6_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang, source, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // same for ORC: the format is an execution artifact; the filter and
+    // aggregate see the original rows
+    "r7_orc_roundtrip" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |round(sum(c_acctbal), 2) AS sum_bal
+        |FROM customer WHERE c_mktsegment <> 'BUILDING'
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
