@@ -88,6 +88,22 @@ object SparkEntry {
       RefOps.filterJob(lines, "BUILDING").orderBy(col("value"))
     }),
 
+    // gzip-compressed text round-trip: the reference's S1 text source
+    // reads compressed objects transparently; here the corpus text is
+    // WRITTEN as real .txt.gz part files, read back through Hadoop's
+    // codec discovery, and uppercased (the M1 map) — the full
+    // compressed-ingest path, not just the format flag. Fixture text is
+    // newline-free by construction, so line-splitting is lossless.
+    "r8_gzip_text_roundtrip" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_gztext_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      T(s, dir, "documents").select(col("text").as("value"))
+        .write.mode("overwrite").option("compression", "gzip").text(out)
+      s.read.text(out)
+        .select(upper(col("value")).as("text_upper"))
+        .orderBy(col("text_upper"))
+    }),
+
     // JSONL round-trip — the de-facto interchange format of LLM corpora
     // (one JSON object per line). The corpus is WRITTEN as real JSONL
     // files and read back under an explicit schema (no inference job);
@@ -2087,6 +2103,11 @@ object SparkEntry {
       """SELECT c_mktsegment,
         |floor(avg(c_acctbal) * 10000.0 + 0.5) / 10000.0 AS avg_bal
         |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    // the compressed-text cycle is invisible to the result contract
+    "r8_gzip_text_roundtrip" ->
+      """SELECT upper(text) AS text_upper FROM documents
+        |ORDER BY text_upper""".stripMargin,
 
     // the JSONL write→parse cycle is invisible to the result contract:
     // reading back equals the original projection
