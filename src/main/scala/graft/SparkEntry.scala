@@ -1694,6 +1694,25 @@ object SparkEntry {
         .select(col("doc_id"), col("dsir_score"), col("dsir_key"))
         .orderBy(col("dsir_key").desc, col("doc_id"))),
 
+    // hive-partitioned corpus layout: the corpus is WRITTEN partitioned
+    // by lang (the layout a served training corpus ships in — one
+    // directory per partition value, no lang bytes in the data files)
+    // and read back with a partition filter: the scan's
+    // PartitionFilters prunes every lang=*/ directory but the requested
+    // one at the STORAGE layer — at 100 TB the read costs one
+    // partition's bytes, not a full-scan-then-filter
+    "q61_partitioned_pruned_read" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      T(s, dir, "documents")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out)
+        .filter(col("lang") === "en")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("source"))
+    }),
+
     // deterministic train/test split: disjoint, exhaustive, reproducible
     "q21_train_test_split" -> ((s, dir) =>
       Sampling.trainTestSplit(T(s, dir, "documents"), "doc_id", 0.1)
@@ -3856,6 +3875,14 @@ object SparkEntry {
          |                            ORDER BY bkt, doc_id) AS BIGINT) AS rk
          |  FROM (${duckWithBucket("doc_id, source", "doc_id")}))
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // the partitioned layout is an execution artifact: the pruned read
+    // equals filtering the original table
+    "q61_partitioned_pruned_read" ->
+      """SELECT source, count(*) AS cnt,
+        |CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang = 'en'
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q21_train_test_split" ->
       s"""SELECT split, count(*) AS cnt,

@@ -431,6 +431,13 @@ object Plans {
         |once through the codegen'd graft_cosine kernel, and the per-id max
         |is partial -> exchange -> final — the shuffle carries one row per
         |corpus id, not the pair fan-out.""".stripMargin,
+    "q61_partitioned_pruned_read" ->
+      """Hive-partitioned corpus layout. The write laid one directory per
+        |lang value; the read's lang filter lands in the FileScan's
+        |PartitionFilters — directories are pruned from the listing
+        |BEFORE any bytes are read (and the lang column itself is not in
+        |the data files at all). At 100 TB a one-partition read costs one
+        |partition's bytes; a filter-after-scan would cost the corpus.""".stripMargin,
     "b3c_minhash_index_delete" ->
       """Deleted-index probe on the PENDING-tombstone path (deletes
         |appended, compaction not yet run). The tombstone id set rides as
