@@ -1694,6 +1694,22 @@ object SparkEntry {
         .select(col("doc_id"), col("dsir_score"), col("dsir_key"))
         .orderBy(col("dsir_key").desc, col("doc_id"))),
 
+    // SLIDING event-time windows (1 h width, 15 min slide) — the
+    // overlapping-window surface q12's tumbling hour lacks: each event
+    // lands in exactly width/slide = 4 windows (Spark's window() emits
+    // every overlap), aggregated per (window, type). Second-truncated
+    // timestamps keep the boundary arithmetic engine-exact.
+    "q62_sliding_window" -> ((s, dir) =>
+      T(s, dir, "events")
+        .withColumn("ts_sec", expr("timestamp_seconds(ts div 1000000000)"))
+        .groupBy(window(col("ts_sec"), "1 hour", "15 minutes").as("w"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("w.start").cast("long").as("win_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))),
+
     // hive-partitioned corpus layout: the corpus is WRITTEN partitioned
     // by lang (the layout a served training corpus ships in — one
     // directory per partition value, no lang bytes in the data files)
@@ -3875,6 +3891,21 @@ object SparkEntry {
          |                            ORDER BY bkt, doc_id) AS BIGINT) AS rk
          |  FROM (${duckWithBucket("doc_id, source", "doc_id")}))
          |WHERE rk <= 10 ORDER BY source, rk""".stripMargin,
+
+    // sliding windows by arithmetic: every event belongs to exactly
+    // width/slide = 4 window starts ((t div 900)*900 - k*900, k = 0..3 —
+    // all four satisfy ws <= t < ws + 3600 for integer seconds)
+    "q62_sliding_window" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    ((t // 900) * 900 - k.k * 900) AS win_start
+        |  FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k) k)
+        |SELECT win_start, event_type, count(*) AS cnt,
+        |  round(sum(value), 2) AS sum_value
+        |FROM w GROUP BY 1, 2 ORDER BY win_start, event_type""".stripMargin,
 
     // the partitioned layout is an execution artifact: the pruned read
     // equals filtering the original table
