@@ -311,4 +311,48 @@ class IndexDeletionSpec extends SparkSpec {
       occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
     } finally rmrf(base)
   }
+
+  test("SRP governed ingest: a deleted vector stops suppressing, " +
+      "exactly-once intact (the embedding twin of the mid-stream delete)") {
+    val base = Files.createTempDirectory("graft-del-gov-srp").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    val dim = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    }
+    try {
+      val corpus = Seq((0L, vec(0)), (1L, vec(1))).toDF("id", "v")
+      Dedup.writeSrpIndex(corpus, "id", "v", ix, dim = dim, tables = 4)
+      Dedup.initSrpIngestLedger(spark, ix)
+
+      // batch 1: 100 copies corpus vector 0 → screened; 101 novel
+      val s1 = Dedup.ingestBatchWithSrpIndex(
+        Seq((100L, vec(0)), (101L, vec(50))).toDF("id", "v"), "id", "v",
+        ix, out, batchId = 1L, threshold = 0.99)
+      assert(s1.novelRows == 1L, s"batch 1 expected 1 novel: $s1")
+
+      Dedup.deleteFromSrpIndex(spark, ix, Seq(0L))
+
+      // batch 2: another copy of vector 0 — no longer suppressed
+      val s2 = Dedup.ingestBatchWithSrpIndex(
+        Seq((200L, vec(0))).toDF("id", "v"), "id", "v", ix, out,
+        batchId = 2L, threshold = 0.99)
+      assert(s2.novelRows == 1L,
+        s"a deleted vector must stop suppressing copies: $s2")
+
+      // replay: recognized, idempotent
+      val s2r = Dedup.ingestBatchWithSrpIndex(
+        Seq((200L, vec(0))).toDF("id", "v"), "id", "v", ix, out,
+        batchId = 2L, threshold = 0.99)
+      assert(s2r.replayed && s2r.novelRows == 1L)
+
+      // batch 3: yet another copy — suppressed by the re-ingested 200
+      val s3 = Dedup.ingestBatchWithSrpIndex(
+        Seq((300L, vec(0))).toDF("id", "v"), "id", "v", ix, out,
+        batchId = 3L, threshold = 0.99)
+      assert(s3.novelRows == 0L, s"200 must suppress again: $s3")
+      occupancyMatchesRecomputed(ix, "buckets", Seq("tbl", "bkt"))
+    } finally rmrf(base)
+  }
 }
