@@ -30,13 +30,15 @@ object Bench {
     "q44_join_types", "q45_snapshot_diff", "q46_gap_fill",
     "q47_grouped_topk", "q48_temperature_epochs", "q50_weighted_sample",
     "q54_histogram", "q55_source_cap", "q56_distribution_drift",
-    "q57_funnel_steps", "q58_retention_cohorts", "q59_quality_mix")
+    "q57_funnel_steps", "q58_retention_cohorts", "q59_quality_mix",
+    "q61_partitioned_pruned_read", "q62_sliding_window",
+    "r6_jsonl_roundtrip", "r7_orc_roundtrip", "r8_gzip_text_roundtrip")
   private val tMicro = Set(
     "t1_token_stats", "t2_quality_score", "t3_lang_id", "t4_fingerprint",
     "t6_decontaminate", "t7_pack_chunks", "t8_repetition",
     "t9_tfidf_topterms", "t12_sliding_chunks", "t16_token_entropy",
     "t17_semantic_decontaminate", "t18_source_overlap",
-    "t18b_source_overlap_minhash")
+    "t18b_source_overlap_minhash", "t19_normalize_text")
   // Documented-failure rows, kept on purpose as anti-examples: d5b/d5c pin
   // the fixed-plane SRP geometry whose per-bucket work grows quadratically
   // with corpus size (BENCH_SF1: 23.4x at 10x data) — the production entry
