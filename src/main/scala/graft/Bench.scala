@@ -104,8 +104,9 @@ object Bench {
     // catch the case where BOTH runs carry the same GC debt (round 11's
     // m4: 3.94 s recorded vs a 2.54 s quiet-JVM truth, both in-suite runs
     // slow, so the disagreement trigger never fired) — but the previous
-    // round's committed value can: any query reading >1.5x its prior
-    // value gets one more forced-GC run before the minimum is taken.
+    // round's committed value can: any query whose minimum reads >1.3x
+    // its prior value gets up to two more forced-GC runs before the
+    // minimum is taken (see the guard below the timing loop).
     // Absent file / unparseable / renamed queries simply skip the guard.
     val prior: Map[String, Double] =
       try {

@@ -817,17 +817,23 @@ object Dedup {
   private def liveRows(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
     tomb.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
 
-  /** Drop any pending tombstone table — an overwrite REBUILD supersedes
-    * deletes (the new build's corpus simply omits the deleted rows);
-    * stale tombstones from the previous generation must never hide rows
-    * of the new one. Called by the write* builds only. */
+  /** Drop the previous generation's pending tombstones AND quarantine
+    * directory — an overwrite REBUILD supersedes both: stale tombstones
+    * would hide rows of the new build (its corpus simply omits the
+    * deleted rows), and stale quarantined batches would masquerade as
+    * the new generation's diverted output (an operator re-driving them
+    * would re-process rows that belong to the discarded generation).
+    * Called by the write* builds only. */
   private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
                               path: String): Unit = {
-    val dir = tombstoneDir(path)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir))
-      require(fs.delete(dir, true),
-        s"rebuild: could not clear stale tombstone table $dir")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(tombstoneDir(path),
+        new org.apache.hadoop.fs.Path(s"$path/quarantine")).foreach { dir =>
+      val fs = dir.getFileSystem(conf)
+      if (fs.exists(dir))
+        require(fs.delete(dir, true),
+          s"rebuild: could not clear stale $dir")
+    }
   }
 
   /** Data files currently in the tombstone table (empty when absent). */
@@ -895,28 +901,79 @@ object Dedup {
     deleteFromSrpIndex(spark, path, ids.toDF("id"), "id")
   }
 
+  /** The per-compactor pieces of a pending tombstone purge, prepared
+    * BEFORE the table rewrites (the lazy plans would otherwise read the
+    * post-swap files): the checkpointed tombstone set, the file listing
+    * taken before the read materialized (the purge removes at most what
+    * this run provably dropped), and the checkpointed dropped-bucket
+    * counts for the negative occupancy deltas. */
+  private final case class PendingPurge(
+      tomb: Option[DataFrame],
+      files: Seq[org.apache.hadoop.fs.Path],
+      negOcc: Option[DataFrame]) {
+    def live(df: DataFrame): DataFrame = liveRows(df, tomb)
+    /** The row-table rewrites must HAPPEN to drop the deleted rows —
+      * force past the file-count no-op. */
+    def force: Boolean = tomb.isDefined
+  }
+
+  /** Shared tombstone prologue of [[compactSignatureIndex]] /
+    * [[compactSrpIndex]] — parameterized only by the bucket table's name
+    * and key columns, so a purge-semantics fix can never diverge between
+    * the two index families. */
+  private def preparePurge(spark: org.apache.spark.sql.SparkSession,
+                           path: String, bucketSub: String,
+                           keyCols: Seq[String],
+                           shards: Int): PendingPurge = {
+    val files = listTombstoneFiles(spark, path)
+    val tomb = readTombstones(spark, path).map(_.localCheckpoint())
+    val negOcc = if (shards > 0) tomb.map { t =>
+      readIndexTable(spark, s"$path/$bucketSub")
+        .join(t, Seq("id"), "left_semi")
+        .groupBy((col("shard") +: keyCols.map(col)): _*)
+        .agg((-count(lit(1))).as("occ"))
+        .localCheckpoint()
+    } else None
+    PendingPurge(tomb, files, negOcc)
+  }
+
+  /** Shared tombstone epilogue — run only when the rewrites succeeded. */
+  private def finishPurge(spark: org.apache.spark.sql.SparkSession,
+                          path: String, p: PendingPurge): Unit =
+    p.tomb.foreach { t =>
+      purgeTombstones(spark, path, p.negOcc, p.files)
+      graft.plans.Checkpoints.free(t)
+    }
+
   /** Compaction's tombstone epilogue: append the negative occupancy
     * deltas for the bucket rows the rewrite just dropped (sharded
     * indexes only — legacy ones recompute occupancy from the bucket
     * table, which is already purged), then fold the tombstone table
     * away. `negOcc` was checkpointed from the PRE-rewrite bucket table.
     *
-    * The negative rows are stamped with the pre-rewrite physical max id:
-    * every future governed batch reads at a watermark ≥ it (so the caps
-    * re-open), while a replayed earlier batch (watermark < stamp) keeps
-    * seeing exactly the occupancy its first attempt saw. Crash windows
-    * are conservative by construction: dying before this epilogue leaves
-    * the tombstones pending (rows already dropped; the re-run computes
-    * empty negatives and just folds the table — those cap slots wait for
-    * a rebuild), never an undercounted bucket.
+    * The negative rows are stamped `wm = -(current epoch)` — BELOW every
+    * real watermark, so they are visible to occupancy reads at EVERY
+    * watermark. That is the consistent choice: the purge physically
+    * removed the band/bucket rows, so every reader — including a
+    * replaying governed batch — sees the post-purge table, and its
+    * occupancy view must match it. The epoch makes each purge's rows
+    * unique: two purges of equal drop counts in the same bucket with no
+    * ingest in between would otherwise emit byte-identical rows, which
+    * the occupancy compaction layout's replay-duplicate fold
+    * (`dropDuplicates`) would wrongly collapse into one. Batch-appended
+    * deltas never interact with the negatives: their rows are positive,
+    * and the governed replay-presence probe counts positive rows only.
+    * Crash windows are conservative by construction: dying before this
+    * epilogue leaves the tombstones pending (rows already dropped; the
+    * re-run computes empty negatives and just folds the table — those
+    * cap slots wait for a rebuild), never an undercounted bucket.
     */
   private def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
                               path: String, negOcc: Option[DataFrame],
-                              stamp: Long,
                               files: Seq[org.apache.hadoop.fs.Path]): Unit = {
     negOcc.foreach { neg =>
       if (!neg.isEmpty)
-        neg.withColumn("wm", lit(stamp))
+        neg.withColumn("wm", lit(-indexEpoch(spark, path)))
           .write.partitionBy("shard").mode("append")
           .parquet(s"$path/occupancy")
       graft.plans.Checkpoints.free(neg)
@@ -1177,36 +1234,22 @@ object Dedup {
       : Map[String, (Int, Int)] = {
     val ix = readSignatureIndex(spark, path) // validates index + params
     val sharded = if (ix.shards > 0) Seq("shard") else Nil
-    // Pending tombstones: the row-table rewrites drop the deleted rows;
-    // the dropped-bucket counts (negative occupancy deltas) and the
-    // purge stamp are checkpointed from the PRE-rewrite physical tables
-    // — the lazy plans would otherwise read the post-swap files. The
-    // file listing is taken BEFORE the read materializes, so the purge
-    // removes at most what this run provably dropped.
-    val tombFiles = listTombstoneFiles(spark, path)
-    val tomb = readTombstones(spark, path).map(_.localCheckpoint())
-    val negOcc = if (ix.shards > 0) tomb.map { t =>
-      readIndexTable(spark, s"$path/bands")
-        .join(t, Seq("id"), "left_semi")
-        .groupBy(col("shard"), col("band"), col("bkey"))
-        .agg((-count(lit(1))).as("occ"))
-        .localCheckpoint()
-    } else None
-    val stamp = if (tomb.isDefined)
-      watermarkOf(readIndexTable(spark, s"$path/signatures"), "id")
-    else -1L
-    def live(df: DataFrame) = liveRows(df, tomb)
+    // Pending tombstones — prologue/epilogue shared with the SRP twin
+    // (see preparePurge/purgeTombstones for the crash-window and
+    // negative-delta semantics)
+    val purge = preparePurge(spark, path, "bands", Seq("band", "bkey"),
+      ix.shards)
     val res = compactIndexTables(spark, path, targetFileBytes, Seq(
       IndexTableLayout("signatures",
-        (df, n) => live(df).repartitionByRange(n, col("id")),
-        force = tomb.isDefined),
+        (df, n) => purge.live(df).repartitionByRange(n, col("id")),
+        force = purge.force),
       // sharded tables cluster by (shard, key...) and keep their
       // partitionBy("shard") layout — flattening shard to a data column
       // would disable the storage-level pruning sharding exists for
       IndexTableLayout("bands",
-        (df, n) => live(df).repartition(n,
+        (df, n) => purge.live(df).repartition(n,
           (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
-        partitionCols = sharded, force = tomb.isDefined),
+        partitionCols = sharded, force = purge.force),
       // dropDuplicates folds the byte-identical deltas replayed governed
       // attempts append (legit rows are unique on (bucket, wm), so only
       // replay duplicates match on every column)
@@ -1223,10 +1266,7 @@ object Dedup {
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
         (df, n) => df.repartitionByRange(n, col("batch_id")))))
-    tomb.foreach { t =>
-      purgeTombstones(spark, path, negOcc, stamp, tombFiles)
-      graft.plans.Checkpoints.free(t)
-    }
+    finishPurge(spark, path, purge)
     res
   }
 
@@ -1241,28 +1281,17 @@ object Dedup {
       : Map[String, (Int, Int)] = {
     val ix = readSrpIndex(spark, path) // validates the index + params
     val sharded = if (ix.shards > 0) Seq("shard") else Nil
-    // tombstone purge — see compactSignatureIndex
-    val tombFiles = listTombstoneFiles(spark, path)
-    val tomb = readTombstones(spark, path).map(_.localCheckpoint())
-    val negOcc = if (ix.shards > 0) tomb.map { t =>
-      readIndexTable(spark, s"$path/buckets")
-        .join(t, Seq("id"), "left_semi")
-        .groupBy(col("shard"), col("tbl"), col("bkt"))
-        .agg((-count(lit(1))).as("occ"))
-        .localCheckpoint()
-    } else None
-    val stamp = if (tomb.isDefined)
-      watermarkOf(readIndexTable(spark, s"$path/vectors"), "id")
-    else -1L
-    def live(df: DataFrame) = liveRows(df, tomb)
+    // tombstone purge — shared core, see compactSignatureIndex
+    val purge = preparePurge(spark, path, "buckets", Seq("tbl", "bkt"),
+      ix.shards)
     val res = compactIndexTables(spark, path, targetFileBytes, Seq(
       IndexTableLayout("vectors",
-        (df, n) => live(df).repartitionByRange(n, col("id")),
-        force = tomb.isDefined),
+        (df, n) => purge.live(df).repartitionByRange(n, col("id")),
+        force = purge.force),
       IndexTableLayout("buckets",
-        (df, n) => live(df).repartition(n,
+        (df, n) => purge.live(df).repartition(n,
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
-        partitionCols = sharded, force = tomb.isDefined),
+        partitionCols = sharded, force = purge.force),
       IndexTableLayout("occupancy",
         (df, n) => df.dropDuplicates().repartition(n,
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
@@ -1271,10 +1300,7 @@ object Dedup {
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
         (df, n) => df.repartitionByRange(n, col("batch_id")))))
-    tomb.foreach { t =>
-      purgeTombstones(spark, path, negOcc, stamp, tombFiles)
-      graft.plans.Checkpoints.free(t)
-    }
+    finishPurge(spark, path, purge)
     res
   }
 
@@ -3207,8 +3233,16 @@ object Dedup {
       .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
     val late =
       (if (shards > 0 && torn)
+         // POSITIVE rows only: the probe asks "did THIS batch's delta
+         // land" and batch deltas are positive counts by construction.
+         // A purge's negative rows carry wm = -epoch, but guarding on
+         // sign (not stamp) keeps the probe correct even against
+         // historical negative rows written by the round-12 stamp
+         // scheme (pre-rewrite max id — which a torn batch's wAfter
+         // could equal, falsely marking its delta present).
          lateBase.crossJoin(occRaw.agg(
-           count(when(col("wm") === lit(wAfter), 1)).as("n_replay")))
+           count(when(col("wm") === lit(wAfter) && col("occ") > 0, 1))
+             .as("n_replay")))
        else lateBase).head()
     val novelRows = late.getLong(0)
     val deltaPresent = shards > 0 && torn && late.getLong(2) > 0

@@ -173,10 +173,26 @@ object Similarity {
         val t = math.max(1L, 4L * maxTrain * buckets / n)
         base.filter(pmod(hash(col("__oid")), lit(buckets)) < lit(t))
       } else base
+    // Spark-faithful ordering: nulls first (Spark's ASC default) and
+    // BINARY order for strings — String.compareTo is UTF-16 code-unit
+    // order, which diverges from Spark's UTF8String ordering for
+    // supplementary-plane characters. Non-Comparable id types (array/
+    // struct keys) fail loudly with a remedy instead of a bare CCE.
     def lt(a: Any, b: Any): Boolean =
       if (a == null) b != null
       else if (b == null) false
-      else a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      else (a, b) match {
+        case (x: String, y: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(x)
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+        case (x: Comparable[_], _) =>
+          x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+        case _ => throw new IllegalArgumentException(
+          s"trainSample: id type ${a.getClass.getName} has no driver-side " +
+            "ordering — use a scalar id column, or train on a pre-sampled " +
+            "table")
+      }
     picked.collect()
       .sortWith((x, y) => lt(x.get(0), y.get(0)))
       .take(maxTrain)

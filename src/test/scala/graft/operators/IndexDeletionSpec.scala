@@ -273,6 +273,63 @@ class IndexDeletionSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("two equal-count purges emit distinct negative rows that survive " +
+      "the occupancy rewrite's replay-duplicate fold") {
+    val base = Files.createTempDirectory("graft-del-twice").toString
+    val ix = s"$base/ix"
+    try {
+      // fam family: 0, 2, 4 share buckets, so deleting 0 then 2 drops
+      // EQUAL counts (one row) from the same buckets in two purges with
+      // no ingest in between — byte-identical negative rows under a
+      // non-unique stamp, which dropDuplicates would fold into one
+      Dedup.writeSignatureIndex(docs(0L, 2L, 4L), "doc_id", "text", ix, p)
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L))
+      Dedup.compactSignatureIndex(spark, ix)
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(2L))
+      Dedup.compactSignatureIndex(spark, ix)
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+      // force an occupancy rewrite (huge target => parts = 1, file count
+      // above the floor after the appended negative filesets) — the
+      // dropDuplicates replay fold must keep BOTH purges' negatives
+      Dedup.compactSignatureIndex(spark, ix, targetFileBytes = 1L << 40)
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
+  test("a purge between a torn governed attempt and its replay cannot " +
+      "mask the batch's missing occupancy delta") {
+    val base = Files.createTempDirectory("graft-del-torn").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L, 3L), "doc_id", "text",
+        ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(10L, 11L), "doc_id", "text", ix,
+        out, batchId = 1L)
+
+      // torn attempt of batch 2 (doc 21, uniq text — a fam doc would
+      // be legitimately screened against the surviving corpus family):
+      // signatures landed, bands / occupancy delta / ledger did not —
+      // physical max id is now the torn batch's wAfter (21), the exact
+      // value a purge's negative rows must never be mistaken for
+      Dedup.withMinHashSignature(docs(21L), "text", p)
+        .select($"doc_id".as("id"), $"shingles",
+          size($"shingles").as("sz"), $"minhash")
+        .write.mode("append").parquet(s"$ix/signatures")
+
+      // takedown + physical purge land between the crash and the replay
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L))
+      Dedup.compactSignatureIndex(spark, ix)
+
+      // replay: torn path; the replay-presence probe must not read the
+      // purge's negative rows as "this batch's delta already landed"
+      val s = Dedup.ingestBatchWithIndex(docs(21L), "doc_id", "text", ix,
+        out, batchId = 2L)
+      assert(!s.replayed && s.novelRows == 1L, s"$s")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
   test("governed ingest keeps exactly-once across a mid-stream delete; " +
       "a deleted doc stops suppressing later near-duplicates") {
     val base = Files.createTempDirectory("graft-del-gov").toString
