@@ -699,9 +699,13 @@ object Dedup {
   // (the batch's committed watermark). Delta boundaries are batch
   // boundaries, so the filtered sum equals the committed band count per
   // bucket — and a replayed batch sees the exact occupancy its first
-  // attempt saw, whatever later batches appended. Deltas are never folded
-  // across `wm` (compaction re-files them, preserving rows): folding
-  // would break the replay filter.
+  // attempt saw, whatever later batches appended (a tombstone purge's
+  // NEGATIVE deltas keep this: they are stamped at the max COMMITTED
+  // watermark, above every replayable batch's own watermark — see
+  // purgeTombstones). Deltas are never folded across `wm` (compaction
+  // re-files them; its replay-duplicate fold dedups identical POSITIVE
+  // rows only — see occupancyLayout): folding would break the replay
+  // filter.
 
   /** Raw occupancy delta rows, shard-pruned, no aggregation: the
     * governed path reads this ONCE per batch (checkpointed) and derives
@@ -817,24 +821,35 @@ object Dedup {
   private def liveRows(df: DataFrame, tomb: Option[DataFrame]): DataFrame =
     tomb.fold(df)(t => df.join(t, Seq("id"), "left_anti"))
 
-  /** Drop the previous generation's pending tombstones AND quarantine
-    * directory — an overwrite REBUILD supersedes both: stale tombstones
-    * would hide rows of the new build (its corpus simply omits the
-    * deleted rows), and stale quarantined batches would masquerade as
-    * the new generation's diverted output (an operator re-driving them
-    * would re-process rows that belong to the discarded generation).
-    * Called by the write* builds only. */
+  /** Previous-generation state handling of an overwrite REBUILD:
+    * pending tombstones are DELETED (the new build's corpus simply
+    * omits the deleted rows — stale tombstones would hide rows of the
+    * new generation), while a non-empty quarantine directory makes the
+    * rebuild REFUSE loudly: quarantined batches are diverted raw data
+    * awaiting operator triage, possibly the only copy — silently
+    * destroying them is not this function's call, and letting them
+    * linger would make a stale generation's rows masquerade as the new
+    * one's diverted output. The operator re-drives or removes them
+    * explicitly first. Called by the write* builds only. */
   private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
                               path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
-    Seq(tombstoneDir(path),
-        new org.apache.hadoop.fs.Path(s"$path/quarantine")).foreach { dir =>
-      val fs = dir.getFileSystem(conf)
-      if (fs.exists(dir))
-        require(fs.delete(dir, true),
-          s"rebuild: could not clear stale $dir")
-    }
+    val qdir = quarantineDir(path)
+    val qfs = qdir.getFileSystem(conf)
+    require(!qfs.exists(qdir) || qfs.listStatus(qdir).isEmpty,
+      s"rebuild: $qdir holds quarantined batches from the previous " +
+        "generation — re-drive or remove them before rebuilding (they " +
+        "are raw diverted data; a rebuild will not silently destroy " +
+        "them)")
+    val tdir = tombstoneDir(path)
+    val tfs = tdir.getFileSystem(conf)
+    if (tfs.exists(tdir))
+      require(tfs.delete(tdir, true),
+        s"rebuild: could not clear stale tombstone table $tdir")
   }
+
+  private[graft] def quarantineDir(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/quarantine")
 
   /** Data files currently in the tombstone table (empty when absent). */
   private def listTombstoneFiles(spark: org.apache.spark.sql.SparkSession,
@@ -951,31 +966,50 @@ object Dedup {
     * table, which is already purged), then fold the tombstone table
     * away. `negOcc` was checkpointed from the PRE-rewrite bucket table.
     *
-    * The negative rows are stamped `wm = -(current epoch)` — BELOW every
-    * real watermark, so they are visible to occupancy reads at EVERY
-    * watermark. That is the consistent choice: the purge physically
-    * removed the band/bucket rows, so every reader — including a
-    * replaying governed batch — sees the post-purge table, and its
-    * occupancy view must match it. The epoch makes each purge's rows
-    * unique: two purges of equal drop counts in the same bucket with no
-    * ingest in between would otherwise emit byte-identical rows, which
-    * the occupancy compaction layout's replay-duplicate fold
-    * (`dropDuplicates`) would wrongly collapse into one. Batch-appended
-    * deltas never interact with the negatives: their rows are positive,
-    * and the governed replay-presence probe counts positive rows only.
-    * Crash windows are conservative by construction: dying before this
-    * epilogue leaves the tombstones pending (rows already dropped; the
-    * re-run computes empty negatives and just folds the table — those
-    * cap slots wait for a rebuild), never an undercounted bucket.
+    * STAMP = the max COMMITTED ledger watermark at purge time (the
+    * bootstrap/no-ledger fallback is Long.MinValue — no governed
+    * history predates the purge there, so always-visible is
+    * trivially consistent). This picks exactly the right visibility
+    * set:
+    *  - every FUTURE governed batch reads at w ≥ the stamp, so the
+    *    caps re-open;
+    *  - a REPLAY of a committed batch reads at its own
+    *    watermark_before < the stamp, so it keeps seeing precisely the
+    *    occupancy its first attempt saw — its recomputed capped set
+    *    (and therefore the self-healing anti-join and the skipped
+    *    delta) stay bit-identical to the first attempt, the module's
+    *    replay contract;
+    *  - the in-flight uncommitted batch (w = the stamp) sees the
+    *    negatives on every attempt from the purge onward — the
+    *    documented self-healing divergence case.
+    * Batch-appended deltas never interact with the negatives: their
+    * rows are positive, the governed replay-presence probe counts
+    * positive rows only, and the occupancy compaction layout's
+    * replay-duplicate fold runs on positive rows only (negatives pass
+    * through verbatim — two equal-count purges legitimately emit
+    * identical rows, and both must survive). Crash windows are
+    * conservative by construction: dying before this epilogue leaves
+    * the tombstones pending (rows already dropped; the re-run computes
+    * empty negatives and just folds the table — those cap slots wait
+    * for a rebuild), never an undercounted bucket.
     */
   private def purgeTombstones(spark: org.apache.spark.sql.SparkSession,
                               path: String, negOcc: Option[DataFrame],
                               files: Seq[org.apache.hadoop.fs.Path]): Unit = {
     negOcc.foreach { neg =>
-      if (!neg.isEmpty)
-        neg.withColumn("wm", lit(-indexEpoch(spark, path)))
+      if (!neg.isEmpty) {
+        val ldir = new org.apache.hadoop.fs.Path(s"$path/ingest_ledger")
+        val lfs = ldir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val stamp =
+          if (lfs.exists(ldir)) {
+            val r = readIndexTable(spark, ldir.toString)
+              .agg(max(col("watermark_after"))).head()
+            if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+          } else Long.MinValue
+        neg.withColumn("wm", lit(stamp))
           .write.partitionBy("shard").mode("append")
           .parquet(s"$path/occupancy")
+      }
       graft.plans.Checkpoints.free(neg)
     }
     val dir = tombstoneDir(path)
@@ -1232,6 +1266,11 @@ object Dedup {
                             path: String,
                             targetFileBytes: Long = 128L << 20)
       : Map[String, (Int, Int)] = {
+    // Heal a torn previous compaction BEFORE anything reads the tables:
+    // readSignatureIndex / preparePurge materialize eagerly, and a table
+    // stranded in a swap-marker directory would fail them before
+    // compactIndexTables' own (now redundant) in-flight heal could run.
+    recoverCompaction(spark, path)
     val ix = readSignatureIndex(spark, path) // validates index + params
     val sharded = if (ix.shards > 0) Seq("shard") else Nil
     // Pending tombstones — prologue/epilogue shared with the SRP twin
@@ -1250,13 +1289,7 @@ object Dedup {
         (df, n) => purge.live(df).repartition(n,
           (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
         partitionCols = sharded, force = purge.force),
-      // dropDuplicates folds the byte-identical deltas replayed governed
-      // attempts append (legit rows are unique on (bucket, wm), so only
-      // replay duplicates match on every column)
-      IndexTableLayout("occupancy",
-        (df, n) => df.dropDuplicates().repartition(n,
-          (sharded.map(col) ++ Seq(col("band"), col("bkey"))): _*),
-        partitionCols = sharded),
+      occupancyLayout(sharded, Seq("band", "bkey")),
       // the ingest ledger / stats tables accrete one tiny file per
       // committed batch — same small-files decay, same cure (rows
       // preserved verbatim); absent tables skip as (0, 0). Epoch claim
@@ -1279,6 +1312,8 @@ object Dedup {
                       path: String,
                       targetFileBytes: Long = 128L << 20)
       : Map[String, (Int, Int)] = {
+    // pre-read heal — see compactSignatureIndex
+    recoverCompaction(spark, path)
     val ix = readSrpIndex(spark, path) // validates the index + params
     val sharded = if (ix.shards > 0) Seq("shard") else Nil
     // tombstone purge — shared core, see compactSignatureIndex
@@ -1292,10 +1327,7 @@ object Dedup {
         (df, n) => purge.live(df).repartition(n,
           (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
         partitionCols = sharded, force = purge.force),
-      IndexTableLayout("occupancy",
-        (df, n) => df.dropDuplicates().repartition(n,
-          (sharded.map(col) ++ Seq(col("tbl"), col("bkt"))): _*),
-        partitionCols = sharded),
+      occupancyLayout(sharded, Seq("tbl", "bkt")),
       IndexTableLayout("ingest_ledger",
         (df, n) => df.repartitionByRange(n, col("batch_id"))),
       IndexTableLayout("ingest_stats",
@@ -1303,6 +1335,23 @@ object Dedup {
     finishPurge(spark, path, purge)
     res
   }
+
+  /** The occupancy table's compaction recipe, shared by both index
+    * families. The replay-duplicate fold (`dropDuplicates` — a replayed
+    * governed attempt can append a byte-identical positive delta)
+    * applies to POSITIVE rows only: a purge's negative rows are written
+    * exactly once per purge by construction (a crashed epilogue re-run
+    * recomputes EMPTY drop counts from the already-purged table), and
+    * two equal-count purges legitimately emit identical negative rows
+    * that must BOTH survive — folding them would silently add occupancy
+    * back. */
+  private def occupancyLayout(sharded: Seq[String],
+                              keyCols: Seq[String]): IndexTableLayout =
+    IndexTableLayout("occupancy",
+      (df, n) => df.filter(col("occ") > 0).dropDuplicates()
+        .unionByName(df.filter(col("occ") <= 0))
+        .repartition(n, (sharded.map(col) ++ keyCols.map(col)): _*),
+      partitionCols = sharded)
 
   /** Fragmentation-measured compaction trigger: compact ONLY when the
     * index has measurably decayed — the auto mode of the governed
@@ -3190,7 +3239,7 @@ object Dedup {
       indexPath: String, batchId: Long, front: BatchFront,
       claimed: Long): IngestBatchStats = {
     b.write.mode("overwrite")
-      .parquet(s"$indexPath/quarantine/batch_id=$batchId")
+      .parquet(s"${quarantineDir(indexPath)}/batch_id=$batchId")
     if (!front.replayed) {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, front.w, front.w,

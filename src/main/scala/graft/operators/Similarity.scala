@@ -176,27 +176,30 @@ object Similarity {
     // Spark-faithful ordering: nulls first (Spark's ASC default) and
     // BINARY order for strings — String.compareTo is UTF-16 code-unit
     // order, which diverges from Spark's UTF8String ordering for
-    // supplementary-plane characters. Non-Comparable id types (array/
-    // struct keys) fail loudly with a remedy instead of a bare CCE.
+    // supplementary-plane characters, so string keys are converted to
+    // UTF8String ONCE per row (not per comparison) before the sort.
+    // Non-Comparable id types (array/struct keys) fail loudly with a
+    // remedy instead of a bare ClassCastException.
+    val keyed = picked.collect().map { r =>
+      val k = r.get(0) match {
+        case s: String => org.apache.spark.unsafe.types.UTF8String.fromString(s)
+        case x => x
+      }
+      (k, r)
+    }
     def lt(a: Any, b: Any): Boolean =
       if (a == null) b != null
       else if (b == null) false
-      else (a, b) match {
-        case (x: String, y: String) =>
-          org.apache.spark.unsafe.types.UTF8String.fromString(x)
-            .compareTo(
-              org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
-        case (x: Comparable[_], _) =>
-          x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
+      else a match {
+        case x: Comparable[_] => x.asInstanceOf[Comparable[Any]].compareTo(b) < 0
         case _ => throw new IllegalArgumentException(
           s"trainSample: id type ${a.getClass.getName} has no driver-side " +
             "ordering — use a scalar id column, or train on a pre-sampled " +
             "table")
       }
-    picked.collect()
-      .sortWith((x, y) => lt(x.get(0), y.get(0)))
+    keyed.sortWith((x, y) => lt(x._1, y._1))
       .take(maxTrain)
-      .map(_.getSeq[Float](1).toArray)
+      .map(_._2.getSeq[Float](1).toArray)
   }
 
   def trainCentroids(emb: DataFrame, idCol: String, vecCol: String,

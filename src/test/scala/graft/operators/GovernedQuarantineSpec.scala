@@ -92,6 +92,28 @@ class GovernedQuarantineSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("an overwrite rebuild refuses while quarantined batches await " +
+      "triage (raw diverted data is never silently destroyed)") {
+    val base = Files.createTempDirectory("graft-q-rebuild").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      val e = intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      }
+      assert(e.getMessage.contains("quarantine"))
+      // after the operator removes the quarantined data, rebuild works
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$ix/quarantine"), true)
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      assert(spark.read.parquet(s"$ix/signatures").count() == 3L)
+    } finally rmrf(base)
+  }
+
   test("quarantine mode diverts non-castable ids (both loop flavors)") {
     val base = Files.createTempDirectory("graft-q-cast").toString
     val ix = s"$base/ix"; val out = s"$base/out"

@@ -330,6 +330,69 @@ class IndexDeletionSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a purge between a COMMITTED batch and its replay leaves the " +
+      "replay bit-identical (negatives invisible below the committed " +
+      "watermark); the freed cap slots open for the NEXT fresh batch") {
+    val base = Files.createTempDirectory("graft-del-replay").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    // threshold ~1: family docs band-collide (shared buckets fill the
+    // cap) but fail exact-Jaccard verification, so they are admitted as
+    // novel instead of screened — the only way to contest cap slots
+    // through the governed path
+    val pc = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.999, maxBucket = 3)
+    def bandSet() = spark.read.parquet(s"$ix/bands")
+      .select("id", "band", "bkey").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    try {
+      // corpus fam 0,2,4 fills the shared buckets to the cap
+      Dedup.writeSignatureIndex(docs(0L, 2L, 4L), "doc_id", "text", ix, pc)
+      Dedup.initIngestLedger(spark, ix)
+      val atCap = spark.read.parquet(s"$ix/bands")
+        .groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+        .filter($"c" === 3).select("band", "bkey").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+      assert(atCap.nonEmpty, "fixture: shared buckets must be at cap")
+
+      // batch 1 commits: fam 10,12 are novel (verification fails at
+      // 0.999) but their rows in the AT-CAP shared buckets are capped
+      // out (their unshared tail-token buckets still admit); uniq 11
+      // supplies a positive occupancy delta at the batch watermark
+      val s1 = Dedup.ingestBatchWithIndex(docs(10L, 11L, 12L), "doc_id",
+        "text", ix, out, batchId = 1L)
+      assert(s1.novelRows == 3L, s"$s1")
+      val bandsAfter1 = bandSet()
+      assert(!bandsAfter1.exists(r =>
+          (r._1 == 10L || r._1 == 12L) && atCap((r._2, r._3))),
+        "fixture: batch rows in the at-cap buckets must be capped out")
+
+      // takedown + purge free two slots per shared bucket
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L, 2L))
+      Dedup.compactSignatureIndex(spark, ix)
+      val bandsAfterPurge = bandSet()
+      assert(bandsAfterPurge ==
+        bandsAfter1.filterNot(r => r._1 == 0L || r._1 == 2L))
+
+      // replay of the COMMITTED batch 1: its occupancy view must be the
+      // FIRST attempt's (negatives stamped above its watermark), so the
+      // capped-out rows stay out and nothing is appended
+      val s1r = Dedup.ingestBatchWithIndex(docs(10L, 11L, 12L), "doc_id",
+        "text", ix, out, batchId = 1L)
+      assert(s1r.replayed && s1r.novelRows == 3L, s"$s1r")
+      assert(bandSet() == bandsAfterPurge,
+        "a replay after the purge must not re-admit capped-out rows")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+
+      // a FRESH batch sees the re-opened slots
+      val s2 = Dedup.ingestBatchWithIndex(docs(20L), "doc_id", "text",
+        ix, out, batchId = 2L)
+      assert(s2.novelRows == 1L, s"$s2")
+      assert(bandSet().exists(r => r._1 == 20L && atCap((r._2, r._3))),
+        "the freed cap slots must admit the next fresh batch's rows")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
   test("governed ingest keeps exactly-once across a mid-stream delete; " +
       "a deleted doc stops suppressing later near-duplicates") {
     val base = Files.createTempDirectory("graft-del-gov").toString
