@@ -836,7 +836,11 @@ object Dedup {
     val conf = spark.sparkContext.hadoopConfiguration
     val qdir = quarantineDir(path)
     val qfs = qdir.getFileSystem(conf)
-    require(!qfs.exists(qdir) || qfs.listStatus(qdir).isEmpty,
+    // marker files (_SUCCESS etc.) don't count as quarantined batches —
+    // same tolerance as the tombstone-table emptiness check
+    require(!qfs.exists(qdir) || qfs.listStatus(qdir).forall { s =>
+        val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      },
       s"rebuild: $qdir holds quarantined batches from the previous " +
         "generation — re-drive or remove them before rebuilding (they " +
         "are raw diverted data; a rebuild will not silently destroy " +
@@ -974,11 +978,15 @@ object Dedup {
     *  - every FUTURE governed batch reads at w ≥ the stamp, so the
     *    caps re-open;
     *  - a REPLAY of a committed batch reads at its own
-    *    watermark_before < the stamp, so it keeps seeing precisely the
-    *    occupancy its first attempt saw — its recomputed capped set
+    *    watermark_before, which is strictly below the stamp for every
+    *    batch that PROCESSED rows — so it keeps seeing precisely the
+    *    occupancy its first attempt saw and its recomputed capped set
     *    (and therefore the self-healing anti-join and the skipped
     *    delta) stay bit-identical to the first attempt, the module's
-    *    replay contract;
+    *    replay contract. (An EMPTY or QUARANTINED latest batch has
+    *    watermark_before == watermark_after == the stamp, so its
+    *    replay does see the negatives — harmless, because such a
+    *    replay touches neither bands nor occupancy.);
     *  - the in-flight uncommitted batch (w = the stamp) sees the
     *    negatives on every attempt from the purge onward — the
     *    documented self-healing divergence case.
@@ -1348,8 +1356,16 @@ object Dedup {
   private def occupancyLayout(sharded: Seq[String],
                               keyCols: Seq[String]): IndexTableLayout =
     IndexTableLayout("occupancy",
-      (df, n) => df.filter(col("occ") > 0).dropDuplicates()
-        .unionByName(df.filter(col("occ") <= 0))
+      // ONE scan: a per-row disambiguator on the negative rows exempts
+      // them from the fold (identical positives share uid 0 and
+      // collapse; every negative is unique by construction) — a
+      // filter + union formulation would read the small-files-decayed
+      // directory twice, the exact cost compaction is curing
+      (df, n) => df
+        .withColumn("__uid", when(col("occ") > 0, lit(0L))
+          .otherwise(monotonically_increasing_id()))
+        .dropDuplicates()
+        .drop("__uid")
         .repartition(n, (sharded.map(col) ++ keyCols.map(col)): _*),
       partitionCols = sharded)
 
@@ -3264,16 +3280,25 @@ object Dedup {
     * watermark: a governed read at any later watermark w' >= wAfter
     * counts it, a replay of THIS batch (filtering wm <= its own w) does
     * not — and the presence check makes a replayed delta append a no-op.
-    * The delta is the FULL expected set, not the healed remainder: a
-    * torn first attempt may have appended the bucket rows but not the
-    * delta (append order proves a CLEAN batch cannot have a pre-existing
-    * delta, so the presence probe only runs when torn).
+    * The delta is normally the FULL expected set, not the healed
+    * remainder: a torn first attempt may have appended the bucket rows
+    * but not the delta (append order proves a CLEAN batch cannot have a
+    * pre-existing delta, so the presence probe only runs when torn).
+    * The ONE exception: when the first attempt's delta IS present but
+    * this attempt's self-healing anti-join appended additional bucket
+    * rows (`healedAppend` nonempty — possible only when a tombstone
+    * purge re-opened cap slots between the torn attempt and this
+    * replay), a SUPPLEMENTARY delta covering exactly the healed
+    * remainder lands too: first-attempt counts + remainder counts =
+    * this attempt's full expected set = the physical rows, keeping the
+    * side table in parity with the bucket table it describes.
     *
     * @return the batch's novel row count
     */
   private def finishGovernedBatch(spark: org.apache.spark.sql.SparkSession,
                                   indexPath: String, novel: DataFrame,
-                                  capped: DataFrame, occRaw: DataFrame,
+                                  capped: DataFrame, healedAppend: DataFrame,
+                                  occRaw: DataFrame,
                                   keyCols: Seq[String], shards: Int,
                                   torn: Boolean, w: Long, wAfter: Long,
                                   replayed: Boolean, claimed: Long,
@@ -3284,20 +3309,27 @@ object Dedup {
       (if (shards > 0 && torn)
          // POSITIVE rows only: the probe asks "did THIS batch's delta
          // land" and batch deltas are positive counts by construction.
-         // A purge's negative rows carry wm = -epoch, but guarding on
-         // sign (not stamp) keeps the probe correct even against
-         // historical negative rows written by the round-12 stamp
-         // scheme (pre-rewrite max id — which a torn batch's wAfter
-         // could equal, falsely marking its delta present).
+         // A purge's negative rows are stamped at the max COMMITTED
+         // watermark (see purgeTombstones), which CAN equal a torn
+         // batch's wAfter — guarding on sign (not stamp) keeps the
+         // probe correct against them, and against historical negative
+         // rows written by earlier stamp schemes.
          lateBase.crossJoin(occRaw.agg(
            count(when(col("wm") === lit(wAfter) && col("occ") > 0, 1))
              .as("n_replay")))
        else lateBase).head()
     val novelRows = late.getLong(0)
     val deltaPresent = shards > 0 && torn && late.getLong(2) > 0
-    if (shards > 0 && late.getLong(1) > 0 && !deltaPresent)
-      appendOccupancyDelta(spark, indexPath, capped, keyCols, shards,
-        wAfter)
+    if (shards > 0 && late.getLong(1) > 0) {
+      if (!deltaPresent)
+        appendOccupancyDelta(spark, indexPath, capped, keyCols, shards,
+          wAfter)
+      else if (!healedAppend.isEmpty)
+        // supplementary delta for the purge-re-opened remainder — see
+        // the scaladoc above; rare path (torn + present + nonempty heal)
+        appendOccupancyDelta(spark, indexPath, healedAppend, keyCols,
+          shards, wAfter)
+    }
     // Ledger row LAST — the commit marker; the epoch re-check makes a
     // compaction landing mid-batch abort (and replay) this batch instead
     // of letting it commit over a moved index.
@@ -3475,8 +3507,8 @@ object Dedup {
     // finishGovernedBatch
     val wAfter = front.wAfter
     val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
-      occRaw, Seq("band", "bkey"), ix.shards, torn, w, wAfter, replayed,
-      claimed, batchId)
+      bandAppend, occRaw, Seq("band", "bkey"), ix.shards, torn, w, wAfter,
+      replayed, claimed, batchId)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(b)
@@ -3700,8 +3732,8 @@ object Dedup {
     // LATE FOLD + occupancy delta + ledger commit — see
     // finishGovernedBatch
     val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
-      occRaw, Seq("tbl", "bkt"), ix.shards, torn, w, wAfter, replayed,
-      claimed, batchId)
+      bucketAppend, occRaw, Seq("tbl", "bkt"), ix.shards, torn, w, wAfter,
+      replayed, claimed, batchId)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(b)

@@ -393,6 +393,52 @@ class IndexDeletionSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a purge before the replay of a torn batch WITH its delta " +
+      "already landed: the healed remainder gets a supplementary delta " +
+      "(occupancy stays in parity with the re-opened-cap band rows)") {
+    val base = Files.createTempDirectory("graft-del-tornd").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    val pc = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+      threshold = 0.999, maxBucket = 3)
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 2L, 4L), "doc_id", "text", ix, pc)
+      Dedup.initIngestLedger(spark, ix)
+
+      // batch 1 runs to completion (bands AND occupancy delta landed),
+      // then the crash is simulated by removing only its ledger row —
+      // the torn-with-delta state
+      Dedup.ingestBatchWithIndex(docs(10L, 11L, 12L), "doc_id", "text",
+        ix, out, batchId = 1L)
+      val ldir = new org.apache.hadoop.fs.Path(s"$ix/ingest_ledger")
+      val fs = ldir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val removed = fs.listStatus(ldir)
+        .filter(_.getPath.getName.startsWith("ledger-1-"))
+      assert(removed.nonEmpty, "fixture: batch 1's ledger row must exist")
+      removed.foreach(s => require(fs.delete(s.getPath, false)))
+
+      // takedown + purge re-open the shared-bucket cap slots BEFORE the
+      // replay
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L, 2L))
+      Dedup.compactSignatureIndex(spark, ix)
+
+      // replay (fresh path — no ledger row): sees the re-opened caps,
+      // heals the newly-admitted band rows, and MUST append a
+      // supplementary delta for exactly that remainder — the first
+      // attempt's delta alone would leave occupancy undercounting the
+      // physical band table forever
+      val s = Dedup.ingestBatchWithIndex(docs(10L, 11L, 12L), "doc_id",
+        "text", ix, out, batchId = 1L)
+      assert(!s.replayed && s.novelRows == 3L, s"$s")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+
+      // and the loop continues cleanly
+      val s2 = Dedup.ingestBatchWithIndex(docs(21L), "doc_id", "text",
+        ix, out, batchId = 2L)
+      assert(s2.novelRows == 1L, s"$s2")
+      occupancyMatchesRecomputed(ix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
   test("governed ingest keeps exactly-once across a mid-stream delete; " +
       "a deleted doc stops suppressing later near-duplicates") {
     val base = Files.createTempDirectory("graft-del-gov").toString
