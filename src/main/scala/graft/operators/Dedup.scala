@@ -3380,7 +3380,21 @@ object Dedup {
     // `w`: the self-healing anti-joins and the occupancy replay-presence
     // probe are all skipped on the clean path (the overwhelmingly common
     // one), and only a genuinely torn or replayed batch pays for healing.
-    val torn = !ix.signatures.filter(col("id") > lit(w)).isEmpty
+    //
+    // PHYSICAL table, never the tombstone-filtered `ix` view: a takedown
+    // landing between a torn crash and this replay can tombstone exactly
+    // the ids the crash wrote past `w`, and the filtered view would then
+    // read an empty tail — torn = false — and re-append their signature
+    // and band rows PLUS a second positive occupancy delta over physical
+    // rows the purge will subtract only once (occupancy drifts negative,
+    // caps over-admit). Replay/monotonicity machinery reads physical
+    // tables (the same invariant as the max-id and ledger bootstraps);
+    // the filtered view serves probe/committed semantics only. On a
+    // clean index this is the SAME row-group-pruned scan minus the
+    // anti-join, so the fast path got cheaper, not slower.
+    val physSigTail = readIndexTable(spark, s"$indexPath/signatures")
+      .filter(col("id") > lit(w))
+    val torn = !physSigTail.isEmpty
 
     // Touched shards of the WHOLE batch, collected once and shared by
     // the cross-index probe, the occupancy read and the band-tail filter
@@ -3461,8 +3475,10 @@ object Dedup {
       .select(col(idCol).as("id"), col("shingles"),
         size(col("shingles")).as("sz"), col("minhash"))
     (if (torn)
-       newSigs.join(ix.signatures.filter(col("id") > lit(w)).select("id"),
-         Seq("id"), "left_anti")
+       // heal against the PHYSICAL tail (see the torn-check note): rows
+       // the crash wrote and a takedown since tombstoned are still on
+       // disk and must not be appended twice
+       newSigs.join(physSigTail.select("id"), Seq("id"), "left_anti")
      else newSigs)
       .write.mode("append").parquet(s"$indexPath/signatures")
     val batchBands = newSigs.select(col("id"), explode(bandStructs).as("bk"))
@@ -3494,7 +3510,9 @@ object Dedup {
       .localCheckpoint()
     val bandAppend =
       if (torn) {
-        val tail = ix.bands.filter(col("id") > lit(w))
+        // physical band tail, same reason as the signature heal above
+        val tail = readIndexTable(spark, s"$indexPath/bands")
+          .filter(col("id") > lit(w))
         val tailPruned =
           if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
         capped.join(tailPruned.select("id", "band", "bkey"),
@@ -3633,7 +3651,12 @@ object Dedup {
     // TORN-TAIL CHECK — append order is vectors → buckets → occupancy →
     // ledger, so an empty vector tail proves the clean path (see the
     // MinHash twin); row-group stats make this ~free on a clean index.
-    val torn = !ix.vectors.filter(col("id") > lit(w)).isEmpty
+    // PHYSICAL table, not the tombstone-filtered `ix` view — a takedown
+    // of the crashed append's own ids must not mask the torn tail (see
+    // the MinHash twin's torn-check note for the full failure chain).
+    val physVecTail = readIndexTable(spark, s"$indexPath/vectors")
+      .filter(col("id") > lit(w))
+    val torn = !physVecTail.isEmpty
 
     // Touched shards of the batch's MULTI-PROBE bucket set (base + every
     // Hamming-1 flip), collected once and shared by the cross-index
@@ -3697,8 +3720,8 @@ object Dedup {
     val newVecs = novel.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
     (if (torn)
-       newVecs.join(ix.vectors.filter(col("id") > lit(w)).select("id"),
-         Seq("id"), "left_anti")
+       // physical-tail heal — see the MinHash twin
+       newVecs.join(physVecTail.select("id"), Seq("id"), "left_anti")
      else newVecs)
       .write.mode("append").parquet(s"$indexPath/vectors")
     val batchBuckets = newVecs.select(col("id"),
@@ -3719,7 +3742,9 @@ object Dedup {
       .localCheckpoint()
     val bucketAppend =
       if (torn) {
-        val tail = ix.buckets.filter(col("id") > lit(w))
+        // physical bucket tail — see the MinHash twin
+        val tail = readIndexTable(spark, s"$indexPath/buckets")
+          .filter(col("id") > lit(w))
         val tailPruned =
           if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
         capped.join(tailPruned.select("id", "tbl", "bkt"),

@@ -521,4 +521,182 @@ class IndexDeletionSpec extends SparkSpec {
       occupancyMatchesRecomputed(ix, "buckets", Seq("tbl", "bkt"))
     } finally rmrf(base)
   }
+
+  /** Data files under `root`, recursive, markers excluded. */
+  private def listDataFiles(root: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else {
+      val it = fs.listFiles(dir, true)
+      val b = Set.newBuilder[String]
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (!f.getName.startsWith("_") && !f.getName.startsWith("."))
+          b += f.toString
+      }
+      b.result()
+    }
+  }
+
+  private def deleteFiles(paths: Set[String]): Unit = {
+    assert(paths.nonEmpty, "fixture: the simulated crash must remove files")
+    paths.foreach { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      require(fs.delete(p, false), s"fixture: could not delete $f")
+    }
+  }
+
+  test("a takedown of ALL ids written by a torn (uncommitted) append " +
+      "cannot mask the torn tail: the replay heals against PHYSICAL " +
+      "tables and ends bit-identical to the never-crashed run") {
+    val base = Files.createTempDirectory("graft-del-tornmask").toString
+    val crashed = s"$base/crashed"; val clean = s"$base/clean"
+    def contentOf(path: String) = (
+      spark.read.parquet(s"$path/signatures").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted,
+      spark.read.parquet(s"$path/bands").select("id", "band", "bkey")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted,
+      spark.read.parquet(s"$path/occupancy")
+        .select("band", "bkey", "occ", "wm").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted,
+      spark.read.parquet(s"$path/ingest_ledger")
+        .select("batch_id", "watermark_before", "watermark_after",
+          "novel_rows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted)
+    def driveTo(ixPath: String, outPath: String): Unit = {
+      Dedup.writeSignatureIndex(docs(0L to 3L: _*), "doc_id", "text",
+        ixPath, p)
+      Dedup.initIngestLedger(spark, ixPath)
+      Dedup.ingestBatchWithIndex(docs(10L, 11L), "doc_id", "text", ixPath,
+        outPath, batchId = 1L)
+    }
+    try {
+      driveTo(s"$crashed/ix", s"$crashed/out")
+      driveTo(s"$clean/ix", s"$clean/out")
+      val cix = s"$crashed/ix"
+
+      // batch 2 runs fully, then the crash is simulated by removing its
+      // occupancy delta files and ledger row — the torn-BEFORE-delta
+      // state (signatures + bands on disk, delta + ledger missing)
+      val occBefore = listDataFiles(s"$cix/occupancy")
+      val ledBefore = listDataFiles(s"$cix/ingest_ledger")
+      Dedup.ingestBatchWithIndex(docs(21L, 23L), "doc_id", "text", cix,
+        s"$crashed/out", batchId = 2L)
+      deleteFiles(listDataFiles(s"$cix/occupancy") -- occBefore)
+      deleteFiles(listDataFiles(s"$cix/ingest_ledger") -- ledBefore)
+
+      // takedown of EXACTLY the torn ids: the tombstone-filtered index
+      // view reads an EMPTY tail past the watermark — only a physical
+      // read can still see the tear
+      Dedup.deleteFromSignatureIndex(spark, cix, Seq(21L, 23L))
+
+      // replay: must detect the tear, heal (no duplicate rows), append
+      // ONE delta, and commit
+      val s = Dedup.ingestBatchWithIndex(docs(21L, 23L), "doc_id", "text",
+        cix, s"$crashed/out", batchId = 2L)
+      assert(!s.replayed && s.novelRows == 2L, s"$s")
+      val sigIds = spark.read.parquet(s"$cix/signatures").select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(sigIds.distinct.size == sigIds.size,
+        s"replay re-appended signature rows over the torn tail: $sigIds")
+
+      // the never-crashed twin: same batches, then the same takedown
+      Dedup.ingestBatchWithIndex(docs(21L, 23L), "doc_id", "text",
+        s"$clean/ix", s"$clean/out", batchId = 2L)
+      Dedup.deleteFromSignatureIndex(spark, s"$clean/ix", Seq(21L, 23L))
+      assert(contentOf(cix) == contentOf(s"$clean/ix"),
+        "crashed+healed index must be bit-identical to the never-crashed " +
+          "run")
+
+      // the physical purge nets out exactly (no negative drift) and the
+      // loop continues
+      Dedup.compactSignatureIndex(spark, cix)
+      occupancyMatchesRecomputed(cix, "bands", Seq("band", "bkey"))
+      val s3 = Dedup.ingestBatchWithIndex(docs(31L), "doc_id", "text", cix,
+        s"$crashed/out", batchId = 3L)
+      assert(s3.novelRows == 1L, s"$s3")
+      occupancyMatchesRecomputed(cix, "bands", Seq("band", "bkey"))
+    } finally rmrf(base)
+  }
+
+  test("SRP twin: a takedown of a torn append's own ids cannot mask the " +
+      "torn tail (replay heals against physical tables, bit-identical " +
+      "to the never-crashed run)") {
+    val base = Files.createTempDirectory("graft-del-tornmask-srp").toString
+    val crashed = s"$base/crashed"; val clean = s"$base/clean"
+    val dim = 8
+    def vec(seed: Int): Array[Float] = {
+      val r = new scala.util.Random(seed)
+      Array.fill(dim)(r.nextFloat() * 2f - 1f)
+    }
+    def contentOf(path: String) = (
+      spark.read.parquet(s"$path/vectors").select("id").collect()
+        .map(_.getLong(0)).toSeq.sorted,
+      spark.read.parquet(s"$path/buckets").select("id", "tbl", "bkt")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .toSeq.sorted,
+      spark.read.parquet(s"$path/occupancy")
+        .select("tbl", "bkt", "occ", "wm").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted,
+      spark.read.parquet(s"$path/ingest_ledger")
+        .select("batch_id", "watermark_before", "watermark_after",
+          "novel_rows").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sorted)
+    def driveTo(ixPath: String, outPath: String): Unit = {
+      Dedup.writeSrpIndex(
+        Seq((0L, vec(0)), (1L, vec(1))).toDF("id", "v"), "id", "v",
+        ixPath, dim = dim, tables = 4)
+      Dedup.initSrpIngestLedger(spark, ixPath)
+      Dedup.ingestBatchWithSrpIndex(
+        Seq((10L, vec(10)), (11L, vec(11))).toDF("id", "v"), "id", "v",
+        ixPath, outPath, batchId = 1L, threshold = 0.99)
+    }
+    try {
+      driveTo(s"$crashed/ix", s"$crashed/out")
+      driveTo(s"$clean/ix", s"$clean/out")
+      val cix = s"$crashed/ix"
+
+      val occBefore = listDataFiles(s"$cix/occupancy")
+      val ledBefore = listDataFiles(s"$cix/ingest_ledger")
+      Dedup.ingestBatchWithSrpIndex(
+        Seq((21L, vec(21)), (23L, vec(23))).toDF("id", "v"), "id", "v",
+        cix, s"$crashed/out", batchId = 2L, threshold = 0.99)
+      deleteFiles(listDataFiles(s"$cix/occupancy") -- occBefore)
+      deleteFiles(listDataFiles(s"$cix/ingest_ledger") -- ledBefore)
+
+      Dedup.deleteFromSrpIndex(spark, cix, Seq(21L, 23L))
+
+      val s = Dedup.ingestBatchWithSrpIndex(
+        Seq((21L, vec(21)), (23L, vec(23))).toDF("id", "v"), "id", "v",
+        cix, s"$crashed/out", batchId = 2L, threshold = 0.99)
+      assert(!s.replayed && s.novelRows == 2L, s"$s")
+      val vecIds = spark.read.parquet(s"$cix/vectors").select("id")
+        .collect().map(_.getLong(0)).toSeq
+      assert(vecIds.distinct.size == vecIds.size,
+        s"replay re-appended vector rows over the torn tail: $vecIds")
+
+      Dedup.ingestBatchWithSrpIndex(
+        Seq((21L, vec(21)), (23L, vec(23))).toDF("id", "v"), "id", "v",
+        s"$clean/ix", s"$clean/out", batchId = 2L, threshold = 0.99)
+      Dedup.deleteFromSrpIndex(spark, s"$clean/ix", Seq(21L, 23L))
+      assert(contentOf(cix) == contentOf(s"$clean/ix"),
+        "crashed+healed SRP index must be bit-identical to the " +
+          "never-crashed run")
+
+      Dedup.compactSrpIndex(spark, cix)
+      occupancyMatchesRecomputed(cix, "buckets", Seq("tbl", "bkt"))
+      val s3 = Dedup.ingestBatchWithSrpIndex(
+        Seq((30L, vec(30))).toDF("id", "v"), "id", "v", cix,
+        s"$crashed/out", batchId = 3L, threshold = 0.99)
+      assert(s3.novelRows == 1L, s"$s3")
+      occupancyMatchesRecomputed(cix, "buckets", Seq("tbl", "bkt"))
+    } finally rmrf(base)
+  }
 }
