@@ -807,14 +807,30 @@ object Dedup {
     new org.apache.hadoop.fs.Path(s"$path/tombstones")
 
   /** The pending tombstone id set of a persisted index, if any — one
-    * driver-side existence probe per index open. */
+    * driver-side existence probe per index open.
+    *
+    * A marker-only directory (e.g. just `_SUCCESS`) counts as ABSENT: a
+    * purge crashing between folding the last tombstone data file and
+    * removing the directory would otherwise fail schema inference on
+    * every subsequent open, forever. The leftover is removed
+    * opportunistically — but only when every entry is a marker FILE
+    * (an in-flight append's `_temporary` is a directory, so a racing
+    * delete op never loses its tombstones to this sweep; mutations are
+    * epoch-serialized anyway, this is belt-and-braces). */
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
                              path: String): Option[DataFrame] = {
     val dir = tombstoneDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(dir))
+    if (!fs.exists(dir)) None
+    else if (listTombstoneFiles(spark, path).nonEmpty)
       Some(readIndexTable(spark, s"$path/tombstones").select("id"))
-    else None
+    else {
+      if (fs.listStatus(dir).forall(s => s.isFile && {
+          val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        }))
+        fs.delete(dir, true) // best-effort; a failure just lingers
+      None
+    }
   }
 
   /** Anti-join an index row table against the pending tombstones. */
@@ -1357,13 +1373,20 @@ object Dedup {
                               keyCols: Seq[String]): IndexTableLayout =
     IndexTableLayout("occupancy",
       // ONE scan: a per-row disambiguator on the negative rows exempts
-      // them from the fold (identical positives share uid 0 and
+      // them from the fold (identical positives share uid "" and
       // collapse; every negative is unique by construction) — a
       // filter + union formulation would read the small-files-decayed
-      // directory twice, the exact cost compaction is curing
+      // directory twice, the exact cost compaction is curing.
+      // The disambiguator is the row's PHYSICAL identity (source file +
+      // row index), not monotonically_increasing_id(): the latter is
+      // assigned per task attempt, so a stage retry could renumber rows
+      // mid-fold and duplicate or lose negative rows — file/row position
+      // is a pure function of the on-disk layout, stable under any
+      // recomputation of this plan
       (df, n) => df
-        .withColumn("__uid", when(col("occ") > 0, lit(0L))
-          .otherwise(monotonically_increasing_id()))
+        .withColumn("__uid", when(col("occ") > 0, lit(""))
+          .otherwise(concat_ws("#", col("_metadata.file_path"),
+            col("_metadata.row_index"))))
         .dropDuplicates()
         .drop("__uid")
         .repartition(n, (sharded.map(col) ++ keyCols.map(col)): _*),

@@ -522,6 +522,34 @@ class IndexDeletionSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a purge crash that leaves a marker-only tombstones/ dir does not " +
+      "poison subsequent opens (tolerated and opportunistically swept)") {
+    val base = Files.createTempDirectory("graft-del-marker").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(docs(0L to 5L: _*), "doc_id", "text", ix, p)
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(2L))
+      // simulated purge crash: every data file folded, the directory
+      // removal not reached — only the write's _SUCCESS marker remains
+      val dir = new org.apache.hadoop.fs.Path(s"$ix/tombstones")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(dir).filterNot { s =>
+        val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+      }.foreach(s => require(fs.delete(s.getPath, false)))
+      assert(fs.exists(dir), "fixture: the marker-only dir must remain")
+
+      // the open must succeed (previously: schema inference failed on
+      // the empty table, poisoning EVERY subsequent open) and the
+      // leftover must be swept away
+      val probe = pairsOf(Dedup.minHashNearDupPairsIncremental(
+        docs(100L), Dedup.readSignatureIndex(spark, ix), "doc_id", "text",
+        p))
+      assert(probe.nonEmpty, "open after the simulated crash must probe")
+      assert(!fs.exists(dir),
+        "the marker-only tombstone leftover must be swept on open")
+    } finally rmrf(base)
+  }
+
   /** Data files under `root`, recursive, markers excluded. */
   private def listDataFiles(root: String): Set[String] = {
     val dir = new org.apache.hadoop.fs.Path(root)
