@@ -1650,6 +1650,43 @@ object SparkEntry {
         .orderBy(col("vec_id"))
     }),
 
+    // p5 + takedown propagation: after both governed generations commit,
+    // every doc_id ≡ 0 (mod 7) is deleted and scrubOutputs rewrites the
+    // SERVED per-batch output dirs (not just the index) — the privacy-
+    // delete path end to end. Half-corpus slice keeps the entry cheap;
+    // the oracle is the retained-corpus replay.
+    "p7_scrubbed_ingest_outputs" -> ((s, dir) => {
+      val all = T(s, dir, "documents")
+      val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.2)
+      val c0 = all.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val docs = all.filter(col("doc_id") <= c0)
+      val (c1, c2) = (c0 * 3 / 5, c0 * 4 / 5)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_scrub_loop_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ix = s"$base/ix"; val out = s"$base/out"
+      Dedup.writeSignatureIndex(docs.filter(col("doc_id") <= c1),
+        "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(s, ix)
+      Dedup.ingestBatchWithIndex(
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "text", ix, out, batchId = 0L)
+      Dedup.ingestBatchWithIndex(docs.filter(col("doc_id") > c2),
+        "doc_id", "text", ix, out, batchId = 1L)
+      Dedup.deleteFromSignatureIndex(s, ix,
+        docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+        "doc_id")
+      Dedup.scrubOutputs(s, ix, out, "doc_id")
+      s.read.parquet(s"$out/batch_id=0").withColumn("batch_id", lit(0L))
+        .union(s.read.parquet(s"$out/batch_id=1")
+          .withColumn("batch_id", lit(1L)))
+        .select(col("doc_id"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -3561,6 +3598,44 @@ object SparkEntry {
          |SELECT vec_id, CAST(0 AS BIGINT) AS batch_id FROM novela
          |UNION ALL SELECT vec_id, CAST(1 AS BIGINT) AS batch_id FROM novelb
          |ORDER BY vec_id""".stripMargin,
+
+    // p5's replay on the half-corpus slice, minus the takedown set: the
+    // scrub happens AFTER both generations committed, so the screens ran
+    // with the deleted docs present — the served outputs are exactly the
+    // two generations' novel sets with the mod-7 ids removed
+    "p7_scrubbed_ingest_outputs" ->
+      s"""WITH RECURSIVE
+         |half AS (SELECT doc_id, text FROM documents
+         |         WHERE doc_id <= (SELECT max(doc_id)//2 FROM documents)),
+         |${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
+             src = "half")},
+         |cut AS (SELECT (max(doc_id)*3)//5 AS c1, (max(doc_id)*4)//5 AS c2
+         |        FROM half),
+         |dupa AS (SELECT DISTINCT id_b AS id FROM pairs, cut
+         |         WHERE id_a > c1 AND id_a <= c2
+         |           AND id_b > c1 AND id_b <= c2),
+         |crossa AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
+         |           WHERE p.id_a <= cut.c1 AND p.id_b > cut.c1
+         |             AND p.id_b <= cut.c2),
+         |novela AS (SELECT doc_id FROM half, cut
+         |           WHERE doc_id > c1 AND doc_id <= c2
+         |             AND doc_id NOT IN (SELECT id FROM dupa)
+         |             AND doc_id NOT IN (SELECT id FROM crossa)),
+         |dupb AS (SELECT DISTINCT id_b AS id FROM pairs, cut
+         |         WHERE id_a > c2 AND id_b > c2),
+         |crossb AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
+         |           WHERE p.id_b > cut.c2
+         |             AND (p.id_a <= cut.c1
+         |                  OR p.id_a IN (SELECT doc_id FROM novela))),
+         |novelb AS (SELECT doc_id FROM half, cut WHERE doc_id > c2
+         |             AND doc_id NOT IN (SELECT id FROM dupb)
+         |             AND doc_id NOT IN (SELECT id FROM crossb))
+         |SELECT doc_id, batch_id FROM (
+         |  SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM novela
+         |  UNION ALL
+         |  SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM novelb)
+         |WHERE doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin,
 
     // fuzzy dedup: the band blocking is lossless, so the naive quadratic
     // join with the same distance bound is an exact twin

@@ -1053,6 +1053,161 @@ object Dedup {
         s"compact: could not remove empty tombstone table $dir")
   }
 
+  // ---- takedown propagation to the emitted output corpora ----
+  //
+  // The governed loops WRITE data, not just index rows: every committed
+  // batch lands its novel docs under `out/batch_id=N/` — the corpus a
+  // downstream consumer actually serves. deleteFrom*Index retracts index
+  // rows (probes stop matching, compaction reclaims bytes), but for the
+  // privacy-delete story the served data matters more than the index:
+  // scrubOutputs anti-joins every batch output directory against the
+  // PENDING tombstone set and rewrites only the directories with hits.
+  // Run it while the tombstones are pending — compaction folds them
+  // away (the governed streams' in-loop wiring orders scrub before
+  // compaction for exactly this reason). The governed batch itself
+  // re-scrubs its own output directory after a replay, so a replay can
+  // never resurrect scrubbed rows while a tombstone is pending.
+
+  private val ScrubTmpPrefix = "__scrub_tmp_"
+  private val ScrubOldPrefix = "__scrub_old_"
+
+  /** Heal a scrub rewrite's crash window: restore a directory left
+    * stranded mid-swap (live dir absent, original under the old-marker)
+    * and drop orphaned temp copies. Leading underscores keep the marker
+    * directories invisible to every parquet reader of `outPath`. */
+  private def recoverScrubLeftovers(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: org.apache.hadoop.fs.Path): Unit = {
+    if (!fs.exists(root)) return
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(ScrubOldPrefix)) {
+        val live = new org.apache.hadoop.fs.Path(root,
+          n.stripPrefix(ScrubOldPrefix))
+        if (fs.exists(live))
+          require(fs.delete(s.getPath, true),
+            s"scrub recovery: could not drop superseded ${s.getPath}")
+        else
+          require(fs.rename(s.getPath, live),
+            s"scrub recovery: could not restore ${s.getPath} -> $live")
+      }
+    }
+    fs.listStatus(root).foreach { s =>
+      val n = s.getPath.getName
+      if (s.isDirectory && n.startsWith(ScrubTmpPrefix))
+        require(fs.delete(s.getPath, true),
+          s"scrub recovery: could not drop orphaned temp ${s.getPath}")
+    }
+  }
+
+  /** Non-marker data files directly usable under a batch output dir. */
+  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                           dir: org.apache.hadoop.fs.Path): Boolean =
+    fs.exists(dir) && fs.listStatus(dir).exists { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+
+  /** Rewrite ONE batch output directory without its tombstoned rows —
+    * write-to-temp → rename-aside → rename, so the directory's sole copy
+    * never sits in a marker dir a crash could strand unrecoverably
+    * (same swap discipline as index compaction; crashes heal via
+    * [[recoverScrubLeftovers]] on the next scrub). */
+  private def scrubOneOutputDir(spark: org.apache.spark.sql.SparkSession,
+                                fs: org.apache.hadoop.fs.FileSystem,
+                                root: org.apache.hadoop.fs.Path,
+                                dirName: String, idCol: String,
+                                tomb: DataFrame): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, dirName)
+    val tmp = new org.apache.hadoop.fs.Path(root, s"$ScrubTmpPrefix$dirName")
+    val old = new org.apache.hadoop.fs.Path(root, s"$ScrubOldPrefix$dirName")
+    spark.read.parquet(dir.toString)
+      .join(broadcast(tomb), col(idCol).try_cast("long") === col("__tomb_id"),
+        "left_anti")
+      .write.mode("overwrite").parquet(tmp.toString)
+    require(fs.rename(dir, old), s"scrub: could not move aside $dir -> $old")
+    require(fs.rename(tmp, dir), s"scrub: could not swap $tmp -> $dir")
+    require(fs.delete(old, true), s"scrub: could not remove $old")
+  }
+
+  /** Propagate pending takedown deletes to a governed loop's emitted
+    * output corpus: anti-join every `batch_id=N` directory under
+    * `outPath` against the index's PENDING tombstones and rewrite only
+    * the directories with hits. One corpus-wide id scan finds the hit
+    * directories (the tombstone set broadcasts; untouched directories
+    * are never rewritten), then each hit directory is swapped
+    * atomically-enough via rename-aside (crashes self-heal on the next
+    * call). Replay-idempotent: re-running is a no-op once the rows are
+    * gone, and a governed replay of a scrubbed batch re-scrubs its own
+    * directory while the tombstone is pending.
+    *
+    * Call BEFORE compaction purges the tombstones (the governed streams'
+    * in-loop wiring does; see [[graft.streaming.StreamOps]]). Counts as
+    * a mutation under the epoch fence. No-op (zero jobs) when no
+    * tombstones are pending.
+    *
+    * @return number of rows scrubbed from the output corpus
+    */
+  def scrubOutputs(spark: org.apache.spark.sql.SparkSession,
+                   indexPath: String, outPath: String,
+                   idCol: String): Long = {
+    val root = new org.apache.hadoop.fs.Path(outPath)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) return 0L
+    recoverScrubLeftovers(fs, root)
+    readTombstones(spark, indexPath).fold(0L) { t =>
+      val batchDirs = fs.listStatus(root).filter(s =>
+          s.isDirectory && s.getPath.getName.startsWith("batch_id=") &&
+            hasDataFiles(fs, s.getPath))
+        .map(_.getPath).toSeq
+      if (batchDirs.isEmpty) 0L
+      else {
+        claimEpoch(spark, indexPath)
+        val tomb = t.select(col("id").as("__tomb_id")).localCheckpoint()
+        // partition-style dir names make batch_id a real column here;
+        // basePath pins the inference root so explicit leaf paths still
+        // carry it
+        val byName = batchDirs.map(p =>
+          p.getName.stripPrefix("batch_id=") -> p.getName).toMap
+        val hits = spark.read.option("basePath", outPath)
+          .parquet(batchDirs.map(_.toString): _*)
+          .join(broadcast(tomb),
+            col(idCol).try_cast("long") === col("__tomb_id"), "left_semi")
+          .groupBy(col("batch_id")).agg(count(lit(1)).as("n"))
+          .collect()
+        hits.foreach { r =>
+          scrubOneOutputDir(spark, fs, root, byName(r.get(0).toString),
+            idCol, tomb)
+        }
+        graft.plans.Checkpoints.free(tomb)
+        hits.map(_.getAs[Long]("n")).sum
+      }
+    }
+  }
+
+  /** The governed batch's own-output scrub (see [[scrubOutputs]]):
+    * re-applies the pending tombstone anti-join to the directory this
+    * batch just (re)wrote, so a replay cannot resurrect scrubbed rows.
+    * Driver-side existence probe only when no tombstones are pending. */
+  private def scrubBatchOutput(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, outPath: String,
+                               batchId: Long, idCol: String): Unit =
+    readTombstones(spark, indexPath).foreach { t =>
+      val root = new org.apache.hadoop.fs.Path(outPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      recoverScrubLeftovers(fs, root)
+      val dirName = s"batch_id=$batchId"
+      val dir = new org.apache.hadoop.fs.Path(root, dirName)
+      if (hasDataFiles(fs, dir)) {
+        val tomb = t.select(col("id").as("__tomb_id")).localCheckpoint()
+        val dirty = !spark.read.parquet(dir.toString)
+          .join(broadcast(tomb),
+            col(idCol).try_cast("long") === col("__tomb_id"), "left_semi")
+          .limit(1).isEmpty
+        if (dirty) scrubOneOutputDir(spark, fs, root, dirName, idCol, tomb)
+        graft.plans.Checkpoints.free(tomb)
+      }
+    }
+
   /** Build + persist the corpus signature index with ONE corpus text scan:
     * the signature table (shingles + minhash) is written first, then the
     * band table derives from the WRITTEN minhash column — the corpus text
@@ -3550,6 +3705,12 @@ object Dedup {
     val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
       bandAppend, occRaw, Seq("band", "bkey"), ix.shards, torn, w, wAfter,
       replayed, claimed, batchId)
+    // Takedown propagation: the overwrite above rewrote this batch's
+    // output directory from the raw batch — while a tombstone is
+    // pending, a replay must not resurrect rows scrubOutputs removed
+    // from the served corpus. Zero jobs on the clean (no-tombstone)
+    // path.
+    scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(b)
@@ -3782,6 +3943,9 @@ object Dedup {
     val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
       bucketAppend, occRaw, Seq("tbl", "bkt"), ix.shards, torn, w, wAfter,
       replayed, claimed, batchId)
+    // Takedown propagation to this batch's own output — see the
+    // MinHash twin.
+    scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
     graft.plans.Checkpoints.free(occRaw)
     graft.plans.Checkpoints.free(capped)
     graft.plans.Checkpoints.free(b)

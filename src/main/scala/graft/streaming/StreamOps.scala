@@ -189,6 +189,12 @@ object StreamOps {
         // per-batch audit row (novel/dup rates) — idempotent on replay
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
         if (!stats.replayed) {
+          // Takedowns must reach the SERVED output corpus before
+          // compaction purges the pending tombstone set away — scrub
+          // first (zero jobs when no tombstones are pending).
+          if (compactEvery > 0 || autoCompact)
+            graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
+              idCol)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
           else if (autoCompact)
@@ -229,6 +235,10 @@ object StreamOps {
         // in-loop compaction between serial batches, epoch-fenced — see
         // indexedDedupStream; autoCompact = the measured trigger
         if (!stats.replayed) {
+          // scrub-before-purge ordering — see indexedDedupStream
+          if (compactEvery > 0 || autoCompact)
+            graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
+              idCol)
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.Dedup.compactSrpIndex(spark, indexPath)
           else if (autoCompact)
