@@ -858,9 +858,9 @@ object Dedup {
         val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
       },
       s"rebuild: $qdir holds quarantined batches from the previous " +
-        "generation — re-drive or remove them before rebuilding (they " +
-        "are raw diverted data; a rebuild will not silently destroy " +
-        "them)")
+        "generation — redriveQuarantined or dropQuarantined them before " +
+        "rebuilding (they are raw diverted data; a rebuild will not " +
+        "silently destroy them)")
     val tdir = tombstoneDir(path)
     val tfs = tdir.getFileSystem(conf)
     if (tfs.exists(tdir))
@@ -3349,7 +3349,8 @@ object Dedup {
     * quarantine mode only — the detected contract violation. */
   private final case class BatchFront(replayed: Boolean, w: Long,
                                       batchRows: Long, maxId: Long,
-                                      violation: Option[String] = None) {
+                                      violation: Option[String] = None,
+                                      quarantinedBefore: Boolean = false) {
     /** Watermark after this batch commits — the max BATCH id: processed
       * docs advance it even when dup'd or unsignable (they are
       * processed, just never indexed). A QUARANTINED batch advances
@@ -3372,11 +3373,20 @@ object Dedup {
                                 idCol: String, batchId: Long,
                                 indexPath: String, opName: String,
                                 quarantine: Boolean = false): BatchFront = {
+    // COMMITTED rows only drive replay recognition: a quarantine row
+    // (novel_rows = -1) records a diverted batch, and a later
+    // redriveQuarantined legitimately adds the batch's real committed
+    // row beside it — the one-row-per-batch invariant holds for
+    // committed rows, while the quarantine flag is tracked separately
+    // (it gates the -1 append's own idempotence).
+    val committedRow = col("batch_id") === lit(batchId) &&
+      col("novel_rows") =!= lit(QuarantinedNovelRows)
     val front = ledger.agg(
         max(col("watermark_after")).as("l_after"),
-        count(when(col("batch_id") === lit(batchId), 1)).as("l_cnt"),
-        max(when(col("batch_id") === lit(batchId),
-          col("watermark_before"))).as("l_before"))
+        count(when(committedRow, 1)).as("l_cnt"),
+        max(when(committedRow, col("watermark_before"))).as("l_before"),
+        count(when(col("batch_id") === lit(batchId) &&
+          col("novel_rows") === lit(QuarantinedNovelRows), 1)).as("l_qcnt"))
       .crossJoin(b.agg(
         count(lit(1)).as("g_cnt"),
         // try_cast, not cast: ANSI mode would throw Spark's own
@@ -3388,21 +3398,23 @@ object Dedup {
           col(idCol).try_cast("long").isNull, 1)).as("g_bad")))
       .head()
     require(front.getLong(1) <= 1,
-      s"ingest ledger at $indexPath has ${front.getLong(1)} rows for " +
-        s"batch $batchId — the ledger is corrupt (concurrent writers?)")
+      s"ingest ledger at $indexPath has ${front.getLong(1)} committed " +
+        s"rows for batch $batchId — the ledger is corrupt (concurrent " +
+        "writers?)")
     val replayed = front.getLong(1) == 1
+    val quarantinedBefore = front.getLong(3) > 0
     val w = if (replayed) front.getLong(2) else front.getLong(0)
-    val batchRows = front.getLong(3)
+    val batchRows = front.getLong(4)
     // Contract checks. Default: fail loudly (an exactly-once index must
     // not guess). Quarantine mode: return the violation instead — the
     // caller diverts the whole batch (the unit of exactly-once) to the
     // quarantine directory and the stream continues.
     val violation =
-      if (front.getLong(6) != 0)
-        Some(s"batch $batchId has ${front.getLong(6)} non-long-castable " +
+      if (front.getLong(7) != 0)
+        Some(s"batch $batchId has ${front.getLong(7)} non-long-castable " +
           s"'$idCol' values — the watermark contract requires monotone " +
           "long ids")
-      else if (batchRows != 0 && front.getLong(5) <= w)
+      else if (batchRows != 0 && front.getLong(6) <= w)
         Some(s"batch $batchId contains ids <= the committed watermark " +
           s"($w) — ingest ids must be monotone across batches (an " +
           "out-of-order backfill should rebuild the index)")
@@ -3413,8 +3425,8 @@ object Dedup {
     // stays w by the batchRows == 0 branch anyway); same for a
     // violating batch (g_max may be NULL or untrustworthy)
     BatchFront(replayed, w, batchRows,
-      if (batchRows == 0 || violation.isDefined) w else front.getLong(4),
-      violation)
+      if (batchRows == 0 || violation.isDefined) w else front.getLong(5),
+      violation, quarantinedBefore)
   }
 
   /** Divert a contract-violating batch in QUARANTINE mode: the raw rows
@@ -3434,18 +3446,99 @@ object Dedup {
       claimed: Long): IngestBatchStats = {
     b.write.mode("overwrite")
       .parquet(s"${quarantineDir(indexPath)}/batch_id=$batchId")
-    if (!front.replayed) {
+    // the -1 append's idempotence keys off the QUARANTINE flag, not the
+    // committed-replay flag (a quarantined batch has no committed row
+    // until a redrive flips it)
+    if (!front.quarantinedBefore) {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, front.w, front.w,
         QuarantinedNovelRows)
     }
     IngestBatchStats(batchId, front.batchRows, QuarantinedNovelRows,
-      front.w, front.w, front.replayed)
+      front.w, front.w, front.quarantinedBefore)
   }
 
   /** `novel_rows` sentinel marking a quarantined batch in the ledger and
     * the ingest stats (a real batch's novel count is never negative). */
   val QuarantinedNovelRows: Long = -1L
+
+  // ---- quarantine triage: re-drive / dismiss ----
+  //
+  // A quarantined batch is diverted raw data awaiting operator triage —
+  // rebuilds refuse over it (clearTombstones), and the comments there
+  // promise exactly two exits: re-ingest after the ids are repaired, or
+  // explicit destruction. These are those exits. The "flip" of the
+  // batch's `novel_rows = -1` ledger row is the redrive's normal commit
+  // row landing BESIDE it (append-only ledger): replay recognition
+  // counts committed rows only, so the pair is well-formed, exactly-once
+  // (a second redrive resolves as a replay), and the -1 row survives as
+  // the historical record of the divert.
+
+  private def quarantinedBatchDir(indexPath: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(quarantineDir(indexPath),
+      s"batch_id=$batchId")
+
+  /** Re-drive a quarantined batch through the governed MinHash loop
+    * after repair: reads the diverted raw rows, applies `repair` (which
+    * must yield trustworthy monotone ids — e.g. re-key past the current
+    * watermark), ingests them fail-loud under the SAME batch id, and
+    * removes the quarantine directory once the commit lands. The
+    * committed ledger row is appended exactly-once: a crash between the
+    * commit and the directory removal re-resolves as a replay and
+    * finishes the removal; a repair that still violates the contract
+    * throws and leaves the quarantined rows untouched.
+    */
+  def redriveQuarantined(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, outPath: String, batchId: Long,
+                         idCol: String, textCol: String,
+                         repair: DataFrame => DataFrame = identity)
+      : IngestBatchStats = {
+    val dir = quarantinedBatchDir(indexPath, batchId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"redriveQuarantined: no quarantined batch $batchId at $dir")
+    val stats = ingestBatchWithIndex(
+      repair(spark.read.parquet(dir.toString)), idCol, textCol, indexPath,
+      outPath, batchId, quarantine = false)
+    require(fs.delete(dir, true),
+      s"redriveQuarantined: could not remove $dir after the commit")
+    stats
+  }
+
+  /** [[redriveQuarantined]]'s twin for the governed SRP embedding
+    * loop. */
+  def redriveQuarantinedSrp(spark: org.apache.spark.sql.SparkSession,
+                            indexPath: String, outPath: String,
+                            batchId: Long, idCol: String, vecCol: String,
+                            threshold: Double,
+                            repair: DataFrame => DataFrame = identity)
+      : IngestBatchStats = {
+    val dir = quarantinedBatchDir(indexPath, batchId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"redriveQuarantinedSrp: no quarantined batch $batchId at $dir")
+    val stats = ingestBatchWithSrpIndex(
+      repair(spark.read.parquet(dir.toString)), idCol, vecCol, indexPath,
+      outPath, batchId, threshold, quarantine = false)
+    require(fs.delete(dir, true),
+      s"redriveQuarantinedSrp: could not remove $dir after the commit")
+    stats
+  }
+
+  /** Dismiss a quarantined batch: explicit destruction of the diverted
+    * raw rows (the operator decided they are not wanted). The batch's
+    * `novel_rows = -1` ledger row stays as the historical record; a
+    * refused rebuild proceeds once every quarantined batch is re-driven
+    * or dropped. Counts as a mutation under the epoch fence. */
+  def dropQuarantined(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, batchId: Long): Unit = {
+    val dir = quarantinedBatchDir(indexPath, batchId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(dir),
+      s"dropQuarantined: no quarantined batch $batchId at $dir")
+    claimEpoch(spark, indexPath)
+    require(fs.delete(dir, true), s"dropQuarantined: could not remove $dir")
+  }
 
   /** LATE FOLD + commit, shared by both governed loops: one job over the
     * already-checkpointed frames answers the remaining scalars — novel

@@ -145,4 +145,150 @@ class GovernedQuarantineSpec extends SparkSpec {
       assert(!s3.replayed && s3.novelRows == 1L)
     } finally rmrf(base)
   }
+
+  test("redriveQuarantined re-ingests the repaired batch exactly-once, " +
+      "flips the -1 ledger row, clears the quarantine, and matches a " +
+      "run that never violated") {
+    val base = Files.createTempDirectory("graft-q-redrive").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    val ix2 = s"$base/ix2"; val out2 = s"$base/out2"
+    // the id repair: re-key PAST the current committed watermark (20),
+    // preserving payloads — 1 -> 22, 10 -> 31
+    val rekey: DataFrame => DataFrame = df =>
+      df.withColumn("doc_id", col("doc_id") + lit(21L))
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      // batch 1 quarantined (id 1 <= watermark 2); the stream continues
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      Dedup.ingestBatchWithIndex(docs(20L), "doc_id", "text", ix, out,
+        batchId = 2L, quarantine = true)
+
+      val qdir = new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")
+      val fs = qdir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // keep a copy of the raw quarantined rows to simulate the
+      // crash-after-commit re-run below
+      val qcopy = new org.apache.hadoop.fs.Path(s"$base/qcopy")
+      org.apache.hadoop.fs.FileUtil.copy(fs, qdir, fs, qcopy, false,
+        spark.sparkContext.hadoopConfiguration)
+
+      val s = Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id",
+        "text", rekey)
+      // doc 22 keeps corpus doc 1's text — legitimately screened as a
+      // cross-dup; only 31 is novel
+      assert(!s.replayed && s.novelRows == 1L && s.watermarkBefore == 20L &&
+        s.watermarkAfter == 31L, s"$s")
+      assert(!fs.exists(qdir), "the quarantine dir must clear on commit")
+      val rows = spark.read.parquet(s"$ix/ingest_ledger")
+        .filter($"batch_id" === 1L)
+        .select("novel_rows", "watermark_before", "watermark_after")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+      assert(rows == Set((-1L, 2L, 2L), (1L, 20L, 31L)),
+        s"the -1 row must be flipped by ONE committed row: $rows")
+      assert(spark.read.parquet(s"$out/batch_id=1").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(31L))
+
+      // crash between the ledger commit and the directory removal:
+      // the re-run resolves as a replay and finishes the removal
+      require(fs.rename(qcopy, qdir))
+      val sr = Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id",
+        "text", rekey)
+      assert(sr.replayed && sr.novelRows == 1L, s"$sr")
+      assert(!fs.exists(qdir))
+      assert(spark.read.parquet(s"$ix/ingest_ledger")
+        .filter($"batch_id" === 1L).count() == 2L,
+        "a redrive re-run must not append further ledger rows")
+
+      // a redrive with nothing quarantined fails loudly
+      intercept[IllegalArgumentException] {
+        Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id", "text",
+          rekey)
+      }
+
+      // ≡ the run that never violated: same committed batches in the
+      // same watermark order, no quarantine ever
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix2, p)
+      Dedup.initIngestLedger(spark, ix2)
+      Dedup.ingestBatchWithIndex(docs(20L), "doc_id", "text", ix2, out2,
+        batchId = 2L, quarantine = true)
+      Dedup.ingestBatchWithIndex(rekey(docs(1L, 10L)), "doc_id", "text",
+        ix2, out2, batchId = 1L, quarantine = true)
+      def sigIds(path: String) = spark.read.parquet(s"$path/signatures")
+        .select("id").collect().map(_.getLong(0)).toSet
+      def committed(path: String) = spark.read
+        .parquet(s"$path/ingest_ledger")
+        .filter($"novel_rows" =!= -1L)
+        .select("batch_id", "watermark_before", "watermark_after",
+          "novel_rows")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(sigIds(ix) == sigIds(ix2),
+        "redriven index must equal the never-violated run")
+      assert(committed(ix) == committed(ix2),
+        "committed ledger history must equal the never-violated run")
+
+      // and the governed loop continues normally after the redrive
+      val s4 = Dedup.ingestBatchWithIndex(docs(40L), "doc_id", "text", ix,
+        out, batchId = 3L, quarantine = true)
+      assert(!s4.replayed && s4.novelRows == 1L &&
+        s4.watermarkBefore == 31L, s"$s4")
+    } finally rmrf(base)
+  }
+
+  test("dropQuarantined destroys the diverted rows explicitly and " +
+      "unblocks a refused rebuild") {
+    val base = Files.createTempDirectory("graft-q-drop").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      }
+      Dedup.dropQuarantined(spark, ix, 1L)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")))
+      // dropping an absent batch fails loudly (never a silent no-op)
+      intercept[IllegalArgumentException] {
+        Dedup.dropQuarantined(spark, ix, 1L)
+      }
+      // the refused rebuild now proceeds
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      assert(spark.read.parquet(s"$ix/signatures").count() == 3L)
+    } finally rmrf(base)
+  }
+
+  test("SRP twin: redriveQuarantinedSrp re-ingests a repaired embedding " +
+      "batch and clears the quarantine") {
+    val base = Files.createTempDirectory("graft-q-redrive-srp").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    val dim = 4
+    try {
+      Dedup.writeSrpIndex(
+        Seq((0L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+          .toDF("id", "v"), "id", "v", ix, dim = dim, tables = 2)
+      Dedup.initSrpIngestLedger(spark, ix)
+      val s1 = Dedup.ingestBatchWithSrpIndex(
+        Seq((1L, Array(0f, 0f, 1f, 0f))).toDF("id", "v"), "id", "v", ix,
+        out, batchId = 1L, threshold = 0.9, quarantine = true)
+      assert(s1.novelRows == Dedup.QuarantinedNovelRows)
+
+      val s = Dedup.redriveQuarantinedSrp(spark, ix, out, 1L, "id", "v",
+        threshold = 0.9, repair = df => df.withColumn("id", lit(10L)))
+      assert(!s.replayed && s.novelRows == 1L && s.watermarkAfter == 10L,
+        s"$s")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")))
+      assert(spark.read.parquet(s"$out/batch_id=1").select("id")
+        .collect().map(_.getLong(0)).toSet == Set(10L))
+    } finally rmrf(base)
+  }
 }
