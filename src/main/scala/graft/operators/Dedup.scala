@@ -83,6 +83,49 @@ object Dedup {
     catch { case _: Exception => "" }
   }
 
+  /** On-disk layout version stamped into every params table written by
+    * the current code. The params table records GEOMETRY (hash counts,
+    * bands, shards…) but six side tables changed layout across
+    * generations — without a version stamp a future reader would mis-read
+    * an old-generation index silently instead of refusing. History:
+    * version 1 = every pre-versioning generation (absent column; the
+    * in-code fallbacks — unsharded band tables, recomputed occupancy,
+    * missing `normalize` — cover all of them); version 2 = the current
+    * layout, identical to 1 plus the stamp itself. */
+  val IndexFormatVersion: Int = 2
+
+  /** Oldest layout version the current reader understands. */
+  val MinSupportedIndexFormat: Int = 1
+
+  /** The layout version of a persisted index (absent stamp = 1, the
+    * pre-versioning generation). */
+  def indexFormatVersion(spark: org.apache.spark.sql.SparkSession,
+                         path: String): Int = {
+    val pr = readParamsRow(spark, s"$path/params")
+    if (pr.schema.fieldNames.contains("format_version"))
+      pr.getAs[Int]("format_version")
+    else 1
+  }
+
+  /** Loud refusal on a layout-version mismatch — called by every index
+    * open. The migration hook is a rebuild (writeSignatureIndex /
+    * writeSrpIndex from the source corpus): the governed tables are
+    * derived state, so a rebuild IS the migration. */
+  private def requireSupportedFormat(pr: org.apache.spark.sql.Row,
+                                     path: String): Unit = {
+    val v =
+      if (pr.schema.fieldNames.contains("format_version"))
+        pr.getAs[Int]("format_version")
+      else 1
+    require(v >= MinSupportedIndexFormat && v <= IndexFormatVersion,
+      s"index at $path has layout format_version $v; this reader " +
+        s"supports [$MinSupportedIndexFormat, $IndexFormatVersion] — " +
+        "reading it would silently mis-interpret the stored tables. " +
+        "Migrate by rebuilding the index from the source corpus " +
+        "(writeSignatureIndex / writeSrpIndex), or open it with a " +
+        "library version whose range includes it.")
+  }
+
   /** head() of `path` (a params table) through the cache. */
   private def readParamsRow(spark: org.apache.spark.sql.SparkSession,
                             path: String): org.apache.spark.sql.Row = {
@@ -1279,9 +1322,9 @@ object Dedup {
                                shards: Int): Unit = {
     import spark.implicits._
     Seq((p.numHashes, p.bands, p.shingle, p.threshold, p.maxBucket, shards,
-        p.normalize))
+        p.normalize, IndexFormatVersion))
       .toDF("num_hashes", "bands", "shingle", "threshold", "max_bucket",
-        "shards", "normalize")
+        "shards", "normalize", "format_version")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
   }
@@ -1299,6 +1342,7 @@ object Dedup {
           s"signature index at $path has no readable params table — " +
             "was it written by writeSignatureIndex?", e)
       }
+    requireSupportedFormat(pr, path)
     val p = MinHashParams(numHashes = pr.getAs[Int]("num_hashes"),
       bands = pr.getAs[Int]("bands"), shingle = pr.getAs[Int]("shingle"),
       threshold = pr.getAs[Double]("threshold"),
@@ -2328,8 +2372,9 @@ object Dedup {
       .withColumn("wm", lit(baseWm))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
     import spark.implicits._
-    Seq((tables, planes, dim, maxBucket, shards))
-      .toDF("tables", "planes", "dim", "max_bucket", "shards")
+    Seq((tables, planes, dim, maxBucket, shards, IndexFormatVersion))
+      .toDF("tables", "planes", "dim", "max_bucket", "shards",
+        "format_version")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
     writeEpoch0(spark, path)
@@ -2345,6 +2390,7 @@ object Dedup {
           s"SRP index at $path has no readable params table — was it " +
             "written by writeSrpIndex?", e)
       }
+    requireSupportedFormat(pr, path)
     // shards absent on a pre-sharding index: 0 disables partition pruning
     val shards = if (pr.schema.fieldNames.contains("shards"))
       pr.getAs[Int]("shards") else 0
