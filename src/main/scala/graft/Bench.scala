@@ -120,10 +120,17 @@ object Bench {
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
         }
       } catch { case _: Throwable => Map.empty }
-    // Best-of-2 per query (steady-state throughput, standard bench
-    // methodology): a single timing conflates the query with whatever GC
-    // debt the previous queries left behind. A failed query records the -1
-    // sentinel so it is never mistaken for a fast one.
+    // Best-of-3 per query (r14, steady-state throughput): a single timing
+    // conflates the query with whatever GC debt the previous queries left
+    // behind, and round 13's identical-code run measured the old
+    // best-of-2's per-query noise floor at ~±30% — squarely inside the
+    // 1.3x prior-round guard band, so guard false-positives burned extra
+    // runs on untouched queries. Three runs with a forced-GC settle
+    // before the third tighten the recorded minimum; the full per-run
+    // spread lands in BENCH_DETAIL.json so a reader can see the noise
+    // instead of inferring it. A failed query records the -1 sentinel so
+    // it is never mistaken for a fast one.
+    val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val results = picked.map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
@@ -136,13 +143,13 @@ object Bench {
         elapsed
       }
       val two = (1 to 2).map(_ => timed())
-      // Adaptive third run: when the two timings disagree by >1.5x BOTH may
-      // have been polluted (round-4 caught d6 at 6.9 s in the driver bench
-      // vs a 2.4 s warm truth measured in a quiet JVM). One extra run after
-      // a forced GC costs seconds total and kills the outliers. A FAILED
-      // third run is discarded, not folded in.
+      // Third run behind a forced GC: the settle is what makes it worth
+      // its cost — both earlier runs may share the same GC debt (round-4
+      // caught d6 at 6.9 s in the driver bench vs a 2.4 s warm truth
+      // measured in a quiet JVM). A FAILED third run is discarded, not
+      // folded in.
       val times0 =
-        if (two.forall(_ >= 0) && two.max > two.min * 1.5) {
+        if (two.forall(_ >= 0)) {
           System.gc()
           val t3 = timed()
           if (t3 >= 0) two :+ t3 else two
@@ -169,6 +176,7 @@ object Bench {
       // the timed window (JMH-style forced GC between measurements).
       sweepStorage()
       System.gc()
+      spreads(name) = times
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
     // JSON string escape for env-provided values (path with a quote or
@@ -193,13 +201,17 @@ object Bench {
         "never stdout totals. Per-run storage sweep (r10+) releases " +
         "leaked checkpoint blocks between runs, so these timings are " +
         "directly comparable to quiet-JVM SPARK_GRAFT_ONLY subset runs. " +
-        "Prior-round guard (r12+): a query whose best-of-2 minimum reads " +
+        "Prior-round guard (r12+): a query whose recorded minimum reads " +
         ">1.3x its committed previous-round BENCH_DETAIL value gets up " +
-        "to two extra forced-GC runs, catching the both-runs-polluted " +
-        "case the in-pair disagreement trigger cannot see; entries are " +
-        "expected within ~1.3x of a quiet-JVM SPARK_GRAFT_ONLY re-run."
+        "to two extra forced-GC runs, catching the all-runs-polluted " +
+        "case; entries are expected within ~1.3x of a quiet-JVM " +
+        "SPARK_GRAFT_ONLY re-run. Best-of-3 (r14): every query runs " +
+        "three times (forced GC before the third); 'spread' carries the " +
+        "per-run timings behind each recorded minimum."
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
+      spreads.map { case (k, ts) => s""""$k":${ts.mkString("[", ",", "]")}""" }
+        .mkString("\"spread\":{", ",", "},") +
       s""""notes":"${esc(notes)}",""" +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
