@@ -143,6 +143,18 @@ object Similarity {
     * reproducible across engines with no RNG, and the frozen AnnModels
     * artifact (and its parity spec) pins it.
     *
+    * SAMPLING REGIME (also applies to [[trainPqCodebooks]]): a corpus at
+    * or below 4·maxTrain rows trains on exactly the lowest `maxTrain`
+    * ids; a LARGER corpus switches to a deterministic hash pre-filter
+    * (`pmod(hash(id), 2³⁰) < t`, t sized from one count) and trains on
+    * the lowest `maxTrain` ids of the SURVIVORS — still fully
+    * deterministic for a given corpus, but a different sample than the
+    * unfiltered window, so growing a corpus across the 4·maxTrain
+    * boundary changes the trained model. To pin the exact lowest-id
+    * window at any size, pre-sample the input yourself (e.g.
+    * `emb.filter(col(id) < cutoff)`) or raise `maxTrain`.
+    * `TrainSampleRegimeSpec` pins both regimes.
+    *
     * @return c L2-normalized centroids (row-major)
     */
   /** Bounded deterministic training sample shared by [[trainCentroids]]
@@ -313,7 +325,10 @@ object Similarity {
     * bounded driver-side Lloyd shape as [[trainCentroids]] but under L2
     * (the PQ objective; subvectors are NOT normalized). Init = `k`
     * evenly spaced subvectors of the id-ordered sample; empty cells keep
-    * their centroid; no RNG anywhere.
+    * their centroid; no RNG anywhere. The training sample follows the
+    * SAMPLING REGIME documented on [[trainCentroids]]: corpora past
+    * 4·maxTrain rows switch from the exact lowest-id window to a
+    * deterministic hash-pre-filtered window.
     *
     * @return (m·k)×subDim matrix, rows ordered (subspace-major, then
     *         centroid id) — the layout [[graft.functions.PqEncode]] and
