@@ -165,6 +165,18 @@ object StreamOps {
     * index has actually decayed ≥ the fragmentation factor (or pending
     * deletes await physical reclamation) — a fragmented stream
     * self-compacts, an un-fragmented one never churns.
+    *
+    * SCALE-OUT (multi-stream deployment pattern, PLANS.md
+    * "multi-stream ingest scale-out"): one governed stream is serial by
+    * design — the ledger watermark totally orders one index. For more
+    * ingest throughput, route the corpus with a deterministic id router
+    * into N independent indexes and run one of these streams per shard:
+    * every fence (epoch, ledger, tombstones, quarantine) is per index
+    * path, so disjoint shards never collide (`ShardedGovernedIngestSpec`
+    * proves concurrent commits, replays and the within-shard screening
+    * contract). Near-dup screening is WITHIN a shard; route by a
+    * content-stable key or run the periodic cross-shard batch dedup
+    * operators when cross-shard duplicates are in contract.
     */
   def indexedDedupStream(spark: SparkSession, inPath: String,
                          schema: org.apache.spark.sql.types.StructType,
