@@ -4414,4 +4414,33 @@ object SparkEntry {
         |  CAST(sum((r + 2*gg + 3*b) * (y*w + x + 1)) AS BIGINT) AS pix_wsum
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** QUASI-oracles for the two sketch queries whose stored values are
+    * engine-specific (a1/a3 — HLL estimates can never hash-match a
+    * DuckDB recomputation): the SQL computes the EXACT answer, and the
+    * checker (tools/check.py, `quasi_oracle.json`) asserts every
+    * numeric column within the given RELATIVE tolerance — 0.2 = 4·rsd
+    * at the default HLL++ rsd 0.05, the same bound `SketchAccuracySpec`
+    * gates (measured relErr 0.4–2.7%). Rows, schema and non-numeric
+    * columns still compare exactly, so this converts "rows-only by
+    * design" into a checked accuracy contract without pretending the
+    * sketch bytes are portable. */
+  def quasiOracle: Map[String, (String, Double)] = ListMap(
+    "a1_approx_distinct" -> ((
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin, 0.2)),
+    "a3_hll_union" -> ((
+      """SELECT * FROM (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT '_all',
+        |    CAST(count(DISTINCT user_id) AS BIGINT), count(*)
+        |  FROM events)
+        |ORDER BY event_type""".stripMargin, 0.2)),
+  )
 }

@@ -1,0 +1,101 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale audit for GOVERNED MAINTENANCE (the BENCH_SF10
+  * `maintenance_audit` twin of [[DeleteScale]]): at a given SF, runs the
+  * governed MinHash ingest loop the way `indexedDedupStream` wires it —
+  * per-batch ingest, then the measured auto-compaction trigger — and
+  * then the quarantine path, measuring what each maintenance mechanism
+  * COSTS at scale:
+  *
+  *  - `autocompact_<i>`: the per-batch trigger probe (one flat directory
+  *    listing) plus the compaction when it fires — the in-loop
+  *    maintenance a long-running stream actually pays;
+  *  - `batch_quarantined`: the whole-batch divert of a contract-violating
+  *    batch (the raw rewrite + flagged ledger row, index untouched);
+  *  - `redrive`: operator triage — re-ingesting the repaired rows
+  *    through the full governed path and clearing the quarantine.
+  *
+  * Prints one JSON line per phase. Usage: MaintainScale [sfDir] [workDir]
+  */
+object MaintainScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val work = args.lift(1).getOrElse("/tmp/graft_maintscale")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def phase[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"tool":"maintain-scale","phase":"$label","sf_dir":"$dir","sec":$sec%.2f}""")
+      r
+    }
+
+    val fsRoot = new org.apache.hadoop.fs.Path(work)
+    fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(fsRoot, true)
+    val ix = s"$work/ix"; val out = s"$work/out"
+
+    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val c0 = maxId * 3 / 5
+    val p = graft.operators.Dedup.MinHashParams(numHashes = 32, bands = 8,
+      shingle = 3, threshold = 0.2)
+    phase("build") {
+      graft.operators.Dedup.writeSignatureIndex(
+        docs.filter(col("doc_id") <= c0), "doc_id", "text", ix, p)
+      graft.operators.Dedup.initIngestLedger(spark, ix)
+    }
+
+    // four governed batches over the remaining 40%, each followed by the
+    // MEASURED auto-compaction trigger — exactly indexedDedupStream's
+    // autoCompact wiring
+    val batches = 4
+    var fired = 0
+    (0 until batches).foreach { i =>
+      val lo = c0 + (maxId - c0) * i / batches
+      val hi = c0 + (maxId - c0) * (i + 1) / batches
+      phase(s"batch_$i") {
+        graft.operators.Dedup.ingestBatchWithIndex(
+          docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          "doc_id", "text", ix, out, batchId = i.toLong)
+      }
+      phase(s"autocompact_$i") {
+        if (graft.operators.Dedup
+            .autoCompactSignatureIndex(spark, ix).isDefined) fired += 1
+      }
+    }
+    println(s"""{"tool":"maintain-scale","compactions_fired":$fired,"batches":$batches}""")
+
+    // quarantine path: a same-order-of-magnitude batch whose ids sit
+    // BELOW the watermark (the contract violation) diverts whole...
+    val bad = docs.filter(col("doc_id") % 41 === 0 && col("doc_id") <= c0)
+    phase("batch_quarantined") {
+      graft.operators.Dedup.ingestBatchWithIndex(bad, "doc_id", "text",
+        ix, out, batchId = batches.toLong, quarantine = true)
+    }
+    // ...and operator triage re-drives it through the full governed path
+    // after an id repair (re-keyed past the watermark)
+    phase("redrive") {
+      graft.operators.Dedup.redriveQuarantined(spark, ix, out,
+        batches.toLong, "doc_id", "text",
+        repair = df => df.withColumn("doc_id",
+          col("doc_id") + lit(maxId + 1L)))
+    }
+    // price the fold itself at this scale (what a trigger pays WHEN it
+    // fires): a forced full compaction over the accreted batch file sets
+    phase("compact_forced") {
+      graft.operators.Dedup.compactSignatureIndex(spark, ix)
+    }
+    spark.stop()
+  }
+}

@@ -65,8 +65,53 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(want)} rows)")
             n_pass += 1
+    # Quasi-oracles (sketch queries whose values are engine-specific):
+    # the SQL computes the EXACT answer; every numeric column must land
+    # within the entry's relative tolerance, everything else compares
+    # exactly. Converts the rows-only sketch rows into a checked
+    # accuracy contract.
+    n_quasi = 0
+    try:
+        quasi = json.load(open(f"{out_dir}/quasi_oracle.json"))
+    except FileNotFoundError:
+        quasi = {}
+    for name, spec in sorted(quasi.items()):
+        tol = float(spec["tol"])
+        try:
+            want = con.sql(spec["sql"]).df()
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name} (quasi): exec error: {str(e)[:300]}")
+            n_fail += 1
+            continue
+        want = want[sorted(want.columns)].reset_index(drop=True)
+        got = got[sorted(got.columns)].reset_index(drop=True)
+        if list(want.columns) != list(got.columns) or len(want) != len(got):
+            print(f"FAIL {name} (quasi): shape want="
+                  f"{list(want.columns)}x{len(want)} got="
+                  f"{list(got.columns)}x{len(got)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in want.columns:
+            wc, gc = want[c], got[c]
+            if pd.api.types.is_numeric_dtype(wc):
+                rel = ((wc - gc).abs() / wc.abs().clip(lower=1)).max()
+                if rel > tol:
+                    bad.append(f"{c}: relerr {rel:.4f} > tol {tol}")
+            elif not ((wc == gc) | (wc.isna() & gc.isna())).all():
+                bad.append(f"{c}: exact mismatch")
+        if bad:
+            print(f"FAIL {name} (quasi): " + "; ".join(bad))
+            n_fail += 1
+        else:
+            print(f"PASS {name} (quasi, numeric within {tol:.0%}, "
+                  f"{len(want)} rows)")
+            n_pass += 1
+            n_quasi += 1
     print(f"\n{n_pass} pass, {n_fail} fail, "
-          f"{len(oracle)} oracled / {len(oracle)} checked")
+          f"{len(oracle)} oracled + {n_quasi} quasi / "
+          f"{len(oracle) + len(quasi)} checked")
     return 1 if n_fail else 0
 
 
