@@ -456,6 +456,36 @@ object Plans {
         |reclaimed. (The pending-path overhead that b3c shows is the
         |transient state between a delete and the next compaction.)""".stripMargin)
 
+  /** Prose-only sections appended after the plan dumps (deployment
+    * patterns with no single query plan to show). Regeneration keeps
+    * them because they live HERE, not hand-edited into PLANS.md. */
+  private val epilogue: String =
+    """
+      |## multi-stream ingest scale-out (deployment pattern, no plan dump)
+      |
+      |One governed stream is serial by design (the ledger watermark is a
+      |total order over one index). Scaling ingest THROUGHPUT beyond one
+      |stream is a deployment pattern, not a new operator: route the corpus
+      |with any deterministic id router (`pmod(hash(id), N)`, id ranges,
+      |source/domain) into N independent indexes, one governed stream per
+      |shard. Every fence is per index path — epoch claims, ledgers,
+      |tombstones, quarantine — so disjoint shards cannot collide; each
+      |shard's id stream stays monotone under an id-preserving router; and
+      |each shard self-compacts/scrubs independently. Semantics boundary
+      |(documented, spec-pinned): near-dup screening is WITHIN a shard. Route
+      |by a content-stable key when near-dup co-location matters, or run the
+      |periodic cross-shard batch dedup operators (d-family) over the union
+      |of shard outputs when cross-shard duplicates are in contract.
+      |`ShardedGovernedIngestSpec` proves concurrent commits on disjoint
+      |shards (parallel driver threads), within-shard screening across a
+      |shard's committed history, the cross-shard-miss boundary, and
+      |exactly-once replays under concurrency. In-process caveat: per-batch
+      |execution tuning (shuffle partitions / AQE pinning) is session-global,
+      |so shards sharing one SparkSession share those knobs — semantics are
+      |unaffected; for pinned-plan perf isolation run shards in separate
+      |drivers, which is the natural deployment anyway.
+      |""".stripMargin
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -482,6 +512,7 @@ object Plans {
       sb.append(df.queryExecution.executedPlan.toString.take(dumpChars(name)))
       sb.append("```\n")
     }
+    sb.append(epilogue)
     Files.writeString(Paths.get("PLANS.md"), sb.toString)
     println("PLANS.md written")
     spark.stop()
