@@ -1192,8 +1192,44 @@ object Dedup {
     */
   def scrubOutputs(spark: org.apache.spark.sql.SparkSession,
                    indexPath: String, outPath: String,
-                   idCol: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(outPath)
+                   idCol: String): Long =
+    scrubBatchDirsUnder(spark, indexPath,
+      new org.apache.hadoop.fs.Path(outPath), idCol, dropEmptied = false)
+
+  /** [[scrubOutputs]]' reach into the QUARANTINE area: pending takedown
+    * deletes are scrubbed out of the diverted raw batches under
+    * `<indexPath>/quarantine/batch_id=N/` too — without this, a
+    * takedown'd document whose id also sits in a quarantined batch (the
+    * common quarantine cause IS a replayed committed id) survives at
+    * rest in the quarantine dir and a later [[redriveQuarantined]]
+    * would resurrect it into the index and the served corpus. A batch
+    * scrubbed down to ZERO rows is dropped entirely (every row was
+    * taken down — nothing is left to triage; the `-1` ledger row stays
+    * as the historical record, exactly as after [[dropQuarantined]]).
+    *
+    * Same discipline as [[scrubOutputs]]: hit-only rename-aside
+    * rewrites, crash recovery via the marker sweep, replay-idempotent,
+    * epoch-fenced, zero jobs when no tombstones are pending. Ids that
+    * do not cast to long (the other quarantine cause) can never match a
+    * tombstone and are left for operator triage. The governed streams'
+    * in-loop wiring calls this beside [[scrubOutputs]], BEFORE
+    * compaction purges the pending tombstone set.
+    *
+    * @return number of rows scrubbed out of quarantined batches
+    */
+  def scrubQuarantined(spark: org.apache.spark.sql.SparkSession,
+                       indexPath: String, idCol: String): Long =
+    scrubBatchDirsUnder(spark, indexPath, quarantineDir(indexPath), idCol,
+      dropEmptied = true)
+
+  /** Shared core of [[scrubOutputs]] / [[scrubQuarantined]]: anti-join
+    * every `batch_id=N` directory under `root` against the index's
+    * pending tombstones, rewriting only the directories with hits. */
+  private def scrubBatchDirsUnder(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  root: org.apache.hadoop.fs.Path,
+                                  idCol: String,
+                                  dropEmptied: Boolean): Long = {
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) return 0L
     recoverScrubLeftovers(fs, root)
@@ -1211,15 +1247,23 @@ object Dedup {
         // carry it
         val byName = batchDirs.map(p =>
           p.getName.stripPrefix("batch_id=") -> p.getName).toMap
-        val hits = spark.read.option("basePath", outPath)
+        val hits = spark.read.option("basePath", root.toString)
           .parquet(batchDirs.map(_.toString): _*)
           .join(broadcast(tomb),
             col(idCol).try_cast("long") === col("__tomb_id"), "left_semi")
           .groupBy(col("batch_id")).agg(count(lit(1)).as("n"))
           .collect()
         hits.foreach { r =>
-          scrubOneOutputDir(spark, fs, root, byName(r.get(0).toString),
-            idCol, tomb)
+          val dirName = byName(r.get(0).toString)
+          scrubOneOutputDir(spark, fs, root, dirName, idCol, tomb)
+          if (dropEmptied) {
+            // an empty rewrite still leaves a schema-only part file, so
+            // probe rows, not files (limit(1) — one split at most)
+            val dir = new org.apache.hadoop.fs.Path(root, dirName)
+            if (spark.read.parquet(dir.toString).limit(1).isEmpty)
+              require(fs.delete(dir, true),
+                s"scrub: could not drop fully-scrubbed $dir")
+          }
         }
         graft.plans.Checkpoints.free(tomb)
         hits.map(_.getAs[Long]("n")).sum
@@ -3533,6 +3577,13 @@ object Dedup {
     * commit and the directory removal re-resolves as a replay and
     * finishes the removal; a repair that still violates the contract
     * throws and leaves the quarantined rows untouched.
+    *
+    * Pending takedowns are honored BEFORE the repair: rows whose
+    * original id matches a pending tombstone are dropped from the
+    * redrive (the anti-join runs on the raw ids, since `repair`
+    * typically re-keys), so a takedown followed by a redrive can never
+    * resurrect the document — even when no [[scrubQuarantined]]
+    * maintenance pass ran in between.
     */
   def redriveQuarantined(spark: org.apache.spark.sql.SparkSession,
                          indexPath: String, outPath: String, batchId: Long,
@@ -3544,15 +3595,28 @@ object Dedup {
     require(fs.exists(dir),
       s"redriveQuarantined: no quarantined batch $batchId at $dir")
     val stats = ingestBatchWithIndex(
-      repair(spark.read.parquet(dir.toString)), idCol, textCol, indexPath,
-      outPath, batchId, quarantine = false)
+      repair(liveQuarantinedRows(spark, indexPath, dir, idCol)), idCol,
+      textCol, indexPath, outPath, batchId, quarantine = false)
     require(fs.delete(dir, true),
       s"redriveQuarantined: could not remove $dir after the commit")
     stats
   }
 
+  /** A quarantined batch's raw rows MINUS pending takedowns (see
+    * [[redriveQuarantined]]: the anti-join runs on the raw pre-repair
+    * ids). Zero extra jobs when no tombstones are pending. */
+  private def liveQuarantinedRows(spark: org.apache.spark.sql.SparkSession,
+                                  indexPath: String,
+                                  dir: org.apache.hadoop.fs.Path,
+                                  idCol: String): DataFrame = {
+    val raw = spark.read.parquet(dir.toString)
+    readTombstones(spark, indexPath).fold(raw)(t =>
+      raw.join(broadcast(t.select(col("id").as("__tomb_id"))),
+        col(idCol).try_cast("long") === col("__tomb_id"), "left_anti"))
+  }
+
   /** [[redriveQuarantined]]'s twin for the governed SRP embedding
-    * loop. */
+    * loop (pending takedowns honored the same way). */
   def redriveQuarantinedSrp(spark: org.apache.spark.sql.SparkSession,
                             indexPath: String, outPath: String,
                             batchId: Long, idCol: String, vecCol: String,
@@ -3564,8 +3628,8 @@ object Dedup {
     require(fs.exists(dir),
       s"redriveQuarantinedSrp: no quarantined batch $batchId at $dir")
     val stats = ingestBatchWithSrpIndex(
-      repair(spark.read.parquet(dir.toString)), idCol, vecCol, indexPath,
-      outPath, batchId, threshold, quarantine = false)
+      repair(liveQuarantinedRows(spark, indexPath, dir, idCol)), idCol,
+      vecCol, indexPath, outPath, batchId, threshold, quarantine = false)
     require(fs.delete(dir, true),
       s"redriveQuarantinedSrp: could not remove $dir after the commit")
     stats

@@ -201,12 +201,15 @@ object StreamOps {
         // per-batch audit row (novel/dup rates) — idempotent on replay
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
         if (!stats.replayed) {
-          // Takedowns must reach the SERVED output corpus before
-          // compaction purges the pending tombstone set away — scrub
-          // first (zero jobs when no tombstones are pending).
-          if (compactEvery > 0 || autoCompact)
+          // Takedowns must reach the SERVED output corpus AND the
+          // quarantined raw batches before compaction purges the
+          // pending tombstone set away — scrub first (zero jobs when
+          // no tombstones are pending).
+          if (compactEvery > 0 || autoCompact) {
             graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
               idCol)
+            graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
+          }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
           else if (autoCompact)
@@ -247,10 +250,13 @@ object StreamOps {
         // in-loop compaction between serial batches, epoch-fenced — see
         // indexedDedupStream; autoCompact = the measured trigger
         if (!stats.replayed) {
-          // scrub-before-purge ordering — see indexedDedupStream
-          if (compactEvery > 0 || autoCompact)
+          // scrub-before-purge ordering (outputs + quarantine) — see
+          // indexedDedupStream
+          if (compactEvery > 0 || autoCompact) {
             graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
               idCol)
+            graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
+          }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
             graft.operators.Dedup.compactSrpIndex(spark, indexPath)
           else if (autoCompact)

@@ -264,6 +264,71 @@ class GovernedQuarantineSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("scrubQuarantined reaches takedowns into quarantined raw batches; " +
+      "a fully-scrubbed batch is dropped") {
+    val base = Files.createTempDirectory("graft-q-scrub").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      // batch 1 quarantined: id 1 replays a committed id (<= watermark 2)
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      val qdir = s"$ix/quarantine/batch_id=1"
+      assert(spark.read.parquet(qdir).count() == 2L)
+
+      // takedown of id 1 must reach the diverted raw copy too
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(1L))
+      assert(Dedup.scrubQuarantined(spark, ix, "doc_id") == 1L)
+      assert(spark.read.parquet(qdir).select("doc_id").collect()
+        .map(_.getLong(0)).toSet == Set(10L),
+        "only the takedown'd row leaves the quarantined batch")
+      // idempotent: nothing left to scrub
+      assert(Dedup.scrubQuarantined(spark, ix, "doc_id") == 0L)
+
+      // take down the remaining row: the batch scrubs to zero rows and
+      // the directory is dropped (nothing left to triage; the -1 ledger
+      // row stays as the historical record)
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(10L))
+      assert(Dedup.scrubQuarantined(spark, ix, "doc_id") == 1L)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(qdir)),
+        "a fully-taken-down quarantined batch must be dropped")
+      assert(spark.read.parquet(s"$ix/ingest_ledger")
+        .filter($"batch_id" === 1L && $"novel_rows" === -1L).count() == 1L)
+      // the formerly-refused rebuild now proceeds (quarantine is clear)
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      assert(spark.read.parquet(s"$ix/signatures").count() == 3L)
+    } finally rmrf(base)
+  }
+
+  test("a takedown followed by an immediate redrive cannot resurrect " +
+      "the document (pending tombstones are honored on the raw ids)") {
+    val base = Files.createTempDirectory("graft-q-resurrect").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      // takedown id 1 — which hides its committed signature from the
+      // screening view, so WITHOUT the raw-id anti-join the redrive
+      // below would re-admit doc 1's text under the repaired id 22
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(1L))
+      val s = Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id",
+        "text", df => df.withColumn("doc_id", col("doc_id") + lit(21L)))
+      assert(!s.replayed && s.novelRows == 1L && s.watermarkAfter == 31L,
+        s"$s")
+      assert(spark.read.parquet(s"$out/batch_id=1").select("doc_id")
+        .collect().map(_.getLong(0)).toSet == Set(31L),
+        "the taken-down document must not reappear in the served corpus")
+      assert(spark.read.parquet(s"$ix/signatures")
+        .filter($"id" === 22L).isEmpty,
+        "the taken-down document must not re-enter the index")
+    } finally rmrf(base)
+  }
+
   test("SRP twin: redriveQuarantinedSrp re-ingests a repaired embedding " +
       "batch and clears the quarantine") {
     val base = Files.createTempDirectory("graft-q-redrive-srp").toString
