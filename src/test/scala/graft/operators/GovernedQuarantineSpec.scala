@@ -329,6 +329,37 @@ class GovernedQuarantineSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("SRP twin: a takedown followed by an immediate redrive cannot " +
+      "resurrect the embedding") {
+    val base = Files.createTempDirectory("graft-q-resurrect-srp").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    val dim = 4
+    try {
+      Dedup.writeSrpIndex(
+        Seq((0L, Array(1f, 0f, 0f, 0f)), (2L, Array(0f, 1f, 0f, 0f)))
+          .toDF("id", "v"), "id", "v", ix, dim = dim, tables = 2)
+      Dedup.initSrpIngestLedger(spark, ix)
+      // batch 1 quarantined: id 2 replays a committed id (<= watermark 2)
+      Dedup.ingestBatchWithSrpIndex(
+        Seq((2L, Array(0f, 0f, 1f, 0f)), (5L, Array(0f, 0f, 0f, 1f)))
+          .toDF("id", "v"), "id", "v", ix, out, batchId = 1L,
+        threshold = 0.9, quarantine = true)
+      // takedown id 2 BEFORE the redrive: without the raw-id anti-join
+      // the repaired redrive would re-admit its vector under id 23
+      Dedup.deleteFromSrpIndex(spark, ix, Seq(2L))
+      val s = Dedup.redriveQuarantinedSrp(spark, ix, out, 1L, "id", "v",
+        threshold = 0.9, repair = df => df.withColumn("id", $"id" + lit(21L)))
+      assert(!s.replayed && s.novelRows == 1L && s.watermarkAfter == 26L,
+        s"$s")
+      assert(spark.read.parquet(s"$out/batch_id=1").select("id")
+        .collect().map(_.getLong(0)).toSet == Set(26L),
+        "the taken-down embedding must not reappear in the served corpus")
+      assert(spark.read.parquet(s"$ix/vectors")
+        .filter($"id" === 23L).isEmpty,
+        "the taken-down embedding must not re-enter the index")
+    } finally rmrf(base)
+  }
+
   test("SRP twin: redriveQuarantinedSrp re-ingests a repaired embedding " +
       "batch and clears the quarantine") {
     val base = Files.createTempDirectory("graft-q-redrive-srp").toString
