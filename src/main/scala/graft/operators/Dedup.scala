@@ -3526,20 +3526,32 @@ object Dedup {
     * schema stays the homogeneous 4-long row every reader knows — and
     * the watermark does not move (the ids are exactly what could not be
     * trusted). Index tables are untouched, so replay semantics are
-    * intact by construction: a replayed quarantined batch recomputes the
-    * same violation, rewrites the same directory and skips the ledger
-    * append.
+    * intact by construction.
+    *
+    * The dir write and the -1 row form their own ledger-commits-last
+    * pair, and BOTH are gated on the -1 row's absence: once that row
+    * exists the divert completed exactly once, and a replay of the raw
+    * batch (the source re-delivers after a crash between the foreachBatch
+    * return and the streaming checkpoint commit) must NOT rewrite the
+    * directory — by then it may have been scrubbed by a takedown
+    * ([[scrubQuarantined]]: a rewrite from the raw source would resurrect
+    * the scrubbed rows, permanently once compaction purges the pending
+    * tombstones), redriven (the batch has a real committed row; a
+    * rewrite would recreate a quarantine dir beside it), or explicitly
+    * destroyed ([[dropQuarantined]]: a rewrite would resurrect data the
+    * operator deleted). A crash BEFORE the -1 row lands replays into the
+    * rewrite branch, where the per-batch overwrite is idempotent.
     */
   private def quarantineGovernedBatch(
       spark: org.apache.spark.sql.SparkSession, b: DataFrame,
       indexPath: String, batchId: Long, front: BatchFront,
       claimed: Long): IngestBatchStats = {
-    b.write.mode("overwrite")
-      .parquet(s"${quarantineDir(indexPath)}/batch_id=$batchId")
     // the -1 append's idempotence keys off the QUARANTINE flag, not the
     // committed-replay flag (a quarantined batch has no committed row
     // until a redrive flips it)
     if (!front.quarantinedBefore) {
+      b.write.mode("overwrite")
+        .parquet(s"${quarantineDir(indexPath)}/batch_id=$batchId")
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, front.w, front.w,
         QuarantinedNovelRows)

@@ -329,6 +329,80 @@ class GovernedQuarantineSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a replay after dropQuarantined does not resurrect the destroyed " +
+      "raw data") {
+    val base = Files.createTempDirectory("graft-q-replay-drop").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      Dedup.dropQuarantined(spark, ix, 1L)
+      // the source re-delivers batch 1 (crash between the foreachBatch
+      // return and the streaming checkpoint commit)
+      val r = Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text",
+        ix, out, batchId = 1L, quarantine = true)
+      assert(r.replayed && r.novelRows == Dedup.QuarantinedNovelRows, s"$r")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")),
+        "a replay must not rewrite a quarantine dir the operator destroyed")
+    } finally rmrf(base)
+  }
+
+  test("a replay after scrubQuarantined + tombstone purge does not " +
+      "resurrect the scrubbed row") {
+    val base = Files.createTempDirectory("graft-q-replay-scrub").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(1L))
+      assert(Dedup.scrubQuarantined(spark, ix, "doc_id") == 1L)
+      // compaction purges the pending tombstone set — after this, no
+      // later scrub pass could ever remove a resurrected row again
+      Dedup.compactSignatureIndex(spark, ix)
+      val r = Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text",
+        ix, out, batchId = 1L, quarantine = true)
+      assert(r.replayed && r.novelRows == Dedup.QuarantinedNovelRows, s"$r")
+      assert(spark.read.parquet(s"$ix/quarantine/batch_id=1")
+        .select("doc_id").collect().map(_.getLong(0)).toSet == Set(10L),
+        "a replay must not rewrite scrubbed rows back from the raw source")
+    } finally rmrf(base)
+  }
+
+  test("a replay after redriveQuarantined does not recreate a quarantine " +
+      "dir beside the committed row") {
+    val base = Files.createTempDirectory("graft-q-replay-redrive").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id", "text",
+        df => df.withColumn("doc_id", col("doc_id") + lit(21L)))
+      // raw batch 1 replays: the RAW ids re-violate against the advanced
+      // watermark, but the batch is committed (under the repaired ids)
+      // and triaged — the replay must be a pure no-op
+      val sigsBefore = spark.read.parquet(s"$ix/signatures").count()
+      val r = Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text",
+        ix, out, batchId = 1L, quarantine = true)
+      assert(r.replayed && r.novelRows == Dedup.QuarantinedNovelRows, s"$r")
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")),
+        "a replay must not recreate a quarantine dir for a redriven batch")
+      assert(spark.read.parquet(s"$ix/signatures").count() == sigsBefore,
+        "the replay must not touch the index")
+    } finally rmrf(base)
+  }
+
   test("SRP twin: a takedown followed by an immediate redrive cannot " +
       "resurrect the embedding") {
     val base = Files.createTempDirectory("graft-q-resurrect-srp").toString
