@@ -895,10 +895,18 @@ object Dedup {
     val conf = spark.sparkContext.hadoopConfiguration
     val qdir = quarantineDir(path)
     val qfs = qdir.getFileSystem(conf)
-    // marker files (_SUCCESS etc.) don't count as quarantined batches —
-    // same tolerance as the tombstone-table emptiness check
+    // a scrub crash mid-swap parks a batch's sole raw copy under a
+    // "_"-prefixed marker dir — heal BEFORE the refusal check, or the
+    // stranded batch would read as a marker and the rebuild would
+    // destroy un-triaged diverted data
+    recoverScrubLeftovers(qfs, qdir)
+    // marker FILES (_SUCCESS etc.) don't count as quarantined batches —
+    // same tolerance as the tombstone-table emptiness check. Only files:
+    // after the heal above, any remaining "_"-prefixed DIRECTORY (an
+    // in-flight divert's _temporary) must refuse too.
     require(!qfs.exists(qdir) || qfs.listStatus(qdir).forall { s =>
-        val n = s.getPath.getName; n.startsWith("_") || n.startsWith(".")
+        val n = s.getPath.getName
+        s.isFile && (n.startsWith("_") || n.startsWith("."))
       },
       s"rebuild: $qdir holds quarantined batches from the previous " +
         "generation — redriveQuarantined or dropQuarantined them before " +
@@ -3604,6 +3612,9 @@ object Dedup {
       : IngestBatchStats = {
     val dir = quarantinedBatchDir(indexPath, batchId)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a scrub crash mid-swap parks the batch under __scrub_old_… —
+    // heal first, or the sole raw copy would read as "no such batch"
+    recoverScrubLeftovers(fs, quarantineDir(indexPath))
     require(fs.exists(dir),
       s"redriveQuarantined: no quarantined batch $batchId at $dir")
     val stats = ingestBatchWithIndex(
@@ -3637,6 +3648,7 @@ object Dedup {
       : IngestBatchStats = {
     val dir = quarantinedBatchDir(indexPath, batchId)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverScrubLeftovers(fs, quarantineDir(indexPath)) // see MinHash twin
     require(fs.exists(dir),
       s"redriveQuarantinedSrp: no quarantined batch $batchId at $dir")
     val stats = ingestBatchWithSrpIndex(
@@ -3656,6 +3668,7 @@ object Dedup {
                       indexPath: String, batchId: Long): Unit = {
     val dir = quarantinedBatchDir(indexPath, batchId)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverScrubLeftovers(fs, quarantineDir(indexPath)) // see redrive
     require(fs.exists(dir),
       s"dropQuarantined: no quarantined batch $batchId at $dir")
     claimEpoch(spark, indexPath)

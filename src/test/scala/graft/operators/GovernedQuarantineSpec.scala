@@ -329,6 +329,43 @@ class GovernedQuarantineSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a scrub crash mid-swap (batch parked under __scrub_old_) is " +
+      "healed by the rebuild guard and by triage") {
+    val base = Files.createTempDirectory("graft-q-scrub-crash").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text", ix, out,
+        batchId = 1L, quarantine = true)
+      // simulate scrubQuarantined dying between rename(dir, old) and
+      // rename(tmp, dir): sole raw copy under the old-marker, temp orphan
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val live = new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")
+      val old = new org.apache.hadoop.fs.Path(
+        s"$ix/quarantine/__scrub_old_batch_id=1")
+      assert(fs.rename(live, old))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$ix/quarantine/__scrub_tmp_batch_id=1"))
+      // the rebuild guard must heal and REFUSE — the "_"-prefixed marker
+      // tolerance must not read the stranded batch as a marker and let
+      // the rebuild destroy un-triaged raw data
+      val e = intercept[IllegalArgumentException] {
+        Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      }
+      assert(e.getMessage.contains("quarantine"))
+      // the healed batch is visible to triage again
+      // novelRows 1: repaired doc 22 carries doc 1's text — the
+      // cross-index screen drops it as a near-dup of the committed doc
+      val s = Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id",
+        "text", df => df.withColumn("doc_id", col("doc_id") + lit(21L)))
+      assert(!s.replayed && s.novelRows == 1L && s.watermarkAfter == 31L,
+        s"$s")
+      assert(!fs.exists(live) && !fs.exists(old))
+    } finally rmrf(base)
+  }
+
   test("a replay after dropQuarantined does not resurrect the destroyed " +
       "raw data") {
     val base = Files.createTempDirectory("graft-q-replay-drop").toString
