@@ -1665,24 +1665,31 @@ object Dedup {
   def autoCompactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
                                 path: String,
                                 targetFileBytes: Long = 128L << 20,
-                                fragmentFactor: Int = 8)
+                                fragmentFactor: Int = 8,
+                                preCompact: () => Unit = () => ())
       : Option[Map[String, (Int, Int)]] =
     if (indexFragmented(spark, path, "signatures", targetFileBytes,
-        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty)
+        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty) {
+      // fires only when the compaction will: the governed streams hang
+      // their scrub-before-purge pass here, so the corpus-wide scrub
+      // scan is paid exactly once per compaction, not per batch
+      preCompact()
       Some(compactSignatureIndex(spark, path, targetFileBytes))
-    else None
+    } else None
 
   /** [[autoCompactSignatureIndex]]'s twin for the SRP embedding index
     * (measured on the `vectors` table). */
   def autoCompactSrpIndex(spark: org.apache.spark.sql.SparkSession,
                           path: String,
                           targetFileBytes: Long = 128L << 20,
-                          fragmentFactor: Int = 8)
+                          fragmentFactor: Int = 8,
+                          preCompact: () => Unit = () => ())
       : Option[Map[String, (Int, Int)]] =
     if (indexFragmented(spark, path, "vectors", targetFileBytes,
-        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty)
+        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty) {
+      preCompact()
       Some(compactSrpIndex(spark, path, targetFileBytes))
-    else None
+    } else None
 
   /** The fragmentation measure of one table — see
     * [[autoCompactSignatureIndex]]. */

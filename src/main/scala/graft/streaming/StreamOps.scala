@@ -203,17 +203,23 @@ object StreamOps {
         if (!stats.replayed) {
           // Takedowns must reach the SERVED output corpus AND the
           // quarantined raw batches before compaction purges the
-          // pending tombstone set away — scrub first (zero jobs when
-          // no tombstones are pending).
-          if (compactEvery > 0 || autoCompact) {
+          // pending tombstone set away — so the scrubs run exactly on
+          // the iterations that COMPACT (gated or hooked below), never
+          // per batch: while a tombstone is pending, a per-batch scrub
+          // would re-scan every batch_id dir of the corpus and find
+          // nothing after the first pass.
+          def scrub(): Unit = {
             graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
               idCol)
             graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
+            ()
           }
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            scrub()
             graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
-          else if (autoCompact)
-            graft.operators.Dedup.autoCompactSignatureIndex(spark, indexPath)
+          } else if (autoCompact)
+            graft.operators.Dedup.autoCompactSignatureIndex(spark, indexPath,
+              preCompact = scrub)
         }
         ()
       }
@@ -250,17 +256,20 @@ object StreamOps {
         // in-loop compaction between serial batches, epoch-fenced — see
         // indexedDedupStream; autoCompact = the measured trigger
         if (!stats.replayed) {
-          // scrub-before-purge ordering (outputs + quarantine) — see
-          // indexedDedupStream
-          if (compactEvery > 0 || autoCompact) {
+          // scrub-before-purge ordering, paid once per compaction —
+          // see indexedDedupStream
+          def scrub(): Unit = {
             graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
               idCol)
             graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
+            ()
           }
-          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0)
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            scrub()
             graft.operators.Dedup.compactSrpIndex(spark, indexPath)
-          else if (autoCompact)
-            graft.operators.Dedup.autoCompactSrpIndex(spark, indexPath)
+          } else if (autoCompact)
+            graft.operators.Dedup.autoCompactSrpIndex(spark, indexPath,
+              preCompact = scrub)
         }
         ()
       }

@@ -298,11 +298,15 @@ class IndexMaintenanceSpec extends SparkSpec {
       // fold the build's one-file-per-task write, then: quiet index
       Dedup.compactSignatureIndex(spark, ix)
       val baseline = sigFiles
+      var preCalls = 0
       (1 to 3).foreach { _ =>
-        assert(Dedup.autoCompactSignatureIndex(spark, ix).isEmpty,
+        assert(Dedup.autoCompactSignatureIndex(spark, ix,
+            preCompact = () => preCalls += 1).isEmpty,
           "an un-fragmented index must never churn")
       }
       assert(sigFiles == baseline)
+      assert(preCalls == 0,
+        "preCompact must not fire when the compaction does not")
 
       // decay: each maintenance append lands one file set per table
       var i = 0L
@@ -320,10 +324,17 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(Dedup.autoCompactSignatureIndex(spark, ix).isEmpty,
         "immediately after compaction the index is quiet again")
 
-      // pending tombstones force reclamation regardless of file counts
+      // pending tombstones force reclamation regardless of file counts;
+      // the preCompact hook (the streams' scrub pass) runs exactly once,
+      // BEFORE the purge — the tombstones must still be pending inside it
       Dedup.deleteFromSignatureIndex(spark, ix, Seq(0L))
-      assert(Dedup.autoCompactSignatureIndex(spark, ix).nonEmpty,
+      assert(Dedup.autoCompactSignatureIndex(spark, ix, preCompact = () => {
+          preCalls += 1
+          assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")),
+            "preCompact must run before the purge folds the tombstones")
+        }).nonEmpty,
         "pending deletes must trigger physical reclamation")
+      assert(preCalls == 1, "preCompact fires exactly once per compaction")
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")))
       assert(Dedup.autoCompactSignatureIndex(spark, ix).isEmpty)
     } finally rmrf(base)
