@@ -70,7 +70,6 @@ def main(sf_dir, out_dir):
     # within the entry's relative tolerance, everything else compares
     # exactly. Converts the rows-only sketch rows into a checked
     # accuracy contract.
-    n_quasi = 0
     try:
         quasi = json.load(open(f"{out_dir}/quasi_oracle.json"))
     except FileNotFoundError:
@@ -95,12 +94,22 @@ def main(sf_dir, out_dir):
         bad = []
         for c in want.columns:
             wc, gc = want[c], got[c]
-            if pd.api.types.is_numeric_dtype(wc):
-                rel = ((wc - gc).abs() / wc.abs().clip(lower=1)).max()
-                if rel > tol:
-                    bad.append(f"{c}: relerr {rel:.4f} > tol {tol}")
-            elif not ((wc == gc) | (wc.isna() & gc.isna())).all():
-                bad.append(f"{c}: exact mismatch")
+            try:
+                if pd.api.types.is_numeric_dtype(wc):
+                    # NaN discipline: a NaN on either side (unless both)
+                    # must FAIL, never vanish into skipna aggregation
+                    both_na = wc.isna() & gc.isna()
+                    rel = ((wc - gc).abs() / wc.abs().clip(lower=1)) \
+                        .where(~both_na, 0.0)
+                    if rel.isna().any():
+                        bad.append(f"{c}: {int(rel.isna().sum())} "
+                                   "NaN / one-sided-null values")
+                    elif (rel > tol).any():
+                        bad.append(f"{c}: relerr {rel.max():.4f} > tol {tol}")
+                elif not ((wc == gc) | (wc.isna() & gc.isna())).all():
+                    bad.append(f"{c}: exact mismatch")
+            except Exception as e:  # e.g. numeric-vs-object dtype drift
+                bad.append(f"{c}: compare error {e}")
         if bad:
             print(f"FAIL {name} (quasi): " + "; ".join(bad))
             n_fail += 1
@@ -108,9 +117,10 @@ def main(sf_dir, out_dir):
             print(f"PASS {name} (quasi, numeric within {tol:.0%}, "
                   f"{len(want)} rows)")
             n_pass += 1
-            n_quasi += 1
+    # attempted counts (not passing counts): X + Y must equal Z even
+    # when entries fail
     print(f"\n{n_pass} pass, {n_fail} fail, "
-          f"{len(oracle)} oracled + {n_quasi} quasi / "
+          f"{len(oracle)} oracled + {len(quasi)} quasi / "
           f"{len(oracle) + len(quasi)} checked")
     return 1 if n_fail else 0
 
