@@ -3351,6 +3351,13 @@ object Dedup {
     * that window. The governed stream owns its session by contract
     * (serial foreachBatch, sole writer); run ad-hoc analytics on a
     * separate session (`spark.newSession()`) if they must overlap.
+    * That contract extends to CONCURRENT governed streams (the
+    * multi-stream scale-out pattern): the save/restore here is not
+    * atomic across threads — thread B could save thread A's transient
+    * value as its "original" and restore it last, leaving the shared
+    * session permanently mis-tuned. Co-located shard streams must each
+    * run on their own `spark.newSession()`
+    * (`ShardedGovernedIngestSpec` pins the isolation).
     */
   private def withPinnedPlan[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {

@@ -170,11 +170,13 @@ object StreamOps {
     * "multi-stream ingest scale-out"): one governed stream is serial by
     * design — the ledger watermark totally orders one index. For more
     * ingest throughput, route the corpus with a deterministic id router
-    * into N independent indexes and run one of these streams per shard:
+    * into N independent indexes and run one of these streams per shard —
+    * each on its OWN `spark.newSession()` (the per-batch plan tuning is
+    * session-scoped; its save/restore is not atomic across threads):
     * every fence (epoch, ledger, tombstones, quarantine) is per index
     * path, so disjoint shards never collide (`ShardedGovernedIngestSpec`
-    * proves concurrent commits, replays and the within-shard screening
-    * contract). Near-dup screening is WITHIN a shard; route by a
+    * proves concurrent commits, replays, conf isolation and the
+    * within-shard screening contract). Near-dup screening is WITHIN a shard; route by a
     * content-stable key or run the periodic cross-shard batch dedup
     * operators when cross-shard duplicates are in contract.
     */

@@ -477,13 +477,16 @@ object Plans {
       |periodic cross-shard batch dedup operators (d-family) over the union
       |of shard outputs when cross-shard duplicates are in contract.
       |`ShardedGovernedIngestSpec` proves concurrent commits on disjoint
-      |shards (parallel driver threads), within-shard screening across a
-      |shard's committed history, the cross-shard-miss boundary, and
-      |exactly-once replays under concurrency. In-process caveat: per-batch
-      |execution tuning (shuffle partitions / AQE pinning) is session-global,
-      |so shards sharing one SparkSession share those knobs — semantics are
-      |unaffected; for pinned-plan perf isolation run shards in separate
-      |drivers, which is the natural deployment anyway.
+      |shards (parallel driver threads, one `spark.newSession()` per shard),
+      |within-shard screening across a shard's committed history, the
+      |cross-shard-miss boundary, and exactly-once replays under concurrency.
+      |In-process caveat: per-batch execution tuning (shuffle partitions /
+      |AQE pinning) is session-scoped and its save/restore is per batch, not
+      |atomic across threads — co-located shards MUST each run on their own
+      |`spark.newSession()` (same SparkContext, isolated SQL conf; the spec
+      |asserts the parent session's knobs are never touched and each shard's
+      |are restored). Separate drivers per shard are the natural deployment
+      |anyway.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

@@ -6,7 +6,7 @@ import scala.concurrent.{Await, Future}
 import scala.concurrent.ExecutionContext.Implicits.global
 import scala.concurrent.duration._
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
@@ -26,7 +26,15 @@ import graft.operators.Dedup
   *    shard — a cross-shard near-duplicate is NOT screened (route by a
   *    content-stable key, or run the periodic cross-shard batch dedup
   *    operators, when cross-shard duplicates are in contract);
-  *  - replays stay exactly-once per shard under concurrency.
+  *  - replays stay exactly-once per shard under concurrency;
+  *  - each shard owns its session (`spark.newSession()`, the deployment
+  *    pattern's prescription): the per-batch plan tuning
+  *    (shuffle-partition sizing / AQE pinning) is session-scoped and its
+  *    save/restore is not atomic across threads, so shards sharing ONE
+  *    session could interleave restores and leave the session mis-tuned
+  *    after all batches finish — per-shard sessions make that
+  *    impossible, and the spec asserts the parent session's knobs are
+  *    never touched and each shard's are restored.
   */
 class ShardedGovernedIngestSpec extends SparkSpec {
   import spark.implicits._
@@ -44,6 +52,15 @@ class ShardedGovernedIngestSpec extends SparkSpec {
       s"papa oscar november mike lima kilo juliet india tail$i"
 
   private def df(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+
+  /** Batch frame bound to a SHARD's own session — the governed loop
+    * reads `batch.sparkSession`, so this is what routes each shard's
+    * plan tuning to its own session. */
+  private def dfOn(s: SparkSession)(rows: (Long, String)*): DataFrame = {
+    val sqlc = s.sqlContext
+    import sqlc.implicits._
+    rows.toDF("doc_id", "text")
+  }
 
   private def rmrf(dir: String): Unit = {
     import scala.reflect.io.Directory
@@ -66,15 +83,22 @@ class ShardedGovernedIngestSpec extends SparkSpec {
       Dedup.initIngestLedger(spark, ix0)
       Dedup.initIngestLedger(spark, ix1)
 
+      // each shard OWNS its session (the pattern's prescription): the
+      // per-batch plan tuning is session-scoped, so concurrent shards on
+      // one session could interleave conf restores
+      val sess0 = spark.newSession(); val sess1 = spark.newSession()
+      val parentShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+      val parentAqe = spark.conf.get("spark.sql.adaptive.enabled")
+
       // batch 1, both shards CONCURRENTLY: 12 near-dups shard 0's own
       // family (screened); 13 carries shard-0 family text but lives in
       // shard 1 — the documented cross-shard miss (stays novel there)
       val f0 = Future(Dedup.ingestBatchWithIndex(
-        df(10L -> uniq(10), 12L -> famA(12)), "doc_id", "text", ix0, out0,
-        batchId = 1L))
+        dfOn(sess0)(10L -> uniq(10), 12L -> famA(12)), "doc_id", "text",
+        ix0, out0, batchId = 1L))
       val f1 = Future(Dedup.ingestBatchWithIndex(
-        df(11L -> uniq(11), 13L -> famA(13)), "doc_id", "text", ix1, out1,
-        batchId = 1L))
+        dfOn(sess1)(11L -> uniq(11), 13L -> famA(13)), "doc_id", "text",
+        ix1, out1, batchId = 1L))
       val s0 = Await.result(f0, 5.minutes)
       val s1 = Await.result(f1, 5.minutes)
       assert(!s0.replayed && s0.novelRows == 1L, s"$s0")
@@ -89,9 +113,11 @@ class ShardedGovernedIngestSpec extends SparkSpec {
       // row batch 1 of the SAME shard ingested (13, famA text) — the
       // within-shard screen spans the shard's whole committed history
       val g0 = Future(Dedup.ingestBatchWithIndex(
-        df(20L -> uniq(20)), "doc_id", "text", ix0, out0, batchId = 2L))
+        dfOn(sess0)(20L -> uniq(20)), "doc_id", "text", ix0, out0,
+        batchId = 2L))
       val g1 = Future(Dedup.ingestBatchWithIndex(
-        df(21L -> famA(21)), "doc_id", "text", ix1, out1, batchId = 2L))
+        dfOn(sess1)(21L -> famA(21)), "doc_id", "text", ix1, out1,
+        batchId = 2L))
       val t0 = Await.result(g0, 5.minutes)
       val t1 = Await.result(g1, 5.minutes)
       assert(!t0.replayed && t0.novelRows == 1L, s"$t0")
@@ -100,11 +126,27 @@ class ShardedGovernedIngestSpec extends SparkSpec {
 
       // concurrent REPLAYS: recognized on both shards, no extra state
       val r0 = Future(Dedup.ingestBatchWithIndex(
-        df(20L -> uniq(20)), "doc_id", "text", ix0, out0, batchId = 2L))
+        dfOn(sess0)(20L -> uniq(20)), "doc_id", "text", ix0, out0,
+        batchId = 2L))
       val r1 = Future(Dedup.ingestBatchWithIndex(
-        df(21L -> famA(21)), "doc_id", "text", ix1, out1, batchId = 2L))
+        dfOn(sess1)(21L -> famA(21)), "doc_id", "text", ix1, out1,
+        batchId = 2L))
       assert(Await.result(r0, 5.minutes).replayed)
       assert(Await.result(r1, 5.minutes).replayed)
+
+      // session isolation held: the parent session's execution knobs
+      // were never touched, and each shard's were restored after its
+      // last batch
+      assert(spark.conf.get("spark.sql.shuffle.partitions") ==
+          parentShuffle &&
+          spark.conf.get("spark.sql.adaptive.enabled") == parentAqe,
+        "per-batch tuning must stay on the shard's own session")
+      Seq(sess0, sess1).foreach { s =>
+        assert(s.conf.get("spark.sql.shuffle.partitions") == parentShuffle,
+          "a shard session's knobs must be restored after its batches")
+        assert(s.conf.get("spark.sql.adaptive.enabled") == parentAqe,
+          "a shard session's AQE flag must be restored after its batches")
+      }
       Seq(ix0, ix1).foreach { ix =>
         // bootstrap row (batch_id = -1) + the shard's own two batches
         assert(spark.read.parquet(s"$ix/ingest_ledger")
