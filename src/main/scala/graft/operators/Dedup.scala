@@ -1125,7 +1125,19 @@ object Dedup {
   /** Heal a scrub rewrite's crash window: restore a directory left
     * stranded mid-swap (live dir absent, original under the old-marker)
     * and drop orphaned temp copies. Leading underscores keep the marker
-    * directories invisible to every parquet reader of `outPath`. */
+    * directories invisible to every parquet reader of `outPath`.
+    *
+    * TWIN of [[recoverCompactionLeftovers]] (same write-to-temp →
+    * rename-aside → rename discipline; a swap-window fix there likely
+    * applies here) with ONE deliberate policy difference, which is why
+    * they are not one parameterized helper: this restores the ORIGINAL
+    * and always drops the temp — safe because a scrub is re-runnable
+    * verbatim (every scrub path runs before the purge, so the
+    * tombstones that produced the temp are still pending and the next
+    * scrub pass re-removes the restored rows). Compaction restores the
+    * TEMP when present: its forced purge rewrite pairs with side-table
+    * deltas (negative occupancy), so the post-rewrite content is the
+    * copy that must win. */
   private def recoverScrubLeftovers(fs: org.apache.hadoop.fs.FileSystem,
                                     root: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(root)) return
@@ -1764,7 +1776,10 @@ object Dedup {
   /** The swap-healing core — callers hold the epoch claim. Every
     * filesystem mutation's boolean return is require'd: reporting a
     * repair that did not happen would leave callers (and the returned
-    * action map) lying about the index's state. */
+    * action map) lying about the index's state. Twin of
+    * [[recoverScrubLeftovers]] — see there for the deliberate
+    * restore-policy difference (temp-first here, original-first there)
+    * before touching either swap window. */
   private def recoverCompactionLeftovers(
       fs: org.apache.hadoop.fs.FileSystem,
       root: org.apache.hadoop.fs.Path): Map[String, String] = {
