@@ -126,6 +126,57 @@ object Dedup {
         "library version whose range includes it.")
   }
 
+  /** In-place layout-version migration: stamp a supported-but-older
+    * index forward to the current [[IndexFormatVersion]] without a
+    * rebuild. Version 2 is defined as "version 1 plus the stamp itself"
+    * (see [[IndexFormatVersion]]), so rewriting the one-row params table
+    * with the stamp IS the complete v1→v2 migration — the data tables
+    * are untouched and the in-code legacy fallbacks (unsharded bands,
+    * recomputed occupancy, absent `normalize`) keep covering whatever
+    * the old writer left absent. Stamping forward is what lets a future
+    * library raise [[MinSupportedIndexFormat]] and drop those fallbacks
+    * while old indexes stay openable.
+    *
+    * A FUTURE version still refuses (there is nothing this code could
+    * correctly rewrite it to). Counts as a mutation under the epoch
+    * fence. The params swap uses the compaction marker discipline
+    * (write-to-temp → rename-aside → rename), so a crash mid-swap heals
+    * through [[recoverCompaction]] — which this tool runs first, making
+    * a rerun after its own crash self-healing too.
+    *
+    * @return the index's layout version after the call
+    */
+  def stampIndexFormatVersion(spark: org.apache.spark.sql.SparkSession,
+                              path: String): Int = {
+    recoverCompaction(spark, path)
+    val pdir = s"$path/params"
+    val pr = readParamsRow(spark, pdir)
+    requireSupportedFormat(pr, path)
+    val v =
+      if (pr.schema.fieldNames.contains("format_version"))
+        pr.getAs[Int]("format_version")
+      else 1
+    if (v == IndexFormatVersion) return v
+    claimEpoch(spark, path)
+    val stamped = readIndexTable(spark, pdir)
+      .withColumn("format_version", lit(IndexFormatVersion))
+      .localCheckpoint() // fully read BEFORE the swap moves the source
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(root, "params")
+    val tmp = new org.apache.hadoop.fs.Path(root, CompactingPrefix + "params")
+    val old = new org.apache.hadoop.fs.Path(root, OldCopyPrefix + "params")
+    stamped.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    graft.plans.Checkpoints.free(stamped)
+    require(fs.rename(dir, old),
+      s"stampIndexFormatVersion: could not move aside $dir -> $old")
+    require(fs.rename(tmp, dir),
+      s"stampIndexFormatVersion: could not swap $tmp -> $dir")
+    require(fs.delete(old, true),
+      s"stampIndexFormatVersion: could not remove $old")
+    IndexFormatVersion
+  }
+
   /** head() of `path` (a params table) through the cache. */
   private def readParamsRow(spark: org.apache.spark.sql.SparkSession,
                             path: String): org.apache.spark.sql.Row = {

@@ -74,6 +74,49 @@ class IndexFormatSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("stampIndexFormatVersion migrates a pre-versioning index in " +
+      "place; current is a no-op; a future version still refuses; a " +
+      "crashed stamp heals on rerun") {
+    val base = Files.createTempDirectory("graft-fmt-stamp").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      // current version: no-op
+      assert(Dedup.stampIndexFormatVersion(spark, ix) ==
+        Dedup.IndexFormatVersion)
+
+      // v1 (pre-versioning): stamped forward in place, geometry intact
+      restampParams(ix, None)
+      assert(Dedup.indexFormatVersion(spark, ix) == 1)
+      val geomBefore = spark.read.parquet(s"$ix/params")
+        .drop("format_version").collect().toSeq
+      assert(Dedup.stampIndexFormatVersion(spark, ix) ==
+        Dedup.IndexFormatVersion)
+      assert(Dedup.indexFormatVersion(spark, ix) ==
+        Dedup.IndexFormatVersion)
+      assert(spark.read.parquet(s"$ix/params").drop("format_version")
+        .collect().toSeq == geomBefore,
+        "the stamp must not change the recorded geometry")
+      Dedup.readSignatureIndex(spark, ix) // still opens
+
+      // a stamp crash mid-swap (params parked under the old-marker)
+      // heals on rerun via the compaction recovery sweep
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$ix/params"),
+        new org.apache.hadoop.fs.Path(s"$ix/__old_params")))
+      assert(Dedup.stampIndexFormatVersion(spark, ix) ==
+        Dedup.IndexFormatVersion)
+      Dedup.readSignatureIndex(spark, ix)
+
+      // a FUTURE version refuses — nothing to correctly rewrite it to
+      restampParams(ix, Some(Dedup.IndexFormatVersion + 1))
+      intercept[IllegalArgumentException] {
+        Dedup.stampIndexFormatVersion(spark, ix)
+      }
+    } finally rmrf(base)
+  }
+
   test("SRP twin: version stamp round-trips and out-of-range refuses") {
     val base = Files.createTempDirectory("graft-fmt-srp").toString
     val ix = s"$base/ix"
