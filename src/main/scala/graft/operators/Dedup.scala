@@ -150,14 +150,10 @@ object Dedup {
                               path: String): Int = {
     recoverCompaction(spark, path)
     val pdir = s"$path/params"
-    val pr = readParamsRow(spark, pdir)
-    requireSupportedFormat(pr, path)
-    val v =
-      if (pr.schema.fieldNames.contains("format_version"))
-        pr.getAs[Int]("format_version")
-      else 1
+    requireSupportedFormat(readParamsRow(spark, pdir), path)
+    val v = indexFormatVersion(spark, path)
     if (v == IndexFormatVersion) return v
-    claimEpoch(spark, path)
+    val claimed = claimEpoch(spark, path)
     val stamped = readIndexTable(spark, pdir)
       .withColumn("format_version", lit(IndexFormatVersion))
       .localCheckpoint() // fully read BEFORE the swap moves the source
@@ -168,12 +164,12 @@ object Dedup {
     val old = new org.apache.hadoop.fs.Path(root, OldCopyPrefix + "params")
     stamped.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     graft.plans.Checkpoints.free(stamped)
-    require(fs.rename(dir, old),
-      s"stampIndexFormatVersion: could not move aside $dir -> $old")
-    require(fs.rename(tmp, dir),
-      s"stampIndexFormatVersion: could not swap $tmp -> $dir")
-    require(fs.delete(old, true),
-      s"stampIndexFormatVersion: could not remove $old")
+    // same abort discipline as the compaction swap: a mutation landing
+    // since the claim makes the stamp abort with the temp cleaned up,
+    // never swap over a moved index
+    try requireEpoch(spark, path, claimed)
+    catch { case e: Throwable => fs.delete(tmp, true); throw e }
+    renameSwap(fs, dir, tmp, old, "stampIndexFormatVersion")
     IndexFormatVersion
   }
 
@@ -973,6 +969,14 @@ object Dedup {
   private[graft] def quarantineDir(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/quarantine")
 
+  /** Names of the pending tombstone data files — the governed streams'
+    * scrub gate: a set unchanged since the last scrub means the served
+    * corpora are already clean (one flat listing, usually a bare
+    * directory-absent probe). */
+  private[graft] def pendingTombstoneFiles(
+      spark: org.apache.spark.sql.SparkSession, path: String): Set[String] =
+    listTombstoneFiles(spark, path).map(_.getName).toSet
+
   /** Data files currently in the tombstone table (empty when absent). */
   private def listTombstoneFiles(spark: org.apache.spark.sql.SparkSession,
                                  path: String)
@@ -1173,6 +1177,23 @@ object Dedup {
   private val ScrubTmpPrefix = "__scrub_tmp_"
   private val ScrubOldPrefix = "__scrub_old_"
 
+  /** The rename-aside swap triple shared by every directory rewrite
+    * (index compaction, output scrub, params stamp): original →
+    * old-marker, temp → live, old-marker dropped. Epoch re-checks and
+    * crash recovery stay at the call sites (their policies differ — see
+    * [[recoverScrubLeftovers]]); the swap ordering itself must not:
+    * the live dir's sole copy never sits in a temp-marker dir a
+    * concurrent recovery sweep may legitimately delete. */
+  private def renameSwap(fs: org.apache.hadoop.fs.FileSystem,
+                         dir: org.apache.hadoop.fs.Path,
+                         tmp: org.apache.hadoop.fs.Path,
+                         old: org.apache.hadoop.fs.Path,
+                         op: String): Unit = {
+    require(fs.rename(dir, old), s"$op: could not move aside $dir -> $old")
+    require(fs.rename(tmp, dir), s"$op: could not swap $tmp -> $dir")
+    require(fs.delete(old, true), s"$op: could not remove $old")
+  }
+
   /** Heal a scrub rewrite's crash window: restore a directory left
     * stranded mid-swap (live dir absent, original under the old-marker)
     * and drop orphaned temp copies. Leading underscores keep the marker
@@ -1238,9 +1259,7 @@ object Dedup {
       .join(broadcast(tomb), col(idCol).try_cast("long") === col("__tomb_id"),
         "left_anti")
       .write.mode("overwrite").parquet(tmp.toString)
-    require(fs.rename(dir, old), s"scrub: could not move aside $dir -> $old")
-    require(fs.rename(tmp, dir), s"scrub: could not swap $tmp -> $dir")
-    require(fs.delete(old, true), s"scrub: could not remove $old")
+    renameSwap(fs, dir, tmp, old, "scrub")
   }
 
   /** Propagate pending takedown deletes to a governed loop's emitted
@@ -1733,9 +1752,11 @@ object Dedup {
       : Option[Map[String, (Int, Int)]] =
     if (indexFragmented(spark, path, "signatures", targetFileBytes,
         fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty) {
-      // fires only when the compaction will: the governed streams hang
-      // their scrub-before-purge pass here, so the corpus-wide scrub
-      // scan is paid exactly once per compaction, not per batch
+      // fires only when the compaction will: an external maintenance
+      // loop hangs its scrub-before-purge pass here and pays it exactly
+      // once per compaction (the governed streams gate their in-loop
+      // scrubs on the pending-tombstone-set change instead — see
+      // StreamOps — so takedown serving latency stays ≤1 batch)
       preCompact()
       Some(compactSignatureIndex(spark, path, targetFileBytes))
     } else None
@@ -1936,10 +1957,7 @@ object Dedup {
           // legitimately delete. Any crash inside this window leaves a
           // marker pair recoverCompactionLeftovers restores losslessly.
           val old = new org.apache.hadoop.fs.Path(s"$path/$OldCopyPrefix$sub")
-          require(fs.rename(dir, old),
-            s"compact: could not move aside $dir -> $old")
-          require(fs.rename(tmp, dir), s"compact: could not swap $tmp -> $dir")
-          require(fs.delete(old, true), s"compact: could not remove $old")
+          renameSwap(fs, dir, tmp, old, "compact")
           (files.length, listParquetFilesRec(fs, dir).length)
         }
       sub -> stats
@@ -3668,6 +3686,30 @@ object Dedup {
     new org.apache.hadoop.fs.Path(quarantineDir(indexPath),
       s"batch_id=$batchId")
 
+  /** Triage precondition: the divert's `-1` ledger row must exist. The
+    * quarantine dir lands BEFORE the row (ledger-commits-last), so a dir
+    * without the row is an IN-FLIGHT divert (crashed before its ledger
+    * append): triaging it would race the stream's replay — the replay
+    * sees no `-1` row, rewrites the dir from the raw source and appends
+    * the row, resurrecting a drop or duplicating a redrive's documents
+    * under a second set of repaired ids. Refusing until the row exists
+    * makes the replay complete the divert first; triage then proceeds
+    * on committed state. */
+  private def requireQuarantineLedgerRow(
+      spark: org.apache.spark.sql.SparkSession, indexPath: String,
+      batchId: Long, op: String): Unit = {
+    val ldir = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_ledger")
+    val lfs = ldir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(lfs.exists(ldir) && !readIndexTable(spark, ldir.toString)
+        .filter(col("batch_id") === lit(batchId) &&
+          col("novel_rows") === lit(QuarantinedNovelRows))
+        .limit(1).isEmpty,
+      s"$op: quarantined batch $batchId has no quarantine ledger row — " +
+        "the divert is still in flight (the stream crashed before its " +
+        "ledger append); restart the stream so the replay completes the " +
+        "divert, then triage")
+  }
+
   /** Re-drive a quarantined batch through the governed MinHash loop
     * after repair: reads the diverted raw rows, applies `repair` (which
     * must yield trustworthy monotone ids — e.g. re-key past the current
@@ -3697,6 +3739,8 @@ object Dedup {
     recoverScrubLeftovers(fs, quarantineDir(indexPath))
     require(fs.exists(dir),
       s"redriveQuarantined: no quarantined batch $batchId at $dir")
+    requireQuarantineLedgerRow(spark, indexPath, batchId,
+      "redriveQuarantined")
     val stats = ingestBatchWithIndex(
       repair(liveQuarantinedRows(spark, indexPath, dir, idCol)), idCol,
       textCol, indexPath, outPath, batchId, quarantine = false)
@@ -3731,6 +3775,8 @@ object Dedup {
     recoverScrubLeftovers(fs, quarantineDir(indexPath)) // see MinHash twin
     require(fs.exists(dir),
       s"redriveQuarantinedSrp: no quarantined batch $batchId at $dir")
+    requireQuarantineLedgerRow(spark, indexPath, batchId,
+      "redriveQuarantinedSrp")
     val stats = ingestBatchWithSrpIndex(
       repair(liveQuarantinedRows(spark, indexPath, dir, idCol)), idCol,
       vecCol, indexPath, outPath, batchId, threshold, quarantine = false)
@@ -3751,6 +3797,7 @@ object Dedup {
     recoverScrubLeftovers(fs, quarantineDir(indexPath)) // see redrive
     require(fs.exists(dir),
       s"dropQuarantined: no quarantined batch $batchId at $dir")
+    requireQuarantineLedgerRow(spark, indexPath, batchId, "dropQuarantined")
     claimEpoch(spark, indexPath)
     require(fs.delete(dir, true), s"dropQuarantined: could not remove $dir")
   }

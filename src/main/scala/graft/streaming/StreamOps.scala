@@ -191,6 +191,9 @@ object StreamOps {
                          quarantine: Boolean = false)
       : StreamingQuery = {
     graft.operators.Dedup.initIngestLedger(spark, indexPath)
+    // The tombstone file set the last in-loop scrub propagated (stream
+    // closure state; lost on restart = one redundant idempotent scrub).
+    var scrubbedTombs = Set.empty[String]
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -203,25 +206,29 @@ object StreamOps {
         // per-batch audit row (novel/dup rates) — idempotent on replay
         graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
         if (!stats.replayed) {
-          // Takedowns must reach the SERVED output corpus AND the
-          // quarantined raw batches before compaction purges the
-          // pending tombstone set away — so the scrubs run exactly on
-          // the iterations that COMPACT (gated or hooked below), never
-          // per batch: while a tombstone is pending, a per-batch scrub
-          // would re-scan every batch_id dir of the corpus and find
-          // nothing after the first pass.
-          def scrub(): Unit = {
+          // Takedown propagation to the SERVED output corpus and the
+          // quarantined raw batches: scrub on the FIRST committed batch
+          // after the pending tombstone set changes (bounded ≤1-batch
+          // serving latency), then not again until it changes — never a
+          // per-batch corpus re-scan that finds nothing. Compaction
+          // purges only sets the scrubs have already propagated, so the
+          // scrub-before-purge ordering holds by construction.
+          val pending =
+            graft.operators.Dedup.pendingTombstoneFiles(spark, indexPath)
+          if (pending.nonEmpty && pending != scrubbedTombs) {
             graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
               idCol)
             graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
-            ()
+            scrubbedTombs = pending
           }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            scrub()
             graft.operators.Dedup.compactSignatureIndex(spark, indexPath)
-          } else if (autoCompact)
-            graft.operators.Dedup.autoCompactSignatureIndex(spark, indexPath,
-              preCompact = scrub)
+            scrubbedTombs = Set.empty
+          } else if (autoCompact) {
+            if (graft.operators.Dedup
+                .autoCompactSignatureIndex(spark, indexPath).isDefined)
+              scrubbedTombs = Set.empty
+          }
         }
         ()
       }
@@ -248,6 +255,8 @@ object StreamOps {
                                   quarantine: Boolean = false)
       : StreamingQuery = {
     graft.operators.Dedup.initSrpIngestLedger(spark, indexPath)
+    // last-scrubbed tombstone set — see indexedDedupStream
+    var scrubbedTombs = Set.empty[String]
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
@@ -258,20 +267,24 @@ object StreamOps {
         // in-loop compaction between serial batches, epoch-fenced — see
         // indexedDedupStream; autoCompact = the measured trigger
         if (!stats.replayed) {
-          // scrub-before-purge ordering, paid once per compaction —
-          // see indexedDedupStream
-          def scrub(): Unit = {
+          // ≤1-batch takedown propagation + scrub-before-purge by
+          // construction — see indexedDedupStream
+          val pending =
+            graft.operators.Dedup.pendingTombstoneFiles(spark, indexPath)
+          if (pending.nonEmpty && pending != scrubbedTombs) {
             graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
               idCol)
             graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
-            ()
+            scrubbedTombs = pending
           }
           if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-            scrub()
             graft.operators.Dedup.compactSrpIndex(spark, indexPath)
-          } else if (autoCompact)
-            graft.operators.Dedup.autoCompactSrpIndex(spark, indexPath,
-              preCompact = scrub)
+            scrubbedTombs = Set.empty
+          } else if (autoCompact) {
+            if (graft.operators.Dedup
+                .autoCompactSrpIndex(spark, indexPath).isDefined)
+              scrubbedTombs = Set.empty
+          }
         }
         ()
       }

@@ -366,6 +366,37 @@ class GovernedQuarantineSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("triage refuses an IN-FLIGHT divert (dir present, no -1 ledger " +
+      "row) until the replay completes it — triaging it would race the " +
+      "replay's rewrite") {
+    val base = Files.createTempDirectory("graft-q-inflight").toString
+    val ix = s"$base/ix"; val out = s"$base/out"
+    try {
+      Dedup.writeSignatureIndex(docs(0L, 1L, 2L), "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      // simulate a divert that crashed between the quarantine dir write
+      // and its -1 ledger append
+      docs(1L, 10L).write.parquet(s"$ix/quarantine/batch_id=1")
+      val e = intercept[IllegalArgumentException] {
+        Dedup.dropQuarantined(spark, ix, 1L)
+      }
+      assert(e.getMessage.contains("in flight"), e.getMessage)
+      intercept[IllegalArgumentException] {
+        Dedup.redriveQuarantined(spark, ix, out, 1L, "doc_id", "text")
+      }
+      // the stream replay completes the divert (rewrite + ledger row)…
+      val s = Dedup.ingestBatchWithIndex(docs(1L, 10L), "doc_id", "text",
+        ix, out, batchId = 1L, quarantine = true)
+      assert(!s.replayed && s.novelRows == Dedup.QuarantinedNovelRows)
+      // …and triage proceeds on the committed divert
+      Dedup.dropQuarantined(spark, ix, 1L)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(
+        new org.apache.hadoop.fs.Path(s"$ix/quarantine/batch_id=1")))
+    } finally rmrf(base)
+  }
+
   test("a replay after dropQuarantined does not resurrect the destroyed " +
       "raw data") {
     val base = Files.createTempDirectory("graft-q-replay-drop").toString

@@ -119,6 +119,38 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a takedown reaches the served corpus on the NEXT committed " +
+      "batch — bounded latency, no compaction needed (compactEvery " +
+      "never fires)") {
+    val base = Files.createTempDirectory("graft-ixscrub-latency").toString
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Seq(100L -> uniq(100), 101L -> uniq(101)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      StreamOps.indexedDedupStream(spark, in, schema, "doc_id", "text",
+        ix, out, cp, compactEvery = 100).awaitTermination(120000)
+      assert(outIds(out) == Set(100L, 101L))
+
+      // takedown while the stream is down; the compaction dial is far
+      // from firing, so only the pending-set scrub gate can propagate it
+      Dedup.deleteFromSignatureIndex(spark, ix, Seq(100L))
+      Seq(200L -> uniq(200)).toDF("doc_id", "text")
+        .coalesce(1).write.mode("append").parquet(in)
+      StreamOps.indexedDedupStream(spark, in, schema, "doc_id", "text",
+        ix, out, cp, compactEvery = 100).awaitTermination(120000)
+      assert(outIds(out) == Set(101L, 200L),
+        "the takedown'd doc must leave the SERVED corpus on the next " +
+          "committed batch, not wait for a compaction")
+      // the tombstone is still pending (no compaction ran) — the scrub
+      // propagated it without purging it
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$ix/tombstones")))
+    } finally rmrf(base)
+  }
+
   test("quarantine mode: a contract-violating batch diverts and the " +
       "STREAM continues across restarts") {
     val base = Files.createTempDirectory("graft-ixquarantine").toString

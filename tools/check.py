@@ -97,10 +97,12 @@ def main(sf_dir, out_dir):
             try:
                 if pd.api.types.is_numeric_dtype(wc):
                     # NaN discipline: a NaN on either side (unless both)
-                    # must FAIL, never vanish into skipna aggregation
-                    both_na = wc.isna() & gc.isna()
+                    # must FAIL, never vanish into skipna aggregation.
+                    # Exact agreement masks first — matching infinities
+                    # would otherwise read as NaN via inf - inf.
+                    agree = (wc == gc) | (wc.isna() & gc.isna())
                     rel = ((wc - gc).abs() / wc.abs().clip(lower=1)) \
-                        .where(~both_na, 0.0)
+                        .where(~agree, 0.0)
                     if rel.isna().any():
                         bad.append(f"{c}: {int(rel.isna().sum())} "
                                    "NaN / one-sided-null values")
