@@ -1823,6 +1823,25 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // persisted IVF cell-partitioned layout (the ANN SERVING artifact):
+    // corpus written partitionBy(cell) under the frozen quantizer + a
+    // params table carrying the centroid matrix, probe runs under the
+    // layout's OWN stored geometry and reads only the probed cell
+    // directories (PartitionFilters prune — PLANS.md s8). Result is
+    // bit-identical to the live s3 path, so the oracle is s3's verbatim.
+    "s8_ivf_indexed_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivf_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.writeIvfLayout(emb, out, "vec_id", "embedding",
+        AnnModels.ivfCentroids)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopKIndexed(s, out, queries, "qid", "qvec",
+        k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // product-quantization ADC top-k with exact re-rank (scan-compression
     // ANN path): 16 subspaces x 16 centroids -> 16 codes/vector, ADC
     // shortlist of 50 re-ranked exactly (recall 0.98 vs s1, gated in
@@ -1850,6 +1869,26 @@ object SparkEntry {
         "qid", "qvec", topK = 5, AnnModels.ivfCentroids, nprobe = 8,
         AnnModels.pqCodebooks, m = AnnModels.pqM, k = AnnModels.pqK,
         rerank = 50)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
+    // s8's PQ-coded sibling: the layout stores write-time PQ codes, so
+    // the ADC stage scans (id, codes) of the probed cells ONLY —
+    // PartitionFilters prunes the directories, parquet column pruning
+    // keeps the float vectors unread — and just the rerank-50 shortlist
+    // rejoins full precision (PLANS.md s9). Bit-identical to the live
+    // s7 pipeline, so the oracle is s7's verbatim.
+    "s9_ivfpq_indexed_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfpq_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.writeIvfLayout(emb, out, "vec_id", "embedding",
+        AnnModels.ivfCentroids, AnnModels.pqCodebooks,
+        pqM = AnnModels.pqM, pqK = AnnModels.pqK)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfPqTopKIndexed(s, out, queries, "qid", "qvec",
+        topK = 5, nprobe = 8, rerank = 50)
         .withColumn("rank", col("rank").cast("long"))
     }),
 
@@ -2087,6 +2126,56 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
        |  FROM emb e, cent c$filter) WHERE rn <= $nprobe""".stripMargin
+
+  /** IVF ANN fully reproduced in SQL: the frozen coarse quantizer
+    * (AnnModels) embeds as DOUBLE[] literals; cell assignment = argmax
+    * inner product (ties → lower cid, the kernel's strict-< rule),
+    * queries probe their 8 nearest cells, candidates meet on the cell
+    * id. Shared verbatim by s3 (live path) and s8 (persisted layout) —
+    * the layout is invisible to the result contract.
+    */
+  private lazy val s3IvfOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |cent(cid, cv) AS (VALUES $duckIvfCentVals),
+       |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell")}),
+       |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
+      " WHERE e.vec_id < 10")}),
+       |sc AS (SELECT q.qid, c.vec_id,
+       |    round(list_dot_product(c.v, q.qv)
+       |          / sqrt(list_dot_product(c.v, c.v)
+       |                 * list_dot_product(q.qv, q.qv)), 6) AS sim
+       |  FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.qid)
+       |SELECT qid, vec_id, sim, rank FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** IVF-PQ composed pipeline in SQL: both frozen models embed as
+    * literals — cells prune WHICH corpus rows are ADC-scored, codes
+    * compress HOW, shortlist re-ranks exactly. The re-rank joins the
+    * one-row-per-query qv CTE, never the per-cell probe rows. Shared
+    * verbatim by s7 (live path) and s9 (persisted PQ-coded layout).
+    */
+  private lazy val s7IvfPqOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |cent(cid, cv) AS (VALUES $duckIvfCentVals),
+       |cb(s, c, sub, nrm) AS (VALUES $duckPqCbVals),
+       |qv AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
+       |cells AS (${duckIvfCells(1, "vec_id, cid AS cell")}),
+       |qp AS (${duckIvfCells(8, "vec_id AS qid, v AS q, cid AS cell",
+      " WHERE e.vec_id < 10")}),
+       |$duckPqRecCtes,
+       |adc AS (SELECT qp.qid, r.vec_id,
+       |    round(CASE WHEN r.nx = 0 OR list_dot_product(qp.q, qp.q) = 0 THEN 0.0
+       |          ELSE list_dot_product(qp.q, r.recon)
+       |               / sqrt(r.nx * list_dot_product(qp.q, qp.q)) END, 6) AS sim
+       |  FROM cells cl JOIN qp ON cl.cell = qp.cell
+       |  JOIN rec r ON r.vec_id = cl.vec_id
+       |  WHERE cl.vec_id <> qp.qid),
+       |${duckAdcRerankTail(rerank = 50, topK = 5)}""".stripMargin
 
   /** `cb(s, c, sub, nrm)` VALUES rows — the frozen PQ codebook (AnnModels)
     * as DOUBLE[] literals plus each centroid's squared L2 norm, summed in
@@ -4249,23 +4338,12 @@ object SparkEntry {
     // embeds as DOUBLE[] literals; cell assignment = argmax inner product
     // (ties -> lower cid, the kernel's strict-< rule), queries probe
     // their 8 nearest cells, candidates meet on the cell id.
-    "s3_ivf_topk" ->
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |            FROM embeddings),
-         |cent(cid, cv) AS (VALUES $duckIvfCentVals),
-         |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell")}),
-         |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
-        " WHERE e.vec_id < 10")}),
-         |sc AS (SELECT q.qid, c.vec_id,
-         |    round(list_dot_product(c.v, q.qv)
-         |          / sqrt(list_dot_product(c.v, c.v)
-         |                 * list_dot_product(q.qv, q.qv)), 6) AS sim
-         |  FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.qid)
-         |SELECT qid, vec_id, sim, rank FROM (
-         |  SELECT qid, vec_id, sim,
-         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-         |  FROM sc) WHERE rank <= 5
-         |ORDER BY qid, rank""".stripMargin,
+    "s3_ivf_topk" -> s3IvfOracleSql,
+
+    // the persisted-layout twin computes the SAME result (the layout is
+    // an execution artifact) — the oracle is s3's verbatim, like b3b's
+    // oracle is b3's
+    "s8_ivf_indexed_topk" -> s3IvfOracleSql,
 
     // PQ ADC + exact re-rank fully reproduced in SQL: frozen codebooks as
     // literals, encode = per-subspace argmin L2 (left-assoc 4-term dist
@@ -4289,24 +4367,11 @@ object SparkEntry {
     // literals — cells prune WHICH corpus rows are ADC-scored, codes
     // compress HOW, shortlist re-ranks exactly. The re-rank joins the
     // one-row-per-query qv CTE, never the per-cell probe rows.
-    "s7_ivfpq_topk" ->
-      s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-         |            FROM embeddings),
-         |cent(cid, cv) AS (VALUES $duckIvfCentVals),
-         |cb(s, c, sub, nrm) AS (VALUES $duckPqCbVals),
-         |qv AS (SELECT vec_id AS qid, v AS qv FROM emb WHERE vec_id < 10),
-         |cells AS (${duckIvfCells(1, "vec_id, cid AS cell")}),
-         |qp AS (${duckIvfCells(8, "vec_id AS qid, v AS q, cid AS cell",
-        " WHERE e.vec_id < 10")}),
-         |$duckPqRecCtes,
-         |adc AS (SELECT qp.qid, r.vec_id,
-         |    round(CASE WHEN r.nx = 0 OR list_dot_product(qp.q, qp.q) = 0 THEN 0.0
-         |          ELSE list_dot_product(qp.q, r.recon)
-         |               / sqrt(r.nx * list_dot_product(qp.q, qp.q)) END, 6) AS sim
-         |  FROM cells cl JOIN qp ON cl.cell = qp.cell
-         |  JOIN rec r ON r.vec_id = cl.vec_id
-         |  WHERE cl.vec_id <> qp.qid),
-         |${duckAdcRerankTail(rerank = 50, topK = 5)}""".stripMargin,
+    "s7_ivfpq_topk" -> s7IvfPqOracleSql,
+
+    // the persisted PQ-coded layout computes the SAME result (write-time
+    // codes under the same frozen models) — the oracle is s7's verbatim
+    "s9_ivfpq_indexed_topk" -> s7IvfPqOracleSql,
 
     // Quantization twin: identical floor(x·scale + 0.5) arithmetic on
     // double-widened floats, then integer dot products — exact in both

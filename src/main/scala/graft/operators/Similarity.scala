@@ -281,6 +281,172 @@ object Similarity {
     rankTopK(filtered, idCol, qidCol, k)
   }
 
+  /** Persisted IVF cell-partitioned corpus layout — the ANN *serving*
+    * artifact. The corpus is written `partitionBy(cell)` under its
+    * nearest frozen-centroid cell (one directory per cell, the cell id
+    * never stored inside the data files), beside a one-row params table
+    * carrying the centroid matrix itself. The layout is therefore
+    * self-describing: [[ivfTopKIndexed]] probes under the layout's OWN
+    * quantizer, so a writer/prober geometry mismatch is unrepresentable —
+    * the same contract the persisted MinHash/SRP indexes enforce via
+    * their params tables.
+    *
+    * Scale shape (100 TB): a probe reads ~nprobe/c of the corpus BYTES
+    * at the storage layer — the probed-cell IN-set reaches the scan as
+    * `PartitionFilters`, pruning every other `cell=K/` directory from
+    * the file listing (the same mechanism as the band-shard probes,
+    * PLANS.md b3b), not as a post-scan filter. The single
+    * `repartition(cell)` before the write keeps the file count bounded:
+    * each shuffle task holds whole cells, so a cell directory gets a
+    * handful of files instead of one per (task × cell) — the
+    * small-files bound at 1000 executors. This is an overwrite-rebuilt
+    * serving artifact (like the hive-partitioned corpus of q61), NOT a
+    * mutable index: append/tombstone lifecycles live with the SRP index
+    * family.
+    */
+  def writeIvfLayout(corpus: DataFrame, path: String,
+                     idCol: String, vecCol: String,
+                     centroids: Seq[Seq[Float]],
+                     pqCodebooks: Seq[Seq[Float]] = Nil,
+                     pqM: Int = 0, pqK: Int = 0): Unit = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val celled = corpus
+      .withColumn("cell",
+        element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1))
+    // optional PQ codes, encoded ONCE at write time: the ADC probe then
+    // reads (id, codes) only — parquet column pruning keeps the
+    // 4·dim-byte vectors unread until the exact re-rank stage (and the
+    // plain ivfTopKIndexed probe symmetrically never reads the codes)
+    val coded =
+      if (pqCodebooks.isEmpty) celled
+      else celled.withColumn("codes",
+        GraftFunctions.pqEncode(col(vecCol), pqCodebooks, pqM, pqK))
+    coded
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    import spark.implicits._
+    Seq((idCol, vecCol, centroids.map(_.toSeq),
+        pqCodebooks.map(_.toSeq), pqM, pqK))
+      .toDF("id_col", "vec_col", "centroids", "pq_codebooks", "pq_m", "pq_k")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+
+  /** [[ivfTopK]] against a persisted [[writeIvfLayout]] layout: probes
+    * run under the layout's own stored quantizer and read only the
+    * probed cell directories (partition-pruned scan). Result is
+    * bit-identical to the live [[ivfTopK]] under the same geometry —
+    * the layout is an execution artifact, invisible to the result
+    * contract.
+    *
+    * The probed-cell set is collected driver-side to become the scan's
+    * literal partition predicate — bounded at O(queries × nprobe) ints
+    * (the query side is the broadcast-small side by contract), never
+    * corpus-sized.
+    */
+  /** The layout's persisted geometry (see [[writeIvfLayout]]). */
+  private case class IvfLayoutParams(idCol: String, vecCol: String,
+                                     centroids: Seq[Seq[Float]],
+                                     pqCodebooks: Seq[Seq[Float]],
+                                     pqM: Int, pqK: Int)
+
+  private def readIvfLayoutParams(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): IvfLayoutParams = {
+    val pr =
+      try spark.read.parquet(s"$path/params").head()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"IVF layout at $path has no readable params table — " +
+            "was it written by writeIvfLayout?", e)
+      }
+    // nested array elements come back as mutable ArraySeq — type them
+    // as collection.Seq before converting, or the map's element cast
+    // to immutable Seq throws
+    def mat(field: String): Seq[Seq[Float]] =
+      pr.getSeq[scala.collection.Seq[Float]](pr.fieldIndex(field))
+        .map(_.toSeq).toSeq
+    IvfLayoutParams(
+      idCol = pr.getAs[String]("id_col"),
+      vecCol = pr.getAs[String]("vec_col"),
+      centroids = mat("centroids"),
+      pqCodebooks = mat("pq_codebooks"),
+      pqM = pr.getAs[Int]("pq_m"), pqK = pr.getAs[Int]("pq_k"))
+  }
+
+  /** The probed-cell IN-set as a partition-pruned scan of the layout:
+    * the cell set is collected driver-side to become the scan's literal
+    * partition predicate — bounded at O(queries × nprobe) ints (the
+    * query side is the broadcast-small side by contract), never
+    * corpus-sized.
+    *
+    * @return (query side with its probe cells exploded, pruned cells scan)
+    */
+  private def prunedCells(spark: org.apache.spark.sql.SparkSession,
+                          path: String, p: IvfLayoutParams,
+                          queries: DataFrame, qvecCol: String,
+                          nprobe: Int): (DataFrame, DataFrame) = {
+    val qb = queries.withColumn("cell",
+      explode(GraftFunctions.ivfProbes(col(qvecCol), p.centroids, nprobe)))
+    val probed = qb.select(col("cell")).distinct().collect().map(_.getInt(0))
+    val cb = spark.read.parquet(s"$path/cells")
+      .filter(col("cell").isin(probed.toSeq: _*))
+    (qb, cb)
+  }
+
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, qidCol: String, qvecCol: String,
+                     k: Int, nprobe: Int = 8,
+                     excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(spark)
+    val p = readIvfLayoutParams(spark, path)
+    val (qb, cb) = prunedCells(spark, path, p, queries, qvecCol, nprobe)
+    val withSim = cb.join(broadcast(qb), Seq("cell"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col(p.vecCol), col(qvecCol)), 6))
+    val filtered =
+      if (excludeSelf) withSim.filter(col(p.idCol) =!= col(qidCol))
+      else withSim
+    rankTopK(filtered, p.idCol, qidCol, k)
+  }
+
+  /** [[ivfPqTopK]] against a persisted [[writeIvfLayout]] layout written
+    * WITH PQ codebooks: the ADC stage scans (id, codes) of the probed
+    * cell directories only — PartitionFilters prunes WHICH directories
+    * are listed, parquet column pruning keeps the 4·dim-byte vector
+    * column unread — and only the exact re-rank stage joins the
+    * shortlist (O(queries·rerank) rows) back to the full-precision
+    * vectors of the same pruned cells. Codes were encoded once at write
+    * time under the layout's own persisted codebooks, so the probe
+    * cannot encode under mismatched geometry. Result is bit-identical
+    * to the live [[ivfPqTopK]] under the same models.
+    */
+  def ivfPqTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+                       path: String, queries: DataFrame,
+                       qidCol: String, qvecCol: String,
+                       topK: Int, nprobe: Int = 8, rerank: Int = 0,
+                       excludeSelf: Boolean = true): DataFrame = {
+    GraftFunctions.register(spark)
+    val p = readIvfLayoutParams(spark, path)
+    require(p.pqCodebooks.nonEmpty,
+      s"IVF layout at $path was written without PQ codebooks — " +
+        "rebuild with writeIvfLayout(..., pqCodebooks, pqM, pqK) " +
+        "or probe with ivfTopKIndexed")
+    val (qb, cb) = prunedCells(spark, path, p, queries, qvecCol, nprobe)
+    val coded = cb.select(col(p.idCol), col("cell"), col("codes"))
+    val withSim = coded.join(broadcast(qb), Seq("cell"))
+      .withColumn("sim", round(GraftFunctions.pqAdc(
+        col("codes"), col(qvecCol), p.pqCodebooks, p.pqM, p.pqK), 6))
+    val filtered =
+      if (excludeSelf) withSim.filter(col(p.idCol) =!= col(qidCol))
+      else withSim
+    if (rerank <= topK) rankTopK(filtered, p.idCol, qidCol, topK)
+    else rerankExact(rankTopK(filtered, p.idCol, qidCol, rerank),
+      cb.select(col(p.idCol), col(p.vecCol)), queries,
+      p.idCol, p.vecCol, qidCol, qvecCol, topK)
+  }
+
   /** Symmetric per-vector int8 quantization of a float-vector column:
     * scale = 127 / max|x|, element = floor(x·scale + 0.5) ∈ [-127, 127]
     * (half-up-toward-+inf in BOTH engines by construction — `round()`

@@ -438,6 +438,31 @@ object Plans {
         |BEFORE any bytes are read (and the lang column itself is not in
         |the data files at all). At 100 TB a one-partition read costs one
         |partition's bytes; a filter-after-scan would cost the corpus.""".stripMargin,
+    "s8_ivf_indexed_topk" ->
+      """Persisted IVF layout probe — the ANN serving artifact. The corpus
+        |was written partitionBy(cell) under the frozen coarse quantizer;
+        |the probe derives the query set's nprobe-cell IN-set (a collect
+        |bounded at queries x nprobe) and filters the layout scan with the
+        |literal set, so the FileScan's PartitionFilters line shows
+        |cell IN (...) and every other cell=K/ directory is pruned from
+        |the file listing BEFORE any bytes are read — the partition-pruned
+        |twin of s3's in-flight cell join (same kernel, bit-identical
+        |result; oracle is s3's verbatim). At 100 TB a probe costs
+        |~nprobe/c of the corpus BYTES at the storage layer, and the
+        |centroid matrix rides in the layout's own params table, so a
+        |writer/prober geometry mismatch is unrepresentable.""".stripMargin,
+    "s9_ivfpq_indexed_topk" ->
+      """PQ-coded IVF layout probe — both storage levers in one plan. The
+        |ADC stage's layout FileScan shows the two prunings multiply:
+        |PartitionFilters = cell IN (...) (only the probed cell=K/
+        |directories are listed) AND ReadSchema = (vec_id, codes) — the
+        |4·dim-byte float vector column is never decoded for scoring,
+        |because the codes were encoded ONCE at write time under the
+        |layout's own persisted codebooks. Only the rerank-50 shortlist
+        |(O(queries·rerank) rows, corpus-size-independent) joins back to
+        |the full-precision vectors, again under the same cell
+        |PartitionFilters. Bit-identical to the live s7 pipeline —
+        |oracle is s7's verbatim.""".stripMargin,
     "b3c_minhash_index_delete" ->
       """Deleted-index probe on the PENDING-tombstone path (deletes
         |appended, compaction not yet run). The tombstone id set rides as
