@@ -293,6 +293,56 @@ object StreamOps {
       .start()
   }
 
+  /** Streaming ANN serving over a persisted IVF layout
+    * ([[graft.operators.Similarity.writeIvfLayout]]): each micro-batch
+    * of query vectors probes the STATIC cell-partitioned corpus and
+    * writes its top-k results to `outPath/batch_id=<n>/`. The sink is
+    * exactly-once under crash/restart WITHOUT a ledger: the layout is
+    * read-only and the probe a pure function of (layout, batch), so a
+    * replayed batch recomputes the identical result into its own
+    * directory (per-batch overwrite — the same replay-idempotence
+    * discipline as the governed ingest loops, minus the state they
+    * govern).
+    *
+    * Per-batch work tracks the BATCH, never the corpus: the probe
+    * collects the batch's nprobe-cell set and reads only those
+    * `cell=K/` directories (PartitionFilters — PLANS.md s8), so a
+    * serving stream touches ~nprobe/c of the corpus bytes per batch no
+    * matter how large the corpus grows. `usePq = true` serves from the
+    * layout's write-time PQ codes instead (ADC scan of (id, codes)
+    * only + exact re-rank of the `rerank` shortlist — PLANS.md s9),
+    * the compressed-scan variant for wide corpora. Layout REBUILDS are
+    * overwrite-atomic per table but not fenced against a live stream —
+    * pause serving (or point at a fresh path) across a rebuild, the
+    * documented contract of the overwrite-rebuilt serving artifact.
+    */
+  def annServeStream(spark: SparkSession, inPath: String,
+                     schema: org.apache.spark.sql.types.StructType,
+                     qidCol: String, qvecCol: String,
+                     layoutPath: String, outPath: String,
+                     checkpoint: String, k: Int, nprobe: Int = 8,
+                     usePq: Boolean = false, rerank: Int = 0,
+                     trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(schema).parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val topk =
+          if (usePq)
+            graft.operators.Similarity.ivfPqTopKIndexed(spark, layoutPath,
+              batch, qidCol, qvecCol, topK = k, nprobe = nprobe,
+              rerank = rerank, excludeSelf = false)
+          else
+            graft.operators.Similarity.ivfTopKIndexed(spark, layoutPath,
+              batch, qidCol, qvecCol, k = k, nprobe = nprobe,
+              excludeSelf = false)
+        topk.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Event-time windowed aggregation with a watermark — tumbling 1 h
     * windows over the events stream (the windowed-agg surface the
     * reference lacks but any stream engine needs; late rows beyond the

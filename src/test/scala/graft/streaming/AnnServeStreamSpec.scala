@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.AnnModels
+import graft.operators.Similarity
+import graft.sources.Tables
+
+/** Streaming ANN serving over the persisted IVF layout
+  * (`StreamOps.annServeStream`): per-batch results must equal the batch
+  * probe over the same queries, restarts must not recompute or
+  * duplicate (exactly-once without a ledger — pure function of a
+  * read-only layout), and the PQ variant must serve the s9 pipeline.
+  */
+class AnnServeStreamSpec extends SparkSpec {
+
+  private def queriesOf(lo: Long, hi: Long) =
+    Tables.embeddings(spark, sf001)
+      .filter(col("vec_id") >= lo && col("vec_id") < hi)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+
+  test("served top-k equals the batch probe; a restart with no new queries is a no-op") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = Files.createTempDirectory("graft-ann-serve").toString
+    val layout = s"$base/layout"
+    Similarity.writeIvfLayout(emb, layout, "vec_id", "embedding",
+      AnnModels.ivfCentroids)
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val q0 = queriesOf(0, 5)
+    q0.coalesce(1).write.parquet(in)
+    val q = StreamOps.annServeStream(spark, in, q0.schema,
+      "qid", "qvec", layout, out, cp, k = 5, nprobe = 8)
+    q.processAllAvailable(); q.awaitTermination(120000)
+    val want0 = Similarity.ivfTopKIndexed(spark, layout, q0,
+      "qid", "qvec", k = 5, nprobe = 8, excludeSelf = false)
+      .collect().map(_.toSeq).toSet
+    def served() = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(served() == want0)
+    assert(want0.nonEmpty)
+    val batchDirs0 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+
+    // restart over the same checkpoint with no new queries: no new
+    // batches, no recompute, output untouched
+    val q2 = StreamOps.annServeStream(spark, in, q0.schema,
+      "qid", "qvec", layout, out, cp, k = 5, nprobe = 8)
+    q2.processAllAvailable(); q2.awaitTermination(120000)
+    assert(served() == want0)
+
+    // a late query file is served as its own batch, earlier results kept
+    val q1 = queriesOf(5, 10)
+    q1.coalesce(1).write.mode("append").parquet(in)
+    val q3 = StreamOps.annServeStream(spark, in, q0.schema,
+      "qid", "qvec", layout, out, cp, k = 5, nprobe = 8)
+    q3.processAllAvailable(); q3.awaitTermination(120000)
+    val wantAll = Similarity.ivfTopKIndexed(spark, layout,
+      queriesOf(0, 10), "qid", "qvec", k = 5, nprobe = 8,
+      excludeSelf = false)
+      .collect().map(_.toSeq).toSet
+    assert(served() == wantAll)
+    val batchDirs1 = new java.io.File(out).listFiles()
+      .filter(_.getName.startsWith("batch_id=")).map(_.getName).toSet
+    assert(batchDirs0.subsetOf(batchDirs1) && batchDirs1.size > batchDirs0.size)
+  }
+
+  test("usePq serves the PQ-coded pipeline (ADC + exact re-rank)") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = Files.createTempDirectory("graft-ann-serve-pq").toString
+    val layout = s"$base/layout"
+    Similarity.writeIvfLayout(emb, layout, "vec_id", "embedding",
+      AnnModels.ivfCentroids, AnnModels.pqCodebooks,
+      pqM = AnnModels.pqM, pqK = AnnModels.pqK)
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val q0 = queriesOf(0, 5)
+    q0.coalesce(1).write.parquet(in)
+    val q = StreamOps.annServeStream(spark, in, q0.schema,
+      "qid", "qvec", layout, out, cp, k = 5, nprobe = 8,
+      usePq = true, rerank = 20)
+    q.processAllAvailable(); q.awaitTermination(120000)
+    val want = Similarity.ivfPqTopKIndexed(spark, layout, q0,
+      "qid", "qvec", topK = 5, nprobe = 8, rerank = 20,
+      excludeSelf = false)
+      .collect().map(_.toSeq).toSet
+    val got = spark.read.parquet(out).drop("batch_id")
+      .collect().map(_.toSeq).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
