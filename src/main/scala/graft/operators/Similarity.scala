@@ -345,6 +345,58 @@ object Similarity {
     * (the query side is the broadcast-small side by contract), never
     * corpus-sized.
     */
+  /** The IVF quantizer sizing law, exposed as a pure function like
+    * `Dedup.srpPlanesFor` / `Dedup.semDedupCellsFor`: cells ≈
+    * `mult·√n` (the classic IVF recommendation — FAISS documents
+    * 4√n–16√n), so mean cell occupancy is √n/mult and a fixed-nprobe
+    * probe reads O(√n) vectors — sub-linear across every decade —
+    * while the one-off build's assignment term n·cells stays n^1.5,
+    * not n². A quantizer FROZEN at a smaller corpus's size loses both:
+    * occupancy (and probe cost) then grows linearly with the corpus.
+    * `maxCells` caps the centroid literal the codegen'd assignment
+    * kernel carries in the plan (cells·dim floats); past the cap,
+    * probe cost degrades gracefully back toward linear-with-n — shard
+    * the corpus into multiple layouts before that point.
+    */
+  def ivfCellsFor(n: Long, mult: Int = 4, minCells: Int = 8,
+                  maxCells: Int = 4096): Int = {
+    require(mult > 0, s"mult must be > 0: $mult")
+    require(minCells > 0 && maxCells >= minCells,
+      s"bad cell clamp: [$minCells, $maxCells]")
+    val raw = math.ceil(mult * math.sqrt(math.max(n, 1L).toDouble)).toInt
+    math.min(maxCells, math.max(minCells, raw))
+  }
+
+  /** [[writeIvfLayout]] with the quantizer sized from the CORPUS by
+    * [[ivfCellsFor]] and trained by the deterministic [[trainCentroids]]
+    * — the data-sized production entry (the composition
+    * `Dedup.semDeDupAuto` applies to the curation twin). Cells are
+    * additionally clamped to `maxTrain/4` so the bounded training
+    * sample keeps ≥ 4 vectors per cell. With `withPq` the layout also
+    * carries write-time PQ codes under codebooks trained on the same
+    * deterministic sample ([[ivfPqTopKIndexed]]'s compressed-scan
+    * serving path).
+    *
+    * @return the trained centroid matrix (also persisted in the
+    *         layout's params table — probes never need it)
+    */
+  def writeIvfLayoutAuto(corpus: DataFrame, path: String,
+                         idCol: String, vecCol: String,
+                         mult: Int = 4, iters: Int = 5,
+                         maxTrain: Int = 10000,
+                         withPq: Boolean = false,
+                         pqM: Int = 8, pqK: Int = 16): Seq[Seq[Float]] = {
+    val n = corpus.count()
+    val cells = math.min(ivfCellsFor(n, mult), math.max(1, maxTrain / 4))
+    val cents = trainCentroids(corpus, idCol, vecCol, cells, iters, maxTrain)
+    if (withPq) {
+      val books = trainPqCodebooks(corpus, idCol, vecCol, pqM, pqK,
+        iters, maxTrain)
+      writeIvfLayout(corpus, path, idCol, vecCol, cents, books, pqM, pqK)
+    } else writeIvfLayout(corpus, path, idCol, vecCol, cents)
+    cents
+  }
+
   /** The layout's persisted geometry (see [[writeIvfLayout]]). */
   private case class IvfLayoutParams(idCol: String, vecCol: String,
                                      centroids: Seq[Seq[Float]],

@@ -1,0 +1,69 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale audit for the persisted IVF serving layout (s8/s9):
+  * at a given SF, builds the layout with the corpus-sized quantizer
+  * ([[graft.operators.Similarity.writeIvfLayoutAuto]] — cells = 4·√n)
+  * and measures the two costs that matter in production:
+  *
+  *  - `build` — the one-off layout write (count + deterministic
+  *    k-means + assignment pass + partitionBy(cell) write). The
+  *    assignment term is n·cells = n^1.5 under the law; paid once per
+  *    corpus generation.
+  *  - `probe` — 100 queries, top-10, nprobe=8, against the written
+  *    layout. Under the law a probe reads nprobe·(n/cells) =
+  *    O(√n) vectors, so the decade expectation is ~√100 = 10× at
+  *    100× data — NOT 100×. This is the claim the partition-pruned
+  *    scan + sizing law make together; this tool measures it instead
+  *    of asserting it.
+  *
+  * Prints one JSON line per phase for the BENCH_SF10 `ann_layout_audit`
+  * entry. Usage: AnnLayoutScale [sfDir] [layoutDir]
+  */
+object AnnLayoutScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val base = args.lift(1).getOrElse("/tmp/graft_annscale_layout")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.functions.GraftFunctions.register(spark)
+
+    def phase[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"tool":"ann-layout-scale","phase":"$label","sf_dir":"$dir","sec":$sec%.2f}""")
+      r
+    }
+
+    val emb = graft.sources.Tables.table(spark, dir, "embeddings")
+    val cents = phase("build") {
+      graft.operators.Similarity.writeIvfLayoutAuto(
+        emb, base, "vec_id", "embedding")
+    }
+    val n = spark.read.parquet(s"$base/cells").count()
+    println(s"""{"tool":"ann-layout-scale","info":"geometry","rows":$n,"cells":${cents.length},"mean_occupancy":${n / cents.length}}""")
+
+    // queries = the base replica's first 100 ids (present at every SF)
+    val queries = emb.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // warm the layout listing once so probe_warm times the probe, not
+    // the first file-index build; probe_cold keeps the first-touch cost
+    val got = phase("probe_cold") {
+      graft.operators.Similarity.ivfTopKIndexed(spark, base, queries,
+        "qid", "qvec", k = 10, nprobe = 8).count()
+    }
+    val got2 = phase("probe_warm") {
+      graft.operators.Similarity.ivfTopKIndexed(spark, base, queries,
+        "qid", "qvec", k = 10, nprobe = 8).count()
+    }
+    println(s"""{"tool":"ann-layout-scale","info":"probe_rows","cold":$got,"warm":$got2}""")
+    spark.stop()
+  }
+}

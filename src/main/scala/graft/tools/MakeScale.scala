@@ -27,13 +27,19 @@ import org.apache.spark.sql.functions._
   *    dim key grows with SF exactly like a TPC-H fact scale-up;
   *  - region/nation/part/supplier: copied (dimension tables).
   *
-  * Usage: MakeScale [srcDir] [dstDir] [factor]
+  * Usage: MakeScale [srcDir] [dstDir] [factor] [onlyTables]
+  * `onlyTables` (comma-separated) restricts generation — e.g.
+  * `embeddings` for an ANN-only audit skips the (much heavier)
+  * document/fact replication.
   */
 object MakeScale {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val dst = args.lift(1).getOrElse("/tmp/sf1_synth")
     val factor = args.lift(2).map(_.toInt).getOrElse(10)
+    val only = args.lift(3).map(_.split(",").map(_.trim).toSet)
+    def wanted(names: String*): Boolean =
+      only.forall(o => names.exists(o.contains))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -57,43 +63,52 @@ object MakeScale {
       (0 until factor).map(k => tx(df, k)).reduce(_ unionByName _)
 
     // dimensions: shared across replicas
-    Seq("region", "nation", "part", "supplier").foreach(n => write(load(n), n))
+    if (wanted("region", "nation", "part", "supplier"))
+      Seq("region", "nation", "part", "supplier")
+        .filter(n => wanted(n)).foreach(n => write(load(n), n))
 
-    val cust = load("customer")
-    val ords = load("orders")
-    val li = load("lineitem")
-    val ck = maxOf(cust, "c_custkey")
-    val ok = maxOf(ords, "o_orderkey")
-    write(replicate(cust)((d, k) =>
-      d.withColumn("c_custkey", col("c_custkey") + lit(k * ck))), "customer")
-    write(replicate(ords)((d, k) =>
-      d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ok))
-        .withColumn("o_custkey", col("o_custkey") + lit(k * ck))), "orders")
-    write(replicate(li)((d, k) =>
-      d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ok))), "lineitem")
+    if (wanted("customer", "orders", "lineitem")) {
+      val cust = load("customer")
+      val ords = load("orders")
+      val li = load("lineitem")
+      val ck = maxOf(cust, "c_custkey")
+      val ok = maxOf(ords, "o_orderkey")
+      write(replicate(cust)((d, k) =>
+        d.withColumn("c_custkey", col("c_custkey") + lit(k * ck))), "customer")
+      write(replicate(ords)((d, k) =>
+        d.withColumn("o_orderkey", col("o_orderkey") + lit(k * ok))
+          .withColumn("o_custkey", col("o_custkey") + lit(k * ck))), "orders")
+      write(replicate(li)((d, k) =>
+        d.withColumn("l_orderkey", col("l_orderkey") + lit(k * ok))), "lineitem")
+    }
 
-    val ev = load("events")
-    val ek = maxOf(ev, "event_id")
-    val uk = maxOf(ev, "user_id")
-    write(replicate(ev)((d, k) =>
-      d.withColumn("event_id", col("event_id") + lit(k * ek))
-        .withColumn("user_id", col("user_id") + lit(k * uk))), "events")
+    if (wanted("events")) {
+      val ev = load("events")
+      val ek = maxOf(ev, "event_id")
+      val uk = maxOf(ev, "user_id")
+      write(replicate(ev)((d, k) =>
+        d.withColumn("event_id", col("event_id") + lit(k * ek))
+          .withColumn("user_id", col("user_id") + lit(k * uk))), "events")
+    }
 
-    val docs = load("documents")
-    val dk = maxOf(docs, "doc_id")
-    write(replicate(docs) { (d, k) =>
-      if (k == 0) d
-      else {
-        // replica-tagged vocabulary: same within-replica dup structure,
-        // zero cross-replica shingle overlap
-        val tagged = array_join(
-          transform(split(col("text"), " "), w => concat(lit(s"r$k"), w)), " ")
-        d.withColumn("doc_id", col("doc_id") + lit(k * dk))
-          .withColumn("text", tagged)
-          .withColumn("n_chars", length(tagged))
-      }
-    }, "documents")
+    if (wanted("documents")) {
+      val docs = load("documents")
+      val dk = maxOf(docs, "doc_id")
+      write(replicate(docs) { (d, k) =>
+        if (k == 0) d
+        else {
+          // replica-tagged vocabulary: same within-replica dup structure,
+          // zero cross-replica shingle overlap
+          val tagged = array_join(
+            transform(split(col("text"), " "), w => concat(lit(s"r$k"), w)), " ")
+          d.withColumn("doc_id", col("doc_id") + lit(k * dk))
+            .withColumn("text", tagged)
+            .withColumn("n_chars", length(tagged))
+        }
+      }, "documents")
+    }
 
+    if (!wanted("embeddings")) { spark.stop(); return }
     val emb = load("embeddings")
     val vk = maxOf(emb, "vec_id")
     val dim = 64

@@ -142,6 +142,36 @@ class IvfLayoutSpec extends SparkSpec {
     assert(e.getMessage.contains("PQ"))
   }
 
+  test("ivfCellsFor follows the 4·sqrt(n) law and clamps") {
+    assert(Similarity.ivfCellsFor(1) == 8)          // min clamp
+    assert(Similarity.ivfCellsFor(2000) == 179)     // ceil(4*44.72)
+    assert(Similarity.ivfCellsFor(200000) == 1789)  // ceil(4*447.2)
+    assert(Similarity.ivfCellsFor(10000000000L) == 4096) // max clamp
+    // monotone across decades; occupancy sqrt-scaling: 100x rows -> ~10x
+    // per-cell occupancy at the law's cells
+    val occ01 = 2000.0 / Similarity.ivfCellsFor(2000)
+    val occ10 = 200000.0 / Similarity.ivfCellsFor(200000)
+    assert(occ10 / occ01 > 8 && occ10 / occ01 < 12)
+  }
+
+  test("writeIvfLayoutAuto sizes the quantizer from the corpus; probe equals live path") {
+    val emb = Tables.embeddings(spark, dir)
+    val n = emb.count()
+    val base = Files.createTempDirectory("graft-ivf-auto").toString
+    val cents = Similarity.writeIvfLayoutAuto(emb, base, "vec_id", "embedding")
+    assert(cents.length == Similarity.ivfCellsFor(n))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val live = Similarity.ivfTopK(emb, queries, "vec_id", "embedding",
+      "qid", "qvec", k = 3, cents, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    val indexed = Similarity.ivfTopKIndexed(spark, base, queries,
+      "qid", "qvec", k = 3, nprobe = 4)
+      .collect().map(_.toSeq).toSet
+    assert(indexed == live)
+    assert(indexed.nonEmpty)
+  }
+
   test("probing a path without a params table fails loudly") {
     val base = Files.createTempDirectory("graft-ivf-noparams").toString
     val q = Seq((1L, Seq(1f, 0f))).toDF("qid", "qv")
