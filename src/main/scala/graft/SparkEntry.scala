@@ -1687,6 +1687,56 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // persisted digest index (the EXACT-dedup third index family —
+    // media digests / URLs / checksums): corpus digests indexed once,
+    // the batch probe is a shard-pruned (id, dig) anti-join — corpus
+    // payloads never read. Novel = within-batch min-id representative
+    // per digest, not already in the index.
+    "b5_digest_index" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("dig",
+        sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+      val c = docs.agg(max(col("doc_id"))).head().getLong(0) * 3 / 5
+      val ix = s"${System.getProperty("java.io.tmpdir")}/graft_digix_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Dedup.writeDigestIndex(docs.filter(col("doc_id") <= c),
+        "doc_id", "dig", ix)
+      Dedup.digestNovel(docs.filter(col("doc_id") > c), "doc_id", "dig",
+        Dedup.readDigestIndex(s, ix))
+        .select(col("doc_id"), col("dig"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the governed EXACT-dedup loop over the persisted digest index —
+    // p5's third-family twin (exactly-once ledger mechanics shared
+    // verbatim; screen = min-id representative per digest + committed-
+    // index digest anti-join). Oracle replays both generations: batch B
+    // screens against corpus ∪ batch-A survivors.
+    "p8_digest_ingest_loop" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("dig",
+        sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val (c1, c2) = (maxId * 3 / 5, maxId * 4 / 5)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dig_loop_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val ix = s"$base/ix"; val out = s"$base/out"
+      Dedup.writeDigestIndex(docs.filter(col("doc_id") <= c1),
+        "doc_id", "dig", ix)
+      Dedup.initDigestIngestLedger(s, ix)
+      Dedup.ingestBatchWithDigestIndex(
+        docs.filter(col("doc_id") > c1 && col("doc_id") <= c2),
+        "doc_id", "dig", ix, out, batchId = 0L)
+      Dedup.ingestBatchWithDigestIndex(docs.filter(col("doc_id") > c2),
+        "doc_id", "dig", ix, out, batchId = 1L)
+      s.read.parquet(s"$out/batch_id=0").withColumn("batch_id", lit(0L))
+        .union(s.read.parquet(s"$out/batch_id=1")
+          .withColumn("batch_id", lit(1L)))
+        .select(col("doc_id"), col("batch_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -3687,6 +3737,46 @@ object SparkEntry {
          |SELECT vec_id, CAST(0 AS BIGINT) AS batch_id FROM novela
          |UNION ALL SELECT vec_id, CAST(1 AS BIGINT) AS batch_id FROM novelb
          |ORDER BY vec_id""".stripMargin,
+
+    // digest-index probe: sha256 parity across engines (the m5 rule);
+    // novel = min-id representative per batch digest, digest not in the
+    // corpus slice
+    "b5_digest_index" ->
+      """WITH d AS (SELECT doc_id, sha256(substring(text, 1, 30)) AS dig
+        |           FROM documents),
+        |cut AS (SELECT (max(doc_id)*3)//5 AS c FROM documents),
+        |corpus AS (SELECT dig FROM d, cut WHERE doc_id <= c),
+        |b AS (SELECT doc_id, dig FROM d, cut WHERE doc_id > c),
+        |mins AS (SELECT dig, min(doc_id) AS m FROM b GROUP BY dig)
+        |SELECT b.doc_id, b.dig FROM b
+        |JOIN mins ON b.dig = mins.dig AND b.doc_id = mins.m
+        |WHERE b.dig NOT IN (SELECT dig FROM corpus)
+        |ORDER BY doc_id""".stripMargin,
+
+    // governed digest loop: both generations replayed — batch B's
+    // committed set = corpus digests ∪ batch-A survivors' digests
+    "p8_digest_ingest_loop" ->
+      """WITH d AS (SELECT doc_id, sha256(substring(text, 1, 30)) AS dig
+        |           FROM documents),
+        |cut AS (SELECT (max(doc_id)*3)//5 AS c1, (max(doc_id)*4)//5 AS c2
+        |        FROM documents),
+        |corpusa AS (SELECT dig FROM d, cut WHERE doc_id <= c1),
+        |ba AS (SELECT doc_id, dig FROM d, cut
+        |       WHERE doc_id > c1 AND doc_id <= c2),
+        |minsa AS (SELECT dig, min(doc_id) AS m FROM ba GROUP BY dig),
+        |novela AS (SELECT ba.doc_id, ba.dig FROM ba
+        |           JOIN minsa ON ba.dig = minsa.dig AND ba.doc_id = minsa.m
+        |           WHERE ba.dig NOT IN (SELECT dig FROM corpusa)),
+        |bb AS (SELECT doc_id, dig FROM d, cut WHERE doc_id > c2),
+        |minsb AS (SELECT dig, min(doc_id) AS m FROM bb GROUP BY dig),
+        |committedb AS (SELECT dig FROM corpusa
+        |               UNION SELECT dig FROM novela),
+        |novelb AS (SELECT bb.doc_id FROM bb
+        |           JOIN minsb ON bb.dig = minsb.dig AND bb.doc_id = minsb.m
+        |           WHERE bb.dig NOT IN (SELECT dig FROM committedb))
+        |SELECT doc_id, CAST(0 AS BIGINT) AS batch_id FROM novela
+        |UNION ALL SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM novelb
+        |ORDER BY doc_id""".stripMargin,
 
     // p5's replay on the half-corpus slice, minus the takedown set: the
     // scrub happens AFTER both generations committed, so the screens ran

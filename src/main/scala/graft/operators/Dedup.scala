@@ -4306,4 +4306,323 @@ object Dedup {
     graft.plans.Checkpoints.free(b)
     IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
   }
+
+  // ---- persisted digest index: the EXACT-dedup governed family ----
+  //
+  // The third index family beside MinHash (text near-dup) and SRP
+  // (embedding near-dup): exact dedup on a content-stable key — a media
+  // content digest ([[graft.operators.Multimodal]]'s sha-256 story), a
+  // normalized URL, a checksum. Collision IS duplication, so the family
+  // has no bands, buckets, caps or occupancy: one sharded row table
+  // under the same params/format-version/epoch/tombstone/ledger/
+  // quarantine discipline as the other two — every lifecycle helper
+  // (purge prologue/epilogue, compaction swap, front fold, quarantine
+  // divert/triage, output scrub) is the SHARED core, so a semantics fix
+  // can never diverge between families.
+  //
+  // Scale shape (100 TB of media): the index stores (id, dig) only —
+  // 8 + ~64 bytes per object regardless of payload size; probes prune
+  // the scan to the batch's touched digest shards (same literal INSET →
+  // PartitionFilters mechanism as the band shards, PLANS.md b3b) and
+  // anti-join — per-batch work tracks the batch. NULL digests are never
+  // dup candidates: they pass the screens untouched and are not indexed
+  // (a digest is the identity; an object without one cannot collide).
+
+  /** A persisted digest index opened by [[readDigestIndex]] — the row
+    * table is already tombstone-filtered (retained corpus view). */
+  final case class DigestIndex(digests: DataFrame, shards: Int)
+
+  /** Build the persisted digest index: ONE scan of the corpus projecting
+    * (id, dig), stored `partitionBy(shard)` with shard = hash(dig) so
+    * probes prune at the storage layer. Overwrites any previous
+    * generation (stale tombstones cleared; a pending quarantine refuses
+    * — shared rebuild contract).
+    */
+  def writeDigestIndex(corpus: DataFrame, idCol: String, digCol: String,
+                       path: String,
+                       shards: Int = IndexShardsDefault): Unit = {
+    require(shards > 0, "shards must be positive")
+    val spark = corpus.sparkSession
+    invalidateIndexSchemas(path)
+    clearTombstones(spark, path)
+    corpus.select(col(idCol).cast("long").as("id"),
+        col(digCol).cast("string").as("dig"))
+      .withColumn("shard", shardCol(Seq(col("dig")), shards))
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(s"$path/digests")
+    import spark.implicits._
+    Seq((shards, IndexFormatVersion)).toDF("shards", "format_version")
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+    writeEpoch0(spark, path)
+  }
+
+  /** Open a persisted digest index written by [[writeDigestIndex]] —
+    * params-checked (format version refusal included) and
+    * tombstone-filtered like every index open. */
+  def readDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                      path: String): DigestIndex = {
+    val pr =
+      try readParamsRow(spark, s"$path/params")
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"digest index at $path has no readable params table — was it " +
+            "written by writeDigestIndex?", e)
+      }
+    requireSupportedFormat(pr, path)
+    val raw = readIndexTable(spark, s"$path/digests")
+      .select("id", "dig", "shard")
+    DigestIndex(liveRows(raw, readTombstones(spark, path)),
+      pr.getAs[Int]("shards"))
+  }
+
+  /** Incremental exact screen against the persisted index: batch rows
+    * that are NOVEL — not a within-batch duplicate (min-id row per
+    * digest is the kept representative, the same policy as the governed
+    * loops) and not already in the (retained) corpus index. The index
+    * scan is pruned to the batch's touched digest shards; corpus
+    * payloads are never read — the probe touches (id, dig) rows only.
+    */
+  def digestNovel(batch: DataFrame, idCol: String, digCol: String,
+                  index: DigestIndex): DataFrame = {
+    val bd = batch.select(col(idCol),
+        col(digCol).cast("string").as("__dig"))
+      .filter(col("__dig").isNotNull)
+    val touched = touchedShards(bd, Seq("__dig"), index.shards)
+    val mins = bd.groupBy(col("__dig")).agg(min(col(idCol)).as("__min_id"))
+    val withinDup = bd.join(mins, Seq("__dig"))
+      .filter(col(idCol) =!= col("__min_id")).select(col(idCol))
+    val crossDup = bd.join(
+        index.digests.filter(shardFilter(touched))
+          .select(col("dig").as("__dig")),
+        Seq("__dig"), "left_semi")
+      .select(col(idCol))
+    batch.join(withinDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+  }
+
+  /** Maintenance append (batch ≡ rebuild, spec-proven): monotone-id
+    * contract against the PHYSICAL table (deleted ids stay retired),
+    * then one sharded append of the batch's (id, dig) rows. */
+  def appendDigestIndex(batch: DataFrame, idCol: String, digCol: String,
+                        path: String): Unit = {
+    val spark = batch.sparkSession
+    val ix = readDigestIndex(spark, path)
+    claimEpoch(spark, path)
+    val rows = batch.select(col(idCol).cast("long").as("id"),
+        col(digCol).cast("string").as("dig"))
+      .localCheckpoint()
+    require(rows.filter(col("id").isNull).limit(1).isEmpty,
+      "appendDigestIndex: batch ids must cast to long (the index id " +
+        "contract)")
+    val maxRow = readIndexTable(spark, s"$path/digests")
+      .agg(max(col("id"))).head()
+    if (!maxRow.isNullAt(0)) {
+      val clash = rows.filter(col("id") <= lit(maxRow.get(0)))
+        .limit(1).count()
+      require(clash == 0,
+        s"appendDigestIndex: batch contains ids <= the index max " +
+          s"(${maxRow.get(0)}) — out-of-order appends would need " +
+          "eviction; rebuild with writeDigestIndex instead")
+    }
+    appendBucketRows(rows.filter(col("dig").isNotNull), path, "digests",
+      Seq("dig"), ix.shards)
+    graft.plans.Checkpoints.free(rows)
+  }
+
+  /** [[deleteFromSignatureIndex]]'s twin for the digest index — same
+    * visibility (next open), reclamation (next compaction) and epoch
+    * semantics. */
+  def deleteFromDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: DataFrame,
+                            idCol: String): Unit = {
+    readDigestIndex(spark, path) // validates the index + params
+    appendTombstones(spark, path, ids, idCol)
+  }
+
+  /** [[deleteFromDigestIndex]] for a driver-side id list. */
+  def deleteFromDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                            path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromDigestIndex(spark, path, ids.toDF("id"), "id")
+  }
+
+  /** Compact the digest index: digests rewritten clustered by
+    * (shard, dig) under the preserved partitionBy(shard) layout, ledger
+    * and stats folded, pending tombstones physically purged (no
+    * occupancy table in this family — the purge prologue runs with the
+    * no-occupancy recipe, so the epilogue only folds the tombstone
+    * table away). Same swap/heal/epoch discipline as the other
+    * families ([[compactIndexTables]]).
+    */
+  def compactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                         path: String,
+                         targetFileBytes: Long = 128L << 20)
+      : Map[String, (Int, Int)] = {
+    recoverCompaction(spark, path)
+    readDigestIndex(spark, path) // validates the index + params
+    // shards = 0 here means "no occupancy side table", the purge
+    // prologue's only use of the parameter — the digest table itself
+    // stays sharded
+    val purge = preparePurge(spark, path, "digests", Nil, 0)
+    val res = compactIndexTables(spark, path, targetFileBytes, Seq(
+      IndexTableLayout("digests",
+        (df, n) => purge.live(df).repartition(n, col("shard"), col("dig")),
+        partitionCols = Seq("shard"), force = purge.force),
+      IndexTableLayout("ingest_ledger",
+        (df, n) => df.repartitionByRange(n, col("batch_id"))),
+      IndexTableLayout("ingest_stats",
+        (df, n) => df.repartitionByRange(n, col("batch_id")))))
+    finishPurge(spark, path, purge)
+    res
+  }
+
+  /** [[autoCompactSignatureIndex]]'s twin for the digest index
+    * (measured on the `digests` table). */
+  def autoCompactDigestIndex(spark: org.apache.spark.sql.SparkSession,
+                             path: String,
+                             targetFileBytes: Long = 128L << 20,
+                             fragmentFactor: Int = 8,
+                             preCompact: () => Unit = () => ())
+      : Option[Map[String, (Int, Int)]] =
+    if (indexFragmented(spark, path, "digests", targetFileBytes,
+        fragmentFactor) || listTombstoneFiles(spark, path).nonEmpty) {
+      preCompact()
+      Some(compactDigestIndex(spark, path, targetFileBytes))
+    } else None
+
+  /** [[initIngestLedger]]'s twin for a persisted digest index — the
+    * base watermark comes from the physical digest table. */
+  def initDigestIngestLedger(spark: org.apache.spark.sql.SparkSession,
+                             indexPath: String): Unit = {
+    recoverCompaction(spark, indexPath)
+    readDigestIndex(spark, indexPath) // validates index + params
+    bootstrapLedger(spark, indexPath,
+      readIndexTable(spark, s"$indexPath/digests"))
+  }
+
+  /** One micro-batch of the governed EXACT-dedup loop — the digest
+    * family's [[ingestBatchWithIndex]]: same ledger/exactly-once
+    * mechanics (committed-watermark reads, per-batch output overwrite,
+    * self-healing appends against the PHYSICAL tail, ledger row commits
+    * last, quarantine divert on contract violations), with the family's
+    * screen semantics — within-batch min-id representative per digest,
+    * committed-index digest anti-join (shard-pruned). No occupancy or
+    * caps: exact dedup admits every novel digest.
+    */
+  def ingestBatchWithDigestIndex(batch: DataFrame, idCol: String,
+                                 digCol: String, indexPath: String,
+                                 outPath: String, batchId: Long,
+                                 quarantine: Boolean = false)
+      : IngestBatchStats =
+    withPinnedPlan(batch.sparkSession) {
+      ingestBatchWithDigestIndexImpl(batch, idCol, digCol, indexPath,
+        outPath, batchId, quarantine)
+    }
+
+  private def ingestBatchWithDigestIndexImpl(
+      batch: DataFrame, idCol: String, digCol: String, indexPath: String,
+      outPath: String, batchId: Long,
+      quarantine: Boolean): IngestBatchStats = {
+    val spark = batch.sparkSession
+    val ix = readDigestIndex(spark, indexPath)
+    val ledger = readIngestLedger(spark, indexPath)
+    val claimed = claimEpoch(spark, indexPath)
+
+    val b = batch.localCheckpoint()
+    // FRONT FOLD — see resolveBatchFront
+    val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
+      "ingestBatchWithDigestIndex", quarantine)
+    if (front.violation.isDefined) {
+      val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
+        front, claimed)
+      graft.plans.Checkpoints.free(b)
+      return stats
+    }
+    val replayed = front.replayed
+    val w = front.w
+    val batchRows = front.batchRows
+    // Committed view — tombstone-filtered (probes see the retained
+    // corpus) AND watermark-filtered (a crashed attempt's appends are
+    // invisible).
+    val committed = ix.digests.filter(col("id") <= lit(w))
+    // TORN-TAIL CHECK on the PHYSICAL table — same invariant (and the
+    // same takedown-between-crash-and-replay hazard) as the MinHash
+    // twin: a row-group-pruned scan, ~free on a clean index.
+    val physTail = readIndexTable(spark, s"$indexPath/digests")
+      .filter(col("id") > lit(w))
+    val torn = !physTail.isEmpty
+
+    val bd = b.select(col(idCol), col(digCol).cast("string").as("__dig"))
+      .filter(col("__dig").isNotNull)
+    val touched = touchedShards(bd, Seq("__dig"), ix.shards)
+    tuneBatchExecution(spark, batchRows,
+      dirBytes(spark, s"$indexPath/digests", touched.map(k => s"shard=$k")))
+
+    // Within-batch screen: min-id representative per digest (the exact
+    // family's greedy star — every duplicate group is a clique).
+    val mins = bd.groupBy(col("__dig")).agg(min(col(idCol)).as("__min_id"))
+    val withinDup = bd.join(mins, Seq("__dig"))
+      .filter(col(idCol) =!= col("__min_id")).select(col(idCol))
+    // Committed screen: shard-pruned digest anti-join.
+    val crossDup = bd.join(
+        committed.filter(shardFilter(touched))
+          .select(col("dig").as("__dig")),
+        Seq("__dig"), "left_semi")
+      .select(col(idCol))
+
+    // (1) Output: per-batch directory overwrite — replay-idempotent;
+    // doubles as the staging materialization (see the MinHash twin).
+    val novelOut = s"$outPath/batch_id=$batchId"
+    b.join(withinDup, Seq(idCol), "left_anti")
+      .join(crossDup, Seq(idCol), "left_anti")
+      .write.mode("overwrite").parquet(novelOut)
+    val novel = spark.read.schema(b.schema).parquet(novelOut)
+
+    // (2) Self-healing append: on a torn batch, append only the rows the
+    // physical tail is missing.
+    val newRows = novel.filter(col(digCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(digCol).cast("string").as("dig"))
+    appendBucketRows(
+      if (torn) newRows.join(physTail.select("id"), Seq("id"), "left_anti")
+      else newRows,
+      indexPath, "digests", Seq("dig"), ix.shards)
+
+    // (3) Ledger row LAST — the commit marker, under the epoch re-check.
+    val novelRows = novel.count()
+    val wAfter = front.wAfter
+    if (!replayed) {
+      requireEpoch(spark, indexPath, claimed)
+      commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
+    }
+    // Takedown propagation to this batch's own output — see the
+    // MinHash twin.
+    scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
+    graft.plans.Checkpoints.free(b)
+    IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+  }
+
+  /** [[redriveQuarantined]]'s twin for the governed digest loop
+    * (pending takedowns honored the same way). */
+  def redriveQuarantinedDigest(spark: org.apache.spark.sql.SparkSession,
+                               indexPath: String, outPath: String,
+                               batchId: Long, idCol: String,
+                               digCol: String,
+                               repair: DataFrame => DataFrame = identity)
+      : IngestBatchStats = {
+    val dir = quarantinedBatchDir(indexPath, batchId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverScrubLeftovers(fs, quarantineDir(indexPath)) // see MinHash twin
+    require(fs.exists(dir),
+      s"redriveQuarantinedDigest: no quarantined batch $batchId at $dir")
+    requireQuarantineLedgerRow(spark, indexPath, batchId,
+      "redriveQuarantinedDigest")
+    val stats = ingestBatchWithDigestIndex(
+      repair(liveQuarantinedRows(spark, indexPath, dir, idCol)), idCol,
+      digCol, indexPath, outPath, batchId, quarantine = false)
+    require(fs.delete(dir, true),
+      s"redriveQuarantinedDigest: could not remove $dir after the commit")
+    stats
+  }
 }

@@ -293,6 +293,63 @@ object StreamOps {
       .start()
   }
 
+  /** [[indexedDedupStream]]'s twin for EXACT dedup over a persisted
+    * digest index — the governed media-ingest loop (content digests,
+    * URLs, checksums): same ledger-governed `foreachBatch` core
+    * (`graft.operators.Dedup.ingestBatchWithDigestIndex` — exactly-once
+    * under crash/replay, quarantine divert, ≤1-batch takedown scrub
+    * latency, in-loop compaction), with the exact family's screen
+    * semantics (within-batch min-id representative per digest,
+    * committed-index digest anti-join). The index stores (id, digest)
+    * rows only, so a 100 TB media stream carries ~72 bytes of index
+    * per object regardless of payload size.
+    */
+  def indexedDigestDedupStream(spark: SparkSession, inPath: String,
+                               schema: org.apache.spark.sql.types.StructType,
+                               idCol: String, digCol: String,
+                               indexPath: String, outPath: String,
+                               checkpoint: String,
+                               trigger: Trigger = Trigger.AvailableNow(),
+                               compactEvery: Int = 0,
+                               autoCompact: Boolean = false,
+                               quarantine: Boolean = false)
+      : StreamingQuery = {
+    graft.operators.Dedup.initDigestIngestLedger(spark, indexPath)
+    // last-scrubbed tombstone set — see indexedDedupStream
+    var scrubbedTombs = Set.empty[String]
+    spark.readStream.schema(schema).parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val stats = graft.operators.Dedup.ingestBatchWithDigestIndex(
+          batch, idCol, digCol, indexPath, outPath, batchId, quarantine)
+        graft.operators.Dedup.appendIngestStats(spark, indexPath, stats)
+        if (!stats.replayed) {
+          // ≤1-batch takedown propagation + scrub-before-purge by
+          // construction — see indexedDedupStream
+          val pending =
+            graft.operators.Dedup.pendingTombstoneFiles(spark, indexPath)
+          if (pending.nonEmpty && pending != scrubbedTombs) {
+            graft.operators.Dedup.scrubOutputs(spark, indexPath, outPath,
+              idCol)
+            graft.operators.Dedup.scrubQuarantined(spark, indexPath, idCol)
+            scrubbedTombs = pending
+          }
+          if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+            graft.operators.Dedup.compactDigestIndex(spark, indexPath)
+            scrubbedTombs = Set.empty
+          } else if (autoCompact) {
+            if (graft.operators.Dedup
+                .autoCompactDigestIndex(spark, indexPath).isDefined)
+              scrubbedTombs = Set.empty
+          }
+        }
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
+
   /** Streaming ANN serving over a persisted IVF layout
     * ([[graft.operators.Similarity.writeIvfLayout]]): each micro-batch
     * of query vectors probes the STATIC cell-partitioned corpus and

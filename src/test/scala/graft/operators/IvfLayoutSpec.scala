@@ -172,6 +172,28 @@ class IvfLayoutSpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("auto-sized layout recall >= 0.5 vs exact brute force on sf0.01 embeddings") {
+    val sf01 = "/root/testdata/sf0.01"
+    val emb = Tables.embeddings(spark, sf01)
+    val base = Files.createTempDirectory("graft-ivf-auto-recall").toString
+    Similarity.writeIvfLayoutAuto(emb, base, "vec_id", "embedding")
+    val queries = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id",
+      "embedding", "qid", "qvec", k = 5)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopKIndexed(spark, base, queries,
+      "qid", "qvec", k = 5, nprobe = 8)
+      .select("qid", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.size == 50)
+    val recall = (approx & exact).size.toDouble / exact.size
+    info(f"auto IVF layout recall vs exact top-5: $recall%.2f " +
+      f"(${approx.size} returned)")
+    assert(recall >= 0.5, f"recall $recall%.2f < 0.5")
+  }
+
   test("probing a path without a params table fails loudly") {
     val base = Files.createTempDirectory("graft-ivf-noparams").toString
     val q = Seq((1L, Seq(1f, 0f))).toDF("qid", "qv")
