@@ -438,6 +438,18 @@ object Plans {
         |BEFORE any bytes are read (and the lang column itself is not in
         |the data files at all). At 100 TB a one-partition read costs one
         |partition's bytes; a filter-after-scan would cost the corpus.""".stripMargin,
+    "b5_digest_index" ->
+      """Persisted digest-index probe — the EXACT-dedup third index
+        |family. The corpus side is a narrow (id, dig) FileScan of the
+        |sharded index table with PartitionFilters = shard INSET (the
+        |batch's touched digest shards; every other shard=K/ directory
+        |is pruned from the listing) — corpus payloads are NEVER read,
+        |the index carries ~72 bytes per object regardless of media
+        |size. The screen itself is two anti-joins: within-batch min-id
+        |representative per digest (one grouped min + equi-join, no
+        |window) and the committed-digest LeftSemi/LeftAnti pair. No
+        |bands, caps or occupancy anywhere in the plan — collision IS
+        |duplication, which is what makes this the thin family.""".stripMargin,
     "s8_ivf_indexed_topk" ->
       """Persisted IVF layout probe — the ANN serving artifact. The corpus
         |was written partitionBy(cell) under the frozen coarse quantizer;
