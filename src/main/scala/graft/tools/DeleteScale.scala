@@ -63,6 +63,32 @@ object DeleteScale {
           graft.operators.Dedup.compactSrpIndex(spark, ix)
         }
         (c, pe, phase("probe_compacted")(probe()))
+      } else if (mode == "dig") {
+        // digest (exact) family: same corpus/batch/tombstone shape as
+        // the signature run, probe = digestNovel count
+        val docs = graft.sources.Tables.table(spark, dir, "documents")
+          .withColumn("dig",
+            sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+        val corpus = docs.filter(col("doc_id") % 5 =!= 4)
+        val batch = docs.filter(col("doc_id") % 5 === 4)
+        phase("build") {
+          graft.operators.Dedup.writeDigestIndex(corpus, "doc_id", "dig",
+            ix)
+        }
+        def probe(): Long =
+          graft.operators.Dedup.digestNovel(batch, "doc_id", "dig",
+            graft.operators.Dedup.readDigestIndex(spark, ix)).count()
+        val c = phase("probe_clean")(probe())
+        phase("delete") {
+          graft.operators.Dedup.deleteFromDigestIndex(spark, ix,
+            corpus.filter(col("doc_id") % 7 === 3).select("doc_id"),
+            "doc_id")
+        }
+        val pe = phase("probe_pending")(probe())
+        phase("compact_purge") {
+          graft.operators.Dedup.compactDigestIndex(spark, ix)
+        }
+        (c, pe, phase("probe_compacted")(probe()))
       } else {
         val docs = graft.sources.Tables.table(spark, dir, "documents")
         val corpus = docs.filter(col("doc_id") % 5 =!= 4)
