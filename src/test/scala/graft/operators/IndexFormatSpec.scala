@@ -117,6 +117,23 @@ class IndexFormatSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("digest twin: version stamp round-trips and out-of-range refuses") {
+    val base = Files.createTempDirectory("graft-fmt-dig").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeDigestIndex(
+        Seq((0L, "da"), (1L, "db")).toDF("id", "dig"), "id", "dig", ix)
+      assert(Dedup.indexFormatVersion(spark, ix) ==
+        Dedup.IndexFormatVersion)
+      Dedup.readDigestIndex(spark, ix)
+      restampParams(ix, Some(Dedup.IndexFormatVersion + 1))
+      val e = intercept[IllegalArgumentException] {
+        Dedup.readDigestIndex(spark, ix)
+      }
+      assert(e.getMessage.contains("format_version"), e.getMessage)
+    } finally rmrf(base)
+  }
+
   test("SRP twin: version stamp round-trips and out-of-range refuses") {
     val base = Files.createTempDirectory("graft-fmt-srp").toString
     val ix = s"$base/ix"
