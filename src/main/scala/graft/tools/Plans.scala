@@ -321,6 +321,23 @@ object Plans {
         |~12% of the whole entry at sf0.1, and the screen's multi-probe
         |checkpoint is freed the moment the batch output write lands.""".stripMargin,
 
+    "p8_digest_ingest_loop" ->
+      """The governed triad's THIN member — the exact-digest loop. Same
+        |ledger/fence skeleton as p5/p6 (front fold, committed-watermark
+        |reads, per-batch output overwrite doubling as the staging
+        |materialization, ledger row last) but the screen collapses to
+        |two joins: a grouped min per digest (within-batch
+        |representative — no window, no signature kernels, no bucket
+        |fan-out anywhere in the plan) and the committed-digest
+        |LeftSemi against the shard-pruned index slice (PartitionFilters
+        |= shard INSET, see b5). No occupancy read, no cap window, no
+        |self-healing band derivation — which is why the whole entry
+        |runs ~3x faster than p5 on the same corpus slice count and the
+        |BENCH_SF10 digest_deletion_audit decade stays <= 2.4x on every
+        |phase. The family exists for media/URL/checksum dedup: the
+        |index rows are (id, 64-char digest) regardless of payload
+        |size.""".stripMargin,
+
     "t11_bigram_lm_score" ->
       """Bigram LM scoring. The (w1,w2) count aggregate runs
         |partial -> exchange -> final; context counts derive from the
