@@ -442,8 +442,12 @@ object Similarity {
     val qb = queries.withColumn("cell",
       explode(GraftFunctions.ivfProbes(col(qvecCol), p.centroids, nprobe)))
     val probed = qb.select(col("cell")).distinct().collect().map(_.getInt(0))
-    val cb = spark.read.parquet(s"$path/cells")
-      .filter(col("cell").isin(probed.toSeq: _*))
+    // empty query set → explicit always-false (isin() with an empty list
+    // is a degenerate false in Spark; don't rely on it)
+    val cellFilter =
+      if (probed.isEmpty) lit(false)
+      else col("cell").isin(probed.map(Int.box).toSeq: _*)
+    val cb = spark.read.parquet(s"$path/cells").filter(cellFilter)
     (qb, cb)
   }
 
