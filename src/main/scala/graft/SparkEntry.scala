@@ -1942,6 +1942,28 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // takedown lifecycle on the SERVING layout (s8's deletion path —
+    // the ANN twin of b4c): vec_id % 7 = 3 is tombstoned after the
+    // build, then compactIvfLayout physically purges the rows by
+    // rewriting ONLY the hit cell=K/ directories (O(hit cells), never a
+    // corpus rewrite) and folds the tombstones. The probe runs against
+    // the purged layout; oracle = s3's SQL on the RETAINED corpus.
+    "s10_ivf_layout_delete" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_ivfdel_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Similarity.writeIvfLayout(emb, out, "vec_id", "embedding",
+        AnnModels.ivfCentroids)
+      Similarity.deleteFromIvfLayout(s, out,
+        emb.filter(col("vec_id") % 7 === 3), "vec_id")
+      Similarity.compactIvfLayout(s, out)
+      val queries = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      Similarity.ivfTopKIndexed(s, out, queries, "qid", "qvec",
+        k = 5, nprobe = 8)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // distributed mean pooling: exact per-label centroids in ONE pass
     // (decomposable vector-sum aggregate, no explode fan-out); output
     // flattened to scalars for the oracle compare
@@ -2170,12 +2192,13 @@ object SparkEntry {
     * the vector set (e.g. the query side); `cols` picks the projection.
     */
   private def duckIvfCells(nprobe: Int, cols: String,
-                           filter: String = ""): String =
+                           filter: String = "",
+                           from: String = "emb"): String =
     s"""SELECT $cols FROM (
        |  SELECT e.vec_id, e.v, c.cid,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
-       |  FROM emb e, cent c$filter) WHERE rn <= $nprobe""".stripMargin
+       |  FROM $from e, cent c$filter) WHERE rn <= $nprobe""".stripMargin
 
   /** IVF ANN fully reproduced in SQL: the frozen coarse quantizer
     * (AnnModels) embeds as DOUBLE[] literals; cell assignment = argmax
@@ -2189,6 +2212,32 @@ object SparkEntry {
        |            FROM embeddings),
        |cent(cid, cv) AS (VALUES $duckIvfCentVals),
        |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell")}),
+       |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
+      " WHERE e.vec_id < 10")}),
+       |sc AS (SELECT q.qid, c.vec_id,
+       |    round(list_dot_product(c.v, q.qv)
+       |          / sqrt(list_dot_product(c.v, c.v)
+       |                 * list_dot_product(q.qv, q.qv)), 6) AS sim
+       |  FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.qid)
+       |SELECT qid, vec_id, sim, rank FROM (
+       |  SELECT qid, vec_id, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
+       |  FROM sc) WHERE rank <= 5
+       |ORDER BY qid, rank""".stripMargin
+
+  /** s10's oracle: s3's IVF pipeline with the layout's takedown set
+    * removed from the CORPUS side — queries still come from the full
+    * table (a deleted id may still ask; it can no longer be served).
+    * The pending-tombstone anti-join, the physical purge and the
+    * hit-cell-only rewrite are all invisible to the result contract:
+    * the probe must equal a layout built from the retained corpus.
+    */
+  private lazy val s10IvfDeleteOracleSql: String =
+    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |            FROM embeddings),
+       |ret AS (SELECT * FROM emb WHERE vec_id % 7 <> 3),
+       |cent(cid, cv) AS (VALUES $duckIvfCentVals),
+       |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell", from = "ret")}),
        |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
       " WHERE e.vec_id < 10")}),
        |sc AS (SELECT q.qid, c.vec_id,
@@ -4434,6 +4483,8 @@ object SparkEntry {
     // an execution artifact) — the oracle is s3's verbatim, like b3b's
     // oracle is b3's
     "s8_ivf_indexed_topk" -> s3IvfOracleSql,
+
+    "s10_ivf_layout_delete" -> s10IvfDeleteOracleSql,
 
     // PQ ADC + exact re-rank fully reproduced in SQL: frozen codebooks as
     // literals, encode = per-subspace argmin L2 (left-assoc 4-term dist

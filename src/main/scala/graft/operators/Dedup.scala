@@ -111,8 +111,8 @@ object Dedup {
     * open. The migration hook is a rebuild (writeSignatureIndex /
     * writeSrpIndex from the source corpus): the governed tables are
     * derived state, so a rebuild IS the migration. */
-  private def requireSupportedFormat(pr: org.apache.spark.sql.Row,
-                                     path: String): Unit = {
+  private[graft] def requireSupportedFormat(pr: org.apache.spark.sql.Row,
+                                            path: String): Unit = {
     val v =
       if (pr.schema.fieldNames.contains("format_version"))
         pr.getAs[Int]("format_version")
@@ -727,8 +727,8 @@ object Dedup {
           "aborting before the ledger commit; the batch is safe to replay")
   }
 
-  private def writeEpoch0(spark: org.apache.spark.sql.SparkSession,
-                          path: String): Unit = {
+  private[graft] def writeEpoch0(spark: org.apache.spark.sql.SparkSession,
+                                 path: String): Unit = {
     val dir = epochDirOf(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(dir, true)
@@ -907,8 +907,8 @@ object Dedup {
     * (an in-flight append's `_temporary` is a directory, so a racing
     * delete op never loses its tombstones to this sweep; mutations are
     * epoch-serialized anyway, this is belt-and-braces). */
-  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
-                             path: String): Option[DataFrame] = {
+  private[graft] def readTombstones(spark: org.apache.spark.sql.SparkSession,
+                                    path: String): Option[DataFrame] = {
     val dir = tombstoneDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(dir)) None
@@ -937,8 +937,8 @@ object Dedup {
     * linger would make a stale generation's rows masquerade as the new
     * one's diverted output. The operator re-drives or removes them
     * explicitly first. Called by the write* builds only. */
-  private def clearTombstones(spark: org.apache.spark.sql.SparkSession,
-                              path: String): Unit = {
+  private[graft] def clearTombstones(spark: org.apache.spark.sql.SparkSession,
+                                     path: String): Unit = {
     val conf = spark.sparkContext.hadoopConfiguration
     val qdir = quarantineDir(path)
     val qfs = qdir.getFileSystem(conf)
@@ -978,8 +978,8 @@ object Dedup {
     listTombstoneFiles(spark, path).map(_.getName).toSet
 
   /** Data files currently in the tombstone table (empty when absent). */
-  private def listTombstoneFiles(spark: org.apache.spark.sql.SparkSession,
-                                 path: String)
+  private[graft] def listTombstoneFiles(spark: org.apache.spark.sql.SparkSession,
+                                        path: String)
       : Seq[org.apache.hadoop.fs.Path] = {
     val dir = tombstoneDir(path)
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -988,9 +988,9 @@ object Dedup {
       .filterNot(p => p.getName.startsWith("_") || p.getName.startsWith("."))
   }
 
-  private def appendTombstones(spark: org.apache.spark.sql.SparkSession,
-                               path: String, ids: DataFrame,
-                               idCol: String): Unit = {
+  private[graft] def appendTombstones(spark: org.apache.spark.sql.SparkSession,
+                                      path: String, ids: DataFrame,
+                                      idCol: String): Unit = {
     claimEpoch(spark, path)
     val t = ids.select(col(idCol).try_cast("long").as("id")).distinct()
       .localCheckpoint()
@@ -1174,8 +1174,8 @@ object Dedup {
   // re-scrubs its own output directory after a replay, so a replay can
   // never resurrect scrubbed rows while a tombstone is pending.
 
-  private val ScrubTmpPrefix = "__scrub_tmp_"
-  private val ScrubOldPrefix = "__scrub_old_"
+  private[graft] val ScrubTmpPrefix = "__scrub_tmp_"
+  private[graft] val ScrubOldPrefix = "__scrub_old_"
 
   /** The rename-aside swap triple shared by every directory rewrite
     * (index compaction, output scrub, params stamp): original →
@@ -1184,7 +1184,7 @@ object Dedup {
     * [[recoverScrubLeftovers]]); the swap ordering itself must not:
     * the live dir's sole copy never sits in a temp-marker dir a
     * concurrent recovery sweep may legitimately delete. */
-  private def renameSwap(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def renameSwap(fs: org.apache.hadoop.fs.FileSystem,
                          dir: org.apache.hadoop.fs.Path,
                          tmp: org.apache.hadoop.fs.Path,
                          old: org.apache.hadoop.fs.Path,
@@ -1210,8 +1210,8 @@ object Dedup {
     * TEMP when present: its forced purge rewrite pairs with side-table
     * deltas (negative occupancy), so the post-rewrite content is the
     * copy that must win. */
-  private def recoverScrubLeftovers(fs: org.apache.hadoop.fs.FileSystem,
-                                    root: org.apache.hadoop.fs.Path): Unit = {
+  private[graft] def recoverScrubLeftovers(fs: org.apache.hadoop.fs.FileSystem,
+                                           root: org.apache.hadoop.fs.Path): Unit = {
     if (!fs.exists(root)) return
     fs.listStatus(root).foreach { s =>
       val n = s.getPath.getName
@@ -1235,8 +1235,8 @@ object Dedup {
   }
 
   /** Non-marker data files directly usable under a batch output dir. */
-  private def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
-                           dir: org.apache.hadoop.fs.Path): Boolean =
+  private[graft] def hasDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+                                  dir: org.apache.hadoop.fs.Path): Boolean =
     fs.exists(dir) && fs.listStatus(dir).exists { s =>
       val n = s.getPath.getName
       s.isFile && !n.startsWith("_") && !n.startsWith(".")

@@ -299,10 +299,18 @@ object Similarity {
     * `repartition(cell)` before the write keeps the file count bounded:
     * each shuffle task holds whole cells, so a cell directory gets a
     * handful of files instead of one per (task × cell) — the
-    * small-files bound at 1000 executors. This is an overwrite-rebuilt
-    * serving artifact (like the hive-partitioned corpus of q61), NOT a
-    * mutable index: append/tombstone lifecycles live with the SRP index
-    * family.
+    * small-files bound at 1000 executors.
+    *
+    * LIFECYCLE: the layout carries the index family's mutation story —
+    * [[appendIvfLayout]] grows it under the frozen quantizer (≡ rebuild,
+    * cell assignment is a pure function of (vector, centroids)),
+    * [[deleteFromIvfLayout]] tombstones served vectors (hidden from the
+    * next probe, physically purged by [[compactIvfLayout]] — the
+    * takedown path for the SERVED ANN corpus, not just the dedup
+    * indexes), all under the shared epoch fence / rename-aside swap /
+    * format-version discipline of [[Dedup]]'s persisted indexes. An
+    * overwrite rebuild clears stale tombstones, exactly like the index
+    * builds.
     */
   def writeIvfLayout(corpus: DataFrame, path: String,
                      idCol: String, vecCol: String,
@@ -311,6 +319,9 @@ object Similarity {
                      pqM: Int = 0, pqK: Int = 0): Unit = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
+    // previous generation's pending deletes must not hide the new
+    // build's rows (same rebuild contract as the dedup indexes)
+    Dedup.clearTombstones(spark, path)
     val celled = corpus
       .withColumn("cell",
         element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1))
@@ -327,10 +338,12 @@ object Similarity {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
     import spark.implicits._
     Seq((idCol, vecCol, centroids.map(_.toSeq),
-        pqCodebooks.map(_.toSeq), pqM, pqK))
-      .toDF("id_col", "vec_col", "centroids", "pq_codebooks", "pq_m", "pq_k")
+        pqCodebooks.map(_.toSeq), pqM, pqK, Dedup.IndexFormatVersion))
+      .toDF("id_col", "vec_col", "centroids", "pq_codebooks", "pq_m",
+        "pq_k", "format_version")
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    Dedup.writeEpoch0(spark, path)
   }
 
   /** [[ivfTopK]] against a persisted [[writeIvfLayout]] layout: probes
@@ -413,6 +426,11 @@ object Similarity {
           s"IVF layout at $path has no readable params table — " +
             "was it written by writeIvfLayout?", e)
       }
+    // layout-version gate, shared with the dedup index family: an
+    // absent stamp reads as v1 (the pre-lifecycle generation — fully
+    // supported), an unknown future version refuses loudly instead of
+    // silently mis-reading its tables
+    Dedup.requireSupportedFormat(pr, path)
     // nested array elements come back as mutable ArraySeq — type them
     // as collection.Seq before converting, or the map's element cast
     // to immutable Seq throws
@@ -447,7 +465,15 @@ object Similarity {
     val cellFilter =
       if (probed.isEmpty) lit(false)
       else col("cell").isin(probed.map(Int.box).toSeq: _*)
-    val cb = spark.read.parquet(s"$path/cells").filter(cellFilter)
+    val cb0 = spark.read.parquet(s"$path/cells").filter(cellFilter)
+    // pending takedowns are invisible to the probe IMMEDIATELY (the
+    // broadcast anti-join below; partition pruning is unaffected — the
+    // cell filter sits under it); their bytes are reclaimed by the next
+    // compactIvfLayout. One driver-side existence probe when none pend.
+    val cb = Dedup.readTombstones(spark, path).fold(cb0) { t =>
+      cb0.join(broadcast(t.select(col("id").as("__tomb_id"))),
+        col(p.idCol).try_cast("long") === col("__tomb_id"), "left_anti")
+    }
     (qb, cb)
   }
 
@@ -501,6 +527,167 @@ object Similarity {
     else rerankExact(rankTopK(filtered, p.idCol, qidCol, rerank),
       cb.select(col(p.idCol), col(p.vecCol)), queries,
       p.idCol, p.vecCol, qidCol, qvecCol, topK)
+  }
+
+  // ---- IVF layout lifecycle (append / takedown / compaction) ----
+  //
+  // The serving layout reuses the dedup index family's shared lifecycle
+  // core (Dedup.appendTombstones / readTombstones / renameSwap / scrub
+  // markers / epoch fence / format gate), so a swap-window or
+  // tombstone-semantics fix there applies here by construction. What it
+  // deliberately does NOT have: a ledger (no governed stream owns it —
+  // annServeStream replays are pure recomputation), occupancy (no
+  // bucket caps), quarantine (no id contract beyond long-castable).
+
+  /** Append a batch of NEW vectors to a persisted layout under its OWN
+    * frozen quantizer: cell assignment is a pure function of (vector,
+    * centroids), so append-then-probe ≡ rebuild-then-probe bit-for-bit
+    * (spec-proven). A PQ-coded layout encodes the batch under its stored
+    * codebooks. The batch schema must match the layout's corpus schema
+    * (the writer persists full corpus rows); ids already in the layout
+    * are the CALLER's contract to exclude — the intended feed is a
+    * governed dedup loop's novel survivors, which are new by
+    * construction. Counts as a mutation under the epoch fence; appended
+    * files accrete per cell until [[compactIvfLayout]] folds them.
+    */
+  def appendIvfLayout(batch: DataFrame, path: String): Unit = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val p = readIvfLayoutParams(spark, path)
+    require(batch.columns.contains(p.idCol) && batch.columns.contains(p.vecCol),
+      s"appendIvfLayout: batch must carry the layout's (${p.idCol}, " +
+        s"${p.vecCol}) columns; got ${batch.columns.mkString(", ")}")
+    val root = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverScrubLeftovers(fs, root)
+    Dedup.claimEpoch(spark, path)
+    val celled = batch.withColumn("cell",
+      element_at(GraftFunctions.ivfProbes(col(p.vecCol), p.centroids, 1), 1))
+    val coded =
+      if (p.pqCodebooks.isEmpty) celled
+      else celled.withColumn("codes",
+        GraftFunctions.pqEncode(col(p.vecCol), p.pqCodebooks, p.pqM, p.pqK))
+    // repartition BEFORE the partitionBy append: one file per occupied
+    // cell per append, not (tasks × cells) — the same small-files bound
+    // as the index band appends
+    coded.repartition(col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(root.toString)
+  }
+
+  /** Delete (take down) ids from a persisted IVF layout — the takedown /
+    * privacy-delete path for the SERVED ANN corpus: probes stop
+    * returning the deleted vectors at the NEXT open (pending-tombstone
+    * anti-join, O(tombstones), zero when none pend); their bytes are
+    * physically reclaimed by the next [[compactIvfLayout]]. Deleting ids
+    * the layout does not contain is a harmless no-op. Counts as a
+    * mutation under the epoch fence. An overwrite [[writeIvfLayout]]
+    * rebuild clears pending tombstones (the new corpus simply omits the
+    * rows), exactly like the dedup index rebuilds.
+    */
+  def deleteFromIvfLayout(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: DataFrame,
+                          idCol: String): Unit = {
+    readIvfLayoutParams(spark, path) // validates the layout + format gate
+    Dedup.appendTombstones(spark, path, ids, idCol)
+  }
+
+  /** [[deleteFromIvfLayout]] for a driver-side id list. */
+  def deleteFromIvfLayout(spark: org.apache.spark.sql.SparkSession,
+                          path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    deleteFromIvfLayout(spark, path, ids.toDF("id"), "id")
+  }
+
+  /** Compact a persisted IVF layout: (1) physically purge pending
+    * tombstones — ONE id-and-cell column-pruned scan finds the hit
+    * cells, and ONLY those `cell=K/` directories are rewritten (the
+    * partition layout makes the takedown rewrite O(hit cells), never a
+    * corpus rewrite — the same hit-only discipline as
+    * [[Dedup.scrubOutputs]]); a fully-deleted cell's directory is
+    * dropped; the tombstone files listed BEFORE the rewrite are folded
+    * after every hit cell swapped (a delete landing mid-compaction stays
+    * pending); (2) fold append-fragmented cells — any directory holding
+    * more than `maxFilesPerCell` data files is rewritten into
+    * ~ceil(bytes / 128 MB) files. Each rewrite is a write-to-temp →
+    * rename-aside → rename swap; a crash heals at the next mutation or
+    * compact call (scrub-marker discipline, markers invisible to
+    * probes). Re-running is idempotent; zero Spark jobs when nothing
+    * pends and nothing is fragmented.
+    *
+    * @return number of rows physically purged
+    */
+  def compactIvfLayout(spark: org.apache.spark.sql.SparkSession,
+                       path: String, maxFilesPerCell: Int = 8): Long = {
+    val p = readIvfLayoutParams(spark, path)
+    val root = new org.apache.hadoop.fs.Path(s"$path/cells")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    Dedup.recoverScrubLeftovers(fs, root)
+    // listed BEFORE the purge reads materialize: fold at most these
+    val tombFiles = Dedup.listTombstoneFiles(spark, path)
+    var purged = 0L
+    Dedup.readTombstones(spark, path).foreach { t =>
+      Dedup.claimEpoch(spark, path)
+      val tomb = t.select(col("id").as("__tomb_id")).localCheckpoint()
+      val hits = spark.read.parquet(root.toString)
+        .select(col(p.idCol).try_cast("long").as("__row_id"), col("cell"))
+        .join(broadcast(tomb), col("__row_id") === col("__tomb_id"),
+          "left_semi")
+        .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+      hits.foreach { r =>
+        rewriteCellDir(spark, fs, root, s"cell=${r.get(0)}", p, Some(tomb))
+        purged += r.getAs[Long]("n")
+      }
+      graft.plans.Checkpoints.free(tomb)
+      // every hit cell is rewritten — fold the pre-listed tombstone
+      // files (a crash mid-fold leaves already-purged ids pending: the
+      // probe anti-join and a re-run are both no-ops on them)
+      tombFiles.foreach(f => require(fs.delete(f, false),
+        s"compactIvfLayout: could not fold tombstone file $f"))
+    }
+    // defrag pass AFTER the purge (purge rewrites are already compact)
+    val frag =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.filter { s =>
+        s.isDirectory && s.getPath.getName.startsWith("cell=") &&
+          fs.listStatus(s.getPath).count { f =>
+            val n = f.getPath.getName
+            f.isFile && !n.startsWith("_") && !n.startsWith(".")
+          } > maxFilesPerCell
+      }.map(_.getPath.getName)
+    if (frag.nonEmpty) {
+      Dedup.claimEpoch(spark, path)
+      frag.foreach(rewriteCellDir(spark, fs, root, _, p, None))
+    }
+    purged
+  }
+
+  /** Rewrite ONE cell directory (tombstone purge and/or file fold) with
+    * the scrub swap discipline. `tomb` column contract: `__tomb_id`. */
+  private def rewriteCellDir(spark: org.apache.spark.sql.SparkSession,
+                             fs: org.apache.hadoop.fs.FileSystem,
+                             root: org.apache.hadoop.fs.Path,
+                             dirName: String, p: IvfLayoutParams,
+                             tomb: Option[DataFrame]): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(root, dirName)
+    val tmp = new org.apache.hadoop.fs.Path(root,
+      Dedup.ScrubTmpPrefix + dirName)
+    val old = new org.apache.hadoop.fs.Path(root,
+      Dedup.ScrubOldPrefix + dirName)
+    val rows = spark.read.parquet(dir.toString)
+    val retained = tomb.fold(rows)(t => rows.join(broadcast(t),
+      col(p.idCol).try_cast("long") === col("__tomb_id"), "left_anti"))
+    if (tomb.isDefined && retained.limit(1).isEmpty) {
+      // every row of the cell was taken down: no directory at all beats
+      // an empty one (partition discovery skips it entirely)
+      require(fs.delete(dir, true),
+        s"compactIvfLayout: could not drop fully-purged $dir")
+    } else {
+      val bytes = fs.listStatus(dir).filter(_.isFile).map(_.getLen).sum
+      val parts = math.max(1,
+        math.ceil(bytes / (128.0 * 1024 * 1024)).toInt)
+      retained.coalesce(parts).write.mode("overwrite").parquet(tmp.toString)
+      Dedup.renameSwap(fs, dir, tmp, old, "compactIvfLayout")
+    }
   }
 
   /** Symmetric per-vector int8 quantization of a float-vector column:
