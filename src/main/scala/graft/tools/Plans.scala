@@ -508,7 +508,20 @@ object Plans {
         |the plan is byte-identical in shape to b4 — no anti-join, no
         |residue; deletion costs the index nothing at probe time once
         |reclaimed. (The pending-path overhead that b3c shows is the
-        |transient state between a delete and the next compaction.)""".stripMargin)
+        |transient state between a delete and the next compaction.)""".stripMargin,
+    "s10_ivf_layout_delete" ->
+      """Takedown on the ANN SERVING layout, probed after the physical
+        |purge. The plan is byte-identical in shape to s8 — the same
+        |cell IN (...) PartitionFilters, no tombstone anti-join, no
+        |residue — because compactIvfLayout rewrote ONLY the cell=K/
+        |directories that held tombstoned rows (one id+cell
+        |column-pruned scan finds them; the partition layout makes the
+        |takedown rewrite O(hit cells), never a corpus rewrite) and
+        |folded the tombstone files. Between the delete and the purge,
+        |the pending path is one broadcast LeftAnti above the pruned
+        |scan — O(tombstones), the b3c shape. At 100 TB a takedown
+        |costs: one tombstone append now, a few cell-directory rewrites
+        |at the next compaction, zero at probe time after that.""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps
