@@ -19,6 +19,19 @@ import org.apache.spark.sql.functions._
   *    scan + sizing law make together; this tool measures it instead
   *    of asserting it.
   *
+  * R14 lifecycle phases (BENCH_SF10 `ann_layout_audit` lifecycle half):
+  *
+  *  - `append` — one 10k-vector batch appended under the frozen
+  *    quantizer. Batch-sized by construction; the decade ratio should
+  *    be ~flat.
+  *  - `delete` / `probe_pending` — 200 served vectors taken down
+  *    (O(tombstones) append), then a warm probe on the pending path
+  *    (broadcast anti-join above the pruned scan).
+  *  - `compact_purge` / `probe_purged` — the physical purge: ONLY the
+  *    hit `cell=K/` directories are rewritten (the tool prints how many
+  *    of the cells that was), the appended fragmentation folds in the
+  *    same pass, and the purged probe returns to the clean plan shape.
+  *
   * Prints one JSON line per phase for the BENCH_SF10 `ann_layout_audit`
   * entry. Usage: AnnLayoutScale [sfDir] [layoutDir]
   */
@@ -64,6 +77,36 @@ object AnnLayoutScale {
         "qid", "qvec", k = 10, nprobe = 8).count()
     }
     println(s"""{"tool":"ann-layout-scale","info":"probe_rows","cold":$got,"warm":$got2}""")
+
+    // ---- lifecycle: append -> takedown -> pending probe -> purge ----
+    val Sim = graft.operators.Similarity
+    val maxId = emb.agg(max(col("vec_id"))).head().getLong(0)
+    // one ingest batch: up to 10k fresh vectors (ids shifted past the
+    // corpus; the whole corpus when it is smaller than that)
+    val batch = emb.filter(col("vec_id") < 10000)
+      .withColumn("vec_id", col("vec_id") + lit(maxId + 1L))
+    val nBatch = batch.count()
+    phase("append") { Sim.appendIvfLayout(batch, base) }
+    // takedown: 200 served ids, evenly spread over the id space (the
+    // takedown-realistic shape is an id list, not a corpus fraction)
+    val stride = math.max(1L, (maxId + 1L) / 200L)
+    val victims = (0L until 200L).map(_ * stride)
+    phase("delete") { Sim.deleteFromIvfLayout(spark, base, victims) }
+    val gotPending = phase("probe_pending") {
+      Sim.ivfTopKIndexed(spark, base, queries,
+        "qid", "qvec", k = 10, nprobe = 8).count()
+    }
+    val hitCells = spark.read.parquet(s"$base/cells")
+      .filter(col("vec_id").isin(victims: _*))
+      .select("cell").distinct().count()
+    val purgedRows = phase("compact_purge") {
+      Sim.compactIvfLayout(spark, base)
+    }
+    val gotPurged = phase("probe_purged") {
+      Sim.ivfTopKIndexed(spark, base, queries,
+        "qid", "qvec", k = 10, nprobe = 8).count()
+    }
+    println(s"""{"tool":"ann-layout-scale","info":"lifecycle","appended":$nBatch,"tombstoned":${victims.length},"purged_rows":$purgedRows,"hit_cells":$hitCells,"cells":${cents.length},"probe_pending_rows":$gotPending,"probe_purged_rows":$gotPurged}""")
     spark.stop()
   }
 }
