@@ -368,10 +368,15 @@ object StreamOps {
     * matter how large the corpus grows. `usePq = true` serves from the
     * layout's write-time PQ codes instead (ADC scan of (id, codes)
     * only + exact re-rank of the `rerank` shortlist — PLANS.md s9),
-    * the compressed-scan variant for wide corpora. Layout REBUILDS are
-    * overwrite-atomic per table but not fenced against a live stream —
-    * pause serving (or point at a fresh path) across a rebuild, the
-    * documented contract of the overwrite-rebuilt serving artifact.
+    * the compressed-scan variant for wide corpora. Layout MUTATIONS
+    * (rebuilds, and since r14 `appendIvfLayout` / `deleteFromIvfLayout`
+    * / `compactIvfLayout`) are epoch-fenced against EACH OTHER but not
+    * against a live stream — quiesce serving (or point at a fresh
+    * path) across a mutation, the documented contract of the serving
+    * artifact. The exactly-once claim above is per layout GENERATION:
+    * a batch replayed across a mutation recomputes against the mutated
+    * layout (for a takedown that is exactly what serving should do —
+    * the replay stops returning the deleted vector).
     */
   def annServeStream(spark: SparkSession, inPath: String,
                      schema: org.apache.spark.sql.types.StructType,
