@@ -1964,6 +1964,19 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // approximate k-NN GRAPH: every corpus vector's top-3 neighbors via
+    // the cell-blocked shuffle self-join (query side = the corpus, so no
+    // broadcast — the s-family's small-query contract doesn't apply).
+    // Work = n²·nprobe/cells, n^1.5 under the 4·sqrt(n) law; a pair can
+    // meet in at most one cell (argmax base side), so no dedup precedes
+    // the bounded top-k. Oracle = the same pipeline with q = everything.
+    "s11_knn_graph" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+        AnnModels.ivfCentroids, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // distributed mean pooling: exact per-label centroids in ONE pass
     // (decomposable vector-sum aggregate, no explode fan-out); output
     // flattened to scalars for the oracle compare
@@ -2200,20 +2213,24 @@ object SparkEntry {
        |      ORDER BY list_dot_product(e.v, c.cv) DESC, c.cid) AS rn
        |  FROM $from e, cent c$filter) WHERE rn <= $nprobe""".stripMargin
 
-  /** IVF ANN fully reproduced in SQL: the frozen coarse quantizer
-    * (AnnModels) embeds as DOUBLE[] literals; cell assignment = argmax
-    * inner product (ties → lower cid, the kernel's strict-< rule),
-    * queries probe their 8 nearest cells, candidates meet on the cell
-    * id. Shared verbatim by s3 (live path) and s8 (persisted layout) —
-    * the layout is invisible to the result contract.
+  /** IVF ANN pipeline fully reproduced in SQL, parameterized: the
+    * frozen coarse quantizer (AnnModels) embeds as DOUBLE[] literals;
+    * cell assignment = argmax inner product (ties → lower cid, the
+    * kernel's strict-< rule), queries probe their `nprobe` nearest
+    * cells, candidates meet on the cell id, rank ≤ `topK` per query.
+    * `extraCte`/`cellsFrom` restrict the corpus side (s10's retained
+    * corpus); `qFilter` restricts the query side.
     */
-  private lazy val s3IvfOracleSql: String =
+  private def ivfOracleSqlFor(nprobe: Int, topK: Int, qFilter: String,
+                              extraCte: String = "",
+                              cellsFrom: String = "emb"): String =
     s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |            FROM embeddings),
+       |            FROM embeddings),$extraCte
        |cent(cid, cv) AS (VALUES $duckIvfCentVals),
-       |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell")}),
-       |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
-      " WHERE e.vec_id < 10")}),
+       |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell",
+      from = cellsFrom)}),
+       |q AS (${duckIvfCells(nprobe, "vec_id AS qid, v AS qv, cid AS cell",
+      qFilter)}),
        |sc AS (SELECT q.qid, c.vec_id,
        |    round(list_dot_product(c.v, q.qv)
        |          / sqrt(list_dot_product(c.v, c.v)
@@ -2222,8 +2239,13 @@ object SparkEntry {
        |SELECT qid, vec_id, sim, rank FROM (
        |  SELECT qid, vec_id, sim,
        |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-       |  FROM sc) WHERE rank <= 5
+       |  FROM sc) WHERE rank <= $topK
        |ORDER BY qid, rank""".stripMargin
+
+  /** Shared verbatim by s3 (live path) and s8 (persisted layout) —
+    * the layout is invisible to the result contract. */
+  private lazy val s3IvfOracleSql: String =
+    ivfOracleSqlFor(8, 5, " WHERE e.vec_id < 10")
 
   /** s10's oracle: s3's IVF pipeline with the layout's takedown set
     * removed from the CORPUS side — queries still come from the full
@@ -2233,23 +2255,19 @@ object SparkEntry {
     * the probe must equal a layout built from the retained corpus.
     */
   private lazy val s10IvfDeleteOracleSql: String =
-    s"""WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-       |            FROM embeddings),
-       |ret AS (SELECT * FROM emb WHERE vec_id % 7 <> 3),
-       |cent(cid, cv) AS (VALUES $duckIvfCentVals),
-       |cells AS (${duckIvfCells(1, "vec_id, v, cid AS cell", from = "ret")}),
-       |q AS (${duckIvfCells(8, "vec_id AS qid, v AS qv, cid AS cell",
-      " WHERE e.vec_id < 10")}),
-       |sc AS (SELECT q.qid, c.vec_id,
-       |    round(list_dot_product(c.v, q.qv)
-       |          / sqrt(list_dot_product(c.v, c.v)
-       |                 * list_dot_product(q.qv, q.qv)), 6) AS sim
-       |  FROM cells c JOIN q ON c.cell = q.cell WHERE c.vec_id <> q.qid)
-       |SELECT qid, vec_id, sim, rank FROM (
-       |  SELECT qid, vec_id, sim,
-       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rank
-       |  FROM sc) WHERE rank <= 5
-       |ORDER BY qid, rank""".stripMargin
+    ivfOracleSqlFor(8, 5, " WHERE e.vec_id < 10",
+      extraCte = "\nret AS (SELECT * FROM emb WHERE vec_id % 7 <> 3),",
+      cellsFrom = "ret")
+
+  /** s11's oracle: the SAME cell-blocked pipeline with the query side =
+    * the whole corpus — the k-NN graph is s3's semantics at
+    * queries = everything; the Spark side's shuffle join vs broadcast
+    * is an execution choice the result contract cannot see. (The
+    * maxCell hot-cell cap is inactive at the verify SF — occupancy sits
+    * far below it — exactly like the band caps in the dedup oracles.)
+    */
+  private lazy val s11KnnGraphOracleSql: String =
+    ivfOracleSqlFor(2, 3, "")
 
   /** IVF-PQ composed pipeline in SQL: both frozen models embed as
     * literals — cells prune WHICH corpus rows are ADC-scored, codes
@@ -4485,6 +4503,8 @@ object SparkEntry {
     "s8_ivf_indexed_topk" -> s3IvfOracleSql,
 
     "s10_ivf_layout_delete" -> s10IvfDeleteOracleSql,
+
+    "s11_knn_graph" -> s11KnnGraphOracleSql,
 
     // PQ ADC + exact re-rank fully reproduced in SQL: frozen codebooks as
     // literals, encode = per-subspace argmin L2 (left-assoc 4-term dist
