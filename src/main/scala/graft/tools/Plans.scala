@@ -521,7 +521,28 @@ object Plans {
         |the pending path is one broadcast LeftAnti above the pruned
         |scan — O(tombstones), the b3c shape. At 100 TB a takedown
         |costs: one tombstone append now, a few cell-directory rewrites
-        |at the next compaction, zero at probe time after that.""".stripMargin)
+        |at the next compaction, zero at probe time after that.""".stripMargin,
+    "s11_knn_graph" ->
+      """Corpus k-NN graph — the one s-family operator with NO
+        |broadcast() hint: the query side is the corpus itself, so the
+        |candidate join is a plain cell-keyed equi-join and CATALYST
+        |picks the physical strategy from stats. At the verify SF the
+        |dump below shows BroadcastHashJoin (the fanned probe side is
+        |tiny); past the broadcast threshold the same declarative plan
+        |becomes a shuffle join with both sides exchanged once on cell —
+        |exactly the size-based fallback the broadcast-small probe
+        |operators (s3/s8) never need. The base side carries one argmax
+        |cell per vector, the probe side explodes to nprobe cells (one
+        |graft_ivf_probes kernel call each way), and a pair can meet in
+        |at most one cell — no dedup exchange before the ranking, which
+        |is the bounded partial_graft_topk aggregate: each map task
+        |ships <= k edges per query. Pair work is n^2·nprobe/cells =
+        |n^1.5·nprobe/4 under the 4·sqrt(n) law — sub-quadratic by
+        |construction where the naive graph is n^2 — and the maxCell
+        |cap bounds a hot cell's corpus side so one dense region cannot
+        |go quadratic (the cap's hot-bucket probe shows as a grouped
+        |count + semi/anti joins only when a cell actually exceeds it;
+        |the clean path is cap-free).""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps
