@@ -324,6 +324,32 @@ object Similarity {
     rankTopK(withSim, idCol, "qid", k)
   }
 
+  /** [[knnGraph]] with the quantizer sized from the CORPUS by
+    * [[ivfCellsFor]] and trained by the deterministic [[trainCentroids]]
+    * — the data-sized production entry (the same composition as
+    * [[Dedup.semDeDupAuto]] and [[writeIvfLayoutAuto]]). A FROZEN
+    * quantizer makes the graph build quadratic again: pair work is
+    * n²·nprobe/cells, so cells must grow with the corpus for the
+    * n^1.5 shape to hold — the d5b/d5d lesson applied to graphs,
+    * decade-audited in BENCH_SF10 `ann_layout_audit` (tools.
+    * AnnLayoutScale `knn_graph` phase). The frozen-quantizer s11 entry
+    * stays for the oracle (static centroid literals); this is what
+    * production calls.
+    */
+  def knnGraphAuto(corpus: DataFrame, idCol: String, vecCol: String,
+                   k: Int, nprobe: Int = 2, mult: Int = 4,
+                   iters: Int = 5, maxTrain: Int = 10000,
+                   maxCell: Int = 10000): DataFrame = {
+    val n = corpus.count()
+    if (n == 0)
+      return knnGraph(corpus, idCol, vecCol, k,
+        Seq(Seq.fill(2)(0f)), nprobe, maxCell).limit(0)
+    val cells = math.min(n,
+      math.min(ivfCellsFor(n, mult), math.max(1, maxTrain / 4)).toLong).toInt
+    val cents = trainCentroids(corpus, idCol, vecCol, cells, iters, maxTrain)
+    knnGraph(corpus, idCol, vecCol, k, cents, nprobe, maxCell)
+  }
+
   /** Persisted IVF cell-partitioned corpus layout — the ANN *serving*
     * artifact. The corpus is written `partitionBy(cell)` under its
     * nearest frozen-centroid cell (one directory per cell, the cell id

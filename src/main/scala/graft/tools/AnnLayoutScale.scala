@@ -107,6 +107,14 @@ object AnnLayoutScale {
         "qid", "qvec", k = 10, nprobe = 8).count()
     }
     println(s"""{"tool":"ann-layout-scale","info":"lifecycle","appended":$nBatch,"tombstoned":${victims.length},"purged_rows":$purgedRows,"hit_cells":$hitCells,"cells":${cents.length},"probe_pending_rows":$gotPending,"probe_purged_rows":$gotPurged}""")
+
+    // corpus k-NN graph under the corpus-sized quantizer (knnGraphAuto):
+    // the n^1.5 claim measured — a frozen quantizer would be n^2/c
+    val edges = phase("knn_graph_auto") {
+      graft.operators.Similarity.knnGraphAuto(
+        emb, "vec_id", "embedding", k = 5, nprobe = 2).count()
+    }
+    println(s"""{"tool":"ann-layout-scale","info":"knn_graph","edges":$edges}""")
     spark.stop()
   }
 }

@@ -60,6 +60,22 @@ class KnnGraphSpec extends SparkSpec {
     assert(recall >= 0.5, f"recall $recall%.2f < 0.5")
   }
 
+  test("knnGraphAuto sizes the quantizer from the corpus and equals the " +
+      "explicit composition") {
+    val emb = Tables.embeddings(spark, sf001)
+    val n = emb.count()
+    val cells = math.min(n, math.min(
+      Similarity.ivfCellsFor(n), 10000 / 4).toLong).toInt
+    val cents = Similarity.trainCentroids(emb, "vec_id", "embedding",
+      cells, iters = 5, maxTrain = 10000)
+    val explicitG = Similarity.knnGraph(emb, "vec_id", "embedding",
+      k = 3, cents, nprobe = 2).collect().map(_.toSeq).toSet
+    val auto = Similarity.knnGraphAuto(emb, "vec_id", "embedding",
+      k = 3, nprobe = 2).collect().map(_.toSeq).toSet
+    assert(auto == explicitG)
+    assert(auto.nonEmpty)
+  }
+
   test("maxCell caps a hot cell's corpus side in stable id order") {
     // all 40 vectors collapse into cell 0; cap 10 -> only ids 0..9 can be
     // NEIGHBORS (the probe side is never capped: every vector still asks)
