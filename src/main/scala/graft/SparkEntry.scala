@@ -1977,6 +1977,24 @@ object SparkEntry {
         .withColumn("rank", col("rank").cast("long"))
     }),
 
+    // incremental k-NN graph maintenance: the graph over the first 4/5
+    // of the corpus is folded forward with the remaining 1/5 as a batch
+    // — two corpus scans + batch-proportional pairs instead of the
+    // rebuild's n²·nprobe/cells, and the result is PROVABLY the rebuild
+    // (top-k is monotone; the cap decomposes under the monotone-id
+    // contract), so the oracle is s11's verbatim.
+    "s12_knn_graph_increment" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val cut = (emb.count() * 4L) / 5L
+      val corpus = emb.filter(col("vec_id") < cut)
+      val batch = emb.filter(col("vec_id") >= cut)
+      val old = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 3,
+        AnnModels.ivfCentroids, nprobe = 2)
+      Similarity.knnGraphIncrement(old, corpus, batch,
+        "vec_id", "embedding", k = 3, AnnModels.ivfCentroids, nprobe = 2)
+        .withColumn("rank", col("rank").cast("long"))
+    }),
+
     // distributed mean pooling: exact per-label centroids in ONE pass
     // (decomposable vector-sum aggregate, no explode fan-out); output
     // flattened to scalars for the oracle compare
@@ -4505,6 +4523,9 @@ object SparkEntry {
     "s10_ivf_layout_delete" -> s10IvfDeleteOracleSql,
 
     "s11_knn_graph" -> s11KnnGraphOracleSql,
+
+    // increment ≡ rebuild (spec-proven), so the oracle is the rebuild's
+    "s12_knn_graph_increment" -> s11KnnGraphOracleSql,
 
     // PQ ADC + exact re-rank fully reproduced in SQL: frozen codebooks as
     // literals, encode = per-subspace argmin L2 (left-assoc 4-term dist

@@ -350,6 +350,95 @@ object Similarity {
     knnGraph(corpus, idCol, vecCol, k, cents, nprobe, maxCell)
   }
 
+  /** Incremental k-NN graph maintenance: fold a batch of NEW vectors
+    * into an existing [[knnGraph]] WITHOUT rebuilding it — provably ≡
+    * the full rebuild, at batch-proportional cost.
+    *
+    * Why it decomposes exactly: the rebuild's candidate set per query
+    * splits by which side the candidate came from —
+    * `cands(q, corpus ∪ batch) = cands(q, corpus) ∪ cands(q, batch)` —
+    * and top-k is monotone (`topk(A ∪ B) = topk(topk(A) ∪ B)`), so the
+    * old graph's k edges stand in for the whole corpus-side candidate
+    * set. Three pair streams, NONE of them corpus×corpus:
+    * (a) batch queries × the whole base (corpus read ONCE, no
+    * self-join), (b) old corpus queries × the batch base only (their
+    * corpus-side edges already live in `oldGraph`), (c) `oldGraph`
+    * itself. Union → one bounded top-k re-rank.
+    *
+    * The `maxCell` cap survives the decomposition because of the
+    * MONOTONE ID CONTRACT (enforced: every batch id must exceed every
+    * corpus id, the same contract as the index appends): the rebuild's
+    * cap keeps a cell's `maxCell` LOWEST ids, which is the corpus's own
+    * capped rows followed by the batch's first `maxCell − occ` — so
+    * the increment re-derives it from one per-cell corpus count, never
+    * a corpus re-window.
+    *
+    * Scale shape (100 TB): a rebuild pays n²·nprobe/cells; the
+    * increment pays two corpus SCANS (cell assignment + the old graph
+    * union) plus pair work proportional to the batch's cell
+    * occupancies — the graph twin of the persisted indexes' "per-batch
+    * work tracks the batch" claim. Centroids must be the graph's own
+    * (same quantizer as the original build — pass the same frozen
+    * artifact or the `knnGraphAuto` training output).
+    *
+    * @param oldGraph prior [[knnGraph]] output over `corpus` (same k,
+    *                 centroids, nprobe, maxCell)
+    * @return the graph over `corpus ∪ batch`, bit-identical to
+    *         `knnGraph(corpus ∪ batch, …)` (spec-proven, cap included)
+    */
+  def knnGraphIncrement(oldGraph: DataFrame, corpus: DataFrame,
+                        batch: DataFrame, idCol: String, vecCol: String,
+                        k: Int, centroids: Seq[Seq[Float]],
+                        nprobe: Int = 2,
+                        maxCell: Int = 10000): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    // monotone id contract: max corpus id < min batch id (two cheap
+    // narrow aggregates) — the cap decomposition below is wrong
+    // without it, so fail loudly like the index appends do
+    val hi = corpus.agg(max(col(idCol).cast("long"))).head()
+    val lo = batch.agg(min(col(idCol).cast("long")), count(lit(1))).head()
+    if (!hi.isNullAt(0) && lo.getLong(1) > 0)
+      require(hi.getLong(0) < lo.getLong(0),
+        s"knnGraphIncrement: batch ids must exceed every corpus id " +
+          s"(monotone contract; corpus max ${hi.getLong(0)}, batch min " +
+          s"${lo.getLong(0)}) — re-id the batch or rebuild with knnGraph")
+    def celled(df: DataFrame) = df.select(col(idCol), col(vecCol))
+      .withColumn("cell",
+        element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1))
+    def probes(df: DataFrame) = df
+      .select(col(idCol).as("qid"), col(vecCol).as("__qvec"))
+      .withColumn("cell",
+        explode(GraftFunctions.ivfProbes(col("__qvec"), centroids, nprobe)))
+    val corpusBase = Dedup.capBucketRows(celled(corpus), Seq("cell"),
+      idCol, maxCell)
+    // batch rows take the cap slots the corpus left open, in id order —
+    // exactly the union-cap's choice under the monotone contract
+    val occ = celled(corpus).groupBy("cell").agg(count(lit(1)).as("__occ"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cell")).orderBy(col(idCol))
+    val batchBase = celled(batch)
+      .join(occ, Seq("cell"), "left")
+      .withColumn("__occ", coalesce(col("__occ"), lit(0L)))
+      .withColumn("__bn", row_number().over(w))
+      .filter(col("__bn") <= lit(maxCell) -
+        least(col("__occ"), lit(maxCell.toLong)))
+      // restore corpusBase's column order (the occ join front-loaded
+      // the key; union is positional)
+      .select(col(idCol), col(vecCol), col("cell"))
+    def sim(base: DataFrame, qs: DataFrame) = base.join(qs, Seq("cell"))
+      .filter(col(idCol) =!= col("qid"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col(vecCol), col("__qvec")), 6))
+      .select(col("qid"), col(idCol), col("sim"))
+    val newEdges =
+      sim(corpusBase.union(batchBase), probes(batch))   // (a)
+        .union(sim(batchBase, probes(corpus)))          // (b)
+    val merged = oldGraph.select(col("qid"), col(idCol), col("sim"))
+      .union(newEdges)
+    rankTopK(merged, idCol, "qid", k)
+  }
+
   /** Persisted IVF cell-partitioned corpus layout — the ANN *serving*
     * artifact. The corpus is written `partitionBy(cell)` under its
     * nearest frozen-centroid cell (one directory per cell, the cell id

@@ -76,6 +76,60 @@ class KnnGraphSpec extends SparkSpec {
     assert(auto.nonEmpty)
   }
 
+  test("increment == rebuild bit-for-bit on the fixture corpus") {
+    val emb = Tables.embeddings(spark, sf001)
+    val cut = 400L
+    val corpus = emb.filter(col("vec_id") < cut)
+    val batch = emb.filter(col("vec_id") >= cut)
+    assert(batch.count() > 0 && corpus.count() > 0)
+    val old = Similarity.knnGraph(corpus, "vec_id", "embedding", k = 3,
+      AnnModels.ivfCentroids, nprobe = 2)
+    val inc = Similarity.knnGraphIncrement(old, corpus, batch,
+      "vec_id", "embedding", k = 3, AnnModels.ivfCentroids, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+      AnnModels.ivfCentroids, nprobe = 2)
+      .collect().map(_.toSeq).toSet
+    assert(inc == rebuilt)
+    assert(inc.nonEmpty)
+  }
+
+  test("increment == rebuild UNDER the hot-cell cap (batch takes only the " +
+      "slots the corpus left open)") {
+    // one hot cell: corpus ids 0..9, batch ids 10..14, cap 12 -> the
+    // union cap admits exactly batch ids 10 and 11 as neighbors
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, Seq(1f, i.toFloat / 1000f))).toDF("id", "v")
+    val corpus = mk(0L until 10L)
+    val batch = mk(10L until 15L)
+    val cents: Seq[Seq[Float]] = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val old = Similarity.knnGraph(corpus, "id", "v", k = 4, cents,
+      nprobe = 1, maxCell = 12)
+    val inc = Similarity.knnGraphIncrement(old, corpus, batch,
+      "id", "v", k = 4, cents, nprobe = 1, maxCell = 12)
+      .collect().map(_.toSeq).toSet
+    val rebuilt = Similarity.knnGraph(corpus.union(batch), "id", "v",
+      k = 4, cents, nprobe = 1, maxCell = 12)
+      .collect().map(_.toSeq).toSet
+    assert(inc == rebuilt)
+    // the admitted neighbors really stop at the cap boundary
+    assert(!inc.exists(_(1).asInstanceOf[Long] >= 12L))
+    assert(inc.map(_(0).asInstanceOf[Long]) == (0L until 15L).toSet)
+  }
+
+  test("a non-monotone batch fails loudly") {
+    val mk = (ids: Seq[Long]) =>
+      ids.map(i => (i, Seq(1f, 0f))).toDF("id", "v")
+    val cents: Seq[Seq[Float]] = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val corpus = mk(Seq(1L, 5L))
+    val old = Similarity.knnGraph(corpus, "id", "v", k = 2, cents)
+    val e = intercept[IllegalArgumentException] {
+      Similarity.knnGraphIncrement(old, corpus, mk(Seq(3L)),
+        "id", "v", k = 2, cents)
+    }
+    assert(e.getMessage.contains("monotone"))
+  }
+
   test("maxCell caps a hot cell's corpus side in stable id order") {
     // all 40 vectors collapse into cell 0; cap 10 -> only ids 0..9 can be
     // NEIGHBORS (the probe side is never capped: every vector still asks)
