@@ -393,16 +393,20 @@ object Similarity {
                         maxCell: Int = 10000): DataFrame = {
     val spark = corpus.sparkSession
     GraftFunctions.register(spark)
-    // monotone id contract: max corpus id < min batch id (two cheap
-    // narrow aggregates) — the cap decomposition below is wrong
-    // without it, so fail loudly like the index appends do
-    val hi = corpus.agg(max(col(idCol).cast("long"))).head()
-    val lo = batch.agg(min(col(idCol).cast("long")), count(lit(1))).head()
-    if (!hi.isNullAt(0) && lo.getLong(1) > 0)
-      require(hi.getLong(0) < lo.getLong(0),
-        s"knnGraphIncrement: batch ids must exceed every corpus id " +
-          s"(monotone contract; corpus max ${hi.getLong(0)}, batch min " +
-          s"${lo.getLong(0)}) — re-id the batch or rebuild with knnGraph")
+    // monotone id contract: max corpus id < min batch id — the cap
+    // decomposition below is wrong without it, so fail loudly like the
+    // index appends do. Compared under the id column's OWN ordering
+    // (one narrow aggregate job), so non-long id types keep working.
+    val chk = corpus.agg(max(col(idCol)).as("__m"))
+      .crossJoin(batch.agg(min(col(idCol)).as("__n"),
+        count(lit(1)).as("__c")))
+      .select((col("__c") === 0 || col("__m").isNull ||
+        col("__m") < col("__n")).as("ok"), col("__m"), col("__n"))
+      .head()
+    require(chk.getBoolean(0),
+      s"knnGraphIncrement: batch ids must exceed every corpus id " +
+        s"(monotone contract; corpus max ${chk.get(1)}, batch min " +
+        s"${chk.get(2)}) — re-id the batch or rebuild with knnGraph")
     def celled(df: DataFrame) = df.select(col(idCol), col(vecCol))
       .withColumn("cell",
         element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1))
@@ -792,20 +796,27 @@ object Similarity {
     // listed BEFORE the purge reads materialize: fold at most these
     val tombFiles = Dedup.listTombstoneFiles(spark, path)
     var purged = 0L
+    // a layout whose every cell was fully purged earlier has no cell
+    // directories left — schema inference on the bare root would throw;
+    // with no rows there is nothing to purge, only files to fold
+    def hasCellDirs = fs.exists(root) && fs.listStatus(root)
+      .exists(s => s.isDirectory && s.getPath.getName.startsWith("cell="))
     Dedup.readTombstones(spark, path).foreach { t =>
       Dedup.claimEpoch(spark, path)
-      val tomb = t.select(col("id").as("__tomb_id")).localCheckpoint()
-      val hits = spark.read.parquet(root.toString)
-        .select(col(p.idCol).try_cast("long").as("__row_id"), col("cell"))
-        .join(broadcast(tomb), col("__row_id") === col("__tomb_id"),
-          "left_semi")
-        .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
-      if (hits.nonEmpty) {
-        purged = hits.map(_.getAs[Long]("n")).sum
-        rewriteCells(spark, fs, path, root,
-          hits.map(_.get(0).toString.toInt).toSeq, p, Some(tomb))
+      if (hasCellDirs) {
+        val tomb = t.select(col("id").as("__tomb_id")).localCheckpoint()
+        val hits = spark.read.parquet(root.toString)
+          .select(col(p.idCol).try_cast("long").as("__row_id"), col("cell"))
+          .join(broadcast(tomb), col("__row_id") === col("__tomb_id"),
+            "left_semi")
+          .groupBy(col("cell")).agg(count(lit(1)).as("n")).collect()
+        if (hits.nonEmpty) {
+          purged = hits.map(_.getAs[Long]("n")).sum
+          rewriteCells(spark, fs, path, root,
+            hits.map(_.get(0).toString.toInt).toSeq, p, Some(tomb))
+        }
+        graft.plans.Checkpoints.free(tomb)
       }
-      graft.plans.Checkpoints.free(tomb)
       // every hit cell is rewritten — fold the pre-listed tombstone
       // files (a crash mid-fold leaves already-purged ids pending: the
       // probe anti-join and a re-run are both no-ops on them)

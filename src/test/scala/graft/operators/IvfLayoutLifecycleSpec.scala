@@ -136,6 +136,22 @@ class IvfLayoutLifecycleSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("compact on a layout whose EVERY cell was purged still folds a " +
+      "later tombstone set instead of failing schema inference") {
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f))).toDF("id", "v")
+    val cents: Seq[Seq[Float]] = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val base = Files.createTempDirectory("graft-ivf-allpurged").toString
+    try {
+      Similarity.writeIvfLayout(corpus, base, "id", "v", cents)
+      Similarity.deleteFromIvfLayout(spark, base, Seq(1L, 2L))
+      assert(Similarity.compactIvfLayout(spark, base) == 2L)
+      // no cell dirs remain; a tombstone for an id that was never there
+      Similarity.deleteFromIvfLayout(spark, base, Seq(99L))
+      assert(Similarity.compactIvfLayout(spark, base) == 0L)
+      assert(graft.operators.Dedup.listTombstoneFiles(spark, base).isEmpty)
+    } finally rmrf(base)
+  }
+
   test("compaction folds append-fragmented cells; probe unchanged") {
     val base = Files.createTempDirectory("graft-ivf-frag").toString
     try {
