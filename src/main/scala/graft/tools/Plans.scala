@@ -542,7 +542,24 @@ object Plans {
         |cap bounds a hot cell's corpus side so one dense region cannot
         |go quadratic (the cap's hot-bucket probe shows as a grouped
         |count + semi/anti joins only when a cell actually exceeds it;
-        |the clean path is cap-free).""".stripMargin)
+        |the clean path is cap-free).""".stripMargin,
+    "s12_knn_graph_increment" ->
+      """Incremental k-NN graph maintenance — the rebuild-free plan. The
+        |rebuild's n^2·nprobe/cells pair work never appears: the three
+        |unioned edge streams are (a) batch queries x the capped union
+        |base (the corpus is SCANNED once here, never self-joined), (b)
+        |old corpus queries x the batch base only — their corpus-side
+        |edges ride in from the old graph as a plain scan — and (c) the
+        |old graph itself; one bounded partial_graft_topk re-rank
+        |finishes it. Correctness is algebra, not approximation:
+        |candidate sets decompose by side and top-k is monotone, so the
+        |output is bit-identical to the rebuild (s11's oracle verbatim,
+        |and the spec proves it under a binding hot-cell cap too — the
+        |batch takes exactly the cap slots the corpus left open, which
+        |is why the monotone-id contract is enforced up front). At
+        |100 TB: a daily batch costs two corpus scans + batch-cell
+        |pairs, the graph twin of the governed indexes' per-batch-work-
+        |tracks-the-batch claim.""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps
