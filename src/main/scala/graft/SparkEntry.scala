@@ -1797,6 +1797,28 @@ object SparkEntry {
           col("event_type"), col("cnt"), col("sum_value"))
         .orderBy(col("win_start"), col("event_type"))),
 
+    // deterministic GLOBAL SHUFFLE into fixed training shards (the
+    // corpus build's last stage): shard = hashMixed(key:salt) % 8,
+    // within-shard order = hashMixed(key;salt) stored as `ord` — both
+    // pure key functions (RNG-free, the q20 discipline), so the DuckDB
+    // oracle checks the WHOLE permutation, not just membership. One
+    // shuffle + per-task sort; one file per shard, rows in ord order
+    // (file-order spec in ShardWriterSpec).
+    "q63_training_shards" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_shards_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Sampling.writeTrainingShards(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")),
+        out, "doc_id", shards = 8, salt = "r14")
+      s.read.parquet(out)
+        .select(col("shard").cast("long").as("shard"), col("doc_id"),
+          col("lang"), col("ord"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("ord"), col("doc_id")))
+          .cast("long"))
+        .orderBy(col("shard"), col("rank"))
+    }),
+
     // hive-partitioned corpus layout: the corpus is WRITTEN partitioned
     // by lang (the layout a served training corpus ships in — one
     // directory per partition value, no lang bytes in the data files)
@@ -2166,6 +2188,39 @@ object SparkEntry {
       q = s"SELECT $cols, (xor(mx, mx >> 13) * 1021 + 12345) % $fp AS mx FROM ($q)"
     }
     s"SELECT $cols, mx % ${graft.operators.Sampling.Buckets} AS bkt FROM ($q)"
+  }
+
+  /** [[duckWithBucket]]'s generalized core: mix an arbitrary key
+    * EXPRESSION into a named full-resolution hash column (no bucket
+    * mod), carrying `cols` through — q63 derives both its shard id and
+    * its shuffle order from two salted keys this way.
+    */
+  private def duckMixedKey(cols: String, keyExpr: String, as: String,
+                           src: String): String = {
+    val fp = graft.functions.TextFunctions.FpPrime
+    val fold =
+      s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      [CAST(unicode(ch) AS BIGINT) for ch in string_split($keyExpr, '')]),
+         |      (acc, x) -> (acc * 131 + x) % $fp)""".stripMargin
+    var q = s"SELECT $cols, $fold AS $as FROM $src"
+    (0 until graft.operators.Sampling.MixRounds).foreach { _ =>
+      q = s"SELECT $cols, (xor($as, $as >> 13) * 1021 + 12345) % $fp AS $as FROM ($q)"
+    }
+    q
+  }
+
+  /** q63's oracle: the whole shard PERMUTATION reproduced — shard id
+    * and within-shard rank both derive from the portable mixed hash
+    * over the salted keys, exactly like the Spark writer. */
+  private lazy val q63ShardsOracleSql: String = {
+    val s1 = duckMixedKey("doc_id, lang",
+      "CAST(doc_id AS VARCHAR) || ':r14'", "mxs", "documents")
+    val s2 = duckMixedKey("doc_id, lang, mxs",
+      "CAST(doc_id AS VARCHAR) || ';r14'", "ord", s"($s1)")
+    s"""SELECT mxs % 8 AS shard, doc_id, lang, ord,
+       |  row_number() OVER (PARTITION BY mxs % 8 ORDER BY ord, doc_id) AS rank
+       |FROM ($s2)
+       |ORDER BY shard, rank""".stripMargin
   }
 
   /** CTE body `bk(vec_id, tbl, bkt)`: per-table SRP bucket ids over
@@ -4234,6 +4289,8 @@ object SparkEntry {
     // sliding windows by arithmetic: every event belongs to exactly
     // width/slide = 4 window starts ((t div 900)*900 - k*900, k = 0..3 —
     // all four satisfy ws <= t < ws + 3600 for integer seconds)
+    "q63_training_shards" -> q63ShardsOracleSql,
+
     "q62_sliding_window" ->
       """WITH e AS (
         |  SELECT event_type, value,

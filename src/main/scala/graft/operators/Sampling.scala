@@ -528,4 +528,43 @@ object Sampling {
       .limit(k)
   }
 
+  /** Deterministic GLOBAL SHUFFLE into fixed training shards — the last
+    * stage of a corpus build: dataloaders want the corpus in random
+    * order, split into equal-ish shard files, and the shuffle must be
+    * reproducible (retries, re-runs, and engines all agree) — which
+    * rules out `rand()` exactly as the scaladoc above argues for
+    * sampling. Both decisions are pure functions of the key:
+    * `shard = hashMixed(key:salt) mod shards`, within-shard order =
+    * `hashMixed(key;salt)` — stored as `ord`, so every shard is
+    * self-describing (a reader can verify or re-establish the order
+    * from the data alone, and the DuckDB oracle checks the whole
+    * permutation, not just membership). A new `salt` is a fresh
+    * independent permutation (epoch reshuffles without rewriting logic).
+    *
+    * Execution shape: ONE shuffle (repartition on the shard id — each
+    * task holds whole shards) + a per-task sort on `ord`, then a
+    * `partitionBy(shard)` write that emits one file per shard in `ord`
+    * order (a task holding several shards writes each file as the
+    * ord-sorted subsequence — a filter of a sorted run is sorted). At
+    * 100 TB: pick `shards` ≈ corpus/shard-file-size; sort cost is
+    * per-shard, never global.
+    */
+  def writeTrainingShards(df: DataFrame, path: String, keyCol: String,
+                          shards: Int, salt: String = ""): Unit = {
+    require(shards > 0, s"shards must be positive: $shards")
+    GraftFunctions.register(df.sparkSession)
+    val skey = concat(col(keyCol).cast("string"), lit(":" + salt))
+    val okey = concat(col(keyCol).cast("string"), lit(";" + salt))
+    df.withColumn("shard",
+        pmod(hashMixed(skey), lit(shards.toLong)).cast("int"))
+      .withColumn("ord", hashMixed(okey))
+      // the sort MUST lead with the partition column: FileFormatWriter
+      // requires task rows ordered by the partitionBy columns and
+      // inserts its OWN sort (by shard alone — scrambling ord) when the
+      // incoming order doesn't already satisfy it
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("ord"), col(keyCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
+  }
+
 }
