@@ -350,6 +350,43 @@ object Similarity {
     knnGraph(corpus, idCol, vecCol, k, cents, nprobe, maxCell)
   }
 
+  /** [[knnGraph]] built FROM a persisted [[writeIvfLayout]] layout —
+    * one serving artifact, two uses. The base side's cell assignment is
+    * already materialized as the layout's partition directories (no
+    * assignment kernel pass, no re-quantizing drift: the graph runs
+    * under the layout's OWN stored centroids), the probe side fans the
+    * same stored vectors to their nprobe cells, and pending takedown
+    * tombstones are anti-joined on BOTH sides — a taken-down vector
+    * neither appears as a neighbor nor asks as a query, so the graph
+    * over a post-takedown layout is the graph of the retained corpus.
+    * Bit-identical to [[knnGraph]] over the retained rows under the
+    * same centroids (spec-proven). `maxCell` caps the neighbor side
+    * exactly like the live path.
+    */
+  def knnGraphIndexed(spark: org.apache.spark.sql.SparkSession,
+                      path: String, k: Int, nprobe: Int = 2,
+                      maxCell: Int = 10000): DataFrame = {
+    GraftFunctions.register(spark)
+    val p = readIvfLayoutParams(spark, path)
+    val rows0 = spark.read.parquet(s"$path/cells")
+    val rows = Dedup.readTombstones(spark, path).fold(rows0) { t =>
+      rows0.join(broadcast(t.select(col("id").as("__tomb_id"))),
+        col(p.idCol).try_cast("long") === col("__tomb_id"), "left_anti")
+    }
+    val base = Dedup.capBucketRows(
+      rows.select(col(p.idCol), col(p.vecCol), col("cell")),
+      Seq("cell"), p.idCol, maxCell)
+    val probes = rows
+      .select(col(p.idCol).as("qid"), col(p.vecCol).as("__qvec"))
+      .withColumn("cell", explode(
+        GraftFunctions.ivfProbes(col("__qvec"), p.centroids, nprobe)))
+    val withSim = base.join(probes, Seq("cell"))
+      .filter(col(p.idCol) =!= col("qid"))
+      .withColumn("sim",
+        round(GraftFunctions.cosineSim(col(p.vecCol), col("__qvec")), 6))
+    rankTopK(withSim, p.idCol, "qid", k)
+  }
+
   /** Incremental k-NN graph maintenance: fold a batch of NEW vectors
     * into an existing [[knnGraph]] WITHOUT rebuilding it — provably ≡
     * the full rebuild, at batch-proportional cost.

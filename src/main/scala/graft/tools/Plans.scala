@@ -559,7 +559,24 @@ object Plans {
         |is why the monotone-id contract is enforced up front). At
         |100 TB: a daily batch costs two corpus scans + batch-cell
         |pairs, the graph twin of the governed indexes' per-batch-work-
-        |tracks-the-batch claim.""".stripMargin)
+        |tracks-the-batch claim.""".stripMargin,
+    "q63_training_shards" ->
+      """Deterministic global shuffle into training shards (write +
+        |read-back; the dumped plan is the read-back's permutation
+        |check). The WRITE side is the interesting plan: ONE Exchange
+        |(hashpartitioning on the shard id — tasks hold whole shards) +
+        |a task-local Sort leading with the partition column. That
+        |leading shard key is load-bearing: FileFormatWriter requires
+        |task rows ordered by the partitionBy columns and silently
+        |inserts its OWN shard-only sort when the incoming order does
+        |not satisfy it — scrambling the shuffle order the operator
+        |exists to produce (caught by the file-order spec on first
+        |run). Both the shard id and the within-shard order are the
+        |portable mixed hash of salted keys, so the DuckDB oracle
+        |re-derives the WHOLE permutation; `ord` is stored, making each
+        |shard self-describing. At 100 TB: sort cost is per-shard,
+        |never global; a new salt is a fresh epoch permutation with no
+        |new logic.""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps

@@ -130,6 +130,39 @@ class KnnGraphSpec extends SparkSpec {
     assert(e.getMessage.contains("monotone"))
   }
 
+  test("knnGraphIndexed over a layout equals knnGraph over the corpus; a " +
+      "takedown drops BOTH edge directions") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-knn-indexed").toString
+    try {
+      Similarity.writeIvfLayout(emb, base, "vec_id", "embedding",
+        AnnModels.ivfCentroids)
+      val live = Similarity.knnGraph(emb, "vec_id", "embedding", k = 3,
+        AnnModels.ivfCentroids, nprobe = 2).collect().map(_.toSeq).toSet
+      val indexed = Similarity.knnGraphIndexed(spark, base, k = 3,
+        nprobe = 2).collect().map(_.toSeq).toSet
+      assert(indexed == live)
+      val victims = Seq(0L, 17L, 230L)
+      Similarity.deleteFromIvfLayout(spark, base, victims)
+      val after = Similarity.knnGraphIndexed(spark, base, k = 3,
+        nprobe = 2).collect().map(_.toSeq).toSet
+      val retained = Similarity.knnGraph(
+        emb.filter(!col("vec_id").isin(victims: _*)),
+        "vec_id", "embedding", k = 3, AnnModels.ivfCentroids, nprobe = 2)
+        .collect().map(_.toSeq).toSet
+      assert(after == retained)
+      assert(!after.exists(r => victims.contains(r(0).asInstanceOf[Long]) ||
+        victims.contains(r(1).asInstanceOf[Long])))
+    } finally {
+      def rec(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rec)
+        f.delete()
+      }
+      rec(new java.io.File(base))
+    }
+  }
+
   test("maxCell caps a hot cell's corpus side in stable id order") {
     // all 40 vectors collapse into cell 0; cap 10 -> only ids 0..9 can be
     // NEIGHBORS (the probe side is never capped: every vector still asks)
