@@ -163,6 +163,36 @@ class KnnGraphSpec extends SparkSpec {
     }
   }
 
+  test("randomized increment == rebuild: random vectors, random split " +
+      "point, random cap (20 trials, fixed seed)") {
+    val rnd = new scala.util.Random(421)
+    val cents: Seq[Seq[Float]] =
+      Seq(Seq(1f, 0f, 0f), Seq(0f, 1f, 0f), Seq(0f, 0f, 1f),
+        Seq(0.6f, 0.6f, 0.5f))
+    (0 until 20).foreach { trial =>
+      val n = 12 + rnd.nextInt(28)
+      val rows = (0L until n.toLong).map { i =>
+        (i, Seq.fill(3)(rnd.nextFloat() * 2f - 1f))
+      }
+      val df = rows.toDF("id", "v")
+      val cut = 1 + rnd.nextInt(n - 1)
+      val corpus = df.filter(col("id") < cut)
+      val batch = df.filter(col("id") >= cut)
+      val k = 1 + rnd.nextInt(4)
+      val nprobe = 1 + rnd.nextInt(cents.length)
+      val cap = 2 + rnd.nextInt(12) // often binding on hot cells
+      val old = Similarity.knnGraph(corpus, "id", "v", k, cents,
+        nprobe, cap)
+      val inc = Similarity.knnGraphIncrement(old, corpus, batch,
+        "id", "v", k, cents, nprobe, cap)
+        .collect().map(_.toSeq).toSet
+      val rebuilt = Similarity.knnGraph(df, "id", "v", k, cents,
+        nprobe, cap).collect().map(_.toSeq).toSet
+      assert(inc == rebuilt,
+        s"trial $trial: n=$n cut=$cut k=$k nprobe=$nprobe cap=$cap")
+    }
+  }
+
   test("maxCell caps a hot cell's corpus side in stable id order") {
     // all 40 vectors collapse into cell 0; cap 10 -> only ids 0..9 can be
     // NEIGHBORS (the probe side is never capped: every vector still asks)
