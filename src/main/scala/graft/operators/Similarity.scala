@@ -664,6 +664,10 @@ object Similarity {
     val cellFilter =
       if (probed.isEmpty) lit(false)
       else col("cell").isin(probed.map(Int.box).toSeq: _*)
+    // NOTE: a degenerate layout whose EVERY cell was purged has nothing
+    // to serve — this read fails schema inference on the bare cells/
+    // root (rebuild or append before serving; compaction itself
+    // tolerates the state)
     val cb0 = spark.read.parquet(s"$path/cells").filter(cellFilter)
     // pending takedowns are invisible to the probe IMMEDIATELY (the
     // broadcast anti-join below; partition pruning is unaffected — the
