@@ -1,0 +1,111 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.Tables
+
+/** Z-order clustered layout (`Layouts.writeZOrdered`): the Morton code
+  * must interleave correctly, the layout must be content-invariant, and
+  * the point of it all — a 2-D range predicate must prune FAR more
+  * row groups than a single-column sort. The skipping proof applies the
+  * reader's own pruning rule (file min/max box vs predicate box) to the
+  * real written files, which is deterministic where runtime scan
+  * metrics are AQE/config-fragile.
+  */
+class ZOrderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rmrf(d: String): Unit = {
+    def rec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rec)
+      f.delete()
+    }
+    rec(new java.io.File(d))
+  }
+
+  test("mortonCode interleaves bits (a odd positions, b even)") {
+    // a=0b11, b=0b01 -> a1 b1 a0 b0 = 1 0 1 1 = 11
+    val got = spark.range(1)
+      .select(Layouts.mortonCode(lit(3L), lit(1L), bits = 2))
+      .head().getLong(0)
+    assert(got == 11L)
+    // full-width sanity: a=max,b=0 fills the odd bits only
+    val odd = spark.range(1)
+      .select(Layouts.mortonCode(lit((1L << 16) - 1), lit(0L), bits = 16))
+      .head().getLong(0)
+    assert(java.lang.Long.toBinaryString(odd).matches("(10){16}".r.regex)
+      || odd == java.lang.Long.parseLong("10" * 16, 2))
+  }
+
+  test("z-ordered layout is content-invariant; a 2-D range predicate " +
+      "prunes far more files than a 1-D sorted layout") {
+    // sf0.01 (60k rows -> ~600 files at 100 rows each): the z-curve's
+    // locality constant needs enough files for the box-area advantage
+    // to dominate curve-boundary fragmentation (at 6k rows / 62 files
+    // the measured gap was only 7 vs 13)
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val base = Files.createTempDirectory("graft-zorder").toString
+    try {
+      Layouts.writeZOrdered(li, s"$base/z", "l_orderkey", "l_partkey",
+        maxRecordsPerFile = 100L)
+      // control: the classic single-column sort, same file granularity
+      li.repartitionByRange(4, col("l_orderkey"))
+        .sortWithinPartitions(col("l_orderkey"))
+        .write.option("maxRecordsPerFile", 100L)
+        .mode("overwrite").parquet(s"$base/ctl")
+
+      // content invariance
+      val want = li.collect().map(_.toSeq).toSet
+      assert(spark.read.parquet(s"$base/z").collect()
+        .map(_.toSeq).toSet == want)
+
+      // the reader's pruning rule over the real files: a file is READ
+      // iff its (min,max) box intersects the predicate box
+      // a 20% x 4.5% predicate box: the 1-D sort prunes on l_orderkey
+      // only (reads ~20% of files regardless of the l_partkey range);
+      // z-order prunes on the box AREA. sf0.01 key ranges: l_orderkey
+      // 0..14999, l_partkey 0..1999.
+      val (loA, hiA, loB, hiB) = (1000L, 4000L, 200L, 290L)
+      def touched(p: String): (Long, Long) = {
+        val stats = spark.read.parquet(p)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("l_orderkey").as("la"), max("l_orderkey").as("ha"),
+            min("l_partkey").as("lb"), max("l_partkey").as("hb"))
+        val total = stats.count()
+        val read = stats.filter(!(col("ha") < loA || col("la") > hiA ||
+          col("hb") < loB || col("lb") > hiB)).count()
+        (read, total)
+      }
+      val (zRead, zTotal) = touched(s"$base/z")
+      val (cRead, cTotal) = touched(s"$base/ctl")
+      info(s"z-order reads $zRead/$zTotal files; 1-D sort reads $cRead/$cTotal")
+      assert(zTotal >= 20 && cTotal >= 20, "fixture too coarse to prove skipping")
+      // the 1-D sort can only prune on l_orderkey; z-order prunes on both
+      assert(zRead * 2 <= cRead,
+        s"z-order read $zRead files vs $cRead — expected at least 2x fewer")
+      // and the pruned set still contains every matching row
+      val matches = spark.read.parquet(s"$base/z")
+        .filter(col("l_orderkey").between(loA, hiA) &&
+          col("l_partkey").between(loB, hiB))
+        .collect().map(_.toSeq).toSet
+      assert(matches == li.filter(col("l_orderkey").between(loA, hiA) &&
+        col("l_partkey").between(loB, hiB)).collect().map(_.toSeq).toSet)
+      assert(matches.nonEmpty)
+    } finally rmrf(base)
+  }
+
+  test("constant and negative-ranged columns scale without error") {
+    val df = Seq((-50L, 7L), (-10L, 7L), (0L, 7L), (99L, 7L))
+      .toDF("a", "b")
+    val base = Files.createTempDirectory("graft-zorder-edge").toString
+    try {
+      Layouts.writeZOrdered(df, base, "a", "b", bits = 8)
+      assert(spark.read.parquet(base).collect().map(_.toSeq).toSet ==
+        df.collect().map(_.toSeq).toSet)
+    } finally rmrf(base)
+  }
+}
