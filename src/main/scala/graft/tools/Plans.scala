@@ -576,7 +576,22 @@ object Plans {
         |re-derives the WHOLE permutation; `ord` is stored, making each
         |shard self-describing. At 100 TB: sort cost is per-shard,
         |never global; a new salt is a fresh epoch permutation with no
-        |new logic.""".stripMargin)
+        |new logic.""".stripMargin,
+    "q64_zorder_layout_read" ->
+      """Z-ordered layout read — multi-dimensional data skipping. The
+        |dumped scan shows BOTH range predicates as PushedFilters
+        |(GreaterThanOrEqual/LessThanOrEqual on l_orderkey AND
+        |l_partkey): against this layout those pushed filters actually
+        |BITE at the row-group level, because the write laid rows along
+        |the Morton curve of the two columns and every row group's
+        |(min,max) stat box is a tight rectangle in both dimensions.
+        |Against a 1-D sorted layout the same plan prunes on one column
+        |only — ZOrderSpec measures 23 vs 121 of 602 files read for the
+        |identical predicate by applying the reader's pruning rule to
+        |the real file stats. The write side is one min/max aggregate +
+        |one range exchange on the (codegen'd, UDF-free) bit-interleave
+        |code + a per-task sort — a clustered rewrite paid once per
+        |corpus generation, exactly like the IVF serving layout.""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps
