@@ -1842,6 +1842,27 @@ object SparkEntry {
           col("l_partkey"), col("l_quantity"))
     }),
 
+    // 3-D Z-order: same machinery, three interleaved columns (48 of 62
+    // usable bits at 16 bits/col) — the layout's row-group boxes are
+    // tight in all THREE dimensions, so the conjunctive 3-D predicate
+    // prunes on box VOLUME (plan proof in PLANS.md q64b: all three
+    // range predicates appear as PushedFilters and bite)
+    "q64b_zorder3_layout_read" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorder3_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      Layouts.writeZOrdered(
+        T(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity"),
+        out, Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        bits = 16, files = 0, maxRecordsPerFile = 2000L)
+      s.read.parquet(out)
+        .filter(col("l_orderkey").between(100, 1500) &&
+          col("l_partkey").between(20, 120) &&
+          col("l_suppkey").between(5, 60))
+        .orderBy(col("l_orderkey"), col("l_partkey"),
+          col("l_suppkey"), col("l_quantity"))
+    }),
+
     // hive-partitioned corpus layout: the corpus is WRITTEN partitioned
     // by lang (the layout a served training corpus ships in — one
     // directory per partition value, no lang bytes in the data files)
@@ -4322,6 +4343,14 @@ object SparkEntry {
         |WHERE l_orderkey BETWEEN 100 AND 1500
         |  AND l_partkey BETWEEN 20 AND 120
         |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    "q64b_zorder3_layout_read" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 1500
+        |  AND l_partkey BETWEEN 20 AND 120
+        |  AND l_suppkey BETWEEN 5 AND 60
+        |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
 
     "q62_sliding_window" ->
       """WITH e AS (

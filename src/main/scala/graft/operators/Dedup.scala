@@ -4347,6 +4347,10 @@ object Dedup {
     clearTombstones(spark, path)
     corpus.select(col(idCol).cast("long").as("id"),
         col(digCol).cast("string").as("dig"))
+      // NULL digests are not indexed (contract above) — match the
+      // append/ingest paths exactly so append ≡ rebuild holds
+      // physically, including the max-id ledger bootstrap watermark
+      .filter(col("dig").isNotNull)
       .withColumn("shard", shardCol(Seq(col("dig")), shards))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/digests")

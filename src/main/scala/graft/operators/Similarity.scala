@@ -436,14 +436,27 @@ object Similarity {
     // (one narrow aggregate job), so non-long id types keep working.
     val chk = corpus.agg(max(col(idCol)).as("__m"))
       .crossJoin(batch.agg(min(col(idCol)).as("__n"),
-        count(lit(1)).as("__c")))
-      .select((col("__c") === 0 || col("__m").isNull ||
-        col("__m") < col("__n")).as("ok"), col("__m"), col("__n"))
+        count(lit(1)).as("__c"), count(col(idCol)).as("__cn")))
+      .select(
+        // coalesce(false): an all-NULL batch id column makes the raw
+        // predicate SQL NULL — fail with the contract message below,
+        // not a bare NPE from getBoolean
+        coalesce(col("__c") === 0 || col("__m").isNull ||
+          col("__m") < col("__n"), lit(false)).as("ok"),
+        // min() ignores NULLs, so a partially-NULL id column could
+        // pass the monotone check yet decompose the cap differently
+        // than a rebuild — reject NULL ids loudly like the index
+        // appends do
+        (col("__cn") === col("__c")).as("no_nulls"),
+        col("__m"), col("__n"))
       .head()
+    require(chk.getBoolean(1),
+      s"knnGraphIncrement: batch has NULL ids — the id contract " +
+        "(unique, non-null, monotone) is violated; re-id the batch")
     require(chk.getBoolean(0),
       s"knnGraphIncrement: batch ids must exceed every corpus id " +
-        s"(monotone contract; corpus max ${chk.get(1)}, batch min " +
-        s"${chk.get(2)}) — re-id the batch or rebuild with knnGraph")
+        s"(monotone contract; corpus max ${chk.get(2)}, batch min " +
+        s"${chk.get(3)}) — re-id the batch or rebuild with knnGraph")
     def celled(df: DataFrame) = df.select(col(idCol), col(vecCol))
       .withColumn("cell",
         element_at(GraftFunctions.ivfProbes(col(vecCol), centroids, 1), 1))
@@ -599,7 +612,11 @@ object Similarity {
                          withPq: Boolean = false,
                          pqM: Int = 8, pqK: Int = 16): Seq[Seq[Float]] = {
     val n = corpus.count()
-    val cells = math.min(ivfCellsFor(n, mult), math.max(1, maxTrain / 4))
+    // clamp to the corpus size (same as knnGraphAuto) so a tiny corpus
+    // builds a tiny layout instead of failing inside trainCentroids
+    // with an unrelated "need >= cells training vectors" error
+    val cells = math.min(n,
+      math.min(ivfCellsFor(n, mult), math.max(1, maxTrain / 4)).toLong).toInt
     val cents = trainCentroids(corpus, idCol, vecCol, cells, iters, maxTrain)
     if (withPq) {
       val books = trainPqCodebooks(corpus, idCol, vecCol, pqM, pqK,

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DataTypes
 
 /** Multi-dimensional clustered storage layouts — the data-skipping
   * story for predicates on MORE than one column.
@@ -9,71 +10,131 @@ import org.apache.spark.sql.functions._
   * A single-column sort gives parquet row-group min/max stats that
   * prune range predicates on that one column; a filter on any other
   * column still scans everything. Z-ORDER clustering interleaves the
-  * bits of two (rank-scaled) columns into one Morton code and lays the
-  * corpus out along that space-filling curve, so row groups are tight
-  * little rectangles in BOTH dimensions — a conjunctive 2-D range
-  * predicate prunes row groups on either (or both) columns. This is
-  * the `OPTIMIZE ZORDER BY` capability of lakehouse table formats,
-  * expressed over plain parquet: the scan-side machinery (row-group
-  * stats pruning under pushed filters) is already in Spark; only the
-  * write-side ordering is missing, and ordering is all a layout is.
+  * bits of several (range-scaled) columns into one Morton code and
+  * lays the corpus out along that space-filling curve, so row groups
+  * are tight little boxes in EVERY participating dimension — a
+  * conjunctive n-D range predicate prunes row groups on any (or all)
+  * of them. This is the `OPTIMIZE ZORDER BY` capability of lakehouse
+  * table formats, expressed over plain parquet: the scan-side
+  * machinery (row-group stats pruning under pushed filters) is
+  * already in Spark; only the write-side ordering is missing, and
+  * ordering is all a layout is.
+  *
+  * This file is the ONE home of the Morton machinery (the former
+  * `graft.operators.Layout` twin is consolidated here — same bit
+  * layout as its `zValue`, spec-pinned in `LayoutSpec`).
   *
   * Scale shape (100 TB): one min/max aggregate (one scan), then ONE
   * range exchange on the Morton code + per-task sort — the same cost
   * as any clustered rewrite, paid once per corpus generation. The
   * skipping it buys is at the STORAGE layer: row groups whose
-  * (minCode, maxCode) rectangle misses the predicate are never
-  * decompressed. Measured in `ZOrderSpec`: the same 2-D range filter
-  * reads ~10× fewer rows off a z-ordered layout than off a
-  * single-column-sorted one.
+  * min/max box misses the predicate box are never decompressed.
+  * Measured in `ZOrderSpec`: the same 2-D range filter reads ~5×
+  * fewer files off a z-ordered layout than off a single-column-sorted
+  * one, and the 3-D layout prunes on all three predicates (q64b).
   */
 object Layouts {
 
-  /** Morton (bit-interleave) code of two columns already scaled to
-    * `[0, 2^bits)`: bit i of `a` lands at position 2i+1, bit i of `b`
-    * at 2i — a pure codegen'd bit expression, no UDF.
+  /** Morton code of n columns already scaled to `[0, 2^bitsPerCol)`:
+    * bit b of column i lands at position `b*n + i` (column 0 least
+    * significant at each bit level). Values outside the range are
+    * masked (high bits ignored), keeping the expression total. A pure
+    * codegen'd bit expression — no UDF. With the default 16 bits the
+    * result fits a long for up to 3 columns; 4 columns need
+    * `bitsPerCol <= 15`.
     */
+  def zValue(cols: Seq[Column], bitsPerCol: Int = 16): Column = {
+    val n = cols.length
+    require(n >= 2, "z-order needs at least 2 columns")
+    require(bitsPerCol > 0 && n * bitsPerCol <= 62,
+      s"$n cols x $bitsPerCol bits exceeds a long")
+    val terms = for {
+      (c, i) <- cols.zipWithIndex
+      b <- 0 until bitsPerCol
+    } yield shiftleft(
+      shiftright(c.cast("long"), b).bitwiseAND(lit(1L)), b * n + i)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Two-column Morton code with the historic argument convention
+    * (bit i of `a` at position 2i+1, of `b` at 2i) — a thin alias of
+    * [[zValue]] with the columns swapped. */
   def mortonCode(a: Column, b: Column, bits: Int): Column = {
     require(bits > 0 && bits <= 31, s"bits must be in [1, 31]: $bits")
-    (0 until bits).map { i =>
-      shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i + 1)
-        .bitwiseOR(shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i))
-    }.reduce(_.bitwiseOR(_))
+    zValue(Seq(b, a), bits)
   }
 
-  /** Scale a numeric column to `[0, 2^bits)` given its (min, max) —
-    * integer math throughout (exact, engine-portable). A constant
-    * column scales to 0. */
-  private def scaled(c: Column, lo: Long, hi: Long, bits: Int): Column = {
-    val span = math.max(1L, hi - lo)
-    ((c.cast("long") - lit(lo)) * lit((1L << bits) - 1) / lit(span))
-      .cast("long")
+  /** Rows clustered along the Z-curve: a range exchange on the Z-value
+    * (so files/partitions own contiguous curve segments) plus a
+    * within-partition sort (so row groups inside a file stay tight).
+    * Columns must already be non-negative integers in
+    * `[0, 2^bitsPerCol)` (rank, bucket, truncated id, epoch-minute…);
+    * for raw numeric domains use [[writeZOrdered]], which scales for
+    * you. `numPartitions` sizes the output files — at 100 TB pick
+    * corpus_bytes / target_file_bytes, not the shuffle default.
+    */
+  def zOrderBy(df: DataFrame, cols: Seq[Column], numPartitions: Int,
+               bitsPerCol: Int = 16): DataFrame = {
+    val withZ = df.withColumn("__z", zValue(cols, bitsPerCol))
+    withZ
+      .repartitionByRange(numPartitions, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
   }
 
-  /** Write `df` as a Z-ORDERED parquet layout clustered on the two
+  /** Scale a numeric column to `[0, 2^bits)` given its (min, max).
+    * Exact integer math on the fast path; when the domain is so wide
+    * that `span * (2^bits - 1)` would overflow a long (hash-derived
+    * ids, microsecond timestamps — spans above ~2^47 at 16 bits), the
+    * arithmetic silently wraps and the curve degrades to random order
+    * with nothing downstream to catch it (the code is not stored), so
+    * wide domains switch to exact Decimal(38,0) arithmetic instead.
+    * Both paths are monotone in `c`, which is the entire contract. A
+    * constant column scales to 0.
+    */
+  private[graft] def scaled(c: Column, lo: Long, hi: Long,
+                            bits: Int): Column = {
+    val maxV = (1L << bits) - 1
+    val span = BigInt(hi) - BigInt(lo)
+    if (span <= 0) lit(0L)
+    else if (span * maxV <= BigInt(Long.MaxValue))
+      ((c.cast("long") - lit(lo)) * lit(maxV) / lit(span.toLong))
+        .cast("long")
+    else {
+      val d = DataTypes.createDecimalType(38, 0)
+      ((c.cast(d) - lit(java.math.BigDecimal.valueOf(lo))) * lit(maxV) /
+        lit(new java.math.BigDecimal(span.bigInteger)))
+        .cast("long")
+    }
+  }
+
+  /** Write `df` as a Z-ORDERED parquet layout clustered on 2..4
     * numeric columns: one min/max aggregate, Morton-interleave the
     * scaled values, range-partition + locally sort on the code, write.
     * The code itself is NOT stored — it is an ordering, not data; the
     * layout is an execution artifact invisible to the result contract
-    * (the q64 oracle is the same filter on the original table).
+    * (the q64/q64b oracles are the same filter on the original table).
     *
     * `files` bounds the output file count (range exchange width);
     * `maxRecordsPerFile` additionally splits files so row groups stay
     * small enough to make skipping fine-grained at small SFs (at
     * production scale the default 128 MB row groups already are).
     */
-  def writeZOrdered(df: DataFrame, path: String,
-                    colA: String, colB: String,
-                    bits: Int = 16, files: Int = 0,
-                    maxRecordsPerFile: Long = 0L): Unit = {
-    val r = df.agg(
-      min(col(colA).cast("long")), max(col(colA).cast("long")),
-      min(col(colB).cast("long")), max(col(colB).cast("long"))).head()
-    require(!r.isNullAt(0) && !r.isNullAt(2),
-      s"writeZOrdered: $colA/$colB must be non-null numeric columns")
-    val code = mortonCode(
-      scaled(col(colA), r.getLong(0), r.getLong(1), bits),
-      scaled(col(colB), r.getLong(2), r.getLong(3), bits), bits)
+  def writeZOrdered(df: DataFrame, path: String, cols: Seq[String],
+                    bits: Int, files: Int,
+                    maxRecordsPerFile: Long): Unit = {
+    require(cols.size >= 2, "writeZOrdered needs at least 2 columns")
+    val aggs = cols.flatMap(c =>
+      Seq(min(col(c).cast("long")), max(col(c).cast("long"))))
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    cols.indices.foreach { i =>
+      require(!r.isNullAt(2 * i),
+        s"writeZOrdered: ${cols(i)} must be a non-null numeric column")
+    }
+    val code = zValue(
+      cols.zipWithIndex.map { case (c, i) =>
+        scaled(col(c), r.getLong(2 * i), r.getLong(2 * i + 1), bits)
+      }, bits)
     val n = if (files > 0) files
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val sorted = df
@@ -85,4 +146,12 @@ object Layouts {
      else w)
       .parquet(path)
   }
+
+  /** Two-column convenience overload (the original q64 signature). */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, colB: String,
+                    bits: Int = 16, files: Int = 0,
+                    maxRecordsPerFile: Long = 0L): Unit =
+    writeZOrdered(df, path, Seq(colA, colB), bits, files,
+      maxRecordsPerFile)
 }

@@ -1,4 +1,4 @@
-package graft.operators
+package graft.sources
 
 import org.apache.spark.sql.functions._
 
@@ -17,7 +17,7 @@ class LayoutSpec extends SparkSpec {
     val rows = Seq.fill(200)((rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong))
     val got = rows.toDF("a", "b")
       .select(col("a"), col("b"),
-        Layout.zValue(Seq(col("a"), col("b"))).as("z"))
+        Layouts.zValue(Seq(col("a"), col("b"))).as("z"))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
     rows.foreach { case (a, b) =>
       assert(got((a, b)) == mortonRef(a, b, 16), s"($a,$b)")
@@ -26,8 +26,47 @@ class LayoutSpec extends SparkSpec {
 
   test("zValue masks high bits instead of overflowing") {
     val df = Seq((70000L, 3L)).toDF("a", "b") // 70000 > 2^16
-    val z = df.select(Layout.zValue(Seq(col("a"), col("b")))).collect()(0).getLong(0)
+    val z = df.select(Layouts.zValue(Seq(col("a"), col("b")))).collect()(0).getLong(0)
     assert(z == mortonRef(70000L & 0xFFFF, 3L, 16))
+  }
+
+  test("zValue interleaves three columns (bit b of col i at b*n+i)") {
+    def ref(vals: Seq[Long], bits: Int): Long = {
+      val n = vals.length
+      (for { (v, i) <- vals.zipWithIndex; b <- 0 until bits }
+        yield ((v >> b) & 1L) << (b * n + i)).sum
+    }
+    val rnd = new scala.util.Random(47)
+    val rows = Seq.fill(100)(
+      (rnd.nextInt(1 << 16).toLong, rnd.nextInt(1 << 16).toLong,
+        rnd.nextInt(1 << 16).toLong))
+    val got = rows.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layouts.zValue(Seq(col("a"), col("b"), col("c"))).as("z"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3))
+      .toMap
+    rows.foreach { case t @ (a, b, c) =>
+      assert(got(t) == ref(Seq(a, b, c), 16), t)
+    }
+  }
+
+  test("scaled stays monotone on domains too wide for long multiply") {
+    // span ~ 2^62: (c - lo) * (2^16 - 1) wraps in long arithmetic —
+    // the regression this guards is a silently scrambled curve
+    val lo = Long.MinValue / 2
+    val hi = Long.MaxValue / 2
+    val vals = Seq(lo, lo / 2, -1000000L, 0L, 1000000L, hi / 2, hi)
+    val out = vals.toDF("v")
+      .select(col("v"), Layouts.scaled(col("v"), lo, hi, 16).as("s"))
+      .orderBy(col("v"))
+      .collect().map(r => r.getLong(1))
+    assert(out.zip(out.tail).forall { case (x, y) => x <= y },
+      s"non-monotone: ${out.mkString(",")}")
+    assert(out.head == 0L && out.last >= (1L << 15),
+      s"degenerate scaling: ${out.mkString(",")}")
+    assert(out.forall(s => s >= 0 && s <= (1L << 16) - 1))
+    assert(out.distinct.length > 3, "wide domain collapsed to few buckets")
   }
 
   test("z-order layout tightens the second column's per-partition bounds") {
@@ -47,7 +86,7 @@ class LayoutSpec extends SparkSpec {
     }
     val sorted = df.repartitionByRange(parts, col("a"))
       .sortWithinPartitions(col("a"))
-    val zOrdered = Layout.zOrderBy(df, Seq(col("a"), col("b")), parts)
+    val zOrdered = Layouts.zOrderBy(df, Seq(col("a"), col("b")), parts)
     val (se, ze) = (meanExtentB(sorted), meanExtentB(zOrdered))
     // sorted-by-a partitions span ~100% of b; z-order should cut that
     // decisively (16 partitions on a 2-d curve -> ~25-50% per dim)

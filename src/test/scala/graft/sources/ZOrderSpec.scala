@@ -98,6 +98,52 @@ class ZOrderSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("3-column z-order prunes on the THIRD dimension too") {
+    // same reader-pruning-rule proof as the 2-D test, but the layout
+    // interleaves three columns and the witness predicate constrains
+    // ONLY the third — a 2-D (or 1-D) layout reads everything for it
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val base = Files.createTempDirectory("graft-zorder3").toString
+    try {
+      Layouts.writeZOrdered(li, s"$base/z3",
+        Seq("l_orderkey", "l_partkey", "l_suppkey"),
+        bits = 16, files = 0, maxRecordsPerFile = 100L)
+      // control: 2-D z-order, blind to l_suppkey
+      Layouts.writeZOrdered(li, s"$base/z2", "l_orderkey", "l_partkey",
+        maxRecordsPerFile = 100L)
+
+      val want = li.collect().map(_.toSeq).toSet
+      assert(spark.read.parquet(s"$base/z3").collect()
+        .map(_.toSeq).toSet == want)
+
+      // sf0.01 l_suppkey spans 0..99; a 10% band on it alone
+      val (loS, hiS) = (40L, 49L)
+      def touched(p: String): (Long, Long) = {
+        val stats = spark.read.parquet(p)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("l_suppkey").as("ls"), max("l_suppkey").as("hs"))
+        (stats.filter(!(col("hs") < loS || col("ls") > hiS)).count(),
+          stats.count())
+      }
+      val (z3Read, z3Total) = touched(s"$base/z3")
+      val (z2Read, z2Total) = touched(s"$base/z2")
+      info(s"3-D layout reads $z3Read/$z3Total files for the l_suppkey " +
+        s"band; 2-D reads $z2Read/$z2Total")
+      assert(z3Total >= 20 && z2Total >= 20)
+      // the 2-D layout has no l_suppkey locality: nearly every file
+      // intersects a 10% band; the 3-D layout skips most files
+      assert(z2Read * 10 >= z2Total * 9,
+        s"control unexpectedly clustered: $z2Read/$z2Total")
+      assert(z3Read * 2 <= z3Total,
+        s"3-D layout read $z3Read/$z3Total files — no third-dim locality")
+      // and correctness under the pruned read
+      assert(spark.read.parquet(s"$base/z3")
+        .filter(col("l_suppkey").between(loS, hiS)).count() ==
+        li.filter(col("l_suppkey").between(loS, hiS)).count())
+    } finally rmrf(base)
+  }
+
   test("constant and negative-ranged columns scale without error") {
     val df = Seq((-50L, 7L), (-10L, 7L), (0L, 7L), (99L, 7L))
       .toDF("a", "b")
