@@ -131,7 +131,20 @@ object Bench {
     // instead of inferring it. A failed query records the -1 sentinel so
     // it is never mistaken for a fast one.
     val spreads = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
-    val results = picked.map { case (name, fn) =>
+    // Execution order (r15): fastest-first by the previous round's
+    // committed values. The >11 s checkpoint-heavy governed loops used
+    // to run interleaved with sub-second queries, and the GC/allocator
+    // debt they leave inflated whatever ran next ~2x even through the
+    // forced-GC retries (r14 adjudication: q41 committed 1.07 s vs
+    // 0.52 s quiet, q48 1.04 vs 0.45, d9 2.20 vs 1.25 — five in-suite
+    // runs all carried the same debt). Running every light query BEFORE
+    // any heavy one removes the interference instead of trying to
+    // detect it; queries with no prior (new this round) run after
+    // everything known, where they can only be inflated, never inflate
+    // an established entry's round-over-round comparison.
+    val ordered = picked.toSeq.sortBy { case (name, _) =>
+      (prior.getOrElse(name, Double.MaxValue), name) }
+    val results = ordered.map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()
         val elapsed =
@@ -207,7 +220,11 @@ object Bench {
         "case; entries are expected within ~1.3x of a quiet-JVM " +
         "SPARK_GRAFT_ONLY re-run. Best-of-3 (r14): every query runs " +
         "three times (forced GC before the third); 'spread' carries the " +
-        "per-run timings behind each recorded minimum."
+        "per-run timings behind each recorded minimum. Fastest-first " +
+        "execution order (r15): queries run in ascending order of their " +
+        "previous-round committed value (new queries last), so no " +
+        "sub-second entry ever runs in the GC shadow of a checkpoint-" +
+        "heavy governed loop."
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
       spreads.map { case (k, ts) => s""""$k":${ts.mkString("[", ",", "]")}""" }
