@@ -1737,6 +1737,47 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-shard reconciliation over the multi-stream deployment: the
+    // corpus half is routed into TWO independent governed shard
+    // deployments (even/odd doc_id — an id-preserving router), each
+    // shard bootstraps its index and governs one batch (within-shard
+    // screening only, by construction), then reconcileShardOutputs runs
+    // ONE union-wide LSH pass, tombstones every cross-shard duplicate's
+    // larger id in its owning shard's index and scrubs it out of that
+    // shard's SERVED outputs. Result = the union of both serving
+    // corpora after convergence; the oracle replays the whole
+    // deployment's retained set in SQL (per-shard screens + the
+    // cross-shard greedy star).
+    "p9_cross_shard_reconcile" -> ((s, dir) => {
+      val all = T(s, dir, "documents")
+      val c0 = all.agg(max(col("doc_id"))).head().getLong(0) / 2
+      val docs = all.filter(col("doc_id") <= c0).select("doc_id", "text")
+      val c1 = c0 * 3 / 5
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_reconcile_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+        threshold = 0.2)
+      val shards = (0 to 1).map { sh =>
+        val ix = s"$base/ix$sh"; val out = s"$base/out$sh"
+        val mine = docs.filter(pmod(col("doc_id"), lit(2)) === sh)
+        Dedup.writeSignatureIndex(mine.filter(col("doc_id") <= c1),
+          "doc_id", "text", ix, p)
+        Dedup.initIngestLedger(s, ix)
+        Dedup.ingestBatchWithIndex(mine.filter(col("doc_id") > c1),
+          "doc_id", "text", ix, out, batchId = 0L)
+        Dedup.GovernedShardPaths(ix, out)
+      }
+      Dedup.reconcileShardOutputs(s, shards, "doc_id", "text")
+      shards.zipWithIndex.map { case (sh, i) =>
+          s.read.parquet(sh.outPath).select(col("doc_id"))
+            .withColumn("shard", lit(i.toLong))
+        }.reduce(_.unionByName(_))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -3998,6 +4039,34 @@ object SparkEntry {
          |  UNION ALL
          |  SELECT doc_id, CAST(1 AS BIGINT) AS batch_id FROM novelb)
          |WHERE doc_id % 7 <> 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // the two-shard deployment's retained set in SQL: per-shard screens
+    // (within-batch star + committed-index probe, both parity-local)
+    // followed by the cross-shard greedy star over the union of the
+    // shards' novel outputs — exactly what reconcileShardOutputs leaves
+    // in the serving corpora
+    "p9_cross_shard_reconcile" ->
+      s"""WITH RECURSIVE
+         |half AS (SELECT doc_id, text FROM documents
+         |         WHERE doc_id <= (SELECT max(doc_id)//2 FROM documents)),
+         |${duckMinHashCtes(numHashes = 32, bands = 8, threshold = 0.2,
+             src = "half")},
+         |cut AS (SELECT (max(doc_id)*3)//5 AS c1 FROM half),
+         |dup AS (SELECT DISTINCT id_b AS id FROM pairs, cut
+         |        WHERE id_a > c1 AND id_b > c1 AND id_a % 2 = id_b % 2),
+         |crossix AS (SELECT DISTINCT p.id_b AS id FROM pairs p, cut
+         |            WHERE p.id_a <= cut.c1 AND p.id_b > cut.c1
+         |              AND p.id_a % 2 = p.id_b % 2),
+         |novel AS (SELECT doc_id FROM half, cut WHERE doc_id > c1
+         |            AND doc_id NOT IN (SELECT id FROM dup)
+         |            AND doc_id NOT IN (SELECT id FROM crossix)),
+         |xdrop AS (SELECT DISTINCT p.id_b AS id FROM pairs p
+         |          WHERE p.id_a IN (SELECT doc_id FROM novel)
+         |            AND p.id_b IN (SELECT doc_id FROM novel)
+         |            AND p.id_a % 2 <> p.id_b % 2)
+         |SELECT doc_id, doc_id % 2 AS shard FROM novel
+         |WHERE doc_id NOT IN (SELECT id FROM xdrop)
          |ORDER BY doc_id""".stripMargin,
 
     // fuzzy dedup: the band blocking is lossless, so the naive quadratic

@@ -4629,4 +4629,147 @@ object Dedup {
       s"redriveQuarantinedDigest: could not remove $dir after the commit")
     stats
   }
+
+  // ---- cross-shard duplicate reconciliation (multi-stream scale-out) --
+  //
+  // The multi-stream deployment (PLANS.md "multi-stream ingest
+  // scale-out") routes the corpus into N independent governed indexes;
+  // near-dup screening is WITHIN a shard by construction, so a pair of
+  // near-duplicates landing in different shards survives both. This
+  // operator is the documented remedy made first-class: a PERIODIC
+  // batch pass that runs the same near-dup family over the union of the
+  // shard output corpora and feeds the cross-shard drop set back
+  // through each shard's own takedown machinery (tombstone append +
+  // served-output scrub + quarantine scrub) — after it, every shard's
+  // serving corpus holds only the global minimum-id representative of
+  // each cross-shard duplicate group, the same greedy-star policy the
+  // in-shard screens apply.
+  //
+  // Scale shape (100 TB): ONE LSH pass over the union of served
+  // corpora (banded buckets + capped self-join — never all-pairs, the
+  // d2 plan), a broadcast-sized drop set (bounded by the cross-shard
+  // duplicate count, not the corpus), and per-shard scrubs that rewrite
+  // only the batch directories with hits. Run it on the cadence
+  // cross-shard duplication accrues (per compaction window, daily…) —
+  // it is idempotent (a second pass finds nothing: the dropped side is
+  // tombstone-filtered out of the union) and epoch-fenced per shard
+  // like every mutation.
+  //
+  // Boundary (documented): the pass reconciles the GOVERNED OUTPUT
+  // corpora (`out/batch_id=N/`). A corpus slice pre-loaded into a
+  // shard's index by writeSignatureIndex before the governed stream
+  // started is index-only — run the batch d-family over those slices
+  // once at deployment time, or bootstrap empty and ingest everything
+  // through the loop.
+
+  /** One shard of the multi-stream deployment: its index root and its
+    * governed output root. */
+  final case class GovernedShardPaths(indexPath: String, outPath: String)
+
+  /** What [[reconcileShardOutputs]] did: cross-shard near-dup pairs
+    * found, ids dropped (tombstoned + scrubbed), per-shard drop counts
+    * (ordinal-aligned with the input), and served rows physically
+    * scrubbed. */
+  final case class ShardReconcileStats(crossPairs: Long, dropped: Long,
+                                       droppedPerShard: Seq[Long],
+                                       scrubbedRows: Long)
+
+  /** Cross-shard near-dup reconciliation over N governed MinHash shard
+    * deployments — see the section note above. All shards must share
+    * one [[MinHashParams]] geometry (one logical deployment) and
+    * globally unique ids (the id-preserving router contract); both are
+    * checked loudly. Within-shard pairs the union pass surfaces are
+    * ignored — in-shard semantics (including the documented cap
+    * conservatism) stay the shard's own.
+    */
+  def reconcileShardOutputs(spark: org.apache.spark.sql.SparkSession,
+                            shards: Seq[GovernedShardPaths],
+                            idCol: String, textCol: String)
+      : ShardReconcileStats = {
+    require(shards.size >= 2,
+      s"reconcileShardOutputs needs >= 2 shards, got ${shards.size}")
+    GraftFunctions.register(spark)
+    val params = shards.map(s => readSignatureIndex(spark, s.indexPath).params)
+    require(params.distinct.size == 1,
+      "reconcileShardOutputs: all shards must share one MinHashParams " +
+        s"geometry; found ${params.distinct.mkString(" vs ")}")
+    val p = params.head
+
+    // Served corpus per shard: exactly the batch_id=N data directories,
+    // read with basePath so batch_id stays a column and scrub-aside
+    // leftovers (healed first, like every scrub entry point) can never
+    // pollute partition discovery.
+    def servedDirs(outPath: String): Seq[org.apache.hadoop.fs.Path] = {
+      val root = new org.apache.hadoop.fs.Path(outPath)
+      val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(root)) Nil
+      else {
+        recoverScrubLeftovers(fs, root)
+        fs.listStatus(root).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("batch_id=") &&
+            hasDataFiles(fs, s.getPath))
+          .map(_.getPath).toSeq
+      }
+    }
+    val served = shards.zipWithIndex.flatMap { case (s, i) =>
+      val dirs = servedDirs(s.outPath)
+      if (dirs.isEmpty) None
+      else Some(spark.read.option("basePath", s.outPath)
+        .parquet(dirs.map(_.toString): _*)
+        .select(col(idCol), col(textCol))
+        .withColumn("__rshard", lit(i)))
+    }
+    if (served.size < 2)
+      return ShardReconcileStats(0L, 0L, shards.map(_ => 0L), 0L)
+    val union = served.reduce(_.unionByName(_))
+
+    // Router contract: ids are globally unique across shards — a
+    // duplicated id would make the per-shard drop routing ambiguous
+    // (and means the deployment's router is broken), so fail loudly.
+    val idChk = union.agg(count(lit(1)).as("n"),
+      count_distinct(col(idCol)).as("d")).head()
+    require(idChk.getLong(0) == idChk.getLong(1),
+      s"reconcileShardOutputs: ${idChk.getLong(0) - idChk.getLong(1)} " +
+        s"duplicate '$idCol' values ACROSS shards — the deployment " +
+        "router must be id-preserving and ids globally unique")
+
+    // ONE union-wide LSH pass; keep only pairs whose sides live in
+    // different shards, then greedy-star: drop every id with a
+    // smaller-id cross-shard near-duplicate.
+    val shardOf = union.select(col(idCol).as("__rid"),
+      col("__rshard")).localCheckpoint()
+    val pairs = minHashNearDupPairs(union, idCol, textCol, p)
+    val cross = pairs
+      .join(shardOf.select(col("__rid").as("id_a"),
+        col("__rshard").as("__sh_a")), Seq("id_a"))
+      .join(shardOf.select(col("__rid").as("id_b"),
+        col("__rshard").as("__sh_b")), Seq("id_b"))
+      .filter(col("__sh_a") =!= col("__sh_b"))
+    val drops = cross.select(col("id_b").cast("long").as("id"),
+        col("__sh_b").as("__rshard")).distinct()
+      .localCheckpoint()
+    val crossPairs = cross.count()
+    val perShardCounts = drops.groupBy(col("__rshard"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val perShard = shards.indices.map(i => perShardCounts.getOrElse(i, 0L))
+
+    // Feed the drop set back through each hit shard's own lifecycle:
+    // tombstone the index (visible to probes and the governed loop on
+    // the next open; bytes reclaimed at that shard's next compaction),
+    // then scrub the served outputs and any quarantined batches while
+    // the tombstones pend — the p7 takedown path, per shard.
+    var scrubbed = 0L
+    shards.zipWithIndex.foreach { case (s, i) =>
+      if (perShard(i) > 0) {
+        val ids = drops.filter(col("__rshard") === lit(i)).select(col("id"))
+        deleteFromSignatureIndex(spark, s.indexPath, ids, "id")
+        scrubbed += scrubOutputs(spark, s.indexPath, s.outPath, idCol)
+        scrubbed += scrubQuarantined(spark, s.indexPath, idCol)
+      }
+    }
+    graft.plans.Checkpoints.free(shardOf)
+    graft.plans.Checkpoints.free(drops)
+    ShardReconcileStats(crossPairs, perShard.sum, perShard, scrubbed)
+  }
 }

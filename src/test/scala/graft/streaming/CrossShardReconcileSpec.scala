@@ -1,0 +1,137 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** Cross-shard duplicate reconciliation
+  * ([[Dedup.reconcileShardOutputs]]): the periodic batch pass that
+  * closes the multi-stream deployment's documented semantic boundary
+  * (near-dup screening is WITHIN a shard). The spec plants a
+  * cross-shard near-dup pair that both in-shard screens provably miss,
+  * then proves the reconcile pass (1) finds exactly it, (2) drops the
+  * larger id through the owning shard's own takedown machinery
+  * (tombstone + served-output scrub), (3) converges both serving
+  * corpora to the global min-id-representative retained set, (4) is
+  * idempotent, and (5) survives a governed replay of the scrubbed
+  * batch without resurrecting the dropped row. Contract violations
+  * (mismatched geometry, non-unique ids across shards) fail loudly.
+  */
+class CrossShardReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val p = Dedup.MinHashParams(numHashes = 32, bands = 8,
+    shingle = 3, threshold = 0.2)
+
+  private def uniq(i: Long) =
+    (0 until 8).map(j => s"unique${i}tok$j").mkString(" ")
+  private def famA(i: Long) =
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      s"kilo lima mike november oscar papa quebec romeo sierra tail$i"
+
+  private def df(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def servedIds(out: String): Set[Long] =
+    spark.read.parquet(out).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+
+  test("a planted cross-shard near-dup pair is reconciled: larger id " +
+      "dropped via its shard's tombstone+scrub, corpora converge, " +
+      "second pass is a no-op, replay does not resurrect") {
+    val base = Files.createTempDirectory("graft-reconcile").toString
+    val ix0 = s"$base/ix0"; val out0 = s"$base/out0"
+    val ix1 = s"$base/ix1"; val out1 = s"$base/out1"
+    // router: even doc_id -> shard 0, odd -> shard 1
+    Dedup.writeSignatureIndex(df(0L -> uniq(0), 2L -> uniq(2)),
+      "doc_id", "text", ix0, p)
+    Dedup.writeSignatureIndex(df(1L -> uniq(1), 3L -> uniq(3)),
+      "doc_id", "text", ix1, p)
+    Dedup.initIngestLedger(spark, ix0)
+    Dedup.initIngestLedger(spark, ix1)
+    // famA(10) <-> famA(11) is the planted CROSS-shard near-dup: each
+    // shard's own screens (within-batch star + committed-index probe)
+    // cannot see the other shard's index by construction
+    val batch1 = df(11L -> famA(11), 13L -> uniq(13))
+    Dedup.ingestBatchWithIndex(df(10L -> famA(10), 12L -> uniq(12)),
+      "doc_id", "text", ix0, out0, batchId = 0L)
+    Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ix1, out1,
+      batchId = 0L)
+    assert(servedIds(out0) == Set(10L, 12L))
+    assert(servedIds(out1) == Set(11L, 13L))
+
+    val shards = Seq(Dedup.GovernedShardPaths(ix0, out0),
+      Dedup.GovernedShardPaths(ix1, out1))
+    val st = Dedup.reconcileShardOutputs(spark, shards, "doc_id", "text")
+    assert(st.crossPairs == 1L, st)
+    assert(st.dropped == 1L && st.droppedPerShard == Seq(0L, 1L), st)
+    assert(st.scrubbedRows == 1L, st)
+    // convergence: global min-id representative (10) kept in shard 0;
+    // 11 gone from shard 1's SERVED corpus and tombstoned in its index
+    assert(servedIds(out0) == Set(10L, 12L))
+    assert(servedIds(out1) == Set(13L))
+    val ix1open = Dedup.readSignatureIndex(spark, ix1)
+    assert(ix1open.signatures.filter(col("id") === 11L).isEmpty,
+      "tombstone must hide the dropped id from the index view")
+
+    // idempotence: the dropped side is physically gone from the union
+    val st2 = Dedup.reconcileShardOutputs(spark, shards, "doc_id", "text")
+    assert(st2.dropped == 0L && st2.crossPairs == 0L, st2)
+
+    // governed replay of the scrubbed batch must NOT resurrect 11:
+    // the replay rewrites the output dir from the raw batch, then the
+    // in-loop scrub re-applies the pending tombstones
+    val replay = Dedup.ingestBatchWithIndex(batch1, "doc_id", "text",
+      ix1, out1, batchId = 0L)
+    assert(replay.replayed)
+    assert(servedIds(out1) == Set(13L),
+      "replay resurrected a reconciled takedown")
+  }
+
+  test("contract violations fail loudly: mismatched MinHash geometry; " +
+      "duplicate ids across shards") {
+    val base = Files.createTempDirectory("graft-reconcile-bad").toString
+    val ixA = s"$base/ixA"; val outA = s"$base/outA"
+    val ixB = s"$base/ixB"; val outB = s"$base/outB"
+    Dedup.writeSignatureIndex(df(0L -> uniq(0)), "doc_id", "text", ixA, p)
+    Dedup.writeSignatureIndex(df(1L -> uniq(1)), "doc_id", "text", ixB,
+      p.copy(bands = 4))
+    val e = intercept[IllegalArgumentException] {
+      Dedup.reconcileShardOutputs(spark,
+        Seq(Dedup.GovernedShardPaths(ixA, outA),
+          Dedup.GovernedShardPaths(ixB, outB)), "doc_id", "text")
+    }
+    assert(e.getMessage.contains("MinHashParams"))
+
+    // same geometry, but both shards served the same id: router broken
+    val ixC = s"$base/ixC"; val outC = s"$base/outC"
+    Dedup.writeSignatureIndex(df(1L -> uniq(1)), "doc_id", "text", ixC, p)
+    Dedup.initIngestLedger(spark, ixA)
+    Dedup.initIngestLedger(spark, ixC)
+    Dedup.ingestBatchWithIndex(df(5L -> uniq(5)), "doc_id", "text",
+      ixA, outA, batchId = 0L)
+    Dedup.ingestBatchWithIndex(df(5L -> uniq(50)), "doc_id", "text",
+      ixC, outC, batchId = 0L)
+    val e2 = intercept[IllegalArgumentException] {
+      Dedup.reconcileShardOutputs(spark,
+        Seq(Dedup.GovernedShardPaths(ixA, outA),
+          Dedup.GovernedShardPaths(ixC, outC)), "doc_id", "text")
+    }
+    assert(e2.getMessage.contains("duplicate"))
+  }
+
+  test("shards with empty or absent output roots reconcile to a no-op") {
+    val base = Files.createTempDirectory("graft-reconcile-empty").toString
+    val ix0 = s"$base/ix0"; val ix1 = s"$base/ix1"
+    Dedup.writeSignatureIndex(df(0L -> uniq(0)), "doc_id", "text", ix0, p)
+    Dedup.writeSignatureIndex(df(1L -> uniq(1)), "doc_id", "text", ix1, p)
+    val st = Dedup.reconcileShardOutputs(spark,
+      Seq(Dedup.GovernedShardPaths(ix0, s"$base/out0"),
+        Dedup.GovernedShardPaths(ix1, s"$base/out1")), "doc_id", "text")
+    assert(st == Dedup.ShardReconcileStats(0L, 0L, Seq(0L, 0L), 0L))
+  }
+}
