@@ -368,15 +368,24 @@ object StreamOps {
     * matter how large the corpus grows. `usePq = true` serves from the
     * layout's write-time PQ codes instead (ADC scan of (id, codes)
     * only + exact re-rank of the `rerank` shortlist — PLANS.md s9),
-    * the compressed-scan variant for wide corpora. Layout MUTATIONS
-    * (rebuilds, and since r14 `appendIvfLayout` / `deleteFromIvfLayout`
-    * / `compactIvfLayout`) are epoch-fenced against EACH OTHER but not
-    * against a live stream — quiesce serving (or point at a fresh
-    * path) across a mutation, the documented contract of the serving
-    * artifact. The exactly-once claim above is per layout GENERATION:
-    * a batch replayed across a mutation recomputes against the mutated
-    * layout (for a takedown that is exactly what serving should do —
-    * the replay stops returning the deleted vector).
+    * the compressed-scan variant for wide corpora.
+    *
+    * Mutation visibility (spec-pinned in `AnnServeStreamSpec`): every
+    * micro-batch opens the layout FRESH — params, pending tombstones
+    * and the cell file listing are re-read per batch — so a takedown
+    * (`deleteFromIvfLayout`) or append (`appendIvfLayout`) landing
+    * between batches reaches the very next batch of a LIVE stream, no
+    * restart needed: ≤1-batch serving latency, the same contract as
+    * the governed dedup loops. The one mutation to quiesce across is
+    * `compactIvfLayout`'s rename-swap window (a probe listing files
+    * mid-swap could read a half-swapped directory — the swap is
+    * epoch-fenced against other MUTATIONS, not against readers); a
+    * takedown needs no quiesce because it lands as a tombstone append
+    * and the bytes move only at that later compaction. The
+    * exactly-once claim above is per layout GENERATION: a batch
+    * replayed across a mutation recomputes against the mutated layout
+    * (for a takedown that is exactly what serving should do — the
+    * replay stops returning the deleted vector).
     */
   def annServeStream(spark: SparkSession, inPath: String,
                      schema: org.apache.spark.sql.types.StructType,

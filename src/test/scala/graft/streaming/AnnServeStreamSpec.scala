@@ -67,6 +67,64 @@ class AnnServeStreamSpec extends SparkSpec {
     assert(batchDirs0.subsetOf(batchDirs1) && batchDirs1.size > batchDirs0.size)
   }
 
+  test("a takedown between batches reaches the NEXT batch of a live " +
+      "stream — no restart: tombstones are re-read per micro-batch") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = Files.createTempDirectory("graft-ann-serve-del").toString
+    val layout = s"$base/layout"
+    Similarity.writeIvfLayout(emb, layout, "vec_id", "embedding",
+      AnnModels.ivfCentroids)
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val q0 = queriesOf(0, 5)
+    q0.coalesce(1).write.parquet(in)
+    // LIVE stream (processing-time trigger): it stays up across both
+    // batches and the takedown in between
+    val q = StreamOps.annServeStream(spark, in, q0.schema,
+      "qid", "qvec", layout, out, cp, k = 5, nprobe = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      val batch0 = spark.read.parquet(out).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(batch0.nonEmpty)
+
+      // takedown: tombstone every id batch 0 served as a neighbor of
+      // query 0 (its whole pre-delete top-k must churn)
+      val victims = Similarity.ivfTopKIndexed(spark, layout, q0,
+          "qid", "qvec", k = 5, nprobe = 8, excludeSelf = false)
+        .filter(col("qid") === 0L).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(victims.nonEmpty)
+      Similarity.deleteFromIvfLayout(spark, layout, victims)
+
+      // next batch on the SAME running stream
+      val q1 = queriesOf(0, 1)
+        .withColumn("qid", col("qid") + 1000L) // fresh qid, same vector
+      q1.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+
+      val served1 = spark.read.parquet(out).drop("batch_id")
+        .filter(col("qid") === 1000L).collect().map(_.toSeq).toSet
+      assert(served1.nonEmpty, "second batch was not served")
+      val servedIds = spark.read.parquet(out)
+        .filter(col("qid") === 1000L).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSet
+      assert(servedIds.intersect(victims.toSet).isEmpty,
+        s"live stream served tombstoned ids: " +
+          s"${servedIds.intersect(victims.toSet)}")
+      // and it equals the batch probe over the POST-delete layout
+      val want1 = Similarity.ivfTopKIndexed(spark, layout, q1,
+        "qid", "qvec", k = 5, nprobe = 8, excludeSelf = false)
+        .collect().map(_.toSeq).toSet
+      assert(served1 == want1)
+      // batch 0's already-served directory is history, untouched
+      assert(spark.read.parquet(out).drop("batch_id")
+        .filter(col("qid") =!= 1000L)
+        .collect().map(_.toSeq).toSet == batch0)
+    } finally q.stop()
+  }
+
   test("usePq serves the PQ-coded pipeline (ADC + exact re-rank)") {
     val emb = Tables.embeddings(spark, sf001)
     val base = Files.createTempDirectory("graft-ann-serve-pq").toString
