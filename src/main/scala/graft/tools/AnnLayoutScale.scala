@@ -115,6 +115,18 @@ object AnnLayoutScale {
         emb, "vec_id", "embedding", k = 5, nprobe = 2).count()
     }
     println(s"""{"tool":"ann-layout-scale","info":"knn_graph","edges":$edges}""")
+
+    // the graph FROM the layout (knnGraphIndexed): the base side's cell
+    // assignment is already materialized as partition directories and
+    // the quantizer is the layout's own stored centroids — measures the
+    // no-training, no-base-assignment saving vs knn_graph_auto (the
+    // layout at this point is the post-lifecycle generation:
+    // corpus + appended batch − purged takedowns)
+    val edgesIx = phase("knn_graph_indexed") {
+      graft.operators.Similarity.knnGraphIndexed(spark, base,
+        k = 5, nprobe = 2).count()
+    }
+    println(s"""{"tool":"ann-layout-scale","info":"knn_graph_indexed","edges":$edgesIx}""")
     spark.stop()
   }
 }

@@ -18,12 +18,18 @@ import org.apache.spark.sql.functions._
   *  - `redrive`: operator triage — re-ingesting the repaired rows
   *    through the full governed path and clearing the quarantine.
   *
-  * Prints one JSON line per phase. Usage: MaintainScale [sfDir] [workDir]
+  * Prints one JSON line per phase.
+  * Usage: MaintainScale [sfDir] [workDir] [mode]
+  * mode = `sig` (default, MinHash family) or `dig` (exact-digest
+  * family twin — same phases through ingestBatchWithDigestIndex /
+  * autoCompactDigestIndex / redriveQuarantinedDigest, so all three
+  * governed families carry the same measured triage story).
   */
 object MaintainScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_maintscale")
+    val mode = args.lift(2).getOrElse("sig")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -45,15 +51,37 @@ object MaintainScale {
       .delete(fsRoot, true)
     val ix = s"$work/ix"; val out = s"$work/out"
 
-    val docs = graft.sources.Tables.table(spark, dir, "documents")
+    val Dd = graft.operators.Dedup
+    val dig = mode == "dig"
+    val docs0 = graft.sources.Tables.table(spark, dir, "documents")
+    val docs =
+      if (dig) docs0.withColumn("dg",
+        sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+      else docs0
     val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
     val c0 = maxId * 3 / 5
-    val p = graft.operators.Dedup.MinHashParams(numHashes = 32, bands = 8,
+    val p = Dd.MinHashParams(numHashes = 32, bands = 8,
       shingle = 3, threshold = 0.2)
+    // family dispatch: one flow, two governed families
+    def ingest(b: org.apache.spark.sql.DataFrame, id: Long,
+               quarantine: Boolean = false): Unit =
+      if (dig) Dd.ingestBatchWithDigestIndex(b, "doc_id", "dg", ix, out,
+        id, quarantine)
+      else Dd.ingestBatchWithIndex(b, "doc_id", "text", ix, out, id,
+        quarantine)
+    def autoCompact(): Boolean =
+      (if (dig) Dd.autoCompactDigestIndex(spark, ix)
+       else Dd.autoCompactSignatureIndex(spark, ix)).isDefined
     phase("build") {
-      graft.operators.Dedup.writeSignatureIndex(
-        docs.filter(col("doc_id") <= c0), "doc_id", "text", ix, p)
-      graft.operators.Dedup.initIngestLedger(spark, ix)
+      if (dig) {
+        Dd.writeDigestIndex(docs.filter(col("doc_id") <= c0),
+          "doc_id", "dg", ix)
+        Dd.initDigestIngestLedger(spark, ix)
+      } else {
+        Dd.writeSignatureIndex(docs.filter(col("doc_id") <= c0),
+          "doc_id", "text", ix, p)
+        Dd.initIngestLedger(spark, ix)
+      }
     }
 
     // four governed batches over the remaining 40%, each followed by the
@@ -65,13 +93,11 @@ object MaintainScale {
       val lo = c0 + (maxId - c0) * i / batches
       val hi = c0 + (maxId - c0) * (i + 1) / batches
       phase(s"batch_$i") {
-        graft.operators.Dedup.ingestBatchWithIndex(
-          docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
-          "doc_id", "text", ix, out, batchId = i.toLong)
+        ingest(docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          i.toLong)
       }
       phase(s"autocompact_$i") {
-        if (graft.operators.Dedup
-            .autoCompactSignatureIndex(spark, ix).isDefined) fired += 1
+        if (autoCompact()) fired += 1
       }
     }
     println(s"""{"tool":"maintain-scale","compactions_fired":$fired,"batches":$batches}""")
@@ -80,21 +106,23 @@ object MaintainScale {
     // BELOW the watermark (the contract violation) diverts whole...
     val bad = docs.filter(col("doc_id") % 41 === 0 && col("doc_id") <= c0)
     phase("batch_quarantined") {
-      graft.operators.Dedup.ingestBatchWithIndex(bad, "doc_id", "text",
-        ix, out, batchId = batches.toLong, quarantine = true)
+      ingest(bad, batches.toLong, quarantine = true)
     }
     // ...and operator triage re-drives it through the full governed path
     // after an id repair (re-keyed past the watermark)
+    val repair = (df: org.apache.spark.sql.DataFrame) =>
+      df.withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
     phase("redrive") {
-      graft.operators.Dedup.redriveQuarantined(spark, ix, out,
-        batches.toLong, "doc_id", "text",
-        repair = df => df.withColumn("doc_id",
-          col("doc_id") + lit(maxId + 1L)))
+      if (dig) Dd.redriveQuarantinedDigest(spark, ix, out,
+        batches.toLong, "doc_id", "dg", repair)
+      else Dd.redriveQuarantined(spark, ix, out,
+        batches.toLong, "doc_id", "text", repair)
     }
     // price the fold itself at this scale (what a trigger pays WHEN it
     // fires): a forced full compaction over the accreted batch file sets
     phase("compact_forced") {
-      graft.operators.Dedup.compactSignatureIndex(spark, ix)
+      if (dig) Dd.compactDigestIndex(spark, ix)
+      else Dd.compactSignatureIndex(spark, ix)
     }
     spark.stop()
   }
