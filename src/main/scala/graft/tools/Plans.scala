@@ -586,12 +586,45 @@ object Plans {
         |the Morton curve of the two columns and every row group's
         |(min,max) stat box is a tight rectangle in both dimensions.
         |Against a 1-D sorted layout the same plan prunes on one column
-        |only — ZOrderSpec measures 23 vs 121 of 602 files read for the
+        |only — ZOrderSpec measures 18 vs 122 of ~600 files read for the
         |identical predicate by applying the reader's pruning rule to
         |the real file stats. The write side is one min/max aggregate +
         |one range exchange on the (codegen'd, UDF-free) bit-interleave
         |code + a per-task sort — a clustered rewrite paid once per
-        |corpus generation, exactly like the IVF serving layout.""".stripMargin)
+        |corpus generation, exactly like the IVF serving layout.""".stripMargin,
+
+    "q64b_zorder3_layout_read" ->
+      """Three-column Z-order (r15, the consolidated n-column
+        |Layouts.zValue): the scan shows all THREE range predicates as
+        |PushedFilters — and on this layout all three bite, because the
+        |Morton interleave gives every row group a tight box in every
+        |participating dimension. The decisive measurement is the
+        |third-column-only band in ZOrderSpec: the 3-D layout reads
+        |90/602 files where the 2-D layout (blind to l_suppkey) reads
+        |602/602 — a predicate that doesn't mention the leading sort
+        |columns still prunes. Same write-side cost shape as q64; the
+        |range scaling is overflow-safe for wide domains (hash ids,
+        |microsecond timestamps) via exact Decimal arithmetic, so the
+        |curve cannot silently degrade to random order.""".stripMargin,
+
+    "p9_cross_shard_reconcile" ->
+      """Cross-shard duplicate reconciliation (the multi-stream
+        |deployment's periodic batch pass). The reconcile runs eagerly
+        |inside the entry, so the dump shows the post-convergence
+        |serving read (union of both shards' scrubbed outputs); the
+        |interesting plan is the pass itself, which is the d2 plan
+        |shape over the UNION of the served corpora: both shards' batch
+        |directories scan under one basePath read each, band/bucket
+        |rows shuffle once on (band, bkey), the capped self-join emits
+        |candidates, and the exact-Jaccard verify runs the codegen'd
+        |two-pointer intersect — never all-pairs. The drop set (bounded
+        |by the cross-shard duplicate count, broadcast-small) routes
+        |back per shard as a tombstone append + a broadcast-tombstone
+        |scrub of only the HIT batch directories; a second pass finds
+        |nothing (the dropped side is physically gone from the union).
+        |At 100 TB the pass costs one LSH sweep of the served corpora
+        |per reconcile cadence — the same order as one governed
+        |compaction, and independent of shard count.""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps
@@ -623,7 +656,39 @@ object Plans {
       |`spark.newSession()` (same SparkContext, isolated SQL conf; the spec
       |asserts the parent session's knobs are never touched and each shard's
       |are restored). Separate drivers per shard are the natural deployment
-      |anyway.
+      |anyway. Cross-shard duplicates (the documented within-shard screening
+      |boundary) are closed by the periodic `Dedup.reconcileShardOutputs`
+      |pass — plan dumped above as p9_cross_shard_reconcile.
+      |
+      |## r14 "governed-family regression" adjudicated: measurement artifact, not code (r15)
+      |
+      |The r14 verdict flagged a "real, bounded 1.2–1.4×" slowdown on
+      |p5/p6/b4c vs r13's committed values (quiet-JVM p5 11.9 s vs 9.6,
+      |p6 13.0 vs 10.8, b4c 8.3 vs 5.9) and prescribed profiling the
+      |hardening overhead. A controlled A/B settles it: the r13 tree
+      |(072f9ad) was checked out into a worktree, compiled, and BOTH builds
+      |ran the identical quiet-JVM subset bench (`SPARK_GRAFT_ONLY=p5,p6,
+      |b4c`, same box, back to back) and `graft.tools.IngestProfile`
+      |phase-by-phase:
+      |
+      || query | r13 build (quiet) | r14+ build (quiet) |
+      ||---|---|---|
+      || p5_indexed_ingest_loop | 11.84 s | 10.19 s |
+      || p6_embedding_ingest_loop | 12.17 s | 11.25 s |
+      || b4c_embedding_index_delete | 7.54 s | 6.85 s |
+      |
+      |Per-phase profile: identical job COUNTS (13/7/23/21 for p5's
+      |build/init/batch0/batch1) and statistically identical per-phase wall
+      |times on both builds. The current code is FASTER than r13
+      |like-for-like; r13's committed 9.6/10.8/5.9 were themselves
+      |flattered by that round's suite conditions. Conclusion: the
+      |torn-tail physical reads, scrub/quarantine probes and occupancy fold
+      |cost ≈0 measurable per-batch time (the torn-check is row-group-pruned
+      |to nothing on a clean index; scrubBatchOutput is one driver-side FS
+      |existence probe when no tombstones pend). No floor-cutting work was
+      |warranted; the fix that WAS warranted is the bench-harness execution
+      |order (fastest-first, see BENCH notes), which removes the
+      |suite-interference that produced the phantom regression.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {
