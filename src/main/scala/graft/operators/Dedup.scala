@@ -4686,14 +4686,60 @@ object Dedup {
                             shards: Seq[GovernedShardPaths],
                             idCol: String, textCol: String)
       : ShardReconcileStats = {
-    require(shards.size >= 2,
-      s"reconcileShardOutputs needs >= 2 shards, got ${shards.size}")
-    GraftFunctions.register(spark)
     val params = shards.map(s => readSignatureIndex(spark, s.indexPath).params)
     require(params.distinct.size == 1,
       "reconcileShardOutputs: all shards must share one MinHashParams " +
         s"geometry; found ${params.distinct.mkString(" vs ")}")
     val p = params.head
+    reconcileCore(spark, shards, idCol, textCol,
+      union => minHashNearDupPairs(union, idCol, textCol, p),
+      (path, ids) => deleteFromSignatureIndex(spark, path, ids, "id"))
+  }
+
+  /** [[reconcileShardOutputs]]' embedding twin for N governed SRP shard
+    * deployments: the union pass is [[embeddingNearDupLshAuto]] (plane
+    * density sized from the UNION — the reconcile corpus is N shards
+    * big, so a shard-sized plane count would over-pack its buckets) +
+    * exact-cosine verification, and drops feed back through
+    * [[deleteFromSrpIndex]] + the same scrubs. Shards must agree on the
+    * vector dimension (each index's own params row); tables/threshold
+    * are the pass's own recall dials, deliberately NOT read from the
+    * shard indexes — cross-shard reconciliation is a separate screen
+    * with its own operating point.
+    */
+  def reconcileShardOutputsSrp(spark: org.apache.spark.sql.SparkSession,
+                               shards: Seq[GovernedShardPaths],
+                               idCol: String, vecCol: String,
+                               threshold: Double,
+                               tables: Int = 16)
+      : ShardReconcileStats = {
+    val dims = shards.map(s => readSrpIndex(spark, s.indexPath).dim)
+    require(dims.distinct.size == 1,
+      "reconcileShardOutputsSrp: all shards must index one vector " +
+        s"dimension; found ${dims.distinct.mkString(" vs ")}")
+    val dim = dims.head
+    reconcileCore(spark, shards, idCol, vecCol,
+      union => embeddingNearDupLshAuto(union, idCol, vecCol, threshold,
+        dim, tables),
+      (path, ids) => deleteFromSrpIndex(spark, path, ids, "id"))
+  }
+
+  /** Shared core of the cross-shard reconcile family: union the served
+    * corpora, run the family's pair finder ONCE union-wide, keep
+    * cross-shard pairs, greedy-star drop the larger ids through each
+    * owning shard's takedown machinery. Parameterized only by the pair
+    * finder and the index-delete hook, so a reconciliation-semantics
+    * fix can never diverge between families.
+    */
+  private def reconcileCore(spark: org.apache.spark.sql.SparkSession,
+                            shards: Seq[GovernedShardPaths],
+                            idCol: String, payloadCol: String,
+                            pairsOf: DataFrame => DataFrame,
+                            deleteFn: (String, DataFrame) => Unit)
+      : ShardReconcileStats = {
+    require(shards.size >= 2,
+      s"cross-shard reconcile needs >= 2 shards, got ${shards.size}")
+    GraftFunctions.register(spark)
 
     // Served corpus per shard: exactly the batch_id=N data directories,
     // read with basePath so batch_id stays a column and scrub-aside
@@ -4716,7 +4762,7 @@ object Dedup {
       if (dirs.isEmpty) None
       else Some(spark.read.option("basePath", s.outPath)
         .parquet(dirs.map(_.toString): _*)
-        .select(col(idCol), col(textCol))
+        .select(col(idCol), col(payloadCol))
         .withColumn("__rshard", lit(i)))
     }
     if (served.size < 2)
@@ -4729,16 +4775,16 @@ object Dedup {
     val idChk = union.agg(count(lit(1)).as("n"),
       count_distinct(col(idCol)).as("d")).head()
     require(idChk.getLong(0) == idChk.getLong(1),
-      s"reconcileShardOutputs: ${idChk.getLong(0) - idChk.getLong(1)} " +
+      s"cross-shard reconcile: ${idChk.getLong(0) - idChk.getLong(1)} " +
         s"duplicate '$idCol' values ACROSS shards — the deployment " +
         "router must be id-preserving and ids globally unique")
 
-    // ONE union-wide LSH pass; keep only pairs whose sides live in
+    // ONE union-wide pair pass; keep only pairs whose sides live in
     // different shards, then greedy-star: drop every id with a
     // smaller-id cross-shard near-duplicate.
     val shardOf = union.select(col(idCol).as("__rid"),
       col("__rshard")).localCheckpoint()
-    val pairs = minHashNearDupPairs(union, idCol, textCol, p)
+    val pairs = pairsOf(union)
     val cross = pairs
       .join(shardOf.select(col("__rid").as("id_a"),
         col("__rshard").as("__sh_a")), Seq("id_a"))
@@ -4763,7 +4809,7 @@ object Dedup {
     shards.zipWithIndex.foreach { case (s, i) =>
       if (perShard(i) > 0) {
         val ids = drops.filter(col("__rshard") === lit(i)).select(col("id"))
-        deleteFromSignatureIndex(spark, s.indexPath, ids, "id")
+        deleteFn(s.indexPath, ids)
         scrubbed += scrubOutputs(spark, s.indexPath, s.outPath, idCol)
         scrubbed += scrubQuarantined(spark, s.indexPath, idCol)
       }

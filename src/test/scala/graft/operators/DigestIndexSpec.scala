@@ -201,4 +201,24 @@ class DigestIndexSpec extends SparkSpec {
     // d3 is a dup; both null-digest rows pass (no identity, no collision)
     assert(got == Set(101L, 102L))
   }
+
+  test("writeDigestIndex excludes NULL digests physically — rebuild " +
+      "matches the append path's table and watermark") {
+    // the NULL-digest row carries the MAX id: if the rebuild indexed it
+    // (the r15 regression this pins), the physical table and the ledger
+    // bootstrap watermark would both diverge from an append-built index
+    val rows = Seq((0L, "a"), (1L, "b"), (2L, null)).toDF("id", "dig")
+      .withColumn("payload", concat(lit("obj-"), coalesce(col("dig"), lit("?"))))
+    val base = Files.createTempDirectory("graft-digix-nullparity").toString
+    val re = s"$base/rebuild"; val ap = s"$base/append"
+    Dedup.writeDigestIndex(rows, "id", "dig", re)
+    Dedup.writeDigestIndex(rows.filter(col("id") < 1), "id", "dig", ap)
+    Dedup.appendDigestIndex(rows.filter(col("id") >= 1), "id", "dig", ap)
+    def phys(p: String) = spark.read.parquet(s"$p/digests")
+      .select("id", "dig").collect().map(_.toSeq).toSet
+    assert(phys(re) == phys(ap))
+    assert(!phys(re).exists(_(1) == null))
+    assert(spark.read.parquet(s"$re/digests").agg(max(col("id")))
+      .head().getLong(0) == 1L)
+  }
 }

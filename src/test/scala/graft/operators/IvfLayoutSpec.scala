@@ -172,6 +172,21 @@ class IvfLayoutSpec extends SparkSpec {
     assert(indexed.nonEmpty)
   }
 
+  test("writeIvfLayoutAuto clamps cells to a tiny corpus instead of " +
+      "failing inside trainCentroids") {
+    val tiny = Seq((1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(1f, 1f))).toDF("vec_id", "embedding")
+    val base = Files.createTempDirectory("graft-ivf-tiny").toString
+    val cents = Similarity.writeIvfLayoutAuto(tiny, base,
+      "vec_id", "embedding")
+    assert(cents.length <= 3 && cents.nonEmpty)
+    val q = Seq((1L, Seq(1f, 0f))).toDF("qid", "qvec")
+    val got = Similarity.ivfTopKIndexed(spark, base, q, "qid", "qvec",
+      k = 1, nprobe = cents.length, excludeSelf = false)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("vec_id") == 1L)
+  }
+
   test("auto-sized layout recall >= 0.5 vs exact brute force on sf0.01 embeddings") {
     val sf01 = "/root/testdata/sf0.01"
     val emb = Tables.embeddings(spark, sf01)

@@ -130,6 +130,30 @@ class KnnGraphSpec extends SparkSpec {
     assert(e.getMessage.contains("monotone"))
   }
 
+  test("NULL batch ids fail loudly (all-NULL and partial-NULL both)") {
+    val cents: Seq[Seq[Float]] = Seq(Seq(1f, 0f), Seq(0f, 1f))
+    val corpus = Seq((1L, Seq(1f, 0f)), (2L, Seq(1f, 0f))).toDF("id", "v")
+    val old = Similarity.knnGraph(corpus, "id", "v", k = 2, cents)
+    // all-NULL ids: min(id) is SQL NULL — must be the contract message,
+    // not a bare NPE from reading the null boolean
+    val allNull = Seq((Option.empty[java.lang.Long], Seq(1f, 0f)))
+      .toDF("id", "v")
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.knnGraphIncrement(old, corpus, allNull, "id", "v",
+        k = 2, cents)
+    }
+    assert(e1.getMessage.contains("NULL ids"), e1.getMessage)
+    // partial NULL: min() ignores nulls so the monotone check alone
+    // would pass — the count-parity check must still reject
+    val partial = Seq((Option(java.lang.Long.valueOf(9L)), Seq(1f, 0f)),
+      (Option.empty[java.lang.Long], Seq(0f, 1f))).toDF("id", "v")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.knnGraphIncrement(old, corpus, partial, "id", "v",
+        k = 2, cents)
+    }
+    assert(e2.getMessage.contains("NULL ids"), e2.getMessage)
+  }
+
   test("knnGraphIndexed over a layout equals knnGraph over the corpus; a " +
       "takedown drops BOTH edge directions") {
     val emb = Tables.embeddings(spark, sf001)

@@ -92,6 +92,51 @@ class CrossShardReconcileSpec extends SparkSpec {
       "replay resurrected a reconciled takedown")
   }
 
+  test("SRP embedding twin: a planted cross-shard near-dup vector is " +
+      "reconciled through deleteFromSrpIndex + scrub") {
+    val base = Files.createTempDirectory("graft-reconcile-srp").toString
+    val ix0 = s"$base/ix0"; val out0 = s"$base/out0"
+    val ix1 = s"$base/ix1"; val out1 = s"$base/out1"
+    def oneHot(k: Int): Seq[Float] =
+      Seq.tabulate(8)(j => if (j == k % 8) 1f else 0f)
+    // the planted pair shares one vector (cosine 1.0); every other
+    // vector is one-hot on a distinct axis (cosine 0 or 0.707 vs the
+    // shared (e4+e5)/sqrt2 — all below the 0.9 threshold)
+    val shared = Seq.tabulate(8)(j =>
+      if (j == 4 || j == 5) (1.0 / math.sqrt(2)).toFloat else 0f)
+    def edf(rows: (Long, Seq[Float])*) = rows.toDF("vec_id", "embedding")
+    Dedup.writeSrpIndex(edf(0L -> oneHot(0), 2L -> oneHot(2)),
+      "vec_id", "embedding", ix0, dim = 8)
+    Dedup.writeSrpIndex(edf(1L -> oneHot(1), 3L -> oneHot(3)),
+      "vec_id", "embedding", ix1, dim = 8)
+    Dedup.initSrpIngestLedger(spark, ix0)
+    Dedup.initSrpIngestLedger(spark, ix1)
+    Dedup.ingestBatchWithSrpIndex(edf(10L -> shared, 12L -> oneHot(6)),
+      "vec_id", "embedding", ix0, out0, batchId = 0L, threshold = 0.9)
+    Dedup.ingestBatchWithSrpIndex(edf(11L -> shared, 13L -> oneHot(7)),
+      "vec_id", "embedding", ix1, out1, batchId = 0L, threshold = 0.9)
+    def ids(out: String): Set[Long] =
+      spark.read.parquet(out).select("vec_id").collect()
+        .map(_.getLong(0)).toSet
+    assert(ids(out0) == Set(10L, 12L))
+    assert(ids(out1) == Set(11L, 13L))
+
+    val shards = Seq(Dedup.GovernedShardPaths(ix0, out0),
+      Dedup.GovernedShardPaths(ix1, out1))
+    val st = Dedup.reconcileShardOutputsSrp(spark, shards,
+      "vec_id", "embedding", threshold = 0.9)
+    assert(st.crossPairs == 1L && st.dropped == 1L &&
+      st.droppedPerShard == Seq(0L, 1L), st)
+    assert(ids(out0) == Set(10L, 12L))
+    assert(ids(out1) == Set(13L))
+    assert(Dedup.readSrpIndex(spark, ix1).vectors
+      .filter(col("id") === 11L).isEmpty)
+    // idempotent
+    val st2 = Dedup.reconcileShardOutputsSrp(spark, shards,
+      "vec_id", "embedding", threshold = 0.9)
+    assert(st2.dropped == 0L && st2.crossPairs == 0L, st2)
+  }
+
   test("contract violations fail loudly: mismatched MinHash geometry; " +
       "duplicate ids across shards") {
     val base = Files.createTempDirectory("graft-reconcile-bad").toString
