@@ -142,8 +142,10 @@ object Bench {
     // detect it; queries with no prior (new this round) run after
     // everything known, where they can only be inflated, never inflate
     // an established entry's round-over-round comparison.
+    // (failed-last-round -1 sentinels must NOT sort first — an
+    // unmeasured query is treated like a new one and runs last)
     val ordered = picked.toSeq.sortBy { case (name, _) =>
-      (prior.getOrElse(name, Double.MaxValue), name) }
+      (prior.get(name).filter(_ >= 0).getOrElse(Double.MaxValue), name) }
     val results = ordered.map { case (name, fn) =>
       def timed(): Double = {
         val t0 = System.nanoTime()

@@ -1760,16 +1760,8 @@ object SparkEntry {
       fs.delete(new org.apache.hadoop.fs.Path(base), true)
       val p = Dedup.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
         threshold = 0.2)
-      val shards = (0 to 1).map { sh =>
-        val ix = s"$base/ix$sh"; val out = s"$base/out$sh"
-        val mine = docs.filter(pmod(col("doc_id"), lit(2)) === sh)
-        Dedup.writeSignatureIndex(mine.filter(col("doc_id") <= c1),
-          "doc_id", "text", ix, p)
-        Dedup.initIngestLedger(s, ix)
-        Dedup.ingestBatchWithIndex(mine.filter(col("doc_id") > c1),
-          "doc_id", "text", ix, out, batchId = 0L)
-        Dedup.GovernedShardPaths(ix, out)
-      }
+      val shards = Dedup.buildTwoShardDeployment(docs, "doc_id", "text",
+        c1, p, base)
       Dedup.reconcileShardOutputs(s, shards, "doc_id", "text")
       shards.zipWithIndex.map { case (sh, i) =>
           s.read.parquet(sh.outPath).select(col("doc_id"))

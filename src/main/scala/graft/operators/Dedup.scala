@@ -4760,28 +4760,51 @@ object Dedup {
     val served = shards.zipWithIndex.flatMap { case (s, i) =>
       val dirs = servedDirs(s.outPath)
       if (dirs.isEmpty) None
-      else Some(spark.read.option("basePath", s.outPath)
-        .parquet(dirs.map(_.toString): _*)
-        .select(col(idCol), col(payloadCol))
-        .withColumn("__rshard", lit(i)))
+      else {
+        val raw = spark.read.option("basePath", s.outPath)
+          .parquet(dirs.map(_.toString): _*)
+          .select(col(idCol), col(payloadCol))
+        // RETAINED view only: a takedown whose scrub hasn't landed yet
+        // (deleteFrom*Index takes effect at index opens; the output
+        // rewrite is scrubOutputs' separate pass) leaves the row on
+        // disk, and letting it into the union would let a DEAD row win
+        // greedy-star and drop its surviving duplicate from the other
+        // shard — both copies gone. Same anti-join every index open
+        // applies; zero cost when nothing pends.
+        val live = readTombstones(spark, s.indexPath).fold(raw) { t =>
+          raw.join(broadcast(t.select(col("id").as("__tomb_id"))),
+            col(idCol).try_cast("long") === col("__tomb_id"), "left_anti")
+        }
+        Some(live.withColumn("__rshard", lit(i)))
+      }
     }
     if (served.size < 2)
       return ShardReconcileStats(0L, 0L, shards.map(_ => 0L), 0L)
     val union = served.reduce(_.unionByName(_))
 
-    // Router contract: ids are globally unique across shards — a
-    // duplicated id would make the per-shard drop routing ambiguous
-    // (and means the deployment's router is broken), so fail loudly.
+    // Router contract: ids are non-null and globally unique across
+    // shards — a NULL id can never be taken down (tombstones are long
+    // ids) and a duplicated id would make the per-shard drop routing
+    // ambiguous — so both fail loudly with the right diagnosis.
     val idChk = union.agg(count(lit(1)).as("n"),
+      count(col(idCol)).as("nn"),
       count_distinct(col(idCol)).as("d")).head()
     require(idChk.getLong(0) == idChk.getLong(1),
       s"cross-shard reconcile: ${idChk.getLong(0) - idChk.getLong(1)} " +
-        s"duplicate '$idCol' values ACROSS shards — the deployment " +
-        "router must be id-preserving and ids globally unique")
+        s"NULL '$idCol' values in the served corpora — the id contract " +
+        "(non-null, unique, long-castable) is violated upstream")
+    require(idChk.getLong(1) == idChk.getLong(2),
+      s"cross-shard reconcile: ${idChk.getLong(1) - idChk.getLong(2)} " +
+        s"duplicate '$idCol' values in the served corpora (within or " +
+        "across shards) — the deployment router must be id-preserving " +
+        "and ids globally unique")
 
     // ONE union-wide pair pass; keep only pairs whose sides live in
     // different shards, then greedy-star: drop every id with a
-    // smaller-id cross-shard near-duplicate.
+    // smaller-id cross-shard near-duplicate. The cross projection is
+    // checkpointed so the count and the drop set both read the
+    // materialized rows — the expensive pair pass runs ONCE, the cost
+    // contract the section note prices.
     val shardOf = union.select(col(idCol).as("__rid"),
       col("__rshard")).localCheckpoint()
     val pairs = pairsOf(union)
@@ -4791,10 +4814,11 @@ object Dedup {
       .join(shardOf.select(col("__rid").as("id_b"),
         col("__rshard").as("__sh_b")), Seq("id_b"))
       .filter(col("__sh_a") =!= col("__sh_b"))
-    val drops = cross.select(col("id_b").cast("long").as("id"),
-        col("__sh_b").as("__rshard")).distinct()
+      .select(col("id_b").cast("long").as("id"),
+        col("__sh_b").as("__rshard"))
       .localCheckpoint()
     val crossPairs = cross.count()
+    val drops = cross.distinct().localCheckpoint()
     val perShardCounts = drops.groupBy(col("__rshard"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
@@ -4815,7 +4839,32 @@ object Dedup {
       }
     }
     graft.plans.Checkpoints.free(shardOf)
+    graft.plans.Checkpoints.free(cross)
     graft.plans.Checkpoints.free(drops)
     ShardReconcileStats(crossPairs, perShard.sum, perShard, scrubbed)
+  }
+
+  /** Two-shard even/odd governed MinHash deployment builder — the
+    * SHARED scaffolding behind the p9 bench entry and
+    * `tools.ReconcileScale` (one recipe, so the bench entry and the
+    * scale audit can never silently measure different deployments).
+    * Routes `docs` by `pmod(id, 2)`, bootstraps each shard's index from
+    * its `id <= c1` slice, governs one batch over the rest. Dev/bench
+    * scaffolding, not a production operator.
+    */
+  private[graft] def buildTwoShardDeployment(
+      docs: DataFrame, idCol: String, textCol: String, c1: Long,
+      p: MinHashParams, base: String): Seq[GovernedShardPaths] = {
+    val spark = docs.sparkSession
+    (0 to 1).map { sh =>
+      val ix = s"$base/ix$sh"; val out = s"$base/out$sh"
+      val mine = docs.filter(pmod(col(idCol), lit(2)) === sh)
+      writeSignatureIndex(mine.filter(col(idCol) <= c1), idCol, textCol,
+        ix, p)
+      initIngestLedger(spark, ix)
+      ingestBatchWithIndex(mine.filter(col(idCol) > c1), idCol, textCol,
+        ix, out, batchId = 0L)
+      GovernedShardPaths(ix, out)
+    }
   }
 }

@@ -51,16 +51,7 @@ object ReconcileScale {
     val p = Dd.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
       threshold = 0.2)
     val shards = phase("build_shards") {
-      (0 to 1).map { sh =>
-        val ix = s"$work/ix$sh"; val out = s"$work/out$sh"
-        val mine = docs.filter(pmod(col("doc_id"), lit(2)) === sh)
-        Dd.writeSignatureIndex(mine.filter(col("doc_id") <= c1),
-          "doc_id", "text", ix, p)
-        Dd.initIngestLedger(spark, ix)
-        Dd.ingestBatchWithIndex(mine.filter(col("doc_id") > c1),
-          "doc_id", "text", ix, out, batchId = 0L)
-        Dd.GovernedShardPaths(ix, out)
-      }
+      Dd.buildTwoShardDeployment(docs, "doc_id", "text", c1, p, work)
     }
     val st = phase("reconcile") {
       Dd.reconcileShardOutputs(spark, shards, "doc_id", "text")

@@ -92,6 +92,33 @@ class CrossShardReconcileSpec extends SparkSpec {
       "replay resurrected a reconciled takedown")
   }
 
+  test("a pending takedown (not yet scrubbed) cannot win greedy-star: " +
+      "the dead row is filtered from the union, its surviving " +
+      "duplicate is kept") {
+    val base = Files.createTempDirectory("graft-reconcile-tomb").toString
+    val ix0 = s"$base/ix0"; val out0 = s"$base/out0"
+    val ix1 = s"$base/ix1"; val out1 = s"$base/out1"
+    Dedup.writeSignatureIndex(df(0L -> uniq(0)), "doc_id", "text", ix0, p)
+    Dedup.writeSignatureIndex(df(1L -> uniq(1)), "doc_id", "text", ix1, p)
+    Dedup.initIngestLedger(spark, ix0)
+    Dedup.initIngestLedger(spark, ix1)
+    Dedup.ingestBatchWithIndex(df(10L -> famA(10)), "doc_id", "text",
+      ix0, out0, batchId = 0L)
+    Dedup.ingestBatchWithIndex(df(11L -> famA(11)), "doc_id", "text",
+      ix1, out1, batchId = 0L)
+    // take down 10 in shard 0 — deliberately WITHOUT scrubbing, so its
+    // row is still physically present in out0 (the scrub is a separate
+    // pass); the union must see the RETAINED corpus, where 11 has no
+    // smaller-id duplicate and must survive
+    Dedup.deleteFromSignatureIndex(spark, ix0, Seq(10L))
+    val st = Dedup.reconcileShardOutputs(spark,
+      Seq(Dedup.GovernedShardPaths(ix0, out0),
+        Dedup.GovernedShardPaths(ix1, out1)), "doc_id", "text")
+    assert(st.crossPairs == 0L && st.dropped == 0L,
+      s"a tombstoned row dropped its surviving duplicate: $st")
+    assert(servedIds(out1) == Set(11L))
+  }
+
   test("SRP embedding twin: a planted cross-shard near-dup vector is " +
       "reconciled through deleteFromSrpIndex + scrub") {
     val base = Files.createTempDirectory("graft-reconcile-srp").toString
