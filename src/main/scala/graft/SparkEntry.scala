@@ -1896,6 +1896,34 @@ object SparkEntry {
           col("l_suppkey"), col("l_quantity"))
     }),
 
+    // z-order LIFECYCLE (the lakehouse OPTIMIZE operating loop): the
+    // first corpus slice is written clustered, the rest arrives via
+    // the CHEAP append path (no range exchange — curve-unsorted files,
+    // correct to read), and the fragmentation-measured trigger
+    // reclusters the whole layout before serving. The read is the q64
+    // predicate over the post-recluster layout; oracle = the same
+    // filter on the original table (every lifecycle state is an
+    // execution artifact).
+    "q64c_zorder_lifecycle_read" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zorderlc_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(out), true)
+      val li = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      val cut = li.agg(max(col("l_orderkey"))).head().getLong(0) * 3 / 5
+      Layouts.writeZOrderedMaintained(li.filter(col("l_orderkey") <= cut),
+        out, Seq("l_orderkey", "l_partkey"), maxRecordsPerFile = 2000L)
+      Layouts.appendZOrdered(li.filter(col("l_orderkey") > cut), out)
+      Layouts.autoReclusterZOrdered(s, out, threshold = 0.05)
+      s.read.parquet(out)
+        .filter(col("l_orderkey").between(100, 1500) &&
+          col("l_partkey").between(20, 120))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
+    }),
+
     // hive-partitioned corpus layout: the corpus is WRITTEN partitioned
     // by lang (the layout a served training corpus ships in — one
     // directory per partition value, no lang bytes in the data files)
@@ -4412,6 +4440,15 @@ object SparkEntry {
         |  AND l_partkey BETWEEN 20 AND 120
         |  AND l_suppkey BETWEEN 5 AND 60
         |ORDER BY l_orderkey, l_partkey, l_suppkey, l_quantity""".stripMargin,
+
+    // every lifecycle state (clustered write, cheap append, recluster)
+    // is an execution artifact — same rows, same filter
+    "q64c_zorder_lifecycle_read" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 1500
+        |  AND l_partkey BETWEEN 20 AND 120
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
 
     "q62_sliding_window" ->
       """WITH e AS (

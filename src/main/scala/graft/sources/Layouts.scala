@@ -154,4 +154,166 @@ object Layouts {
                     maxRecordsPerFile: Long = 0L): Unit =
     writeZOrdered(df, path, Seq(colA, colB), bits, files,
       maxRecordsPerFile)
+
+  // ---- layout lifecycle: append + measured recluster (OPTIMIZE) ----
+  //
+  // A living corpus keeps arriving after the clustered rewrite. Forcing
+  // every ingest through the global range exchange would make the
+  // layout the ingest bottleneck, so the lifecycle splits the two
+  // rates: [[appendZOrdered]] lands new files cheap and curve-UNSORTED
+  // (readers stay correct — only the appended fraction loses skipping,
+  // its file stat boxes being wide), and [[reclusterZOrdered]] restores
+  // the clustered order with one global rewrite when the measured
+  // unclustered fraction warrants it ([[autoReclusterZOrdered]] — the
+  // same fragmentation-measured trigger discipline as the index
+  // family's autoCompact, byte-fraction instead of file-count).
+  // This is the `OPTIMIZE ZORDER BY` operating loop of lakehouse
+  // formats over plain parquet.
+  //
+  // Bookkeeping lives under `path/_zorder/` — an underscore-prefixed
+  // directory, invisible to every parquet reader (Spark's hidden-file
+  // filter), holding the layout geometry (clustering columns, bits,
+  // file split) and the CLUSTERED GENERATION's file names, so the
+  // unclustered fraction is one directory listing, never a data scan.
+  //
+  // Swap discipline (recluster): stage the rewrite into a sibling
+  // directory, rename-aside the old root, rename the stage in, drop
+  // the aside — the same window as compactIvfLayout's swap; quiesce
+  // readers across a recluster (appends are epochally safe: a crash
+  // mid-append leaves invisible temporary files only). A crashed swap
+  // self-heals on the next lifecycle call ([[healZOrderSwap]]).
+
+  private def zmetaDir(path: String) = s"$path/_zorder"
+
+  private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def dataFiles(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.toSeq
+  }
+
+  /** Stamp the current root data files as THE clustered generation and
+    * persist the geometry — called by [[writeZOrdered]]'s lifecycle
+    * wrapper and by [[reclusterZOrdered]] after its swap. */
+  private def stampClustered(spark: org.apache.spark.sql.SparkSession,
+                             path: String, cols: Seq[String], bits: Int,
+                             files: Int, maxRecordsPerFile: Long): Unit = {
+    import spark.implicits._
+    val names = dataFiles(spark, path).map(_.getPath.getName)
+    val fs = fsOf(spark, path)
+    fs.delete(new org.apache.hadoop.fs.Path(zmetaDir(path)), true)
+    Seq((cols, bits, files, maxRecordsPerFile))
+      .toDF("cols", "bits", "files", "max_records_per_file")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${zmetaDir(path)}/params")
+    names.toDF("name").coalesce(1).write.mode("overwrite")
+      .parquet(s"${zmetaDir(path)}/clustered_files")
+  }
+
+  /** [[writeZOrdered]] + lifecycle bookkeeping: the maintained entry
+    * point when the layout will see [[appendZOrdered]] /
+    * [[autoReclusterZOrdered]] afterwards. */
+  def writeZOrderedMaintained(df: DataFrame, path: String,
+                              cols: Seq[String], bits: Int = 16,
+                              files: Int = 0,
+                              maxRecordsPerFile: Long = 0L): Unit = {
+    writeZOrdered(df, path, cols, bits, files, maxRecordsPerFile)
+    stampClustered(df.sparkSession, path, cols, bits, files,
+      maxRecordsPerFile)
+  }
+
+  /** Cheap ingest into a maintained layout: plain parquet append, no
+    * range exchange, no sort — new files are curve-unsorted (wide stat
+    * boxes: correct to read, skipped poorly) until the next recluster.
+    */
+  def appendZOrdered(df: DataFrame, path: String): Unit = {
+    healZOrderSwap(df.sparkSession, path)
+    require(fsOf(df.sparkSession, path)
+        .exists(new org.apache.hadoop.fs.Path(s"${zmetaDir(path)}/params")),
+      s"appendZOrdered: $path is not a maintained z-ordered layout — " +
+        "write it with writeZOrderedMaintained first")
+    df.write.mode("append").parquet(path)
+  }
+
+  /** The measured decay: bytes in data files NOT part of the clustered
+    * generation, as a fraction of all data bytes. One directory
+    * listing — never a data scan. 0.0 on a freshly clustered layout. */
+  def zOrderFragmentation(spark: org.apache.spark.sql.SparkSession,
+                          path: String): Double = {
+    healZOrderSwap(spark, path)
+    val clustered = spark.read
+      .parquet(s"${zmetaDir(path)}/clustered_files")
+      .collect().map(_.getString(0)).toSet
+    val all = dataFiles(spark, path)
+    val total = all.map(_.getLen).sum
+    if (total == 0L) 0.0
+    else all.filterNot(s => clustered(s.getPath.getName))
+      .map(_.getLen).sum.toDouble / total
+  }
+
+  /** Restore the clustered order: ONE global rewrite of the whole
+    * table under the layout's persisted geometry, staged beside the
+    * root and swapped in (rename-aside — quiesce readers across it;
+    * a crashed swap self-heals on the next lifecycle call). */
+  def reclusterZOrdered(spark: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    healZOrderSwap(spark, path)
+    val pr = spark.read.parquet(s"${zmetaDir(path)}/params").head()
+    val cols = pr.getSeq[String](pr.fieldIndex("cols"))
+    val bits = pr.getAs[Int]("bits")
+    val files = pr.getAs[Int]("files")
+    val mrpf = pr.getAs[Long]("max_records_per_file")
+    val fs = fsOf(spark, path)
+    val stage = new org.apache.hadoop.fs.Path(s"$path.__zstage")
+    val aside = new org.apache.hadoop.fs.Path(s"$path.__zaside")
+    fs.delete(stage, true)
+    // the staged rewrite reads the CURRENT root (clustered + appended)
+    writeZOrdered(spark.read.parquet(path), stage.toString, cols.toSeq,
+      bits, files, mrpf)
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(fs.rename(root, aside), s"recluster: rename-aside of $path failed")
+    require(fs.rename(stage, root), s"recluster: stage swap-in at $path failed")
+    fs.delete(aside, true)
+    stampClustered(spark, path, cols.toSeq, bits, files, mrpf)
+  }
+
+  /** Heal a recluster swap that crashed between its two renames: the
+    * root is gone but the aside generation is intact — put it back
+    * (the staged rewrite is re-derivable; the data never is). Called
+    * by every lifecycle entry point. */
+  private def healZOrderSwap(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val aside = new org.apache.hadoop.fs.Path(s"$path.__zaside")
+    val stage = new org.apache.hadoop.fs.Path(s"$path.__zstage")
+    if (fs.exists(aside)) {
+      if (!fs.exists(root))
+        require(fs.rename(aside, root), s"z-order swap heal of $path failed")
+      else fs.delete(aside, true) // crashed after swap-in: root is newer
+    }
+    fs.delete(stage, true) // staged rewrites are always re-derivable
+  }
+
+  /** Fragmentation-measured recluster trigger: recluster ONLY when at
+    * least `threshold` of the layout's bytes arrived after the last
+    * clustered rewrite — below it, the appended tail is a bounded
+    * fraction of any scan and a rewrite is churn. Returns the measured
+    * fragmentation when it fired. */
+  def autoReclusterZOrdered(spark: org.apache.spark.sql.SparkSession,
+                            path: String,
+                            threshold: Double = 0.25): Option[Double] = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val frag = zOrderFragmentation(spark, path)
+    if (frag >= threshold) { reclusterZOrdered(spark, path); Some(frag) }
+    else None
+  }
 }

@@ -144,6 +144,79 @@ class ZOrderSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("layout lifecycle: cheap unclustered append degrades skipping " +
+      "for its fraction only; the measured trigger reclusters and " +
+      "restores it; a crashed swap self-heals") {
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val base = Files.createTempDirectory("graft-zorder-life").toString
+    val lay = s"$base/lay"
+    try {
+      val (oldSlice, newSlice) =
+        (li.filter(col("l_orderkey") <= 9000),
+          li.filter(col("l_orderkey") > 9000))
+      Layouts.writeZOrderedMaintained(oldSlice, lay,
+        Seq("l_orderkey", "l_partkey"), maxRecordsPerFile = 100L)
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
+
+      // cheap append: content correct immediately, fragmentation rises
+      Layouts.appendZOrdered(newSlice, lay)
+      val want = li.collect().map(_.toSeq).toSet
+      assert(spark.read.parquet(lay).collect().map(_.toSeq).toSet == want)
+      // byte-based: the appended slice is ~40% of rows but packs into
+      // fewer, denser files than the 100-row clustered generation
+      val frag = Layouts.zOrderFragmentation(spark, lay)
+      assert(frag > 0.05 && frag < 0.7, s"fragmentation $frag")
+
+      // the appended tail is curve-unsorted: a 2-D box over ITS key
+      // range must decompress ~every appended BYTE (the appended files
+      // are few but wide-boxed), while the clustered generation prunes
+      // fine-grained — so measure bytes, not file counts
+      def bytesTouched(loA: Long, hiA: Long, loB: Long, hiB: Long): (Long, Long) = {
+        val sizes = {
+          val fs = new org.apache.hadoop.fs.Path(lay)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          fs.listStatus(new org.apache.hadoop.fs.Path(lay))
+            .filter(st => st.isFile && !st.getPath.getName.startsWith("_"))
+            .map(st => st.getPath.getName -> st.getLen).toMap
+        }
+        val stats = spark.read.parquet(lay)
+          .groupBy(input_file_name().as("f"))
+          .agg(min("l_orderkey").as("la"), max("l_orderkey").as("ha"),
+            min("l_partkey").as("lb"), max("l_partkey").as("hb"))
+          .collect()
+        def sz(path: String) = sizes(path.substring(path.lastIndexOf('/') + 1))
+        val read = stats.filter(r => !(r.getLong(2) < loA || r.getLong(1) > hiA ||
+          r.getLong(4) < loB || r.getLong(3) > hiB)).map(r => sz(r.getString(0))).sum
+        (read, sizes.values.sum)
+      }
+      val (readFrag, totalFrag) = bytesTouched(10000, 12000, 200, 290)
+      info(s"fragmented layout reads $readFrag/$totalFrag bytes")
+
+      // below-threshold: trigger refuses (churn guard)
+      assert(Layouts.autoReclusterZOrdered(spark, lay,
+        threshold = 0.9).isEmpty)
+      // at the real fraction: fires, content invariant, skipping back
+      val fired = Layouts.autoReclusterZOrdered(spark, lay,
+        threshold = 0.05)
+      assert(fired.exists(f => f > 0.05), s"trigger did not fire: $fired")
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
+      assert(spark.read.parquet(lay).collect().map(_.toSeq).toSet == want)
+      val (readClu, totalClu) = bytesTouched(10000, 12000, 200, 290)
+      info(s"reclustered layout reads $readClu/$totalClu bytes")
+      assert(readClu * 3 <= readFrag,
+        s"recluster did not restore skipping: $readClu vs $readFrag bytes")
+
+      // crash heal: simulate a swap that died between its two renames
+      val fs = new org.apache.hadoop.fs.Path(lay)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.rename(new org.apache.hadoop.fs.Path(lay),
+        new org.apache.hadoop.fs.Path(s"$lay.__zaside")))
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0) // heals
+      assert(spark.read.parquet(lay).collect().map(_.toSeq).toSet == want)
+    } finally rmrf(base)
+  }
+
   test("constant and negative-ranged columns scale without error") {
     val df = Seq((-50L, 7L), (-10L, 7L), (0L, 7L), (99L, 7L))
       .toDF("a", "b")
