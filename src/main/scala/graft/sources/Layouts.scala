@@ -177,13 +177,23 @@ object Layouts {
   // unclustered fraction is one directory listing, never a data scan.
   //
   // Swap discipline (recluster): stage the rewrite into a sibling
-  // directory, rename-aside the old root, rename the stage in, drop
-  // the aside — the same window as compactIvfLayout's swap; quiesce
-  // readers across a recluster (appends are epochally safe: a crash
-  // mid-append leaves invisible temporary files only). A crashed swap
-  // self-heals on the next lifecycle call ([[healZOrderSwap]]).
+  // directory, STAMP THE METADATA INTO THE STAGE (data and geometry
+  // swap together — no window where the root lacks its `_zorder/`),
+  // rename-aside the old root, rename the stage in, rescue any data
+  // files that landed in the root after the rewrite's snapshot (moved
+  // from the aside back into the new root as ordinary unclustered
+  // appends — a late append is never lost), drop the aside. Quiesce
+  // READERS across the two renames (the same window as
+  // compactIvfLayout's swap); lifecycle MUTATIONS (append/recluster)
+  // are caller-serialized — one maintenance owner per layout, the
+  // plain-parquet stand-in for the index family's epoch fence. Every
+  // crash window self-heals on the next lifecycle call
+  // ([[healZOrderSwap]]): mid-swap → the aside generation is renamed
+  // back; post-swap → late appends are rescued and the aside dropped;
+  // a torn metadata stamp → the completed staging dir is renamed in.
 
   private def zmetaDir(path: String) = s"$path/_zorder"
+  private def zmetaTmpDir(path: String) = s"$path/_zorder__tmp"
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -200,46 +210,84 @@ object Layouts {
     }.toSeq
   }
 
-  /** Stamp the current root data files as THE clustered generation and
-    * persist the geometry — called by [[writeZOrdered]]'s lifecycle
-    * wrapper and by [[reclusterZOrdered]] after its swap. */
+  /** Stamp `dir`'s current data files as THE clustered generation,
+    * with the geometry and (for a recluster) the names of the root
+    * files the rewrite consumed. ATOMIC against crashes: everything is
+    * written into `_zorder__tmp` first and renamed over in one move —
+    * a torn stamp leaves either the old metadata or a completed tmp
+    * that [[healZOrderSwap]] renames in; never a half-written
+    * generation record. */
   private def stampClustered(spark: org.apache.spark.sql.SparkSession,
-                             path: String, cols: Seq[String], bits: Int,
-                             files: Int, maxRecordsPerFile: Long): Unit = {
+                             dir: String, cols: Seq[String], bits: Int,
+                             files: Int, maxRecordsPerFile: Long,
+                             consumed: Seq[String]): Unit = {
     import spark.implicits._
-    val names = dataFiles(spark, path).map(_.getPath.getName)
-    val fs = fsOf(spark, path)
-    fs.delete(new org.apache.hadoop.fs.Path(zmetaDir(path)), true)
+    val names = dataFiles(spark, dir).map(_.getPath.getName)
+    val fs = fsOf(spark, dir)
+    val tmp = new org.apache.hadoop.fs.Path(zmetaTmpDir(dir))
+    fs.delete(tmp, true)
     Seq((cols, bits, files, maxRecordsPerFile))
       .toDF("cols", "bits", "files", "max_records_per_file")
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"${zmetaDir(path)}/params")
+      .parquet(s"${zmetaTmpDir(dir)}/params")
+    consumed.toDF("name").coalesce(1).write.mode("overwrite")
+      .parquet(s"${zmetaTmpDir(dir)}/consumed_files")
+    // clustered_files LAST: its presence is the tmp's completion marker
     names.toDF("name").coalesce(1).write.mode("overwrite")
-      .parquet(s"${zmetaDir(path)}/clustered_files")
+      .parquet(s"${zmetaTmpDir(dir)}/clustered_files")
+    fs.delete(new org.apache.hadoop.fs.Path(zmetaDir(dir)), true)
+    require(fs.rename(tmp, new org.apache.hadoop.fs.Path(zmetaDir(dir))),
+      s"z-order metadata stamp at $dir failed")
   }
 
   /** [[writeZOrdered]] + lifecycle bookkeeping: the maintained entry
     * point when the layout will see [[appendZOrdered]] /
-    * [[autoReclusterZOrdered]] afterwards. */
+    * [[autoReclusterZOrdered]] afterwards. (A crash between the data
+    * write and the stamp leaves a plain un-maintained layout — re-run
+    * the create; the lifecycle's crash-healing covers MAINTAINED
+    * layouts, not a torn create.) */
   def writeZOrderedMaintained(df: DataFrame, path: String,
                               cols: Seq[String], bits: Int = 16,
                               files: Int = 0,
                               maxRecordsPerFile: Long = 0L): Unit = {
     writeZOrdered(df, path, cols, bits, files, maxRecordsPerFile)
     stampClustered(df.sparkSession, path, cols, bits, files,
-      maxRecordsPerFile)
+      maxRecordsPerFile, consumed = Nil)
   }
 
   /** Cheap ingest into a maintained layout: plain parquet append, no
     * range exchange, no sort — new files are curve-unsorted (wide stat
     * boxes: correct to read, skipped poorly) until the next recluster.
-    */
+    * Fails fast on a batch that would poison the layout: the stamped
+    * clustering columns must be present and non-null (a mixed-schema
+    * append would read back as nulls and brick the eventual rewrite
+    * long after the bad files interleaved). */
   def appendZOrdered(df: DataFrame, path: String): Unit = {
-    healZOrderSwap(df.sparkSession, path)
-    require(fsOf(df.sparkSession, path)
-        .exists(new org.apache.hadoop.fs.Path(s"${zmetaDir(path)}/params")),
-      s"appendZOrdered: $path is not a maintained z-ordered layout — " +
-        "write it with writeZOrderedMaintained first")
+    val spark = df.sparkSession
+    healZOrderSwap(spark, path)
+    val pr =
+      try spark.read.parquet(s"${zmetaDir(path)}/params").head()
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"appendZOrdered: $path is not a maintained z-ordered layout " +
+            "— write it with writeZOrderedMaintained first", e)
+      }
+    val cols = pr.getSeq[String](pr.fieldIndex("cols"))
+    val missing = cols.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"appendZOrdered: batch is missing clustering column(s) " +
+        s"${missing.mkString(", ")} — appending it would poison the " +
+        "layout with a mixed schema")
+    val nulls = df.agg(
+      cols.map(c => count(when(col(c).isNull, 1)).as(c)).head,
+      cols.map(c => count(when(col(c).isNull, 1)).as(c)).tail: _*).head()
+    cols.indices.foreach { i =>
+      require(nulls.getLong(i) == 0,
+        s"appendZOrdered: batch has ${nulls.getLong(i)} NULL " +
+          s"'${cols(i)}' values — the clustering columns are non-null " +
+          "by the layout's contract (the rewrite's min/max scaling " +
+          "would fail long after this append)")
+    }
     df.write.mode("append").parquet(path)
   }
 
@@ -259,10 +307,13 @@ object Layouts {
       .map(_.getLen).sum.toDouble / total
   }
 
-  /** Restore the clustered order: ONE global rewrite of the whole
-    * table under the layout's persisted geometry, staged beside the
-    * root and swapped in (rename-aside — quiesce readers across it;
-    * a crashed swap self-heals on the next lifecycle call). */
+  /** Restore the clustered order: ONE global rewrite of the layout's
+    * CURRENT file set under its persisted geometry, staged beside the
+    * root (metadata stamped INTO the stage, so data and geometry swap
+    * together) and rename-swapped in; data files that landed after the
+    * rewrite's snapshot are rescued from the aside as ordinary
+    * unclustered appends. Quiesce readers across the swap; a crashed
+    * swap self-heals on the next lifecycle call. */
   def reclusterZOrdered(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     healZOrderSwap(spark, path)
@@ -275,20 +326,60 @@ object Layouts {
     val stage = new org.apache.hadoop.fs.Path(s"$path.__zstage")
     val aside = new org.apache.hadoop.fs.Path(s"$path.__zaside")
     fs.delete(stage, true)
-    // the staged rewrite reads the CURRENT root (clustered + appended)
-    writeZOrdered(spark.read.parquet(path), stage.toString, cols.toSeq,
-      bits, files, mrpf)
+    // snapshot the exact file set the rewrite consumes, and read THAT
+    // set (not the directory): anything appended during the long stage
+    // write is provably outside `consumed` and gets rescued after the
+    // swap instead of dying with the aside
+    val consumed = dataFiles(spark, path)
+    writeZOrdered(
+      spark.read.parquet(consumed.map(_.getPath.toString): _*),
+      stage.toString, cols.toSeq, bits, files, mrpf)
+    stampClustered(spark, stage.toString, cols.toSeq, bits, files, mrpf,
+      consumed.map(_.getPath.getName))
     val root = new org.apache.hadoop.fs.Path(path)
     require(fs.rename(root, aside), s"recluster: rename-aside of $path failed")
     require(fs.rename(stage, root), s"recluster: stage swap-in at $path failed")
-    fs.delete(aside, true)
-    stampClustered(spark, path, cols.toSeq, bits, files, mrpf)
+    rescueLateAppends(spark, path)
   }
 
-  /** Heal a recluster swap that crashed between its two renames: the
-    * root is gone but the aside generation is intact — put it back
-    * (the staged rewrite is re-derivable; the data never is). Called
-    * by every lifecycle entry point. */
+  /** Post-swap epilogue (also a heal path): move aside data files the
+    * rewrite provably did NOT consume into the new root — they are
+    * appends that landed during the stage write, and as plain
+    * unclustered files they are exactly what [[appendZOrdered]] would
+    * have produced — then drop the aside. Best-effort renames: a
+    * concurrent heal doing the same work wins harmlessly. */
+  private def rescueLateAppends(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val aside = new org.apache.hadoop.fs.Path(s"$path.__zaside")
+    if (!fs.exists(aside)) return
+    val consumed =
+      try spark.read.parquet(s"${zmetaDir(path)}/consumed_files")
+        .collect().map(_.getString(0)).toSet
+      catch { case _: Exception => Set.empty[String] }
+    if (consumed.nonEmpty) {
+      val root = new org.apache.hadoop.fs.Path(path)
+      fs.listStatus(aside).foreach { st =>
+        val n = st.getPath.getName
+        if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+            !consumed(n) &&
+            !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
+      }
+    }
+    fs.delete(aside, true)
+  }
+
+  /** Heal every recluster crash window — called by each lifecycle
+    * entry point. Mid-swap (root gone, aside intact): the aside
+    * generation is the data, rename it back. Post-swap (both present):
+    * the new root carries its own metadata (stamped pre-swap), so
+    * rescue late appends and drop the aside. A completed-but-unrenamed
+    * metadata stamp (`_zorder__tmp` with its completion marker, no
+    * `_zorder`) finishes its rename; torn tmps are dropped. Stale
+    * stages are re-derivable — dropped (mutations are
+    * caller-serialized, so no live recluster owns one when another
+    * mutation entry runs). */
   private def healZOrderSwap(spark: org.apache.spark.sql.SparkSession,
                              path: String): Unit = {
     val fs = fsOf(spark, path)
@@ -298,9 +389,19 @@ object Layouts {
     if (fs.exists(aside)) {
       if (!fs.exists(root))
         require(fs.rename(aside, root), s"z-order swap heal of $path failed")
-      else fs.delete(aside, true) // crashed after swap-in: root is newer
+      else rescueLateAppends(spark, path)
     }
-    fs.delete(stage, true) // staged rewrites are always re-derivable
+    fs.delete(stage, true)
+    // finish a torn metadata stamp: tmp complete (clustered_files is
+    // written last) but the final rename never ran
+    val zf = new org.apache.hadoop.fs.Path(zmetaDir(path))
+    val zt = new org.apache.hadoop.fs.Path(zmetaTmpDir(path))
+    if (fs.exists(zt)) {
+      if (!fs.exists(zf) && fs.exists(
+          new org.apache.hadoop.fs.Path(zt, "clustered_files")))
+        require(fs.rename(zt, zf), s"z-order stamp heal of $path failed")
+      else fs.delete(zt, true)
+    }
   }
 
   /** Fragmentation-measured recluster trigger: recluster ONLY when at

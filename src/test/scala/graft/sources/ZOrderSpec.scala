@@ -214,6 +214,55 @@ class ZOrderSpec extends SparkSpec {
         new org.apache.hadoop.fs.Path(s"$lay.__zaside")))
       assert(Layouts.zOrderFragmentation(spark, lay) == 0.0) // heals
       assert(spark.read.parquet(lay).collect().map(_.toSeq).toSet == want)
+
+      // crash heal 2: swap completed but the epilogue never ran — the
+      // aside holds the consumed old generation PLUS a late append
+      // that landed during the stage write. Heal must rescue the late
+      // file into the root and drop only the consumed copies.
+      val rowsBefore = spark.read.parquet(lay).count()
+      val aside = new org.apache.hadoop.fs.Path(s"$lay.__zaside")
+      fs.mkdirs(aside)
+      val dataFile = fs.listStatus(new org.apache.hadoop.fs.Path(lay))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .head.getPath
+      val lateRows = spark.read.parquet(dataFile.toString).count()
+      // the late append: a name the last recluster provably did not consume
+      org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+        new org.apache.hadoop.fs.Path(aside, "part-late-append.snappy.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+      // a consumed-generation leftover: must NOT be resurrected
+      val consumedName = spark.read
+        .parquet(s"$lay/_zorder/consumed_files")
+        .head().getString(0)
+      org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+        new org.apache.hadoop.fs.Path(aside, consumedName), false,
+        spark.sparkContext.hadoopConfiguration)
+      Layouts.zOrderFragmentation(spark, lay) // triggers the heal
+      assert(!fs.exists(aside), "aside not dropped after rescue")
+      assert(fs.exists(new org.apache.hadoop.fs.Path(lay,
+        "part-late-append.snappy.parquet")), "late append lost")
+      assert(spark.read.parquet(lay).count() == rowsBefore + lateRows)
+
+      // crash heal 3: a torn metadata stamp — the completed tmp is
+      // renamed in and the layout stays maintained
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$lay/_zorder"),
+        new org.apache.hadoop.fs.Path(s"$lay/_zorder__tmp")))
+      assert(Layouts.zOrderFragmentation(spark, lay) >= 0.0) // heals
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$lay/_zorder/params")))
+
+      // append validation: missing clustering column / NULL keys fail fast
+      val e1 = intercept[IllegalArgumentException] {
+        Layouts.appendZOrdered(
+          li.select("l_orderkey", "l_linenumber", "l_quantity"), lay)
+      }
+      assert(e1.getMessage.contains("missing clustering column"))
+      val e2 = intercept[IllegalArgumentException] {
+        Layouts.appendZOrdered(li.limit(5)
+          .withColumn("l_partkey",
+            when(col("l_orderkey") >= 0, lit(null: java.lang.Long))
+              .otherwise(col("l_partkey"))), lay)
+      }
+      assert(e2.getMessage.contains("NULL"))
     } finally rmrf(base)
   }
 
