@@ -607,6 +607,23 @@ object Plans {
         |microsecond timestamps) via exact Decimal arithmetic, so the
         |curve cannot silently degrade to random order.""".stripMargin,
 
+    "q64c_zorder_lifecycle_read" ->
+      """Z-order LIFECYCLE read (the OPTIMIZE operating loop): the
+        |layout served here went clustered-write → cheap unclustered
+        |append (no range exchange — the ingest path) → fragmentation-
+        |measured recluster (fired past the byte-fraction threshold,
+        |staged + rename-swapped with the metadata stamped INTO the
+        |stage and late appends rescued from the aside). The dumped
+        |scan is identical in shape to q64's — both range predicates
+        |pushed and biting on tight post-recluster row-group boxes —
+        |which is the point: every lifecycle state is an execution
+        |artifact, and the read plan after maintenance is
+        |indistinguishable from a fresh clustered write. At 100 TB the
+        |loop splits the two rates: appends cost one parquet write,
+        |and the global rewrite is paid only when the measured
+        |unclustered fraction warrants it (the same trigger discipline
+        |as the index family's autoCompact).""".stripMargin,
+
     "p9_cross_shard_reconcile" ->
       """Cross-shard duplicate reconciliation (the multi-stream
         |deployment's periodic batch pass). The reconcile runs eagerly
