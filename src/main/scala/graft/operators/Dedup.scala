@@ -4669,7 +4669,12 @@ object Dedup {
   /** What [[reconcileShardOutputs]] did: cross-shard near-dup pairs
     * found, ids dropped (tombstoned + scrubbed), per-shard drop counts
     * (ordinal-aligned with the input), and served rows physically
-    * scrubbed. */
+    * scrubbed. `scrubbedRows` counts every row the scrub passes
+    * removed, and a scrub clears the hit shard's ENTIRE
+    * pending-tombstone set — a pre-existing unrelated takedown whose
+    * scrub had not landed yet is flushed (and counted) here too; it is
+    * "rows physically scrubbed during this pass", not "rows scrubbed
+    * because of this pass's drops". */
   final case class ShardReconcileStats(crossPairs: Long, dropped: Long,
                                        droppedPerShard: Seq[Long],
                                        scrubbedRows: Long)
@@ -4722,6 +4727,42 @@ object Dedup {
       union => embeddingNearDupLshAuto(union, idCol, vecCol, threshold,
         dim, tables),
       (path, ids) => deleteFromSrpIndex(spark, path, ids, "id"))
+  }
+
+  /** [[reconcileShardOutputs]]' exact twin for N governed digest shard
+    * deployments (the family matrix's third member): the union pass is
+    * a digest equi-join STAR — group the served corpora by digest and
+    * pair each duplicate group's global min id with every other member.
+    * Exact duplicates form an equivalence class, so the min-id star is
+    * a sufficient pair set for greedy-star convergence AND linear in
+    * the group size (an all-pairs self-join would go quadratic on a
+    * pathological hot digest); cross-shard filtering and the drop
+    * feedback (tombstone via [[deleteFromDigestIndex]] + served-output
+    * and quarantine scrubs) are [[reconcileCore]]'s, shared verbatim
+    * with the MinHash/SRP twins. NULL digests are never paired — they
+    * are not indexed and not comparable, the in-shard screen's own
+    * contract. No geometry precondition beyond each index opening
+    * (digest equality is parameter-free); ids must satisfy the same
+    * router contract, checked loudly in the core.
+    */
+  def reconcileShardOutputsDigest(spark: org.apache.spark.sql.SparkSession,
+                                  shards: Seq[GovernedShardPaths],
+                                  idCol: String, digCol: String)
+      : ShardReconcileStats = {
+    shards.foreach(s => readDigestIndex(spark, s.indexPath)) // validates
+    reconcileCore(spark, shards, idCol, digCol,
+      union => {
+        val d = union.select(col(idCol).as("__did"),
+            col(digCol).cast("string").as("__dig"))
+          .filter(col("__dig").isNotNull)
+        val reps = d.groupBy(col("__dig"))
+          .agg(min(col("__did")).as("id_a"), count(lit(1)).as("__n"))
+          .filter(col("__n") > 1)
+        d.join(reps, Seq("__dig"))
+          .filter(col("__did") =!= col("id_a"))
+          .select(col("id_a"), col("__did").as("id_b"))
+      },
+      (path, ids) => deleteFromDigestIndex(spark, path, ids, "id"))
   }
 
   /** Shared core of the cross-shard reconcile family: union the served
@@ -4782,13 +4823,17 @@ object Dedup {
       return ShardReconcileStats(0L, 0L, shards.map(_ => 0L), 0L)
     val union = served.reduce(_.unionByName(_))
 
-    // Router contract: ids are non-null and globally unique across
-    // shards — a NULL id can never be taken down (tombstones are long
-    // ids) and a duplicated id would make the per-shard drop routing
-    // ambiguous — so both fail loudly with the right diagnosis.
+    // Router contract: ids are non-null, globally unique across shards
+    // AND long-castable — a NULL id can never be taken down (tombstones
+    // are long ids), a duplicated id would make the per-shard drop
+    // routing ambiguous, and a non-long-castable id would try_cast to
+    // NULL in the drop projection below (silently tombstoning nothing
+    // while the stats still report drops) — so all three fail loudly
+    // with the right diagnosis, in one aggregate.
     val idChk = union.agg(count(lit(1)).as("n"),
       count(col(idCol)).as("nn"),
-      count_distinct(col(idCol)).as("d")).head()
+      count_distinct(col(idCol)).as("d"),
+      count(col(idCol).try_cast("long")).as("lc")).head()
     require(idChk.getLong(0) == idChk.getLong(1),
       s"cross-shard reconcile: ${idChk.getLong(0) - idChk.getLong(1)} " +
         s"NULL '$idCol' values in the served corpora — the id contract " +
@@ -4798,6 +4843,11 @@ object Dedup {
         s"duplicate '$idCol' values in the served corpora (within or " +
         "across shards) — the deployment router must be id-preserving " +
         "and ids globally unique")
+    require(idChk.getLong(1) == idChk.getLong(3),
+      s"cross-shard reconcile: ${idChk.getLong(1) - idChk.getLong(3)} " +
+        s"'$idCol' values in the served corpora do not cast to long — " +
+        "the id contract (non-null, unique, long-castable) is violated " +
+        "upstream; a takedown on such an id would silently no-op")
 
     // ONE union-wide pair pass; keep only pairs whose sides live in
     // different shards, then greedy-star: drop every id with a
@@ -4864,6 +4914,27 @@ object Dedup {
       initIngestLedger(spark, ix)
       ingestBatchWithIndex(mine.filter(col(idCol) > c1), idCol, textCol,
         ix, out, batchId = 0L)
+      GovernedShardPaths(ix, out)
+    }
+  }
+
+  /** [[buildTwoShardDeployment]]'s digest-family twin — the shared
+    * recipe behind the p10 bench entry and any digest reconcile scale
+    * audit (same even/odd router, bootstrap slice and single governed
+    * batch, so every consumer measures the same deployment). Dev/bench
+    * scaffolding, not a production operator.
+    */
+  private[graft] def buildTwoShardDigestDeployment(
+      docs: DataFrame, idCol: String, digCol: String, c1: Long,
+      base: String): Seq[GovernedShardPaths] = {
+    val spark = docs.sparkSession
+    (0 to 1).map { sh =>
+      val ix = s"$base/ix$sh"; val out = s"$base/out$sh"
+      val mine = docs.filter(pmod(col(idCol), lit(2)) === sh)
+      writeDigestIndex(mine.filter(col(idCol) <= c1), idCol, digCol, ix)
+      initDigestIngestLedger(spark, ix)
+      ingestBatchWithDigestIndex(mine.filter(col(idCol) > c1), idCol,
+        digCol, ix, out, batchId = 0L)
       GovernedShardPaths(ix, out)
     }
   }

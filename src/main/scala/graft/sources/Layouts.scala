@@ -347,7 +347,16 @@ object Layouts {
     * appends that landed during the stage write, and as plain
     * unclustered files they are exactly what [[appendZOrdered]] would
     * have produced — then drop the aside. Best-effort renames: a
-    * concurrent heal doing the same work wins harmlessly. */
+    * concurrent heal doing the same work wins harmlessly.
+    *
+    * The aside is dropped ONLY when `consumed_files` was successfully
+    * read and is non-empty — every committed recluster stamps the
+    * non-empty set it consumed, so an unreadable or empty record means
+    * this aside does not belong to the CURRENT generation (e.g. a
+    * post-swap crash followed by a writeZOrderedMaintained re-create,
+    * which stamps consumed = Nil) and nothing can attribute its files.
+    * Deleting it then would destroy any late appends parked inside; it
+    * is left in place with a loud warning for manual triage instead. */
   private def rescueLateAppends(spark: org.apache.spark.sql.SparkSession,
                                 path: String): Unit = {
     val fs = fsOf(spark, path)
@@ -357,15 +366,22 @@ object Layouts {
       try spark.read.parquet(s"${zmetaDir(path)}/consumed_files")
         .collect().map(_.getString(0)).toSet
       catch { case _: Exception => Set.empty[String] }
-    if (consumed.nonEmpty) {
-      val root = new org.apache.hadoop.fs.Path(path)
-      fs.listStatus(aside).foreach { st =>
-        val n = st.getPath.getName
-        if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-            !consumed(n) &&
-            !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
-          fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
-      }
+    if (consumed.isEmpty) {
+      System.err.println(
+        s"[graft] z-order heal: aside $aside exists but the current " +
+          "generation records no consumed files — its data files cannot " +
+          "be attributed, so the aside is LEFT IN PLACE for manual " +
+          "triage (rescue unconsumed-looking files by hand, then delete " +
+          "the directory)")
+      return
+    }
+    val root = new org.apache.hadoop.fs.Path(path)
+    fs.listStatus(aside).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !consumed(n) &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+        fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
     }
     fs.delete(aside, true)
   }

@@ -164,6 +164,57 @@ class CrossShardReconcileSpec extends SparkSpec {
     assert(st2.dropped == 0L && st2.crossPairs == 0L, st2)
   }
 
+  test("digest twin: a planted cross-shard duplicate digest is caught " +
+      "by the equi-join star, tombstoned via deleteFromDigestIndex + " +
+      "scrubbed, idempotent, NULL digests never pair, replay does not " +
+      "resurrect") {
+    val base = Files.createTempDirectory("graft-reconcile-dig").toString
+    val ix0 = s"$base/ix0"; val out0 = s"$base/out0"
+    val ix1 = s"$base/ix1"; val out1 = s"$base/out1"
+    def ddf(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "dig")
+    // router: even doc_id -> shard 0, odd -> shard 1
+    Dedup.writeDigestIndex(ddf(0L -> "h0", 2L -> "h2"), "doc_id", "dig", ix0)
+    Dedup.writeDigestIndex(ddf(1L -> "h1", 3L -> "h3"), "doc_id", "dig", ix1)
+    Dedup.initDigestIngestLedger(spark, ix0)
+    Dedup.initDigestIngestLedger(spark, ix1)
+    // "hX" is the planted CROSS-shard duplicate digest (docs 10 and 11);
+    // 14/15 carry NULL digests in both shards — admitted by the exact
+    // screen (unindexable) and they must never pair with each other.
+    val batch1 = ddf(11L -> "hX", 13L -> "h13", 15L -> (null: String))
+    Dedup.ingestBatchWithDigestIndex(ddf(10L -> "hX", 12L -> "h12",
+      14L -> (null: String)), "doc_id", "dig", ix0, out0, batchId = 0L)
+    Dedup.ingestBatchWithDigestIndex(batch1, "doc_id", "dig", ix1, out1,
+      batchId = 0L)
+    assert(servedIds(out0) == Set(10L, 12L, 14L))
+    assert(servedIds(out1) == Set(11L, 13L, 15L))
+
+    val shards = Seq(Dedup.GovernedShardPaths(ix0, out0),
+      Dedup.GovernedShardPaths(ix1, out1))
+    val st = Dedup.reconcileShardOutputsDigest(spark, shards, "doc_id",
+      "dig")
+    assert(st.crossPairs == 1L, st)
+    assert(st.dropped == 1L && st.droppedPerShard == Seq(0L, 1L), st)
+    // convergence: min-id representative 10 kept in shard 0; 11 gone
+    // from shard 1's served corpus and hidden in its index view; the
+    // NULL-digest rows survive in both shards
+    assert(servedIds(out0) == Set(10L, 12L, 14L))
+    assert(servedIds(out1) == Set(13L, 15L))
+    assert(Dedup.readDigestIndex(spark, ix1).digests
+      .filter(col("id") === 11L).isEmpty,
+      "tombstone must hide the dropped id from the index view")
+
+    val st2 = Dedup.reconcileShardOutputsDigest(spark, shards, "doc_id",
+      "dig")
+    assert(st2.dropped == 0L && st2.crossPairs == 0L, st2)
+
+    // governed replay of the scrubbed batch must NOT resurrect 11
+    val replay = Dedup.ingestBatchWithDigestIndex(batch1, "doc_id",
+      "dig", ix1, out1, batchId = 0L)
+    assert(replay.replayed)
+    assert(servedIds(out1) == Set(13L, 15L),
+      "replay resurrected a reconciled takedown")
+  }
+
   test("contract violations fail loudly: mismatched MinHash geometry; " +
       "duplicate ids across shards") {
     val base = Files.createTempDirectory("graft-reconcile-bad").toString
