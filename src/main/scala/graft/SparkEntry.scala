@@ -1770,6 +1770,34 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // p9's digest-family twin: the same even/odd two-shard deployment
+    // under the governed EXACT-dedup loop (p8's family), reconciled by
+    // reconcileShardOutputsDigest — one digest equi-join star over the
+    // union of the served corpora, drops fed back through each owning
+    // shard's tombstone + scrub machinery. Full corpus (the exact
+    // screen is cheap — no signature computation); oracle replays the
+    // per-shard screens and the cross-shard min-id star in SQL.
+    "p10_cross_shard_reconcile_digest" -> ((s, dir) => {
+      val docs = T(s, dir, "documents").withColumn("dig",
+          sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+        .select("doc_id", "dig")
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+      val c1 = maxId * 3 / 5
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_reconcile_dig_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      val fs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(base), true)
+      val shards = Dedup.buildTwoShardDigestDeployment(docs, "doc_id",
+        "dig", c1, base)
+      Dedup.reconcileShardOutputsDigest(s, shards, "doc_id", "dig")
+      shards.zipWithIndex.map { case (sh, i) =>
+          s.read.parquet(sh.outPath).select(col("doc_id"))
+            .withColumn("shard", lit(i.toLong))
+        }.reduce(_.unionByName(_))
+        .orderBy(col("doc_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -4088,6 +4116,35 @@ object SparkEntry {
          |SELECT doc_id, doc_id % 2 AS shard FROM novel
          |WHERE doc_id NOT IN (SELECT id FROM xdrop)
          |ORDER BY doc_id""".stripMargin,
+
+    // the digest deployment's retained set: per-shard exact screens
+    // (within-batch min-id representative per digest + bootstrap-corpus
+    // digest anti-join, both parity-local) followed by the cross-shard
+    // min-id star over the union of the shards' novel outputs — exactly
+    // what reconcileShardOutputsDigest leaves in the serving corpora.
+    // Each (digest, shard) admits at most one novel row, so a union
+    // group has at most two members and the star is the pairwise join.
+    "p10_cross_shard_reconcile_digest" ->
+      """WITH d AS (SELECT doc_id, sha256(substring(text, 1, 30)) AS dig
+        |           FROM documents),
+        |cut AS (SELECT (max(doc_id)*3)//5 AS c1 FROM documents),
+        |corpus AS (SELECT dig, doc_id % 2 AS sh FROM d, cut
+        |           WHERE doc_id <= c1),
+        |b AS (SELECT doc_id, dig, doc_id % 2 AS sh FROM d, cut
+        |      WHERE doc_id > c1),
+        |mins AS (SELECT dig, sh, min(doc_id) AS m FROM b GROUP BY dig, sh),
+        |novel AS (SELECT b.doc_id, b.dig FROM b
+        |          JOIN mins ON b.dig = mins.dig AND b.sh = mins.sh
+        |                   AND b.doc_id = mins.m
+        |          WHERE NOT EXISTS (SELECT 1 FROM corpus c
+        |                            WHERE c.dig = b.dig AND c.sh = b.sh)),
+        |xdrop AS (SELECT greatest(a.doc_id, z.doc_id) AS id
+        |          FROM novel a JOIN novel z
+        |            ON a.dig = z.dig AND a.doc_id < z.doc_id
+        |           AND a.doc_id % 2 <> z.doc_id % 2)
+        |SELECT doc_id, doc_id % 2 AS shard FROM novel
+        |WHERE doc_id NOT IN (SELECT id FROM xdrop)
+        |ORDER BY doc_id""".stripMargin,
 
     // fuzzy dedup: the band blocking is lossless, so the naive quadratic
     // join with the same distance bound is an exact twin
