@@ -195,6 +195,20 @@ object Layouts {
   private def zmetaDir(path: String) = s"$path/_zorder"
   private def zmetaTmpDir(path: String) = s"$path/_zorder__tmp"
 
+  /** Explicit schema for the `_zorder/params` table: skips parquet
+    * schema inference (one Spark job per open) on every lifecycle
+    * entry — the metadata open is a footer read plus ONE head job. */
+  private val zParamsSchema = new org.apache.spark.sql.types.StructType()
+    .add("cols", DataTypes.createArrayType(DataTypes.StringType))
+    .add("bits", DataTypes.IntegerType)
+    .add("files", DataTypes.IntegerType)
+    .add("max_records_per_file", DataTypes.LongType)
+
+  private def readZParams(spark: org.apache.spark.sql.SparkSession,
+                          path: String): org.apache.spark.sql.Row =
+    spark.read.schema(zParamsSchema).parquet(s"${zmetaDir(path)}/params")
+      .head()
+
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -266,7 +280,7 @@ object Layouts {
     val spark = df.sparkSession
     healZOrderSwap(spark, path)
     val pr =
-      try spark.read.parquet(s"${zmetaDir(path)}/params").head()
+      try readZParams(spark, path)
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"appendZOrdered: $path is not a maintained z-ordered layout " +
@@ -278,17 +292,31 @@ object Layouts {
       s"appendZOrdered: batch is missing clustering column(s) " +
         s"${missing.mkString(", ")} — appending it would poison the " +
         "layout with a mixed schema")
-    val nulls = df.agg(
-      cols.map(c => count(when(col(c).isNull, 1)).as(c)).head,
-      cols.map(c => count(when(col(c).isNull, 1)).as(c)).tail: _*).head()
-    cols.indices.foreach { i =>
-      require(nulls.getLong(i) == 0,
-        s"appendZOrdered: batch has ${nulls.getLong(i)} NULL " +
-          s"'${cols(i)}' values — the clustering columns are non-null " +
-          "by the layout's contract (the rewrite's min/max scaling " +
-          "would fail long after this append)")
+    // Null guard FUSED into the write job (one Spark job per append,
+    // not a validation scan plus a write): each clustering column is
+    // written through a raise_error trap that fires on the first NULL
+    // row and aborts the job before it commits — the task files die
+    // with the abort, so nothing lands in the root. The trap is
+    // rethrown as the same IllegalArgumentException contract the
+    // two-job guard had.
+    val guarded = cols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, when(col(c).isNotNull, col(c))
+        .otherwise(raise_error(lit(
+          s"appendZOrdered: NULL '$c' value in the append batch — the " +
+            "clustering columns are non-null by the layout's contract " +
+            "(the rewrite's min/max scaling would fail long after this " +
+            "append)"))))
     }
-    df.write.mode("append").parquet(path)
+    try guarded.write.mode("append").parquet(path)
+    catch {
+      case e: Throwable =>
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(t => Option(t.getMessage).getOrElse(""))
+          .find(_.contains("appendZOrdered: NULL")) match {
+          case Some(m) => throw new IllegalArgumentException(m, e)
+          case None => throw e
+        }
+    }
   }
 
   /** The measured decay: bytes in data files NOT part of the clustered
@@ -317,7 +345,7 @@ object Layouts {
   def reclusterZOrdered(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
     healZOrderSwap(spark, path)
-    val pr = spark.read.parquet(s"${zmetaDir(path)}/params").head()
+    val pr = readZParams(spark, path)
     val cols = pr.getSeq[String](pr.fieldIndex("cols"))
     val bits = pr.getAs[Int]("bits")
     val files = pr.getAs[Int]("files")

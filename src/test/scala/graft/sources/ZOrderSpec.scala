@@ -263,6 +263,30 @@ class ZOrderSpec extends SparkSpec {
               .otherwise(col("l_partkey"))), lay)
       }
       assert(e2.getMessage.contains("NULL"))
+      // the NULL-poisoned append must not have landed any rows
+      assert(spark.read.parquet(lay).count() == rowsBefore + lateRows)
+
+      // fused guard (r16): a successful append is the params open plus
+      // ONE guarded write job — the old separate null-validation scan
+      // is gone. Counted via a job group; the slice is materialized
+      // OUTSIDE the group so only the append's own jobs count.
+      val slice = li.limit(7).localCheckpoint()
+      val sc = spark.sparkContext
+      sc.setJobGroup("zappend-jobs", "counted append")
+      Layouts.appendZOrdered(slice, lay)
+      sc.clearJobGroup()
+      val deadline = System.currentTimeMillis + 10000
+      def jobs = sc.statusTracker.getJobIdsForGroup("zappend-jobs").length
+      var n = jobs
+      var stable = 0
+      while (System.currentTimeMillis < deadline && stable < 5) {
+        Thread.sleep(100)
+        val m = jobs
+        if (m == n) stable += 1 else { n = m; stable = 0 }
+      }
+      assert(n <= 2,
+        s"appendZOrdered ran $n jobs; expected params open + fused write")
+      slice.unpersist()
     } finally rmrf(base)
   }
 
