@@ -376,17 +376,59 @@ object StreamOps {
     * (`deleteFromIvfLayout`) or append (`appendIvfLayout`) landing
     * between batches reaches the very next batch of a LIVE stream, no
     * restart needed: ≤1-batch serving latency, the same contract as
-    * the governed dedup loops. The one mutation to quiesce across is
-    * `compactIvfLayout`'s rename-swap window (a probe listing files
-    * mid-swap could read a half-swapped directory — the swap is
-    * epoch-fenced against other MUTATIONS, not against readers); a
-    * takedown needs no quiesce because it lands as a tombstone append
+    * the governed dedup loops. `compactIvfLayout`'s per-cell
+    * rename-swap window (the swap is epoch-fenced against other
+    * MUTATIONS, not against readers) is survived WITHOUT quiescing:
+    * a probe that listed a file the swap then removed fails with a
+    * missing-file error, and the batch retries against a fresh open
+    * ([[retryOnMissingFiles]]) — correct because a compaction is
+    * content-invariant to the probe (it folds files and physically
+    * purges only rows the probe's tombstone anti-join already hides),
+    * so whichever attempt wins serves bit-identical results; a
+    * takedown needs no retry because it lands as a tombstone append
     * and the bytes move only at that later compaction. The
     * exactly-once claim above is per layout GENERATION: a batch
     * replayed across a mutation recomputes against the mutated layout
     * (for a takedown that is exactly what serving should do — the
     * replay stops returning the deleted vector).
     */
+  /** Retry `body` when its failure chain contains a missing-file
+    * error — the signature of a probe racing `compactIvfLayout`'s
+    * per-cell rename-swap (a file listed before the swap, gone at read
+    * time). Each retry re-runs the body from scratch, which for the
+    * serving path means a FRESH layout open: the attempt after the
+    * swap completes reads the new generation, content-equivalent to
+    * the old (a compaction folds files and physically purges only rows
+    * the probe's tombstone anti-join already hides), so whichever
+    * attempt wins produces bit-identical results. Any other failure
+    * propagates immediately; exhausting the attempts rethrows the last
+    * missing-file error.
+    */
+  private[streaming] def retryOnMissingFiles[T](attempts: Int)
+                                               (body: => T): T = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch {
+        case e: Throwable if isMissingFileError(e) =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(50L * i)
+      }
+    }
+    throw last
+  }
+
+  private def isMissingFileError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        t.getClass.getName.contains("FileNotFound") ||
+        Option(t.getMessage).exists(m =>
+          m.contains("does not exist") || m.contains("FileNotFound"))
+    }
+
   def annServeStream(spark: SparkSession, inPath: String,
                      schema: org.apache.spark.sql.types.StructType,
                      qidCol: String, qvecCol: String,
@@ -398,16 +440,22 @@ object StreamOps {
     spark.readStream.schema(schema).parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val topk =
-          if (usePq)
-            graft.operators.Similarity.ivfPqTopKIndexed(spark, layoutPath,
-              batch, qidCol, qvecCol, topK = k, nprobe = nprobe,
-              rerank = rerank, excludeSelf = false)
-          else
-            graft.operators.Similarity.ivfTopKIndexed(spark, layoutPath,
-              batch, qidCol, qvecCol, k = k, nprobe = nprobe,
-              excludeSelf = false)
-        topk.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        // The whole attempt (fresh layout open + probe + per-batch
+        // overwrite) retries on a missing-file race with a concurrent
+        // compaction swap; the overwrite makes a half-written first
+        // attempt harmless.
+        retryOnMissingFiles(3) {
+          val topk =
+            if (usePq)
+              graft.operators.Similarity.ivfPqTopKIndexed(spark, layoutPath,
+                batch, qidCol, qvecCol, topK = k, nprobe = nprobe,
+                rerank = rerank, excludeSelf = false)
+            else
+              graft.operators.Similarity.ivfTopKIndexed(spark, layoutPath,
+                batch, qidCol, qvecCol, k = k, nprobe = nprobe,
+                excludeSelf = false)
+          topk.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)

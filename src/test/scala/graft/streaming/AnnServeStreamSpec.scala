@@ -125,6 +125,97 @@ class AnnServeStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("a compaction between micro-batches of a LIVE stream: no " +
+      "failure, and the next batch serves bit-identical to the batch " +
+      "probe over the compacted layout") {
+    val emb = Tables.embeddings(spark, sf001)
+    val base = Files.createTempDirectory("graft-ann-serve-cmp").toString
+    val layout = s"$base/layout"
+    Similarity.writeIvfLayout(emb, layout, "vec_id", "embedding",
+      AnnModels.ivfCentroids)
+    val in = s"$base/in"; val out = s"$base/out"; val cp = s"$base/cp"
+    val q0 = queriesOf(0, 5)
+    q0.coalesce(1).write.parquet(in)
+    val q = StreamOps.annServeStream(spark, in, q0.schema,
+      "qid", "qvec", layout, out, cp, k = 5, nprobe = 8,
+      trigger = org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("50 milliseconds"))
+    try {
+      q.processAllAvailable()
+      val batch0 = spark.read.parquet(out).drop("batch_id")
+        .collect().map(_.toSeq).toSet
+      assert(batch0.nonEmpty)
+
+      // give the compaction real work between batches: a takedown
+      // (pending tombstones to purge) plus an append (fragmented cells
+      // to fold), then the swap-heavy compact itself
+      val victims = Similarity.ivfTopKIndexed(spark, layout, q0,
+          "qid", "qvec", k = 5, nprobe = 8, excludeSelf = false)
+        .filter(col("qid") === 0L).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq
+      assert(victims.nonEmpty)
+      Similarity.deleteFromIvfLayout(spark, layout, victims)
+      val extra = Tables.embeddings(spark, sf001)
+        .filter(col("vec_id") < 50)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+      Similarity.appendIvfLayout(extra, layout)
+      val purged = Similarity.compactIvfLayout(spark, layout,
+        maxFilesPerCell = 1)
+      assert(purged == victims.size.toLong, s"purged $purged")
+
+      // next batch on the SAME running stream, after the swap
+      val q1 = queriesOf(0, 1)
+        .withColumn("qid", col("qid") + 2000L)
+      q1.coalesce(1).write.mode("append").parquet(in)
+      q.processAllAvailable()
+
+      val served1 = spark.read.parquet(out).drop("batch_id")
+        .filter(col("qid") === 2000L).collect().map(_.toSeq).toSet
+      assert(served1.nonEmpty, "post-compaction batch was not served")
+      val want1 = Similarity.ivfTopKIndexed(spark, layout, q1,
+        "qid", "qvec", k = 5, nprobe = 8, excludeSelf = false)
+        .collect().map(_.toSeq).toSet
+      assert(served1 == want1,
+        "post-compaction serving diverged from the batch probe")
+      // pre-compaction history untouched
+      assert(spark.read.parquet(out).drop("batch_id")
+        .filter(col("qid") < 2000L)
+        .collect().map(_.toSeq).toSet == batch0)
+    } finally q.stop()
+  }
+
+  test("retryOnMissingFiles: missing-file failures retry until the " +
+      "body succeeds, other failures propagate, attempts exhaust") {
+    var calls = 0
+    val got = StreamOps.retryOnMissingFiles(3) {
+      calls += 1
+      if (calls < 3)
+        throw new RuntimeException("wrapped",
+          new java.io.FileNotFoundException("file part-0 does not exist"))
+      42
+    }
+    assert(got == 42 && calls == 3)
+
+    var calls2 = 0
+    val e = intercept[IllegalStateException] {
+      StreamOps.retryOnMissingFiles(3) {
+        calls2 += 1
+        throw new IllegalStateException("unrelated")
+      }
+    }
+    assert(e.getMessage == "unrelated" && calls2 == 1,
+      "non-missing failures must propagate immediately")
+
+    var calls3 = 0
+    intercept[java.io.FileNotFoundException] {
+      StreamOps.retryOnMissingFiles(2) {
+        calls3 += 1
+        throw new java.io.FileNotFoundException("gone")
+      }
+    }
+    assert(calls3 == 2, "attempts must exhaust, not loop")
+  }
+
   test("usePq serves the PQ-coded pipeline (ADC + exact re-rank)") {
     val emb = Tables.embeddings(spark, sf001)
     val base = Files.createTempDirectory("graft-ann-serve-pq").toString
