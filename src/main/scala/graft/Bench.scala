@@ -194,6 +194,19 @@ object Bench {
       spreads(name) = times
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
+    // Noise adjudication (r16): the ±3x single-entry noise lesson from
+    // the r13/r14 A/B adjudications, wired into the harness instead of
+    // pinned in prose. Any entry whose recorded minimum moved >1.5x in
+    // EITHER direction vs its committed previous-round value lands in
+    // `suspect` — the round's verdict protocol A/Bs only those entries
+    // under a quiet-JVM SPARK_GRAFT_ONLY subset run before treating the
+    // move as real. New/failed/absent-prior entries can't be suspects
+    // (nothing to move from).
+    val suspect = results.collect {
+      case (name, v) if v > 0 && prior.get(name).exists(p =>
+        p > 0 && (v > p * 1.5 || v * 1.5 < p)) => name
+    }.toSeq.sorted
+
     // JSON string escape for env-provided values (path with a quote or
     // backslash must not corrupt the artifact this harness exists to emit)
     def esc(s: String): String =
@@ -232,11 +245,16 @@ object Bench {
         "the suite-end debt instead (stable across their three runs, " +
         "<=1.6x their quiet value) - the bias is parked where relative " +
         "error is smallest; quiet-JVM SPARK_GRAFT_ONLY stays the " +
-        "precision tool for those entries."
+        "precision tool for those entries. Suspect list (r16): entries " +
+        "whose minimum moved >1.5x in either direction vs the committed " +
+        "prior-round value; adjudicate ONLY those with a quiet-JVM " +
+        "SPARK_GRAFT_ONLY A/B before reading the move as a real " +
+        "regression or win."
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
       spreads.map { case (k, ts) => s""""$k":${ts.mkString("[", ",", "]")}""" }
         .mkString("\"spread\":{", ",", "},") +
+      suspect.map("\"" + _ + "\"").mkString("\"suspect\":[", ",", "],") +
       s""""notes":"${esc(notes)}",""" +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
