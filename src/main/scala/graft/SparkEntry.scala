@@ -1944,7 +1944,10 @@ object SparkEntry {
       Layouts.writeZOrderedMaintained(li.filter(col("l_orderkey") <= cut),
         out, Seq("l_orderkey", "l_partkey"), maxRecordsPerFile = 2000L)
       Layouts.appendZOrdered(li.filter(col("l_orderkey") > cut), out)
-      Layouts.autoReclusterZOrdered(s, out, threshold = 0.05)
+      // bounded maintenance (r16): the measured trigger now drives the
+      // INCREMENTAL pass — this tail is beyond the clustered domain, so
+      // the rewrite is exactly the tail; the read plan is unchanged
+      Layouts.autoReclusterZOrderedIncremental(s, out, threshold = 0.05)
       s.read.parquet(out)
         .filter(col("l_orderkey").between(100, 1500) &&
           col("l_partkey").between(20, 120))

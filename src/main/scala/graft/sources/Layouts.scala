@@ -194,6 +194,11 @@ object Layouts {
 
   private def zmetaDir(path: String) = s"$path/_zorder"
   private def zmetaTmpDir(path: String) = s"$path/_zorder__tmp"
+  // incremental recluster: bounded-rewrite stage + roll-forward manifest
+  // (all underscore-prefixed — invisible to every parquet reader)
+  private def zincStageDir(path: String) = s"$path/_zinc_stage"
+  private def zincManifestDir(path: String) = s"$path/_zorder__inc"
+  private def zincManifestTmpDir(path: String) = s"$path/_zorder__inc_tmp"
 
   /** Explicit schema for the `_zorder/params` table: skips parquet
     * schema inference (one Spark job per open) on every lifecycle
@@ -230,13 +235,19 @@ object Layouts {
     * written into `_zorder__tmp` first and renamed over in one move —
     * a torn stamp leaves either the old metadata or a completed tmp
     * that [[healZOrderSwap]] renames in; never a half-written
-    * generation record. */
+    * generation record. `namesOverride` replaces the directory listing
+    * with an explicit clustered set (the incremental commit path,
+    * where a racing cheap append must NOT be absorbed into the
+    * generation record). */
   private def stampClustered(spark: org.apache.spark.sql.SparkSession,
                              dir: String, cols: Seq[String], bits: Int,
                              files: Int, maxRecordsPerFile: Long,
-                             consumed: Seq[String]): Unit = {
+                             consumed: Seq[String],
+                             namesOverride: Option[Seq[String]] = None)
+      : Unit = {
     import spark.implicits._
-    val names = dataFiles(spark, dir).map(_.getPath.getName)
+    val names = namesOverride.getOrElse(
+      dataFiles(spark, dir).map(_.getPath.getName))
     val fs = fsOf(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(zmetaTmpDir(dir))
     fs.delete(tmp, true)
@@ -370,6 +381,305 @@ object Layouts {
     rescueLateAppends(spark, path)
   }
 
+  // ---- incremental recluster (LSM-style bounded maintenance) ----
+  //
+  // The global rewrite above is the one whole-corpus mutation left in
+  // the lifecycle: at 100 TB it rewrites every byte to absorb a tail
+  // that is by construction <= the trigger threshold of the bytes.
+  // [[reclusterZOrderedIncremental]] bounds each maintenance job to the
+  // FRAGMENTED fraction instead: the unclustered tail plus only the
+  // clustered files whose key-space boxes the tail actually interleaves
+  // with. Overlap is decided from parquet FOOTER statistics (a
+  // metadata-only pass distributed over the executors — zero data IO
+  // against the clustered generation) probed by the tail's distinct
+  // coarse grid cells in scaled key space; both sides of the test are
+  // supersets, so imprecision can only widen the rewrite, never corrupt
+  // it. A tail that interleaves with most of the curve (scattered
+  // appends) makes the bounded rewrite pointless — past
+  // `maxRewriteFraction` the pass falls back to the global rewrite.
+  //
+  // Commit discipline: the bounded rewrite is staged into an
+  // underscore-invisible directory inside the root, then committed by
+  // a roll-FORWARD manifest (`_zorder__inc`, created by atomic rename):
+  // move the staged files in, delete the consumed ones, restamp the
+  // generation record with the EXPLICIT post-commit clustered set.
+  // Quiesce readers across the commit (files appear before their
+  // consumed twins vanish — same window contract as the global swap);
+  // every crash inside it rolls forward idempotently on the next
+  // lifecycle call, and a crash BEFORE the manifest rename leaves only
+  // an invisible orphan stage that the heal drops.
+
+  /** What one [[reclusterZOrderedIncremental]] pass did. When the pass
+    * degenerated to the global rewrite (`usedGlobal`), `rewrittenBytes`
+    * covers the whole layout. */
+  final case class IncrementalReclusterStats(
+      tailFiles: Long, overlappedFiles: Long, untouchedFiles: Long,
+      rewrittenBytes: Long, totalBytes: Long, usedGlobal: Boolean)
+
+  /** Recluster ONLY the unclustered tail merged with the clustered
+    * files it interleaves with — see the section note above. Content-
+    * invariant and oracle-invisible like the global pass; the global
+    * rewrite remains the fallback for scattered tails
+    * (`maxRewriteFraction`). Caller-serialized like every lifecycle
+    * mutation; quiesce readers across the commit window. */
+  def reclusterZOrderedIncremental(spark: org.apache.spark.sql.SparkSession,
+                                   path: String,
+                                   maxRewriteFraction: Double = 0.6)
+      : IncrementalReclusterStats =
+    reclusterZOrderedIncrementalImpl(spark, path, maxRewriteFraction,
+      crashAfterManifest = false)
+
+  /** Probe-grid resolution (bits per column) and the tail-cell cap:
+    * past the cap the tail is provably scattered across the key space
+    * and the global fallback is the right tool anyway. */
+  private val ZincGridBits = 12
+  private val ZincMaxTailCells = 100000L
+
+  private[sources] def reclusterZOrderedIncrementalImpl(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      maxRewriteFraction: Double, crashAfterManifest: Boolean)
+      : IncrementalReclusterStats = {
+    require(maxRewriteFraction > 0 && maxRewriteFraction <= 1,
+      s"bad maxRewriteFraction $maxRewriteFraction")
+    healZOrderSwap(spark, path)
+    val pr = readZParams(spark, path)
+    val cols = pr.getSeq[String](pr.fieldIndex("cols"))
+    val bits = pr.getAs[Int]("bits")
+    val files = pr.getAs[Int]("files")
+    val mrpf = pr.getAs[Long]("max_records_per_file")
+    val fs = fsOf(spark, path)
+    val clustered = spark.read
+      .parquet(s"${zmetaDir(path)}/clustered_files")
+      .collect().map(_.getString(0)).toSet
+    val all = dataFiles(spark, path)
+    val tail = all.filterNot(s => clustered(s.getPath.getName))
+    val clu = all.filter(s => clustered(s.getPath.getName))
+    val totalBytes = all.map(_.getLen).sum
+    if (tail.isEmpty)
+      return IncrementalReclusterStats(0L, 0L, clu.size.toLong, 0L,
+        totalBytes, usedGlobal = false)
+
+    def global(tailN: Long, overN: Long): IncrementalReclusterStats = {
+      reclusterZOrdered(spark, path)
+      IncrementalReclusterStats(tailN, overN, 0L, totalBytes, totalBytes,
+        usedGlobal = true)
+    }
+    if (clu.isEmpty) return global(tail.size.toLong, 0L)
+
+    // The clustered generation's per-file key boxes, from footers only.
+    val boxes = footerBoxes(spark, clu.map(_.getPath.toString), cols)
+    // Probe grid: the clustered generation's global domain per column,
+    // every box scaled into it (driver-side exact BigInt math), every
+    // tail point scaled + clamped to the same grid and reduced to its
+    // DISTINCT cells. Monotone scaling means raw containment implies
+    // scaled containment — the grid test is a sound superset.
+    val dom = cols.indices.map { i =>
+      (boxes.map(_._2(i)._1).min, boxes.map(_._2(i)._2).max)
+    }
+    val scaledBoxes = boxes.map { case (name, bs) =>
+      (name, bs.zipWithIndex.map { case ((lo, hi), i) =>
+        (scaledLong(lo, dom(i)._1, dom(i)._2, ZincGridBits),
+          scaledLong(hi, dom(i)._1, dom(i)._2, ZincGridBits))
+      })
+    }
+    val maxCell = (1L << ZincGridBits) - 1
+    val tailDf = spark.read.parquet(tail.map(_.getPath.toString): _*)
+    // A tail point outside the clustered generation's domain in ANY
+    // dimension cannot sit inside any clustered box (boxes are within
+    // the domain by construction) — filter those out BEFORE scaling,
+    // so pure beyond-the-curve appends (time-ordered ingest) probe
+    // nothing and rewrite exactly themselves.
+    val inDomain = cols.zipWithIndex.map { case (c, i) =>
+      col(c).cast("long").between(dom(i)._1, dom(i)._2)
+    }.reduce(_ && _)
+    val cellCols = cols.zipWithIndex.map { case (c, i) =>
+      greatest(lit(0L), least(lit(maxCell),
+        scaled(col(c), dom(i)._1, dom(i)._2, ZincGridBits))).as(s"__c$i")
+    }
+    val tailCells = tailDf.filter(inDomain).select(cellCols: _*).distinct()
+      .limit((ZincMaxTailCells + 1).toInt).collect()
+    if (tailCells.length > ZincMaxTailCells)
+      return global(tail.size.toLong, clu.size.toLong)
+
+    // Overlap join: broadcast the (small) distinct tail cells, stream
+    // the boxes — a file is overlapped when its scaled box contains
+    // any tail cell in EVERY dimension.
+    import spark.implicits._
+    val boxDf = scaledBoxes.map { case (n, bs) =>
+      (n, bs.map(_._1), bs.map(_._2))
+    }.toDF("name", "lo", "hi")
+    val cellDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(tailCells.toSeq, 1),
+      org.apache.spark.sql.types.StructType(cols.indices.map(i =>
+        org.apache.spark.sql.types.StructField(s"__c$i",
+          org.apache.spark.sql.types.LongType))))
+    val cond = cols.indices.map { i =>
+      col(s"__c$i") >= element_at(col("lo"), i + 1) &&
+        col(s"__c$i") <= element_at(col("hi"), i + 1)
+    }.reduce(_ && _)
+    val overlapped = boxDf.join(broadcast(cellDf), cond, "left_semi")
+      .select("name").as[String].collect().toSet
+
+    val overClu = clu.filter(s => overlapped(s.getPath.getName))
+    val untouched = clu.filterNot(s => overlapped(s.getPath.getName))
+    val consumed = tail ++ overClu
+    val rewriteBytes = consumed.map(_.getLen).sum
+    if (rewriteBytes > totalBytes * maxRewriteFraction)
+      return global(tail.size.toLong, overClu.size.toLong)
+
+    // Stage the bounded rewrite (invisible to readers), output file
+    // budget scaled to the rewritten fraction of the corpus.
+    val stage = new org.apache.hadoop.fs.Path(zincStageDir(path))
+    fs.delete(stage, true)
+    val subFiles =
+      if (files > 0)
+        math.max(1, math.ceil(files.toDouble * rewriteBytes /
+          math.max(1L, totalBytes)).toInt)
+      else 0
+    writeZOrdered(
+      spark.read.parquet(consumed.map(_.getPath.toString): _*),
+      stage.toString, cols.toSeq, bits, subFiles, mrpf)
+    val newNames = fs.listStatus(stage).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }.map(_.getPath.getName)
+
+    // Roll-forward manifest, committed by one atomic directory rename.
+    val manTmp = new org.apache.hadoop.fs.Path(zincManifestTmpDir(path))
+    fs.delete(manTmp, true)
+    newNames.toDF("name").coalesce(1).write.mode("overwrite")
+      .parquet(s"${zincManifestTmpDir(path)}/new_files")
+    consumed.map(_.getPath.getName).toDF("name").coalesce(1)
+      .write.mode("overwrite")
+      .parquet(s"${zincManifestTmpDir(path)}/consumed_files")
+    (untouched.map(_.getPath.getName) ++ newNames).toDF("name")
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"${zincManifestTmpDir(path)}/clustered_files")
+    fs.delete(new org.apache.hadoop.fs.Path(zincManifestDir(path)), true)
+    require(fs.rename(manTmp,
+      new org.apache.hadoop.fs.Path(zincManifestDir(path))),
+      s"incremental recluster: manifest rename at $path failed")
+    if (crashAfterManifest) // test hook: die inside the commit window
+      return IncrementalReclusterStats(tail.size.toLong,
+        overClu.size.toLong, untouched.size.toLong, rewriteBytes,
+        totalBytes, usedGlobal = false)
+    commitIncrementalRecluster(spark, path)
+    IncrementalReclusterStats(tail.size.toLong, overClu.size.toLong,
+      untouched.size.toLong, rewriteBytes, totalBytes, usedGlobal = false)
+  }
+
+  /** Roll the incremental commit FORWARD from its manifest: move the
+    * staged files in, delete the consumed ones, restamp the generation
+    * record with the manifest's explicit clustered set, drop the
+    * manifest + stage. Idempotent — every step checks before acting —
+    * so a crash anywhere inside re-heals on the next lifecycle call. */
+  private def commitIncrementalRecluster(
+      spark: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val man = new org.apache.hadoop.fs.Path(zincManifestDir(path))
+    if (!fs.exists(man)) return
+    def names(table: String): Seq[String] =
+      spark.read.parquet(s"${zincManifestDir(path)}/$table")
+        .collect().map(_.getString(0)).toSeq
+    val newNames = names("new_files")
+    val consumed = names("consumed_files")
+    val clusteredNew = names("clustered_files")
+    val stage = new org.apache.hadoop.fs.Path(zincStageDir(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    newNames.foreach { n =>
+      val s = new org.apache.hadoop.fs.Path(stage, n)
+      val d = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(s) && !fs.exists(d))
+        require(fs.rename(s, d),
+          s"incremental recluster commit: move $n into $path failed")
+      else require(fs.exists(d),
+        s"incremental recluster commit: staged file $n missing from " +
+          s"both the stage and $path — manual triage required")
+    }
+    consumed.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
+    val pr = readZParams(spark, path)
+    stampClustered(spark, path,
+      pr.getSeq[String](pr.fieldIndex("cols")), pr.getAs[Int]("bits"),
+      pr.getAs[Int]("files"), pr.getAs[Long]("max_records_per_file"),
+      consumed, namesOverride = Some(clusteredNew))
+    fs.delete(man, true)
+    fs.delete(stage, true)
+  }
+
+  /** Hadoop `Configuration` is not `Serializable`; this is the
+    * standard writable-backed wrapper so the footer pass can ship the
+    * session's conf to executors. */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
+
+  /** Per-file (min, max) of each clustering column, read from parquet
+    * FOOTER row-group statistics only — one metadata task per file
+    * slice, distributed over the executors, zero data IO. A column
+    * whose stats are absent or non-numeric gets the
+    * (Long.MinValue, Long.MaxValue) box: it overlaps everything, which
+    * widens the rewrite but never breaks it. */
+  private def footerBoxes(spark: org.apache.spark.sql.SparkSession,
+                          files: Seq[String], cols: Seq[String])
+      : Seq[(String, Seq[(Long, Long)])] = {
+    val conf =
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration)
+    val colNames = cols.toIndexedSeq
+    val slices = math.max(1,
+      math.min(files.size, spark.sparkContext.defaultParallelism))
+    spark.sparkContext.parallelize(files, slices).map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          p, conf.value))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        val boxes = colNames.map { c =>
+          var lo = Long.MaxValue
+          var hi = Long.MinValue
+          var ok = true
+          blocks.forEach { b =>
+            b.getColumns.forEach { cc =>
+              if (cc.getPath.toDotString == c) {
+                val st = cc.getStatistics
+                if (st == null || !st.hasNonNullValue) ok = false
+                else (st.genericGetMin, st.genericGetMax) match {
+                  case (mn: Number, mx: Number) =>
+                    lo = math.min(lo, mn.longValue)
+                    hi = math.max(hi, mx.longValue)
+                  case _ => ok = false
+                }
+              }
+            }
+          }
+          if (ok && lo <= hi) (lo, hi)
+          else (Long.MinValue, Long.MaxValue)
+        }
+        (p.getName, boxes: Seq[(Long, Long)])
+      } finally reader.close()
+    }.collect().toSeq
+  }
+
+  /** Driver-side twin of [[scaled]] for plain longs — exact BigInt
+    * math on any domain width, same monotone contract. */
+  private def scaledLong(v: Long, lo: Long, hi: Long, bits: Int): Long = {
+    val maxV = (1L << bits) - 1
+    val span = BigInt(hi) - BigInt(lo)
+    if (span <= 0) 0L
+    else ((BigInt(v) - BigInt(lo)) * maxV / span).toLong
+  }
+
   /** Post-swap epilogue (also a heal path): move aside data files the
     * rewrite provably did NOT consume into the new root — they are
     * appends that landed during the stage write, and as plain
@@ -446,6 +756,17 @@ object Layouts {
         require(fs.rename(zt, zf), s"z-order stamp heal of $path failed")
       else fs.delete(zt, true)
     }
+    // incremental recluster windows: a committed manifest rolls
+    // FORWARD (idempotent); without one, a leftover stage or torn
+    // manifest tmp is pre-commit debris — the pass never committed,
+    // the tail is still unclustered, a re-run recomputes it
+    if (fs.exists(new org.apache.hadoop.fs.Path(zincManifestDir(path))))
+      commitIncrementalRecluster(spark, path)
+    else {
+      fs.delete(new org.apache.hadoop.fs.Path(zincStageDir(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(zincManifestTmpDir(path)),
+        true)
+    }
   }
 
   /** Fragmentation-measured recluster trigger: recluster ONLY when at
@@ -459,6 +780,22 @@ object Layouts {
     require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
     val frag = zOrderFragmentation(spark, path)
     if (frag >= threshold) { reclusterZOrdered(spark, path); Some(frag) }
+    else None
+  }
+
+  /** [[autoReclusterZOrdered]] with the BOUNDED maintenance pass: the
+    * same byte-fraction trigger, but the rewrite is
+    * [[reclusterZOrderedIncremental]] (the global rewrite fires only
+    * through its documented scattered-tail fallback). Returns the
+    * pass's stats when the trigger fired. */
+  def autoReclusterZOrderedIncremental(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      threshold: Double = 0.25, maxRewriteFraction: Double = 0.6)
+      : Option[IncrementalReclusterStats] = {
+    require(threshold > 0 && threshold <= 1, s"bad threshold $threshold")
+    val frag = zOrderFragmentation(spark, path)
+    if (frag >= threshold)
+      Some(reclusterZOrderedIncremental(spark, path, maxRewriteFraction))
     else None
   }
 }

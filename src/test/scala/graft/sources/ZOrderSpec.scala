@@ -290,6 +290,99 @@ class ZOrderSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("incremental recluster: bounded rewrite of the tail plus only " +
+      "the overlapping clustered files; content invariant; skipping " +
+      "restored; a commit-window crash rolls forward; scattered tails " +
+      "fall back to the global rewrite") {
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val base = Files.createTempDirectory("graft-zorder-inc").toString
+    val lay = s"$base/lay"
+    def bag(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+      df.collect().toSeq.map(_.toSeq).groupMapReduce(identity)(_ => 1)(_ + _)
+    def clusteredCount: Long =
+      spark.read.parquet(s"$lay/_zorder/clustered_files").count()
+    try {
+      val baseSlice = li.filter(col("l_orderkey") <= 6000)
+      Layouts.writeZOrderedMaintained(baseSlice, lay,
+        Seq("l_orderkey", "l_partkey"), maxRecordsPerFile = 100L)
+      val cluBefore = clusteredCount
+      var expected = bag(baseSlice)
+
+      // (1) beyond-the-curve tail (time-ordered ingest shape): the
+      // rewrite is EXACTLY the tail — zero clustered files touched
+      def merge(a: Map[Seq[Any], Int], b: Map[Seq[Any], Int]) =
+        (a.keySet ++ b.keySet).map(k =>
+          k -> (a.getOrElse(k, 0) + b.getOrElse(k, 0))).toMap
+      val tailA = li.filter(col("l_orderkey") > 9000)
+      Layouts.appendZOrdered(tailA, lay)
+      expected = merge(expected, bag(tailA))
+      val st1 = Layouts.reclusterZOrderedIncremental(spark, lay)
+      assert(!st1.usedGlobal && st1.tailFiles > 0, st1)
+      assert(st1.overlappedFiles == 0,
+        s"a disjoint tail touched clustered files: $st1")
+      assert(st1.untouchedFiles == cluBefore, st1)
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
+      assert(bag(spark.read.parquet(lay)) == expected)
+
+      // (2) in-domain tail: only the clustered files whose key boxes
+      // the tail interleaves with are rewritten — bounded, not global
+      val cluBefore2 = clusteredCount
+      val tailB = li.filter(col("l_orderkey").between(3000, 3200))
+      Layouts.appendZOrdered(tailB, lay)
+      expected = merge(expected, bag(tailB))
+      val st2 = Layouts.reclusterZOrderedIncremental(spark, lay)
+      assert(!st2.usedGlobal && st2.tailFiles > 0, st2)
+      assert(st2.overlappedFiles > 0,
+        s"an in-domain tail overlapped nothing: $st2")
+      assert(st2.untouchedFiles > st2.overlappedFiles,
+        s"the bounded rewrite was not bounded: $st2")
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
+      assert(bag(spark.read.parquet(lay)) == expected)
+      info(s"in-domain pass: ${st2.overlappedFiles} overlapped / " +
+        s"${st2.untouchedFiles} untouched of $cluBefore2 clustered")
+      // skipping restored: few files intersect the reclustered band
+      val stats = spark.read.parquet(lay)
+        .groupBy(input_file_name().as("f"))
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"))
+      val hit = stats.filter(!(col("hi") < 3000 || col("lo") > 3200)).count()
+      val tot = stats.count()
+      info(s"band [3000,3200] intersects $hit/$tot files")
+      assert(hit * 3 <= tot, s"no locality after recluster: $hit/$tot")
+
+      // (3) crash INSIDE the commit window (manifest committed, moves/
+      // deletes/restamp pending): the next lifecycle call rolls forward
+      val tailC = li.filter(col("l_orderkey").between(6001, 7000))
+      Layouts.appendZOrdered(tailC, lay)
+      expected = merge(expected, bag(tailC))
+      Layouts.reclusterZOrderedIncrementalImpl(spark, lay,
+        maxRewriteFraction = 0.6, crashAfterManifest = true)
+      val fs = new org.apache.hadoop.fs.Path(lay)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$lay/_zorder__inc")))
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0) // heals
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lay/_zorder__inc")),
+        "manifest not folded after the roll-forward")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lay/_zinc_stage")),
+        "stage not dropped after the roll-forward")
+      assert(bag(spark.read.parquet(lay)) == expected)
+      // and the healed commit is idempotent: nothing left to recluster
+      val st3 = Layouts.reclusterZOrderedIncremental(spark, lay)
+      assert(st3.tailFiles == 0 && st3.rewrittenBytes == 0L, st3)
+
+      // (4) scattered tail: rows across the whole clustered domain at a
+      // tiny maxRewriteFraction — the pass must fall back to global
+      val tailD = li.filter(col("l_orderkey") % 97 === 0)
+      Layouts.appendZOrdered(tailD, lay)
+      expected = merge(expected, bag(tailD))
+      val st4 = Layouts.reclusterZOrderedIncremental(spark, lay,
+        maxRewriteFraction = 0.05)
+      assert(st4.usedGlobal, st4)
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
+      assert(bag(spark.read.parquet(lay)) == expected)
+    } finally rmrf(base)
+  }
+
   test("constant and negative-ranged columns scale without error") {
     val df = Seq((-50L, 7L), (-10L, 7L), (0L, 7L), (99L, 7L))
       .toDF("a", "b")
