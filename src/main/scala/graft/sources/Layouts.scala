@@ -429,10 +429,11 @@ object Layouts {
     reclusterZOrderedIncrementalImpl(spark, path, maxRewriteFraction,
       crashAfterManifest = false)
 
-  /** Probe-grid resolution (bits per column) and the tail-cell cap:
-    * past the cap the tail is provably scattered across the key space
-    * and the global fallback is the right tool anyway. */
-  private val ZincGridBits = 12
+  /** Probe-grid resolutions (bits per column, finest first — coarsen
+    * until the tail's distinct cells fit the cap) and the cell cap: a
+    * tail still over the cap at the coarsest grid is scattered across
+    * the whole key space and the global fallback is the right tool. */
+  private val ZincGridSteps = Seq(12, 9, 6, 4)
   private val ZincMaxTailCells = 100000L
 
   private[sources] def reclusterZOrderedIncrementalImpl(
@@ -472,17 +473,13 @@ object Layouts {
     // every box scaled into it (driver-side exact BigInt math), every
     // tail point scaled + clamped to the same grid and reduced to its
     // DISTINCT cells. Monotone scaling means raw containment implies
-    // scaled containment — the grid test is a sound superset.
+    // scaled containment — the grid test is a sound superset at ANY
+    // resolution, so a tail that is dense in some dimension (a key band
+    // crossing the full range of another column) is probed at a COARSER
+    // grid instead of giving up: coarsening only widens the overlap.
     val dom = cols.indices.map { i =>
       (boxes.map(_._2(i)._1).min, boxes.map(_._2(i)._2).max)
     }
-    val scaledBoxes = boxes.map { case (name, bs) =>
-      (name, bs.zipWithIndex.map { case ((lo, hi), i) =>
-        (scaledLong(lo, dom(i)._1, dom(i)._2, ZincGridBits),
-          scaledLong(hi, dom(i)._1, dom(i)._2, ZincGridBits))
-      })
-    }
-    val maxCell = (1L << ZincGridBits) - 1
     val tailDf = spark.read.parquet(tail.map(_.getPath.toString): _*)
     // A tail point outside the clustered generation's domain in ANY
     // dimension cannot sit inside any clustered box (boxes are within
@@ -492,14 +489,27 @@ object Layouts {
     val inDomain = cols.zipWithIndex.map { case (c, i) =>
       col(c).cast("long").between(dom(i)._1, dom(i)._2)
     }.reduce(_ && _)
-    val cellCols = cols.zipWithIndex.map { case (c, i) =>
-      greatest(lit(0L), least(lit(maxCell),
-        scaled(col(c), dom(i)._1, dom(i)._2, ZincGridBits))).as(s"__c$i")
+    def cellsAt(gb: Int): Array[org.apache.spark.sql.Row] = {
+      val maxCell = (1L << gb) - 1
+      val cellCols = cols.zipWithIndex.map { case (c, i) =>
+        greatest(lit(0L), least(lit(maxCell),
+          scaled(col(c), dom(i)._1, dom(i)._2, gb))).as(s"__c$i")
+      }
+      tailDf.filter(inDomain).select(cellCols: _*).distinct()
+        .limit((ZincMaxTailCells + 1).toInt).collect()
     }
-    val tailCells = tailDf.filter(inDomain).select(cellCols: _*).distinct()
-      .limit((ZincMaxTailCells + 1).toInt).collect()
-    if (tailCells.length > ZincMaxTailCells)
+    val gridBits = ZincGridSteps.map(g => math.min(bits, g)).distinct
+    val probed = gridBits.iterator.map(g => g -> cellsAt(g))
+      .find(_._2.length <= ZincMaxTailCells)
+    if (probed.isEmpty)
       return global(tail.size.toLong, clu.size.toLong)
+    val (gb, tailCells) = probed.get
+    val scaledBoxes = boxes.map { case (name, bs) =>
+      (name, bs.zipWithIndex.map { case ((lo, hi), i) =>
+        (scaledLong(lo, dom(i)._1, dom(i)._2, gb),
+          scaledLong(hi, dom(i)._1, dom(i)._2, gb))
+      })
+    }
 
     // Overlap join: broadcast the (small) distinct tail cells, stream
     // the boxes — a file is overlapped when its scaled box contains
