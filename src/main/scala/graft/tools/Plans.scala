@@ -610,19 +610,26 @@ object Plans {
     "q64c_zorder_lifecycle_read" ->
       """Z-order LIFECYCLE read (the OPTIMIZE operating loop): the
         |layout served here went clustered-write → cheap unclustered
-        |append (no range exchange — the ingest path) → fragmentation-
-        |measured recluster (fired past the byte-fraction threshold,
-        |staged + rename-swapped with the metadata stamped INTO the
-        |stage and late appends rescued from the aside). The dumped
-        |scan is identical in shape to q64's — both range predicates
-        |pushed and biting on tight post-recluster row-group boxes —
-        |which is the point: every lifecycle state is an execution
-        |artifact, and the read plan after maintenance is
-        |indistinguishable from a fresh clustered write. At 100 TB the
-        |loop splits the two rates: appends cost one parquet write,
-        |and the global rewrite is paid only when the measured
-        |unclustered fraction warrants it (the same trigger discipline
-        |as the index family's autoCompact).""".stripMargin,
+        |append (no range exchange — the ingest path; the NULL guard is
+        |fused into the write job as a raise_error trap, one job per
+        |append) → fragmentation-measured INCREMENTAL recluster (r16):
+        |the trigger fired past the byte-fraction threshold and the
+        |bounded pass rewrote only the unclustered tail merged with the
+        |clustered files it interleaves with — chosen by a footer-
+        |statistics overlap probe (metadata-only, zero data IO against
+        |the clustered generation), committed via a roll-forward
+        |manifest; this tail is beyond the clustered domain, so the
+        |rewrite is exactly the tail. The dumped scan is identical in
+        |shape to q64's — both range predicates pushed and biting on
+        |tight post-recluster row-group boxes — which is the point:
+        |every lifecycle state is an execution artifact, and the read
+        |plan after maintenance is indistinguishable from a fresh
+        |clustered write. At 100 TB the loop splits the two rates:
+        |appends cost one parquet write, and maintenance rewrites the
+        |FRAGMENTED FRACTION (BENCH_SF10 zorder_audit: 93 MB of a
+        |339 MB corpus in 7.0 s vs the 16.1 s global rewrite; the
+        |global pass remains the documented scattered-tail
+        |fallback).""".stripMargin,
 
     "p9_cross_shard_reconcile" ->
       """Cross-shard duplicate reconciliation (the multi-stream
@@ -641,7 +648,27 @@ object Plans {
         |nothing (the dropped side is physically gone from the union).
         |At 100 TB the pass costs one LSH sweep of the served corpora
         |per reconcile cadence — the same order as one governed
-        |compaction, and independent of shard count.""".stripMargin)
+        |compaction, and independent of shard count.""".stripMargin,
+
+    "p10_cross_shard_reconcile_digest" ->
+      """p9's exact-dedup twin over the governed digest deployment
+        |(reconcileShardOutputsDigest on the shared reconcileCore).
+        |The union pass here is a digest equi-join STAR, not LSH: one
+        |groupBy(dig) over the served corpora finds duplicate groups
+        |(shuffle keyed on the digest — map-side partial counts, one
+        |row per distinct digest on the wire), and each group pairs its
+        |global min id with every other member, so pair volume is
+        |linear in the group size even for a pathological hot digest
+        |(an all-pairs self-join would go quadratic). Cross-shard
+        |filtering, the broadcast-small drop set, per-shard tombstone +
+        |hit-only scrubs, and the loud id contract (non-null, unique,
+        |long-castable — all checked in ONE aggregate) are the shared
+        |core's, verbatim. The dump shows the post-convergence serving
+        |read: both shards' scrubbed batch directories under plain
+        |pruned scans. At 100 TB: one digest-keyed shuffle of (id, dig)
+        |pairs per reconcile cadence — cheaper than p9's LSH sweep by
+        |the width of a signature, the natural cadence pass for the
+        |exact family.""".stripMargin)
 
   /** Prose-only sections appended after the plan dumps (deployment
     * patterns with no single query plan to show). Regeneration keeps
@@ -674,8 +701,52 @@ object Plans {
       |asserts the parent session's knobs are never touched and each shard's
       |are restored). Separate drivers per shard are the natural deployment
       |anyway. Cross-shard duplicates (the documented within-shard screening
-      |boundary) are closed by the periodic `Dedup.reconcileShardOutputs`
-      |pass — plan dumped above as p9_cross_shard_reconcile.
+      |boundary) are closed by the periodic reconcile family —
+      |`Dedup.reconcileShardOutputs` (MinHash, plan dumped above as
+      |p9_cross_shard_reconcile), `reconcileShardOutputsSrp` (embeddings)
+      |and `reconcileShardOutputsDigest` (exact, p10) on one shared
+      |`reconcileCore`.
+      |
+      |Mixed-family deployments compose per family over the same corpus: a
+      |production pipeline may run MinHash text shards and digest shards
+      |side by side (each shard path holds ONE index family — the family is
+      |a property of the shard, fixed by the router). Reconcile passes are
+      |then independent per family: each pass unions only ITS family's
+      |served outputs, applies its own pair finder, and feeds drops back
+      |through its own shards' takedown machinery; nothing is shared across
+      |families but the core's mechanics, so passes can run on independent
+      |cadences (digest equi-join cheap and frequent, LSH sweeps on the
+      |compaction cadence) and their drop sets cannot collide — ids are
+      |globally unique across the whole deployment by the same router
+      |contract each pass already checks loudly.
+      |
+      |## z-order incremental recluster (lifecycle mechanics, no single plan dump)
+      |
+      |The global z-order rewrite was the one remaining whole-corpus
+      |mutation in the repo; `Layouts.reclusterZOrderedIncremental` (r16)
+      |replaces it for the common case by bounding each maintenance job to
+      |the FRAGMENTED fraction. Mechanics: (1) the unclustered tail is the
+      |set difference of the directory listing and the stamped generation
+      |record — no scan; (2) the clustered generation's per-file key boxes
+      |come from parquet FOOTER statistics, a distributed metadata pass
+      |with zero data IO; (3) the tail reduces to its distinct coarse grid
+      |cells in scaled key space (exact BigInt scaling, monotone, so the
+      |grid test is a sound superset at any resolution — a dimension-dense
+      |tail coarsens the grid instead of giving up), and a broadcast
+      |cell-vs-box join selects the overlapped files; (4) the bounded
+      |rewrite (tail + overlapped) stages into an underscore-invisible
+      |directory and commits via a roll-forward manifest created by one
+      |atomic rename — every crash inside the commit window rolls forward
+      |idempotently at the next lifecycle call, a crash before the
+      |manifest leaves only invisible debris. Out-of-domain tails
+      |(time-ordered ingest) probe nothing and rewrite exactly themselves;
+      |tails interleaved with more than `maxRewriteFraction` of the bytes
+      |fall back to the global rewrite. Measured (BENCH_SF10
+      |zorder_audit): the trigger probe is a flat ~0.2 s listing at both
+      |scales; at sf10 the bounded pass rewrites 93-100 MB of a ~340 MB
+      |corpus in 7-8 s against a 16.1 s global rewrite, while at sf0.1 the
+      |fixed probe/manifest jobs invert the comparison (4.1 s vs 1.7 s) —
+      |the pass pays off exactly in the large-corpus regime it exists for.
       |
       |## r14 "governed-family regression" adjudicated: measurement artifact, not code (r15)
       |
