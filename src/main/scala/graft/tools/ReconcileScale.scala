@@ -18,12 +18,22 @@ import org.apache.spark.sql.functions._
   *  - `reconcile_noop`: the second pass — the steady state when no new
   *    cross-shard duplication accrued; prices the fixed floor.
   *
-  * Prints one JSON line per phase. Usage: ReconcileScale [sfDir] [work]
+  * The digest family ("digest" as the third arg) audits the same
+  * deployment shape under the governed EXACT-dedup loop: the measured
+  * pass is then ONE digest-keyed shuffle of the union's (id, dig)
+  * rows (the equi-join star — map-side partial counts, one row per
+  * distinct digest on the wire) plus the same O(drops) takedown work.
+  *
+  * Prints one JSON line per phase.
+  * Usage: ReconcileScale [sfDir] [work] [minhash|digest]
   */
 object ReconcileScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_reconscale")
+    val family = args.lift(2).getOrElse("minhash")
+    require(family == "minhash" || family == "digest",
+      s"unknown family $family")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -36,7 +46,7 @@ object ReconcileScale {
       val t0 = System.nanoTime()
       val r = f
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"tool":"reconcile-scale","phase":"$label","sf_dir":"$dir","sec":$sec%.2f}""")
+      println(f"""{"tool":"reconcile-scale","family":"$family","phase":"$label","sf_dir":"$dir","sec":$sec%.2f}""")
       r
     }
 
@@ -44,23 +54,32 @@ object ReconcileScale {
     val fsRoot = new org.apache.hadoop.fs.Path(work)
     fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(fsRoot, true)
-    val docs = graft.sources.Tables.table(spark, dir, "documents")
-      .select("doc_id", "text")
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val raw = graft.sources.Tables.table(spark, dir, "documents")
+    val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
     val c1 = maxId * 3 / 5
-    val p = Dd.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
-      threshold = 0.2)
-    val shards = phase("build_shards") {
-      Dd.buildTwoShardDeployment(docs, "doc_id", "text", c1, p, work)
-    }
-    val st = phase("reconcile") {
-      Dd.reconcileShardOutputs(spark, shards, "doc_id", "text")
-    }
-    println(s"""{"tool":"reconcile-scale","info":"pass1","cross_pairs":${st.crossPairs},"dropped":${st.dropped},"scrubbed":${st.scrubbedRows}}""")
-    val st2 = phase("reconcile_noop") {
-      Dd.reconcileShardOutputs(spark, shards, "doc_id", "text")
-    }
-    println(s"""{"tool":"reconcile-scale","info":"pass2","cross_pairs":${st2.crossPairs},"dropped":${st2.dropped}}""")
+    val (shards, reconcile) =
+      if (family == "digest") {
+        // the p10 recipe: sha-256 of the text prefix as the exact key
+        val docs = raw.withColumn("dig",
+            sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+          .select("doc_id", "dig")
+        val sh = phase("build_shards") {
+          Dd.buildTwoShardDigestDeployment(docs, "doc_id", "dig", c1, work)
+        }
+        (sh, () => Dd.reconcileShardOutputsDigest(spark, sh, "doc_id", "dig"))
+      } else {
+        val docs = raw.select("doc_id", "text")
+        val p = Dd.MinHashParams(numHashes = 32, bands = 8, shingle = 3,
+          threshold = 0.2)
+        val sh = phase("build_shards") {
+          Dd.buildTwoShardDeployment(docs, "doc_id", "text", c1, p, work)
+        }
+        (sh, () => Dd.reconcileShardOutputs(spark, sh, "doc_id", "text"))
+      }
+    val st = phase("reconcile") { reconcile() }
+    println(s"""{"tool":"reconcile-scale","family":"$family","info":"pass1","cross_pairs":${st.crossPairs},"dropped":${st.dropped},"scrubbed":${st.scrubbedRows}}""")
+    val st2 = phase("reconcile_noop") { reconcile() }
+    println(s"""{"tool":"reconcile-scale","family":"$family","info":"pass2","cross_pairs":${st2.crossPairs},"dropped":${st2.dropped}}""")
     spark.stop()
   }
 }
