@@ -243,6 +243,29 @@ class ZOrderSpec extends SparkSpec {
         "part-late-append.snappy.parquet")), "late append lost")
       assert(spark.read.parquet(lay).count() == rowsBefore + lateRows)
 
+      // crash heal 2b (r16 advice fix): an aside the CURRENT generation
+      // cannot attribute (consumed_files empty — e.g. a post-swap crash
+      // followed by a writeZOrderedMaintained re-create) must be LEFT
+      // IN PLACE, not deleted: its data files might be late appends.
+      fs.mkdirs(aside)
+      org.apache.hadoop.fs.FileUtil.copy(fs, dataFile, fs,
+        new org.apache.hadoop.fs.Path(aside, "part-unattributed.snappy.parquet"),
+        false, spark.sparkContext.hadoopConfiguration)
+      // simulate the re-create's consumed=Nil stamp: overwrite the
+      // consumed_files table with an empty one
+      spark.read.parquet(s"$lay/_zorder/consumed_files").limit(0)
+        .write.mode("overwrite").parquet(s"$lay/_zorder/consumed_files_tmp")
+      fs.delete(new org.apache.hadoop.fs.Path(s"$lay/_zorder/consumed_files"), true)
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$lay/_zorder/consumed_files_tmp"),
+        new org.apache.hadoop.fs.Path(s"$lay/_zorder/consumed_files")))
+      Layouts.zOrderFragmentation(spark, lay) // heal runs, must NOT delete
+      assert(fs.exists(new org.apache.hadoop.fs.Path(aside,
+        "part-unattributed.snappy.parquet")),
+        "unattributable aside was destroyed — late appends lost")
+      // manual triage resolution: operator inspects and removes the aside
+      fs.delete(aside, true)
+
       // crash heal 3: a torn metadata stamp — the completed tmp is
       // renamed in and the layout stays maintained
       assert(fs.rename(new org.apache.hadoop.fs.Path(s"$lay/_zorder"),
