@@ -4918,6 +4918,26 @@ object Dedup {
     }
   }
 
+  /** [[buildTwoShardDeployment]]'s SRP-family twin — the shared recipe
+    * behind the SRP reconcile scale audit (same even/odd router,
+    * bootstrap slice and single governed batch). Dev/bench scaffolding,
+    * not a production operator.
+    */
+  private[graft] def buildTwoShardSrpDeployment(
+      vecs: DataFrame, idCol: String, vecCol: String, c1: Long, dim: Int,
+      threshold: Double, base: String): Seq[GovernedShardPaths] = {
+    val spark = vecs.sparkSession
+    (0 to 1).map { sh =>
+      val ix = s"$base/ix$sh"; val out = s"$base/out$sh"
+      val mine = vecs.filter(pmod(col(idCol), lit(2)) === sh)
+      writeSrpIndex(mine.filter(col(idCol) <= c1), idCol, vecCol, ix, dim)
+      initSrpIngestLedger(spark, ix)
+      ingestBatchWithSrpIndex(mine.filter(col(idCol) > c1), idCol, vecCol,
+        ix, out, batchId = 0L, threshold = threshold)
+      GovernedShardPaths(ix, out)
+    }
+  }
+
   /** [[buildTwoShardDeployment]]'s digest-family twin — the shared
     * recipe behind the p10 bench entry and any digest reconcile scale
     * audit (same even/odd router, bootstrap slice and single governed

@@ -32,7 +32,7 @@ object ReconcileScale {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val work = args.lift(1).getOrElse("/tmp/graft_reconscale")
     val family = args.lift(2).getOrElse("minhash")
-    require(family == "minhash" || family == "digest",
+    require(Set("minhash", "digest", "srp")(family),
       s"unknown family $family")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -54,6 +54,44 @@ object ReconcileScale {
     val fsRoot = new org.apache.hadoop.fs.Path(work)
     fsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(fsRoot, true)
+    if (family == "srp") {
+      // p6's deployment shape sharded even/odd, with the audit's own
+      // operating point: threshold 0.6 keeps the in-shard screens
+      // selective at ANY corpus density (the corpus-analysis 0.4 of
+      // d5/p6 saturates at 100x — in a 100x-denser 64-dim corpus
+      // nearly every vector has SOME 0.4-cosine neighbor, so the
+      // governed loops would serve almost nothing and the reconcile
+      // pass would sweep an empty union). Cross-shard duplicates are
+      // PLANTED deterministically (1% of batch vectors copied verbatim
+      // under a parity-flipping id offset — cosine 1.0, so they
+      // survive any threshold and each shard's own screen provably
+      // cannot see its twin); the drop count then grows with the
+      // corpus, like the other two family audits.
+      val base0 = graft.sources.Tables.table(spark, dir, "embeddings")
+      val maxId = base0.agg(max(col("vec_id"))).head().getLong(0)
+      val ec1 = maxId * 3 / 5
+      val offset = if ((maxId + 1) % 2 == 1) maxId + 1 else maxId + 2
+      val planted = base0
+        .filter(col("vec_id") > ec1 && col("vec_id") % 100 === 0)
+        .select((col("vec_id") + offset).as("vec_id"), col("embedding"))
+      val emb = base0.select("vec_id", "embedding").unionByName(planted)
+      val sh = phase("build_shards") {
+        Dd.buildTwoShardSrpDeployment(emb, "vec_id", "embedding", ec1,
+          dim = 64, threshold = 0.6, base = work)
+      }
+      val st = phase("reconcile") {
+        Dd.reconcileShardOutputsSrp(spark, sh, "vec_id", "embedding",
+          threshold = 0.6)
+      }
+      println(s"""{"tool":"reconcile-scale","family":"srp","info":"pass1","cross_pairs":${st.crossPairs},"dropped":${st.dropped},"scrubbed":${st.scrubbedRows}}""")
+      val st2 = phase("reconcile_noop") {
+        Dd.reconcileShardOutputsSrp(spark, sh, "vec_id", "embedding",
+          threshold = 0.6)
+      }
+      println(s"""{"tool":"reconcile-scale","family":"srp","info":"pass2","cross_pairs":${st2.crossPairs},"dropped":${st2.dropped}}""")
+      spark.stop()
+      return
+    }
     val raw = graft.sources.Tables.table(spark, dir, "documents")
     val maxId = raw.agg(max(col("doc_id"))).head().getLong(0)
     val c1 = maxId * 3 / 5
