@@ -243,7 +243,8 @@ object Layouts {
                              dir: String, cols: Seq[String], bits: Int,
                              files: Int, maxRecordsPerFile: Long,
                              consumed: Seq[String],
-                             namesOverride: Option[Seq[String]] = None)
+                             namesOverride: Option[Seq[String]] = None,
+                             carryLedgerFrom: Option[String] = None)
       : Unit = {
     import spark.implicits._
     val names = namesOverride.getOrElse(
@@ -257,6 +258,18 @@ object Layouts {
       .parquet(s"${zmetaTmpDir(dir)}/params")
     consumed.toDF("name").coalesce(1).write.mode("overwrite")
       .parquet(s"${zmetaTmpDir(dir)}/consumed_files")
+    // the streaming batch ledger survives every restamp: it is copied
+    // INTO the tmp, so it swaps atomically with the generation record
+    // it belongs to (a replayed batch must stay skippable after any
+    // recluster — otherwise maintenance would resurrect duplicates)
+    carryLedgerFrom.foreach { src =>
+      val led = new org.apache.hadoop.fs.Path(
+        s"${zmetaDir(src)}/$ZIngestLedgerTable")
+      if (fs.exists(led))
+        org.apache.hadoop.fs.FileUtil.copy(fs, led, fs,
+          new org.apache.hadoop.fs.Path(tmp, ZIngestLedgerTable),
+          false, spark.sparkContext.hadoopConfiguration)
+    }
     // clustered_files LAST: its presence is the tmp's completion marker
     names.toDF("name").coalesce(1).write.mode("overwrite")
       .parquet(s"${zmetaTmpDir(dir)}/clustered_files")
@@ -264,6 +277,8 @@ object Layouts {
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(zmetaDir(dir))),
       s"z-order metadata stamp at $dir failed")
   }
+
+  private val ZIngestLedgerTable = "ingested_batches"
 
   /** [[writeZOrdered]] + lifecycle bookkeeping: the maintained entry
     * point when the layout will see [[appendZOrdered]] /
@@ -290,6 +305,17 @@ object Layouts {
   def appendZOrdered(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     healZOrderSwap(spark, path)
+    writeGuardedAppend(appendGuard(spark, df, path), path, "append")
+  }
+
+  /** Validate the batch against the stamped geometry and fuse the NULL
+    * guard INTO the write (one Spark job per append, not a validation
+    * scan plus a write): each clustering column is written through a
+    * raise_error trap that fires on the first NULL row and aborts the
+    * job before it commits — the task files die with the abort, so
+    * nothing lands in the target. */
+  private def appendGuard(spark: org.apache.spark.sql.SparkSession,
+                          df: DataFrame, path: String): DataFrame = {
     val pr =
       try readZParams(spark, path)
       catch {
@@ -303,14 +329,7 @@ object Layouts {
       s"appendZOrdered: batch is missing clustering column(s) " +
         s"${missing.mkString(", ")} — appending it would poison the " +
         "layout with a mixed schema")
-    // Null guard FUSED into the write job (one Spark job per append,
-    // not a validation scan plus a write): each clustering column is
-    // written through a raise_error trap that fires on the first NULL
-    // row and aborts the job before it commits — the task files die
-    // with the abort, so nothing lands in the root. The trap is
-    // rethrown as the same IllegalArgumentException contract the
-    // two-job guard had.
-    val guarded = cols.foldLeft(df) { (acc, c) =>
+    cols.foldLeft(df) { (acc, c) =>
       acc.withColumn(c, when(col(c).isNotNull, col(c))
         .otherwise(raise_error(lit(
           s"appendZOrdered: NULL '$c' value in the append batch — the " +
@@ -318,7 +337,13 @@ object Layouts {
             "(the rewrite's min/max scaling would fail long after this " +
             "append)"))))
     }
-    try guarded.write.mode("append").parquet(path)
+  }
+
+  /** Run the guarded write, rethrowing the raise_error trap under the
+    * same IllegalArgumentException contract the two-job guard had. */
+  private def writeGuardedAppend(guarded: DataFrame, target: String,
+                                 mode: String): Unit =
+    try guarded.write.mode(mode).parquet(target)
     catch {
       case e: Throwable =>
         Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
@@ -328,6 +353,123 @@ object Layouts {
           case None => throw e
         }
     }
+
+  // ---- exactly-once streaming append (the governed-loop discipline
+  // for a plain clustered layout) ----
+  //
+  // A streaming writer replays micro-batches under crash/restart; a
+  // plain [[appendZOrdered]] replay would duplicate the batch's rows.
+  // [[appendZOrderedExactlyOnce]] makes the append idempotent per
+  // batch id: the batch stages into an underscore-invisible directory,
+  // a roll-forward manifest (atomic rename) commits it, and a batch-id
+  // LEDGER — stored inside `_zorder/` and carried forward by every
+  // restamp, so a recluster can never resurrect a replayed batch —
+  // records completion. The commit window (files moving into the root)
+  // is append-only: readers see a prefix of the batch, never a
+  // duplicate; every crash inside it rolls forward idempotently at the
+  // next lifecycle call.
+
+  private def zappStageDir(path: String) = s"$path/_zappend_stage"
+  private def zappManifestDir(path: String) = s"$path/_zorder__app"
+  private def zappManifestTmpDir(path: String) = s"$path/_zorder__app_tmp"
+
+  private def ledgerDir(path: String) =
+    s"${zmetaDir(path)}/$ZIngestLedgerTable"
+
+  private def ledgerBatchIds(spark: org.apache.spark.sql.SparkSession,
+                             path: String): Set[Long] = {
+    val fs = fsOf(spark, path)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerDir(path))))
+      Set.empty
+    else spark.read
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("batch_id", DataTypes.LongType))
+      .parquet(ledgerDir(path))
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Idempotent per-batch append into a maintained layout — see the
+    * section note above. Returns true when the batch landed, false on
+    * a replay (the ledger already holds `batchId`). Same geometry and
+    * fused NULL-guard contract as [[appendZOrdered]]. NOTE: a
+    * writeZOrderedMaintained RE-create starts a fresh generation and a
+    * fresh (empty) ledger — a streaming writer must also reset its
+    * checkpoint when it rebuilds the layout from scratch. */
+  def appendZOrderedExactlyOnce(df: DataFrame, path: String,
+                                batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    healZOrderSwap(spark, path) // also rolls forward a pending commit
+    val guarded = appendGuard(spark, df, path)
+    if (ledgerBatchIds(spark, path).contains(batchId)) return false
+    val fs = fsOf(spark, path)
+    val stage = new org.apache.hadoop.fs.Path(zappStageDir(path))
+    fs.delete(stage, true)
+    // Row count observed INSIDE the staged write (no extra job): an
+    // EMPTY batch — a streaming source's final tick, a fully-filtered
+    // micro-batch — is still ledgered (exactly-once bookkeeping) but
+    // lands no files; committing its empty part file would litter the
+    // layout with unclustered footer-only bytes that sit forever under
+    // any recluster threshold.
+    val obs = new org.apache.spark.sql.Observation()
+    writeGuardedAppend(guarded.observe(obs, count(lit(1)).as("n")),
+      stage.toString, "overwrite")
+    val rows = obs.get("n").asInstanceOf[Long]
+    val newNames =
+      if (rows == 0L) Nil
+      else fs.listStatus(stage).toSeq.filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }.map(_.getPath.getName)
+    import spark.implicits._
+    val manTmp = new org.apache.hadoop.fs.Path(zappManifestTmpDir(path))
+    fs.delete(manTmp, true)
+    Seq(batchId).toDF("batch_id").coalesce(1).write.mode("overwrite")
+      .parquet(s"${zappManifestTmpDir(path)}/batch")
+    newNames.toDF("name").coalesce(1).write.mode("overwrite")
+      .parquet(s"${zappManifestTmpDir(path)}/new_files")
+    fs.delete(new org.apache.hadoop.fs.Path(zappManifestDir(path)), true)
+    require(fs.rename(manTmp,
+      new org.apache.hadoop.fs.Path(zappManifestDir(path))),
+      s"appendZOrderedExactlyOnce: manifest rename at $path failed")
+    commitAppendBatch(spark, path)
+    true
+  }
+
+  /** Roll the exactly-once append FORWARD from its manifest: move the
+    * staged files in, record the batch id in the ledger, drop manifest
+    * + stage. Idempotent — a crash anywhere inside re-heals at the
+    * next lifecycle call. */
+  private def commitAppendBatch(spark: org.apache.spark.sql.SparkSession,
+                                path: String): Unit = {
+    val fs = fsOf(spark, path)
+    val man = new org.apache.hadoop.fs.Path(zappManifestDir(path))
+    if (!fs.exists(man)) return
+    val batchId = spark.read
+      .schema(new org.apache.spark.sql.types.StructType()
+        .add("batch_id", DataTypes.LongType))
+      .parquet(s"${zappManifestDir(path)}/batch").head().getLong(0)
+    val newNames = spark.read
+      .parquet(s"${zappManifestDir(path)}/new_files")
+      .collect().map(_.getString(0)).toSeq
+    val stage = new org.apache.hadoop.fs.Path(zappStageDir(path))
+    val root = new org.apache.hadoop.fs.Path(path)
+    newNames.foreach { n =>
+      val s = new org.apache.hadoop.fs.Path(stage, n)
+      val d = new org.apache.hadoop.fs.Path(root, n)
+      if (fs.exists(s) && !fs.exists(d))
+        require(fs.rename(s, d),
+          s"exactly-once append commit: move $n into $path failed")
+      else require(fs.exists(d),
+        s"exactly-once append commit: staged file $n missing from " +
+          s"both the stage and $path — manual triage required")
+    }
+    if (!ledgerBatchIds(spark, path).contains(batchId)) {
+      import spark.implicits._
+      Seq(batchId).toDF("batch_id").coalesce(1)
+        .write.mode("append").parquet(ledgerDir(path))
+    }
+    fs.delete(man, true)
+    fs.delete(stage, true)
   }
 
   /** The measured decay: bytes in data files NOT part of the clustered
@@ -374,7 +516,7 @@ object Layouts {
       spark.read.parquet(consumed.map(_.getPath.toString): _*),
       stage.toString, cols.toSeq, bits, files, mrpf)
     stampClustered(spark, stage.toString, cols.toSeq, bits, files, mrpf,
-      consumed.map(_.getPath.getName))
+      consumed.map(_.getPath.getName), carryLedgerFrom = Some(path))
     val root = new org.apache.hadoop.fs.Path(path)
     require(fs.rename(root, aside), s"recluster: rename-aside of $path failed")
     require(fs.rename(stage, root), s"recluster: stage swap-in at $path failed")
@@ -612,7 +754,8 @@ object Layouts {
     stampClustered(spark, path,
       pr.getSeq[String](pr.fieldIndex("cols")), pr.getAs[Int]("bits"),
       pr.getAs[Int]("files"), pr.getAs[Long]("max_records_per_file"),
-      consumed, namesOverride = Some(clusteredNew))
+      consumed, namesOverride = Some(clusteredNew),
+      carryLedgerFrom = Some(path))
     fs.delete(man, true)
     fs.delete(stage, true)
   }
@@ -775,6 +918,14 @@ object Layouts {
     else {
       fs.delete(new org.apache.hadoop.fs.Path(zincStageDir(path)), true)
       fs.delete(new org.apache.hadoop.fs.Path(zincManifestTmpDir(path)),
+        true)
+    }
+    // exactly-once append windows: same roll-forward/debris split
+    if (fs.exists(new org.apache.hadoop.fs.Path(zappManifestDir(path))))
+      commitAppendBatch(spark, path)
+    else {
+      fs.delete(new org.apache.hadoop.fs.Path(zappStageDir(path)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(zappManifestTmpDir(path)),
         true)
     }
   }

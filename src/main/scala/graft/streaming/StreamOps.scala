@@ -392,6 +392,40 @@ object StreamOps {
     * (for a takedown that is exactly what serving should do — the
     * replay stops returning the deleted vector).
     */
+  /** Streaming ingest into a maintained z-ordered layout — the
+    * lakehouse `OPTIMIZE ZORDER BY` loop as a streaming sink over
+    * plain parquet. Each micro-batch lands through
+    * [[graft.sources.Layouts.appendZOrderedExactlyOnce]] (idempotent
+    * per batch id under crash/replay: the LAYOUT's own batch ledger —
+    * carried across reclusters — is the commit record, so a replayed
+    * batch is a no-op even if the checkpoint and the layout disagree
+    * about progress), then the measured byte-fraction trigger drives
+    * the INCREMENTAL recluster, so the layout self-optimizes as it
+    * grows: steady-state maintenance cost tracks the fragmented
+    * fraction, never the corpus. Readers stay correct at every point
+    * (appends are visible immediately, curve-unsorted until the next
+    * recluster); quiesce readers only across a firing recluster's
+    * commit window, per the layout's documented contract.
+    */
+  def zOrderedIngestStream(spark: SparkSession, inPath: String,
+                           schema: org.apache.spark.sql.types.StructType,
+                           layoutPath: String, checkpoint: String,
+                           reclusterThreshold: Double = 0.25,
+                           trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery =
+    spark.readStream.schema(schema).parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.sources.Layouts.appendZOrderedExactlyOnce(batch,
+          layoutPath, batchId)
+        graft.sources.Layouts.autoReclusterZOrderedIncremental(spark,
+          layoutPath, reclusterThreshold)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+
   /** Retry `body` when its failure chain contains a missing-file
     * error — the signature of a probe racing `compactIvfLayout`'s
     * per-cell rename-swap (a file listed before the swap, gone at read

@@ -406,6 +406,67 @@ class ZOrderSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("exactly-once append: replays are no-ops, the batch ledger " +
+      "survives reclusters, a manifest-committed crash rolls forward") {
+    val li = Tables.table(spark, "/root/testdata/sf0.01", "lineitem")
+      .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+    val base = Files.createTempDirectory("graft-zorder-eo").toString
+    val lay = s"$base/lay"
+    def bag(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+      df.collect().toSeq.map(_.toSeq).groupMapReduce(identity)(_ => 1)(_ + _)
+    try {
+      val sliceA = li.filter(col("l_orderkey") <= 6000)
+      val sliceB = li.filter(col("l_orderkey") > 6000 &&
+        col("l_orderkey") <= 9000)
+      Layouts.writeZOrderedMaintained(sliceA, lay,
+        Seq("l_orderkey", "l_partkey"), maxRecordsPerFile = 500L)
+      assert(Layouts.appendZOrderedExactlyOnce(sliceB, lay, batchId = 0L))
+      val want = bag(sliceA.unionByName(sliceB))
+      assert(bag(spark.read.parquet(lay)) == want)
+      // replay of the SAME batch id: a no-op, content unchanged
+      assert(!Layouts.appendZOrderedExactlyOnce(sliceB, lay, batchId = 0L))
+      assert(bag(spark.read.parquet(lay)) == want)
+      // the ledger survives BOTH recluster flavors: replay still skips
+      assert(!Layouts.reclusterZOrderedIncremental(spark, lay).usedGlobal)
+      assert(!Layouts.appendZOrderedExactlyOnce(sliceB, lay, batchId = 0L))
+      Layouts.reclusterZOrdered(spark, lay)
+      assert(!Layouts.appendZOrderedExactlyOnce(sliceB, lay, batchId = 0L))
+      assert(bag(spark.read.parquet(lay)) == want)
+
+      // crash INSIDE the commit window: stage + committed manifest on
+      // disk, files/ledger not yet landed — the next lifecycle call
+      // must roll the batch forward exactly once
+      val fs = new org.apache.hadoop.fs.Path(lay)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val sliceC = li.filter(col("l_orderkey") > 9000).limit(50)
+        .localCheckpoint()
+      sliceC.coalesce(1).write.mode("overwrite")
+        .parquet(s"$lay/_zappend_stage")
+      val stagedName = fs.listStatus(
+          new org.apache.hadoop.fs.Path(s"$lay/_zappend_stage"))
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_"))
+        .head.getPath.getName
+      import spark.implicits._
+      Seq(7L).toDF("batch_id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$lay/_zorder__app/batch")
+      Seq(stagedName).toDF("name").coalesce(1).write.mode("overwrite")
+        .parquet(s"$lay/_zorder__app/new_files")
+      Layouts.zOrderFragmentation(spark, lay) // heal: rolls forward
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lay/_zorder__app")),
+        "append manifest not folded")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lay/_zappend_stage")),
+        "append stage not dropped")
+      val wantC = (want.keySet ++ bag(sliceC).keySet).map(k =>
+        k -> (want.getOrElse(k, 0) + bag(sliceC).getOrElse(k, 0))).toMap
+      assert(bag(spark.read.parquet(lay)) == wantC,
+        "rolled-forward batch rows missing or duplicated")
+      // and batch 7 is now committed: a replay is a no-op
+      assert(!Layouts.appendZOrderedExactlyOnce(sliceC, lay, batchId = 7L))
+      assert(bag(spark.read.parquet(lay)) == wantC)
+      sliceC.unpersist()
+    } finally rmrf(base)
+  }
+
   test("constant and negative-ranged columns scale without error") {
     val df = Seq((-50L, 7L), (-10L, 7L), (0L, 7L), (99L, 7L))
       .toDF("a", "b")
