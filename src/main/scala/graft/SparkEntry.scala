@@ -1955,6 +1955,42 @@ object SparkEntry {
           col("l_partkey"), col("l_quantity"))
     }),
 
+    // the same lifecycle driven as a STREAM: the layout bootstraps
+    // clustered, the tail arrives as two micro-batches through
+    // zOrderedIngestStream (exactly-once per-batch appends recorded in
+    // the layout's own ledger, in-stream measured-trigger incremental
+    // recluster), and the read is the identical pruned scan — every
+    // lifecycle state, batch or streaming, is an execution artifact
+    // invisible to the result (oracle = q64c's, the same filter on the
+    // original table)
+    "q64d_zorder_stream_ingest_read" -> ((s, dir) => {
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_zstream_" +
+        java.lang.Integer.toHexString(dir.hashCode)
+      new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(base), true)
+      val in = s"$base/in"; val lay = s"$base/lay"; val cp = s"$base/cp"
+      val li = T(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey", "l_linenumber", "l_quantity")
+      val maxK = li.agg(max(col("l_orderkey"))).head().getLong(0)
+      val (cut, cut2) = (maxK * 3 / 5, maxK * 4 / 5)
+      Layouts.writeZOrderedMaintained(li.filter(col("l_orderkey") <= cut),
+        lay, Seq("l_orderkey", "l_partkey"), maxRecordsPerFile = 2000L)
+      li.filter(col("l_orderkey") > cut && col("l_orderkey") <= cut2)
+        .coalesce(1).write.parquet(in)
+      li.filter(col("l_orderkey") > cut2)
+        .coalesce(1).write.mode("append").parquet(in)
+      val q = graft.streaming.StreamOps.zOrderedIngestStream(s, in,
+        li.schema, lay, cp, reclusterThreshold = 0.05,
+        maxFilesPerTrigger = 1)
+      q.processAllAvailable(); q.awaitTermination(120000)
+      s.read.parquet(lay)
+        .filter(col("l_orderkey").between(100, 1500) &&
+          col("l_partkey").between(20, 120))
+        .orderBy(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_quantity"))
+    }),
+
     // hive-partitioned corpus layout: the corpus is WRITTEN partitioned
     // by lang (the layout a served training corpus ships in — one
     // directory per partition value, no lang bytes in the data files)
@@ -4504,6 +4540,15 @@ object SparkEntry {
     // every lifecycle state (clustered write, cheap append, recluster)
     // is an execution artifact — same rows, same filter
     "q64c_zorder_lifecycle_read" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 100 AND 1500
+        |  AND l_partkey BETWEEN 20 AND 120
+        |ORDER BY l_orderkey, l_linenumber, l_partkey, l_quantity""".stripMargin,
+
+    // streaming twin: the lifecycle (batch or streamed) is an execution
+    // artifact — the oracle is the same filter on the original table
+    "q64d_zorder_stream_ingest_read" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity
         |FROM lineitem
         |WHERE l_orderkey BETWEEN 100 AND 1500

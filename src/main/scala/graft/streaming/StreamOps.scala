@@ -411,9 +411,14 @@ object StreamOps {
                            schema: org.apache.spark.sql.types.StructType,
                            layoutPath: String, checkpoint: String,
                            reclusterThreshold: Double = 0.25,
-                           trigger: Trigger = Trigger.AvailableNow())
-      : StreamingQuery =
-    spark.readStream.schema(schema).parquet(inPath)
+                           trigger: Trigger = Trigger.AvailableNow(),
+                           maxFilesPerTrigger: Int = 0)
+      : StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    (if (maxFilesPerTrigger > 0)
+       reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+     else reader)
+      .parquet(inPath)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         graft.sources.Layouts.appendZOrderedExactlyOnce(batch,
@@ -425,6 +430,7 @@ object StreamOps {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .start()
+  }
 
   /** Retry `body` when its failure chain contains a missing-file
     * error — the signature of a probe racing `compactIvfLayout`'s
