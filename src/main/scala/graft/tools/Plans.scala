@@ -650,6 +650,23 @@ object Plans {
         |per reconcile cadence — the same order as one governed
         |compaction, and independent of shard count.""".stripMargin,
 
+    "q64d_zorder_stream_ingest_read" ->
+      """q64c's lifecycle driven as a STREAM (zOrderedIngestStream):
+        |the tail arrived as two micro-batches, each committed
+        |exactly-once through appendZOrderedExactlyOnce — staged write,
+        |roll-forward manifest, and a batch-id ledger that lives inside
+        |`_zorder/` and is carried across every restamp, so a replayed
+        |batch stays a no-op even after a recluster rewrote its files —
+        |with the measured trigger firing the incremental recluster
+        |in-stream. The dumped read plan is the same pruned scan as
+        |q64/q64c: streaming ingest is one more lifecycle state the
+        |result contract never sees. At 100 TB this is the lakehouse
+        |`OPTIMIZE ZORDER BY` loop as a continuous sink: per-batch cost
+        |is one staged parquet write + O(1) renames, maintenance cost
+        |tracks the fragmented fraction on the trigger's cadence, and
+        |crash/replay safety needs no external transaction log — the
+        |layout's own generation record is the log.""".stripMargin,
+
     "p10_cross_shard_reconcile_digest" ->
       """p9's exact-dedup twin over the governed digest deployment
         |(reconcileShardOutputsDigest on the shared reconcileCore).
