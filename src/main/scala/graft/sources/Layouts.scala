@@ -182,9 +182,11 @@ object Layouts {
   // rename-aside the old root, rename the stage in, rescue any data
   // files that landed in the root after the rewrite's snapshot (moved
   // from the aside back into the new root as ordinary unclustered
-  // appends — a late append is never lost), drop the aside. Quiesce
-  // READERS across the two renames (the same window as
-  // compactIvfLayout's swap); lifecycle MUTATIONS (append/recluster)
+  // appends — a late append is never lost), drop the aside. READERS
+  // racing the two renames retry via [[retryingRead]] (a fresh open
+  // after the swap reads the new generation, content-equivalent —
+  // the same discipline as the IVF serving path's per-batch retry);
+  // lifecycle MUTATIONS (append/recluster)
   // are caller-serialized — one maintenance owner per layout, the
   // plain-parquet stand-in for the index family's epoch fence. Every
   // crash window self-heals on the next lifecycle call
@@ -258,17 +260,22 @@ object Layouts {
       .parquet(s"${zmetaTmpDir(dir)}/params")
     consumed.toDF("name").coalesce(1).write.mode("overwrite")
       .parquet(s"${zmetaTmpDir(dir)}/consumed_files")
-    // the streaming batch ledger survives every restamp: it is copied
+    // the streaming batch ledger survives every restamp: it is carried
     // INTO the tmp, so it swaps atomically with the generation record
     // it belongs to (a replayed batch must stay skippable after any
-    // recluster — otherwise maintenance would resurrect duplicates)
+    // recluster — otherwise maintenance would resurrect duplicates).
+    // The carry COMPACTS (read + distinct + one-file rewrite) instead
+    // of raw-copying the directory: each append adds one ledger file,
+    // and a long-lived stream would otherwise accumulate unbounded
+    // tiny files that every restamp re-copies and every batch re-lists.
     carryLedgerFrom.foreach { src =>
       val led = new org.apache.hadoop.fs.Path(
         s"${zmetaDir(src)}/$ZIngestLedgerTable")
       if (fs.exists(led))
-        org.apache.hadoop.fs.FileUtil.copy(fs, led, fs,
-          new org.apache.hadoop.fs.Path(tmp, ZIngestLedgerTable),
-          false, spark.sparkContext.hadoopConfiguration)
+        spark.read.schema(zLedgerSchema).parquet(led.toString)
+          .distinct().coalesce(1).write.mode("overwrite")
+          .parquet(new org.apache.hadoop.fs.Path(tmp, ZIngestLedgerTable)
+            .toString)
     }
     // clustered_files LAST: its presence is the tmp's completion marker
     names.toDF("name").coalesce(1).write.mode("overwrite")
@@ -340,10 +347,24 @@ object Layouts {
   }
 
   /** Run the guarded write, rethrowing the raise_error trap under the
-    * same IllegalArgumentException contract the two-job guard had. */
+    * same IllegalArgumentException contract the two-job guard had.
+    *
+    * The fused NULL guard relies on a job ABORT discarding every
+    * task's output — true under FileOutputCommitter algorithm v1
+    * (tasks commit into the job-attempt dir; only commitJob moves
+    * them into the target) but NOT under v2, where each succeeding
+    * task commits its files straight into the destination: a batch
+    * whose NULLs sit in only some partitions would land the clean
+    * partitions before the poisoned one aborts the job, and a caller
+    * retry after fixing the batch would duplicate them. The write
+    * pins v1 per-job (write options are merged into the job's Hadoop
+    * conf), so the guard's nothing-lands contract holds regardless of
+    * the cluster-wide committer default. */
   private def writeGuardedAppend(guarded: DataFrame, target: String,
                                  mode: String): Unit =
-    try guarded.write.mode(mode).parquet(target)
+    try guarded.write.mode(mode)
+      .option("mapreduce.fileoutputcommitter.algorithm.version", "1")
+      .parquet(target)
     catch {
       case e: Throwable =>
         Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
@@ -376,16 +397,64 @@ object Layouts {
   private def ledgerDir(path: String) =
     s"${zmetaDir(path)}/$ZIngestLedgerTable"
 
+  private val zLedgerSchema = new org.apache.spark.sql.types.StructType()
+    .add("batch_id", DataTypes.LongType)
+
   private def ledgerBatchIds(spark: org.apache.spark.sql.SparkSession,
                              path: String): Set[Long] = {
     val fs = fsOf(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerDir(path))))
       Set.empty
-    else spark.read
-      .schema(new org.apache.spark.sql.types.StructType()
-        .add("batch_id", DataTypes.LongType))
+    else spark.read.schema(zLedgerSchema)
       .parquet(ledgerDir(path))
       .collect().map(_.getLong(0)).toSet
+  }
+
+  /** Ledger files above which [[commitAppendBatch]] folds the table. */
+  private val ZLedgerFoldThreshold = 64
+
+  /** Fold a fragmented batch ledger (one tiny file per committed
+    * append) back to a single file, MONOTONE against crashes: the
+    * compacted file — holding every id of the listed snapshot — moves
+    * INTO the live directory first, and only then are the snapshot's
+    * old files deleted, so there is no instant at which an id is
+    * absent (a lost id would re-land a replayed batch as duplicates).
+    * A crash mid-fold leaves at worst duplicate ids, harmless under
+    * the membership contract and swept by the next fold. No-op below
+    * `maxFiles`. */
+  private[sources] def foldLedger(spark: org.apache.spark.sql.SparkSession,
+                                  path: String,
+                                  maxFiles: Int = ZLedgerFoldThreshold)
+      : Unit = {
+    val fs = fsOf(spark, path)
+    val dirP = new org.apache.hadoop.fs.Path(ledgerDir(path))
+    if (!fs.exists(dirP)) return
+    val parts = fs.listStatus(dirP).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    if (parts.length <= maxFiles) return
+    import spark.implicits._
+    val ids = spark.read.schema(zLedgerSchema)
+      .parquet(parts.map(_.getPath.toString): _*)
+      .collect().map(_.getLong(0)).distinct.toSeq
+    val tmp = new org.apache.hadoop.fs.Path(
+      s"${zmetaDir(path)}/${ZIngestLedgerTable}__fold")
+    fs.delete(tmp, true)
+    ids.toDF("batch_id").coalesce(1).write.mode("overwrite")
+      .parquet(tmp.toString)
+    val folded = fs.listStatus(tmp).filter { s =>
+      val n = s.getPath.getName
+      s.isFile && !n.startsWith("_") && !n.startsWith(".")
+    }
+    require(folded.nonEmpty, s"ledger fold at $path produced no file")
+    folded.foreach { s =>
+      require(fs.rename(s.getPath,
+        new org.apache.hadoop.fs.Path(dirP, s.getPath.getName)),
+        s"ledger fold: move ${s.getPath.getName} into $dirP failed")
+    }
+    parts.foreach(s => fs.delete(s.getPath, false))
+    fs.delete(tmp, true)
   }
 
   /** Idempotent per-batch append into a maintained layout — see the
@@ -470,6 +539,10 @@ object Layouts {
     }
     fs.delete(man, true)
     fs.delete(stage, true)
+    // periodic fold: each commit appends one ledger file; without this
+    // a long-running stream pays O(total batches) listing per batch
+    // and accumulates unbounded tiny files inside the metadata dir
+    foldLedger(spark, path)
   }
 
   /** The measured decay: bytes in data files NOT part of the clustered
@@ -493,7 +566,9 @@ object Layouts {
     * root (metadata stamped INTO the stage, so data and geometry swap
     * together) and rename-swapped in; data files that landed after the
     * rewrite's snapshot are rescued from the aside as ordinary
-    * unclustered appends. Quiesce readers across the swap; a crashed
+    * unclustered appends. Readers racing the swap wrap their actions
+    * in [[retryingRead]] (fresh open per attempt — the post-swap
+    * attempt reads the new generation, content-equivalent); a crashed
     * swap self-heals on the next lifecycle call. */
   def reclusterZOrdered(spark: org.apache.spark.sql.SparkSession,
                         path: String): Unit = {
@@ -545,8 +620,10 @@ object Layouts {
   // a roll-FORWARD manifest (`_zorder__inc`, created by atomic rename):
   // move the staged files in, delete the consumed ones, restamp the
   // generation record with the EXPLICIT post-commit clustered set.
-  // Quiesce readers across the commit (files appear before their
-  // consumed twins vanish — same window contract as the global swap);
+  // Readers racing the commit retry via [[retryingRead]] (files appear
+  // before their consumed twins vanish — a reader that listed a
+  // consumed file retries against the committed set, same window
+  // contract as the global swap);
   // every crash inside it rolls forward idempotently on the next
   // lifecycle call, and a crash BEFORE the manifest rename leaves only
   // an invisible orphan stage that the heal drops.
@@ -563,7 +640,8 @@ object Layouts {
     * invariant and oracle-invisible like the global pass; the global
     * rewrite remains the fallback for scattered tails
     * (`maxRewriteFraction`). Caller-serialized like every lifecycle
-    * mutation; quiesce readers across the commit window. */
+    * mutation; readers racing the commit window retry via
+    * [[retryingRead]]. */
   def reclusterZOrderedIncremental(spark: org.apache.spark.sql.SparkSession,
                                    path: String,
                                    maxRewriteFraction: Double = 0.6)
@@ -777,10 +855,57 @@ object Layouts {
     }
   }
 
+  /** What `cast(col as long)` yields for a footer statistic `v` of a
+    * column with parquet type `pt` — the overlap probe compares boxes
+    * against `col.cast("long")` tail values, so the stats must pass
+    * through the SAME cast semantics or the box lands in a different
+    * unit (timestamp stats are epoch-micros while the cast yields
+    * seconds; int-backed decimal stats are the unscaled value while
+    * the cast truncates the scaled one) and the inDomain filter
+    * silently excludes real overlap. `None` when the type's cast is
+    * not derivable from the stat (date, time, unsigned, NTZ, binary,
+    * NaN), which falls back to the all-overlapping full box.
+    *   - plain ints / signed-int annotations: identity.
+    *   - timestamps (UTC-adjusted): floorDiv to seconds by the
+    *     annotation's unit — Spark's timestamp->long cast.
+    *   - int32/int64-backed decimals: unscaled / 10^scale truncated
+    *     toward zero — Spark's decimal->long cast; truncation is
+    *     monotone, so converted (min, max) stay a valid box.
+    *   - float/double: longValue (truncation toward zero, same as the
+    *     cast); NaN stats are unusable. */
+  private def statAsCastLong(pt: org.apache.parquet.schema.PrimitiveType,
+                             v: Any): Option[Long] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    (pt.getLogicalTypeAnnotation, v) match {
+      case (ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation,
+            n: Number) if ts.isAdjustedToUTC =>
+        val perSec = ts.getUnit match {
+          case LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+          case LogicalTypeAnnotation.TimeUnit.MICROS => 1000000L
+          case LogicalTypeAnnotation.TimeUnit.NANOS => 1000000000L
+        }
+        Some(Math.floorDiv(n.longValue, perSec))
+      case (d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation,
+            n: Number) =>
+        Some(BigDecimal(BigInt(n.longValue), d.getScale).toBigInt.toLong)
+      case (i: LogicalTypeAnnotation.IntLogicalTypeAnnotation, n: Number)
+          if i.isSigned =>
+        Some(n.longValue)
+      case (null, n: Number) => n match {
+        case d: java.lang.Double if d.isNaN => None
+        case f: java.lang.Float if f.isNaN => None
+        case _ => Some(n.longValue)
+      }
+      case _ => None
+    }
+  }
+
   /** Per-file (min, max) of each clustering column, read from parquet
     * FOOTER row-group statistics only — one metadata task per file
-    * slice, distributed over the executors, zero data IO. A column
-    * whose stats are absent or non-numeric gets the
+    * slice, distributed over the executors, zero data IO. Stats are
+    * converted through [[statAsCastLong]] so the box lives in the same
+    * units as the probe's `cast("long")` values; a column whose stats
+    * are absent or not cast-convertible gets the
     * (Long.MinValue, Long.MaxValue) box: it overlaps everything, which
     * widens the rewrite but never breaks it. */
   private def footerBoxes(spark: org.apache.spark.sql.SparkSession,
@@ -807,11 +932,15 @@ object Layouts {
               if (cc.getPath.toDotString == c) {
                 val st = cc.getStatistics
                 if (st == null || !st.hasNonNullValue) ok = false
-                else (st.genericGetMin, st.genericGetMax) match {
-                  case (mn: Number, mx: Number) =>
-                    lo = math.min(lo, mn.longValue)
-                    hi = math.max(hi, mx.longValue)
-                  case _ => ok = false
+                else {
+                  val pt = cc.getPrimitiveType
+                  (statAsCastLong(pt, st.genericGetMin),
+                    statAsCastLong(pt, st.genericGetMax)) match {
+                    case (Some(mn), Some(mx)) =>
+                      lo = math.min(lo, mn)
+                      hi = math.max(hi, mx)
+                    case _ => ok = false
+                  }
                 }
               }
             }
@@ -862,8 +991,9 @@ object Layouts {
         s"[graft] z-order heal: aside $aside exists but the current " +
           "generation records no consumed files — its data files cannot " +
           "be attributed, so the aside is LEFT IN PLACE for manual " +
-          "triage (rescue unconsumed-looking files by hand, then delete " +
-          "the directory)")
+          "triage (after confirming its data files are unowned — e.g. " +
+          "the root was re-created — Layouts.rescueAside(spark, path) " +
+          "is the one-call remedy)")
       return
     }
     val root = new org.apache.hadoop.fs.Path(path)
@@ -929,6 +1059,239 @@ object Layouts {
         true)
     }
   }
+
+  /** One-call form of the documented manual remedy for an
+    * UNATTRIBUTABLE aside (see [[rescueLateAppends]]'s warning path: an
+    * aside exists but the current generation records no consumed files
+    * — a post-swap crash followed by a re-create, or an unreadable
+    * `consumed_files` record — so the heal cannot tell late appends
+    * from consumed old-generation files and refuses to touch it).
+    * Moves every DATA file in the aside that is not already in the
+    * root (by name) into the root as ordinary unclustered appends,
+    * then drops the aside. Idempotent: a re-run, or a crash mid-way
+    * followed by a re-run, converges to the same state.
+    *
+    * THE CALLER OWNS THE ATTRIBUTION JUDGMENT: rescuing an aside that
+    * in fact belongs to a COMPLETED recluster would re-land files the
+    * rewrite consumed and duplicate their rows. Call this only after
+    * confirming the root was re-created (or the consumed record lost)
+    * and the aside's data files are genuinely unowned. */
+  def rescueAside(spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit =
+    rescueAside(spark, path, s"$path.__zaside")
+
+  /** [[rescueAside]] against an explicit aside directory (an operator
+    * may have parked it elsewhere during triage). */
+  def rescueAside(spark: org.apache.spark.sql.SparkSession,
+                  path: String, asidePath: String): Unit = {
+    val fs = fsOf(spark, path)
+    val aside = new org.apache.hadoop.fs.Path(asidePath)
+    if (!fs.exists(aside)) return
+    val root = new org.apache.hadoop.fs.Path(path)
+    require(fs.exists(root),
+      s"rescueAside: root $path does not exist — a mid-swap crash " +
+        "(root gone, aside intact) heals by renaming the aside back; " +
+        "run any lifecycle entry instead of rescuing file-by-file")
+    fs.listStatus(aside).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+          !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(root, n)),
+          s"rescueAside: move $n into $path failed")
+    }
+    fs.delete(aside, true)
+  }
+
+  // ---- reader safety across maintenance commit windows ----
+  //
+  // Three windows can bite a reader racing the lifecycle, and a bare
+  // `spark.read.parquet(path)` handles none of them:
+  //  - GLOBAL swap (rename-aside -> rename-in): between the two
+  //    renames the root is momentarily absent; before them, a listed
+  //    file vanishes at read time (missing-file failure).
+  //  - INCREMENTAL commit (move new files in, then delete consumed):
+  //    a listing taken mid-move sees BOTH generations of the
+  //    rewritten region and silently DOUBLE-READS it — no error is
+  //    ever raised, so no retry can fix it.
+  //  - append commit: staged batch files move into the root one by
+  //    one; a racing listing sees a prefix of the batch (append-only
+  //    visibility — consistent, just not batch-atomic).
+  // [[readMaintained]] resolves all three: it builds an explicit
+  // file-level snapshot, consulting the pending roll-forward manifest
+  // (when one exists) to pick exactly ONE generation of a mid-commit
+  // rewrite, and converts the mid-swap root-absent instant into a
+  // retryable missing-file failure. [[withMaintainedRead]] wraps an
+  // action with the retry loop (fresh snapshot per attempt) — the
+  // complete no-quiesce reader contract for the layout family.
+
+  /** One snapshot-consistent view of a maintained z-ordered layout, as
+    * a DataFrame over an EXPLICIT file list. Mid-commit states resolve
+    * to exactly one generation: while a recluster's roll-forward
+    * manifest is pending, the commit's ordering (every new file moves
+    * in before any consumed file is deleted) makes the directory
+    * listing self-describing — if every consumed file is still listed
+    * the move-in phase is underway and the view excludes the new
+    * files (pre-commit snapshot); once any consumed file is gone the
+    * move-in provably completed and the view excludes the remaining
+    * consumed files (post-commit snapshot). Both snapshots carry the
+    * same row bag (rewrites are content-invariant), so readers never
+    * observe duplicates or holes. A layout mid-GLOBAL-swap (root
+    * absent, aside present) throws a retryable
+    * `FileNotFoundException`; an absent layout with no swap in flight
+    * throws `IllegalArgumentException` immediately (permanent).
+    *
+    * The snapshot is taken at CALL time; a maintenance commit racing
+    * the returned frame's ACTION can still delete a listed file first
+    * (missing-file failure) — run actions through
+    * [[withMaintainedRead]], which re-snapshots per attempt. */
+  def readMaintained(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val files = snapshotFiles(spark, path)
+    require(files.nonEmpty, s"readMaintained: $path holds no data files")
+    try spark.read.parquet(files: _*)
+    catch {
+      // every path handed to the reader came from THIS call's listing,
+      // so a PATH_NOT_FOUND here (a file vanished before the reader's
+      // path check) or an UNABLE_TO_INFER_SCHEMA (every footer gone
+      // before inference — the whole generation swapped) is always a
+      // commit racing the snapshot — rethrow retryable
+      case e: Throwable
+          if (e match {
+            case st: org.apache.spark.SparkThrowable =>
+              Option(st.getCondition).exists(c =>
+                c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA")
+            case _ => false
+          }) =>
+        throw new java.io.FileNotFoundException(
+          s"$path: snapshot file vanished mid-open (maintenance " +
+            s"commit race) — transient, retry re-snapshots: " +
+            e.getMessage)
+    }
+  }
+
+  /** Run `f` over a fresh [[readMaintained]] snapshot, retrying the
+    * WHOLE attempt (snapshot + action) on missing-file races with a
+    * concurrent lifecycle commit — whichever attempt wins returns a
+    * content-equivalent result (mutations are content-invariant;
+    * appends are append-only). The layout family's serve-while-
+    * maintain entry: no reader quiescing, ever. */
+  def withMaintainedRead[T](spark: org.apache.spark.sql.SparkSession,
+                            path: String, attempts: Int = 5)
+                           (f: DataFrame => T): T =
+    retryingRead(attempts)(f(readMaintained(spark, path)))
+
+  /** The explicit file list behind [[readMaintained]] — see its doc
+    * for the window-resolution contract. */
+  private def snapshotFiles(spark: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[String] = {
+    val fs = fsOf(spark, path)
+    val root = new org.apache.hadoop.fs.Path(path)
+    // list FIRST, then classify an absent root — checking existence
+    // before listing would race the swap's rename between the two calls
+    val listed = dataFiles(spark, path)
+    if (listed.isEmpty && !fs.exists(root)) {
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path.__zaside")))
+        throw new java.io.FileNotFoundException(
+          s"$path: root absent mid-recluster-swap (aside present) — " +
+            "transient, retry reads the new generation")
+      throw new IllegalArgumentException(
+        s"readMaintained: $path does not exist and no recluster swap " +
+          "is in flight — not a maintained layout")
+    }
+    val man = new org.apache.hadoop.fs.Path(zincManifestDir(path))
+    if (!fs.exists(man)) return listed.map(_.getPath.toString)
+    val (newF, consumed) =
+      try {
+        def names(t: String): Set[String] =
+          spark.read.parquet(s"${zincManifestDir(path)}/$t")
+            .collect().map(_.getString(0)).toSet
+        (names("new_files"), names("consumed_files"))
+      } catch {
+        case _: Exception =>
+          // the manifest vanished (commit completed) between the
+          // existence check and the read — the listing may straddle
+          // the commit; force a clean re-snapshot
+          throw new java.io.FileNotFoundException(
+            s"$path: recluster manifest vanished mid-snapshot — " +
+              "transient, retry re-lists the committed state")
+      }
+    val names = listed.map(_.getPath.getName).toSet
+    val view =
+      if (consumed.subsetOf(names))
+        // move-in phase: the pre-commit generation is fully present —
+        // exclude whatever new files already moved in
+        listed.filterNot(s => newF(s.getPath.getName))
+      else {
+        // a consumed file is gone, so the move-in provably completed
+        // BEFORE this listing's deletes — but the listing itself is
+        // not an atomic snapshot (entries added mid-iteration may be
+        // missed), so verify the post-commit generation is complete
+        // and re-snapshot when the listing straddled the commit
+        if (!newF.subsetOf(names))
+          throw new java.io.FileNotFoundException(
+            s"$path: listing straddled a recluster commit (consumed " +
+              "files already deleted, new files not all visible) — " +
+              "transient, retry re-lists")
+        listed.filterNot(s => consumed(s.getPath.getName))
+      }
+    view.map(_.getPath.toString)
+  }
+
+  /** Run a read ACTION against a maintained layout, retrying when the
+    * failure chain carries a missing-file error — the signature of a
+    * read racing a recluster's rename-aside -> rename swap (global) or
+    * a bounded commit's move-in/delete window (incremental), which
+    * list a file the commit then removed. Each retry must re-run the
+    * body FROM SCRATCH — put the `spark.read.parquet(path)` open
+    * INSIDE the body, not outside, so the attempt after the swap
+    * completes lists the new generation. Correct because every
+    * lifecycle mutation is content-invariant to readers (spec-pinned:
+    * recluster/incremental-recluster preserve the row bag; an append's
+    * commit window is append-only), so whichever attempt wins returns
+    * an equivalent result. Any non-missing-file failure propagates
+    * immediately; exhausting the attempts rethrows the last error.
+    *
+    * This replaces the old "quiesce readers across the swap" caveat:
+    * a consumer that wraps its actions in `retryingRead` needs no
+    * coordination with the layout's maintenance owner. (Same
+    * discipline as the IVF serving path's per-batch retry in
+    * `graft.streaming.StreamOps`.) */
+  def retryingRead[T](attempts: Int = 3)(body: => T): T = {
+    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
+    var last: Throwable = null
+    var i = 0
+    while (i < attempts) {
+      try return body
+      catch {
+        case e: Throwable if isMissingFileError(e) =>
+          last = e
+          i += 1
+          if (i < attempts) Thread.sleep(50L * i)
+      }
+    }
+    throw last
+  }
+
+  /** A failure is a retryable missing-file RACE only when its chain
+    * carries a genuine file-not-found TYPE: a `FileNotFoundException`
+    * subclass (incl. shaded/remote variants by class name), a Hadoop
+    * `RemoteException` wrapping one, or Spark's
+    * `FAILED_READ_FILE.FILE_NOT_EXIST` error condition. Message
+    * substrings are deliberately NOT matched: a permanent failure like
+    * an absent layout root surfaces as `PATH_NOT_FOUND` ("Path does
+    * not exist") and must propagate immediately, not burn backoff
+    * sleeps mislabeled as a maintenance race. */
+  private[graft] def isMissingFileError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
+      case _: java.io.FileNotFoundException => true
+      case t: org.apache.hadoop.ipc.RemoteException =>
+        Option(t.getClassName).exists(_.contains("FileNotFound"))
+      case t: org.apache.spark.SparkThrowable
+          if Option(t.getCondition).exists(
+            _.startsWith("FAILED_READ_FILE.FILE_NOT_EXIST")) => true
+      case t => t.getClass.getName.contains("FileNotFound")
+    }
 
   /** Fragmentation-measured recluster trigger: recluster ONLY when at
     * least `threshold` of the layout's bytes arrived after the last

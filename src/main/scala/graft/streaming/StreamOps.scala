@@ -404,8 +404,10 @@ object StreamOps {
     * grows: steady-state maintenance cost tracks the fragmented
     * fraction, never the corpus. Readers stay correct at every point
     * (appends are visible immediately, curve-unsorted until the next
-    * recluster); quiesce readers only across a firing recluster's
-    * commit window, per the layout's documented contract.
+    * recluster); a reader racing a firing recluster's commit window
+    * wraps its actions in
+    * [[graft.sources.Layouts.retryingRead]] — no quiescing needed,
+    * per the layout's documented reader contract.
     */
   def zOrderedIngestStream(spark: SparkSession, inPath: String,
                            schema: org.apache.spark.sql.types.StructType,
@@ -445,29 +447,8 @@ object StreamOps {
     * missing-file error.
     */
   private[streaming] def retryOnMissingFiles[T](attempts: Int)
-                                               (body: => T): T = {
-    require(attempts >= 1, s"attempts must be >= 1, got $attempts")
-    var last: Throwable = null
-    var i = 0
-    while (i < attempts) {
-      try return body
-      catch {
-        case e: Throwable if isMissingFileError(e) =>
-          last = e
-          i += 1
-          if (i < attempts) Thread.sleep(50L * i)
-      }
-    }
-    throw last
-  }
-
-  private def isMissingFileError(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists { t =>
-      t.isInstanceOf[java.io.FileNotFoundException] ||
-        t.getClass.getName.contains("FileNotFound") ||
-        Option(t.getMessage).exists(m =>
-          m.contains("does not exist") || m.contains("FileNotFound"))
-    }
+                                               (body: => T): T =
+    graft.sources.Layouts.retryingRead(attempts)(body)
 
   def annServeStream(spark: SparkSession, inPath: String,
                      schema: org.apache.spark.sql.types.StructType,

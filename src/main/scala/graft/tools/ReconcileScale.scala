@@ -25,7 +25,7 @@ import org.apache.spark.sql.functions._
   * distinct digest on the wire) plus the same O(drops) takedown work.
   *
   * Prints one JSON line per phase.
-  * Usage: ReconcileScale [sfDir] [work] [minhash|digest]
+  * Usage: ReconcileScale [sfDir] [work] [minhash|digest|srp]
   */
 object ReconcileScale {
   def main(args: Array[String]): Unit = {

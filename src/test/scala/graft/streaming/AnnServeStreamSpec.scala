@@ -214,6 +214,20 @@ class AnnServeStreamSpec extends SparkSpec {
       }
     }
     assert(calls3 == 2, "attempts must exhaust, not loop")
+
+    // PERMANENT failures whose message merely SAYS "does not exist"
+    // (an absent layout/output root -> PATH_NOT_FOUND) must propagate
+    // on the first attempt — retrying them with backoff sleeps delays
+    // and mislabels the real error as a compaction race.
+    var calls4 = 0
+    intercept[Throwable] {
+      StreamOps.retryOnMissingFiles(3) {
+        calls4 += 1
+        spark.read.parquet("/graft-no-such-layout-root").count()
+      }
+    }
+    assert(calls4 == 1,
+      "a permanent PATH_NOT_FOUND was retried as a missing-file race")
   }
 
   test("usePq serves the PQ-coded pipeline (ADC + exact re-rank)") {
