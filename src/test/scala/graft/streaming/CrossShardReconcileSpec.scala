@@ -215,6 +215,81 @@ class CrossShardReconcileSpec extends SparkSpec {
       "replay resurrected a reconciled takedown")
   }
 
+  test("mixed-family deployments compose per family: a MinHash and a " +
+      "digest deployment over the SAME corpus each reconcile their own " +
+      "duplicate kind and neither disturbs the other's indexes or " +
+      "served corpora") {
+    val base = Files.createTempDirectory("graft-reconcile-mixed").toString
+    // one corpus, two parallel deployments (even/odd doc_id router):
+    // the MinHash family screens near-dup TEXT, the digest family
+    // screens exact CONTENT — a production stack runs both side by side
+    val mIx0 = s"$base/m-ix0"; val mOut0 = s"$base/m-out0"
+    val mIx1 = s"$base/m-ix1"; val mOut1 = s"$base/m-out1"
+    val dIx0 = s"$base/d-ix0"; val dOut0 = s"$base/d-out0"
+    val dIx1 = s"$base/d-ix1"; val dOut1 = s"$base/d-out1"
+    def ddf(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "dig")
+    Dedup.writeSignatureIndex(df(0L -> uniq(0)), "doc_id", "text", mIx0, p)
+    Dedup.writeSignatureIndex(df(1L -> uniq(1)), "doc_id", "text", mIx1, p)
+    Dedup.writeDigestIndex(ddf(0L -> "h0"), "doc_id", "dig", dIx0)
+    Dedup.writeDigestIndex(ddf(1L -> "h1"), "doc_id", "dig", dIx1)
+    Seq(mIx0, mIx1).foreach(Dedup.initIngestLedger(spark, _))
+    Seq(dIx0, dIx1).foreach(Dedup.initDigestIngestLedger(spark, _))
+
+    // planted: 10<->11 is a cross-shard NEAR-dup (distinct digests —
+    // only the MinHash family may drop it); 20<->21 is a cross-shard
+    // EXACT dup (digest hX, dissimilar texts — only the digest family
+    // may drop it)
+    val corpus = Map(
+      10L -> (famA(10), "h10"), 12L -> (uniq(12), "h12"),
+      20L -> (uniq(20), "hX"),
+      11L -> (famA(11), "h11"), 13L -> (uniq(13), "h13"),
+      21L -> (uniq(21), "hX"))
+    def mBatch(ids: Long*) = df(ids.map(i => i -> corpus(i)._1): _*)
+    def dBatch(ids: Long*) = ddf(ids.map(i => i -> corpus(i)._2): _*)
+    Dedup.ingestBatchWithIndex(mBatch(10L, 12L, 20L), "doc_id", "text",
+      mIx0, mOut0, batchId = 0L)
+    Dedup.ingestBatchWithIndex(mBatch(11L, 13L, 21L), "doc_id", "text",
+      mIx1, mOut1, batchId = 0L)
+    Dedup.ingestBatchWithDigestIndex(dBatch(10L, 12L, 20L), "doc_id",
+      "dig", dIx0, dOut0, batchId = 0L)
+    Dedup.ingestBatchWithDigestIndex(dBatch(11L, 13L, 21L), "doc_id",
+      "dig", dIx1, dOut1, batchId = 0L)
+    assert(servedIds(mOut1) == Set(11L, 13L, 21L))
+    assert(servedIds(dOut1) == Set(11L, 13L, 21L))
+
+    val mShards = Seq(Dedup.GovernedShardPaths(mIx0, mOut0),
+      Dedup.GovernedShardPaths(mIx1, mOut1))
+    val dShards = Seq(Dedup.GovernedShardPaths(dIx0, dOut0),
+      Dedup.GovernedShardPaths(dIx1, dOut1))
+    val mSt = Dedup.reconcileShardOutputs(spark, mShards, "doc_id", "text")
+    val dSt = Dedup.reconcileShardOutputsDigest(spark, dShards, "doc_id",
+      "dig")
+    // each family converged exactly its own duplicate kind
+    assert(mSt.crossPairs == 1L && mSt.dropped == 1L, mSt)
+    assert(dSt.crossPairs == 1L && dSt.dropped == 1L, dSt)
+    assert(servedIds(mOut0) == Set(10L, 12L, 20L))
+    assert(servedIds(mOut1) == Set(13L, 21L),
+      "the MinHash pass must drop the near-dup 11 and keep the exact-dup 21")
+    assert(servedIds(dOut0) == Set(10L, 12L, 20L))
+    assert(servedIds(dOut1) == Set(11L, 13L),
+      "the digest pass must drop the exact-dup 21 and keep the near-dup 11")
+    // ...and left the OTHER family's index untouched
+    val mView = Dedup.readSignatureIndex(spark, mIx1).signatures
+    assert(mView.filter(col("id") === 21L).count() == 1L,
+      "the digest family's drop leaked into the MinHash index")
+    assert(mView.filter(col("id") === 11L).isEmpty)
+    val dView = Dedup.readDigestIndex(spark, dIx1).digests
+    assert(dView.filter(col("id") === 11L).count() == 1L,
+      "the MinHash family's drop leaked into the digest index")
+    assert(dView.filter(col("id") === 21L).isEmpty)
+    // both passes idempotent against the composed state
+    val mSt2 = Dedup.reconcileShardOutputs(spark, mShards, "doc_id", "text")
+    val dSt2 = Dedup.reconcileShardOutputsDigest(spark, dShards,
+      "doc_id", "dig")
+    assert(mSt2.dropped == 0L && mSt2.crossPairs == 0L, mSt2)
+    assert(dSt2.dropped == 0L && dSt2.crossPairs == 0L, dSt2)
+  }
+
   test("contract violations fail loudly: mismatched MinHash geometry; " +
       "duplicate ids across shards") {
     val base = Files.createTempDirectory("graft-reconcile-bad").toString
