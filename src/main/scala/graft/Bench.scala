@@ -194,17 +194,27 @@ object Bench {
       spreads(name) = times
       name -> (if (times.exists(_ < 0)) -1.0 else times.min)
     }
-    // Noise adjudication (r16): the ±3x single-entry noise lesson from
-    // the r13/r14 A/B adjudications, wired into the harness instead of
-    // pinned in prose. Any entry whose recorded minimum moved >1.5x in
-    // EITHER direction vs its committed previous-round value lands in
-    // `suspect` — the round's verdict protocol A/Bs only those entries
-    // under a quiet-JVM SPARK_GRAFT_ONLY subset run before treating the
-    // move as real. New/failed/absent-prior entries can't be suspects
-    // (nothing to move from).
+    // Noise adjudication (r16, tightened r17): the ±3x single-entry
+    // noise lesson from the r13/r14 A/B adjudications, wired into the
+    // harness instead of pinned in prose. Any entry whose recorded
+    // minimum moved past its gate in EITHER direction vs its committed
+    // previous-round value lands in `suspect` — the round's verdict
+    // protocol A/Bs only those entries under a quiet-JVM
+    // SPARK_GRAFT_ONLY subset run before treating the move as real.
+    // TWO-TIER gate (r17): the pinned noise model is ±3x for light
+    // entries but only <=1.6x-of-quiet for the heavy governed loops
+    // (they run last, absorbing suite-end debt STABLY), so heavy
+    // entries get the tighter 1.3x gate — r16's like-for-like drift
+    // rode five 1.30-1.47x movers (p5 +2.8s among them) under the flat
+    // 1.5x gate, each individually unflagged while together they were
+    // most of the round's +8%. Heavy = committed prior > 5 s. New/
+    // failed/absent-prior entries can't be suspects (nothing to move
+    // from).
     val suspect = results.collect {
-      case (name, v) if v > 0 && prior.get(name).exists(p =>
-        p > 0 && (v > p * 1.5 || v * 1.5 < p)) => name
+      case (name, v) if v > 0 && prior.get(name).exists { p =>
+        val gate = if (p > 5.0) 1.3 else 1.5
+        p > 0 && (v > p * gate || v * gate < p)
+      } => name
     }.toSeq.sorted
 
     // JSON string escape for env-provided values (path with a quote or
@@ -245,9 +255,12 @@ object Bench {
         "the suite-end debt instead (stable across their three runs, " +
         "<=1.6x their quiet value) - the bias is parked where relative " +
         "error is smallest; quiet-JVM SPARK_GRAFT_ONLY stays the " +
-        "precision tool for those entries. Suspect list (r16): entries " +
-        "whose minimum moved >1.5x in either direction vs the committed " +
-        "prior-round value; adjudicate ONLY those with a quiet-JVM " +
+        "precision tool for those entries. Suspect list (r16, two-tier " +
+        "r17): entries whose minimum moved past their gate in either " +
+        "direction vs the committed prior-round value — >1.5x for " +
+        "light entries, >1.3x for heavy ones (prior > 5 s, where the " +
+        "pinned noise band is <=1.6x, not +-3x, and sub-gate drift " +
+        "compounds invisibly); adjudicate ONLY those with a quiet-JVM " +
         "SPARK_GRAFT_ONLY A/B before reading the move as a real " +
         "regression or win."
     val detail = results.map { case (k, v) => s""""$k":$v""" }

@@ -22,6 +22,11 @@ import org.apache.spark.sql.functions._
   *    fraction, not the corpus).
   *  - `recluster_global`: the whole-corpus rewrite the incremental pass
   *    replaces — the baseline it must beat.
+  *  - `serve_append`/`serve_recluster_incremental`/
+  *    `serve_recluster_global` + the `serve_while_maintain` info line:
+  *    the same mutations re-priced WITH a live concurrent reader loop
+  *    on the snapshot contract (`withMaintainedRead`) — the no-quiesce
+  *    claim measured: reads never fail, never double-read, never hole.
   *  - `post_read`: the q64c-shape filtered read after maintenance.
   *
   * Prints one JSON line per phase. Usage: ZOrderScale [sfDir] [work]
@@ -90,6 +95,49 @@ object ZOrderScale {
       s"""{"tool":"zorder-scale","info":"incremental_overlap","tail_files":${st2.tailFiles},"overlapped":${st2.overlappedFiles},"untouched":${st2.untouchedFiles},"rewritten_bytes":${st2.rewrittenBytes},"total_bytes":${st2.totalBytes},"used_global":${st2.usedGlobal}}""")
 
     phase("recluster_global") { L.reclusterZOrdered(spark, lay) }
+
+    // serve-while-maintain: a concurrent reader loop on the snapshot
+    // contract (withMaintainedRead) hammers the layout while an append,
+    // the bounded recluster and the global rewrite run — the no-quiesce
+    // claim priced live: every read must land on a legal snapshot
+    // (between the pre-append and post-append row counts; above = a
+    // double-read across a commit window, below = a hole) and the
+    // mutations must not slow for the readers.
+    locally {
+      val n0 = spark.read.parquet(lay).count()
+      val band2Lo = maxKey / 3
+      val band2Hi = band2Lo + maxKey / 50
+      val tailDf = li.filter(col("l_orderkey").between(band2Lo, band2Hi))
+      val tailN = tailDf.count()
+      @volatile var stop = false
+      @volatile var failure: Option[Throwable] = None
+      val counts = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+      val reader = new Thread(() => {
+        try {
+          while (!stop) counts.add(
+            L.withMaintainedRead(spark, lay, attempts = 8)(_.count()))
+        } catch { case t: Throwable => failure = Some(t) }
+      })
+      reader.setName("zorder-live-reader")
+      reader.start()
+      try {
+        phase("serve_append") { L.appendZOrdered(tailDf, lay) }
+        phase("serve_recluster_incremental") {
+          L.reclusterZOrderedIncremental(spark, lay)
+        }
+        phase("serve_recluster_global") { L.reclusterZOrdered(spark, lay) }
+      } finally {
+        stop = true
+        reader.join(300000)
+      }
+      val seen = counts.toArray(Array.empty[java.lang.Long])
+        .map(_.longValue).toSeq
+      val illegal = seen.filterNot(c => c >= n0 && c <= n0 + tailN)
+      println(s"""{"tool":"zorder-scale","info":"serve_while_maintain",""" +
+        s""""reads":${seen.length},"illegal":${illegal.length},""" +
+        s""""reader_failed":${failure.isDefined}}""")
+      failure.foreach(t => System.err.println(s"[zorder-scale] reader: $t"))
+    }
 
     phase("post_read") {
       spark.read.parquet(lay)
