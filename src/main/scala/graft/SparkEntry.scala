@@ -2006,7 +2006,9 @@ object SparkEntry {
       // INCREMENTAL pass — this tail is beyond the clustered domain, so
       // the rewrite is exactly the tail; the read plan is unchanged
       Layouts.autoReclusterZOrderedIncremental(s, out, threshold = 0.05)
-      s.read.parquet(out)
+      // the layout family's production read entry (snapshot contract;
+      // quiescent here, so it is the identical pruned scan)
+      Layouts.readMaintained(s, out)
         .filter(col("l_orderkey").between(100, 1500) &&
           col("l_partkey").between(20, 120))
         .orderBy(col("l_orderkey"), col("l_linenumber"),

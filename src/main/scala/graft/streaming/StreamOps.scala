@@ -405,9 +405,15 @@ object StreamOps {
     * fraction, never the corpus. Readers stay correct at every point
     * (appends are visible immediately, curve-unsorted until the next
     * recluster); a reader racing a firing recluster's commit window
-    * wraps its actions in
-    * [[graft.sources.Layouts.retryingRead]] — no quiescing needed,
-    * per the layout's documented reader contract.
+    * uses [[graft.sources.Layouts.withMaintainedRead]] (snapshot +
+    * retry) — no quiescing needed, per the layout's documented reader
+    * contract. CONSUMERS READ THE LAYOUT IN BATCH: do NOT point a
+    * file-source `readStream` at the layout root — a recluster
+    * rewrites committed rows under NEW file names, which a
+    * filename-tracking streaming source would re-ingest as fresh data
+    * (duplicates by design, not by bug). A streaming consumer
+    * subscribes to the INGEST stream (`inPath`) instead; the layout is
+    * the batch-serving artifact.
     */
   def zOrderedIngestStream(spark: SparkSession, inPath: String,
                            schema: org.apache.spark.sql.types.StructType,
