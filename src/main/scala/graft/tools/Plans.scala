@@ -848,6 +848,21 @@ object Plans {
       |flag at >1.3× instead of >1.5×, so a repeat of r16's compounding
       |sub-gate drift lands in the `suspect` array and gets this A/B
       |automatically next time.
+      |
+      |r17 final-artifact suspects, adjudicated same-session: the round's
+      |first full-suite run hit a measured IO-noise window (the sf10 audit
+      |swung 24→61 s on identical code the same hour) and was re-run; the
+      |committed artifact's common-query ratio vs r16 is 0.936 (1.006
+      |excluding the three cached-entry boundary wins). Its `suspect`
+      |array was quiet-JVM adjudicated: b4c 6.84 quiet vs 5.63 committed
+      |(1.22×), b4 1.19×, p8 1.20×, q64c 1.24×, q64 0.81×, q64b 0.95×,
+      |d5c 1.09×, s12 1.13× — every flagged path except q64c/q64d is
+      |byte-untouched this round, and the uniform ~1.1–1.2× on untouched
+      |paths is the cross-session box factor, visible identically on code
+      |that did not change. q64c's 1.24× carries the same factor (its only
+      |r17 change, the snapshot read, adds one directory listing). The
+      |remaining suspects are sub-second battery entries inside the pinned
+      |±3× light-entry noise band. No real regression; nothing to fix.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

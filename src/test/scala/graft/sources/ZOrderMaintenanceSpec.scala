@@ -272,6 +272,62 @@ class ZOrderMaintenanceSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("readMaintained across the APPEND commit window: a staged batch " +
+      "is invisible until its files move in, a partial move-in reads " +
+      "as an append-only prefix, and the heal completes the batch") {
+    val base = Files.createTempDirectory("graft-zmaint-app").toString
+    val lay = s"$base/lay"
+    try {
+      val slice = spark.range(0, 1000).select(
+        col("id").as("a"), (col("id") % 40).as("b"), col("id").as("p"))
+      Layouts.writeZOrderedMaintained(slice, lay, Seq("a", "b"))
+      val n0 = 1000L
+
+      // stage a batch by hand in the exactly-once layout's own shape:
+      // two data files in _zappend_stage plus the roll-forward manifest
+      val fs = fsOf(lay)
+      val mk = (lo: Long, hi: Long, name: String) => {
+        spark.range(lo, hi).select(col("id").as("a"),
+            (col("id") % 40).as("b"), col("id").as("p"))
+          .coalesce(1).write.mode("overwrite").parquet(s"$base/tmp")
+        val part = fs.listStatus(new org.apache.hadoop.fs.Path(s"$base/tmp"))
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .head.getPath
+        fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lay/_zappend_stage"))
+        assert(fs.rename(part, new org.apache.hadoop.fs.Path(
+          s"$lay/_zappend_stage/$name")))
+        name
+      }
+      val f1 = mk(5000L, 5100L, "part-zapp-test-a.snappy.parquet")
+      val f2 = mk(5100L, 5250L, "part-zapp-test-b.snappy.parquet")
+      import spark.implicits._
+      Seq(7L).toDF("batch_id").coalesce(1).write.mode("overwrite")
+        .parquet(s"$lay/_zorder__app_tmp/batch")
+      Seq(f1, f2).toDF("name").coalesce(1).write.mode("overwrite")
+        .parquet(s"$lay/_zorder__app_tmp/new_files")
+      assert(fs.rename(new org.apache.hadoop.fs.Path(s"$lay/_zorder__app_tmp"),
+        new org.apache.hadoop.fs.Path(s"$lay/_zorder__app")))
+
+      // manifest pending, nothing moved: the batch is invisible
+      assert(Layouts.readMaintained(spark, lay).count() == n0,
+        "a staged batch leaked into the snapshot before its commit")
+      // partial move-in (crash mid-commit): append-only prefix
+      assert(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$lay/_zappend_stage/$f1"),
+        new org.apache.hadoop.fs.Path(s"$lay/$f1")))
+      assert(Layouts.readMaintained(spark, lay).count() == n0 + 100L,
+        "partial move-in must read as an append-only prefix")
+      // any lifecycle call heals: the batch completes, the ledger holds it
+      assert(Layouts.zOrderFragmentation(spark, lay) > 0.0)
+      assert(Layouts.readMaintained(spark, lay).count() == n0 + 250L)
+      // the healed batch id is committed: a replay is a no-op
+      assert(!Layouts.appendZOrderedExactlyOnce(
+        spark.range(5000L, 5250L).select(col("id").as("a"),
+          (col("id") % 40).as("b"), col("id").as("p")), lay, 7L),
+        "the healed batch must be ledgered against replays")
+    } finally rmrf(base)
+  }
+
   test("withMaintainedRead survives a GLOBAL recluster swap: a stale " +
       "plan fails with a retryable missing-file error and the retried " +
       "fresh snapshot returns the content-equivalent result") {
