@@ -78,6 +78,50 @@ object Bench {
       .fold(SparkEntry.queries)(sel =>
         SparkEntry.queries.filter { case (k, _) => sel(k) })
     val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
+    // Box calibration (r17): a fixed CPU probe (codegen'd hash+sum over
+    // 200M longs) and a fixed IO probe (write + read ~150 MB parquet in
+    // the tmpdir), taken BEFORE the warm pass and again AFTER the timed
+    // loop. Cross-SESSION ratios on this box carry a real environment
+    // factor (r17 measured identical code swinging 24->61 s inside one
+    // hour); dividing a round-over-round ratio by the calibration ratio
+    // separates box drift from code drift, and pre-vs-post reveals
+    // conditions changing DURING the suite. Deterministic work, no
+    // data-dir dependence; ~5 s per probe pair.
+    def calibrate(): (Double, Double) = {
+      import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+      def t(f: => Unit): Double = {
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }
+      // untimed mini-run first: the PRE probe runs before the suite's
+      // warm pass and would otherwise time JIT/codegen/classloading
+      // instead of the box (measured: 5.8 s cold vs 0.2 s warm for the
+      // same probe). Comparable signals are same-position across
+      // artifacts: pre-to-pre and post-to-post.
+      spark.range(0L, 1000000L, 1L, 32)
+        .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFL)))).head()
+      val warmDirIo = s"${System.getProperty("java.io.tmpdir")}/graft_bench_calib_w"
+      spark.range(0L, 100000L, 1L, 32)
+        .select(col("id"), xxhash64(col("id")).as("h"))
+        .write.mode("overwrite").parquet(warmDirIo)
+      spark.read.parquet(warmDirIo).select(count(lit(1))).head()
+      val cpu = t {
+        // mask before summing: full-range hash values overflow a long
+        // sum under ANSI; the hash itself is the measured work
+        spark.range(0L, 200000000L, 1L, 32)
+          .select(sum(xxhash64(col("id")).bitwiseAND(lit(0xFFFFL))))
+          .head()
+      }
+      val dir = s"${System.getProperty("java.io.tmpdir")}/graft_bench_calib"
+      val io = t {
+        spark.range(0L, 20000000L, 1L, 32)
+          .select(col("id"), xxhash64(col("id")).as("h"),
+            xxhash64(col("id"), lit(1)).as("h2"))
+          .write.mode("overwrite").parquet(dir)
+        spark.read.parquet(dir).select(count(lit(1))).head()
+      }
+      (cpu, io)
+    }
+    val (preCpu, preIo) = calibrate()
     // Release EVERY persisted block, including localCheckpoint RDDs that
     // catalog.clearCache() cannot see (it only tracks cached queries —
     // see graft.plans.Checkpoints). Operators that return lazy frames
@@ -216,6 +260,7 @@ object Bench {
         p > 0 && (v > p * gate || v * gate < p)
       } => name
     }.toSeq.sorted
+    val (postCpu, postIo) = calibrate()
 
     // JSON string escape for env-provided values (path with a quote or
     // backslash must not corrupt the artifact this harness exists to emit)
@@ -262,12 +307,25 @@ object Bench {
         "pinned noise band is <=1.6x, not +-3x, and sub-gate drift " +
         "compounds invisibly); adjudicate ONLY those with a quiet-JVM " +
         "SPARK_GRAFT_ONLY A/B before reading the move as a real " +
-        "regression or win."
+        "regression or win. Calibration (r17): fixed CPU (200M-row " +
+        "codegen'd hash+sum) and IO (~150MB parquet write+read) probes " +
+        "taken before the warm pass and after the timed loop; divide a " +
+        "cross-round ratio by the calibration ratio to separate box " +
+        "drift from code drift, and read pre-vs-post divergence as " +
+        "conditions changing mid-suite."
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
       spreads.map { case (k, ts) => s""""$k":${ts.mkString("[", ",", "]")}""" }
         .mkString("\"spread\":{", ",", "},") +
       suspect.map("\"" + _ + "\"").mkString("\"suspect\":[", ",", "],") +
+      {
+        // Locale.ROOT like f2 below — a decimal-comma locale would
+        // corrupt the JSON this harness exists to emit
+        def c3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(v))
+        s""""calibration":{"pre_cpu":${c3(preCpu)},"pre_io":${c3(preIo)},""" +
+          s""""post_cpu":${c3(postCpu)},"post_io":${c3(postIo)}},"""
+      } +
       s""""notes":"${esc(notes)}",""" +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

@@ -863,6 +863,16 @@ object Plans {
       |r17 change, the snapshot read, adds one directory listing). The
       |remaining suspects are sub-second battery entries inside the pinned
       |±3× light-entry noise band. No real regression; nothing to fix.
+      |
+      |The box-drift diagnosis is now a measured quantity: Bench (r17)
+      |carries fixed CPU/IO calibration probes (BASELINE.md §6), and the
+      |first calibrated full run — taken an hour after the committed
+      |artifact, identical code — read pre_io 2.70 s against 1.53 s in the
+      |same-day smoke and came out 12.8% slower across the whole common
+      |set, which is precisely the cross-session factor the adjudications
+      |above kept attributing to the box. From r18 every committed artifact
+      |carries its own calibration, so this attribution is a division, not
+      |an argument.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

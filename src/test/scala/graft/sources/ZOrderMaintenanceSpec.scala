@@ -495,6 +495,36 @@ class ZOrderMaintenanceSpec extends SparkSpec {
       Layouts.reclusterZOrdered(spark, lay)
       assert(bag(spark.read.parquet(lay)) == want)
       assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
+
+      // the second unattributable shape: consumed_files UNREADABLE
+      // (torn/corrupt record) rather than empty — the heal must still
+      // refuse the aside, and the one-call rescue still resolves it
+      val late2 = spark.range(0, 30).select(
+        (col("id") + 9000).as("a"), (col("id") % 20).as("b"),
+        (col("id") + 800000).as("p"))
+      late2.coalesce(1).write.parquet(s"$base/late2")
+      val late2Part = fs.listStatus(
+        new org.apache.hadoop.fs.Path(s"$base/late2"))
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .head.getPath
+      fs.mkdirs(new org.apache.hadoop.fs.Path(s"$lay.__zaside"))
+      assert(fs.rename(late2Part, new org.apache.hadoop.fs.Path(
+        s"$lay.__zaside/${late2Part.getName}")))
+      val cfDir = new org.apache.hadoop.fs.Path(s"$lay/_zorder/consumed_files")
+      fs.delete(cfDir, true)
+      val out = fs.create(new org.apache.hadoop.fs.Path(cfDir, "part-garbage"))
+      out.write("not parquet".getBytes("UTF-8")); out.close()
+      Layouts.zOrderFragmentation(spark, lay) // heal: warn, leave aside
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$lay.__zaside")),
+        "an unreadable consumed record must not let the heal drop the aside")
+      Layouts.rescueAside(spark, lay)
+      val want2 = merge(want, bag(late2))
+      assert(bag(spark.read.parquet(lay)) == want2)
+      // the next recluster restamps a CLEAN consumed record and
+      // re-absorbs the rescued file
+      Layouts.reclusterZOrdered(spark, lay)
+      assert(bag(spark.read.parquet(lay)) == want2)
+      assert(Layouts.zOrderFragmentation(spark, lay) == 0.0)
     } finally rmrf(base)
   }
 }
