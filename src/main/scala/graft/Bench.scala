@@ -119,6 +119,14 @@ object Bench {
           .write.mode("overwrite").parquet(dir)
         spark.read.parquet(dir).select(count(lit(1))).head()
       }
+      // drop the probe bytes: ~200 MB per session would otherwise
+      // accumulate in the tmpdir until disk pressure perturbs the very
+      // IO probe that exists to measure box conditions
+      Seq(dir, warmDirIo).foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      }
       (cpu, io)
     }
     val (preCpu, preIo) = calibrate()

@@ -69,11 +69,23 @@ object SparkEntry {
   private def cachedBuild(s: SparkSession, kind: String, dir: String)
                          (build: String => Unit): String = {
     val tmp = System.getProperty("java.io.tmpdir")
+    val conf = s.sparkContext.hadoopConfiguration
+    // the key carries a fingerprint of the SOURCE DATA (name, length,
+    // mtime of every top-level entry under dir), not just the path: the
+    // cache outlives JVMs, and a regenerated dataset at the same path
+    // must invalidate it — a stale deployment would silently serve
+    // artifacts built from the old corpus against oracles over the new
+    val fp = {
+      val dfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      val sig = dfs.listStatus(new org.apache.hadoop.fs.Path(dir))
+        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted.mkString("|")
+      java.lang.Integer.toHexString(sig.hashCode)
+    }
     val key = s"${kind}_${DeploymentCacheVersion}_" +
-      java.lang.Integer.toHexString(dir.hashCode)
+      java.lang.Integer.toHexString(dir.hashCode) + s"_$fp"
     val cache = s"$tmp/graft_cache_$key"
     val work = s"$tmp/graft_work_$key"
-    val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(cache).getFileSystem(conf)
     val done = new org.apache.hadoop.fs.Path(s"$cache/_BUILD_COMPLETE")
     if (!fs.exists(done)) {
@@ -82,13 +94,23 @@ object SparkEntry {
       build(tmpBuild.toString)
       fs.create(new org.apache.hadoop.fs.Path(tmpBuild, "_BUILD_COMPLETE"),
         true).close()
-      fs.delete(new org.apache.hadoop.fs.Path(cache), true)
+      // the cache only ever appears via this atomic rename (marker
+      // written into the tmp BEFORE publishing), so an existing cache
+      // dir WITHOUT the marker is corrupt/legacy debris — clear it;
+      // a COMPLETE cache is never deleted (a concurrent builder may be
+      // copying from it right now)
+      if (fs.exists(new org.apache.hadoop.fs.Path(cache)) &&
+          !fs.exists(done))
+        fs.delete(new org.apache.hadoop.fs.Path(cache), true)
       if (!fs.rename(tmpBuild, new org.apache.hadoop.fs.Path(cache))) {
         // a concurrent builder published first — theirs is identical
-        require(fs.exists(done),
-          s"deployment cache build race at $cache left no complete cache")
         fs.delete(tmpBuild, true)
       }
+      // post-condition either way (we published, or a winner did):
+      // the marker sits at the cache ROOT — catches FS rename
+      // semantics that would nest a directory instead of failing
+      require(fs.exists(done),
+        s"deployment cache publish at $cache left no complete cache")
     }
     fs.delete(new org.apache.hadoop.fs.Path(work), true)
     require(org.apache.hadoop.fs.FileUtil.copy(fs,

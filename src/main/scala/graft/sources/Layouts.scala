@@ -220,15 +220,21 @@ object Layouts {
     new org.apache.hadoop.fs.Path(p)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The lifecycle's ONE definition of a visible data file: a plain
+    * file whose name is not underscore/dot-prefixed (metadata, markers
+    * and staging dirs are all hidden by that convention — the same rule
+    * Spark's own file index applies). */
+  private def isDataFile(st: org.apache.hadoop.fs.FileStatus): Boolean = {
+    val n = st.getPath.getName
+    st.isFile && !n.startsWith("_") && !n.startsWith(".")
+  }
+
   private def dataFiles(spark: org.apache.spark.sql.SparkSession,
                         path: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val fs = fsOf(spark, path)
     val root = new org.apache.hadoop.fs.Path(path)
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.toSeq
+    else fs.listStatus(root).filter(isDataFile).toSeq
   }
 
   /** Stamp `dir`'s current data files as THE clustered generation,
@@ -429,10 +435,7 @@ object Layouts {
     val fs = fsOf(spark, path)
     val dirP = new org.apache.hadoop.fs.Path(ledgerDir(path))
     if (!fs.exists(dirP)) return
-    val parts = fs.listStatus(dirP).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    val parts = fs.listStatus(dirP).filter(isDataFile)
     if (parts.length <= maxFiles) return
     import spark.implicits._
     val ids = spark.read.schema(zLedgerSchema)
@@ -443,10 +446,7 @@ object Layouts {
     fs.delete(tmp, true)
     ids.toDF("batch_id").coalesce(1).write.mode("overwrite")
       .parquet(tmp.toString)
-    val folded = fs.listStatus(tmp).filter { s =>
-      val n = s.getPath.getName
-      s.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }
+    val folded = fs.listStatus(tmp).filter(isDataFile)
     require(folded.nonEmpty, s"ledger fold at $path produced no file")
     folded.foreach { s =>
       require(fs.rename(s.getPath,
@@ -485,10 +485,8 @@ object Layouts {
     val rows = obs.get("n").asInstanceOf[Long]
     val newNames =
       if (rows == 0L) Nil
-      else fs.listStatus(stage).toSeq.filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
-      }.map(_.getPath.getName)
+      else fs.listStatus(stage).toSeq.filter(isDataFile)
+        .map(_.getPath.getName)
     import spark.implicits._
     val manTmp = new org.apache.hadoop.fs.Path(zappManifestTmpDir(path))
     fs.delete(manTmp, true)
@@ -769,10 +767,8 @@ object Layouts {
     writeZOrdered(
       spark.read.parquet(consumed.map(_.getPath.toString): _*),
       stage.toString, cols.toSeq, bits, subFiles, mrpf)
-    val newNames = fs.listStatus(stage).toSeq.filter { st =>
-      val n = st.getPath.getName
-      st.isFile && !n.startsWith("_") && !n.startsWith(".")
-    }.map(_.getPath.getName)
+    val newNames = fs.listStatus(stage).toSeq.filter(isDataFile)
+      .map(_.getPath.getName)
 
     // Roll-forward manifest, committed by one atomic directory rename.
     val manTmp = new org.apache.hadoop.fs.Path(zincManifestTmpDir(path))
@@ -999,8 +995,7 @@ object Layouts {
     val root = new org.apache.hadoop.fs.Path(path)
     fs.listStatus(aside).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
-          !consumed(n) &&
+      if (isDataFile(st) && !consumed(n) &&
           !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
         fs.rename(st.getPath, new org.apache.hadoop.fs.Path(root, n))
     }
@@ -1094,7 +1089,7 @@ object Layouts {
         "run any lifecycle entry instead of rescuing file-by-file")
     fs.listStatus(aside).foreach { st =>
       val n = st.getPath.getName
-      if (st.isFile && !n.startsWith("_") && !n.startsWith(".") &&
+      if (isDataFile(st) &&
           !fs.exists(new org.apache.hadoop.fs.Path(root, n)))
         require(fs.rename(st.getPath,
           new org.apache.hadoop.fs.Path(root, n)),
@@ -1208,13 +1203,17 @@ object Layouts {
             .collect().map(_.getString(0)).toSet
         (names("new_files"), names("consumed_files"))
       } catch {
-        case _: Exception =>
-          // the manifest vanished (commit completed) between the
-          // existence check and the read — the listing may straddle
-          // the commit; force a clean re-snapshot
-          throw new java.io.FileNotFoundException(
-            s"$path: recluster manifest vanished mid-snapshot — " +
-              "transient, retry re-lists the committed state")
+        // transient ONLY when the manifest actually went away (the
+        // commit completed between the existence check and the read —
+        // the listing may straddle it; force a clean re-snapshot). A
+        // manifest that is still present but unreadable is PERMANENT
+        // corruption needing triage, not a retry loop that mislabels it
+        case e: Exception =>
+          if (!fs.exists(man) || isMissingFileError(e))
+            throw new java.io.FileNotFoundException(
+              s"$path: recluster manifest vanished mid-snapshot — " +
+                "transient, retry re-lists the committed state")
+          else throw e
       }
     val names = listed.map(_.getPath.getName).toSet
     val view =
