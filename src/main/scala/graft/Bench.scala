@@ -88,10 +88,18 @@ object Bench {
     // conditions changing DURING the suite. Deterministic work, no
     // data-dir dependence; ~5 s per probe pair.
     def calibrate(): (Double, Double) = {
-      import org.apache.spark.sql.functions.{col, count, lit, sum, xxhash64}
+      import org.apache.spark.sql.functions.{col, lit, sum, xxhash64}
       def t(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // the read half SUMS a data column (masked: full-range longs
+      // overflow an ANSI sum): a count(1) would be answered from
+      // row-group metadata without touching a data page, timing only
+      // the write (v2, r18 — io values are NOT comparable to v1
+      // artifacts, which the comparison block guards by version)
+      def readBack(d: String): Unit =
+        spark.read.parquet(d)
+          .select(sum(col("h").bitwiseAND(lit(0xFFFFFFFFL)))).head()
       // untimed mini-run first: the PRE probe runs before the suite's
       // warm pass and would otherwise time JIT/codegen/classloading
       // instead of the box (measured: 5.8 s cold vs 0.2 s warm for the
@@ -103,7 +111,7 @@ object Bench {
       spark.range(0L, 100000L, 1L, 32)
         .select(col("id"), xxhash64(col("id")).as("h"))
         .write.mode("overwrite").parquet(warmDirIo)
-      spark.read.parquet(warmDirIo).select(count(lit(1))).head()
+      readBack(warmDirIo)
       val cpu = t {
         // mask before summing: full-range hash values overflow a long
         // sum under ANSI; the hash itself is the measured work
@@ -117,7 +125,7 @@ object Bench {
           .select(col("id"), xxhash64(col("id")).as("h"),
             xxhash64(col("id"), lit(1)).as("h2"))
           .write.mode("overwrite").parquet(dir)
-        spark.read.parquet(dir).select(count(lit(1))).head()
+        readBack(dir)
       }
       // drop the probe bytes: ~200 MB per session would otherwise
       // accumulate in the tmpdir until disk pressure perturbs the very
@@ -160,18 +168,26 @@ object Bench {
     // its prior value gets up to two more forced-GC runs before the
     // minimum is taken (see the guard below the timing loop).
     // Absent file / unparseable / renamed queries simply skip the guard.
+    val priorTxt: Option[String] =
+      try Some(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8"))
+      catch { case _: Throwable => None }
+    def priorObj(txt: String, keyName: String): Map[String, Double] = {
+      val tag = s""""$keyName":{"""
+      val start = txt.indexOf(tag)
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + tag.length, txt.indexOf('}', start))
+        "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
     val prior: Map[String, Double] =
-      try {
-        val txt = new String(java.nio.file.Files.readAllBytes(
-          java.nio.file.Paths.get("BENCH_DETAIL.json")), "UTF-8")
-        val start = txt.indexOf("\"queries\":{")
-        if (start < 0) Map.empty
-        else {
-          val body = txt.substring(start + 11, txt.indexOf('}', start))
-          "\"([A-Za-z0-9_]+)\":(-?[0-9.eE+-]+)".r.findAllMatchIn(body)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        }
-      } catch { case _: Throwable => Map.empty }
+      priorTxt.fold(Map.empty[String, Double])(priorObj(_, "queries"))
+    val priorCalib: Map[String, Double] =
+      priorTxt.fold(Map.empty[String, Double])(priorObj(_, "calibration"))
+    val priorSf: Option[String] = priorTxt.flatMap(txt =>
+      "\"sf\":\"([^\"]*)\"".r.findFirstMatchIn(txt).map(_.group(1)))
     // Best-of-3 per query (r14, steady-state throughput): a single timing
     // conflates the query with whatever GC debt the previous queries left
     // behind, and round 13's identical-code run measured the old
@@ -270,6 +286,55 @@ object Bench {
     }.toSeq.sorted
     val (postCpu, postIo) = calibrate()
 
+    // Cross-round comparison (r18): BASELINE.md §6's "divide the
+    // common-query ratio by the calibration ratio" was being done by
+    // hand each round — emit the division from the harness instead.
+    // common_ratio = Σ current / Σ prior over queries measured (> 0) in
+    // BOTH artifacts; median_query_ratio is the unweighted per-query
+    // median (robust to one heavy mover). The calibration ratio uses
+    // the POST probes (same-position, both warm); the IO term only
+    // participates when both artifacts carry the same probe version
+    // (v2 reads data pages, v1 read only metadata — not comparable).
+    // normalized_ratio = common_ratio / calibration_ratio is the
+    // box-drift-corrected code-drift estimate the round adjudication
+    // quotes. Subset runs compute this over their tiny common set —
+    // read comparison only from full-suite artifacts (prior_sf and
+    // common_n make a mismatch visible).
+    val comparisonJson: String = {
+      def c3o(v: Option[Double]): String =
+        v.fold("null")(x => String.format(java.util.Locale.ROOT, "%.3f",
+          Double.box(x)))
+      val resMap = results.toMap
+      val common = prior.toSeq
+        .collect { case (k, p) if p > 0 && resMap.get(k).exists(_ > 0) =>
+          (resMap(k), p) }
+      if (common.isEmpty) ""
+      else {
+        val commonRatio = common.map(_._1).sum / common.map(_._2).sum
+        val ratios = common.map(c => c._1 / c._2).sorted
+        val median = ratios(ratios.size / 2)
+        val cpuR = priorCalib.get("post_cpu").filter(_ > 0)
+          .map(postCpu / _)
+        val ioR =
+          if (priorCalib.get("v").contains(2.0))
+            priorCalib.get("post_io").filter(_ > 0).map(postIo / _)
+          else None
+        val calR = (cpuR, ioR) match {
+          case (Some(c), Some(i)) => Some(math.sqrt(c * i))
+          case (c, _) => c
+        }
+        val norm = calR.map(commonRatio / _)
+        s""""comparison":{"common_n":${common.size},""" +
+          s""""common_ratio":${c3o(Some(commonRatio))},""" +
+          s""""median_query_ratio":${c3o(Some(median))},""" +
+          s""""calibration_cpu_ratio":${c3o(cpuR)},""" +
+          s""""calibration_io_ratio":${c3o(ioR)},""" +
+          s""""calibration_ratio":${c3o(calR)},""" +
+          s""""normalized_ratio":${c3o(norm)},""" +
+          s""""prior_sf":${priorSf.fold("null")(p => "\"" + p + "\"")}},"""
+      }
+    }
+
     // JSON string escape for env-provided values (path with a quote or
     // backslash must not corrupt the artifact this harness exists to emit)
     def esc(s: String): String =
@@ -320,7 +385,16 @@ object Bench {
         "taken before the warm pass and after the timed loop; divide a " +
         "cross-round ratio by the calibration ratio to separate box " +
         "drift from code drift, and read pre-vs-post divergence as " +
-        "conditions changing mid-suite."
+        "conditions changing mid-suite. Calibration v2 (r18): the IO " +
+        "probe's read half sums a data column (v1's count() was " +
+        "answered from row-group metadata, timing only the write); v2 " +
+        "io values are not comparable to v1 artifacts. Comparison " +
+        "object (r18): the harness itself emits common_ratio (sum over " +
+        "the common query set vs the committed prior BENCH_DETAIL), " +
+        "median_query_ratio, the post-probe calibration ratios (io only " +
+        "when both sides are v2; combined = sqrt(cpu*io)), and " +
+        "normalized_ratio = common_ratio / calibration_ratio - the " +
+        "box-drift-corrected number a round adjudication quotes."
     val detail = results.map { case (k, v) => s""""$k":$v""" }
       .mkString("{\"queries\":{", ",", "},") +
       spreads.map { case (k, ts) => s""""$k":${ts.mkString("[", ",", "]")}""" }
@@ -331,9 +405,10 @@ object Bench {
         // corrupt the JSON this harness exists to emit
         def c3(v: Double) = String.format(java.util.Locale.ROOT, "%.3f",
           Double.box(v))
-        s""""calibration":{"pre_cpu":${c3(preCpu)},"pre_io":${c3(preIo)},""" +
+        s""""calibration":{"v":2,"pre_cpu":${c3(preCpu)},"pre_io":${c3(preIo)},""" +
           s""""post_cpu":${c3(postCpu)},"post_io":${c3(postIo)}},"""
       } +
+      comparisonJson +
       s""""notes":"${esc(notes)}",""" +
       s""""groups":{"q_batteries":${qBatteries.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""q_utils":${qUtils.toList.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +

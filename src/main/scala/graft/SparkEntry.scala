@@ -66,58 +66,97 @@ object SparkEntry {
     * copy. Results stay byte-identical to an uncached build: every run
     * still mutates its own pristine copy of the same deterministic
     * artifacts. Returns the work directory. */
-  private def cachedBuild(s: SparkSession, kind: String, dir: String)
-                         (build: String => Unit): String = {
+  private[graft] def cachedBuild(s: SparkSession, kind: String, dir: String)
+                                (build: String => Unit): String = {
+    import org.apache.hadoop.fs.Path
     val tmp = System.getProperty("java.io.tmpdir")
     val conf = s.sparkContext.hadoopConfiguration
-    // the key carries a fingerprint of the SOURCE DATA (name, length,
-    // mtime of every top-level entry under dir), not just the path: the
-    // cache outlives JVMs, and a regenerated dataset at the same path
-    // must invalidate it — a stale deployment would silently serve
-    // artifacts built from the old corpus against oracles over the new
+    // the key carries a fingerprint of the SOURCE DATA, not just the
+    // path: the cache outlives JVMs, and a regenerated dataset at the
+    // same path must invalidate it — a stale deployment would silently
+    // serve artifacts built from the old corpus against oracles over
+    // the new. The fingerprint recurses ONE level into table
+    // subdirectories (r18): a directory entry's own (len, mtime) does
+    // not track child rewrites on every FS, so an in-place regeneration
+    // of part files under an unchanged table dir must still miss.
     val fp = {
-      val dfs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
-      val sig = dfs.listStatus(new org.apache.hadoop.fs.Path(dir))
-        .map(st => s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
-        .sorted.mkString("|")
+      val dfs = new Path(dir).getFileSystem(conf)
+      val sig = dfs.listStatus(new Path(dir)).toSeq.flatMap { st =>
+        val self =
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}"
+        if (st.isDirectory)
+          self +: dfs.listStatus(st.getPath).toSeq.map(c =>
+            s"${st.getPath.getName}/${c.getPath.getName}:" +
+              s"${c.getLen}:${c.getModificationTime}")
+        else Seq(self)
+      }.sorted.mkString("|")
       java.lang.Integer.toHexString(sig.hashCode)
     }
     val key = s"${kind}_${DeploymentCacheVersion}_" +
       java.lang.Integer.toHexString(dir.hashCode) + s"_$fp"
-    val cache = s"$tmp/graft_cache_$key"
-    val work = s"$tmp/graft_work_$key"
-    val fs = new org.apache.hadoop.fs.Path(cache).getFileSystem(conf)
-    val done = new org.apache.hadoop.fs.Path(s"$cache/_BUILD_COMPLETE")
-    if (!fs.exists(done)) {
-      val tmpBuild = new org.apache.hadoop.fs.Path(
-        s"$cache.build-${java.util.UUID.randomUUID}")
-      build(tmpBuild.toString)
-      fs.create(new org.apache.hadoop.fs.Path(tmpBuild, "_BUILD_COMPLETE"),
-        true).close()
-      // the cache only ever appears via this atomic rename (marker
-      // written into the tmp BEFORE publishing), so an existing cache
-      // dir WITHOUT the marker is corrupt/legacy debris — clear it;
-      // a COMPLETE cache is never deleted (a concurrent builder may be
-      // copying from it right now)
-      if (fs.exists(new org.apache.hadoop.fs.Path(cache)) &&
-          !fs.exists(done))
-        fs.delete(new org.apache.hadoop.fs.Path(cache), true)
-      if (!fs.rename(tmpBuild, new org.apache.hadoop.fs.Path(cache))) {
-        // a concurrent builder published first — theirs is identical
-        fs.delete(tmpBuild, true)
-      }
-      // post-condition either way (we published, or a winner did):
-      // the marker sits at the cache ROOT — catches FS rename
-      // semantics that would nest a directory instead of failing
-      require(fs.exists(done),
-        s"deployment cache publish at $cache left no complete cache")
+    val cache = new Path(s"$tmp/graft_cache_$key")
+    val fs = cache.getFileSystem(conf)
+    val done = new Path(cache, "_BUILD_COMPLETE")
+    // reclaim debris (r18): crashed builders leak *.build-* dirs, raced
+    // debris moves leak *.aside-*, and per-run work copies (below) are
+    // left for the reader's lazy frames — anything of ours older than
+    // 30 min is provably idle (an entry's build+copy+run completes in
+    // well under a minute) and is swept here instead of accumulating
+    // until tmpdir disk pressure perturbs the bench itself.
+    locally {
+      val now = System.currentTimeMillis()
+      val pfx = Seq(s"graft_cache_$key.build-", s"graft_cache_$key.aside-",
+        s"graft_work_${key}_")
+      try fs.listStatus(new Path(tmp)).foreach { st =>
+        val n = st.getPath.getName
+        if (pfx.exists(n.startsWith) &&
+            now - st.getModificationTime > 30L * 60 * 1000)
+          fs.delete(st.getPath, true)
+      } catch { case _: java.io.FileNotFoundException => () }
     }
-    fs.delete(new org.apache.hadoop.fs.Path(work), true)
-    require(org.apache.hadoop.fs.FileUtil.copy(fs,
-      new org.apache.hadoop.fs.Path(cache), fs,
-      new org.apache.hadoop.fs.Path(work), false, conf),
-      s"deployment cache copy $cache -> $work failed")
-    work
+    var source = cache
+    if (!fs.exists(done)) {
+      val uuid = java.util.UUID.randomUUID
+      val tmpBuild = new Path(s"$cache.build-$uuid")
+      build(tmpBuild.toString)
+      fs.create(new Path(tmpBuild, "_BUILD_COMPLETE"), true).close()
+      // markerless debris at the cache path (torn legacy copy) blocks
+      // the publish: move it ASIDE by atomic rename and inspect — never
+      // delete the cache path in place, because a concurrent builder
+      // may publish a COMPLETE cache between any check and a delete
+      // (check-then-delete is the race; rename-then-inspect is not).
+      if (fs.exists(cache) && !fs.exists(done)) {
+        val aside = new Path(s"$cache.aside-$uuid")
+        if (fs.rename(cache, aside)) {
+          if (fs.exists(new Path(aside, "_BUILD_COMPLETE"))) {
+            // raced a publisher and moved a COMPLETE cache aside:
+            // restore it (or drop the duplicate if a third builder
+            // refilled the slot meanwhile)
+            if (!fs.rename(aside, cache)) fs.delete(aside, true)
+          } else fs.delete(aside, true)
+        }
+      }
+      // publish ONLY into an absent destination: LocalFileSystem's
+      // rename onto an existing directory falls back to FileUtil.copy
+      // INTO it (returning true), silently nesting a duplicate
+      // deployment every later run would re-copy. Rename failure (or an
+      // occupied slot) means a winner exists — use theirs.
+      val published = !fs.exists(cache) && fs.rename(tmpBuild, cache)
+      if (published) require(fs.exists(done),
+        s"deployment cache publish at $cache left no complete marker")
+      if (fs.exists(done)) { if (!published) fs.delete(tmpBuild, true) }
+      else source = tmpBuild // unremovable debris holds the slot: serve
+      // this run from its own complete build (deleted after the copy)
+    }
+    // per-run work dir (r18): a UUID suffix so concurrent JVMs against
+    // the same sf dir never share — or delete from under — each other's
+    // copy. The returned frames read it lazily, so it outlives this
+    // call; the age sweep above reclaims it.
+    val work = new Path(s"$tmp/graft_work_${key}_${java.util.UUID.randomUUID}")
+    require(org.apache.hadoop.fs.FileUtil.copy(fs, source, fs, work,
+      false, conf), s"deployment cache copy $source -> $work failed")
+    if (source != cache) fs.delete(source, true)
+    work.toString
   }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
@@ -1016,16 +1055,31 @@ object SparkEntry {
         .orderBy(col("click_id"))
     }),
 
-    // approximate distinct (HLL++) — sketch values are engine-specific,
-    // no SQL oracle (rows-only check)
-    // rows-only (HLL++ internals are engine-specific), but the accuracy
-    // contract is test-gated: SketchAccuracySpec asserts |approx - exact|
-    // / exact <= 4·rsd per group — the sketch twin of the ANN recall gates
+    // approximate distinct (HLL++). The sketch ESTIMATE is
+    // engine-specific and can never hash-match a DuckDB recomputation,
+    // so the query emits a SELF-VERIFYING error-bound verdict instead
+    // (r18, closing the last non-green registry rows): the exact
+    // distinct count AND the HLL++ estimate are computed in the same
+    // query, and the output row is (group, exact_parts, cnt,
+    // within_bound) where within_bound := |approx − exact| ≤
+    // exact · 0.2 — 4·rsd at approx_count_distinct's default
+    // rsd 0.05, the SAME bound SketchAccuracySpec gates (measured
+    // relErr 0.4–2.7%). The oracle reproduces exact_parts/cnt and
+    // asserts the bound held (TRUE literal), so a sketch drifting out
+    // of its accuracy contract hash-FAILS the round — a checked
+    // accuracy contract, not a rows-only shrug, with no estimate bytes
+    // in the hashed output. At 100 TB the exact column drops and the
+    // sketch alone answers at a fraction of the cost (count_distinct
+    // is the verification harness here, not the production plan).
     "a1_approx_distinct" -> ((s, dir) =>
       T(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"),
           count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("exact_parts"), col("cnt"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * lit(0.2)).as("within_bound"))
         .orderBy(col("l_returnflag"))),
 
     // MERGEABLE distinct sketches (Apache DataSketches HLL): the sketch is
@@ -1033,23 +1087,37 @@ object SparkEntry {
     // global estimate WITHOUT rescanning raw data — the pre-aggregated
     // rollup pattern that lets a 100 TB pipeline answer distinct-count
     // questions at any grouping from a tiny sketch table. Sketch bytes
-    // are engine-specific — rows-only check; the accuracy AND the
-    // union-merge-tracks-direct-sketch contracts are test-gated in
-    // SketchAccuracySpec (the sketch twin of the ANN recall gates).
+    // are engine-specific, so like a1 the output carries a
+    // SELF-VERIFYING bound verdict instead of the estimate: per group
+    // AND for the union-merged `_all` row, within_bound :=
+    // |estimate − exact| ≤ exact · 0.065 — 4·rsd at hll_sketch_agg's
+    // default lgConfigK 12 (rsd = 1.04/√4096 ≈ 1.63%). The oracle
+    // reproduces the exact counts and asserts both bounds held, which
+    // checks the per-group sketches AND the merge path (a broken
+    // hll_union_agg would blow the `_all` bound). The exact global
+    // distinct needs one extra scan — verification-harness cost; the
+    // production rollup answers from the sketch table alone.
     "a3_hll_union" -> ((s, dir) => {
-      val perType = T(s, dir, "events")
+      val ev = T(s, dir, "events")
+      val perType = ev
         .groupBy(col("event_type"))
         .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          count_distinct(col("user_id")).as("exact_users"),
           count(lit(1)).as("cnt"))
+      def verdict(est: Column, exact: Column): Column =
+        (abs(est - exact) <= exact * lit(0.065)).as("within_bound")
+      val allEst = perType
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
+          .cast("long").as("est_all"), sum(col("cnt")).as("cnt"))
+      val allExact = ev
+        .agg(count_distinct(col("user_id")).as("exact_users"))
       perType
-        .select(col("event_type"),
-          expr("hll_sketch_estimate(sk)").cast("long").as("approx_users"),
-          col("cnt"))
-        .unionByName(perType
-          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))")
-            .cast("long").as("approx_users"),
-            sum(col("cnt")).as("cnt"))
-          .select(lit("_all").as("event_type"), col("approx_users"), col("cnt")))
+        .select(col("event_type"), col("exact_users"), col("cnt"),
+          verdict(expr("hll_sketch_estimate(sk)").cast("long"),
+            col("exact_users")))
+        .unionByName(allEst.crossJoin(allExact)
+          .select(lit("_all").as("event_type"), col("exact_users"),
+            col("cnt"), verdict(col("est_all"), col("exact_users"))))
         .orderBy(col("event_type"))
     }),
 
@@ -2906,6 +2974,29 @@ object SparkEntry {
         |round(quantile_cont(l_quantity, 0.9), 4) AS qty_p90,
         |round(quantile_cont(l_extendedprice, 0.5), 4) AS price_p50
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Self-verifying sketch rows (r18): the HLL estimate itself never
+    // leaves the query — the hashed output is (group, exact count(s),
+    // within_bound), and the oracle asserts the bound HELD (TRUE
+    // literal). A sketch drifting past its 4·rsd accuracy contract
+    // flips within_bound to false and hash-fails the round.
+    "a1_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  count(*) AS cnt, TRUE AS within_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "a3_hll_union" ->
+      """SELECT * FROM (
+        |  SELECT event_type,
+        |    CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+        |    count(*) AS cnt, TRUE AS within_bound
+        |  FROM events GROUP BY 1
+        |  UNION ALL
+        |  SELECT '_all', CAST(count(DISTINCT user_id) AS BIGINT),
+        |    count(*), TRUE
+        |  FROM events)
+        |ORDER BY event_type""".stripMargin,
 
     // Exact at the verify SF: sketch accuracy >> rows per group, so the GK
     // summary returns the exact discrete percentile = DuckDB quantile_disc
@@ -5072,32 +5163,4 @@ object SparkEntry {
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 
-  /** QUASI-oracles for the two sketch queries whose stored values are
-    * engine-specific (a1/a3 — HLL estimates can never hash-match a
-    * DuckDB recomputation): the SQL computes the EXACT answer, and the
-    * checker (tools/check.py, `quasi_oracle.json`) asserts every
-    * numeric column within the given RELATIVE tolerance — 0.2 = 4·rsd
-    * at the default HLL++ rsd 0.05, the same bound `SketchAccuracySpec`
-    * gates (measured relErr 0.4–2.7%). Rows, schema and non-numeric
-    * columns still compare exactly, so this converts "rows-only by
-    * design" into a checked accuracy contract without pretending the
-    * sketch bytes are portable. */
-  def quasiOracle: Map[String, (String, Double)] = ListMap(
-    "a1_approx_distinct" -> ((
-      """SELECT l_returnflag,
-        |  CAST(count(DISTINCT l_partkey) AS BIGINT) AS approx_parts,
-        |  count(*) AS cnt
-        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin, 0.2)),
-    "a3_hll_union" -> ((
-      """SELECT * FROM (
-        |  SELECT event_type,
-        |    CAST(count(DISTINCT user_id) AS BIGINT) AS approx_users,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1
-        |  UNION ALL
-        |  SELECT '_all',
-        |    CAST(count(DISTINCT user_id) AS BIGINT), count(*)
-        |  FROM events)
-        |ORDER BY event_type""".stripMargin, 0.2)),
-  )
 }

@@ -51,13 +51,6 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    // Quasi-oracles (sketch queries; see SparkEntry.quasiOracle): exact
-    // SQL + relative tolerance per entry, checked by tools/check.py.
-    val quasi = SparkEntry.quasiOracle
-      .map { case (k, (sql, tol)) =>
-        s"${q(k)}: {${q("sql")}: ${q(sql)}, ${q("tol")}: $tol}" }
-      .mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/quasi_oracle.json"), quasi)
     spark.stop()
   }
 }

@@ -749,6 +749,26 @@ object Similarity {
       p.idCol, p.vecCol, qidCol, qvecCol, topK)
   }
 
+  /** Run a probe ACTION against a persisted serving layout under the
+    * layout family's no-quiesce read contract — the BATCH twin of
+    * `annServeStream`'s per-batch retry, so a direct
+    * [[ivfTopKIndexed]]/[[ivfPqTopKIndexed]] caller racing a
+    * concurrent [[compactIvfLayout]]'s per-cell rename-swap (a cell
+    * file listed before the swap, gone at read time) needs no
+    * coordination with the layout's maintenance owner. Retries when
+    * the failure chain carries a genuine missing-file error; anything
+    * else propagates immediately. Construct the probe INSIDE the body
+    * (a fresh `ivfTopKIndexed(...)` call per attempt, not a captured
+    * frame) so the retry re-opens the post-swap generation. Results
+    * are bit-identical whichever attempt wins: a compaction folds
+    * files and physically purges only rows the probe's pending-
+    * tombstone anti-join already hides. Spec-pinned by the live
+    * concurrent-compaction case in `IvfLayoutLifecycleSpec`; shares
+    * `Layouts.retryingRead` with the z-order family, so both layout
+    * families carry one read contract. */
+  def withServedProbe[T](attempts: Int = 5)(body: => T): T =
+    graft.sources.Layouts.retryingRead(attempts)(body)
+
   // ---- IVF layout lifecycle (append / takedown / compaction) ----
   //
   // The serving layout reuses the dedup index family's shared lifecycle

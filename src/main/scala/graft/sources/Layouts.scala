@@ -771,6 +771,18 @@ object Layouts {
       .map(_.getPath.getName)
 
     // Roll-forward manifest, committed by one atomic directory rename.
+    // The reader contract REQUIRES a non-empty consumed set:
+    // snapshotFiles keys its pre-commit branch on
+    // consumed.subsetOf(listedNames), and an EMPTY set is vacuously a
+    // subset — a manifest without consumed files would make every
+    // snapshot read pre-commit and hide the new files until manifest
+    // deletion. Unreachable today (the pass always consumes at least
+    // the appended tail), pinned here so a future refactor cannot
+    // reach it silently.
+    require(consumed.nonEmpty,
+      s"incremental recluster at $path: roll-forward manifest must " +
+        "consume at least one file (snapshotFiles' window resolution " +
+        "depends on it)")
     val manTmp = new org.apache.hadoop.fs.Path(zincManifestTmpDir(path))
     fs.delete(manTmp, true)
     newNames.toDF("name").coalesce(1).write.mode("overwrite")

@@ -454,7 +454,7 @@ object StreamOps {
     */
   private[streaming] def retryOnMissingFiles[T](attempts: Int)
                                                (body: => T): T =
-    graft.sources.Layouts.retryingRead(attempts)(body)
+    graft.operators.Similarity.withServedProbe(attempts)(body)
 
   def annServeStream(spark: SparkSession, inPath: String,
                      schema: org.apache.spark.sql.types.StructType,

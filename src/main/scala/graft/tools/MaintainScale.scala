@@ -19,11 +19,16 @@ import org.apache.spark.sql.functions._
   *    through the full governed path and clearing the quarantine.
   *
   * Prints one JSON line per phase.
-  * Usage: MaintainScale [sfDir] [workDir] [mode]
+  * Usage: MaintainScale [sfDir] [workDir] [mode] [soakBatches]
   * mode = `sig` (default, MinHash family) or `dig` (exact-digest
   * family twin — same phases through ingestBatchWithDigestIndex /
   * autoCompactDigestIndex / redriveQuarantinedDigest, so all three
-  * governed families carry the same measured triage story).
+  * governed families carry the same measured triage story), or
+  * `soak` / `soakdig` (r18): the long-horizon depth audit — ~200
+  * governed batches (4th arg overrides) with the autoCompact trigger
+  * after each, comparing per-batch wall time early vs late in the
+  * stream's life (flat = per-batch cost is independent of stream
+  * DEPTH, not just batch size).
   */
 object MaintainScale {
   def main(args: Array[String]): Unit = {
@@ -52,7 +57,8 @@ object MaintainScale {
     val ix = s"$work/ix"; val out = s"$work/out"
 
     val Dd = graft.operators.Dedup
-    val dig = mode == "dig"
+    val dig = mode == "dig" || mode == "soakdig"
+    val soak = mode.startsWith("soak")
     val docs0 = graft.sources.Tables.table(spark, dir, "documents")
     val docs =
       if (dig) docs0.withColumn("dg",
@@ -82,6 +88,52 @@ object MaintainScale {
           "doc_id", "text", ix, p)
         Dd.initIngestLedger(spark, ix)
       }
+    }
+
+    // mode = soak / soakdig (r18): the long-horizon DEPTH audit. The
+    // dozen-batch specs and the 4-batch flow below prove per-batch work
+    // is O(batch) at the START of a stream's life; this drives ~200
+    // governed batches (equal id-range slices of the remaining 40%,
+    // autoCompact trigger after each — exactly indexedDedupStream's
+    // wiring) and compares the per-batch wall time EARLY (batches
+    // 5..15) vs LATE (last 10): flat = nothing per-batch grows with
+    // stream depth (ledger reads, trigger probes, shard listings), the
+    // claim a months-running 100 TB ingest loop rests on. One JSON line
+    // with the full per-batch series plus the windowed summary.
+    if (soak) {
+      val n = args.lift(3).map(_.toInt).getOrElse(200)
+      var sFired = 0
+      val times = (0 until n).map { i =>
+        val lo = c0 + (maxId - c0) * i / n
+        val hi = c0 + (maxId - c0) * (i + 1) / n
+        val t0 = System.nanoTime()
+        ingest(docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+          i.toLong)
+        if (autoCompact()) sFired += 1
+        val sec = (System.nanoTime() - t0) / 1e9
+        if ((i + 1) % 25 == 0)
+          System.err.println(f"[maintain-scale] soak batch ${i + 1}/$n " +
+            f"$sec%.2f s (compactions so far: $sFired)")
+        sec
+      }
+      def winMean(around: Int): Double = {
+        val w = times.slice(math.max(0, around - 5),
+          math.min(n, around + 5))
+        w.sum / w.size
+      }
+      val early = winMean(10)
+      val late = winMean(n - 5)
+      def f2(v: Double) = String.format(java.util.Locale.ROOT, "%.2f",
+        Double.box(v))
+      println(s"""{"tool":"maintain-scale","soak":{"mode":"$mode",""" +
+        s""""sf_dir":"$dir","batches":$n,""" +
+        s""""batch10_window_sec":${f2(early)},""" +
+        s""""batch${n}_window_sec":${f2(late)},""" +
+        s""""depth_ratio":${f2(late / early)},""" +
+        s""""compactions_fired":$sFired,""" +
+        s""""per_batch_sec":[${times.map(f2).mkString(",")}]}}""")
+      spark.stop()
+      return
     }
 
     // four governed batches over the remaining 40%, each followed by the

@@ -790,89 +790,15 @@ object Plans {
       |fixed probe/manifest jobs invert the comparison (4.1 s vs 1.7 s) —
       |the pass pays off exactly in the large-corpus regime it exists for.
       |
-      |## r14 "governed-family regression" adjudicated: measurement artifact, not code (r15)
+      |## round adjudication notes
       |
-      |The r14 verdict flagged a "real, bounded 1.2–1.4×" slowdown on
-      |p5/p6/b4c vs r13's committed values (quiet-JVM p5 11.9 s vs 9.6,
-      |p6 13.0 vs 10.8, b4c 8.3 vs 5.9) and prescribed profiling the
-      |hardening overhead. A controlled A/B settles it: the r13 tree
-      |(072f9ad) was checked out into a worktree, compiled, and BOTH builds
-      |ran the identical quiet-JVM subset bench (`SPARK_GRAFT_ONLY=p5,p6,
-      |b4c`, same box, back to back) and `graft.tools.IngestProfile`
-      |phase-by-phase:
-      |
-      || query | r13 build (quiet) | r14+ build (quiet) |
-      ||---|---|---|
-      || p5_indexed_ingest_loop | 11.84 s | 10.19 s |
-      || p6_embedding_ingest_loop | 12.17 s | 11.25 s |
-      || b4c_embedding_index_delete | 7.54 s | 6.85 s |
-      |
-      |Per-phase profile: identical job COUNTS (13/7/23/21 for p5's
-      |build/init/batch0/batch1) and statistically identical per-phase wall
-      |times on both builds. The current code is FASTER than r13
-      |like-for-like; r13's committed 9.6/10.8/5.9 were themselves
-      |flattered by that round's suite conditions. Conclusion: the
-      |torn-tail physical reads, scrub/quarantine probes and occupancy fold
-      |cost ≈0 measurable per-batch time (the torn-check is row-group-pruned
-      |to nothing on a clean index; scrubBatchOutput is one driver-side FS
-      |existence probe when no tombstones pend). No floor-cutting work was
-      |warranted; the fix that WAS warranted is the bench-harness execution
-      |order (fastest-first, see BENCH notes), which removes the
-      |suite-interference that produced the phantom regression.
-      |
-      |## r16 like-for-like drift adjudicated: all six movers are noise (r17)
-      |
-      |The r16 verdict flagged five sub-gate movers (p5 9.28→12.11, t11
-      |0.70→1.03, q64 1.73→2.44, b2 0.50→0.69, d8 0.97→1.26 in committed
-      |values) plus the final artifact's flagged q57 (0.47→0.71) and asked
-      |for the quiet-JVM A/B before trusting either direction. Same protocol
-      |as the r14 adjudication: the r15 tree (72f2fff) checked out into a
-      |worktree, both builds compiled, both ran the identical quiet-JVM
-      |subset bench twice, alternating (`SPARK_GRAFT_ONLY=` the six queries,
-      |sf0.1, 32 threads, fresh JVM per run, min over runs):
-      |
-      || query | r17 build (quiet) | r15 build (quiet) | ratio |
-      ||---|---|---|---|
-      || p5_indexed_ingest_loop | 10.05 s | 9.98 s | 1.007 |
-      || t11_bigram_lm_score | 0.93 s | 0.86 s | 1.073 |
-      || q64_zorder_layout_read | 1.96 s | 1.96 s | 0.999 |
-      || b2_bloom_exact_new | 0.66 s | 0.60 s | 1.102 |
-      || d8_span_dedup | 0.98 s | 1.06 s | 0.923 |
-      || q57_funnel_steps | 0.54 s | 0.58 s | 0.934 |
-      |
-      |Every ratio sits inside ±11% — pure suite noise on both committed
-      |artifacts (r16's p5 12.11 was suite shadow; r15's committed 0.50/0.47
-      |on b2/q57 were flattered). No code regression anywhere in the set; no
-      |fix warranted. The structural fix is the TWO-TIER suspect gate
-      |(Bench.scala r17, BASELINE.md §4): heavy entries (prior > 5 s) now
-      |flag at >1.3× instead of >1.5×, so a repeat of r16's compounding
-      |sub-gate drift lands in the `suspect` array and gets this A/B
-      |automatically next time.
-      |
-      |r17 final-artifact suspects, adjudicated same-session: the round's
-      |first full-suite run hit a measured IO-noise window (the sf10 audit
-      |swung 24→61 s on identical code the same hour) and was re-run; the
-      |committed artifact's common-query ratio vs r16 is 0.936 (1.006
-      |excluding the three cached-entry boundary wins). Its `suspect`
-      |array was quiet-JVM adjudicated: b4c 6.84 quiet vs 5.63 committed
-      |(1.22×), b4 1.19×, p8 1.20×, q64c 1.24×, q64 0.81×, q64b 0.95×,
-      |d5c 1.09×, s12 1.13× — every flagged path except q64c/q64d is
-      |byte-untouched this round, and the uniform ~1.1–1.2× on untouched
-      |paths is the cross-session box factor, visible identically on code
-      |that did not change. q64c's 1.24× carries the same factor (its only
-      |r17 change, the snapshot read, adds one directory listing). The
-      |remaining suspects are sub-second battery entries inside the pinned
-      |±3× light-entry noise band. No real regression; nothing to fix.
-      |
-      |The box-drift diagnosis is now a measured quantity: Bench (r17)
-      |carries fixed CPU/IO calibration probes (BASELINE.md §6), and the
-      |first calibrated full run — taken an hour after the committed
-      |artifact, identical code — read pre_io 2.70 s against 1.53 s in the
-      |same-day smoke and came out 12.8% slower across the whole common
-      |set, which is precisely the cross-session factor the adjudications
-      |above kept attributing to the box. From r18 every committed artifact
-      |carries its own calibration, so this attribution is a division, not
-      |an argument.
+      |Round-over-round drift adjudications (the r14/r16/r17 A/B tables,
+      |suspect-list dispositions, calibration findings) are append-only
+      |history, not plan documentation — they live in NOTES.md so this
+      |regenerated file's diff stays plan-sized. From r18 the
+      |box-vs-code attribution is also a harness output: BENCH_DETAIL's
+      |`comparison` object (BASELINE.md §7) carries common_ratio,
+      |calibration ratios and their quotient.
       |""".stripMargin
 
   def main(args: Array[String]): Unit = {

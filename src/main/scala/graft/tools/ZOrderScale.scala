@@ -137,6 +137,15 @@ object ZOrderScale {
         s""""reads":${seen.length},"illegal":${illegal.length},""" +
         s""""reader_failed":${failure.isDefined}}""")
       failure.foreach(t => System.err.println(s"[zorder-scale] reader: $t"))
+      // a broken no-quiesce contract must FAIL the audit run, not ride
+      // out as fields in an info line something has to remember to read
+      // — same assertion discipline as ZOrderMaintenanceSpec's live
+      // reader (throwing exits the JVM nonzero)
+      require(illegal.isEmpty, s"serve_while_maintain: ${illegal.length} " +
+        s"ILLEGAL snapshot reads (outside [$n0, ${n0 + tailN}]): " +
+        illegal.take(5).mkString(", "))
+      failure.foreach(t => throw new IllegalStateException(
+        "serve_while_maintain: live reader failed", t))
     }
 
     phase("post_read") {

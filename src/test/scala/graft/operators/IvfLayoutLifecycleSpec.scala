@@ -112,6 +112,57 @@ class IvfLayoutLifecycleSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("withServedProbe: a LIVE direct prober races a concurrent " +
+      "compaction's cell swaps with no failure and bit-stable results " +
+      "(the batch twin of annServeStream's no-quiesce contract)") {
+    val base = Files.createTempDirectory("graft-ivf-serve").toString
+    try {
+      val path = s"$base/ix"
+      // fragment every cell (10 appends) and tombstone some served
+      // rows, so the compaction below rewrites/swaps MANY cell
+      // directories while the reader hammers them
+      val splits = (0 until 10).map(m => emb.filter(col("vec_id") % 10 === m))
+      Similarity.writeIvfLayout(splits.head, path, "vec_id", "embedding",
+        AnnModels.ivfCentroids)
+      splits.tail.foreach(b => Similarity.appendIvfLayout(b, path))
+      val victims = probe(path).map(_(1).asInstanceOf[Long])
+        .filter(_ >= 10).take(3).toSeq
+      assert(victims.nonEmpty)
+      Similarity.deleteFromIvfLayout(spark, path, victims)
+      // every legal observation — before, during, after the swaps — is
+      // this exact set: pending tombstones are already hidden by the
+      // probe's anti-join, and compaction is content-invariant
+      val expected = probe(path)
+      @volatile var stop = false
+      @volatile var failure: Option[Throwable] = None
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[Boolean]()
+      val reader = new Thread(() => {
+        try {
+          while (!stop) results.add(
+            Similarity.withServedProbe(attempts = 8)(probe(path)) == expected)
+        } catch { case t: Throwable => failure = Some(t) }
+      })
+      reader.setName("ivf-live-prober")
+      reader.start()
+      try {
+        // purge + fold EVERY cell directory (maxFilesPerCell = 1
+        // forces a swap on each) — the widest window the layout has
+        assert(Similarity.compactIvfLayout(spark, path,
+          maxFilesPerCell = 1) == victims.size.toLong)
+      } finally {
+        stop = true
+        reader.join(300000)
+      }
+      assert(failure.isEmpty, s"live prober failed: $failure")
+      val seen = results.toArray(Array.empty[java.lang.Boolean])
+      assert(seen.nonEmpty, "live prober never completed a read")
+      assert(seen.forall(_.booleanValue), "a live probe observed a " +
+        "result differing from the stable served set")
+      // and the post-compaction direct probe still serves it
+      assert(probe(path) == expected)
+    } finally rmrf(base)
+  }
+
   test("a fully-taken-down cell's directory is dropped at purge") {
     val corpus = Seq(
       (1L, Seq(1f, 0f)), (2L, Seq(0.9f, 0.1f)),

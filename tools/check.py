@@ -65,65 +65,10 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(want)} rows)")
             n_pass += 1
-    # Quasi-oracles (sketch queries whose values are engine-specific):
-    # the SQL computes the EXACT answer; every numeric column must land
-    # within the entry's relative tolerance, everything else compares
-    # exactly. Converts the rows-only sketch rows into a checked
-    # accuracy contract.
-    try:
-        quasi = json.load(open(f"{out_dir}/quasi_oracle.json"))
-    except FileNotFoundError:
-        quasi = {}
-    for name, spec in sorted(quasi.items()):
-        tol = float(spec["tol"])
-        try:
-            want = con.sql(spec["sql"]).df()
-            got = pd.read_parquet(f"{out_dir}/{name}")
-        except Exception as e:
-            print(f"FAIL {name} (quasi): exec error: {str(e)[:300]}")
-            n_fail += 1
-            continue
-        want = want[sorted(want.columns)].reset_index(drop=True)
-        got = got[sorted(got.columns)].reset_index(drop=True)
-        if list(want.columns) != list(got.columns) or len(want) != len(got):
-            print(f"FAIL {name} (quasi): shape want="
-                  f"{list(want.columns)}x{len(want)} got="
-                  f"{list(got.columns)}x{len(got)}")
-            n_fail += 1
-            continue
-        bad = []
-        for c in want.columns:
-            wc, gc = want[c], got[c]
-            try:
-                if pd.api.types.is_numeric_dtype(wc):
-                    # NaN discipline: a NaN on either side (unless both)
-                    # must FAIL, never vanish into skipna aggregation.
-                    # Exact agreement masks first — matching infinities
-                    # would otherwise read as NaN via inf - inf.
-                    agree = (wc == gc) | (wc.isna() & gc.isna())
-                    rel = ((wc - gc).abs() / wc.abs().clip(lower=1)) \
-                        .where(~agree, 0.0)
-                    if rel.isna().any():
-                        bad.append(f"{c}: {int(rel.isna().sum())} "
-                                   "NaN / one-sided-null values")
-                    elif (rel > tol).any():
-                        bad.append(f"{c}: relerr {rel.max():.4f} > tol {tol}")
-                elif not ((wc == gc) | (wc.isna() & gc.isna())).all():
-                    bad.append(f"{c}: exact mismatch")
-            except Exception as e:  # e.g. numeric-vs-object dtype drift
-                bad.append(f"{c}: compare error {e}")
-        if bad:
-            print(f"FAIL {name} (quasi): " + "; ".join(bad))
-            n_fail += 1
-        else:
-            print(f"PASS {name} (quasi, numeric within {tol:.0%}, "
-                  f"{len(want)} rows)")
-            n_pass += 1
     # attempted counts (not passing counts): X + Y must equal Z even
     # when entries fail
     print(f"\n{n_pass} pass, {n_fail} fail, "
-          f"{len(oracle)} oracled + {len(quasi)} quasi / "
-          f"{len(oracle) + len(quasi)} checked")
+          f"{len(oracle)} oracled / {len(oracle)} checked")
     return 1 if n_fail else 0
 
 
