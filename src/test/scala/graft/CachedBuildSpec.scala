@@ -88,6 +88,46 @@ class CachedBuildSpec extends SparkSpec {
     } finally rmrf(src)
   }
 
+  test("two concurrent builders race an empty cache: both runs get a " +
+      "complete work copy, one winner publishes, no nested duplicate") {
+    val src = mkSource()
+    val kind = s"cbspec4_${System.nanoTime()}"
+    try {
+      val builds = new java.util.concurrent.atomic.AtomicInteger(0)
+      def run(): String = SparkEntry.cachedBuild(spark, kind,
+        src.toString) { out =>
+        builds.incrementAndGet()
+        Thread.sleep(300) // widen the publish window
+        write(new java.io.File(out, "artifact"), "deterministic content")
+      }
+      val results = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      @volatile var failure: Option[Throwable] = None
+      val threads = (1 to 2).map(_ => new Thread(() =>
+        try results.add(run())
+        catch { case t: Throwable => failure = Some(t) }))
+      threads.foreach(_.start())
+      threads.foreach(_.join(120000))
+      assert(failure.isEmpty, s"concurrent builder failed: $failure")
+      val works = results.toArray(Array.empty[String]).toSeq
+      assert(works.size == 2 && works.distinct.size == 2)
+      works.foreach { w =>
+        assert(Files.readString(new java.io.File(w, "artifact").toPath)
+          == "deterministic content", s"incomplete work copy at $w")
+      }
+      // exactly one healthy published cache, marker at ROOT, and no
+      // nested *.build-* duplicate (the LocalFileSystem rename-onto-
+      // existing fallback this publish protocol exists to prevent)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val caches = new java.io.File(tmp).listFiles()
+        .filter(f => f.getName.startsWith(s"graft_cache_${kind}_") &&
+          !f.getName.contains(".build-") && !f.getName.contains(".aside-"))
+      assert(caches.length == 1)
+      assert(new java.io.File(caches.head, "_BUILD_COMPLETE").exists())
+      assert(!caches.head.listFiles().exists(_.getName.contains(".build-")),
+        "publish nested a duplicate deployment inside the cache")
+    } finally rmrf(src)
+  }
+
   test("markerless debris on the cache path is displaced, never blocks " +
       "the run, and a complete deployment is served") {
     val src = mkSource()
