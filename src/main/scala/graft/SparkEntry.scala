@@ -1150,6 +1150,89 @@ object SparkEntry {
         .orderBy(col("key"))
     }),
 
+    // KMV (k-minimum-values) distinct-count set algebra — the sketch
+    // tier's fourth leg (count-min: frequencies; Bloom: membership;
+    // HLL: distinct counts; KMV: distinct-count UNION/INTERSECTION).
+    // a6 sizes the pairwise overlap of the source shingle vocabularies
+    // from two 256-long synopses per pair — the "how many distinct
+    // n-grams do corpus A and benchmark B share" number that decides
+    // whether a decontamination pass is worth scheduling, answered at
+    // 100 TB from a broadcastable O(sources·k) sketch table built in
+    // ONE corpus scan (t18's exact matrix re-joins the vocabularies;
+    // t18b's MinHash twin estimates Jaccard RATIOS — this estimates
+    // CARDINALITIES, which Jaccard alone cannot give without the exact
+    // sizes). Self-verifying oracle row (the a1/a3 pattern): the exact
+    // overlap is computed beside the estimate (verification harness —
+    // at scale the sketch answer stands alone) and the hashed output is
+    // (pair, exact, within_bound), the bound being the Beyer et al.
+    // 2007 4σ envelope: |est − exact| ≤ 4·(union/(2√k) + rsd·exact),
+    // rsd = 1/√(k−2). Measured worst err/union 0.042 (sf0.001) / 0.086
+    // (sf0.1) vs the 0.125 σ-term alone — gated in SketchAccuracySpec.
+    "a6_kmv_source_overlap" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val k = 256
+      val toks = T(s, dir, "documents").select(col("source"),
+        explode(TextFunctions.hashedShingleSet(col("text"), 3)).as("tok"))
+      val sk = Sketches.kmvSketches(toks, col("source"), col("tok"), k)
+      val est = Sketches.kmvOverlapMatrix(sk, k)
+        .select(col("grp_a").as("src_a"), col("grp_b").as("src_b"),
+          col("common_est"))
+      val vocab = toks.distinct()
+      val sizes = vocab.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+      val exact = vocab.select(col("source").as("src_a"), col("tok"))
+        .join(vocab.select(col("source").as("src_b"), col("tok")),
+          Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("common_exact"))
+      est.join(exact, Seq("src_a", "src_b"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("sz").as("sz_a"))), Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("sz").as("sz_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("common_exact"),
+          (abs(col("common_est") - col("common_exact")) <=
+            lit(4.0) * ((col("sz_a") + col("sz_b") - col("common_exact"))
+              / lit(2.0 * math.sqrt(k.toDouble)) +
+              lit(1.0 / math.sqrt(k - 2.0)) * col("common_exact")))
+            .as("within_bound"))
+        .orderBy(col("src_a"), col("src_b"))
+    }),
+
+    // KMV mergeable rollup (a3's twin for the set-algebra sketch): per-
+    // source distinct-shingle estimates, then the per-source sketches
+    // UNION-merge into the global estimate WITHOUT rescanning the
+    // corpus. Output = (src, exact, within_bound) per source plus the
+    // merged `_all` row; bound 4·rsd (exact below k makes sparse
+    // sources free). A broken merge blows the `_all` bound.
+    "a7_kmv_rollup" -> ((s, dir) => {
+      GraftFunctions.register(s)
+      val k = 256
+      val bound = lit(4.0 / math.sqrt(k - 2.0))
+      val toks = T(s, dir, "documents").select(col("source"),
+        explode(TextFunctions.hashedShingleSet(col("text"), 3)).as("tok"))
+      val sk = Sketches.kmvSketches(toks, col("source"), col("tok"), k)
+      val vocab = toks.distinct()
+      val per = sk
+        .select(col("grp").as("src"),
+          GraftFunctions.kmvEstimate(col("sk"), k).as("est"))
+        .join(vocab.groupBy(col("source").as("src"))
+          .agg(count(lit(1)).as("exact_ngrams")), Seq("src"))
+        .select(col("src"), col("exact_ngrams"),
+          (abs(col("est") - col("exact_ngrams")) <=
+            bound * col("exact_ngrams")).as("within_bound"))
+      val merged = sk
+        .agg(GraftFunctions.kmvUnionAgg(col("sk"), k).as("u"))
+        .select(GraftFunctions.kmvEstimate(col("u"), k).as("est"))
+      val globalExact = vocab.agg(count_distinct(col("tok"))
+        .as("exact_ngrams"))
+      per.unionByName(merged.crossJoin(globalExact)
+        .select(lit("_all").as("src"), col("exact_ngrams"),
+          (abs(col("est") - col("exact_ngrams")) <=
+            bound * col("exact_ngrams")).as("within_bound")))
+        .orderBy(col("src"))
+    }),
+
     // approximate percentile sketch. PRECONDITION for the oracle row:
     // accuracy must exceed the rows per group at the checked SF — then the
     // GK summary degenerates to the exact discrete percentile, which
@@ -2997,6 +3080,37 @@ object SparkEntry {
         |    count(*), TRUE
         |  FROM events)
         |ORDER BY event_type""".stripMargin,
+
+    // KMV self-verifying rows (a6/a7): same contract as a1/a3 — the
+    // oracle reproduces the EXACT overlap/distinct counts (the same
+    // portable shingle CTEs t18 hash-verifies) and asserts the bound
+    // held; the KMV estimate itself never reaches the hash.
+    "a6_kmv_source_overlap" ->
+      s"""WITH ${duckTokenHashes()},
+         |${duckShingleSets()},
+         |v AS (
+         |  SELECT DISTINCT d.source AS src, unnest(s.sh) AS tok
+         |  FROM s JOIN documents d USING (doc_id)),
+         |c AS (SELECT a.src AS src_a, b.src AS src_b,
+         |        count(*) AS common_exact
+         |      FROM v a JOIN v b ON a.tok = b.tok AND a.src < b.src
+         |      GROUP BY 1, 2)
+         |SELECT src_a, src_b, common_exact, TRUE AS within_bound
+         |FROM c ORDER BY src_a, src_b""".stripMargin,
+
+    "a7_kmv_rollup" ->
+      s"""WITH ${duckTokenHashes()},
+         |${duckShingleSets()},
+         |v AS (
+         |  SELECT DISTINCT d.source AS src, unnest(s.sh) AS tok
+         |  FROM s JOIN documents d USING (doc_id))
+         |SELECT * FROM (
+         |  SELECT src, count(*) AS exact_ngrams, TRUE AS within_bound
+         |  FROM v GROUP BY 1
+         |  UNION ALL
+         |  SELECT '_all', CAST(count(DISTINCT tok) AS BIGINT), TRUE
+         |  FROM v)
+         |ORDER BY src""".stripMargin,
 
     // Exact at the verify SF: sketch accuracy >> rows per group, so the GK
     // summary returns the exact discrete percentile = DuckDB quantile_disc

@@ -114,6 +114,18 @@ object GraftFunctions {
       intLit(es(2), "graft_cm_estimate width"))),
     "graft_vec_avg" -> (es => VectorAvgAgg(es(0),
       intLit(es(1), "graft_vec_avg dim"))),
+    "graft_kmv_agg" -> (es => {
+      val k = intLit(es(1), "graft_kmv_agg k"); KmvOps.validateK(k)
+      KmvAgg(es(0), k)
+    }),
+    "graft_kmv_union_agg" -> (es => {
+      val k = intLit(es(1), "graft_kmv_union_agg k"); KmvOps.validateK(k)
+      KmvUnionAgg(es(0), k)
+    }),
+    "graft_kmv_estimate" -> (es => KmvEstimate(es(0),
+      intLit(es(1), "graft_kmv_estimate k"))),
+    "graft_kmv_intersect" -> (es => KmvIntersectEstimate(es(0), es(1),
+      intLit(es(2), "graft_kmv_intersect k"))),
     "graft_nfc" -> (es => NfcNormalize(es(0))))
 
   /** Injection descriptors for `SparkSessionExtensions.injectFunction`
@@ -247,6 +259,24 @@ object GraftFunctions {
     */
   def countMinEstimate(sketch: Column, positions: Column, width: Int): Column =
     call_function("graft_cm_estimate", sketch, positions, lit(width))
+
+  /** KMV distinct-count synopsis of a LONG hash column (hash upstream
+    * with `xxhash64`) — see [[KmvAgg]]. */
+  def kmvAgg(hash: Column, k: Int): Column =
+    call_function("graft_kmv_agg", hash, lit(k))
+
+  /** UNION-merge of same-k KMV sketches — see [[KmvUnionAgg]]. */
+  def kmvUnionAgg(sketch: Column, k: Int): Column =
+    call_function("graft_kmv_union_agg", sketch, lit(k))
+
+  /** Distinct-count estimate of a KMV sketch (exact below k). */
+  def kmvEstimate(sketch: Column, k: Int): Column =
+    call_function("graft_kmv_estimate", sketch, lit(k))
+
+  /** Intersection-cardinality estimate of two same-k KMV sketches —
+    * see [[KmvIntersectEstimate]]. */
+  def kmvIntersect(a: Column, b: Column, k: Int): Column =
+    call_function("graft_kmv_intersect", a, b, lit(k))
 
   /** Exact element-wise mean of an `array<float>` vector column
     * (decomposable single-pass centroid) — see [[VectorAvgAgg]].

@@ -26,6 +26,38 @@ object Sketches {
       GraftFunctions.bloomPositions(key, depth, width), depth, width).as("sk"))
   }
 
+  /** Per-group KMV distinct-count synopses of `value` (hashed here with
+    * the codegen'd `xxhash64` — uniform on the unsigned 64-bit range the
+    * estimator needs). Decomposable: map-side partials carry ≤ k longs
+    * per group, the result table is O(groups · k) and broadcastable —
+    * the build is the ONLY corpus scan any set-algebra answer needs.
+    * See [[graft.functions.KmvAgg]].
+    */
+  def kmvSketches(df: DataFrame, group: Column, value: Column,
+                  k: Int): DataFrame = {
+    GraftFunctions.register(df.sparkSession)
+    df.groupBy(group.as("grp"))
+      .agg(GraftFunctions.kmvAgg(xxhash64(value), k).as("sk"))
+  }
+
+  /** Pairwise intersection-cardinality estimates over a [[kmvSketches]]
+    * table: every unordered group pair (grp_a < grp_b) with `common_est`
+    * — |A ∩ B| estimated from the two synopses alone (Beyer et al. 2007
+    * K-min combine; see [[graft.functions.KmvIntersectEstimate]]). The
+    * sketch table self-joins BROADCAST (O(groups·k) bytes), so sizing
+    * the overlap of every source pair in a 100 TB corpus costs one scan
+    * (the build) + driver-scale pair work — never a shingle re-join.
+    */
+  def kmvOverlapMatrix(sketches: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(sketches.sparkSession)
+    sketches.select(col("grp").as("grp_a"), col("sk").as("sk_a"))
+      .join(broadcast(sketches.select(col("grp").as("grp_b"),
+        col("sk").as("sk_b"))), col("grp_a") < col("grp_b"))
+      .select(col("grp_a"), col("grp_b"),
+        GraftFunctions.kmvIntersect(col("sk_a"), col("sk_b"), k)
+          .as("common_est"))
+  }
+
   /** Exact equi-join with a Bloom runtime filter: build a filter over the
     * (small) dim side's keys and screen the fact side BEFORE its shuffle —
     * the explicit, engine-portable form of the runtime row-filter

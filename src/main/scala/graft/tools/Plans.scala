@@ -40,6 +40,19 @@ object Plans {
         |verified with the codegen'd graft_intersect_count two-pointer
         |merge. Pair work tracks postings-list sizes, not block² — the
         |candidate count at sf0.1 is 229k vs 3.2M same-language pairs.""".stripMargin,
+    "a6_kmv_source_overlap" ->
+      """KMV distinct-count set algebra (r18). The sketch build is ONE
+        |corpus scan: ObjectHashAggregate runs partial_graft_kmv_agg BEFORE
+        |the exchange, so each map task ships at most k=256 longs per
+        |source — the shuffle is O(sources·k), corpus-size-independent.
+        |Pairwise intersection estimates come from a BroadcastNestedLoopJoin
+        |of the 20-row sketch table against itself (the tiny-table idiom),
+        |with the codegen'd graft_kmv_intersect combine per pair. The exact
+        |overlap subtree beside it (vocab self-join, ReusedExchange) is the
+        |VERIFICATION HARNESS for the self-verifying oracle row — at 100 TB
+        |the sketch path stands alone and the answer to "how much does
+        |corpus A overlap benchmark B" costs a broadcast of O(groups·k)
+        |bytes instead of a shingle re-join.""".stripMargin,
     "d1_exact_dedup_events" ->
       """Exact dedup as min_by(struct(payload), tieBreaker) aggregation:
         |partial_min_by runs BEFORE the exchange, so each map task ships one

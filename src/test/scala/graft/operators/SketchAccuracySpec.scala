@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.sources.Tables
 
-/** Accuracy contracts for the two sketch queries whose internals are
-  * engine-specific and therefore can never hash-match a DuckDB oracle
-  * (a1 approx_count_distinct, a3 DataSketches HLL union): the rows-only
-  * driver check is backed here by test-gated error bounds against the
-  * EXACT distinct counts — the same pattern the ANN queries use
-  * (rows-only + recall gate).
+/** Accuracy contracts for the sketch queries whose internals are
+  * engine-specific and can never hash-match a DuckDB recomputation (a1
+  * approx_count_distinct, a3 DataSketches HLL union, a6/a7 KMV set
+  * algebra): since r18 their registry rows are SELF-VERIFYING (the
+  * query computes the exact answer beside the estimate and the oracle
+  * hash-checks a within-bound verdict), and these specs gate the same
+  * bounds directly with the measured errors `info`d — the estimator-
+  * level artifact behind the oracle rows, same pattern as the ANN
+  * recall gates.
   *
   * Gated at BOTH fixture scales: sf0.001 exercises the sparse /
   * near-exact register regime; sf0.1 (600k lineitem rows, 100k events)
@@ -125,6 +128,68 @@ class SketchAccuracySpec extends SparkSpec {
       // the union keeps max registers, it does not resample
       assert(math.abs(merged - direct) / exact <= 0.05,
         s"$label merged=$merged direct=$direct exact=$exact")
+    }
+  }
+
+  test("kmv contract: distinct / union-merge / intersection estimates " +
+      "within their bounds on the source shingle vocabularies") {
+    import graft.functions.{GraftFunctions, TextFunctions}
+    GraftFunctions.register(spark)
+    val k = 256
+    val rsd = 1.0 / math.sqrt(k - 2.0) // ~6.3% at k=256
+    for ((label, dir) <- dirs) {
+      val docs = Tables.table(spark, dir, "documents")
+      val toks = docs.select(col("source"),
+        explode(TextFunctions.hashedShingleSet(col("text"), 3)).as("tok"))
+      val sk = Sketches.kmvSketches(toks, col("source"), col("tok"), k)
+        .localCheckpoint()
+      // per-source distinct estimates vs exact
+      val exact = toks.groupBy(col("source"))
+        .agg(countDistinct(col("tok")).as("exact"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+      var worstD = 0.0
+      sk.select(col("grp"), GraftFunctions.kmvEstimate(col("sk"), k))
+        .collect().foreach { r =>
+          val e = math.abs(r.getDouble(1) - exact(r.getString(0))) /
+            exact(r.getString(0))
+          worstD = math.max(worstD, e)
+          assert(e <= 4 * rsd, s"$label ${r.getString(0)}: relErr=$e")
+        }
+      // union-merged rollup vs exact global distinct
+      val globalExact = toks.agg(countDistinct(col("tok")))
+        .head().getLong(0).toDouble
+      val merged = sk
+        .agg(GraftFunctions.kmvUnionAgg(col("sk"), k).as("u"))
+        .select(GraftFunctions.kmvEstimate(col("u"), k))
+        .head().getDouble(0)
+      val mErr = math.abs(merged - globalExact) / globalExact
+      assert(mErr <= 4 * rsd,
+        s"$label merged=$merged exact=$globalExact relErr=$mErr")
+      // pairwise intersection estimates vs exact — absolute error
+      // bounded by the UNION size (Jaccard σ ≤ 1/(2√k) over the union
+      // sample) plus the union estimate's own rsd, 4σ'd
+      val vocab = toks.distinct()
+      val exactPairs = vocab.select(col("source").as("a"), col("tok"))
+        .join(vocab.select(col("source").as("b"), col("tok")), Seq("tok"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("common"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          r.getLong(2).toDouble).toMap
+      var worstI = 0.0
+      Sketches.kmvOverlapMatrix(sk, k).collect().foreach { r =>
+        val key = (r.getString(0), r.getString(1))
+        val ex = exactPairs.getOrElse(key, 0.0)
+        val un = exact(key._1) + exact(key._2) - ex
+        val bound = 4 * (un / (2 * math.sqrt(k.toDouble)) + rsd * ex)
+        val err = math.abs(r.getDouble(2) - ex)
+        worstI = math.max(worstI, if (un > 0) err / un else 0.0)
+        assert(err <= bound,
+          s"$label $key: est=${r.getDouble(2)} exact=$ex union=$un " +
+            s"err=$err bound=$bound")
+      }
+      info(f"$label kmv k=$k: worst distinct relErr=$worstD%.4f, " +
+        f"worst intersection err/union=$worstI%.4f " +
+        f"(pairs=${exactPairs.size}, global exact=${globalExact.toLong})")
     }
   }
 }
