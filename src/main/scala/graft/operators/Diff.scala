@@ -72,9 +72,18 @@ object Diff {
     * never touches data; nothing here grows with corpus size, only with
     * category cardinality.
     */
-  def distributionDrift(a: DataFrame, b: DataFrame, key: String): DataFrame = {
-    val ca = a.groupBy(col(key)).agg(count(lit(1)).as("cnt_a"))
-    val cb = b.groupBy(col(key)).agg(count(lit(1)).as("cnt_b"))
+  def distributionDrift(a: DataFrame, b: DataFrame, key: String): DataFrame =
+    distributionDriftCounts(
+      a.groupBy(col(key)).agg(count(lit(1)).as("cnt_a")),
+      b.groupBy(col(key)).agg(count(lit(1)).as("cnt_b")), key)
+
+  /** [[distributionDrift]] from PRE-AGGREGATED sides: `ca` = (key,
+    * cnt_a), `cb` = (key, cnt_b). The form a long-lived monitor wants —
+    * a 100 TB blessed corpus is represented once by its O(categories)
+    * category counts and never re-scanned per comparison (see
+    * `StreamOps.driftMonitorStream`). */
+  def distributionDriftCounts(ca: DataFrame, cb: DataFrame,
+                              key: String): DataFrame = {
     val merged = ca.join(cb, Seq(key), "full_outer")
       .na.fill(0L, Seq("cnt_a", "cnt_b"))
     val totals = merged.agg(

@@ -589,4 +589,72 @@ object StreamOps {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("cnt"), col("sum_value"))
+
+  /** LIVE distribution-drift monitor over an ingest stream — the
+    * observability twin of the batch snapshot drift (q56 /
+    * `Diff.distributionDrift`), the piece a months-running governed
+    * ingest pairs with its dedup loops: each micro-batch's keyed
+    * distribution (source domain, language, quality bucket, …) is
+    * compared against a FROZEN reference — `referenceCounts` = the
+    * blessed corpus's (key, cnt) category counts, O(categories) rows,
+    * so the 100 TB corpus behind it is never re-read. Per batch it
+    * writes, exactly-once WITHOUT a ledger (each output is a pure
+    * function of (batch, frozen reference) into a batch-id-named
+    * directory with overwrite — the `annServeStream` idempotence
+    * pattern; a replayed batch rewrites identical bytes):
+    *
+    *  - `outPath/terms/batch=<id>` — the per-key Laplace-smoothed
+    *    KL / total-variation contributions (which stratum moved: the
+    *    actionable row of a drift alert);
+    *  - `outPath/summary/batch=<id>` — one row (batch_id, rows, kl,
+    *    tv, alert) with alert := tv ≥ tvAlert; kl/tv are the summed
+    *    terms, kl directed KL(reference ‖ batch).
+    *
+    * Scale shape per batch: one O(batch) hash aggregation (map-side
+    * partials carry (key, count)), a full-outer merge on O(categories)
+    * keys, one broadcast totals row. Nothing grows with stream depth or
+    * corpus size. Spec: `DriftMonitorStreamSpec`. */
+  def driftMonitorStream(spark: SparkSession, inPath: String,
+                         schema: org.apache.spark.sql.types.StructType,
+                         keyCol: String, referenceCounts: DataFrame,
+                         outPath: String, checkpoint: String,
+                         tvAlert: Double = 0.05,
+                         trigger: Trigger = Trigger.AvailableNow())
+      : StreamingQuery = {
+    require(tvAlert > 0 && tvAlert <= 1, s"bad tvAlert $tvAlert")
+    val ref = referenceCounts
+      .select(col(keyCol), col("cnt").cast("long").as("cnt_a"))
+      .localCheckpoint()
+    spark.readStream.schema(schema).parquet(inPath)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cb = batch.groupBy(col(keyCol))
+          .agg(count(lit(1)).as("cnt_b"))
+        val termsDf = graft.operators.Diff
+          .distributionDriftCounts(ref, cb, keyCol)
+          .withColumn("batch_id", lit(batchId))
+        // one evaluation, two sinks: materialize the O(categories) rows
+        // driver-side (bounded by the monitor-key contract — source/
+        // lang/quality buckets, never document ids) instead of
+        // localCheckpoint, whose blocks a months-running stream cannot
+        // free in-operator
+        val rows = termsDf.collect()
+        val terms = spark.createDataFrame(
+          java.util.Arrays.asList(rows: _*), termsDf.schema)
+        terms.coalesce(1).write.mode("overwrite")
+          .parquet(s"$outPath/terms/batch=$batchId")
+        terms
+          .agg(sum(col("cnt_b")).as("rows"),
+            round(sum(col("kl_term")), 6).as("kl"),
+            round(sum(col("tv_term")), 6).as("tv"))
+          .select(lit(batchId).as("batch_id"), col("rows"), col("kl"),
+            col("tv"), (col("tv") >= lit(tvAlert)).as("alert"))
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$outPath/summary/batch=$batchId")
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start()
+  }
 }
