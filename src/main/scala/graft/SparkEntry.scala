@@ -1233,6 +1233,64 @@ object SparkEntry {
         .orderBy(col("src"))
     }),
 
+    // KLL mergeable quantile ROLLUP (DataSketches KLL, Spark 4.1
+    // built-ins) — completes the mergeable-rollup triptych beside a3
+    // (HLL distinct) and a7 (KMV set algebra): per-group quantile
+    // sketches fold into the global estimate with kll_sketch_merge
+    // WITHOUT rescanning raw data, where a2's approx_percentile answers
+    // one grouping only. Self-verifying RANK verdict (values are
+    // data-dependent, ranks are the contract KLL actually bounds): the
+    // verification pass computes the TRUE rank of each estimated
+    // p50/p90 within its population; within_bound := rank ∈
+    // [p − ε, p + ε + j] where ε = 0.033 (2× the published k=200
+    // normalized rank error ~1.65%) and j = 0.025 absorbs the discrete
+    // CDF jump of the 1..50 quantity domain (even an EXACT quantile's
+    // value has rank up to p + jump). Exact p50/p90 ride along for the
+    // hash (percentile() ≡ DuckDB quantile_cont, the q15-proven
+    // parity). At 100 TB the sketch table answers any regrouping's
+    // quantiles from O(groups·k) bytes; the rank pass here is the
+    // verification harness.
+    "a8_kll_quantile_rollup" -> ((s, dir) => {
+      val epsLo = 0.033
+      val epsHi = 0.033 + 0.025
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val perSk = li.groupBy(col("l_returnflag"))
+        .agg(expr("kll_sketch_agg_double(l_quantity)").as("sk"),
+          count(lit(1)).as("cnt"))
+      val allSk = perSk
+        .agg(collect_list(col("sk")).as("sks"), sum(col("cnt")).as("cnt"))
+        .select(expr("aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+          "(acc, x) -> kll_sketch_merge_double(acc, x))").as("sk"),
+          col("cnt"))
+      val est = perSk.select(col("l_returnflag"), col("sk"), col("cnt"))
+        .unionByName(allSk.select(lit("_all").as("l_returnflag"),
+          col("sk"), col("cnt")))
+        .select(col("l_returnflag"), col("cnt"),
+          expr("kll_sketch_get_quantile_double(sk, 0.5)").as("est_p50"),
+          expr("kll_sketch_get_quantile_double(sk, 0.9)").as("est_p90"))
+      val tagged = li.unionByName(
+        li.select(lit("_all").as("l_returnflag"), col("l_quantity")))
+      def inBand(rank: Column, p: Double): Column =
+        rank >= lit(p - epsLo) && rank <= lit(p + epsHi)
+      tagged.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"))
+        .agg(first(col("cnt")).as("cnt"),
+          avg((col("l_quantity") <= col("est_p50")).cast("double"))
+            .as("rank50"),
+          avg((col("l_quantity") <= col("est_p90")).cast("double"))
+            .as("rank90"),
+          TextFunctions.roundHalfUp(
+            expr("percentile(l_quantity, 0.5)"), 4).as("exact_p50"),
+          TextFunctions.roundHalfUp(
+            expr("percentile(l_quantity, 0.9)"), 4).as("exact_p90"))
+        .select(col("l_returnflag"), col("cnt"), col("exact_p50"),
+          col("exact_p90"),
+          (inBand(col("rank50"), 0.5) && inBand(col("rank90"), 0.9))
+            .as("within_bound"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // approximate percentile sketch. PRECONDITION for the oracle row:
     // accuracy must exceed the rows per group at the checked SF — then the
     // GK summary degenerates to the exact discrete percentile, which
@@ -3111,6 +3169,20 @@ object SparkEntry {
          |  SELECT '_all', CAST(count(DISTINCT tok) AS BIGINT), TRUE
          |  FROM v)
          |ORDER BY src""".stripMargin,
+
+    "a8_kll_quantile_rollup" ->
+      """SELECT * FROM (
+        |  SELECT l_returnflag, count(*) AS cnt,
+        |    round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        |    round(quantile_cont(l_quantity, 0.9), 4) AS exact_p90,
+        |    TRUE AS within_bound
+        |  FROM lineitem GROUP BY 1
+        |  UNION ALL
+        |  SELECT '_all', count(*),
+        |    round(quantile_cont(l_quantity, 0.5), 4),
+        |    round(quantile_cont(l_quantity, 0.9), 4), TRUE
+        |  FROM lineitem)
+        |ORDER BY l_returnflag""".stripMargin,
 
     // Exact at the verify SF: sketch accuracy >> rows per group, so the GK
     // summary returns the exact discrete percentile = DuckDB quantile_disc

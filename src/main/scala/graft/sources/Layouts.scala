@@ -1151,7 +1151,15 @@ object Layouts {
     * The snapshot is taken at CALL time; a maintenance commit racing
     * the returned frame's ACTION can still delete a listed file first
     * (missing-file failure) — run actions through
-    * [[withMaintainedRead]], which re-snapshots per attempt. */
+    * [[withMaintainedRead]], which re-snapshots per attempt.
+    *
+    * Listing completeness is VERIFIED against the generation record
+    * (r18): `fs.listStatus` is not atomic against a commit's rename
+    * churn and can silently miss untouched entries — every clustered
+    * file the record names must be visible (minus a pending manifest's
+    * consumed set) and no already-consumed file may linger once the
+    * manifest is gone, else the snapshot throws retryable and the next
+    * attempt re-lists. */
   def readMaintained(spark: org.apache.spark.sql.SparkSession,
                      path: String): DataFrame = {
     val files = snapshotFiles(spark, path)
@@ -1206,29 +1214,32 @@ object Layouts {
         s"readMaintained: $path does not exist and no recluster swap " +
           "is in flight — not a maintained layout")
     }
-    val man = new org.apache.hadoop.fs.Path(zincManifestDir(path))
-    if (!fs.exists(man)) return listed.map(_.getPath.toString)
-    val (newF, consumed) =
-      try {
-        def names(t: String): Set[String] =
-          spark.read.parquet(s"${zincManifestDir(path)}/$t")
-            .collect().map(_.getString(0)).toSet
-        (names("new_files"), names("consumed_files"))
-      } catch {
-        // transient ONLY when the manifest actually went away (the
-        // commit completed between the existence check and the read —
-        // the listing may straddle it; force a clean re-snapshot). A
-        // manifest that is still present but unreadable is PERMANENT
-        // corruption needing triage, not a retry loop that mislabels it
-        case e: Exception =>
-          if (!fs.exists(man) || isMissingFileError(e))
-            throw new java.io.FileNotFoundException(
-              s"$path: recluster manifest vanished mid-snapshot — " +
-                "transient, retry re-lists the committed state")
-          else throw e
-      }
     val names = listed.map(_.getPath.getName).toSet
-    val view =
+    val man = new org.apache.hadoop.fs.Path(zincManifestDir(path))
+    val manExists = fs.exists(man)
+    var consumedMan: Set[String] = Set.empty
+    val view: Seq[org.apache.hadoop.fs.FileStatus] = if (!manExists) listed
+    else {
+      val (newF, consumed) =
+        try {
+          def mnames(t: String): Set[String] =
+            spark.read.parquet(s"${zincManifestDir(path)}/$t")
+              .collect().map(_.getString(0)).toSet
+          (mnames("new_files"), mnames("consumed_files"))
+        } catch {
+          // transient ONLY when the manifest actually went away (the
+          // commit completed between the existence check and the read —
+          // the listing may straddle it; force a clean re-snapshot). A
+          // manifest that is still present but unreadable is PERMANENT
+          // corruption needing triage, not a retry loop that mislabels it
+          case e: Exception =>
+            if (!fs.exists(man) || isMissingFileError(e))
+              throw new java.io.FileNotFoundException(
+                s"$path: recluster manifest vanished mid-snapshot — " +
+                  "transient, retry re-lists the committed state")
+            else throw e
+        }
+      consumedMan = consumed
       if (consumed.subsetOf(names))
         // move-in phase: the pre-commit generation is fully present —
         // exclude whatever new files already moved in
@@ -1246,6 +1257,52 @@ object Layouts {
               "transient, retry re-lists")
         listed.filterNot(s => consumed(s.getPath.getName))
       }
+    }
+    // Listing-completeness authority check (r18). The manifest-set
+    // guards above verify files the COMMIT touches, but fs.listStatus
+    // is not an atomic snapshot against the commit's rename churn: a
+    // racing readdir can miss UNTOUCHED entries entirely (observed
+    // once in the live-reader spec as a 1687-row view of a 3400-row
+    // layout — a silent hole, not a failure). The generation record is
+    // the membership authority: every clustered file the current
+    // record names — minus whatever a pending manifest consumes — must
+    // be visible in the listing, and (manifest absent) no file the
+    // record's last commit CONSUMED may still be listed (a straddle of
+    // a commit that completed between the listing and the manifest
+    // check). Either violation re-snapshots via the retry contract.
+    // A missed un-clustered TAIL file needs no guard: appends are
+    // prefix-visible by contract, so a shorter tail is a legal
+    // snapshot. Cost: two O(files)-row metadata reads per snapshot.
+    val metaDir = new org.apache.hadoop.fs.Path(zmetaDir(path))
+    if (manExists || fs.exists(metaDir)) {
+      def recNames(t: String): Set[String] =
+        try spark.read.parquet(s"${zmetaDir(path)}/$t")
+          .collect().map(_.getString(0)).toSet
+        catch {
+          // the restamp swap (delete + rename) makes the record
+          // momentarily absent — transient; present-but-corrupt is
+          // permanent, same discipline as the manifest read above
+          case e: Exception =>
+            if (!fs.exists(new org.apache.hadoop.fs.Path(
+                s"${zmetaDir(path)}/$t")) || isMissingFileError(e))
+              throw new java.io.FileNotFoundException(
+                s"$path: generation record unreadable mid-snapshot " +
+                  "(restamp in flight) — transient, retry re-lists")
+            else throw e
+        }
+      val missing = (recNames("clustered_files") -- consumedMan)
+        .filterNot(names)
+      if (missing.nonEmpty)
+        throw new java.io.FileNotFoundException(
+          s"$path: listing raced a commit — ${missing.size} clustered " +
+            "files invisible (readdir is not atomic against rename " +
+            "churn) — transient, retry re-lists")
+      if (!manExists && names.exists(recNames("consumed_files")))
+        throw new java.io.FileNotFoundException(
+          s"$path: listing straddled a completed commit (consumed " +
+            "files still listed, manifest already dropped) — " +
+            "transient, retry re-lists")
+    }
     view.map(_.getPath.toString)
   }
 

@@ -8,7 +8,8 @@ import graft.sources.Tables
 /** Accuracy contracts for the sketch queries whose internals are
   * engine-specific and can never hash-match a DuckDB recomputation (a1
   * approx_count_distinct, a3 DataSketches HLL union, a6/a7 KMV set
-  * algebra): since r18 their registry rows are SELF-VERIFYING (the
+  * algebra, a8 KLL quantile rollup): since r18 their registry rows are
+  * SELF-VERIFYING (the
   * query computes the exact answer beside the estimate and the oracle
   * hash-checks a within-bound verdict), and these specs gate the same
   * bounds directly with the measured errors `info`d — the estimator-
@@ -128,6 +129,61 @@ class SketchAccuracySpec extends SparkSpec {
       // the union keeps max registers, it does not resample
       assert(math.abs(merged - direct) / exact <= 0.05,
         s"$label merged=$merged direct=$direct exact=$exact")
+    }
+  }
+
+  test("a8 contract: KLL quantile RANK error within bound per group AND " +
+      "through the union-merge rollup") {
+    // KLL bounds rank error, not value error (k=200 published normalized
+    // rank error ~1.65%); the gate measures the true rank of every
+    // estimated quantile at five probe points, per group and for the
+    // kll_sketch_merge-folded global sketch — the merge must not cost
+    // accuracy (the a8 rollup claim).
+    val probes = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+    val bound = 0.033 // 2x published
+    for ((label, dir) <- dirs) {
+      val li = Tables.table(spark, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val perSk = li.groupBy(col("l_returnflag"))
+        .agg(expr("kll_sketch_agg_double(l_quantity)").as("sk"))
+      val sks = perSk.collect().map(r =>
+        r.getString(0) -> r.getAs[Array[Byte]](1)).toMap
+      val mergedSk = perSk.agg(collect_list(col("sk")).as("sks"))
+        .select(expr("aggregate(slice(sks, 2, size(sks) - 1), sks[0], " +
+          "(acc, x) -> kll_sketch_merge_double(acc, x))").as("sk"))
+        .head().getAs[Array[Byte]](0)
+      val groups = li.collect().map(r =>
+        (r.getString(0), r.getDouble(1))).groupBy(_._1)
+        .map { case (g, rs) => g -> rs.map(_._2).sorted }
+      val global = groups.values.flatten.toArray.sorted
+      def rankOf(vals: Array[Double], v: Double): Double =
+        vals.count(_ <= v).toDouble / vals.length
+      def estimates(sk: Array[Byte]): Seq[Double] = {
+        import spark.implicits._
+        Seq(sk).toDF("sk").select(probes.map(p =>
+          expr(s"kll_sketch_get_quantile_double(sk, $p)")): _*)
+          .head().toSeq.map(_.asInstanceOf[Double])
+      }
+      var worst = 0.0
+      for ((g, sk) <- sks; (p, est) <- probes.zip(estimates(sk))) {
+        val err = math.abs(rankOf(groups(g).toArray, est) - p)
+        // discrete CDF jump: an exact value's rank overshoots p by up
+        // to the value's own mass — subtract the unavoidable part
+        val jump = groups(g).count(_ == est).toDouble / groups(g).size
+        val e = math.max(0.0, err - jump)
+        worst = math.max(worst, e)
+        assert(e <= bound, s"$label group $g p=$p est=$est rankErr=$err")
+      }
+      for ((p, est) <- probes.zip(estimates(mergedSk))) {
+        val err = math.abs(rankOf(global, est) - p)
+        val jump = global.count(_ == est).toDouble / global.length
+        val e = math.max(0.0, err - jump)
+        worst = math.max(worst, e)
+        assert(e <= bound, s"$label merged p=$p est=$est rankErr=$err")
+      }
+      info(f"$label kll k=default: worst rank err (jump-adjusted)=" +
+        f"$worst%.4f over ${probes.size} probes x ${sks.size} groups " +
+        "+ merged")
     }
   }
 
