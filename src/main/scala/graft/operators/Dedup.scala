@@ -199,18 +199,38 @@ object Dedup {
     while (pit.hasNext) if (under(pit.next())) pit.remove()
   }
 
-  /** Read one persisted-index table with the cached-schema fast path. */
+  /** Read one persisted-index table with the cached-schema fast path.
+    * A table with a membership registry (every `partitionBy` table
+    * written by the current builds) is read by its REGISTERED partition
+    * dirs — explicit paths, no readdir of the data root, so a dir a
+    * racing readdir would silently miss (or one mid-rename-swap)
+    * throws retryable instead of narrowing the view. Registry-less
+    * tables (params/ledger/legacy) keep the plain listing read. */
   private def readIndexTable(spark: org.apache.spark.sql.SparkSession,
                              path: String): DataFrame = {
     val gen = indexGeneration(spark, path)
     val cached = indexSchemaCache.get(path)
-    if (cached != null && cached._1 == gen)
-      spark.read.schema(cached._2).parquet(path)
-    else {
-      val df = spark.read.parquet(path)
-      indexSchemaCache.put(path, (gen, df.schema))
-      df
+    val schemaOpt =
+      if (cached != null && cached._1 == gen) Some(cached._2) else None
+    val members = {
+      val cut = path.lastIndexOf('/')
+      if (cut <= 0) None
+      else {
+        val (root, sub) = (path.substring(0, cut), path.substring(cut + 1))
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        readMemberDirs(fs, root, sub).filter(_.nonEmpty)
+      }
     }
+    val df = members match {
+      case Some(dirs) =>
+        readRegisteredDirs(spark, path, dirs.toSeq.sorted, schemaOpt)
+      case None =>
+        schemaOpt.fold(spark.read.parquet(path))(s =>
+          spark.read.schema(s).parquet(path))
+    }
+    if (schemaOpt.isEmpty) indexSchemaCache.put(path, (gen, df.schema))
+    df
   }
 
   /** Exact dedup: keep one deterministic representative row per key
@@ -736,6 +756,217 @@ object Dedup {
     fs.create(epochClaimFile(dir, 0L, "genesis"), true).close()
   }
 
+  // ---- partition-dir membership registry: the readdir-race authority ----
+  //
+  // `fs.listStatus` is not an atomic snapshot against concurrent rename
+  // churn: a racing readdir can miss UNTOUCHED entries (observed once in
+  // r18 as a silently-short z-order view), and a partition directory
+  // mid-rename-swap is GENUINELY absent for an instant — partition
+  // discovery then silently skips it, returning a short candidate set
+  // with no error for the retry contract to heal. The z-order family
+  // closed this with its generation record (Layouts.snapshotFiles); this
+  // registry is the same authority for every `partitionBy` table the
+  // index/layout families maintain (band/bucket/digest/occupancy shards,
+  // IVF cells): a per-table metadata file naming the occupied partition
+  // directories. Probes read EXACTLY the registered directories —
+  // explicit paths, no readdir of the data root at all — so a missed or
+  // mid-swap directory surfaces as a thrown missing-path error, which
+  // the existing retry contract (withServedProbe / retryingRead) heals.
+  //
+  // Mechanics, mirroring the epoch fence (driver-side metadata ops, no
+  // Spark jobs on the hot path): versioned files `<sub>-<seq>-<token>`
+  // under `<index>/members/`, content = newline-joined dir names,
+  // written to a hidden temp name then renamed (atomic) so a reader can
+  // never observe a half-written version; readers take the max
+  // (seq, token). Maintenance discipline, giving the invariant
+  // "registry ⊆ existing dirs, and every registered dir's rows are
+  // either visible or mid-swap (throwing, hence retried)":
+  //  - ADD after the data lands (builder/appender syncs FROM a listing
+  //    taken under the epoch fence — quiescent, so the listing is
+  //    trustworthy; a crash before the sync leaves new dirs unregistered
+  //    = a legal earlier snapshot, healed by the NEXT mutation's sync);
+  //  - REMOVE before the directory is dropped (a crash in between
+  //    leaves an unregistered dir whose rows are all tombstoned —
+  //    invisible either way);
+  //  - compaction re-syncs (replace) after its swaps.
+  // Residual (documented, not closed): files WITHIN one partition
+  // directory have no per-file authority here, so a readdir of a dir
+  // racing an append INTO THAT SAME dir can still miss an untouched
+  // file — the flat z-order layout needed its O(files) generation
+  // record for exactly that; the sharded tables' appends are
+  // shard-pure and rare relative to probes, and every CROSS-directory
+  // churn class (the observed one) is closed by the registry.
+
+  private[graft] val MembersSub = "members"
+  private val MemberFileRe = "(.+)-([0-9]{20})-([0-9a-f-]+)".r
+
+  private def membersDirOf(root: String) =
+    new org.apache.hadoop.fs.Path(s"$root/$MembersSub")
+
+  /** (seq, token, path) of every registry version file for `sub`. */
+  private def memberVersions(fs: org.apache.hadoop.fs.FileSystem,
+                             dir: org.apache.hadoop.fs.Path, sub: String)
+      : Seq[(Long, String, org.apache.hadoop.fs.Path)] =
+    (try fs.listStatus(dir).toSeq
+     catch { case _: java.io.FileNotFoundException => Seq.empty })
+      .flatMap(_.getPath.getName match {
+        case MemberFileRe(s, seq, tok) if s == sub =>
+          Some((seq.toLong, tok, new org.apache.hadoop.fs.Path(dir,
+            f"$sub-${seq.toLong}%020d-$tok")))
+        case _ => None
+      })
+
+  /** The registered partition-dir names for table `sub` of the index at
+    * `root`; `None` when no registry exists (a pre-registry index —
+    * readers fall back to listing discovery, today's behavior). A
+    * version file vanishing mid-read (pruned by a concurrent writer) or
+    * a members listing that momentarily shows no version re-lists a
+    * few times before concluding; exhausting the attempts while the
+    * members dir exists throws retryable — the caller's retry contract
+    * re-reads. */
+  private[graft] def readMemberDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                    root: String, sub: String)
+      : Option[Set[String]] = {
+    val dir = membersDirOf(root)
+    var attempt = 0
+    while (attempt < 4) {
+      if (!fs.exists(dir)) return None
+      val versions = memberVersions(fs, dir, sub)
+      if (versions.isEmpty) {
+        // dir exists but no version for this sub: legacy table inside a
+        // registry-bearing index, OR a listing that raced a registry
+        // rewrite and missed everything — re-list before trusting it
+        attempt += 1
+        if (attempt >= 2) return None
+      } else {
+        val (_, _, p) = versions.maxBy(v => (v._1, v._2))
+        try {
+          val in = fs.open(p)
+          val bytes =
+            try {
+              val buf = new java.io.ByteArrayOutputStream()
+              val chunk = new Array[Byte](8192)
+              var n = in.read(chunk)
+              while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+              buf.toByteArray
+            } finally in.close()
+          val s = new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+          return Some(s.split('\n').iterator.map(_.trim)
+            .filter(_.nonEmpty).toSet)
+        } catch {
+          // the version was pruned between the listing and the open —
+          // a newer one exists; re-list
+          case _: java.io.FileNotFoundException =>
+            attempt += 1
+            Thread.sleep(20L * attempt)
+        }
+      }
+    }
+    throw new java.io.FileNotFoundException(
+      s"$root/$sub: membership registry unreadable after retries " +
+        "(racing a registry rewrite) — transient, retry re-reads")
+  }
+
+  /** Write the next registry version for `sub` (hidden temp + atomic
+    * rename — never observable half-written), then prune older
+    * versions. Caller holds the epoch fence (mutators only). */
+  private[graft] def writeMemberDirs(fs: org.apache.hadoop.fs.FileSystem,
+                                     root: String, sub: String,
+                                     names: Set[String]): Unit = {
+    val dir = membersDirOf(root)
+    fs.mkdirs(dir)
+    val versions = memberVersions(fs, dir, sub)
+    val seq = (versions.map(_._1) :+ -1L).max + 1L
+    val tok = java.util.UUID.randomUUID().toString
+    val tmp = new org.apache.hadoop.fs.Path(dir, s".tmp-$sub-$tok")
+    val out = fs.create(tmp, true)
+    try out.write(names.toSeq.sorted.mkString("\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val fin = new org.apache.hadoop.fs.Path(dir, f"$sub-$seq%020d-$tok")
+    require(fs.rename(tmp, fin),
+      s"membership registry: could not publish $tmp -> $fin")
+    versions.foreach { case (_, _, p) => fs.delete(p, false) }
+  }
+
+  /** Occupied partition-dir names of `root/sub` from a listing — only
+    * valid under the epoch fence (quiescent: no concurrent mutator is
+    * churning the directory, and probes never rename). */
+  private def partitionDirNames(fs: org.apache.hadoop.fs.FileSystem,
+                                root: String, sub: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$root/$sub")
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).iterator.filter { s =>
+      val n = s.getPath.getName
+      s.isDirectory && n.contains("=") && !n.startsWith("_") &&
+        !n.startsWith(".")
+    }.map(_.getPath.getName).toSet
+  }
+
+  /** Sync the registry from a fence-quiescent listing of the table —
+    * `replace = false` unions (append paths: never unregister what a
+    * listing might have missed... a fence-held listing can't miss, but
+    * union is the conservative default), `replace = true` rewrites
+    * (builds/compactions: the listing IS the new generation). No-op
+    * write when the registry already matches. */
+  private[graft] def syncMemberDirs(spark: org.apache.spark.sql.SparkSession,
+                                    root: String, sub: String,
+                                    replace: Boolean): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = partitionDirNames(fs, root, sub)
+    val cur = readMemberDirs(fs, root, sub)
+    val next = if (replace) listed else cur.getOrElse(Set.empty) ++ listed
+    if (!cur.contains(next)) writeMemberDirs(fs, root, sub, next)
+  }
+
+  /** Unregister dirs that are ABOUT to be dropped — call BEFORE the
+    * delete, so the registry never names a permanently-absent dir (the
+    * crash window in between leaves an unregistered dir whose rows are
+    * all tombstoned: invisible either way, correct either way). */
+  private[graft] def deregisterMemberDirs(
+      spark: org.apache.spark.sql.SparkSession, root: String, sub: String,
+      names: Set[String]): Unit = {
+    if (names.isEmpty) return
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readMemberDirs(fs, root, sub).foreach { cur =>
+      if (names.exists(cur)) writeMemberDirs(fs, root, sub, cur -- names)
+    }
+  }
+
+  /** A thrown failure is a MISSING-PATH error (explicit registered path
+    * absent at read-construction time): the signature of a registered
+    * dir mid-rename-swap — transient by the registry invariant. */
+  private def isMissingPathError(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).exists {
+      case st: org.apache.spark.SparkThrowable =>
+        Option(st.getCondition).contains("PATH_NOT_FOUND")
+      case _: java.io.FileNotFoundException => true
+      case _ => false
+    }
+
+  /** Read a partitioned table by its REGISTERED directories — explicit
+    * paths under `basePath`, so the data root is never readdir'd and a
+    * registered dir that is invisible (mid-swap, or a racing readdir
+    * would have missed it) throws retryable instead of silently
+    * narrowing the view. */
+  private[graft] def readRegisteredDirs(
+      spark: org.apache.spark.sql.SparkSession, tablePath: String,
+      dirs: Seq[String],
+      schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
+    val r0 = spark.read.option("basePath", tablePath)
+    val r = schema.fold(r0)(r0.schema)
+    try r.parquet(dirs.map(d => s"$tablePath/$d"): _*)
+    catch {
+      case e: Throwable if isMissingPathError(e) =>
+        throw new java.io.FileNotFoundException(
+          s"$tablePath: registered partition dir invisible mid-read " +
+            s"(maintenance rename churn) — transient, retry re-reads: " +
+            e.getMessage)
+    }
+  }
+
   /** Append bucket rows (band rows / SRP bucket rows) to a persisted
     * bucket table, PRESERVING its storage layout. A `partitionBy` table
     * and plain files must never mix in one directory: Spark binds a
@@ -746,7 +977,7 @@ object Dedup {
     */
   private def appendBucketRows(rows: DataFrame, path: String, sub: String,
                                keyCols: Seq[String], shards: Int): Unit = {
-    if (shards > 0)
+    if (shards > 0) {
       // repartition by shard BEFORE the partitionBy write: without it
       // every shuffle partition opens a writer per shard directory it
       // touches — up to (partitions x shards) tiny files PER APPEND, a
@@ -755,7 +986,10 @@ object Dedup {
       rows.withColumn("shard", shardCol(keyCols.map(col), shards))
         .repartition(col("shard"))
         .write.partitionBy("shard").mode("append").parquet(s"$path/$sub")
-    else
+      // register any newly-occupied shard dirs AFTER the data landed
+      // (union — see the membership-registry contract above)
+      syncMemberDirs(rows.sparkSession, path, sub, replace = false)
+    } else
       rows.write.mode("append").parquet(s"$path/$sub")
   }
 
@@ -863,6 +1097,7 @@ object Dedup {
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(wm))
       .write.partitionBy("shard").mode("append").parquet(s"$path/occupancy")
+    syncMemberDirs(spark, path, "occupancy", replace = false)
   }
 
   // ---- tombstones: deletion / retraction for persisted indexes ----
@@ -1139,6 +1374,7 @@ object Dedup {
         neg.withColumn("wm", lit(stamp))
           .write.partitionBy("shard").mode("append")
           .parquet(s"$path/occupancy")
+        syncMemberDirs(spark, path, "occupancy", replace = false)
       }
       graft.plans.Checkpoints.free(neg)
     }
@@ -1428,6 +1664,7 @@ object Dedup {
       // shards), which a warehouse-scale build raises via the shards dial
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/bands")
+    syncMemberDirs(spark, path, "bands", replace = true)
     // Base occupancy from the WRITTEN bands (one narrow scan at build
     // time, never again): one delta row per bucket, stamped with the
     // corpus max id — every committed watermark is >= it, so governed
@@ -1441,6 +1678,7 @@ object Dedup {
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(baseWm))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
+    syncMemberDirs(spark, path, "occupancy", replace = true)
     writeIndexParams(spark, path, p, shards)
     writeEpoch0(spark, path)
   }
@@ -1957,7 +2195,20 @@ object Dedup {
           // legitimately delete. Any crash inside this window leaves a
           // marker pair recoverCompactionLeftovers restores losslessly.
           val old = new org.apache.hadoop.fs.Path(s"$path/$OldCopyPrefix$sub")
+          // membership registry across the swap: a partition dir the
+          // rewrite dropped (all rows purged) unregisters BEFORE the
+          // swap (crash in between leaves an unregistered dir of
+          // tombstoned rows — invisible either way); the post-swap
+          // replace-sync then records the new generation (and heals any
+          // registration a crashed predecessor missed)
+          if (partitionCols.nonEmpty) {
+            val newDirs = partitionDirNames(fs, path, s"$CompactingPrefix$sub")
+            deregisterMemberDirs(spark, path, sub,
+              partitionDirNames(fs, path, sub) -- newDirs)
+          }
           renameSwap(fs, dir, tmp, old, "compact")
+          if (partitionCols.nonEmpty)
+            syncMemberDirs(spark, path, sub, replace = true)
           (files.length, listParquetFilesRec(fs, dir).length)
         }
       sub -> stats
@@ -2503,6 +2754,7 @@ object Dedup {
       .withColumn("shard", shardCol(Seq(col("tbl"), col("bkt")), shards))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/buckets")
+    syncMemberDirs(spark, path, "buckets", replace = true)
     // Base occupancy from the WRITTEN buckets (see writeSignatureIndex —
     // one narrow scan at build time, maintained by deltas ever after).
     val buckets = readIndexTable(spark, s"$path/buckets")
@@ -2514,6 +2766,7 @@ object Dedup {
       .agg(count(lit(1)).as("occ"))
       .withColumn("wm", lit(baseWm))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/occupancy")
+    syncMemberDirs(spark, path, "occupancy", replace = true)
     import spark.implicits._
     Seq((tables, planes, dim, maxBucket, shards, IndexFormatVersion))
       .toDF("tables", "planes", "dim", "max_bucket", "shards",
@@ -4354,6 +4607,7 @@ object Dedup {
       .withColumn("shard", shardCol(Seq(col("dig")), shards))
       .repartition(col("shard"))
       .write.partitionBy("shard").mode("overwrite").parquet(s"$path/digests")
+    syncMemberDirs(spark, path, "digests", replace = true)
     import spark.implicits._
     Seq((shards, IndexFormatVersion)).toDF("shards", "format_version")
       .coalesce(1)

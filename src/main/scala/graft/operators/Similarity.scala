@@ -363,12 +363,26 @@ object Similarity {
     * same centroids (spec-proven). `maxCell` caps the neighbor side
     * exactly like the live path.
     */
+  /** The full cells table under the registry read contract (explicit
+    * registered dirs — see [[writeIvfLayout]]'s registry note);
+    * listing-discovery fallback for pre-registry layouts. */
+  private def readCellsTable(spark: org.apache.spark.sql.SparkSession,
+                             path: String): DataFrame =
+    Dedup.readMemberDirs(
+        new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration),
+        path, "cells").filter(_.nonEmpty) match {
+      case Some(dirs) => Dedup.readRegisteredDirs(spark, s"$path/cells",
+        dirs.toSeq.sorted, None)
+      case None => spark.read.parquet(s"$path/cells")
+    }
+
   def knnGraphIndexed(spark: org.apache.spark.sql.SparkSession,
                       path: String, k: Int, nprobe: Int = 2,
                       maxCell: Int = 10000): DataFrame = {
     GraftFunctions.register(spark)
     val p = readIvfLayoutParams(spark, path)
-    val rows0 = spark.read.parquet(s"$path/cells")
+    val rows0 = readCellsTable(spark, path)
     val rows = Dedup.readTombstones(spark, path).fold(rows0) { t =>
       rows0.join(broadcast(t.select(col("id").as("__tomb_id"))),
         col(p.idCol).try_cast("long") === col("__tomb_id"), "left_anti")
@@ -548,6 +562,12 @@ object Similarity {
     coded
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/cells")
+    // membership registry: probes read the REGISTERED cell dirs by
+    // explicit path (no readdir of cells/), so a cell dir a racing
+    // readdir would miss — or one mid-compaction-swap, genuinely absent
+    // for an instant — throws retryable instead of silently narrowing
+    // the served candidate set (see Dedup's registry contract)
+    Dedup.syncMemberDirs(corpus.sparkSession, path, "cells", replace = true)
     import spark.implicits._
     Seq((idCol, vecCol, centroids.map(_.toSeq),
         pqCodebooks.map(_.toSeq), pqM, pqK, Dedup.IndexFormatVersion))
@@ -685,7 +705,33 @@ object Similarity {
     // to serve — this read fails schema inference on the bare cells/
     // root (rebuild or append before serving; compaction itself
     // tolerates the state)
-    val cb0 = spark.read.parquet(s"$path/cells").filter(cellFilter)
+    //
+    // Registry-bearing layout (every current build): read the probed ∩
+    // registered cell dirs by EXPLICIT path — the cells/ root is never
+    // readdir'd, so a probed dir that a racing readdir would silently
+    // miss, or one genuinely absent for an instant inside
+    // compactIvfLayout's rename swap, throws retryable (healed by
+    // withServedProbe / the serving stream's per-batch retry) instead
+    // of returning a silently-short candidate set. Pre-registry layouts
+    // keep the listing-discovery read.
+    val cellsPath = s"$path/cells"
+    val registry = Dedup.readMemberDirs(
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration),
+      path, "cells")
+    val cb0 = registry match {
+      case Some(dirs) =>
+        val want = probed.iterator.map(c => s"cell=$c").toSet
+          .intersect(dirs).toSeq.sorted
+        if (want.isEmpty)
+          // no registered cell matches the probe: empty candidate set
+          // (the root read only carries the schema; result is empty
+          // whatever the listing returns)
+          spark.read.parquet(cellsPath).filter(lit(false))
+        else Dedup.readRegisteredDirs(spark, cellsPath, want, None)
+          .filter(cellFilter)
+      case None => spark.read.parquet(cellsPath).filter(cellFilter)
+    }
     // pending takedowns are invisible to the probe IMMEDIATELY (the
     // broadcast anti-join below; partition pruning is unaffected — the
     // cell filter sits under it); their bytes are reclaimed by the next
@@ -812,6 +858,9 @@ object Similarity {
     // as the index band appends
     coded.repartition(col("cell"))
       .write.mode("append").partitionBy("cell").parquet(root.toString)
+    // register newly-occupied cell dirs AFTER the data landed (union;
+    // fence-held, so the listing is quiescent — see Dedup's registry)
+    Dedup.syncMemberDirs(spark, path, "cells", replace = false)
   }
 
   /** Delete (take down) ids from a persisted IVF layout — the takedown /
@@ -946,12 +995,16 @@ object Similarity {
       val tmp = new org.apache.hadoop.fs.Path(tmpRoot, dirName)
       val old = new org.apache.hadoop.fs.Path(root,
         Dedup.ScrubOldPrefix + dirName)
-      if (!fs.exists(tmp))
+      if (!fs.exists(tmp)) {
         // every row of the cell was taken down: no directory at all
-        // beats an empty one (partition discovery skips it entirely)
+        // beats an empty one (partition discovery skips it entirely).
+        // Unregister BEFORE the drop — the registry must never name a
+        // permanently-absent dir (a crash in between leaves an
+        // unregistered dir of all-tombstoned rows: invisible either way)
+        Dedup.deregisterMemberDirs(spark, path, "cells", Set(dirName))
         require(fs.delete(dir, true),
           s"compactIvfLayout: could not drop fully-purged $dir")
-      else {
+      } else {
         require(fs.rename(dir, old),
           s"compactIvfLayout: could not move aside $dir -> $old")
         require(fs.rename(tmp, dir),
@@ -961,6 +1014,9 @@ object Similarity {
       }
     }
     fs.delete(tmpRoot, true)
+    // post-swap replace-sync under the held fence: records the new
+    // generation and heals any registration a crashed mutator missed
+    Dedup.syncMemberDirs(spark, path, "cells", replace = true)
   }
 
   /** Symmetric per-vector int8 quantization of a float-vector column:

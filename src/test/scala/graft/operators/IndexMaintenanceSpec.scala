@@ -400,6 +400,11 @@ class IndexMaintenanceSpec extends SparkSpec {
       require(fs.delete(path(s"$ixL/params"), true))
       pr.coalesce(1).write.parquet(s"$ixL/params")
       require(fs.delete(path(s"$ixL/occupancy"), true))
+      // a pre-registry index has no membership registry at all — the
+      // build above wrote one (r19), so drop it with the rest of the
+      // modern layout (leaving it would mis-model the legacy contract:
+      // a registry naming shard dirs the flat rewrite removed)
+      require(fs.delete(path(s"$ixL/${Dedup.MembersSub}"), true))
       graft.plans.Checkpoints.free(flatBands)
       graft.plans.Checkpoints.free(pr)
       assert(Dedup.readSignatureIndex(spark, ixL).shards == 0,
