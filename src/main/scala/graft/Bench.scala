@@ -312,7 +312,9 @@ object Bench {
       else {
         val commonRatio = common.map(_._1).sum / common.map(_._2).sum
         val ratios = common.map(c => c._1 / c._2).sorted
-        val median = ratios(ratios.size / 2)
+        val median =
+          if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+          else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
         val cpuR = priorCalib.get("post_cpu").filter(_ > 0)
           .map(postCpu / _)
         val ioR =

@@ -127,7 +127,14 @@ object SparkEntry {
       // (check-then-delete is the race; rename-then-inspect is not).
       if (fs.exists(cache) && !fs.exists(done)) {
         val aside = new Path(s"$cache.aside-$uuid")
-        if (fs.rename(cache, aside)) {
+        // re-check the marker IMMEDIATELY before the rename: a publisher
+        // completing between the outer check and here would have its
+        // just-published COMPLETE cache yanked aside mid-copy for any
+        // concurrent reader (restored below, but the reader's
+        // FileUtil.copy would see a missing source in the window). The
+        // window can't be closed from this side — the copy path's
+        // missing-source retry (below) covers the residue.
+        if (!fs.exists(done) && fs.rename(cache, aside)) {
           if (fs.exists(new Path(aside, "_BUILD_COMPLETE"))) {
             // raced a publisher and moved a COMPLETE cache aside:
             // restore it (or drop the duplicate if a third builder
@@ -141,7 +148,21 @@ object SparkEntry {
       // INTO it (returning true), silently nesting a duplicate
       // deployment every later run would re-copy. Rename failure (or an
       // occupied slot) means a winner exists — use theirs.
-      val published = !fs.exists(cache) && fs.rename(tmpBuild, cache)
+      var published = !fs.exists(cache) && fs.rename(tmpBuild, cache)
+      if (published) {
+        // TOCTOU guard: a publisher landing between the exists check and
+        // the rename makes LocalFileSystem's rename fall back to
+        // FileUtil.copy INTO the existing cache (returning true),
+        // nesting a .build-* duplicate under the winner's cache. The
+        // signature is unambiguous — a clean rename leaves no child
+        // named after tmpBuild — so detect, drop the nested copy, and
+        // serve the winner's cache like any other lost race.
+        val nested = new Path(cache, tmpBuild.getName)
+        if (fs.exists(nested)) {
+          fs.delete(nested, true)
+          published = false
+        }
+      }
       if (published) require(fs.exists(done),
         s"deployment cache publish at $cache left no complete marker")
       if (fs.exists(done)) { if (!published) fs.delete(tmpBuild, true) }
@@ -153,8 +174,22 @@ object SparkEntry {
     // copy. The returned frames read it lazily, so it outlives this
     // call; the age sweep above reclaims it.
     val work = new Path(s"$tmp/graft_work_${key}_${java.util.UUID.randomUUID}")
-    require(org.apache.hadoop.fs.FileUtil.copy(fs, source, fs, work,
-      false, conf), s"deployment cache copy $source -> $work failed")
+    // one retry on missing-source: a concurrent builder's aside-move can
+    // displace a COMPLETE cache for an instant (restored immediately —
+    // see the aside-inspect above); a copy caught inside that window
+    // fails with FileNotFoundException on a path that is back by the
+    // time we retry. Same discipline as the layout reads' retry
+    // contract: heal the thrown transient, never a silent one.
+    def copyToWork(): Unit =
+      require(org.apache.hadoop.fs.FileUtil.copy(fs, source, fs, work,
+        false, conf), s"deployment cache copy $source -> $work failed")
+    try copyToWork()
+    catch {
+      case _: java.io.FileNotFoundException if source == cache =>
+        fs.delete(work, true)
+        Thread.sleep(50)
+        copyToWork()
+    }
     if (source != cache) fs.delete(source, true)
     work.toString
   }
@@ -1121,21 +1156,44 @@ object SparkEntry {
         .orderBy(col("event_type"))
     }),
 
-    // approximate frequent items (approx_top_k sketch). PRECONDITION for
-    // the oracle row: maxItemsTracked must exceed the distinct-item count
-    // at the checked SF (31 terms here), making the sketch exact; and k
-    // must cut at a UNIQUE count (k = 8 does on this fixture — k = 10
-    // would tie at the boundary and the sketch's pick is arbitrary). The
-    // result re-sorts (cnt DESC, term ASC) so within-result ties are
-    // deterministic. At 100 TB the same query with item-bounded memory is
-    // the genuinely-approximate heavy-hitters path.
-    "a4_approx_topk" -> ((s, dir) =>
-      T(s, dir, "documents")
-        .select(explode(TextFunctions.tokens(col("text"))).as("term"))
-        .agg(expr("approx_top_k(term, 8, 10000)").as("tk"))
-        .select(explode(col("tk")).as("e"))
-        .select(col("e.item").as("term"), col("e.count").as("cnt"))
-        .orderBy(col("cnt").desc, col("term"))),
+    // approximate frequent items (approx_top_k / DataSketches
+    // frequent-items), SELF-VERIFYING bound row — r19 finishes the
+    // a1/a3 pattern here: the fixture columns are all near-uniform (no
+    // natural heavy hitter), so the query PLANTS two SF-independent
+    // heavy keys by bucketing user_id (hot_a ~30%, hot_b ~20% of
+    // events; the ~90–900 residual per-user keys each < 1%). With
+    // maxItemsTracked = 64 << distinct keys the sketch genuinely
+    // purges at every driver SF, and the frequent-items DETERMINISTIC
+    // worst-case contract (|est − exact| ≤ 3.5·n/64 ≈ 0.055·n, no
+    // false negative above it) guarantees: both hot keys are present,
+    // inside any top-k ≥ 3 (hot_b's floor 0.145·n clears every cold
+    // key's 0.062·n ceiling), and within the 0.06·n error band — so
+    // within_bound := present ∧ |est − exact| ≤ 0.06·n is TRUE by
+    // contract, not by luck, robust to nondeterministic merge orders.
+    // The oracle reproduces the exact hot-key counts and asserts the
+    // verdict; sketch drift hash-FAILS with no estimate bytes hashed.
+    // At 100 TB the exact side drops and the O(64)-state sketch
+    // answers heavy-hitters alone.
+    "a4_approx_topk" -> ((s, dir) => {
+      val keyed = T(s, dir, "events").select(
+        when(col("user_id") % 10 < 3, lit("hot_a"))
+          .when(col("user_id") % 10 < 5, lit("hot_b"))
+          .otherwise(concat(lit("u"), col("user_id"))).as("key"))
+      val sk = keyed
+        .agg(expr("approx_top_k(key, 8, 64)").as("tk"),
+          count(lit(1)).as("n"))
+        .select(explode(col("tk")).as("e"), col("n"))
+        .select(col("e.item").as("key"), col("e.count").as("est"),
+          col("n"))
+      val exact = keyed.filter(col("key").isin("hot_a", "hot_b"))
+        .groupBy(col("key")).agg(count(lit(1)).as("exact_cnt"))
+      exact.join(sk, Seq("key"), "left")
+        .select(col("key"), col("exact_cnt"),
+          (col("est").isNotNull &&
+            abs(col("est") - col("exact_cnt")) <= col("n") * lit(0.06))
+            .as("within_bound"))
+        .orderBy(col("key"))
+    }),
 
     // count-min sketch per-user event counts: the portable-hash sketch is
     // reproduced cell-for-cell by the oracle, so estimates AND overcounts
@@ -1291,24 +1349,52 @@ object SparkEntry {
         .orderBy(col("l_returnflag"))
     }),
 
-    // approximate percentile sketch. PRECONDITION for the oracle row:
-    // accuracy must exceed the rows per group at the checked SF — then the
-    // GK summary degenerates to the exact discrete percentile, which
-    // DuckDB's quantile_disc reproduces. 1e6 covers every driver SF
-    // (sf0.1 has ~200k rows/group; the gate runs at sf0.01 with ~20k).
-    // The query text still exercises the sketch path a 100 TB run would
-    // rely on, where accuracy << n bounds memory and the answer becomes
-    // genuinely approximate. The sketch array is projected into scalar
-    // columns so the harness (pandas sort) never sees an array column.
-    "a2_approx_quantile" -> ((s, dir) =>
-      T(s, dir, "lineitem")
+    // approximate percentile sketch (GK summary), SELF-VERIFYING rank
+    // verdict — r19 finishes the a1/a3 pattern here: accuracy = 100 is
+    // far BELOW the rows per group at every driver SF (sf0.01 has ~15k
+    // rows/group), so the oracle row exercises the genuinely
+    // approximate sketch path a 100 TB run relies on, not an
+    // exact-mode degenerate. The GK contract is a HARD rank bound
+    // (rank error ≤ 1/accuracy = 1%, deterministic — not
+    // probabilistic), so the verification pass computes the TRUE rank
+    // of each estimate within its group; within_bound := rank ∈
+    // [p − ε, p + ε + j] with ε = 0.02 (2× the hard guarantee) and
+    // j = 0.025 absorbing the discrete CDF jump of the 1..50 quantity
+    // domain (a8's band). Exact p50/p90 ride along for the hash
+    // (percentile() ≡ DuckDB quantile_cont, the q15-proven parity); a
+    // drifting sketch hash-FAILS the round while no estimate bytes are
+    // hashed. At 100 TB the exact column drops and the O(accuracy)
+    // summary answers alone.
+    "a2_approx_quantile" -> ((s, dir) => {
+      val epsLo = 0.02
+      val epsHi = 0.02 + 0.025
+      val li = T(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity"))
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 100)")
+          .as("qa"), count(lit(1)).as("cnt"))
+        .select(col("l_returnflag"), col("cnt"),
+          element_at(col("qa"), 1).as("est_p50"),
+          element_at(col("qa"), 2).as("est_p90"))
+      def inBand(rank: Column, p: Double): Column =
+        rank >= lit(p - epsLo) && rank <= lit(p + epsHi)
+      li.join(broadcast(est), Seq("l_returnflag"))
         .groupBy(col("l_returnflag"))
-        .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9), 1000000)")
-          .as("qty_approx"))
-        .select(col("l_returnflag"),
-          element_at(col("qty_approx"), 1).as("qty_p50_approx"),
-          element_at(col("qty_approx"), 2).as("qty_p90_approx"))
-        .orderBy(col("l_returnflag"))),
+        .agg(first(col("cnt")).as("cnt"),
+          avg((col("l_quantity") <= col("est_p50")).cast("double"))
+            .as("rank50"),
+          avg((col("l_quantity") <= col("est_p90")).cast("double"))
+            .as("rank90"),
+          TextFunctions.roundHalfUp(
+            expr("percentile(l_quantity, 0.5)"), 4).as("exact_p50"),
+          TextFunctions.roundHalfUp(
+            expr("percentile(l_quantity, 0.9)"), 4).as("exact_p90"))
+        .select(col("l_returnflag"), col("cnt"), col("exact_p50"),
+          col("exact_p90"),
+          (inBand(col("rank50"), 0.5) && inBand(col("rank90"), 0.9))
+            .as("within_bound"))
+        .orderBy(col("l_returnflag"))
+    }),
 
     // ---- text analysis tier ----
 
@@ -3184,14 +3270,16 @@ object SparkEntry {
         |  FROM lineitem)
         |ORDER BY l_returnflag""".stripMargin,
 
-    // Exact at the verify SF: sketch accuracy >> rows per group, so the GK
-    // summary returns the exact discrete percentile = DuckDB quantile_disc
-    // (see the query's comment).
+    // Self-verifying rank-bound row (r19): the oracle reproduces the
+    // exact percentiles and asserts the GK hard rank bound held — a
+    // drifting sketch hash-fails (see the query's comment).
     "a2_approx_quantile" ->
-      """SELECT l_returnflag,
-        |  quantile_disc(l_quantity, 0.5) AS qty_p50_approx,
-        |  quantile_disc(l_quantity, 0.9) AS qty_p90_approx
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+      """SELECT l_returnflag, count(*) AS cnt,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS exact_p50,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS exact_p90,
+        |  TRUE AS within_bound
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
 
     "q16_props_extract" ->
       """SELECT event_type,
@@ -3454,14 +3542,17 @@ object SparkEntry {
         |GROUP BY l.l_returnflag
         |ORDER BY l.l_returnflag""".stripMargin,
 
-    // Exact twin of the (exact-at-this-SF) approx_top_k sketch — see the
-    // query comment for the k/maxItemsTracked preconditions.
+    // Self-verifying bound row (r19): exact planted-heavy-key counts +
+    // the frequent-items worst-case contract asserted TRUE — sketch
+    // drift hash-fails (see the query's comment).
     "a4_approx_topk" ->
-      """SELECT term, CAST(cnt AS BIGINT) AS cnt FROM (
-        |  SELECT term, count(*) AS cnt
-        |  FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        |  GROUP BY term ORDER BY cnt DESC, term LIMIT 8)
-        |ORDER BY cnt DESC, term""".stripMargin,
+      """SELECT key, count(*) AS exact_cnt, TRUE AS within_bound
+        |FROM (SELECT CASE WHEN user_id % 10 < 3 THEN 'hot_a'
+        |                  WHEN user_id % 10 < 5 THEN 'hot_b'
+        |                  ELSE 'u' || user_id END AS key
+        |      FROM events)
+        |WHERE key IN ('hot_a', 'hot_b')
+        |GROUP BY key ORDER BY key""".stripMargin,
 
     // centroids: parallel unnest zips value with 0-based dim; DOUBLE[]
     // cast for bit-parity with the float->double accumulation

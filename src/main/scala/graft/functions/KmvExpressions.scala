@@ -52,10 +52,22 @@ object KmvOps {
   @inline private def unit(h: Long): Double =
     ((h >>> 11) + 1).toDouble / (1L << 53).toDouble
 
+  /** A sketch is a bare array<long> that does not carry its k; one
+    * holding MORE than k minima was necessarily built with a larger k,
+    * and trusting the caller's k would silently bias the estimate (the
+    * K-th minimum of a larger-k sketch sits lower than the true K-th
+    * minimum of the data). Cheap partial guard — equal-k mixes where
+    * both sides saturate identically are indistinguishable by size. */
+  @inline private def checkK(m: Int, k: Int, fn: String): Unit =
+    require(m <= k,
+      s"$fn: sketch holds $m minima > k=$k — built with a larger k; " +
+        "mixing sketch ks silently biases the estimate")
+
   /** Distinct-count estimate from a sketch (ascending-unsigned minima
     * array, as produced by the aggregates). Exact below k. */
   def estimate(sketch: ArrayData, k: Int): Double = {
     val m = sketch.numElements()
+    checkK(m, k, "graft_kmv_estimate")
     if (m < k) m.toDouble
     else (k - 1).toDouble / unit(sketch.getLong(k - 1))
   }
@@ -65,6 +77,8 @@ object KmvOps {
     * sketch is then its side's full distinct-hash set). */
   def intersectEstimate(a: ArrayData, b: ArrayData, k: Int): Double = {
     val na = a.numElements(); val nb = b.numElements()
+    checkK(na, k, "graft_kmv_intersect")
+    checkK(nb, k, "graft_kmv_intersect")
     var ia = 0; var ib = 0
     var kept = 0 // |L| built so far (merged ascending-unsigned minima)
     var common = 0 // |L ∩ A ∩ B|
@@ -211,6 +225,11 @@ case class KmvUnionAgg(
       val arr = v.asInstanceOf[ArrayData]
       var i = 0
       val n = arr.numElements()
+      // input sketches built with a larger k than this rollup's would
+      // silently bias the union estimate — same guard as the estimators
+      require(n <= k,
+        s"graft_kmv_union_agg: input sketch holds $n minima > k=$k — " +
+          "built with a larger k; mixing sketch ks biases the estimate")
       while (i < n) { buf.add(arr.getLong(i)); i += 1 }
     }
     buf

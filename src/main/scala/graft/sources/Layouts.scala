@@ -1274,17 +1274,29 @@ object Layouts {
     // prefix-visible by contract, so a shorter tail is a legal
     // snapshot. Cost: two O(files)-row metadata reads per snapshot.
     val metaDir = new org.apache.hadoop.fs.Path(zmetaDir(path))
-    if (manExists || fs.exists(metaDir)) {
+    val metaDirExisted = fs.exists(metaDir)
+    if (manExists || metaDirExisted) {
       def recNames(t: String): Set[String] =
         try spark.read.parquet(s"${zmetaDir(path)}/$t")
           .collect().map(_.getString(0)).toSet
         catch {
           // the restamp swap (delete + rename) makes the record
           // momentarily absent — transient; present-but-corrupt is
-          // permanent, same discipline as the manifest read above
+          // permanent, same discipline as the manifest read above.
+          // Transient requires metaDir to have EXISTED at the top of
+          // this snapshot: a manifest with no record dir at all is a
+          // record that was never written (or externally removed) — a
+          // PERMANENT state a retry loop would mislabel forever
           case e: Exception =>
-            if (!fs.exists(new org.apache.hadoop.fs.Path(
-                s"${zmetaDir(path)}/$t")) || isMissingFileError(e))
+            val absentNow = !fs.exists(new org.apache.hadoop.fs.Path(
+              s"${zmetaDir(path)}/$t"))
+            if (absentNow && !metaDirExisted && !fs.exists(metaDir))
+              throw new IllegalStateException(
+                s"$path: recluster manifest present but generation " +
+                  s"record dir ${zmetaDir(path)} absent — the record " +
+                  "was never written or was externally removed; " +
+                  "PERMANENT, needs triage (not a retryable race)", e)
+            else if (absentNow || isMissingFileError(e))
               throw new java.io.FileNotFoundException(
                 s"$path: generation record unreadable mid-snapshot " +
                   "(restamp in flight) — transient, retry re-lists")
