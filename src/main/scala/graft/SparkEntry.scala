@@ -1497,6 +1497,66 @@ object SparkEntry {
         "source")
     }),
 
+    // q56's LIVE streaming twin (StreamOps.driftMonitorStream): the
+    // frozen reference is the even-doc half's source counts, the odd
+    // half arrives as two micro-batches, and each batch's exactly-once
+    // outputs (per-key smoothed KL/TV terms + the one-row batch
+    // summary) are read back joined — one row per (batch, source)
+    // carrying its term columns and the batch-level kl/tv/alert. The
+    // oracle recomputes both batches' terms and summaries from the
+    // same doc_id split (the p5/p8 replay pattern), so drift math,
+    // batch framing, and the no-ledger idempotence layout are all
+    // hash-checked. Two sequential AvailableNow runs on one checkpoint
+    // pin the batch boundary deterministically (run 2 resumes at
+    // batch 1); per batch the work is one O(batch) count aggregate
+    // merged against O(categories) reference rows — nothing rescans
+    // the corpus behind the reference at any scale.
+    "q56b_drift_monitor_stream" -> ((s, dir) => {
+      val work = cachedBuild(s, "driftmon", dir) { cache =>
+        val docs = T(s, dir, "documents")
+        docs.filter(pmod(col("doc_id"), lit(2)) === 0)
+          .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+          .coalesce(1).write.parquet(s"$cache/ref")
+        val odd = docs.filter(pmod(col("doc_id"), lit(2)) === 1)
+          .select(col("doc_id"), col("source"))
+        val mid = docs.agg(max(col("doc_id"))).head().getLong(0) / 2
+        odd.filter(col("doc_id") <= mid).coalesce(1)
+          .write.parquet(s"$cache/b0")
+        odd.filter(col("doc_id") > mid).coalesce(1)
+          .write.parquet(s"$cache/b1")
+      }
+      val in = s"$work/in"; val out = s"$work/out"; val cp = s"$work/cp"
+      val fs = new org.apache.hadoop.fs.Path(work)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      val schema = s.read.parquet(s"$work/b0").schema
+      val ref = s.read.parquet(s"$work/ref")
+      def feed(stage: String): Unit = {
+        fs.mkdirs(new org.apache.hadoop.fs.Path(in))
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$work/$stage"))
+          .filter(_.getPath.getName.endsWith(".parquet"))
+          .foreach { st =>
+            require(fs.rename(st.getPath, new org.apache.hadoop.fs.Path(
+              in, s"$stage-${st.getPath.getName}")))
+          }
+        val q = graft.streaming.StreamOps.driftMonitorStream(s, in,
+          schema, "source", ref, out, cp, tvAlert = 0.05)
+        q.processAllAvailable(); q.awaitTermination(120000)
+      }
+      feed("b0"); feed("b1")
+      val terms = (0 to 1).map(b => s.read.parquet(s"$out/terms/batch=$b"))
+        .reduce(_.unionByName(_))
+      val summaries = (0 to 1)
+        .map(b => s.read.parquet(s"$out/summary/batch=$b"))
+        .reduce(_.unionByName(_))
+      terms.join(
+          summaries.select(col("batch_id"), col("kl"), col("tv"),
+            col("alert")), Seq("batch_id"))
+        .select(col("batch_id"), col("source"), col("cnt_a"),
+          col("cnt_b"), col("p_a"), col("p_b"), col("kl_term"),
+          col("tv_term"), col("kl"), col("tv"), col("alert"))
+        .orderBy(col("batch_id"), col("source"))
+    }),
+
     // quality-decile mixing: ntile bins over the engine-exact quality
     // score, per-bin hash-stable keep rates (top decile kept, tail
     // thinned) — the curation twin of the domain-temperature mix
@@ -4133,6 +4193,56 @@ object SparkEntry {
         |  floor(p_a * ln(p_a / p_b) * 1000000.0 + 0.5) / 1000000.0 AS kl_term,
         |  floor(abs(p_a - p_b) / 2.0 * 1000000.0 + 0.5) / 1000000.0 AS tv_term
         |FROM p ORDER BY source""".stripMargin,
+
+    // Replays both micro-batches of the drift-monitor stream from the
+    // same doc_id framing (reference = even half; batch 0/1 = odd half
+    // below/above mid), mirroring q56's smoothed-term math per batch
+    // plus the batch-level summary join.
+    "q56b_drift_monitor_stream" ->
+      """WITH mx AS (SELECT CAST(max(doc_id) / 2 AS BIGINT) AS mid
+        |            FROM documents),
+        |ref AS (SELECT source, count(*) AS cnt_a FROM documents
+        |        WHERE doc_id % 2 = 0 GROUP BY 1),
+        |b AS (SELECT CASE WHEN doc_id <= mid THEN 0 ELSE 1 END
+        |        AS batch_id, source, count(*) AS cnt_b
+        |      FROM documents, mx WHERE doc_id % 2 = 1 GROUP BY 1, 2),
+        |keys AS (SELECT DISTINCT batch_id, source FROM (
+        |  SELECT bt.batch_id, r.source
+        |  FROM (SELECT 0 AS batch_id UNION ALL SELECT 1) bt, ref r
+        |  UNION SELECT batch_id, source FROM b)),
+        |m AS (SELECT k.batch_id, k.source,
+        |        CAST(coalesce(r.cnt_a, 0) AS BIGINT) AS cnt_a,
+        |        CAST(coalesce(b.cnt_b, 0) AS BIGINT) AS cnt_b
+        |      FROM keys k LEFT JOIN ref r ON r.source = k.source
+        |      LEFT JOIN b ON b.batch_id = k.batch_id
+        |        AND b.source = k.source),
+        |t AS (SELECT batch_id, CAST(sum(cnt_a) AS BIGINT) AS tot_a,
+        |        CAST(sum(cnt_b) AS BIGINT) AS tot_b,
+        |        CAST(count(*) AS BIGINT) AS k
+        |      FROM m GROUP BY 1),
+        |p AS (SELECT m.batch_id, source, cnt_a, cnt_b,
+        |        CAST(cnt_a + 1 AS DOUBLE) / CAST(tot_a + k AS DOUBLE)
+        |          AS p_a,
+        |        CAST(cnt_b + 1 AS DOUBLE) / CAST(tot_b + k AS DOUBLE)
+        |          AS p_b
+        |      FROM m JOIN t ON m.batch_id = t.batch_id),
+        |terms AS (SELECT batch_id, source, cnt_a, cnt_b,
+        |    floor(p_a * 1000000.0 + 0.5) / 1000000.0 AS p_a,
+        |    floor(p_b * 1000000.0 + 0.5) / 1000000.0 AS p_b,
+        |    floor(p_a * ln(p_a / p_b) * 1000000.0 + 0.5) / 1000000.0
+        |      AS kl_term,
+        |    floor(abs(p_a - p_b) / 2.0 * 1000000.0 + 0.5) / 1000000.0
+        |      AS tv_term
+        |  FROM p),
+        |sums AS (SELECT batch_id,
+        |    floor(sum(kl_term) * 1000000.0 + 0.5) / 1000000.0 AS kl,
+        |    floor(sum(tv_term) * 1000000.0 + 0.5) / 1000000.0 AS tv
+        |  FROM terms GROUP BY 1)
+        |SELECT CAST(tm.batch_id AS BIGINT) AS batch_id, tm.source,
+        |  tm.cnt_a, tm.cnt_b, tm.p_a, tm.p_b, tm.kl_term, tm.tv_term,
+        |  s.kl, s.tv, s.tv >= 0.05 AS alert
+        |FROM terms tm JOIN sums s ON tm.batch_id = s.batch_id
+        |ORDER BY tm.batch_id, tm.source""".stripMargin,
 
     // Scores are rounded half-up at 6 dp BEFORE ranking in both engines,
     // so libm-vs-Java ln() ULP differences cannot flip a rank.

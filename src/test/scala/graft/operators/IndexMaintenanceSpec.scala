@@ -428,4 +428,56 @@ class IndexMaintenanceSpec extends SparkSpec {
       assert(novel(outL).nonEmpty, "test setup: some docs must survive")
     } finally rmrf(base)
   }
+
+  test("membership registry: a registered bands shard invisible to the " +
+      "read throws retryable instead of silently narrowing the index " +
+      "view; a registry-less index serves the short view this closes") {
+    val base = Files.createTempDirectory("graft-members-miss").toString
+    val ix = s"$base/ix"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def path(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      Dedup.writeSignatureIndex(docs(0L to 19L: _*), "doc_id", "text",
+        ix, p)
+      def bandRows(): Long = Dedup.readSignatureIndex(spark, ix)
+        .bands.count()
+      val full = bandRows()
+      assert(full > 0)
+      // hide a registered, OCCUPIED shard dir — exactly the entry a
+      // racing readdir would drop, or the instant inside a compaction's
+      // per-shard rename swap. Registry contract: the read must THROW
+      // retryable, never return the narrowed view.
+      val registered = Dedup.readMemberDirs(fs, ix, "bands")
+        .getOrElse(fail("a fresh index must carry a members registry"))
+      val victim = spark.read.parquet(s"$ix/bands")
+        .groupBy(col("shard")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc).head.getInt(0)
+      val vName = s"shard=$victim"
+      assert(registered.contains(vName),
+        s"occupied shard $vName missing from the registry $registered")
+      val vDir = path(s"$ix/bands/$vName")
+      val hidden = path(s"$ix/bands/.hide-$vName")
+      assert(fs.rename(vDir, hidden))
+      val raced = intercept[Throwable] { bandRows() }
+      assert(graft.sources.Layouts.isMissingFileError(raced),
+        s"registered-dir miss not classified retryable: $raced")
+      // restore: the same read serves the full view again
+      assert(fs.rename(hidden, vDir))
+      assert(bandRows() == full)
+      // CONTRAST (the hole this registry closes): strip the registry —
+      // a pre-r19 index — and hide the same dir; listing discovery
+      // accepts the short view with no error for any retry to heal
+      require(fs.delete(path(s"$ix/${Dedup.MembersSub}"), true))
+      assert(fs.rename(vDir, hidden))
+      val short = bandRows()
+      assert(short < full,
+        "test setup: the hidden shard must actually narrow the view")
+      assert(fs.rename(hidden, vDir))
+      // re-sync restores the registry; the read contract is back
+      Dedup.syncMemberDirs(spark, ix, "bands", replace = true)
+      assert(Dedup.readMemberDirs(fs, ix, "bands").contains(registered))
+      assert(bandRows() == full)
+    } finally rmrf(base)
+  }
 }

@@ -298,4 +298,67 @@ class IvfLayoutLifecycleSpec extends SparkSpec {
       assert(e.getMessage.contains("format_version"))
     } finally rmrf(base)
   }
+
+  test("membership registry: a registered cell dir invisible to the " +
+      "probe throws retryable instead of serving a silently-short " +
+      "candidate set; a registry-less layout serves the short view") {
+    val base = Files.createTempDirectory("graft-ivf-members").toString
+    val path = s"$base/ix"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+    try {
+      Similarity.writeIvfLayout(emb, path, "vec_id", "embedding",
+        AnnModels.ivfCentroids)
+      // probe EVERY cell so any hidden registered dir is in the
+      // probed ∩ registered set the explicit-path read opens
+      def probeAll() = Similarity.ivfTopKIndexed(spark, path,
+        queriesOf(emb), "qid", "qvec", k = 5,
+        nprobe = AnnModels.ivfCentroids.size)
+        .collect().map(_.toSeq).toSet
+      val expected = probeAll()
+      assert(expected.nonEmpty)
+      // the victim: the cell dir holding a SERVED neighbor, so hiding
+      // it provably changes the result (the silent-hole contrast below)
+      val servedId = expected.head(1).asInstanceOf[Long]
+      val victim = "cell=" + spark.read.parquet(s"$path/cells")
+        .filter(col("vec_id") === servedId).select(col("cell"))
+        .head.getInt(0)
+      val registered = Dedup.readMemberDirs(fs, path, "cells")
+        .getOrElse(fail("a fresh layout must carry a members registry"))
+      assert(registered.contains(victim))
+      val vDir = hp(s"$path/cells/$victim")
+      val hidden = hp(s"$path/cells/.hide-$victim")
+      // hide the registered dir — the entry a racing readdir would
+      // silently drop, or the instant inside compactIvfLayout's
+      // per-cell rename swap. The probe must THROW retryable.
+      assert(fs.rename(vDir, hidden))
+      val raced = intercept[Throwable] { probeAll() }
+      assert(graft.sources.Layouts.isMissingFileError(raced),
+        s"registered-cell miss not classified retryable: $raced")
+      // withServedProbe heals the transient form: first attempt races
+      // the hide, the restore lands before the retry
+      var attempts = 0
+      val healed = Similarity.withServedProbe(attempts = 3) {
+        attempts += 1
+        if (attempts == 1) probeAll()
+        else { assert(fs.rename(hidden, vDir) || fs.exists(vDir))
+          probeAll() }
+      }
+      assert(attempts == 2, s"expected exactly one retry, got $attempts")
+      assert(healed == expected)
+      // CONTRAST (the hole the registry closes): strip the registry —
+      // a pre-r19 layout — and hide the same dir; partition discovery
+      // accepts the narrowed listing and serves a WRONG top-k with no
+      // error for any retry contract to heal
+      require(fs.delete(hp(s"$path/${Dedup.MembersSub}"), true))
+      assert(fs.rename(vDir, hidden))
+      val short = probeAll()
+      assert(short != expected,
+        "test setup: hiding a served cell must change the result")
+      assert(fs.rename(hidden, vDir))
+      Dedup.syncMemberDirs(spark, path, "cells", replace = true)
+      assert(probeAll() == expected)
+    } finally rmrf(base)
+  }
 }
