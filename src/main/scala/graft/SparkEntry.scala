@@ -2233,6 +2233,27 @@ object SparkEntry {
         .orderBy(col("doc_id"))
     }),
 
+    // KMV-gated decontamination (Pipelines.gatedContamination): the a6
+    // overlap-sizing sketch wired into the scheduling decision it
+    // exists for — two O(k) vocabulary synopses decide whether the
+    // full contamination join is worth running before any corpus-scale
+    // join starts. This fixture shares vocabulary (t6's exact split),
+    // so the gate fires and the kept path is BIT-IDENTICAL to t6 (the
+    // oracle is t6's SQL + the asserted gate verdict); the skip path —
+    // a vocabulary-disjoint benchmark costing O(k) driver work and no
+    // join — is spec-gated both ways in PipelinesSpec. At 100 TB the
+    // corpus synopsis is built once beside the corpus and each new
+    // benchmark is sized without touching corpus bytes.
+    "p11_gated_decontaminate" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      val (fired, pairs) = Pipelines.gatedContamination(
+        docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+        "doc_id", "text", n = 3, minShared = 2, k = 256,
+        minOverlapEst = 50.0)
+      pairs.withColumn("gate_fired", lit(fired))
+        .orderBy(col("train_id"), col("bench_id"))
+    }),
+
     // ---- sampling / splitting tier ----
 
     // deterministic hash-bucket sampling (key-stable, RNG-free)
@@ -3843,6 +3864,19 @@ object SparkEntry {
       s"""WITH ${duckTokenHashes()},
          |${duckShingleSets()}
          |SELECT train_id, bench_id, shared_ngrams FROM (
+         |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+         |    CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS shared_ngrams
+         |  FROM s t JOIN s b ON t.doc_id >= 10 AND b.doc_id < 10)
+         |WHERE shared_ngrams >= 2 ORDER BY train_id, bench_id""".stripMargin,
+
+    // t6's SQL with the gate verdict asserted TRUE: the shared-vocab
+    // fixture must fire the KMV gate, and the kept path must be
+    // bit-identical to the ungated join.
+    "p11_gated_decontaminate" ->
+      s"""WITH ${duckTokenHashes()},
+         |${duckShingleSets()}
+         |SELECT train_id, bench_id, shared_ngrams,
+         |  TRUE AS gate_fired FROM (
          |  SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
          |    CAST(len(list_intersect(t.sh, b.sh)) AS BIGINT) AS shared_ngrams
          |  FROM s t JOIN s b ON t.doc_id >= 10 AND b.doc_id < 10)

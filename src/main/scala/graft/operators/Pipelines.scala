@@ -188,6 +188,51 @@ object Pipelines {
     * @return (doc_id, cluster, split) ordered by doc_id; `cluster` is the
     *         split key (component min id, or the doc's own id)
     */
+  /** KMV-gated decontamination — the a6 sizing sketch wired into the
+    * scheduling decision it exists for: estimate |train-vocabulary ∩
+    * benchmark-vocabulary| from two O(k)-long synopses (one scan per
+    * side, map-side partials carry ≤ k longs) and run the full
+    * contamination join ONLY when the estimated shared-shingle count
+    * clears `minOverlapEst`. At 100 TB the corpus synopsis is built
+    * once (or maintained beside the corpus) and every new benchmark
+    * costs O(k) driver work to size — the "is this decontamination
+    * pass worth scheduling" answer without touching corpus bytes.
+    *
+    * The gate is a SCHEDULING decision, not a correctness filter: the
+    * KMV estimate carries ~|A∪B|/(2√k) absolute error (see
+    * [[graft.functions.KmvOps]]), so callers set `minOverlapEst` well
+    * below the overlap that would make the join worthwhile (the
+    * default 0 runs the join whenever the synopses share ANY minima —
+    * vocabulary-disjoint benchmarks skip, anything plausibly
+    * overlapping runs). On the kept path the result is EXACTLY
+    * [[TextOps.contaminationPairs]] — bit-identical, oracle unchanged.
+    *
+    * @return (gateFired, pairs) — pairs is an empty frame with the
+    *         contract schema when the gate skips the join
+    */
+  def gatedContamination(train: DataFrame, bench: DataFrame,
+                         idCol: String, textCol: String,
+                         n: Int, minShared: Long,
+                         k: Int = 256, minOverlapEst: Double = 0.0)
+      : (Boolean, DataFrame) = {
+    GraftFunctions.register(train.sparkSession)
+    import graft.functions.TextFunctions.hashedShingleSet
+    def synopsis(df: DataFrame) = df
+      .select(explode(hashedShingleSet(col(textCol), n)).as("tok"))
+      .agg(GraftFunctions.kmvAgg(xxhash64(col("tok")), k).as("sk"))
+    val est = synopsis(train).select(col("sk").as("sk_a"))
+      .crossJoin(broadcast(synopsis(bench).select(col("sk").as("sk_b"))))
+      .select(GraftFunctions.kmvIntersect(col("sk_a"), col("sk_b"), k)
+        .as("est"))
+      .head().getDouble(0)
+    if (est <= minOverlapEst)
+      (false, TextOps.contaminationPairs(train.limit(0), bench.limit(0),
+        idCol, textCol, n, minShared))
+    else
+      (true, TextOps.contaminationPairs(train, bench, idCol, textCol,
+        n, minShared))
+  }
+
   def leakageSafeSplit(docs: DataFrame,
                        minhash: Dedup.MinHashParams,
                        testFraction: Double): DataFrame = {

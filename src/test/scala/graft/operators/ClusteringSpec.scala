@@ -139,6 +139,37 @@ class PipelinesSpec extends SparkSpec {
     assert(out.forall(r => r._2 == "train" || r._2 == "test"))
   }
 
+  test("gatedContamination: a vocabulary-disjoint benchmark skips the " +
+      "join (O(k) sizing only); a shared-vocab benchmark fires the gate " +
+      "and the kept path is bit-identical to the ungated pairs") {
+    val train = (0 until 30).map(i =>
+      (100L + i, (0 until 12).map(j => s"tr${i % 5}w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    // disjoint vocabulary: no shingle hash can be shared, the synopses
+    // intersect empty, the estimate is exactly 0 -> skip
+    val far = Seq((1L, (0 until 12).map(j => s"benchonly$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (fired0, empty) = Pipelines.gatedContamination(train, far,
+      "doc_id", "text", n = 3, minShared = 2)
+    assert(!fired0, "disjoint-vocabulary benchmark must skip the join")
+    assert(empty.collect().isEmpty)
+    assert(empty.columns.toSeq ==
+      Seq("train_id", "bench_id", "shared_ngrams"),
+      "the skip path must keep the contract schema")
+    // shared vocabulary: the gate fires and the result is the direct
+    // contaminationPairs output, bit-for-bit
+    val near = Seq((1L, (0 until 12).map(j => s"tr0w$j").mkString(" ")))
+      .toDF("doc_id", "text")
+    val (fired1, pairs) = Pipelines.gatedContamination(train, near,
+      "doc_id", "text", n = 3, minShared = 2)
+    assert(fired1, "shared-vocabulary benchmark must fire the gate")
+    val direct = TextOps.contaminationPairs(train, near,
+      "doc_id", "text", n = 3, minShared = 2)
+    val got = pairs.collect().toSeq
+    assert(got == direct.collect().toSeq)
+    assert(got.nonEmpty, "premise: the shared-vocab fixture must overlap")
+  }
+
   test("trainingCorpus collapses an adversarial CHAIN of near-dups") {
     // doc i = unique 15-word block H_i ++ H_{i+1}: adjacent docs share
     // exactly one block (shingle-Jaccard ≈ 0.30), docs 2+ apart share
