@@ -108,6 +108,108 @@ object AnnLayoutScale {
     }
     println(s"""{"tool":"ann-layout-scale","info":"lifecycle","appended":$nBatch,"tombstoned":${victims.length},"purged_rows":$purgedRows,"hit_cells":$hitCells,"cells":${cents.length},"probe_pending_rows":$gotPending,"probe_purged_rows":$gotPurged}""")
 
+    // ---- serve-while-maintain (r19): the no-quiesce probe contract
+    // priced LIVE across a second lifecycle round, the serving twin of
+    // zorder_audit's serve_while_maintain and the measured pairing of
+    // the membership-registry read path: a probe racing a mutation must
+    // retry-heal, never fail, and never serve an illegal result.
+    // Contracts per mutation, matched to what each guarantees:
+    //  - append: prefix visibility is legal (the serving corpus grows
+    //    monotonically within the append window), so the live contract
+    //    is no-failure + well-formed top-k shape every read;
+    //  - takedown: visibility flips atomically per read (the tombstone
+    //    list is read once per probe), so every observation must equal
+    //    the pre- OR post-delete served set, nothing in between;
+    //  - compaction: content-invariant (purges only rows the pending-
+    //    tombstone anti-join already hides, folds the rest), so every
+    //    observation must equal the served set EXACTLY — this is the
+    //    per-cell rename-swap window the registry turns from a silent
+    //    short view into a retryable, and withServedProbe heals.
+    locally {
+      def probeSet() = Sim.withServedProbe(attempts = 8) {
+        Sim.ivfTopKIndexed(spark, base, queries, "qid", "qvec",
+          k = 10, nprobe = 8).collect().map(_.toSeq).toSet
+      }
+      val expectRows = queries.count() * 10
+      @volatile var stop = false
+      @volatile var failure: Option[Throwable] = None
+
+      // phase 1: live during APPEND (shape contract)
+      val reads1 = new java.util.concurrent.atomic.AtomicLong
+      val badShape = new java.util.concurrent.atomic.AtomicLong
+      val batch2 = emb.filter(col("vec_id") < 10000)
+        .withColumn("vec_id", col("vec_id") + lit(2L * (maxId + 1L)))
+      val t1 = new Thread(() => {
+        try while (!stop) {
+          val r = probeSet()
+          reads1.incrementAndGet()
+          if (r.size != expectRows) badShape.incrementAndGet()
+        } catch { case t: Throwable => failure = Some(t) }
+      })
+      t1.setName("ann-live-prober-append"); t1.start()
+      phase("serve_append") { Sim.appendIvfLayout(batch2, base) }
+      stop = true; t1.join(300000)
+
+      // phase 2: live during TAKEDOWN (pre-or-post contract, validated
+      // retrospectively once the post set is known)
+      val pre = probeSet()
+      val victims2 = (0L until 200L).map(_ * stride + stride / 2)
+        .filter(_ <= maxId)
+      val obs = new java.util.concurrent.ConcurrentLinkedQueue[
+        Set[Seq[Any]]]()
+      stop = false
+      val t2 = new Thread(() => {
+        try while (!stop) obs.add(probeSet())
+        catch { case t: Throwable => failure = Some(t) }
+      })
+      t2.setName("ann-live-prober-delete"); t2.start()
+      phase("serve_delete") { Sim.deleteFromIvfLayout(spark, base, victims2) }
+      stop = true; t2.join(300000)
+      val post = probeSet()
+      val obsSeq = {
+        val b = Seq.newBuilder[Set[Seq[Any]]]
+        val it = obs.iterator(); while (it.hasNext) b += it.next()
+        b.result()
+      }
+      val illegalDelete = obsSeq.count(o => o != pre && o != post)
+
+      // phase 3: live during COMPACTION (exact-equality contract)
+      val reads3 = new java.util.concurrent.atomic.AtomicLong
+      val illegal3 = new java.util.concurrent.atomic.AtomicLong
+      stop = false
+      val t3 = new Thread(() => {
+        try while (!stop) {
+          val r = probeSet()
+          reads3.incrementAndGet()
+          if (r != post) illegal3.incrementAndGet()
+        } catch { case t: Throwable => failure = Some(t) }
+      })
+      t3.setName("ann-live-prober-compact"); t3.start()
+      val purged2 = phase("serve_compact_purge") {
+        Sim.compactIvfLayout(spark, base)
+      }
+      stop = true; t3.join(300000)
+      val postCompact = probeSet()
+
+      println(s"""{"tool":"ann-layout-scale","info":"serve_while_maintain",""" +
+        s""""append_reads":${reads1.get},"append_bad_shape":${badShape.get},""" +
+        s""""delete_reads":${obsSeq.length},"delete_illegal":$illegalDelete,""" +
+        s""""compact_reads":${reads3.get},"compact_illegal":${illegal3.get},""" +
+        s""""purged_rows":$purged2,"prober_failed":${failure.isDefined}}""")
+      // a broken no-quiesce contract must FAIL the audit run (nonzero
+      // exit), not ride out as info-line fields — ZOrderScale discipline
+      failure.foreach(t => throw new IllegalStateException(
+        "serve_while_maintain: live prober failed", t))
+      require(badShape.get == 0, s"serve_while_maintain: ${badShape.get} " +
+        "malformed top-k results during the append window")
+      require(illegalDelete == 0, s"serve_while_maintain: $illegalDelete " +
+        "observations neither pre- nor post-delete during the takedown")
+      require(illegal3.get == 0, s"serve_while_maintain: ${illegal3.get} " +
+        "observations diverged from the served set during compaction")
+      require(postCompact == post,
+        "serve_while_maintain: compaction changed the served set")
+    }
+
     // corpus k-NN graph under the corpus-sized quantizer (knnGraphAuto):
     // the n^1.5 claim measured — a frozen quantizer would be n^2/c
     val edges = phase("knn_graph_auto") {

@@ -20,15 +20,19 @@ import org.apache.spark.sql.functions._
   *
   * Prints one JSON line per phase.
   * Usage: MaintainScale [sfDir] [workDir] [mode] [soakBatches]
-  * mode = `sig` (default, MinHash family) or `dig` (exact-digest
+  * mode = `sig` (default, MinHash family), `dig` (exact-digest
   * family twin — same phases through ingestBatchWithDigestIndex /
   * autoCompactDigestIndex / redriveQuarantinedDigest, so all three
-  * governed families carry the same measured triage story), or
-  * `soak` / `soakdig` (r18): the long-horizon depth audit — ~200
-  * governed batches (4th arg overrides) with the autoCompact trigger
-  * after each, comparing per-batch wall time early vs late in the
-  * stream's life (flat = per-batch cost is independent of stream
-  * DEPTH, not just batch size).
+  * governed families carry the same measured triage story), or `srp`
+  * (embedding family over the embeddings table), or `soak` /
+  * `soakdig` / `soaksrp` (r18; srp r19): the long-horizon depth
+  * audit — ~200 governed batches (4th arg overrides) with the
+  * autoCompact trigger after each, comparing per-batch wall time
+  * early vs late in the stream's life (flat = per-batch cost is
+  * independent of stream DEPTH, not just batch size). The three soak
+  * families have different per-batch cost SHAPES (shard-pruned band
+  * probes vs digest equi-join vs multi-probe SRP geometry), so each
+  * carries its own depth row in BENCH_SF10.
   */
 object MaintainScale {
   def main(args: Array[String]): Unit = {
@@ -58,28 +62,41 @@ object MaintainScale {
 
     val Dd = graft.operators.Dedup
     val dig = mode == "dig" || mode == "soakdig"
+    val srp = mode == "srp" || mode == "soaksrp"
     val soak = mode.startsWith("soak")
-    val docs0 = graft.sources.Tables.table(spark, dir, "documents")
-    val docs =
-      if (dig) docs0.withColumn("dg",
-        sha2(substring(col("text"), 1, 30).cast("binary"), 256))
-      else docs0
-    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val idCol = if (srp) "vec_id" else "doc_id"
+    val docs = {
+      if (srp) graft.sources.Tables.table(spark, dir, "embeddings")
+      else {
+        val docs0 = graft.sources.Tables.table(spark, dir, "documents")
+        if (dig) docs0.withColumn("dg",
+          sha2(substring(col("text"), 1, 30).cast("binary"), 256))
+        else docs0
+      }
+    }
+    val maxId = docs.agg(max(col(idCol))).head().getLong(0)
     val c0 = maxId * 3 / 5
     val p = Dd.MinHashParams(numHashes = 32, bands = 8,
       shingle = 3, threshold = 0.2)
-    // family dispatch: one flow, two governed families
+    // family dispatch: one flow, three governed families
     def ingest(b: org.apache.spark.sql.DataFrame, id: Long,
                quarantine: Boolean = false): Unit =
-      if (dig) Dd.ingestBatchWithDigestIndex(b, "doc_id", "dg", ix, out,
-        id, quarantine)
+      if (srp) Dd.ingestBatchWithSrpIndex(b, "vec_id", "embedding",
+        ix, out, id, threshold = 0.4, quarantine)
+      else if (dig) Dd.ingestBatchWithDigestIndex(b, "doc_id", "dg", ix,
+        out, id, quarantine)
       else Dd.ingestBatchWithIndex(b, "doc_id", "text", ix, out, id,
         quarantine)
     def autoCompact(): Boolean =
-      (if (dig) Dd.autoCompactDigestIndex(spark, ix)
+      (if (srp) Dd.autoCompactSrpIndex(spark, ix)
+       else if (dig) Dd.autoCompactDigestIndex(spark, ix)
        else Dd.autoCompactSignatureIndex(spark, ix)).isDefined
     phase("build") {
-      if (dig) {
+      if (srp) {
+        Dd.writeSrpIndex(docs.filter(col("vec_id") <= c0),
+          "vec_id", "embedding", ix, dim = 64)
+        Dd.initSrpIngestLedger(spark, ix)
+      } else if (dig) {
         Dd.writeDigestIndex(docs.filter(col("doc_id") <= c0),
           "doc_id", "dg", ix)
         Dd.initDigestIngestLedger(spark, ix)
@@ -107,7 +124,7 @@ object MaintainScale {
         val lo = c0 + (maxId - c0) * i / n
         val hi = c0 + (maxId - c0) * (i + 1) / n
         val t0 = System.nanoTime()
-        ingest(docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+        ingest(docs.filter(col(idCol) > lo && col(idCol) <= hi),
           i.toLong)
         if (autoCompact()) sFired += 1
         val sec = (System.nanoTime() - t0) / 1e9
@@ -145,7 +162,7 @@ object MaintainScale {
       val lo = c0 + (maxId - c0) * i / batches
       val hi = c0 + (maxId - c0) * (i + 1) / batches
       phase(s"batch_$i") {
-        ingest(docs.filter(col("doc_id") > lo && col("doc_id") <= hi),
+        ingest(docs.filter(col(idCol) > lo && col(idCol) <= hi),
           i.toLong)
       }
       phase(s"autocompact_$i") {
@@ -156,16 +173,18 @@ object MaintainScale {
 
     // quarantine path: a same-order-of-magnitude batch whose ids sit
     // BELOW the watermark (the contract violation) diverts whole...
-    val bad = docs.filter(col("doc_id") % 41 === 0 && col("doc_id") <= c0)
+    val bad = docs.filter(col(idCol) % 41 === 0 && col(idCol) <= c0)
     phase("batch_quarantined") {
       ingest(bad, batches.toLong, quarantine = true)
     }
     // ...and operator triage re-drives it through the full governed path
     // after an id repair (re-keyed past the watermark)
     val repair = (df: org.apache.spark.sql.DataFrame) =>
-      df.withColumn("doc_id", col("doc_id") + lit(maxId + 1L))
+      df.withColumn(idCol, col(idCol) + lit(maxId + 1L))
     phase("redrive") {
-      if (dig) Dd.redriveQuarantinedDigest(spark, ix, out,
+      if (srp) Dd.redriveQuarantinedSrp(spark, ix, out,
+        batches.toLong, "vec_id", "embedding", 0.4, repair)
+      else if (dig) Dd.redriveQuarantinedDigest(spark, ix, out,
         batches.toLong, "doc_id", "dg", repair)
       else Dd.redriveQuarantined(spark, ix, out,
         batches.toLong, "doc_id", "text", repair)
@@ -173,7 +192,8 @@ object MaintainScale {
     // price the fold itself at this scale (what a trigger pays WHEN it
     // fires): a forced full compaction over the accreted batch file sets
     phase("compact_forced") {
-      if (dig) Dd.compactDigestIndex(spark, ix)
+      if (srp) Dd.compactSrpIndex(spark, ix)
+      else if (dig) Dd.compactDigestIndex(spark, ix)
       else Dd.compactSignatureIndex(spark, ix)
     }
     spark.stop()
