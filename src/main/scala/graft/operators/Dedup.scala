@@ -2029,7 +2029,18 @@ object Dedup {
       val files = listParquetFilesRec(fs, dir)
       val parts = math.max(1L, math.ceil(
         files.map(_.getLen).sum.toDouble / targetFileBytes).toLong)
-      files.length >= fragmentFactor.toLong * parts
+      // Fragmentation is measured against the ACHIEVABLE floor: a
+      // partitionBy table cannot have fewer files than its occupied
+      // partition directories, so a byte-implied minimum below that
+      // count would read a freshly-compacted sharded table (one file
+      // per shard) as permanently fragmented and fire an O(index)
+      // compaction on EVERY maintenance tick — the r19 digest-family
+      // depth soak caught exactly this (200/200 triggers where the
+      // flat-table families fired ~1 in 8). Flat tables have one
+      // parent dir, so their floor stays 1.
+      val dirFloor = files.iterator.map(_.getPath.getParent).toSet.size
+      files.length >=
+        fragmentFactor.toLong * math.max(parts, dirFloor.toLong)
     }
   }
 

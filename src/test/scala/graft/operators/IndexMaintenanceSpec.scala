@@ -340,6 +340,58 @@ class IndexMaintenanceSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("autoCompactDigestIndex: a compacted SHARDED digests table is " +
+      "quiet (fragmentation floor = occupied shard dirs, not the " +
+      "byte-implied 1) and fires once genuinely fragmented") {
+    // The digest family keys its trigger on its only table, which is
+    // SHARDED — the r19 depth soak caught the old byte-implied floor
+    // reading one-file-per-shard (the best a partitionBy table can do)
+    // as permanently fragmented, firing an O(index) compaction on
+    // every maintenance tick.
+    val base = Files.createTempDirectory("graft-digfloor").toString
+    val ix = s"$base/ix"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    try {
+      val withDig = docs(0L to 19L: _*).withColumn("dg",
+        sha2(col("text").cast("binary"), 256))
+      Dedup.writeDigestIndex(withDig, "doc_id", "dg", ix)
+      Dedup.compactDigestIndex(spark, ix)
+      (1 to 3).foreach { _ =>
+        assert(Dedup.autoCompactDigestIndex(spark, ix).isEmpty,
+          "a freshly-compacted sharded table must read un-fragmented")
+      }
+      // genuine fragmentation: replicate one shard's data file until
+      // the count clears the dir-floored threshold (8 x occupied dirs)
+      def files() = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(s"$ix/digests"), true)
+        val b = Seq.newBuilder[org.apache.hadoop.fs.Path]
+        while (it.hasNext) {
+          val p = it.next().getPath
+          if (p.getName.endsWith(".parquet")) b += p
+        }
+        b.result()
+      }
+      val before = files()
+      val dirs = before.map(_.getParent).distinct.size
+      val victim = before.head
+      var n = 0
+      while (files().size < 8 * dirs && n < 8 * dirs) {
+        org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs,
+          new org.apache.hadoop.fs.Path(victim.getParent,
+            s"copy-$n.parquet"), false,
+          spark.sparkContext.hadoopConfiguration)
+        n += 1
+      }
+      assert(Dedup.autoCompactDigestIndex(spark, ix).nonEmpty,
+        s"${files().size} files over $dirs dirs must trigger")
+      assert(files().size < 8 * dirs, "compaction must fold the copies")
+      assert(Dedup.autoCompactDigestIndex(spark, ix).isEmpty,
+        "quiet again immediately after the fold")
+    } finally rmrf(base)
+  }
+
   test("index caches self-invalidate on an out-of-process rebuild even " +
       "with a constant params mtime") {
     val base = Files.createTempDirectory("graft-gen-token").toString
