@@ -53,6 +53,17 @@ object Plans {
         |the sketch path stands alone and the answer to "how much does
         |corpus A overlap benchmark B" costs a broadcast of O(groups·k)
         |bytes instead of a shingle re-join.""".stripMargin,
+    "p11_gated_decontaminate" ->
+      """KMV-gated decontamination (r19). By the time this plan exists the
+        |gate has already run: two O(k=256)-long vocabulary synopses (one
+        |ObjectHashAggregate scan per side, partial_graft_kmv_agg before
+        |the exchange) and one driver-side graft_kmv_intersect estimate
+        |decided the join is worth scheduling — at 100 TB that decision
+        |costs a maintained corpus synopsis plus O(k) per new benchmark,
+        |zero corpus bytes. The kept path below is t6's exact plan: the
+        |benchmark postings broadcast (BroadcastHashJoin on the shingle
+        |hash), the corpus side streams once, and the pair aggregation
+        |ships one partial count per (train,bench) pair.""".stripMargin,
     "d1_exact_dedup_events" ->
       """Exact dedup as min_by(struct(payload), tieBreaker) aggregation:
         |partial_min_by runs BEFORE the exchange, so each map task ships one
