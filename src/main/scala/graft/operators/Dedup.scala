@@ -2521,9 +2521,30 @@ object Dedup {
                           multiProbe: Boolean = false,
                           eagerCap: Boolean = true): DataFrame = {
     GraftFunctions.register(emb.sparkSession)
+    // Explicit bucket-key exchange (r19): the cap windows and the bucket
+    // self-join all require hash distribution on (tbl, bkt), and the
+    // planner inserts that exchange at corpus scale — but a SMALL corpus
+    // read from one parquet split arrives as SinglePartition, which
+    // satisfies every distribution requirement, so the planner elides
+    // every exchange and the whole candidate+verify pipeline (the
+    // dominant compute) runs in ONE task regardless of cores (measured:
+    // d5d at sf0.1 local[32] spent 9.1 s in a single-task stage).
+    // Repartitioning on the exact join key is the SAME exchange the
+    // planner inserts on multi-split inputs (no extra shuffle at scale,
+    // guide §2.4 "two operations keyed the same way share one
+    // exchange"). The partition count is pinned to the session's
+    // configured spark.sql.shuffle.partitions — an EXPLICIT count is
+    // exempt from AQE partition coalescing, which sizes by shuffle
+    // bytes and would re-serialize this CPU-bound verify stage (bytes
+    // per candidate pair are tiny; the cosine flops are not — measured:
+    // AQE coalesced the exchange to 6 tasks and left 5/6 of local[32]
+    // idle). The count stays scale-adaptive: it is the same value the
+    // planner's own exchange would use.
+    val shufP = emb.sparkSession.sessionState.conf.numShufflePartitions
     val bucketed = emb.select(col(idCol).as("id"), col(vecCol).as("v"),
       posexplode(GraftFunctions.srpBuckets(col(vecCol), tables, planes, dim))
         .as(Seq("tbl", "bkt")))
+      .repartition(shufP, col("tbl"), col("bkt"))
     val (cappedRaw, innerHot) = capBucketRowsWithInfo(bucketed,
       Seq("tbl", "bkt"), "id", maxBucket, eager = eagerCap)
     // Multi-probe re-caps an expansion of `capped` (below). When the
@@ -2884,6 +2905,14 @@ object Dedup {
           index.buckets.select(col("tbl"), col("bkt"),
             col("id").as("corpus_id")),
           Seq("tbl", "bkt"))
+    // (r19 note: an explicit probe-side or candidate-side repartition was
+    // measured here and REVERTED — the single-split bench plan runs this
+    // probe as one fully-pipelined broadcast-join task at ~1.3 s, and
+    // forcing 32-way parallelism inflated total CPU ~8x (per-task
+    // broadcast/hash-relation overhead over a tiny probe), netting zero
+    // to negative wall time. At corpus scale the planner inserts the
+    // exchanges itself. Contrast embeddingNearDupLsh, whose single-task
+    // stage was 9 s — there the keyed repartition is a 3.7x wall win.)
     val candidates = pKeyed.join(ixBuckets, joinKeys)
       .select("batch_id", "corpus_id")
     // Verify join order matters at scale: the NARROW candidate set

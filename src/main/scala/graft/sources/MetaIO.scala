@@ -1,0 +1,249 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroupFactory
+import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupReadSupport}
+import org.apache.parquet.hadoop.util.{HadoopInputFile, HadoopOutputFile}
+import org.apache.parquet.hadoop.ParquetReader
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Types}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+
+/** Driver-side parquet I/O for the lifecycle families' SMALL metadata
+  * tables (index params, z-order generation records, manifests, batch
+  * ledgers): the same standard parquet files Spark wrote and reads —
+  * byte-compatible schemas, hidden-temp + atomic-rename publish — but
+  * read and written with parquet-java directly on the driver.
+  *
+  * WHY (r19, guide §1.2 "the distributed algorithm first"): every
+  * `spark.read.parquet(meta).head()/collect()` and every
+  * `Seq(...).toDF.coalesce(1).write.parquet(meta)` of a KB-sized table
+  * is a full Spark action — data-source resolution, planning, a
+  * scheduled task, commit protocol — measured at ~100-150 ms each on a
+  * quiet local[32] driver, and the lifecycle entries run 5-20 of them
+  * per operation (q64c spent ~2 s of its 7 s wall in metadata actions
+  * alone). Metadata work should be metadata ops (the same argument the
+  * epoch fence and the membership registry already apply); Spark jobs
+  * are for data. At cluster scale the win is larger, not smaller: each
+  * such action is a driver→executor round trip.
+  *
+  * Readers tolerate every file a previous round's Spark writer
+  * produced (optional/required primitives, 3-level string lists);
+  * writers emit the SAME logical schema Spark's writer used (optional
+  * fields, UTF8-annotated binary, 3-level lists) so Spark, DuckDB and
+  * older readers see an identical table.
+  */
+object MetaIO {
+
+  /** Column type tags for [[writeTable]] — the closed set the metadata
+    * tables use. */
+  sealed trait MT
+  case object MString extends MT
+  case object MInt extends MT
+  case object MLong extends MT
+  case object MDouble extends MT
+  case object MBoolean extends MT
+  case object MStringList extends MT
+
+  private def schemaOf(cols: Seq[(String, MT)], msgName: String): MessageType = {
+    val b = Types.buildMessage()
+    cols.foreach { case (n, t) =>
+      t match {
+        case MString =>
+          b.addField(Types.optional(BINARY)
+            .as(LogicalTypeAnnotation.stringType()).named(n))
+        case MInt => b.addField(Types.optional(INT32).named(n))
+        case MLong => b.addField(Types.optional(INT64).named(n))
+        case MDouble => b.addField(Types.optional(DOUBLE).named(n))
+        case MBoolean => b.addField(Types.optional(BOOLEAN).named(n))
+        case MStringList =>
+          // Spark's (non-legacy) 3-level list encoding:
+          // optional group n (LIST) { repeated group list {
+          //   optional binary element (STRING) } }
+          b.addField(Types.optionalList()
+            .element(Types.optional(BINARY)
+              .as(LogicalTypeAnnotation.stringType()).named("element"))
+            .named(n))
+      }
+    }
+    b.named(msgName)
+  }
+
+  /** Write `rows` as ONE parquet file under `dir` with OVERWRITE
+    * semantics and crash-atomic publish: the file is written to a
+    * dot-prefixed temp name inside `dir` (hidden from every parquet
+    * reader), the previous visible files are deleted, and the temp is
+    * renamed into place (same-directory metadata op). A crash leaves
+    * either the old table, or the old table plus a hidden temp —
+    * never a half-written or doubled table. Callers that need a
+    * multi-table atomic swap (generation records, manifests) keep
+    * their existing write-to-tmp-DIR + rename-dir protocol and call
+    * this for each member table inside the tmp dir. */
+  def writeTable(conf: Configuration, dir: String, cols: Seq[(String, MT)],
+                 rows: Seq[Seq[Any]]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val schema = schemaOf(cols, "graft_meta")
+    val name = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = new Path(d, s".$name.tmp")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(tmp, conf))
+      .withType(schema).withConf(conf).build()
+    try {
+      val gf = new SimpleGroupFactory(schema)
+      rows.foreach { r =>
+        val g = gf.newGroup()
+        cols.zip(r).foreach { case ((n, t), v) =>
+          if (v != null) t match {
+            case MString => g.add(n, v.asInstanceOf[String])
+            case MInt => g.add(n, v.asInstanceOf[Int])
+            case MLong => g.add(n, v.asInstanceOf[Long])
+            case MDouble => g.add(n, v.asInstanceOf[Double])
+            case MBoolean => g.add(n, v.asInstanceOf[Boolean])
+            case MStringList =>
+              val lst = g.addGroup(n)
+              v.asInstanceOf[Seq[String]].foreach { e =>
+                val entry = lst.addGroup("list")
+                if (e != null) entry.add("element", e)
+              }
+          }
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    // overwrite: drop previous visible files, then publish
+    if (fs.exists(d)) fs.listStatus(d).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isFile && !n.startsWith(".") && !n.startsWith("_"))
+        fs.delete(st.getPath, false)
+    }
+    require(fs.rename(tmp, new Path(d, name)),
+      s"MetaIO.writeTable: could not publish $tmp")
+  }
+
+  /** Append `rows` as ONE new parquet file beside the existing ones
+    * (hidden temp + rename, complete-only-visible). */
+  def appendTable(conf: Configuration, dir: String, cols: Seq[(String, MT)],
+                  rows: Seq[Seq[Any]]): Unit = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    val schema = schemaOf(cols, "graft_meta")
+    val name = s"part-a-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = new Path(d, s".$name.tmp")
+    val writer = ExampleParquetWriter
+      .builder(HadoopOutputFile.fromPath(tmp, conf))
+      .withType(schema).withConf(conf).build()
+    try {
+      val gf = new SimpleGroupFactory(schema)
+      rows.foreach { r =>
+        val g = gf.newGroup()
+        cols.zip(r).foreach { case ((n, t), v) =>
+          if (v != null) t match {
+            case MString => g.add(n, v.asInstanceOf[String])
+            case MInt => g.add(n, v.asInstanceOf[Int])
+            case MLong => g.add(n, v.asInstanceOf[Long])
+            case MDouble => g.add(n, v.asInstanceOf[Double])
+            case MBoolean => g.add(n, v.asInstanceOf[Boolean])
+            case MStringList =>
+              val lst = g.addGroup(n)
+              v.asInstanceOf[Seq[String]].foreach { e =>
+                val entry = lst.addGroup("list")
+                if (e != null) entry.add("element", e)
+              }
+          }
+        }
+        writer.write(g)
+      }
+    } finally writer.close()
+    require(fs.rename(tmp, new Path(d, name)),
+      s"MetaIO.appendTable: could not publish $tmp")
+  }
+
+  private def visibleParquetFiles(conf: Configuration, dir: String)
+      : Seq[FileStatus] = {
+    val d = new Path(dir)
+    val fs = d.getFileSystem(conf)
+    // let a missing dir throw the filesystem's own FileNotFoundException
+    // — callers keep their existing transient-vs-permanent discipline
+    fs.listStatus(d).toSeq.filter { st =>
+      val n = st.getPath.getName
+      st.isFile && !n.startsWith(".") && !n.startsWith("_") &&
+        st.getLen > 0
+    }
+  }
+
+  /** Every row of every visible parquet file under `dir`, decoded to
+    * field-name -> value maps (string, int, long, double, boolean,
+    * Seq[String] for 3-level string lists; absent/null fields map to
+    * null). Small-table use only — the whole result is materialized on
+    * the driver. */
+  def readTable(conf: Configuration, dir: String): Seq[Map[String, Any]] = {
+    visibleParquetFiles(conf, dir).flatMap { st =>
+      val reader = ParquetReader
+        .builder(new GroupReadSupport(), st.getPath)
+        .withConf(conf).build()
+      try {
+        val b = Seq.newBuilder[Map[String, Any]]
+        var g: Group = reader.read()
+        while (g != null) {
+          b += decode(g)
+          g = reader.read()
+        }
+        b.result()
+      } finally reader.close()
+    }
+  }
+
+  private def decode(g: Group): Map[String, Any] = {
+    val t = g.getType
+    val m = Map.newBuilder[String, Any]
+    (0 until t.getFieldCount).foreach { i =>
+      val f = t.getType(i)
+      val n = f.getName
+      val rep = g.getFieldRepetitionCount(i)
+      if (rep == 0) m += n -> null
+      else if (f.isPrimitive) {
+        val v: Any = f.asPrimitiveType().getPrimitiveTypeName match {
+          case BINARY | FIXED_LEN_BYTE_ARRAY =>
+            if (f.getLogicalTypeAnnotation == LogicalTypeAnnotation.stringType())
+              g.getString(i, 0)
+            else g.getBinary(i, 0).getBytes
+          case INT32 => g.getInteger(i, 0)
+          case INT64 => g.getLong(i, 0)
+          case DOUBLE => g.getDouble(i, 0)
+          case FLOAT => g.getFloat(i, 0)
+          case BOOLEAN => g.getBoolean(i, 0)
+          case INT96 => g.getInt96(i, 0).getBytes
+        }
+        m += n -> v
+      } else {
+        // 3-level LIST of strings (the only nested shape the metadata
+        // tables use); tolerate the legacy 2-level "array"/"bag" shape
+        val lg = g.getGroup(i, 0)
+        val entries = lg.getFieldRepetitionCount(0)
+        val items = (0 until entries).map { j =>
+          val entry = lg.getGroup(0, j)
+          if (entry.getFieldRepetitionCount(0) == 0) null
+          else entry.getString(0, 0)
+        }
+        m += n -> items
+      }
+    }
+    m.result()
+  }
+
+  /** Convenience: the single string column of every row (manifest /
+    * generation-record name tables). */
+  def readStrings(conf: Configuration, dir: String): Seq[String] =
+    readTable(conf, dir).map(_.valuesIterator.next().asInstanceOf[String])
+
+  /** Convenience: the single long column of every row. */
+  def readLongs(conf: Configuration, dir: String): Seq[Long] =
+    readTable(conf, dir).map(_.valuesIterator.next() match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case other => throw new IllegalStateException(
+        s"MetaIO.readLongs: non-integral value $other")
+    })
+}

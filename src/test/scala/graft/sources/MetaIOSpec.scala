@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** MetaIO (r19): the driver-side parquet reader/writer for the
+  * lifecycle families' small metadata tables must be BYTE-COMPATIBLE
+  * with Spark's own parquet writer/reader in both directions — the
+  * files it writes are the same tables Spark, older code paths and the
+  * DuckDB oracle read, and the files it reads were historically
+  * written by Spark. */
+class MetaIOSpec extends SparkSpec {
+  import MetaIO._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+  private def tmpDir(name: String): String = {
+    val d = s"${System.getProperty("java.io.tmpdir")}/graft_metaio_$name"
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(conf).delete(p, true)
+    d
+  }
+
+  test("Spark-written params table reads back via MetaIO (mixed types + string list)") {
+    import spark.implicits._
+    val d = tmpDir("spark2meta")
+    Seq((Seq("l_orderkey", "l_partkey"), 16, 0, 2000L, 0.25, true))
+      .toDF("cols", "bits", "files", "mrpf", "threshold", "normalize")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val rows = MetaIO.readTable(conf, d)
+    assert(rows.size == 1)
+    val r = rows.head
+    assert(r("cols") == Seq("l_orderkey", "l_partkey"))
+    assert(r("bits") == 16 && r("files") == 0)
+    assert(r("mrpf") == 2000L)
+    assert(r("threshold") == 0.25)
+    assert(r("normalize") == true)
+  }
+
+  test("MetaIO-written table reads back via Spark with identical values") {
+    val d = tmpDir("meta2spark")
+    MetaIO.writeTable(conf, d,
+      Seq("cols" -> MStringList, "bits" -> MInt, "files" -> MInt,
+        "max_records_per_file" -> MLong, "threshold" -> MDouble,
+        "normalize" -> MBoolean),
+      Seq(Seq(Seq("a", "b"), 16, 3, 2000L, 0.2, false)))
+    val row = spark.read.parquet(d).head()
+    assert(row.getSeq[String](row.fieldIndex("cols")) == Seq("a", "b"))
+    assert(row.getAs[Int]("bits") == 16)
+    assert(row.getAs[Int]("files") == 3)
+    assert(row.getAs[Long]("max_records_per_file") == 2000L)
+    assert(row.getAs[Double]("threshold") == 0.2)
+    assert(!row.getAs[Boolean]("normalize"))
+    // schema parity with what Spark's own writer produces
+    import spark.implicits._
+    val d2 = tmpDir("meta2spark_ref")
+    Seq((Seq("a", "b"), 16, 3, 2000L, 0.2, false))
+      .toDF("cols", "bits", "files", "max_records_per_file", "threshold",
+        "normalize")
+      .coalesce(1).write.mode("overwrite").parquet(d2)
+    assert(spark.read.parquet(d).schema == spark.read.parquet(d2).schema)
+  }
+
+  test("string-name tables round-trip both directions; overwrite drops old rows") {
+    import spark.implicits._
+    val d = tmpDir("names")
+    Seq("f1", "f2", "f3").toDF("name").coalesce(1)
+      .write.mode("overwrite").parquet(d)
+    assert(MetaIO.readStrings(conf, d).sorted == Seq("f1", "f2", "f3"))
+    MetaIO.writeTable(conf, d, Seq("name" -> MString),
+      Seq(Seq("g1"), Seq("g2")))
+    assert(MetaIO.readStrings(conf, d).sorted == Seq("g1", "g2"))
+    assert(spark.read.parquet(d).as[String].collect().sorted.toSeq ==
+      Seq("g1", "g2"))
+    MetaIO.appendTable(conf, d, Seq("name" -> MString), Seq(Seq("g3")))
+    assert(MetaIO.readStrings(conf, d).sorted == Seq("g1", "g2", "g3"))
+    assert(spark.read.parquet(d).count() == 3)
+  }
+
+  test("long tables round-trip; empty list and missing dir behave") {
+    val d = tmpDir("longs")
+    MetaIO.writeTable(conf, d, Seq("batch_id" -> MLong),
+      Seq(Seq(7L), Seq(9L)))
+    assert(MetaIO.readLongs(conf, d).sorted == Seq(7L, 9L))
+    assert(spark.read.parquet(d).agg(sum(col("batch_id"))).head().getLong(0)
+      == 16L)
+    // empty string list survives the round trip
+    val d2 = tmpDir("emptylist")
+    MetaIO.writeTable(conf, d2, Seq("cols" -> MStringList),
+      Seq(Seq(Seq.empty[String])))
+    assert(MetaIO.readTable(conf, d2).head.apply("cols") ==
+      Seq.empty[String])
+    // a missing dir throws (callers keep their transient/permanent
+    // classification on top of the raw filesystem error)
+    intercept[java.io.FileNotFoundException] {
+      MetaIO.readTable(conf, tmpDir("absent") + "/nope")
+    }
+  }
+}
