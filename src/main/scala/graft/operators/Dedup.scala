@@ -957,14 +957,41 @@ object Dedup {
       schema: Option[org.apache.spark.sql.types.StructType]): DataFrame = {
     val r0 = spark.read.option("basePath", tablePath)
     val r = schema.fold(r0)(r0.schema)
-    try r.parquet(dirs.map(d => s"$tablePath/$d"): _*)
-    catch {
-      case e: Throwable if isMissingPathError(e) =>
-        throw new java.io.FileNotFoundException(
-          s"$tablePath: registered partition dir invisible mid-read " +
-            s"(maintenance rename churn) — transient, retry re-reads: " +
-            e.getMessage)
-    }
+    val df =
+      try r.parquet(dirs.map(d => s"$tablePath/$d"): _*)
+      catch {
+        case e: Throwable if isMissingPathError(e) =>
+          throw new java.io.FileNotFoundException(
+            s"$tablePath: registered partition dir invisible mid-read " +
+              s"(maintenance rename churn) — transient, retry re-reads: " +
+              e.getMessage)
+      }
+    // PLANNED-SET completeness check (r19): Spark's file index treats a
+    // path that vanishes between its existence check and its listing as
+    // "deleted very recently" and plans WITHOUT it — no error for the
+    // catch above to map (reproduced in ZSnapStress for the z-order
+    // twin; Layouts.readMaintained carries the file-level version of
+    // this check). A registered dir is non-empty by the registry's
+    // maintenance discipline (ADD after data lands, REMOVE before the
+    // drop, compaction re-syncs), so every requested dir must
+    // contribute at least one planned file; a dir mid-rename-swap that
+    // slipped past the open throws retryable here instead of silently
+    // narrowing the probe's view. df.inputFiles is driver-side metadata
+    // of the already-built file index — zero Spark jobs.
+    val plannedDirs = df.inputFiles.map { f =>
+      val p = new org.apache.hadoop.fs.Path(f)
+      p.getParent.toUri.getPath
+    }.toSet
+    val missing = dirs.filterNot(d =>
+      plannedDirs.exists(_.endsWith(s"/$d")))
+    if (missing.nonEmpty)
+      throw new java.io.FileNotFoundException(
+        s"$tablePath: ${missing.size} registered partition dirs " +
+          s"(${missing.take(3).mkString(", ")}…) vanished between the " +
+          "registry read and the scan's planning (maintenance rename " +
+          "churn; the file index silently drops just-deleted paths) — " +
+          "transient, retry re-reads")
+    df
   }
 
   /** Append bucket rows (band rows / SRP bucket rows) to a persisted

@@ -202,19 +202,22 @@ object Layouts {
   private def zincManifestDir(path: String) = s"$path/_zorder__inc"
   private def zincManifestTmpDir(path: String) = s"$path/_zorder__inc_tmp"
 
-  /** Explicit schema for the `_zorder/params` table: skips parquet
-    * schema inference (one Spark job per open) on every lifecycle
-    * entry — the metadata open is a footer read plus ONE head job. */
-  private val zParamsSchema = new org.apache.spark.sql.types.StructType()
-    .add("cols", DataTypes.createArrayType(DataTypes.StringType))
-    .add("bits", DataTypes.IntegerType)
-    .add("files", DataTypes.IntegerType)
-    .add("max_records_per_file", DataTypes.LongType)
+  /** The `_zorder/params` geometry record. Read DRIVER-SIDE via
+    * [[MetaIO]] (r19): the previous `spark.read.schema(...).head()` was
+    * a full Spark action (~100-150 ms on a quiet local[32] driver) per
+    * lifecycle open; the table is one row of four scalars. */
+  private final case class ZParams(cols: Seq[String], bits: Int,
+                                   files: Int, maxRecordsPerFile: Long)
 
   private def readZParams(spark: org.apache.spark.sql.SparkSession,
-                          path: String): org.apache.spark.sql.Row =
-    spark.read.schema(zParamsSchema).parquet(s"${zmetaDir(path)}/params")
-      .head()
+                          path: String): ZParams = {
+    val r = MetaIO.readTable(
+      spark.sparkContext.hadoopConfiguration,
+      s"${zmetaDir(path)}/params").head
+    ZParams(r("cols").asInstanceOf[Seq[String]],
+      r("bits").asInstanceOf[Int], r("files").asInstanceOf[Int],
+      r("max_records_per_file").asInstanceOf[Long])
+  }
 
   private def fsOf(spark: org.apache.spark.sql.SparkSession, p: String) =
     new org.apache.hadoop.fs.Path(p)
@@ -254,18 +257,21 @@ object Layouts {
                              namesOverride: Option[Seq[String]] = None,
                              carryLedgerFrom: Option[String] = None)
       : Unit = {
-    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val names = namesOverride.getOrElse(
       dataFiles(spark, dir).map(_.getPath.getName))
     val fs = fsOf(spark, dir)
     val tmp = new org.apache.hadoop.fs.Path(zmetaTmpDir(dir))
     fs.delete(tmp, true)
-    Seq((cols, bits, files, maxRecordsPerFile))
-      .toDF("cols", "bits", "files", "max_records_per_file")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${zmetaTmpDir(dir)}/params")
-    consumed.toDF("name").coalesce(1).write.mode("overwrite")
-      .parquet(s"${zmetaTmpDir(dir)}/consumed_files")
+    // all four member tables are KB-scale scalars/name lists — written
+    // driver-side (MetaIO, r19): the previous four coalesce(1) Spark
+    // writes were ~150 ms of action overhead each, per stamp
+    MetaIO.writeTable(conf, s"${zmetaTmpDir(dir)}/params",
+      Seq("cols" -> MetaIO.MStringList, "bits" -> MetaIO.MInt,
+        "files" -> MetaIO.MInt, "max_records_per_file" -> MetaIO.MLong),
+      Seq(Seq(cols, bits, files, maxRecordsPerFile)))
+    MetaIO.writeTable(conf, s"${zmetaTmpDir(dir)}/consumed_files",
+      Seq("name" -> MetaIO.MString), consumed.map(Seq(_)))
     // the streaming batch ledger survives every restamp: it is carried
     // INTO the tmp, so it swaps atomically with the generation record
     // it belongs to (a replayed batch must stay skippable after any
@@ -278,14 +284,14 @@ object Layouts {
       val led = new org.apache.hadoop.fs.Path(
         s"${zmetaDir(src)}/$ZIngestLedgerTable")
       if (fs.exists(led))
-        spark.read.schema(zLedgerSchema).parquet(led.toString)
-          .distinct().coalesce(1).write.mode("overwrite")
-          .parquet(new org.apache.hadoop.fs.Path(tmp, ZIngestLedgerTable)
-            .toString)
+        MetaIO.writeTable(conf,
+          new org.apache.hadoop.fs.Path(tmp, ZIngestLedgerTable).toString,
+          Seq("batch_id" -> MetaIO.MLong),
+          MetaIO.readLongs(conf, led.toString).distinct.map(Seq(_)))
     }
     // clustered_files LAST: its presence is the tmp's completion marker
-    names.toDF("name").coalesce(1).write.mode("overwrite")
-      .parquet(s"${zmetaTmpDir(dir)}/clustered_files")
+    MetaIO.writeTable(conf, s"${zmetaTmpDir(dir)}/clustered_files",
+      Seq("name" -> MetaIO.MString), names.map(Seq(_)))
     fs.delete(new org.apache.hadoop.fs.Path(zmetaDir(dir)), true)
     require(fs.rename(tmp, new org.apache.hadoop.fs.Path(zmetaDir(dir))),
       s"z-order metadata stamp at $dir failed")
@@ -336,7 +342,7 @@ object Layouts {
           s"appendZOrdered: $path is not a maintained z-ordered layout " +
             "— write it with writeZOrderedMaintained first", e)
       }
-    val cols = pr.getSeq[String](pr.fieldIndex("cols"))
+    val cols = pr.cols
     val missing = cols.filterNot(df.columns.contains)
     require(missing.isEmpty,
       s"appendZOrdered: batch is missing clustering column(s) " +
@@ -403,17 +409,13 @@ object Layouts {
   private def ledgerDir(path: String) =
     s"${zmetaDir(path)}/$ZIngestLedgerTable"
 
-  private val zLedgerSchema = new org.apache.spark.sql.types.StructType()
-    .add("batch_id", DataTypes.LongType)
-
   private def ledgerBatchIds(spark: org.apache.spark.sql.SparkSession,
                              path: String): Set[Long] = {
     val fs = fsOf(spark, path)
     if (!fs.exists(new org.apache.hadoop.fs.Path(ledgerDir(path))))
       Set.empty
-    else spark.read.schema(zLedgerSchema)
-      .parquet(ledgerDir(path))
-      .collect().map(_.getLong(0)).toSet
+    else MetaIO.readLongs(spark.sparkContext.hadoopConfiguration,
+      ledgerDir(path)).toSet
   }
 
   /** Ledger files above which [[commitAppendBatch]] folds the table. */
@@ -437,15 +439,13 @@ object Layouts {
     if (!fs.exists(dirP)) return
     val parts = fs.listStatus(dirP).filter(isDataFile)
     if (parts.length <= maxFiles) return
-    import spark.implicits._
-    val ids = spark.read.schema(zLedgerSchema)
-      .parquet(parts.map(_.getPath.toString): _*)
-      .collect().map(_.getLong(0)).distinct.toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ids = MetaIO.readLongs(conf, dirP.toString).distinct
     val tmp = new org.apache.hadoop.fs.Path(
       s"${zmetaDir(path)}/${ZIngestLedgerTable}__fold")
     fs.delete(tmp, true)
-    ids.toDF("batch_id").coalesce(1).write.mode("overwrite")
-      .parquet(tmp.toString)
+    MetaIO.writeTable(conf, tmp.toString, Seq("batch_id" -> MetaIO.MLong),
+      ids.map(Seq(_)))
     val folded = fs.listStatus(tmp).filter(isDataFile)
     require(folded.nonEmpty, s"ledger fold at $path produced no file")
     folded.foreach { s =>
@@ -487,13 +487,13 @@ object Layouts {
       if (rows == 0L) Nil
       else fs.listStatus(stage).toSeq.filter(isDataFile)
         .map(_.getPath.getName)
-    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     val manTmp = new org.apache.hadoop.fs.Path(zappManifestTmpDir(path))
     fs.delete(manTmp, true)
-    Seq(batchId).toDF("batch_id").coalesce(1).write.mode("overwrite")
-      .parquet(s"${zappManifestTmpDir(path)}/batch")
-    newNames.toDF("name").coalesce(1).write.mode("overwrite")
-      .parquet(s"${zappManifestTmpDir(path)}/new_files")
+    MetaIO.writeTable(conf, s"${zappManifestTmpDir(path)}/batch",
+      Seq("batch_id" -> MetaIO.MLong), Seq(Seq(batchId)))
+    MetaIO.writeTable(conf, s"${zappManifestTmpDir(path)}/new_files",
+      Seq("name" -> MetaIO.MString), newNames.map(Seq(_)))
     fs.delete(new org.apache.hadoop.fs.Path(zappManifestDir(path)), true)
     require(fs.rename(manTmp,
       new org.apache.hadoop.fs.Path(zappManifestDir(path))),
@@ -511,13 +511,11 @@ object Layouts {
     val fs = fsOf(spark, path)
     val man = new org.apache.hadoop.fs.Path(zappManifestDir(path))
     if (!fs.exists(man)) return
-    val batchId = spark.read
-      .schema(new org.apache.spark.sql.types.StructType()
-        .add("batch_id", DataTypes.LongType))
-      .parquet(s"${zappManifestDir(path)}/batch").head().getLong(0)
-    val newNames = spark.read
-      .parquet(s"${zappManifestDir(path)}/new_files")
-      .collect().map(_.getString(0)).toSeq
+    val conf = spark.sparkContext.hadoopConfiguration
+    val batchId =
+      MetaIO.readLongs(conf, s"${zappManifestDir(path)}/batch").head
+    val newNames =
+      MetaIO.readStrings(conf, s"${zappManifestDir(path)}/new_files")
     val stage = new org.apache.hadoop.fs.Path(zappStageDir(path))
     val root = new org.apache.hadoop.fs.Path(path)
     newNames.foreach { n =>
@@ -530,11 +528,9 @@ object Layouts {
         s"exactly-once append commit: staged file $n missing from " +
           s"both the stage and $path — manual triage required")
     }
-    if (!ledgerBatchIds(spark, path).contains(batchId)) {
-      import spark.implicits._
-      Seq(batchId).toDF("batch_id").coalesce(1)
-        .write.mode("append").parquet(ledgerDir(path))
-    }
+    if (!ledgerBatchIds(spark, path).contains(batchId))
+      MetaIO.appendTable(conf, ledgerDir(path),
+        Seq("batch_id" -> MetaIO.MLong), Seq(Seq(batchId)))
     fs.delete(man, true)
     fs.delete(stage, true)
     // periodic fold: each commit appends one ledger file; without this
@@ -549,9 +545,9 @@ object Layouts {
   def zOrderFragmentation(spark: org.apache.spark.sql.SparkSession,
                           path: String): Double = {
     healZOrderSwap(spark, path)
-    val clustered = spark.read
-      .parquet(s"${zmetaDir(path)}/clustered_files")
-      .collect().map(_.getString(0)).toSet
+    val clustered = MetaIO.readStrings(
+      spark.sparkContext.hadoopConfiguration,
+      s"${zmetaDir(path)}/clustered_files").toSet
     val all = dataFiles(spark, path)
     val total = all.map(_.getLen).sum
     if (total == 0L) 0.0
@@ -572,10 +568,10 @@ object Layouts {
                         path: String): Unit = {
     healZOrderSwap(spark, path)
     val pr = readZParams(spark, path)
-    val cols = pr.getSeq[String](pr.fieldIndex("cols"))
-    val bits = pr.getAs[Int]("bits")
-    val files = pr.getAs[Int]("files")
-    val mrpf = pr.getAs[Long]("max_records_per_file")
+    val cols = pr.cols
+    val bits = pr.bits
+    val files = pr.files
+    val mrpf = pr.maxRecordsPerFile
     val fs = fsOf(spark, path)
     val stage = new org.apache.hadoop.fs.Path(s"$path.__zstage")
     val aside = new org.apache.hadoop.fs.Path(s"$path.__zaside")
@@ -662,14 +658,14 @@ object Layouts {
       s"bad maxRewriteFraction $maxRewriteFraction")
     healZOrderSwap(spark, path)
     val pr = readZParams(spark, path)
-    val cols = pr.getSeq[String](pr.fieldIndex("cols"))
-    val bits = pr.getAs[Int]("bits")
-    val files = pr.getAs[Int]("files")
-    val mrpf = pr.getAs[Long]("max_records_per_file")
+    val cols = pr.cols
+    val bits = pr.bits
+    val files = pr.files
+    val mrpf = pr.maxRecordsPerFile
     val fs = fsOf(spark, path)
-    val clustered = spark.read
-      .parquet(s"${zmetaDir(path)}/clustered_files")
-      .collect().map(_.getString(0)).toSet
+    val clustered = MetaIO.readStrings(
+      spark.sparkContext.hadoopConfiguration,
+      s"${zmetaDir(path)}/clustered_files").toSet
     val all = dataFiles(spark, path)
     val tail = all.filterNot(s => clustered(s.getPath.getName))
     val clu = all.filter(s => clustered(s.getPath.getName))
@@ -785,14 +781,15 @@ object Layouts {
         "depends on it)")
     val manTmp = new org.apache.hadoop.fs.Path(zincManifestTmpDir(path))
     fs.delete(manTmp, true)
-    newNames.toDF("name").coalesce(1).write.mode("overwrite")
-      .parquet(s"${zincManifestTmpDir(path)}/new_files")
-    consumed.map(_.getPath.getName).toDF("name").coalesce(1)
-      .write.mode("overwrite")
-      .parquet(s"${zincManifestTmpDir(path)}/consumed_files")
-    (untouched.map(_.getPath.getName) ++ newNames).toDF("name")
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"${zincManifestTmpDir(path)}/clustered_files")
+    val mconf = spark.sparkContext.hadoopConfiguration
+    MetaIO.writeTable(mconf, s"${zincManifestTmpDir(path)}/new_files",
+      Seq("name" -> MetaIO.MString), newNames.map(Seq(_)))
+    MetaIO.writeTable(mconf, s"${zincManifestTmpDir(path)}/consumed_files",
+      Seq("name" -> MetaIO.MString),
+      consumed.map(s => Seq[Any](s.getPath.getName)))
+    MetaIO.writeTable(mconf, s"${zincManifestTmpDir(path)}/clustered_files",
+      Seq("name" -> MetaIO.MString),
+      (untouched.map(_.getPath.getName) ++ newNames).map(Seq(_)))
     fs.delete(new org.apache.hadoop.fs.Path(zincManifestDir(path)), true)
     require(fs.rename(manTmp,
       new org.apache.hadoop.fs.Path(zincManifestDir(path))),
@@ -817,8 +814,8 @@ object Layouts {
     val man = new org.apache.hadoop.fs.Path(zincManifestDir(path))
     if (!fs.exists(man)) return
     def names(table: String): Seq[String] =
-      spark.read.parquet(s"${zincManifestDir(path)}/$table")
-        .collect().map(_.getString(0)).toSeq
+      MetaIO.readStrings(spark.sparkContext.hadoopConfiguration,
+        s"${zincManifestDir(path)}/$table")
     val newNames = names("new_files")
     val consumed = names("consumed_files")
     val clusteredNew = names("clustered_files")
@@ -838,8 +835,7 @@ object Layouts {
       fs.delete(new org.apache.hadoop.fs.Path(root, n), false))
     val pr = readZParams(spark, path)
     stampClustered(spark, path,
-      pr.getSeq[String](pr.fieldIndex("cols")), pr.getAs[Int]("bits"),
-      pr.getAs[Int]("files"), pr.getAs[Long]("max_records_per_file"),
+      pr.cols, pr.bits, pr.files, pr.maxRecordsPerFile,
       consumed, namesOverride = Some(clusteredNew),
       carryLedgerFrom = Some(path))
     fs.delete(man, true)
@@ -991,8 +987,8 @@ object Layouts {
     val aside = new org.apache.hadoop.fs.Path(s"$path.__zaside")
     if (!fs.exists(aside)) return
     val consumed =
-      try spark.read.parquet(s"${zmetaDir(path)}/consumed_files")
-        .collect().map(_.getString(0)).toSet
+      try MetaIO.readStrings(spark.sparkContext.hadoopConfiguration,
+        s"${zmetaDir(path)}/consumed_files").toSet
       catch { case _: Exception => Set.empty[String] }
     if (consumed.isEmpty) {
       System.err.println(
@@ -1164,25 +1160,52 @@ object Layouts {
                      path: String): DataFrame = {
     val files = snapshotFiles(spark, path)
     require(files.nonEmpty, s"readMaintained: $path holds no data files")
-    try spark.read.parquet(files: _*)
-    catch {
-      // every path handed to the reader came from THIS call's listing,
-      // so a PATH_NOT_FOUND here (a file vanished before the reader's
-      // path check) or an UNABLE_TO_INFER_SCHEMA (every footer gone
-      // before inference — the whole generation swapped) is always a
-      // commit racing the snapshot — rethrow retryable
-      case e: Throwable
-          if (e match {
-            case st: org.apache.spark.SparkThrowable =>
-              Option(st.getCondition).exists(c =>
-                c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA")
-            case _ => false
-          }) =>
-        throw new java.io.FileNotFoundException(
-          s"$path: snapshot file vanished mid-open (maintenance " +
-            s"commit race) — transient, retry re-snapshots: " +
-            e.getMessage)
+    val df =
+      try spark.read.parquet(files: _*)
+      catch {
+        // every path handed to the reader came from THIS call's listing,
+        // so a PATH_NOT_FOUND here (a file vanished before the reader's
+        // path check) or an UNABLE_TO_INFER_SCHEMA (every footer gone
+        // before inference — the whole generation swapped) is always a
+        // commit racing the snapshot — rethrow retryable
+        case e: Throwable
+            if (e match {
+              case st: org.apache.spark.SparkThrowable =>
+                Option(st.getCondition).exists(c =>
+                  c == "PATH_NOT_FOUND" || c == "UNABLE_TO_INFER_SCHEMA")
+              case _ => false
+            }) =>
+          throw new java.io.FileNotFoundException(
+            s"$path: snapshot file vanished mid-open (maintenance " +
+              s"commit race) — transient, retry re-snapshots: " +
+              e.getMessage)
     }
+    // PLANNED-SET completeness check (r19). Spark's file index does NOT
+    // throw for a path that vanishes between the reader's own existence
+    // check and its listing pass: InMemoryFileIndex logs "was deleted
+    // very recently" and plans WITHOUT the file — so a snapshot racing
+    // a commit's deletes could return a silently-short frame that no
+    // retry contract ever sees (reproduced deterministically by
+    // graft.tools.ZSnapStress: count()s of 1602-1686 rows over a
+    // 3400-row layout with df.inputFiles showing 17-19 of 36 snapshot
+    // files planned — and the likely true mechanism behind the r18
+    // '1687-row view', then attributed to readdir races). df.inputFiles
+    // is driver-side metadata of the already-built index (zero jobs);
+    // any shortfall throws the retryable class. Files vanishing AFTER
+    // planning fail the task loudly (FAILED_READ_FILE), which
+    // retryingRead already heals.
+    val plannedNames = df.inputFiles
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).toSet
+    val missingPlanned = files
+      .map(f => new org.apache.hadoop.fs.Path(f).getName)
+      .filterNot(plannedNames)
+    if (missingPlanned.nonEmpty)
+      throw new java.io.FileNotFoundException(
+        s"$path: ${missingPlanned.size} snapshot files vanished between " +
+          "the listing and the scan's planning (maintenance commit " +
+          "race; the file index silently drops just-deleted paths) — " +
+          "transient, retry re-snapshots")
+    df
   }
 
   /** Run `f` over a fresh [[readMaintained]] snapshot, retrying the
@@ -1223,8 +1246,8 @@ object Layouts {
       val (newF, consumed) =
         try {
           def mnames(t: String): Set[String] =
-            spark.read.parquet(s"${zincManifestDir(path)}/$t")
-              .collect().map(_.getString(0)).toSet
+            MetaIO.readStrings(spark.sparkContext.hadoopConfiguration,
+              s"${zincManifestDir(path)}/$t").toSet
           (mnames("new_files"), mnames("consumed_files"))
         } catch {
           // transient ONLY when the manifest actually went away (the
@@ -1277,8 +1300,8 @@ object Layouts {
     val metaDirExisted = fs.exists(metaDir)
     if (manExists || metaDirExisted) {
       def recNames(t: String): Set[String] =
-        try spark.read.parquet(s"${zmetaDir(path)}/$t")
-          .collect().map(_.getString(0)).toSet
+        try MetaIO.readStrings(spark.sparkContext.hadoopConfiguration,
+          s"${zmetaDir(path)}/$t").toSet
         catch {
           // the restamp swap (delete + rename) makes the record
           // momentarily absent — transient; present-but-corrupt is

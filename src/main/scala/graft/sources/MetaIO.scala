@@ -179,7 +179,16 @@ object MetaIO {
     * null). Small-table use only — the whole result is materialized on
     * the driver. */
   def readTable(conf: Configuration, dir: String): Seq[Map[String, Any]] = {
-    visibleParquetFiles(conf, dir).flatMap { st =>
+    val files = visibleParquetFiles(conf, dir)
+    // zero VISIBLE files is never a legal metadata table (an empty
+    // table is one zero-row file): it is the mid-overwrite window of a
+    // concurrent writer, or debris — throw the same missing-file class
+    // the Spark reader surfaced (UNABLE_TO_INFER_SCHEMA), which every
+    // caller already maps to its transient/permanent discipline
+    if (files.isEmpty)
+      throw new java.io.FileNotFoundException(
+        s"$dir: no visible parquet files (mid-publish window)")
+    files.flatMap { st =>
       val reader = ParquetReader
         .builder(new GroupReadSupport(), st.getPath)
         .withConf(conf).build()
