@@ -982,12 +982,26 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(f)
       p.getParent.toUri.getPath
     }.toSet
-    val missing = dirs.filterNot(d =>
+    val unplanned = dirs.filterNot(d =>
       plannedDirs.exists(_.endsWith(s"/$d")))
-    if (missing.nonEmpty)
+    // A registered dir absent from the plan is EITHER mid-rename churn
+    // (the dir itself is gone right now — transient, retry) OR a
+    // physically EMPTY registered dir, which IS a legal crash-window
+    // state: a takedown purge drops the torn tail's FILES from a shard
+    // dir without deregistering it (deregistration guards dir drops,
+    // not file drops — IndexDeletionSpec's torn-mask tests manufacture
+    // exactly this). An existing dir with zero data files contributes
+    // zero rows by definition, so planning without it is the correct
+    // read, not a narrowed one. One driver-side exists() per unplanned
+    // dir; zero in the common (all-planned) case.
+    val vanished = unplanned.filter { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$tablePath/$d")
+      !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
+    if (vanished.nonEmpty)
       throw new java.io.FileNotFoundException(
-        s"$tablePath: ${missing.size} registered partition dirs " +
-          s"(${missing.take(3).mkString(", ")}…) vanished between the " +
+        s"$tablePath: ${vanished.size} registered partition dirs " +
+          s"(${vanished.take(3).mkString(", ")}…) vanished between the " +
           "registry read and the scan's planning (maintenance rename " +
           "churn; the file index silently drops just-deleted paths) — " +
           "transient, retry re-reads")
