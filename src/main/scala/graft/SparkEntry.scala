@@ -180,9 +180,43 @@ object SparkEntry {
     // fails with FileNotFoundException on a path that is back by the
     // time we retry. Same discipline as the layout reads' retry
     // contract: heal the thrown transient, never a silent one.
-    def copyToWork(): Unit =
-      require(org.apache.hadoop.fs.FileUtil.copy(fs, source, fs, work,
-        false, conf), s"deployment cache copy $source -> $work failed")
+    //
+    // PARALLEL copy (r19): a deployment is hundreds of KB-scale files
+    // (shard dirs, per-batch outputs, metadata tables) and
+    // FileUtil.copy walks them serially — measured ~2 s of driver-only
+    // wall at the head of every p9/p10/q64d run. The tree walk stays
+    // serial (cheap metadata); the per-file byte copies fan out over a
+    // bounded pool. Failure mapping preserves the retry contract above
+    // (the ExecutionException unwrap keeps FileNotFoundException
+    // visible to the catch).
+    def copyToWork(): Unit = {
+      val toCopy = Seq.newBuilder[(Path, Path)]
+      def walk(sp: Path, dp: Path): Unit = {
+        if (!fs.mkdirs(dp))
+          throw new java.io.IOException(s"could not create $dp")
+        fs.listStatus(sp).foreach { st =>
+          val child = new Path(dp, st.getPath.getName)
+          if (st.isDirectory) walk(st.getPath, child)
+          else toCopy += ((st.getPath, child))
+        }
+      }
+      walk(source, work)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val futs = toCopy.result().map { case (sp, dp) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = require(
+              org.apache.hadoop.fs.FileUtil.copy(fs, sp, fs, dp, false, conf),
+              s"deployment cache copy $sp -> $dp failed")
+          })
+        }
+        try futs.foreach(_.get())
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            throw Option(e.getCause).getOrElse(e)
+        }
+      } finally pool.shutdownNow()
+    }
     try copyToWork()
     catch {
       case _: java.io.FileNotFoundException if source == cache =>

@@ -3698,16 +3698,6 @@ object Dedup {
     }
   }
 
-  private def readIngestLedger(spark: org.apache.spark.sql.SparkSession,
-                               indexPath: String): DataFrame =
-    try readIndexTable(spark, s"$indexPath/ingest_ledger")
-    catch {
-      case e: Exception => throw new IllegalArgumentException(
-        s"signature index at $indexPath has no ingest ledger — call " +
-          "initIngestLedger (or indexedDedupStream, which does) before " +
-          "governed batch ingest", e)
-    }
-
   /** One micro-batch of the production incremental-dedup loop, EXACTLY
     * ONCE under crash/replay — the piece that turns the persisted
     * signature index into a streaming ingest pipeline
@@ -3875,12 +3865,15 @@ object Dedup {
     }
 
   /** Per-batch governance scalars both governed loops resolve up front:
-    * replay flag, committed watermark `w`, the batch geometry, and —
-    * quarantine mode only — the detected contract violation. */
+    * replay flag, committed watermark `w`, the batch geometry, the
+    * torn-tail flag, the touched-shard set, and — quarantine mode
+    * only — the detected contract violation. */
   private final case class BatchFront(replayed: Boolean, w: Long,
                                       batchRows: Long, maxId: Long,
                                       violation: Option[String] = None,
-                                      quarantinedBefore: Boolean = false) {
+                                      quarantinedBefore: Boolean = false,
+                                      torn: Boolean = false,
+                                      touched: Seq[Int] = Nil) {
     /** Watermark after this batch commits — the max BATCH id: processed
       * docs advance it even when dup'd or unsignable (they are
       * processed, just never indexed). A QUARANTINED batch advances
@@ -3889,35 +3882,76 @@ object Dedup {
       if (batchRows == 0 || violation.isDefined) w else math.max(w, maxId)
   }
 
-  /** FRONT FOLD — one job answers every scalar a governed batch needs up
-    * front: the ledger state (committed watermark, replay detection)
-    * crossed with the batch geometry (row count, min/max id, cast
-    * health). Both sides are one-row aggregates, so the cross join is a
-    * trivial broadcast; previously these were two sequential jobs and
-    * the watermark-clash count needed `w` before it could even be
-    * planned — comparing min(id) > w instead removes that dependency.
-    * Shared verbatim by the MinHash and SRP ingest loops (`opName` only
-    * labels the contract errors).
-    */
-  private def resolveBatchFront(ledger: DataFrame, b: DataFrame,
-                                idCol: String, batchId: Long,
-                                indexPath: String, opName: String,
-                                quarantine: Boolean = false): BatchFront = {
+  /** Ledger governance scalars, read DRIVER-SIDE (MetaIO, r19): the
+    * ledger is one tiny row per batch, so folding its aggregate into a
+    * Spark job (the pre-r19 front fold's ledger side) paid data-source
+    * resolution + a scan stage per micro-batch for a table that fits in
+    * a driver list. Reading it up front also unblocks the fused front
+    * job below: the committed watermark `w` is known BEFORE the job is
+    * planned, so the torn-tail count (`id > w`) can join it. Same
+    * mid-publish discipline as the Spark read it replaces: zero visible
+    * files throws, mapped to the caller's no-ledger contract error. */
+  private def ledgerFront(spark: org.apache.spark.sql.SparkSession,
+                          indexPath: String, batchId: Long)
+      : (Boolean, Long, Boolean) = {
+    val rows =
+      try graft.sources.MetaIO.readTable(
+        spark.sparkContext.hadoopConfiguration, s"$indexPath/ingest_ledger")
+      catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"signature index at $indexPath has no ingest ledger — call " +
+            "initIngestLedger (or indexedDedupStream, which does) before " +
+            "governed batch ingest", e)
+      }
+    def l(m: Map[String, Any], k: String): Long = m(k) match {
+      case x: Long => x
+      case x: Int => x.toLong
+      case other => throw new IllegalStateException(
+        s"ingest ledger at $indexPath: non-integral '$k' value $other")
+    }
     // COMMITTED rows only drive replay recognition: a quarantine row
     // (novel_rows = -1) records a diverted batch, and a later
     // redriveQuarantined legitimately adds the batch's real committed
     // row beside it — the one-row-per-batch invariant holds for
     // committed rows, while the quarantine flag is tracked separately
     // (it gates the -1 append's own idempotence).
-    val committedRow = col("batch_id") === lit(batchId) &&
-      col("novel_rows") =!= lit(QuarantinedNovelRows)
-    val front = ledger.agg(
-        max(col("watermark_after")).as("l_after"),
-        count(when(committedRow, 1)).as("l_cnt"),
-        max(when(committedRow, col("watermark_before"))).as("l_before"),
-        count(when(col("batch_id") === lit(batchId) &&
-          col("novel_rows") === lit(QuarantinedNovelRows), 1)).as("l_qcnt"))
-      .crossJoin(b.agg(
+    val committed = rows.filter(m => l(m, "batch_id") == batchId &&
+      l(m, "novel_rows") != QuarantinedNovelRows)
+    require(committed.size <= 1,
+      s"ingest ledger at $indexPath has ${committed.size} committed " +
+        s"rows for batch $batchId — the ledger is corrupt (concurrent " +
+        "writers?)")
+    val replayed = committed.size == 1
+    val quarantinedBefore = rows.exists(m => l(m, "batch_id") == batchId &&
+      l(m, "novel_rows") == QuarantinedNovelRows)
+    val w =
+      if (replayed) l(committed.head, "watermark_before")
+      else rows.map(l(_, "watermark_after")).max
+    (replayed, w, quarantinedBefore)
+  }
+
+  /** FRONT FOLD — one job answers every scalar a governed batch needs up
+    * front: the batch geometry (row count, min/max id, cast health)
+    * crossed with the PHYSICAL torn-tail count (`id > w`, row-group
+    * pruned — ~free on a clean index) and, sharded indexes, the
+    * touched-shard set of the batch's bucket rows. All sides are
+    * one-row aggregates, so the cross joins are trivial broadcasts;
+    * previously these were THREE sequential jobs per micro-batch (front
+    * head, tail isEmpty, touched collect) and the ledger aggregate ran
+    * as a fourth stage inside the first — the ledger now resolves
+    * driver-side ([[ledgerFront]]), which is what lets the tail count
+    * (needs `w`) fold in. Shared verbatim by all three governed loops
+    * (`opName` only labels the contract errors).
+    */
+  private def resolveBatchFront(b: DataFrame,
+                                idCol: String, batchId: Long,
+                                indexPath: String, opName: String,
+                                quarantine: Boolean,
+                                physTail: DataFrame,
+                                touchedAgg: Option[DataFrame]): BatchFront = {
+    val (replayed, w, quarantinedBefore) =
+      ledgerFront(b.sparkSession, indexPath, batchId)
+    val front0 = b.agg(
         count(lit(1)).as("g_cnt"),
         // try_cast, not cast: ANSI mode would throw Spark's own
         // CAST_INVALID_INPUT mid-job on a malformed id — the g_bad
@@ -3925,26 +3959,24 @@ object Dedup {
         max(col(idCol).try_cast("long")).as("g_max"),
         min(col(idCol).try_cast("long")).as("g_min"),
         count(when(col(idCol).isNull ||
-          col(idCol).try_cast("long").isNull, 1)).as("g_bad")))
-      .head()
-    require(front.getLong(1) <= 1,
-      s"ingest ledger at $indexPath has ${front.getLong(1)} committed " +
-        s"rows for batch $batchId — the ledger is corrupt (concurrent " +
-        "writers?)")
-    val replayed = front.getLong(1) == 1
-    val quarantinedBefore = front.getLong(3) > 0
-    val w = if (replayed) front.getLong(2) else front.getLong(0)
-    val batchRows = front.getLong(4)
+          col(idCol).try_cast("long").isNull, 1)).as("g_bad"))
+      .crossJoin(physTail.filter(col("id") > lit(w))
+        .agg(count(lit(1)).as("t_cnt")))
+    val front = touchedAgg.fold(front0)(front0.crossJoin(_)).head()
+    val batchRows = front.getAs[Long]("g_cnt")
+    val torn = front.getAs[Long]("t_cnt") > 0
+    val touched = touchedAgg.fold(Seq.empty[Int])(_ =>
+      front.getAs[scala.collection.Seq[Int]]("__touched").toSeq)
     // Contract checks. Default: fail loudly (an exactly-once index must
     // not guess). Quarantine mode: return the violation instead — the
     // caller diverts the whole batch (the unit of exactly-once) to the
     // quarantine directory and the stream continues.
     val violation =
-      if (front.getLong(7) != 0)
-        Some(s"batch $batchId has ${front.getLong(7)} non-long-castable " +
-          s"'$idCol' values — the watermark contract requires monotone " +
-          "long ids")
-      else if (batchRows != 0 && front.getLong(6) <= w)
+      if (front.getAs[Long]("g_bad") != 0)
+        Some(s"batch $batchId has ${front.getAs[Long]("g_bad")} " +
+          s"non-long-castable '$idCol' values — the watermark contract " +
+          "requires monotone long ids")
+      else if (batchRows != 0 && front.getAs[Long]("g_min") <= w)
         Some(s"batch $batchId contains ids <= the committed watermark " +
           s"($w) — ingest ids must be monotone across batches (an " +
           "out-of-order backfill should rebuild the index)")
@@ -3955,9 +3987,19 @@ object Dedup {
     // stays w by the batchRows == 0 branch anyway); same for a
     // violating batch (g_max may be NULL or untrustworthy)
     BatchFront(replayed, w, batchRows,
-      if (batchRows == 0 || violation.isDefined) w else front.getLong(5),
-      violation, quarantinedBefore)
+      if (batchRows == 0 || violation.isDefined) w
+      else front.getAs[Long]("g_max"),
+      violation, quarantinedBefore, torn, touched)
   }
+
+  /** One-row collect_set aggregate of the shard ids `rows` touch — the
+    * touched-shard side of the fused front fold (see
+    * [[resolveBatchFront]]; the standalone-job form is
+    * [[touchedShards]]). */
+  private def touchedShardsAgg(rows: DataFrame, keys: Seq[String],
+                               shards: Int): DataFrame =
+    rows.select(shardCol(keys.map(col), shards).as("__shard"))
+      .agg(collect_set(col("__shard")).as("__touched"))
 
   /** Divert a contract-violating batch in QUARANTINE mode: the raw rows
     * land under `<indexPath>/quarantine/batch_id=<id>/` (a per-batch
@@ -4215,16 +4257,30 @@ object Dedup {
     GraftFunctions.register(spark)
     val ix = readSignatureIndex(spark, indexPath)
     val p = ix.params
-    val ledger = readIngestLedger(spark, indexPath)
     // Claim the index for this mutation; re-checked before the ledger
     // commit, so a compaction landing mid-batch makes this batch abort
     // (and replay) instead of committing over a moved index.
     val claimed = claimEpoch(spark, indexPath)
 
     val b = batch.localCheckpoint()
-    // FRONT FOLD — see resolveBatchFront
-    val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
-      "ingestBatchWithIndex", quarantine)
+    val physSig = readIndexTable(spark, s"$indexPath/signatures")
+    val bandStructs = array((0 until p.bands).map { bnd =>
+      struct(lit(bnd).as("band"),
+        bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
+    }: _*)
+    // FRONT FOLD — see resolveBatchFront: ledger driver-side, then ONE
+    // job for batch geometry × physical torn-tail count × touched
+    // shards (previously three sequential jobs per micro-batch).
+    val front = resolveBatchFront(b, idCol, batchId, indexPath,
+      "ingestBatchWithIndex", quarantine, physSig,
+      if (ix.shards > 0)
+        Some(touchedShardsAgg(
+          withMinHashSignature(b, textCol, p)
+            .filter(size(col("shingles")) > 0)
+            .select(explode(bandStructs).as("bk"))
+            .select(col("bk.band").as("band"), col("bk.bkey").as("bkey")),
+          Seq("band", "bkey"), ix.shards))
+      else None)
     if (front.violation.isDefined) {
       val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
         front, claimed)
@@ -4240,13 +4296,14 @@ object Dedup {
     val committed = MinHashIndex(ix.signatures.filter(col("id") <= lit(w)),
       ix.bands.filter(col("id") <= lit(w)), p, ix.shards)
 
-    // TORN-TAIL CHECK — one row-group-pruned job (parquet min/max stats
-    // skip every committed row group; a clean index reads ~no data).
-    // Appends land in order sigs → bands → occupancy → ledger, so an
-    // empty signature tail proves NO prior attempt wrote anything past
-    // `w`: the self-healing anti-joins and the occupancy replay-presence
-    // probe are all skipped on the clean path (the overwhelmingly common
-    // one), and only a genuinely torn or replayed batch pays for healing.
+    // TORN-TAIL CHECK — folded into the front job (row-group pruned:
+    // parquet min/max stats skip every committed row group; a clean
+    // index reads ~no data). Appends land in order sigs → bands →
+    // occupancy → ledger, so an empty signature tail proves NO prior
+    // attempt wrote anything past `w`: the self-healing anti-joins and
+    // the occupancy replay-presence probe are all skipped on the clean
+    // path (the overwhelmingly common one), and only a genuinely torn
+    // or replayed batch pays for healing.
     //
     // PHYSICAL table, never the tombstone-filtered `ix` view: a takedown
     // landing between a torn crash and this replay can tombstone exactly
@@ -4256,30 +4313,15 @@ object Dedup {
     // rows the purge will subtract only once (occupancy drifts negative,
     // caps over-admit). Replay/monotonicity machinery reads physical
     // tables (the same invariant as the max-id and ledger bootstraps);
-    // the filtered view serves probe/committed semantics only. On a
-    // clean index this is the SAME row-group-pruned scan minus the
-    // anti-join, so the fast path got cheaper, not slower.
-    val physSigTail = readIndexTable(spark, s"$indexPath/signatures")
-      .filter(col("id") > lit(w))
-    val torn = !physSigTail.isEmpty
+    // the filtered view serves probe/committed semantics only.
+    val physSigTail = physSig.filter(col("id") > lit(w))
+    val torn = front.torn
 
-    // Touched shards of the WHOLE batch, collected once and shared by
-    // the cross-index probe, the occupancy read and the band-tail filter
-    // (previously two separate collects). A superset of the novel rows'
-    // touched set — supersets only weaken pruning, never correctness.
-    val bandStructs = array((0 until p.bands).map { bnd =>
-      struct(lit(bnd).as("band"),
-        bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
-    }: _*)
-    val touched =
-      if (ix.shards > 0)
-        touchedShards(
-          withMinHashSignature(b, textCol, p)
-            .filter(size(col("shingles")) > 0)
-            .select(explode(bandStructs).as("bk"))
-            .select(col("bk.band").as("band"), col("bk.bkey").as("bkey")),
-          Seq("band", "bkey"), ix.shards)
-      else Nil
+    // Touched shards of the WHOLE batch (collected in the front job) —
+    // shared by the cross-index probe, the occupancy read and the
+    // band-tail filter. A superset of the novel rows' touched set —
+    // supersets only weaken pruning, never correctness.
+    val touched = front.touched
     // Per-batch execution profile (restored by withPinnedPlan): the
     // EXPANDED band-row estimate plus the on-disk size of the index
     // slice the probe join will actually read (touched shards only)
@@ -4322,9 +4364,21 @@ object Dedup {
     // jobs) as the staging table for every downstream consumer, instead
     // of paying a separate localCheckpoint job + in-memory blocks for
     // rows that had to be written anyway.
+    //
+    // coalesce SIZED TO THE BATCH (r19, guide §6 small files): without
+    // it the write inherits the batch scan's split count — dozens of
+    // tasks each writing a KB-scale file per micro-batch, tripling into
+    // the sig/band appends that read this table back (a small-files
+    // explosion compounding over a long-running stream). ~64k rows per
+    // output file, ceiling = the tuned per-batch shuffle partitions, so
+    // a corpus-scale batch keeps its write parallelism. The final stage
+    // above the coalesce is two broadcast anti-join probes — trivial
+    // per-row work, safe to narrow.
     val novelOut = s"$outPath/batch_id=$batchId"
     b.join(withinDup, Seq(idCol), "left_anti")
       .join(crossDup, Seq(idCol), "left_anti")
+      .coalesce(batchShufflePartitions(batchRows,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
       .write.mode("overwrite").parquet(novelOut)
     val novel = spark.read.schema(b.schema).parquet(novelOut)
 
@@ -4501,13 +4555,27 @@ object Dedup {
     val spark = batch.sparkSession
     GraftFunctions.register(spark)
     val ix = readSrpIndex(spark, indexPath)
-    val ledger = readIngestLedger(spark, indexPath)
     val claimed = claimEpoch(spark, indexPath)
 
     val b = batch.localCheckpoint()
-    // FRONT FOLD — see resolveBatchFront
-    val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
-      "ingestBatchWithSrpIndex", quarantine)
+    val physVec = readIndexTable(spark, s"$indexPath/vectors")
+    // FRONT FOLD — see resolveBatchFront: ledger driver-side, then ONE
+    // job for batch geometry × physical torn-tail count × the touched
+    // shards of the batch's MULTI-PROBE bucket set (base + every
+    // Hamming-1 flip — a superset of the novel rows' base buckets, so
+    // pruning stays correct).
+    val front = resolveBatchFront(b, idCol, batchId, indexPath,
+      "ingestBatchWithSrpIndex", quarantine, physVec,
+      if (ix.shards > 0) {
+        val flips = col("bkt") +: (0 until ix.planes).map(j =>
+          col("bkt").bitwiseXOR(lit(1L << j)))
+        Some(touchedShardsAgg(
+          b.select(posexplode(GraftFunctions.srpBuckets(
+              col(vecCol).cast("array<float>"), ix.tables, ix.planes,
+              ix.dim)).as(Seq("tbl", "bkt")))
+            .select(col("tbl"), explode(array(flips: _*)).as("bkt")),
+          Seq("tbl", "bkt"), ix.shards))
+      } else None)
     if (front.violation.isDefined) {
       val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
         front, claimed)
@@ -4521,31 +4589,16 @@ object Dedup {
       ix.buckets.filter(col("id") <= lit(w)),
       ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
 
-    // TORN-TAIL CHECK — append order is vectors → buckets → occupancy →
-    // ledger, so an empty vector tail proves the clean path (see the
-    // MinHash twin); row-group stats make this ~free on a clean index.
-    // PHYSICAL table, not the tombstone-filtered `ix` view — a takedown
-    // of the crashed append's own ids must not mask the torn tail (see
-    // the MinHash twin's torn-check note for the full failure chain).
-    val physVecTail = readIndexTable(spark, s"$indexPath/vectors")
-      .filter(col("id") > lit(w))
-    val torn = !physVecTail.isEmpty
-
-    // Touched shards of the batch's MULTI-PROBE bucket set (base + every
-    // Hamming-1 flip), collected once and shared by the cross-index
-    // probe, the occupancy read and the bucket-tail filter — a superset
-    // of the novel rows' base buckets, so pruning stays correct.
-    val touched =
-      if (ix.shards > 0) {
-        val flips = col("bkt") +: (0 until ix.planes).map(j =>
-          col("bkt").bitwiseXOR(lit(1L << j)))
-        touchedShards(
-          b.select(posexplode(GraftFunctions.srpBuckets(
-              col(vecCol).cast("array<float>"), ix.tables, ix.planes,
-              ix.dim)).as(Seq("tbl", "bkt")))
-            .select(col("tbl"), explode(array(flips: _*)).as("bkt")),
-          Seq("tbl", "bkt"), ix.shards)
-      } else Nil
+    // TORN-TAIL CHECK — folded into the front job; append order is
+    // vectors → buckets → occupancy → ledger, so an empty vector tail
+    // proves the clean path (see the MinHash twin); row-group stats
+    // make this ~free on a clean index. PHYSICAL table, not the
+    // tombstone-filtered `ix` view — a takedown of the crashed append's
+    // own ids must not mask the torn tail (see the MinHash twin's
+    // torn-check note for the full failure chain).
+    val physVecTail = physVec.filter(col("id") > lit(w))
+    val torn = front.torn
+    val touched = front.touched
     // Per-batch execution profile (restored by withPinnedPlan): the
     // EXPANDED multi-probe bucket-row estimate plus the on-disk size of
     // the index slice the probe join will read (touched shards only)
@@ -4572,10 +4625,13 @@ object Dedup {
       .select(col("batch_id").as(idCol)).distinct()
 
     // Output write = the screen DAG's one materialization; read straight
-    // back as the staging table (see the MinHash twin).
+    // back as the staging table; coalesce sized to the batch — see the
+    // MinHash twin's novel-write note (r19).
     val novelOut = s"$outPath/batch_id=$batchId"
     b.join(withinDup, Seq(idCol), "left_anti")
       .join(crossDup, Seq(idCol), "left_anti")
+      .coalesce(batchShufflePartitions(batchRows,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
       .write.mode("overwrite").parquet(novelOut)
     // The within-screen's multi-probe checkpoint is dead the moment the
     // write lands (novel is parquet-backed from here on) — free its
@@ -4865,13 +4921,18 @@ object Dedup {
       quarantine: Boolean): IngestBatchStats = {
     val spark = batch.sparkSession
     val ix = readDigestIndex(spark, indexPath)
-    val ledger = readIngestLedger(spark, indexPath)
     val claimed = claimEpoch(spark, indexPath)
 
     val b = batch.localCheckpoint()
-    // FRONT FOLD — see resolveBatchFront
-    val front = resolveBatchFront(ledger, b, idCol, batchId, indexPath,
-      "ingestBatchWithDigestIndex", quarantine)
+    val physDig = readIndexTable(spark, s"$indexPath/digests")
+    val bd = b.select(col(idCol), col(digCol).cast("string").as("__dig"))
+      .filter(col("__dig").isNotNull)
+    // FRONT FOLD — see resolveBatchFront: ledger driver-side, then ONE
+    // job for batch geometry × physical torn-tail count × touched
+    // shards of the batch's digests.
+    val front = resolveBatchFront(b, idCol, batchId, indexPath,
+      "ingestBatchWithDigestIndex", quarantine, physDig,
+      Some(touchedShardsAgg(bd, Seq("__dig"), ix.shards)))
     if (front.violation.isDefined) {
       val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
         front, claimed)
@@ -4885,16 +4946,13 @@ object Dedup {
     // corpus) AND watermark-filtered (a crashed attempt's appends are
     // invisible).
     val committed = ix.digests.filter(col("id") <= lit(w))
-    // TORN-TAIL CHECK on the PHYSICAL table — same invariant (and the
-    // same takedown-between-crash-and-replay hazard) as the MinHash
-    // twin: a row-group-pruned scan, ~free on a clean index.
-    val physTail = readIndexTable(spark, s"$indexPath/digests")
-      .filter(col("id") > lit(w))
-    val torn = !physTail.isEmpty
-
-    val bd = b.select(col(idCol), col(digCol).cast("string").as("__dig"))
-      .filter(col("__dig").isNotNull)
-    val touched = touchedShards(bd, Seq("__dig"), ix.shards)
+    // TORN-TAIL CHECK on the PHYSICAL table — folded into the front
+    // job; same invariant (and the same takedown-between-crash-and-
+    // replay hazard) as the MinHash twin: a row-group-pruned scan,
+    // ~free on a clean index.
+    val physTail = physDig.filter(col("id") > lit(w))
+    val torn = front.torn
+    val touched = front.touched
     tuneBatchExecution(spark, batchRows,
       dirBytes(spark, s"$indexPath/digests", touched.map(k => s"shard=$k")))
 
@@ -4911,10 +4969,13 @@ object Dedup {
       .select(col(idCol))
 
     // (1) Output: per-batch directory overwrite — replay-idempotent;
-    // doubles as the staging materialization (see the MinHash twin).
+    // doubles as the staging materialization; coalesce sized to the
+    // batch — see the MinHash twin's novel-write note (r19).
     val novelOut = s"$outPath/batch_id=$batchId"
     b.join(withinDup, Seq(idCol), "left_anti")
       .join(crossDup, Seq(idCol), "left_anti")
+      .coalesce(batchShufflePartitions(batchRows,
+        spark.conf.get("spark.sql.shuffle.partitions").toInt))
       .write.mode("overwrite").parquet(novelOut)
     val novel = spark.read.schema(b.schema).parquet(novelOut)
 
