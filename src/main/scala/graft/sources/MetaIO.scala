@@ -242,6 +242,73 @@ object MetaIO {
     m.result()
   }
 
+  /** Max of an INT64 column over every visible parquet file under
+    * `dir`, answered from FOOTER COLUMN STATISTICS only — a driver-side
+    * metadata read, zero Spark jobs, for the "stamp the watermark of
+    * the table we just wrote" pattern (the writer always emits min/max
+    * stats for plain int64 columns).
+    *
+    * Returns:
+    *  - `None` when the footers cannot answer definitively (column
+    *    absent / not a top-level int64 / stats missing or non-exact in
+    *    any block) — the caller must fall back to a real scan;
+    *  - `Some(None)` when the table provably has zero non-null values;
+    *  - `Some(Some(v))` for the exact max.
+    */
+  def statsMaxLong(conf: Configuration, dir: String, colName: String)
+      : Option[Option[Long]] = {
+    try {
+      // recurse into partition dirs (shard=K/...) — the callers stamp
+      // partitionBy tables; hidden/underscore entries stay skipped
+      def walk(p: Path): Seq[FileStatus] = {
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(".") || n.startsWith("_")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else if (st.getLen > 0) Seq(st)
+          else Nil
+        }
+      }
+      val files = walk(new Path(dir))
+      var max: Option[Long] = None
+      files.foreach { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader
+          .open(HadoopInputFile.fromPath(st.getPath, conf))
+        try {
+          val md = reader.getFooter.getBlocks
+          val it = md.iterator()
+          while (it.hasNext) {
+            val block = it.next()
+            val cit = block.getColumns.iterator()
+            var found = false
+            while (cit.hasNext) {
+              val c = cit.next()
+              if (c.getPath.size() == 1 &&
+                  c.getPath.toDotString == colName) {
+                found = true
+                if (c.getPrimitiveType.getPrimitiveTypeName != INT64)
+                  return None
+                val s = c.getStatistics
+                if (s == null || !s.hasNonNullValue) {
+                  // all-null (or empty) chunk is fine; UNKNOWN stats are
+                  // not — distinguish via value count vs null count
+                  if (s == null || s.isNumNullsSet == false) return None
+                  if (s.getNumNulls < c.getValueCount) return None
+                } else {
+                  val m = s.genericGetMax.asInstanceOf[Long]
+                  if (max.forall(_ < m)) max = Some(m)
+                }
+              }
+            }
+            if (!found && block.getRowCount > 0) return None
+          }
+        } finally reader.close()
+      }
+      Some(max)
+    } catch { case _: Exception => None }
+  }
+
   /** Convenience: the single string column of every row (manifest /
     * generation-record name tables). */
   def readStrings(conf: Configuration, dir: String): Seq[String] =
