@@ -309,6 +309,26 @@ object MetaIO {
     } catch { case _: Exception => None }
   }
 
+  /** The Spark schema a Spark parquet writer embedded in `file`'s
+    * footer (`org.apache.spark.sql.parquet.row.metadata`), decoded to a
+    * StructType — a driver-side footer read that lets explicit-file-list
+    * opens skip the distributed schema-inference job. None when the
+    * file is unreadable, not Spark-written, or the JSON does not decode
+    * (callers fall back to inference). */
+  def sparkFileSchema(conf: Configuration, file: String)
+      : Option[org.apache.spark.sql.types.StructType] =
+    try {
+      val r = org.apache.parquet.hadoop.ParquetFileReader
+        .open(HadoopInputFile.fromPath(new Path(file), conf))
+      val json =
+        try Option(r.getFooter.getFileMetaData.getKeyValueMetaData
+          .get("org.apache.spark.sql.parquet.row.metadata"))
+        finally r.close()
+      json.flatMap(j => scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(j)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+    } catch { case _: Exception => None }
+
   /** Convenience: the single string column of every row (manifest /
     * generation-record name tables). */
   def readStrings(conf: Configuration, dir: String): Seq[String] =
