@@ -173,6 +173,10 @@ object Clustering {
     var iter = 0
     var converged = false
     var prev: DataFrame = null
+    // carried across rounds: this round's `next.count()` IS the next
+    // round's `edges.count()` — recomputing it was one redundant job per
+    // round (r19)
+    var edgesCount = edges.count()
     while (!converged && iter < maxIter) {
       // large-star over the symmetrized adjacency
       val sym = edges.union(edges.select(col("v").as("u"), col("u").as("v")))
@@ -195,8 +199,10 @@ object Clustering {
         .distinct()
         .localCheckpoint()
       // exact fixpoint test over two checkpointed edge sets
-      converged = next.count() == edges.count() &&
+      val nextCount = next.count()
+      converged = nextCount == edgesCount &&
         next.join(edges, Seq("u", "v"), "left_anti").isEmpty
+      edgesCount = nextCount
       // Checkpoints.free (see nearDupClusters): Dataset.unpersist is a
       // no-op on checkpointed frames; the freed round is never re-read.
       if (prev != null) Checkpoints.free(prev)
