@@ -95,4 +95,58 @@ class MetaIOSpec extends SparkSpec {
       MetaIO.readTable(conf, tmpDir("absent") + "/nope")
     }
   }
+
+  test("statsMaxLong answers from footer stats: partitioned table, " +
+      "empty table, non-int64 column, absent column") {
+    import spark.implicits._
+    // Spark-written partitionBy table — the shape the index builds stamp
+    val d = tmpDir("statsmax")
+    Seq((1L, 0), (42L, 1), (7L, 0), (13L, 2)).toDF("id", "shard")
+      .repartition(col("shard"))
+      .write.partitionBy("shard").mode("overwrite").parquet(d)
+    assert(MetaIO.statsMaxLong(conf, d, "id") == Some(Some(42L)))
+    // flat Spark-written table agrees with the scan answer
+    val d2 = tmpDir("statsmaxflat")
+    spark.range(0L, 1000L).toDF("id").write.parquet(d2)
+    assert(MetaIO.statsMaxLong(conf, d2, "id") == Some(Some(999L)))
+    assert(spark.read.parquet(d2).agg(max(col("id"))).head().getLong(0)
+      == 999L)
+    // zero-row table: definitive "no values", NOT a fallback signal
+    val d3 = tmpDir("statsmaxempty")
+    spark.range(0L, 10L).toDF("id").filter(col("id") < 0L)
+      .write.parquet(d3)
+    assert(MetaIO.statsMaxLong(conf, d3, "id") == Some(None))
+    // non-int64 column: the caller MUST fall back (the scan path owns
+    // the cast-health contract there)
+    val d4 = tmpDir("statsmaxstr")
+    Seq(("a", 1L)).toDF("id", "v").write.parquet(d4)
+    assert(MetaIO.statsMaxLong(conf, d4, "id").isEmpty)
+    // column absent from a non-empty file: fall back, never guess
+    assert(MetaIO.statsMaxLong(conf, d4, "nope").isEmpty)
+  }
+
+  test("sparkFileSchema decodes the writer-embedded StructType; " +
+      "MetaIO-written files (no Spark metadata) return None") {
+    import spark.implicits._
+    val d = tmpDir("fileschema")
+    val df = Seq((1L, "x", 0.5)).toDF("id", "name", "score")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    val file = new org.apache.hadoop.fs.Path(d).getFileSystem(conf)
+      .listStatus(new org.apache.hadoop.fs.Path(d))
+      .map(_.getPath).find(p => p.getName.endsWith(".parquet")).get
+    val s = MetaIO.sparkFileSchema(conf, file.toString)
+    assert(s.contains(df.schema))
+    // reading the file WITH the recovered schema equals inference
+    assert(spark.read.schema(s.get).parquet(d).collect().toSeq ==
+      spark.read.parquet(d).collect().toSeq)
+    // a MetaIO-written file carries no Spark footer metadata
+    val d2 = tmpDir("fileschemameta")
+    MetaIO.writeTable(conf, d2, Seq("name" -> MString), Seq(Seq("g1")))
+    val f2 = new org.apache.hadoop.fs.Path(d2).getFileSystem(conf)
+      .listStatus(new org.apache.hadoop.fs.Path(d2))
+      .map(_.getPath).find(p => p.getName.endsWith(".parquet")).get
+    assert(MetaIO.sparkFileSchema(conf, f2.toString).isEmpty)
+    // unreadable path: None, never a throw (callers fall back)
+    assert(MetaIO.sparkFileSchema(conf, s"$d2/absent.parquet").isEmpty)
+  }
 }
