@@ -3812,6 +3812,43 @@ object Dedup {
     * run on their own `spark.newSession()`
     * (`ShardedGovernedIngestSpec` pins the isolation).
     */
+  /** Daemon lane pool for overlapping INDEPENDENT per-batch Spark
+    * actions inside one governed micro-batch (guide §2.6: actions are
+    * only sequential because the driver calls them sequentially; the
+    * scheduler happily runs several jobs at once). Cached pool: bounded
+    * in practice by two submissions per in-flight batch, and sharded
+    * deployments run several governed streams concurrently, so a fixed
+    * pool could needlessly serialize streams. Lane tasks never submit
+    * lane tasks — no starvation cycle. */
+  private lazy val lanePool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newCachedThreadPool((r: Runnable) => {
+      val t = new Thread(r, "graft-governed-lane"); t.setDaemon(true); t
+    })
+
+  private def laneSubmit[A](f: => A): java.util.concurrent.Future[A] =
+    lanePool.submit(new java.util.concurrent.Callable[A] {
+      def call(): A = f
+    })
+
+  /** Join a lane, unwrapping ExecutionException so callers see the
+    * task's own failure class (the same contract the parallel cache
+    * copy keeps for its FileNotFoundException retry). */
+  private def laneAwait[A](fut: java.util.concurrent.Future[A]): A =
+    try fut.get()
+    catch {
+      case e: java.util.concurrent.ExecutionException => throw e.getCause
+    }
+
+  /** Join every in-flight lane, swallowing their failures — the abort
+    * path: a batch that is already failing must still not leave an
+    * in-flight append racing its own replay (the replay claims a fresh
+    * epoch; an orphan write landing after it would corrupt the torn-tail
+    * accounting). */
+  private def laneDrain(futs: java.util.concurrent.Future[_]*): Unit =
+    futs.foreach { f =>
+      if (f != null) try f.get() catch { case _: Throwable => () }
+    }
+
   private def withPinnedPlan[A](
       spark: org.apache.spark.sql.SparkSession)(f: => A): A = {
     val kA = "spark.sql.adaptive.enabled"
@@ -3977,7 +4014,7 @@ object Dedup {
 
   /** FRONT FOLD — one job answers every scalar a governed batch needs up
     * front: the batch geometry (row count, min/max id, cast health)
-    * crossed with the PHYSICAL torn-tail count (`id > w`, row-group
+    * crossed with the PHYSICAL torn-tail count(s) (`id > w`, row-group
     * pruned — ~free on a clean index) and, sharded indexes, the
     * touched-shard set of the batch's bucket rows. All sides are
     * one-row aggregates, so the cross joins are trivial broadcasts;
@@ -3987,13 +4024,25 @@ object Dedup {
     * driver-side ([[ledgerFront]]), which is what lets the tail count
     * (needs `w`) fold in. Shared verbatim by all three governed loops
     * (`opName` only labels the contract errors).
+    *
+    * `physTail2` (r20): the two-table families pass their SECOND
+    * physical table (bands / buckets) so the torn flag covers EITHER
+    * tail. With both tails checked, the order between the signature
+    * append and the band append stops being a proof obligation — the
+    * two appends run on overlapped lanes (guide §2.6) and a crash can
+    * leave either tail alone; each heal anti-joins its own physical
+    * tail. The occupancy delta and the ledger row still land strictly
+    * after BOTH appends, so a pre-existing delta still implies both
+    * tails present (torn = true) and the replay presence probe fires.
     */
   private def resolveBatchFront(b: DataFrame,
                                 idCol: String, batchId: Long,
                                 indexPath: String, opName: String,
                                 quarantine: Boolean,
                                 physTail: DataFrame,
-                                touchedAgg: Option[DataFrame]): BatchFront = {
+                                touchedAgg: Option[DataFrame],
+                                physTail2: Option[DataFrame] = None)
+      : BatchFront = {
     val (replayed, w, quarantinedBefore) =
       ledgerFront(b.sparkSession, indexPath, batchId)
     val front0 = b.agg(
@@ -4007,9 +4056,13 @@ object Dedup {
           col(idCol).try_cast("long").isNull, 1)).as("g_bad"))
       .crossJoin(physTail.filter(col("id") > lit(w))
         .agg(count(lit(1)).as("t_cnt")))
-    val front = touchedAgg.fold(front0)(front0.crossJoin(_)).head()
+    val front1 = physTail2.fold(front0)(t2 =>
+      front0.crossJoin(t2.filter(col("id") > lit(w))
+        .agg(count(lit(1)).as("t2_cnt"))))
+    val front = touchedAgg.fold(front1)(front1.crossJoin(_)).head()
     val batchRows = front.getAs[Long]("g_cnt")
-    val torn = front.getAs[Long]("t_cnt") > 0
+    val torn = front.getAs[Long]("t_cnt") > 0 ||
+      (physTail2.isDefined && front.getAs[Long]("t2_cnt") > 0)
     val touched = touchedAgg.fold(Seq.empty[Int])(_ =>
       front.getAs[scala.collection.Seq[Int]]("__touched").toSeq)
     // Contract checks. Default: fail loudly (an exactly-once index must
@@ -4224,11 +4277,12 @@ object Dedup {
   }
 
   /** LATE FOLD + commit, shared by both governed loops: one job over the
-    * already-checkpointed frames answers the remaining scalars — novel
-    * row count (ledger bookkeeping), capped-bucket count (delta
-    * non-emptiness) and, only when torn, the replay presence flag
-    * (previously three separate jobs) — then lands the occupancy delta
-    * and, last, the ledger commit marker.
+    * already-checkpointed frames answers the remaining scalars —
+    * capped-bucket count (delta non-emptiness) and, only when torn, the
+    * replay presence flag (previously three separate jobs; the novel
+    * row count now arrives driver-side from the staging write's parquet
+    * footers, r20) — then lands the occupancy delta and, last, the
+    * ledger commit marker.
     *
     * The occupancy delta is stamped with the batch's committed
     * watermark: a governed read at any later watermark w' >= wAfter
@@ -4246,19 +4300,16 @@ object Dedup {
     * remainder lands too: first-attempt counts + remainder counts =
     * this attempt's full expected set = the physical rows, keeping the
     * side table in parity with the bucket table it describes.
-    *
-    * @return the batch's novel row count
     */
   private def finishGovernedBatch(spark: org.apache.spark.sql.SparkSession,
-                                  indexPath: String, novel: DataFrame,
+                                  indexPath: String, novelRows: Long,
                                   capped: DataFrame, healedAppend: DataFrame,
                                   occRaw: DataFrame,
                                   keyCols: Seq[String], shards: Int,
                                   torn: Boolean, w: Long, wAfter: Long,
                                   replayed: Boolean, claimed: Long,
-                                  batchId: Long): Long = {
-    val lateBase = novel.agg(count(lit(1)).as("n_novel"))
-      .crossJoin(capped.agg(count(lit(1)).as("n_capped")))
+                                  batchId: Long): Unit = {
+    val lateBase = capped.agg(count(lit(1)).as("n_capped"))
     val late =
       (if (shards > 0 && torn)
          // POSITIVE rows only: the probe asks "did THIS batch's delta
@@ -4272,9 +4323,8 @@ object Dedup {
            count(when(col("wm") === lit(wAfter) && col("occ") > 0, 1))
              .as("n_replay")))
        else lateBase).head()
-    val novelRows = late.getLong(0)
-    val deltaPresent = shards > 0 && torn && late.getLong(2) > 0
-    if (shards > 0 && late.getLong(1) > 0) {
+    val deltaPresent = shards > 0 && torn && late.getLong(1) > 0
+    if (shards > 0 && late.getLong(0) > 0) {
       if (!deltaPresent)
         appendOccupancyDelta(spark, indexPath, capped, keyCols, shards,
           wAfter)
@@ -4291,7 +4341,6 @@ object Dedup {
       requireEpoch(spark, indexPath, claimed)
       commitLedgerRow(spark, indexPath, batchId, w, wAfter, novelRows)
     }
-    novelRows
   }
 
   private def ingestBatchWithIndexImpl(
@@ -4309,13 +4358,16 @@ object Dedup {
 
     val b = batch.localCheckpoint()
     val physSig = readIndexTable(spark, s"$indexPath/signatures")
+    val physBand = readIndexTable(spark, s"$indexPath/bands")
     val bandStructs = array((0 until p.bands).map { bnd =>
       struct(lit(bnd).as("band"),
         bandKey(col("minhash"), bnd, p.rowsPerBand).as("bkey"))
     }: _*)
     // FRONT FOLD — see resolveBatchFront: ledger driver-side, then ONE
-    // job for batch geometry × physical torn-tail count × touched
-    // shards (previously three sequential jobs per micro-batch).
+    // job for batch geometry × BOTH physical torn-tail counts × touched
+    // shards (previously three sequential jobs per micro-batch). The
+    // band tail joins the fold (r20) so the signature and band appends
+    // can run on overlapped lanes below — see the torn-check note.
     val front = resolveBatchFront(b, idCol, batchId, indexPath,
       "ingestBatchWithIndex", quarantine, physSig,
       if (ix.shards > 0)
@@ -4325,7 +4377,8 @@ object Dedup {
             .select(explode(bandStructs).as("bk"))
             .select(col("bk.band").as("band"), col("bk.bkey").as("bkey")),
           Seq("band", "bkey"), ix.shards))
-      else None)
+      else None,
+      physTail2 = Some(physBand))
     if (front.violation.isDefined) {
       val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
         front, claimed)
@@ -4343,12 +4396,16 @@ object Dedup {
 
     // TORN-TAIL CHECK — folded into the front job (row-group pruned:
     // parquet min/max stats skip every committed row group; a clean
-    // index reads ~no data). Appends land in order sigs → bands →
-    // occupancy → ledger, so an empty signature tail proves NO prior
-    // attempt wrote anything past `w`: the self-healing anti-joins and
-    // the occupancy replay-presence probe are all skipped on the clean
-    // path (the overwhelmingly common one), and only a genuinely torn
-    // or replayed batch pays for healing.
+    // index reads ~no data). The check covers BOTH physical tails
+    // (signatures AND bands, r20): the two appends run on overlapped
+    // lanes below, so a crash can leave either tail alone, and empty
+    // tails on BOTH tables prove NO prior attempt wrote anything past
+    // `w`. The occupancy delta and the ledger row land strictly after
+    // both appends (lanes joined), so a pre-existing delta still
+    // implies torn = true and the replay presence probe still fires.
+    // The self-healing anti-joins and that probe stay skipped on the
+    // clean path (the overwhelmingly common one); only a genuinely
+    // torn or replayed batch pays for healing.
     //
     // PHYSICAL table, never the tombstone-filtered `ix` view: a takedown
     // landing between a torn crash and this replay can tombstone exactly
@@ -4420,89 +4477,118 @@ object Dedup {
     // above the coalesce is two broadcast anti-join probes — trivial
     // per-row work, safe to narrow.
     val novelOut = s"$outPath/batch_id=$batchId"
-    b.join(withinDup, Seq(idCol), "left_anti")
-      .join(crossDup, Seq(idCol), "left_anti")
-      .coalesce(batchShufflePartitions(batchRows,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt))
-      .write.mode("overwrite").parquet(novelOut)
-    val novel = spark.read.schema(b.schema).parquet(novelOut)
-
-    // (2) Self-healing index append: derive the expected rows; on a torn
-    // batch, append only what the physical tail is missing (anti-join);
-    // on the clean path (tail proven empty above) append directly. No
-    // checkpoint of its own: `novel` IS checkpointed and the signature
-    // kernels are deterministic, so every consumer (signatures append,
-    // band derivation) sees identical rows — recomputing the kernels
-    // over the in-memory novel blocks is cheaper than a second
-    // materialization (the governed batch's fixed job count is its
-    // measured floor).
-    val newSigs = withMinHashSignature(novel, textCol, p)
-      .filter(size(col("shingles")) > 0)
-      .select(col(idCol).as("id"), col("shingles"),
-        size(col("shingles")).as("sz"), col("minhash"))
-    (if (torn)
-       // heal against the PHYSICAL tail (see the torn-check note): rows
-       // the crash wrote and a takedown since tombstoned are still on
-       // disk and must not be appended twice
-       newSigs.join(physSigTail.select("id"), Seq("id"), "left_anti")
-     else newSigs)
-      .write.mode("append").parquet(s"$indexPath/signatures")
-    val batchBands = newSigs.select(col("id"), explode(bandStructs).as("bk"))
-      .select(col("id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
-    // Committed occupancy: on a sharded index from the side table's RAW
-    // delta rows (shard-pruned to the buckets this batch can touch, so
-    // the read is O(batch), never O(index)) — read ONCE, checkpointed,
-    // serving both the committed cap view (wm <= w) and, on a torn
-    // batch, the replay presence flag (wm == wAfter) with no second
-    // directory scan. The checkpoint also guarantees nothing downstream
-    // re-reads occupancy/ after this batch appends to it. Legacy
-    // unsharded index recomputes from committed bands, wrapped in the
-    // same (occ, wm) shape.
-    val occRaw =
+    // OCCUPANCY LANE (r20, guide §2.6): the side-table read+checkpoint
+    // depends only on the front fold's touched set — never on the novel
+    // write — so it runs UNDER the novel write on a lane thread.
+    // (occupancy/ is not appended to until finishGovernedBatch, well
+    // after this lane is joined.)
+    val occF = laneSubmit {
       (if (ix.shards > 0) readOccupancyRaw(spark, indexPath, Some(touched))
        else committed.bands.groupBy(col("band"), col("bkey"))
          .agg(count(lit(1)).as("occ")).withColumn("wm", lit(w)))
-      .localCheckpoint()
-    val occ = occupancyAt(occRaw, Seq("band", "bkey"), w)
-    val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
-    // The full expected band set of this batch (checkpointed: it feeds
-    // the self-healing anti-join append AND the occupancy delta, and the
-    // two must describe the same rows).
-    val capped = batchBands
-      .withColumn("__bn", row_number().over(wB))
-      .join(occ, Seq("band", "bkey"), "left")
-      .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
-      .select("id", "band", "bkey")
-      .localCheckpoint()
-    val bandAppend =
-      if (torn) {
-        // physical band tail, same reason as the signature heal above
-        val tail = readIndexTable(spark, s"$indexPath/bands")
-          .filter(col("id") > lit(w))
-        val tailPruned =
-          if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
-        capped.join(tailPruned.select("id", "band", "bkey"),
-          Seq("id", "band", "bkey"), "left_anti")
-      } else capped
-    appendBucketRows(bandAppend, indexPath, "bands", Seq("band", "bkey"),
-      ix.shards)
+        .localCheckpoint()
+    }
+    var sigF: java.util.concurrent.Future[Unit] = null
+    try {
+      b.join(withinDup, Seq(idCol), "left_anti")
+        .join(crossDup, Seq(idCol), "left_anti")
+        .coalesce(batchShufflePartitions(batchRows,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt))
+        .write.mode("overwrite").parquet(novelOut)
+      val novel = spark.read.schema(b.schema).parquet(novelOut)
+      // Novel row count from the just-written footers (r20): a
+      // driver-side metadata read — parquet row counts are exact —
+      // replaces the count side of the late fold; falls back to the
+      // scan if any footer is unreadable.
+      val novelRows = graft.sources.MetaIO.rowCount(
+          spark.sparkContext.hadoopConfiguration, novelOut)
+        .getOrElse(novel.count())
 
-    // LATE FOLD + occupancy delta + ledger commit — see
-    // finishGovernedBatch
-    val wAfter = front.wAfter
-    val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
-      bandAppend, occRaw, Seq("band", "bkey"), ix.shards, torn, w, wAfter,
-      replayed, claimed, batchId)
-    // Takedown propagation: the overwrite above rewrote this batch's
-    // output directory from the raw batch — while a tombstone is
-    // pending, a replay must not resurrect rows scrubOutputs removed
-    // from the served corpus. Zero jobs on the clean (no-tombstone)
-    // path.
-    scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
-    graft.plans.Checkpoints.free(occRaw)
-    graft.plans.Checkpoints.free(capped)
-    graft.plans.Checkpoints.free(b)
-    IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+      // (2) Self-healing index append: derive the expected rows; on a
+      // torn batch, append only what the physical tail is missing
+      // (anti-join); on the clean path (BOTH tails proven empty above)
+      // append directly. No checkpoint of its own: `novel` IS
+      // materialized (parquet staging) and the signature kernels are
+      // deterministic, so every consumer (signatures append, band
+      // derivation) sees identical rows. SIGNATURE LANE (r20): the
+      // append reads `novel` and writes signatures/ while the main
+      // thread derives the band chain from the same staging table — the
+      // two lanes touch disjoint tables, and the dual torn-tail check
+      // above removed the append-order proof obligation between them.
+      val newSigs = withMinHashSignature(novel, textCol, p)
+        .filter(size(col("shingles")) > 0)
+        .select(col(idCol).as("id"), col("shingles"),
+          size(col("shingles")).as("sz"), col("minhash"))
+      sigF = laneSubmit {
+        (if (torn)
+           // heal against the PHYSICAL tail (see the torn-check note):
+           // rows the crash wrote and a takedown since tombstoned are
+           // still on disk and must not be appended twice
+           newSigs.join(physSigTail.select("id"), Seq("id"), "left_anti")
+         else newSigs)
+          .write.mode("append").parquet(s"$indexPath/signatures")
+      }
+      val batchBands = newSigs
+        .select(col("id"), explode(bandStructs).as("bk"))
+        .select(col("id"), col("bk.band").as("band"),
+          col("bk.bkey").as("bkey"))
+      // Committed occupancy: on a sharded index from the side table's
+      // RAW delta rows (shard-pruned to the buckets this batch can
+      // touch, so the read is O(batch), never O(index)) — read ONCE,
+      // checkpointed, serving both the committed cap view (wm <= w)
+      // and, on a torn batch, the replay presence flag (wm == wAfter)
+      // with no second directory scan. The checkpoint also guarantees
+      // nothing downstream re-reads occupancy/ after this batch appends
+      // to it. Legacy unsharded index recomputes from committed bands,
+      // wrapped in the same (occ, wm) shape.
+      val occRaw = laneAwait(occF)
+      val occ = occupancyAt(occRaw, Seq("band", "bkey"), w)
+      val wB = Window.partitionBy(col("band"), col("bkey")).orderBy(col("id"))
+      // The full expected band set of this batch (checkpointed: it feeds
+      // the self-healing anti-join append AND the occupancy delta, and
+      // the two must describe the same rows).
+      val capped = batchBands
+        .withColumn("__bn", row_number().over(wB))
+        .join(occ, Seq("band", "bkey"), "left")
+        .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= p.maxBucket)
+        .select("id", "band", "bkey")
+        .localCheckpoint()
+      val bandAppend =
+        if (torn) {
+          // physical band tail, same reason as the signature heal above
+          val tail = physBand.filter(col("id") > lit(w))
+          val tailPruned =
+            if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
+          capped.join(tailPruned.select("id", "band", "bkey"),
+            Seq("id", "band", "bkey"), "left_anti")
+        } else capped
+      appendBucketRows(bandAppend, indexPath, "bands", Seq("band", "bkey"),
+        ix.shards)
+
+      // BOTH appends durable before the occupancy delta and the ledger
+      // commit marker — the lane join is the new form of the old
+      // append-order invariant.
+      laneAwait(sigF)
+
+      // LATE FOLD + occupancy delta + ledger commit — see
+      // finishGovernedBatch
+      val wAfter = front.wAfter
+      finishGovernedBatch(spark, indexPath, novelRows, capped,
+        bandAppend, occRaw, Seq("band", "bkey"), ix.shards, torn, w, wAfter,
+        replayed, claimed, batchId)
+      // Takedown propagation: the overwrite above rewrote this batch's
+      // output directory from the raw batch — while a tombstone is
+      // pending, a replay must not resurrect rows scrubOutputs removed
+      // from the served corpus. Zero jobs on the clean (no-tombstone)
+      // path.
+      scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
+      graft.plans.Checkpoints.free(occRaw)
+      graft.plans.Checkpoints.free(capped)
+      graft.plans.Checkpoints.free(b)
+      IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+    } catch {
+      case e: Throwable => laneDrain(occF, sigF); throw e
+    }
   }
 
   /** Append the one-row commit marker DRIVER-SIDE with the parquet-java
@@ -4604,11 +4690,13 @@ object Dedup {
 
     val b = batch.localCheckpoint()
     val physVec = readIndexTable(spark, s"$indexPath/vectors")
+    val physBkt = readIndexTable(spark, s"$indexPath/buckets")
     // FRONT FOLD — see resolveBatchFront: ledger driver-side, then ONE
-    // job for batch geometry × physical torn-tail count × the touched
-    // shards of the batch's MULTI-PROBE bucket set (base + every
+    // job for batch geometry × BOTH physical torn-tail counts × the
+    // touched shards of the batch's MULTI-PROBE bucket set (base + every
     // Hamming-1 flip — a superset of the novel rows' base buckets, so
-    // pruning stays correct).
+    // pruning stays correct). The bucket tail joins the fold (r20) so
+    // the vector and bucket appends can run on overlapped lanes below.
     val front = resolveBatchFront(b, idCol, batchId, indexPath,
       "ingestBatchWithSrpIndex", quarantine, physVec,
       if (ix.shards > 0) {
@@ -4620,7 +4708,8 @@ object Dedup {
               ix.dim)).as(Seq("tbl", "bkt")))
             .select(col("tbl"), explode(array(flips: _*)).as("bkt")),
           Seq("tbl", "bkt"), ix.shards))
-      } else None)
+      } else None,
+      physTail2 = Some(physBkt))
     if (front.violation.isDefined) {
       val stats = quarantineGovernedBatch(spark, b, indexPath, batchId,
         front, claimed)
@@ -4634,13 +4723,15 @@ object Dedup {
       ix.buckets.filter(col("id") <= lit(w)),
       ix.tables, ix.planes, ix.dim, ix.maxBucket, ix.shards)
 
-    // TORN-TAIL CHECK — folded into the front job; append order is
-    // vectors → buckets → occupancy → ledger, so an empty vector tail
-    // proves the clean path (see the MinHash twin); row-group stats
-    // make this ~free on a clean index. PHYSICAL table, not the
-    // tombstone-filtered `ix` view — a takedown of the crashed append's
-    // own ids must not mask the torn tail (see the MinHash twin's
-    // torn-check note for the full failure chain).
+    // TORN-TAIL CHECK — folded into the front job, covering BOTH
+    // physical tails (vectors AND buckets, r20): the two appends run on
+    // overlapped lanes below, so a crash can leave either tail alone,
+    // and empty tails on BOTH tables prove the clean path (see the
+    // MinHash twin); row-group stats make this ~free on a clean index.
+    // PHYSICAL tables, not the tombstone-filtered `ix` view — a
+    // takedown of the crashed append's own ids must not mask the torn
+    // tail (see the MinHash twin's torn-check note for the full
+    // failure chain).
     val physVecTail = physVec.filter(col("id") > lit(w))
     val torn = front.torn
     val touched = front.touched
@@ -4673,73 +4764,94 @@ object Dedup {
     // back as the staging table; coalesce sized to the batch — see the
     // MinHash twin's novel-write note (r19).
     val novelOut = s"$outPath/batch_id=$batchId"
-    b.join(withinDup, Seq(idCol), "left_anti")
-      .join(crossDup, Seq(idCol), "left_anti")
-      .coalesce(batchShufflePartitions(batchRows,
-        spark.conf.get("spark.sql.shuffle.partitions").toInt))
-      .write.mode("overwrite").parquet(novelOut)
-    // The within-screen's multi-probe checkpoint is dead the moment the
-    // write lands (novel is parquet-backed from here on) — free its
-    // blocks NOW; a production stream runs unbounded batches and cannot
-    // afford one leaked block set per micro-batch. freeExcept keeps the
-    // batch checkpoint `b` persisted BY CONSTRUCTION (it is also a leaf
-    // of this plan), so a future edit that reads `b` after this point
-    // cannot hit missing blocks; `b` is released at the end of the batch.
-    graft.plans.Checkpoints.freeExcept(withinDup, b)
-    val novel = spark.read.schema(b.schema).parquet(novelOut)
-
-    // Plain projection of the checkpointed `novel` — deterministic for
-    // both consumers (vector append, bucket derivation), no second
-    // materialization (see ingestBatchWithIndex's newSigs note).
-    val newVecs = novel.select(col(idCol).as("id"),
-        col(vecCol).cast("array<float>").as("v"))
-    (if (torn)
-       // physical-tail heal — see the MinHash twin
-       newVecs.join(physVecTail.select("id"), Seq("id"), "left_anti")
-     else newVecs)
-      .write.mode("append").parquet(s"$indexPath/vectors")
-    val batchBuckets = newVecs.select(col("id"),
-      posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
-        ix.dim)).as(Seq("tbl", "bkt")))
-    val occRaw =
+    // OCCUPANCY LANE (r20) — see the MinHash twin: depends only on the
+    // front fold's touched set, runs UNDER the novel write.
+    val occF = laneSubmit {
       (if (ix.shards > 0) readOccupancyRaw(spark, indexPath, Some(touched))
        else committed.buckets.groupBy(col("tbl"), col("bkt"))
          .agg(count(lit(1)).as("occ")).withColumn("wm", lit(w)))
-      .localCheckpoint()
-    val occ = occupancyAt(occRaw, Seq("tbl", "bkt"), w)
-    val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
-    val capped = batchBuckets
-      .withColumn("__bn", row_number().over(wB))
-      .join(occ, Seq("tbl", "bkt"), "left")
-      .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
-      .select("id", "tbl", "bkt")
-      .localCheckpoint()
-    val bucketAppend =
-      if (torn) {
-        // physical bucket tail — see the MinHash twin
-        val tail = readIndexTable(spark, s"$indexPath/buckets")
-          .filter(col("id") > lit(w))
-        val tailPruned =
-          if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
-        capped.join(tailPruned.select("id", "tbl", "bkt"),
-          Seq("id", "tbl", "bkt"), "left_anti")
-      } else capped
-    appendBucketRows(bucketAppend, indexPath, "buckets", Seq("tbl", "bkt"),
-      ix.shards)
+        .localCheckpoint()
+    }
+    var vecF: java.util.concurrent.Future[Unit] = null
+    try {
+      b.join(withinDup, Seq(idCol), "left_anti")
+        .join(crossDup, Seq(idCol), "left_anti")
+        .coalesce(batchShufflePartitions(batchRows,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt))
+        .write.mode("overwrite").parquet(novelOut)
+      // The within-screen's multi-probe checkpoint is dead the moment the
+      // write lands (novel is parquet-backed from here on) — free its
+      // blocks NOW; a production stream runs unbounded batches and cannot
+      // afford one leaked block set per micro-batch. freeExcept keeps the
+      // batch checkpoint `b` persisted BY CONSTRUCTION (it is also a leaf
+      // of this plan), so a future edit that reads `b` after this point
+      // cannot hit missing blocks; `b` is released at the end of the batch.
+      graft.plans.Checkpoints.freeExcept(withinDup, b)
+      val novel = spark.read.schema(b.schema).parquet(novelOut)
+      // novel row count from the staging write's footers — see the
+      // MinHash twin (r20)
+      val novelRows = graft.sources.MetaIO.rowCount(
+          spark.sparkContext.hadoopConfiguration, novelOut)
+        .getOrElse(novel.count())
 
-    val wAfter = front.wAfter
-    // LATE FOLD + occupancy delta + ledger commit — see
-    // finishGovernedBatch
-    val novelRows = finishGovernedBatch(spark, indexPath, novel, capped,
-      bucketAppend, occRaw, Seq("tbl", "bkt"), ix.shards, torn, w, wAfter,
-      replayed, claimed, batchId)
-    // Takedown propagation to this batch's own output — see the
-    // MinHash twin.
-    scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
-    graft.plans.Checkpoints.free(occRaw)
-    graft.plans.Checkpoints.free(capped)
-    graft.plans.Checkpoints.free(b)
-    IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+      // Plain projection of the checkpointed `novel` — deterministic for
+      // both consumers (vector append, bucket derivation), no second
+      // materialization (see ingestBatchWithIndex's newSigs note).
+      // VECTOR LANE (r20) — see the MinHash twin's signature lane: the
+      // dual torn-tail check removed the append-order proof obligation.
+      val newVecs = novel.select(col(idCol).as("id"),
+          col(vecCol).cast("array<float>").as("v"))
+      vecF = laneSubmit {
+        (if (torn)
+           // physical-tail heal — see the MinHash twin
+           newVecs.join(physVecTail.select("id"), Seq("id"), "left_anti")
+         else newVecs)
+          .write.mode("append").parquet(s"$indexPath/vectors")
+      }
+      val batchBuckets = newVecs.select(col("id"),
+        posexplode(GraftFunctions.srpBuckets(col("v"), ix.tables, ix.planes,
+          ix.dim)).as(Seq("tbl", "bkt")))
+      val occRaw = laneAwait(occF)
+      val occ = occupancyAt(occRaw, Seq("tbl", "bkt"), w)
+      val wB = Window.partitionBy(col("tbl"), col("bkt")).orderBy(col("id"))
+      val capped = batchBuckets
+        .withColumn("__bn", row_number().over(wB))
+        .join(occ, Seq("tbl", "bkt"), "left")
+        .filter(col("__bn") + coalesce(col("__occ"), lit(0L)) <= ix.maxBucket)
+        .select("id", "tbl", "bkt")
+        .localCheckpoint()
+      val bucketAppend =
+        if (torn) {
+          // physical bucket tail — see the MinHash twin
+          val tail = physBkt.filter(col("id") > lit(w))
+          val tailPruned =
+            if (ix.shards > 0) tail.filter(shardFilter(touched)) else tail
+          capped.join(tailPruned.select("id", "tbl", "bkt"),
+            Seq("id", "tbl", "bkt"), "left_anti")
+        } else capped
+      appendBucketRows(bucketAppend, indexPath, "buckets", Seq("tbl", "bkt"),
+        ix.shards)
+
+      // BOTH appends durable before the occupancy delta and the ledger
+      // commit marker — see the MinHash twin.
+      laneAwait(vecF)
+
+      val wAfter = front.wAfter
+      // LATE FOLD + occupancy delta + ledger commit — see
+      // finishGovernedBatch
+      finishGovernedBatch(spark, indexPath, novelRows, capped,
+        bucketAppend, occRaw, Seq("tbl", "bkt"), ix.shards, torn, w, wAfter,
+        replayed, claimed, batchId)
+      // Takedown propagation to this batch's own output — see the
+      // MinHash twin.
+      scrubBatchOutput(spark, indexPath, outPath, batchId, idCol)
+      graft.plans.Checkpoints.free(occRaw)
+      graft.plans.Checkpoints.free(capped)
+      graft.plans.Checkpoints.free(b)
+      IngestBatchStats(batchId, batchRows, novelRows, w, wAfter, replayed)
+    } catch {
+      case e: Throwable => laneDrain(occF, vecF); throw e
+    }
   }
 
   // ---- persisted digest index: the EXACT-dedup governed family ----
@@ -5039,7 +5151,12 @@ object Dedup {
       indexPath, "digests", Seq("dig"), ix.shards)
 
     // (3) Ledger row LAST — the commit marker, under the epoch re-check.
-    val novelRows = novel.count()
+    // Novel row count from the staging write's parquet footers (r20):
+    // a driver-side metadata read — exact by format — replaces the
+    // count job; falls back to the scan if any footer is unreadable.
+    val novelRows = graft.sources.MetaIO.rowCount(
+        spark.sparkContext.hadoopConfiguration, novelOut)
+      .getOrElse(novel.count())
     val wAfter = front.wAfter
     if (!replayed) {
       requireEpoch(spark, indexPath, claimed)

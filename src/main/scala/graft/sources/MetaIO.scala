@@ -309,6 +309,37 @@ object MetaIO {
     } catch { case _: Exception => None }
   }
 
+  /** Total row count over every visible parquet data file under `dir`
+    * (recursing into partition dirs, hidden/underscore entries skipped),
+    * answered from FOOTER metadata only — parquet row counts are exact
+    * by format, so this is the "how many rows did the table we just
+    * wrote get" pattern with zero Spark jobs. `None` when the directory
+    * cannot be walked or any footer is unreadable — callers fall back
+    * to a real count. Same freshly-written-table precondition as
+    * [[statsMaxLong]]: the walk sees the directory as-is, with no
+    * member-dir registry filtering. */
+  def rowCount(conf: Configuration, dir: String): Option[Long] =
+    try {
+      def walk(p: Path): Seq[FileStatus] = {
+        val fs = p.getFileSystem(conf)
+        fs.listStatus(p).toSeq.flatMap { st =>
+          val n = st.getPath.getName
+          if (n.startsWith(".") || n.startsWith("_")) Nil
+          else if (st.isDirectory) walk(st.getPath)
+          else if (st.getLen > 0) Seq(st)
+          else Nil
+        }
+      }
+      var total = 0L
+      walk(new Path(dir)).foreach { st =>
+        val reader = org.apache.parquet.hadoop.ParquetFileReader
+          .open(HadoopInputFile.fromPath(st.getPath, conf))
+        try total += reader.getRecordCount
+        finally reader.close()
+      }
+      Some(total)
+    } catch { case _: Exception => None }
+
   /** The Spark schema a Spark parquet writer embedded in `file`'s
     * footer (`org.apache.spark.sql.parquet.row.metadata`), decoded to a
     * StructType — a driver-side footer read that lets explicit-file-list

@@ -268,6 +268,68 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("torn append self-heals: bands landed, signatures and ledger did " +
+      "not (the overlapped-lane crash state)") {
+    // r20: the signature and band appends run on overlapped lanes, so a
+    // crash can leave the BAND tail alone — a state the pre-r20 strict
+    // append order (sigs before bands) could never produce. The dual
+    // torn-tail check (front fold counts BOTH physical tails) must
+    // detect it and the replay must converge to the clean-run state.
+    val base = Files.createTempDirectory("graft-ixtorn2").toString
+    val out = s"$base/out"; val ix = s"$base/ix"; val ixT = s"$base/ixT"
+    val ixS = s"$base/ixS"
+    try {
+      // ix = clean-run truth; ixT = the crash victim; ixS = a scratch
+      // twin whose committed batch supplies the EXACT band rows the
+      // crashed attempt would have appended (identical build inputs →
+      // identical index geometry → identical capped band set).
+      Seq(ix, ixT, ixS).foreach { d =>
+        Dedup.writeSignatureIndex(corpus, "doc_id", "text", d, p)
+        Dedup.initIngestLedger(spark, d)
+      }
+      Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ix,
+        s"$base/outClean", batchId = 0L)
+      Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ixS,
+        s"$base/outScratch", batchId = 0L)
+
+      // the crash: the attempt computed novel = {11, 13}, the BAND lane
+      // committed its sharded append (dirs registered), then the batch
+      // died before the signature lane's write, the occupancy delta and
+      // the ledger row landed.
+      Dedup.readSignatureIndex(spark, ixS).bands
+        .filter($"id".isin(11L, 13L))
+        .write.partitionBy("shard").mode("append").parquet(s"$ixT/bands")
+      Dedup.syncMemberDirs(spark, ixT, "bands", replace = false)
+
+      // replay through the governed path: must see the band tail (the
+      // signature tail is empty), heal the bands append (no duplicates),
+      // run the signature append in full, and commit exactly once
+      val s = Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ixT,
+        out, batchId = 0L)
+      assert(!s.replayed, "no ledger row landed, so this is not a replay")
+      assert(s.novelRows == 2L)
+      assert(sigSet(ixT) == sigSet(ix),
+        "healed signatures diverge from the clean run")
+      assert(bandSet(ixT) == bandSet(ix),
+        "healed bands diverge from the clean run (duplicated tail?)")
+      // physical band-row count parity too — bandSet is a set and would
+      // mask an exact duplicate row
+      assert(spark.read.parquet(s"$ixT/bands").count() ==
+        spark.read.parquet(s"$ix/bands").count(),
+        "physical band rows diverge (the heal appended a duplicate)")
+      // occupancy parity: the crashed attempt never appended its delta,
+      // so the replay must append the full expected set exactly once
+      val occOf = (d: String) => spark.read.parquet(s"$d/occupancy")
+        .groupBy($"band", $"bkey").agg(sum($"occ").as("o"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSet
+      assert(occOf(ixT) == occOf(ix),
+        "occupancy diverges from the clean run")
+      assert(outIds(out) == Set(11L, 13L))
+      assert(spark.read.parquet(s"$ixT/ingest_ledger")
+        .filter($"batch_id" === 0L).count() == 1L)
+    } finally rmrf(base)
+  }
+
   test("ledger compaction folds per-batch files, preserves governance") {
     val base = Files.createTempDirectory("graft-ixlcpt").toString
     val ix = s"$base/ix"; val out = s"$base/out"
