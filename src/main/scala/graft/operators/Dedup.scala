@@ -2851,9 +2851,19 @@ object Dedup {
     GraftFunctions.register(spark)
     invalidateIndexSchemas(path)
     clearTombstones(spark, path)
-    val planes = srpPlanesFor(corpus.count(), targetOccupancy)
-    corpus.select(col(idCol).as("id"), col(vecCol).cast("array<float>").as("v"))
-      .write.mode("overwrite").parquet(s"$path/vectors")
+    // The corpus-size probe (plane density) and the vectors write are
+    // independent — planes only matter from the bucket derivation on —
+    // so the count runs on a lane UNDER the write (r20, guide §2.6).
+    // A build is not replay-governed (plain overwrite), so a failed
+    // lane leaves nothing that needs healing; the drain just keeps the
+    // failure ordering deterministic.
+    val planesF = laneSubmit(srpPlanesFor(corpus.count(), targetOccupancy))
+    try
+      corpus.select(col(idCol).as("id"),
+          col(vecCol).cast("array<float>").as("v"))
+        .write.mode("overwrite").parquet(s"$path/vectors")
+    catch { case e: Throwable => laneDrain(planesF); throw e }
+    val planes = laneAwait(planesF)
     val vecs = readIndexTable(spark, s"$path/vectors")
     capBucketRows(
         vecs.select(col("id"),

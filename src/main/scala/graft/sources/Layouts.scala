@@ -555,6 +555,21 @@ object Layouts {
       .map(_.getLen).sum.toDouble / total
   }
 
+  /** Explicit-file-list open with the r19 schema fast path (see
+    * [[readMaintained]]): one driver-side footer read of the first file
+    * supplies the embedded StructType — every layout file is
+    * Spark-written under the fixed-schema contract — skipping the
+    * distributed schema-inference job the schema-less open runs per
+    * call. Any failure falls back to inference. Used by the RECLUSTER
+    * passes' own reads (r20): lifecycle mutations are caller-serialized,
+    * so no commit-race retry mapping is needed here. */
+  private def readLayoutFiles(spark: org.apache.spark.sql.SparkSession,
+                              files: Seq[String]): DataFrame = {
+    val schemaOpt = MetaIO.sparkFileSchema(
+      spark.sparkContext.hadoopConfiguration, files.head)
+    schemaOpt.fold(spark.read)(spark.read.schema).parquet(files: _*)
+  }
+
   /** Restore the clustered order: ONE global rewrite of the layout's
     * CURRENT file set under its persisted geometry, staged beside the
     * root (metadata stamped INTO the stage, so data and geometry swap
@@ -582,7 +597,7 @@ object Layouts {
     // swap instead of dying with the aside
     val consumed = dataFiles(spark, path)
     writeZOrdered(
-      spark.read.parquet(consumed.map(_.getPath.toString): _*),
+      readLayoutFiles(spark, consumed.map(_.getPath.toString)),
       stage.toString, cols.toSeq, bits, files, mrpf)
     stampClustered(spark, stage.toString, cols.toSeq, bits, files, mrpf,
       consumed.map(_.getPath.getName), carryLedgerFrom = Some(path))
@@ -694,7 +709,7 @@ object Layouts {
     val dom = cols.indices.map { i =>
       (boxes.map(_._2(i)._1).min, boxes.map(_._2(i)._2).max)
     }
-    val tailDf = spark.read.parquet(tail.map(_.getPath.toString): _*)
+    val tailDf = readLayoutFiles(spark, tail.map(_.getPath.toString))
     // A tail point outside the clustered generation's domain in ANY
     // dimension cannot sit inside any clustered box (boxes are within
     // the domain by construction) — filter those out BEFORE scaling,
@@ -761,7 +776,7 @@ object Layouts {
           math.max(1L, totalBytes)).toInt)
       else 0
     writeZOrdered(
-      spark.read.parquet(consumed.map(_.getPath.toString): _*),
+      readLayoutFiles(spark, consumed.map(_.getPath.toString)),
       stage.toString, cols.toSeq, bits, subFiles, mrpf)
     val newNames = fs.listStatus(stage).toSeq.filter(isDataFile)
       .map(_.getPath.getName)
