@@ -42,3 +42,31 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // their warm truth (the host has 128 GiB; 24g keeps full-bench GC flat).
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
+// ---- parallel test execution (r20) ----
+// The sequential suite ran ~40 min in ONE forked JVM — past the round
+// driver's verification budget (VERIFY_r19 recorded tests_ok=false with
+// an all-passing tail: a timeout, not a failure). One forked JVM per
+// SUITE, up to 8 concurrent: each suite's SparkSession is local[4]
+// (SparkSpec), so 8 × 4 saturates the 32-core box; per-suite
+// java.io.tmpdir and spark.sql.warehouse.dir (Spark adopts spark.*
+// system properties into SparkConf) keep fixture paths and saveAsTable
+// tables collision-free. Wall time ≈ slowest suite + sum/8.
+Test / testGrouping := {
+  val forkOpts = jdk17AddOpens ++ Seq(
+    "-Dspark.ui.enabled=false",
+    "-Dspark.sql.session.timeZone=UTC",
+    // tiny test data at local[4] — 8g per JVM keeps 8 concurrent JVMs
+    // well under the box's 128 GiB while leaving GC headroom
+    s"-Xmx${sys.env.getOrElse("SPARK_TEST_MEM", "8g")}")
+  (Test / definedTests).value.map { t =>
+    val tmp = s"/tmp/graft-tests/${t.name.replaceAll("[^A-Za-z0-9.]", "_")}"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(tmp))
+    Tests.Group(t.name, Seq(t), Tests.SubProcess(ForkOptions()
+      .withRunJVMOptions((forkOpts ++ Seq(
+        s"-Djava.io.tmpdir=$tmp",
+        s"-Dspark.sql.warehouse.dir=$tmp/warehouse")).toVector)))
+  }
+}
+Global / concurrentRestrictions := Seq(
+  Tags.limit(Tags.ForkedTestGroup, 8),
+  Tags.limitAll(16))
