@@ -1022,6 +1022,20 @@ object Dedup {
       val p = new org.apache.hadoop.fs.Path(s"$tablePath/$d")
       !p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
     }
+    // an existing-but-file-empty registered dir is planned around
+    // (legal purge crash window) — but log it, so a NON-purge cause
+    // (external file loss, foreign cleanup) stays observable instead of
+    // being silently absorbed by the relaxation (r20, advice item)
+    locally {
+      val emptyRegistered = unplanned.filterNot(vanished.contains)
+      if (emptyRegistered.nonEmpty)
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"$tablePath: ${emptyRegistered.size} registered partition " +
+            s"dir(s) hold zero data files " +
+            s"(${emptyRegistered.take(3).mkString(", ")}…) — legal after " +
+            "a takedown purge's crash window; investigate if no purge " +
+            "ran recently")
+    }
     if (vanished.nonEmpty)
       throw new java.io.FileNotFoundException(
         s"$tablePath: ${vanished.size} registered partition dirs " +
@@ -4001,6 +4015,15 @@ object Dedup {
       case other => throw new IllegalStateException(
         s"ingest ledger at $indexPath: non-integral '$k' value $other")
     }
+    // A present-but-empty ledger table is not a legal state — even a
+    // fresh ledger holds the bootstrap row (initIngestLedger writes it
+    // before any batch). Unreachable today; pinned so the bare
+    // `.max`-on-empty UnsupportedOperationException below can never be
+    // the error a corrupted ledger surfaces.
+    require(rows.nonEmpty,
+      s"ingest ledger at $indexPath has zero rows — even a fresh ledger " +
+        "holds its bootstrap row (initIngestLedger); an empty table is " +
+        "corrupt")
     // COMMITTED rows only drive replay recognition: a quarantine row
     // (novel_rows = -1) records a diverted batch, and a later
     // redriveQuarantined legitimately adds the batch's real committed
@@ -4044,6 +4067,17 @@ object Dedup {
     * tail. The occupancy delta and the ledger row still land strictly
     * after BOTH appends, so a pre-existing delta still implies both
     * tails present (torn = true) and the replay presence probe fires.
+    *
+    * MUST-NOT-THROW contract on `touchedAgg` (quarantine mode): the
+    * fused job evaluates the caller's feature expressions (MinHash
+    * shingle/band kernels, SRP buckets, digest casts) on the RAW batch
+    * BEFORE the violation check can divert it, so every expression
+    * folded in here must be total on malformed input. The current
+    * kernels are (hashedShingleSet and srpBuckets null-tolerate and
+    * clamp; the digest path is a plain try-free cast+filter); an
+    * expression that can throw on bad data would crash a
+    * quarantine-mode stream instead of diverting the batch — run it
+    * after the front fold instead of folding it in.
     */
   private def resolveBatchFront(b: DataFrame,
                                 idCol: String, batchId: Long,

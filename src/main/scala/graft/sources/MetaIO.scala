@@ -206,7 +206,12 @@ object MetaIO {
 
   private def decode(g: Group): Map[String, Any] = {
     val t = g.getType
-    val m = Map.newBuilder[String, Any]
+    // insertion-ordered map: consumers that rebuild a schema-carrying
+    // Row from these entries (Dedup.readParamsRow) must see the file's
+    // field order, not hash order — a positional consumer added later
+    // would otherwise break nondeterministically (tables are KB-scale,
+    // so ListMap's quadratic build cost is irrelevant)
+    val m = scala.collection.immutable.ListMap.newBuilder[String, Any]
     (0 until t.getFieldCount).foreach { i =>
       val f = t.getType(i)
       val n = f.getName
@@ -247,6 +252,14 @@ object MetaIO {
     * metadata read, zero Spark jobs, for the "stamp the watermark of
     * the table we just wrote" pattern (the writer always emits min/max
     * stats for plain int64 columns).
+    *
+    * PRECONDITION: freshly-written tables only. The walk reads the
+    * directory AS-IS — it does not consult the member-dir registry the
+    * Spark read path honors — so on a table with unregistered debris
+    * dirs (a crashed concurrent writer, a compaction window) the
+    * answer could include rows the read path excludes. Both call
+    * sites run immediately after an overwrite + registry replace-sync,
+    * where the two sets coincide by construction.
     *
     * Returns:
     *  - `None` when the footers cannot answer definitively (column

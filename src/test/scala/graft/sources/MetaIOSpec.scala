@@ -36,6 +36,20 @@ class MetaIOSpec extends SparkSpec {
     assert(r("normalize") == true)
   }
 
+  test("readTable preserves the file's field order (r20): a positional " +
+      "consumer of the reconstructed rows sees the on-disk column order") {
+    import spark.implicits._
+    val d = tmpDir("fieldorder")
+    // column names chosen so hash order ≠ file order would be visible
+    Seq((1, 2L, 0.5, "x", true))
+      .toDF("zz_first", "aa_second", "mm_third", "bb_fourth", "qq_fifth")
+      .coalesce(1).write.mode("overwrite").parquet(d)
+    val keys = MetaIO.readTable(conf, d).head.keysIterator.toSeq
+    assert(keys ==
+      Seq("zz_first", "aa_second", "mm_third", "bb_fourth", "qq_fifth"),
+      s"field order not preserved: $keys")
+  }
+
   test("MetaIO-written table reads back via Spark with identical values") {
     val d = tmpDir("meta2spark")
     MetaIO.writeTable(conf, d,

@@ -209,6 +209,51 @@ class ZOrderMaintenanceSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("fixed-schema contract behind the snapshot fast path: every data " +
+      "file across the lifecycle embeds the SAME StructType, and the " +
+      "fast-path schema equals inference's") {
+    // readMaintained (and the r20 recluster reads) apply files.head's
+    // embedded StructType to the whole snapshot — sound ONLY under the
+    // layout's fixed-schema contract (appendGuard refuses mixed
+    // schemas). This pins that contract across the full lifecycle, so
+    // a future write path that lets a schema-divergent file in fails
+    // HERE rather than silently projecting at read time.
+    val base = Files.createTempDirectory("graft-zmaint-schema").toString
+    val lay = s"$base/lay"
+    try {
+      val slice = spark.range(0, 2000).select(
+        col("id").as("a"), (col("id") % 50).as("b"), col("id").as("p"))
+      Layouts.writeZOrderedMaintained(slice, lay, Seq("a", "b"),
+        maxRecordsPerFile = 100L)
+      Layouts.appendZOrdered(spark.range(0, 200).select(
+        (col("id") + 5000).as("a"), (col("id") % 50).as("b"),
+        (col("id") + 100000).as("p")), lay)
+      Layouts.reclusterZOrderedIncremental(spark, lay)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = fsOf(lay)
+      val dataFiles = fs.listStatus(new org.apache.hadoop.fs.Path(lay))
+        .filter(st => st.isFile && !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(_.getPath.toString).toSeq
+      assert(dataFiles.size > 1)
+      // modulo NULLABILITY: the lifecycle legitimately mixes nullable
+      // flags (a non-nullable source write vs the rewrite's re-read),
+      // and Spark sanitizes — file sources force user read schemas to
+      // nullable (probed: a non-nullable user schema still reads null
+      // rows correctly), so names+types are the load-bearing contract
+      val schemas = dataFiles
+        .map(f => MetaIO.sparkFileSchema(conf, f).map(s =>
+          org.apache.spark.sql.types.StructType(
+            s.fields.map(_.copy(nullable = true))))).toSet
+      assert(schemas.size == 1 && schemas.head.isDefined,
+        s"lifecycle produced ${schemas.size} distinct embedded schemas — " +
+          "the fast path's files.head projection would be unsound")
+      // and the fast path agrees with what inference would say
+      assert(Layouts.readMaintained(spark, lay).schema ==
+        spark.read.parquet(dataFiles: _*).schema)
+    } finally rmrf(base)
+  }
+
   test("readMaintained resolves every manufactured incremental-commit " +
       "phase to ONE generation while a plain read double-counts the " +
       "move-in window") {

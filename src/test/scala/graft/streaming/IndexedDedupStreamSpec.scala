@@ -330,6 +330,35 @@ class IndexedDedupStreamSpec extends SparkSpec {
     } finally rmrf(base)
   }
 
+  test("a present-but-empty ingest ledger fails with the contract error") {
+    // Unreachable through the API (initIngestLedger writes the bootstrap
+    // row before any batch), pinned so foreign corruption surfaces the
+    // contract error rather than a bare .max-on-empty exception.
+    val base = Files.createTempDirectory("graft-ixemptyledger").toString
+    val ix = s"$base/ix"
+    try {
+      Dedup.writeSignatureIndex(corpus, "doc_id", "text", ix, p)
+      Dedup.initIngestLedger(spark, ix)
+      // corrupt the ledger: one visible ZERO-ROW file (a zero-FILE table
+      // is a different, already-mapped state — the mid-publish window)
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dir = new org.apache.hadoop.fs.Path(s"$ix/ingest_ledger")
+      val fs = dir.getFileSystem(conf)
+      fs.listStatus(dir).foreach(st => fs.delete(st.getPath, false))
+      graft.sources.MetaIO.writeTable(conf, s"$ix/ingest_ledger",
+        Seq("batch_id" -> graft.sources.MetaIO.MLong,
+          "watermark_before" -> graft.sources.MetaIO.MLong,
+          "watermark_after" -> graft.sources.MetaIO.MLong,
+          "novel_rows" -> graft.sources.MetaIO.MLong), Seq())
+      val e = intercept[IllegalArgumentException] {
+        Dedup.ingestBatchWithIndex(batch1, "doc_id", "text", ix,
+          s"$base/out", batchId = 0L)
+      }
+      assert(e.getMessage.contains("zero rows"),
+        s"wrong error for an empty ledger: ${e.getMessage}")
+    } finally rmrf(base)
+  }
+
   test("ledger compaction folds per-batch files, preserves governance") {
     val base = Files.createTempDirectory("graft-ixlcpt").toString
     val ix = s"$base/ix"; val out = s"$base/out"
