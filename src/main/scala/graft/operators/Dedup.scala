@@ -1877,14 +1877,13 @@ object Dedup {
         size(col("shingles")).as("sz"), col("minhash"))
       .localCheckpoint()
     // PHYSICAL max, not the tombstone-filtered view: deleted ids stay
-    // retired, so the monotone-id check must see every id ever written.
-    val maxRow = readIndexTable(spark, s"$path/signatures")
-      .agg(max(col("id"))).head()
-    if (!maxRow.isNullAt(0)) {
-      val clash = newSigs.filter(col("id") <= lit(maxRow.get(0))).limit(1).count()
+    // retired, so the monotone-id check must see every id ever written
+    // (footer stats, scan fallback — see physicalMaxId, r20).
+    physicalMaxId(spark, path, "signatures").foreach { maxId =>
+      val clash = newSigs.filter(col("id") <= lit(maxId)).limit(1).count()
       require(clash == 0,
         s"appendSignatureIndex: batch contains ids <= the index max " +
-          s"(${maxRow.get(0)}) — the write-time bucket cap keeps the " +
+          s"($maxId) — the write-time bucket cap keeps the " +
           "lowest ids, so out-of-order appends would need eviction; " +
           "rebuild with writeSignatureIndex instead")
     }
@@ -3080,14 +3079,13 @@ object Dedup {
     val newVecs = batch.select(col(idCol).as("id"),
         col(vecCol).cast("array<float>").as("v"))
       .localCheckpoint()
-    // PHYSICAL max — deleted ids stay retired (see appendSignatureIndex)
-    val maxRow = readIndexTable(spark, s"$path/vectors")
-      .agg(max(col("id"))).head()
-    if (!maxRow.isNullAt(0)) {
-      val clash = newVecs.filter(col("id") <= lit(maxRow.get(0))).limit(1).count()
+    // PHYSICAL max — deleted ids stay retired (see appendSignatureIndex;
+    // footer stats with scan fallback, r20)
+    physicalMaxId(spark, path, "vectors").foreach { maxId =>
+      val clash = newVecs.filter(col("id") <= lit(maxId)).limit(1).count()
       require(clash == 0,
         s"appendSrpIndex: batch contains ids <= the index max " +
-          s"(${maxRow.get(0)}) — out-of-order appends would need eviction; " +
+          s"($maxId) — out-of-order appends would need eviction; " +
           "rebuild with writeSrpIndex instead")
     }
     newVecs.write.mode("append").parquet(s"$path/vectors")
@@ -3739,8 +3737,7 @@ object Dedup {
     // base watermark from the PHYSICAL table, not the tombstone-filtered
     // view: deleted ids stay retired, so the watermark must clear every
     // id ever written (id reuse would collide with pending tombstones)
-    bootstrapLedger(spark, indexPath,
-      readIndexTable(spark, s"$indexPath/signatures"))
+    bootstrapLedger(spark, indexPath, "signatures")
   }
 
   /** [[initIngestLedger]]'s twin for a persisted SRP embedding index —
@@ -3750,20 +3747,47 @@ object Dedup {
     recoverCompaction(spark, indexPath)
     readSrpIndex(spark, indexPath) // validates index + params
     // physical table for the base watermark — see initIngestLedger
-    bootstrapLedger(spark, indexPath,
-      readIndexTable(spark, s"$indexPath/vectors"))
+    bootstrapLedger(spark, indexPath, "vectors")
   }
 
+  /** Physical max id of an index row table — the monotone-id
+    * watermark every ledger bootstrap and maintenance append needs.
+    * Answered from parquet FOOTER statistics (r20 — a driver metadata
+    * read instead of a max-id Spark job; on a REGISTRY table the walk
+    * is pinned to the registered dirs so it matches the read path
+    * exactly, debris dirs excluded), falling back to the scan whenever
+    * the footers cannot answer. PHYSICAL by construction — footer
+    * stats see every row ever written, tombstoned or not, which is
+    * precisely the deleted-ids-stay-retired contract. None = the
+    * table provably holds no ids. */
+  private def physicalMaxId(spark: org.apache.spark.sql.SparkSession,
+                            path: String, sub: String): Option[Long] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val members = readMemberDirs(fs, path, sub).map(_.toSeq.sorted)
+    graft.sources.MetaIO.statsMaxLong(conf, s"$path/$sub", "id", members)
+      .getOrElse {
+        val maxRow = readIndexTable(spark, s"$path/$sub")
+          .agg(max(col("id"))).head()
+        if (maxRow.isNullAt(0)) None else Some(maxRow.getLong(0))
+      }
+  }
+
+  /** Write the ledger's bootstrap row if no ledger exists: base
+    * watermark = [[physicalMaxId]] of the index's primary row table;
+    * the one-row write is driver-side too ([[writeOneRowParquet]] —
+    * the same writer every later ledger row uses). */
   private def bootstrapLedger(spark: org.apache.spark.sql.SparkSession,
-                              indexPath: String, rows: DataFrame): Unit = {
+                              indexPath: String, sub: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val dir = new org.apache.hadoop.fs.Path(s"$indexPath/ingest_ledger")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) {
-      import spark.implicits._
-      val maxRow = rows.agg(max(col("id"))).head()
-      val w0 = if (maxRow.isNullAt(0)) -1L else maxRow.getLong(0)
-      Seq((-1L, w0, w0, 0L)).toDF(LedgerCols: _*)
-        .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+      val w0 = physicalMaxId(spark, indexPath, sub).getOrElse(-1L)
+      writeOneRowParquet(spark,
+        new org.apache.hadoop.fs.Path(dir,
+          s"ledger-bootstrap-${java.util.UUID.randomUUID()}.parquet"),
+        "graft_ingest_ledger", LedgerCols.zip(Seq(-1L, w0, w0, 0L)))
     }
   }
 
@@ -5015,14 +5039,13 @@ object Dedup {
     require(rows.filter(col("id").isNull).limit(1).isEmpty,
       "appendDigestIndex: batch ids must cast to long (the index id " +
         "contract)")
-    val maxRow = readIndexTable(spark, s"$path/digests")
-      .agg(max(col("id"))).head()
-    if (!maxRow.isNullAt(0)) {
-      val clash = rows.filter(col("id") <= lit(maxRow.get(0)))
+    // footer stats with scan fallback; registry-pinned walk (r20)
+    physicalMaxId(spark, path, "digests").foreach { maxId =>
+      val clash = rows.filter(col("id") <= lit(maxId))
         .limit(1).count()
       require(clash == 0,
         s"appendDigestIndex: batch contains ids <= the index max " +
-          s"(${maxRow.get(0)}) — out-of-order appends would need " +
+          s"($maxId) — out-of-order appends would need " +
           "eviction; rebuild with writeDigestIndex instead")
     }
     appendBucketRows(rows.filter(col("dig").isNotNull), path, "digests",
@@ -5097,8 +5120,7 @@ object Dedup {
                              indexPath: String): Unit = {
     recoverCompaction(spark, indexPath)
     readDigestIndex(spark, indexPath) // validates index + params
-    bootstrapLedger(spark, indexPath,
-      readIndexTable(spark, s"$indexPath/digests"))
+    bootstrapLedger(spark, indexPath, "digests")
   }
 
   /** One micro-batch of the governed EXACT-dedup loop — the digest

@@ -253,13 +253,17 @@ object MetaIO {
     * the table we just wrote" pattern (the writer always emits min/max
     * stats for plain int64 columns).
     *
-    * PRECONDITION: freshly-written tables only. The walk reads the
-    * directory AS-IS — it does not consult the member-dir registry the
-    * Spark read path honors — so on a table with unregistered debris
-    * dirs (a crashed concurrent writer, a compaction window) the
-    * answer could include rows the read path excludes. Both call
-    * sites run immediately after an overwrite + registry replace-sync,
-    * where the two sets coincide by construction.
+    * WALK SCOPE: with `subDirs = None` the walk reads the directory
+    * AS-IS — it does not consult the member-dir registry the Spark
+    * read path honors — so it is only sound on freshly-written tables
+    * (both overwrite-build call sites run immediately after an
+    * overwrite + registry replace-sync, where the two sets coincide).
+    * A caller on a REGISTRY table at an arbitrary lifecycle point must
+    * pass the registered dir list as `subDirs` so the walk matches the
+    * read path exactly (unregistered debris dirs excluded); a listed
+    * subdir that is absent yields `None` — the transient mid-swap
+    * state, which the caller's scan fallback maps to its existing
+    * retry discipline.
     *
     * Returns:
     *  - `None` when the footers cannot answer definitively (column
@@ -268,7 +272,8 @@ object MetaIO {
     *  - `Some(None)` when the table provably has zero non-null values;
     *  - `Some(Some(v))` for the exact max.
     */
-  def statsMaxLong(conf: Configuration, dir: String, colName: String)
+  def statsMaxLong(conf: Configuration, dir: String, colName: String,
+                   subDirs: Option[Seq[String]] = None)
       : Option[Option[Long]] = {
     try {
       // recurse into partition dirs (shard=K/...) — the callers stamp
@@ -283,7 +288,10 @@ object MetaIO {
           else Nil
         }
       }
-      val files = walk(new Path(dir))
+      val files = subDirs match {
+        case None => walk(new Path(dir))
+        case Some(ds) => ds.flatMap(d => walk(new Path(dir, d)))
+      }
       var max: Option[Long] = None
       files.foreach { st =>
         val reader = org.apache.parquet.hadoop.ParquetFileReader
