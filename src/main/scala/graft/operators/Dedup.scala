@@ -180,8 +180,10 @@ object Dedup {
     * index every run. The row is reconstructed as a schema-carrying Row
     * so every existing by-name consumer (`getAs`, `schema.fieldNames`)
     * is unchanged; legacy Spark-written params tables decode through
-    * the same reader (MetaIOSpec pins byte-compat both directions). */
-  private def readParamsRow(spark: org.apache.spark.sql.SparkSession,
+    * the same reader (MetaIOSpec pins byte-compat both directions).
+    * private[graft]: the IVF layout's params open (Similarity) shares
+    * this reader — and its generation-keyed cache — as of r20. */
+  private[graft] def readParamsRow(spark: org.apache.spark.sql.SparkSession,
                             path: String): org.apache.spark.sql.Row = {
     val gen = indexGeneration(spark, path)
     val cached = indexParamsCache.get(path)
@@ -198,6 +200,12 @@ object Dedup {
           case _: Long => LongType
           case _: Double => DoubleType
           case _: Boolean => BooleanType
+          // nested list = the IVF quantizer matrices (r20); an EMPTY
+          // outer list falls to ArrayType(StringType) — a harmless
+          // schema approximation, every consumer is value-typed getSeq
+          case s: Seq[_]
+              if s.headOption.exists(_.isInstanceOf[scala.collection.Seq[_]]) =>
+            ArrayType(ArrayType(FloatType))
           case _: Seq[_] => ArrayType(StringType)
           case _ => StringType
         })

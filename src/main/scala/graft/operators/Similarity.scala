@@ -568,13 +568,21 @@ object Similarity {
     // for an instant — throws retryable instead of silently narrowing
     // the served candidate set (see Dedup's registry contract)
     Dedup.syncMemberDirs(corpus.sparkSession, path, "cells", replace = true)
-    import spark.implicits._
-    Seq((idCol, vecCol, centroids.map(_.toSeq),
-        pqCodebooks.map(_.toSeq), pqM, pqK, Dedup.IndexFormatVersion))
-      .toDF("id_col", "vec_col", "centroids", "pq_codebooks", "pq_m",
-        "pq_k", "format_version")
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$path/params")
+    // driver-side one-row params write (r20 — see writeIndexParams;
+    // the quantizer matrices go through MetaIO's Spark-byte-compatible
+    // array<array<float>> encoding)
+    locally {
+      import graft.sources.MetaIO
+      MetaIO.writeTable(spark.sparkContext.hadoopConfiguration,
+        s"$path/params",
+        Seq("id_col" -> MetaIO.MString, "vec_col" -> MetaIO.MString,
+          "centroids" -> MetaIO.MFloatMatrix,
+          "pq_codebooks" -> MetaIO.MFloatMatrix,
+          "pq_m" -> MetaIO.MInt, "pq_k" -> MetaIO.MInt,
+          "format_version" -> MetaIO.MInt),
+        Seq(Seq(idCol, vecCol, centroids.map(_.toSeq),
+          pqCodebooks.map(_.toSeq), pqM, pqK, Dedup.IndexFormatVersion)))
+    }
     Dedup.writeEpoch0(spark, path)
   }
 
@@ -655,8 +663,13 @@ object Similarity {
   private def readIvfLayoutParams(
       spark: org.apache.spark.sql.SparkSession,
       path: String): IvfLayoutParams = {
+    // driver-side read through the shared generation-keyed params
+    // cache (r20 — the Spark open cost ~150 ms per layout open; the
+    // probe entries open the layout several times per lifecycle).
+    // Legacy Spark-written params decode through the same reader
+    // (MetaIOSpec pins the float-matrix byte-compat both directions).
     val pr =
-      try spark.read.parquet(s"$path/params").head()
+      try Dedup.readParamsRow(spark, s"$path/params")
       catch {
         case e: Exception => throw new IllegalArgumentException(
           s"IVF layout at $path has no readable params table — " +

@@ -45,6 +45,10 @@ object MetaIO {
   case object MDouble extends MT
   case object MBoolean extends MT
   case object MStringList extends MT
+  /** `array<array<float>>` — the IVF quantizer matrices (centroids,
+    * PQ codebooks). Encoded exactly as Spark writes nested lists
+    * (3-level LIST whose element is itself a 3-level LIST of float). */
+  case object MFloatMatrix extends MT
 
   private def schemaOf(cols: Seq[(String, MT)], msgName: String): MessageType = {
     val b = Types.buildMessage()
@@ -64,6 +68,12 @@ object MetaIO {
           b.addField(Types.optionalList()
             .element(Types.optional(BINARY)
               .as(LogicalTypeAnnotation.stringType()).named("element"))
+            .named(n))
+        case MFloatMatrix =>
+          b.addField(Types.optionalList()
+            .element(Types.optionalList()
+              .element(Types.optional(FLOAT).named("element"))
+              .named("element"))
             .named(n))
       }
     }
@@ -90,28 +100,8 @@ object MetaIO {
     val writer = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(tmp, conf))
       .withType(schema).withConf(conf).build()
-    try {
-      val gf = new SimpleGroupFactory(schema)
-      rows.foreach { r =>
-        val g = gf.newGroup()
-        cols.zip(r).foreach { case ((n, t), v) =>
-          if (v != null) t match {
-            case MString => g.add(n, v.asInstanceOf[String])
-            case MInt => g.add(n, v.asInstanceOf[Int])
-            case MLong => g.add(n, v.asInstanceOf[Long])
-            case MDouble => g.add(n, v.asInstanceOf[Double])
-            case MBoolean => g.add(n, v.asInstanceOf[Boolean])
-            case MStringList =>
-              val lst = g.addGroup(n)
-              v.asInstanceOf[Seq[String]].foreach { e =>
-                val entry = lst.addGroup("list")
-                if (e != null) entry.add("element", e)
-              }
-          }
-        }
-        writer.write(g)
-      }
-    } finally writer.close()
+    try writeRows(writer, new SimpleGroupFactory(schema), cols, rows)
+    finally writer.close()
     // overwrite: drop previous visible files, then publish
     if (fs.exists(d)) fs.listStatus(d).foreach { st =>
       val n = st.getPath.getName
@@ -121,6 +111,41 @@ object MetaIO {
     require(fs.rename(tmp, new Path(d, name)),
       s"MetaIO.writeTable: could not publish $tmp")
   }
+
+  private def writeRows(
+      writer: org.apache.parquet.hadoop.ParquetWriter[Group],
+      gf: SimpleGroupFactory, cols: Seq[(String, MT)],
+      rows: Seq[Seq[Any]]): Unit =
+    rows.foreach { r =>
+      val g = gf.newGroup()
+      cols.zip(r).foreach { case ((n, t), v) =>
+        if (v != null) t match {
+          case MString => g.add(n, v.asInstanceOf[String])
+          case MInt => g.add(n, v.asInstanceOf[Int])
+          case MLong => g.add(n, v.asInstanceOf[Long])
+          case MDouble => g.add(n, v.asInstanceOf[Double])
+          case MBoolean => g.add(n, v.asInstanceOf[Boolean])
+          case MStringList =>
+            val lst = g.addGroup(n)
+            v.asInstanceOf[Seq[String]].foreach { e =>
+              val entry = lst.addGroup("list")
+              if (e != null) entry.add("element", e)
+            }
+          case MFloatMatrix =>
+            val lst = g.addGroup(n)
+            v.asInstanceOf[Seq[Seq[Float]]].foreach { rowv =>
+              val entry = lst.addGroup("list")
+              if (rowv != null) {
+                val inner = entry.addGroup("element")
+                rowv.foreach { f =>
+                  inner.addGroup("list").add("element", f)
+                }
+              }
+            }
+        }
+      }
+      writer.write(g)
+    }
 
   /** Append `rows` as ONE new parquet file beside the existing ones
     * (hidden temp + rename, complete-only-visible). */
@@ -134,28 +159,8 @@ object MetaIO {
     val writer = ExampleParquetWriter
       .builder(HadoopOutputFile.fromPath(tmp, conf))
       .withType(schema).withConf(conf).build()
-    try {
-      val gf = new SimpleGroupFactory(schema)
-      rows.foreach { r =>
-        val g = gf.newGroup()
-        cols.zip(r).foreach { case ((n, t), v) =>
-          if (v != null) t match {
-            case MString => g.add(n, v.asInstanceOf[String])
-            case MInt => g.add(n, v.asInstanceOf[Int])
-            case MLong => g.add(n, v.asInstanceOf[Long])
-            case MDouble => g.add(n, v.asInstanceOf[Double])
-            case MBoolean => g.add(n, v.asInstanceOf[Boolean])
-            case MStringList =>
-              val lst = g.addGroup(n)
-              v.asInstanceOf[Seq[String]].foreach { e =>
-                val entry = lst.addGroup("list")
-                if (e != null) entry.add("element", e)
-              }
-          }
-        }
-        writer.write(g)
-      }
-    } finally writer.close()
+    try writeRows(writer, new SimpleGroupFactory(schema), cols, rows)
+    finally writer.close()
     require(fs.rename(tmp, new Path(d, name)),
       s"MetaIO.appendTable: could not publish $tmp")
   }
@@ -232,19 +237,37 @@ object MetaIO {
         }
         m += n -> v
       } else {
-        // 3-level LIST of strings (the only nested shape the metadata
-        // tables use); tolerate the legacy 2-level "array"/"bag" shape
-        val lg = g.getGroup(i, 0)
-        val entries = lg.getFieldRepetitionCount(0)
-        val items = (0 until entries).map { j =>
-          val entry = lg.getGroup(0, j)
-          if (entry.getFieldRepetitionCount(0) == 0) null
-          else entry.getString(0, 0)
-        }
-        m += n -> items
+        // 3-level LIST (string elements, or — r20, the IVF quantizer
+        // matrices — nested float-list elements); tolerate the legacy
+        // 2-level "array"/"bag" shape
+        m += n -> decodeList(g.getGroup(i, 0))
       }
     }
     m.result()
+  }
+
+  /** Decode a 3-level LIST group: `list` entries whose `element` is a
+    * string, a float, or itself a LIST (recursing — covers Spark's
+    * `array<array<float>>` encoding). Absent elements decode to null. */
+  private def decodeList(lg: Group): Seq[Any] = {
+    val entries = lg.getFieldRepetitionCount(0)
+    (0 until entries).map { j =>
+      val entry = lg.getGroup(0, j)
+      if (entry.getFieldRepetitionCount(0) == 0) null
+      else {
+        val el = entry.getType.getType(0)
+        if (el.isPrimitive)
+          el.asPrimitiveType().getPrimitiveTypeName match {
+            case FLOAT => entry.getFloat(0, 0)
+            case DOUBLE => entry.getDouble(0, 0)
+            case INT32 => entry.getInteger(0, 0)
+            case INT64 => entry.getLong(0, 0)
+            case BOOLEAN => entry.getBoolean(0, 0)
+            case _ => entry.getString(0, 0)
+          }
+        else decodeList(entry.getGroup(0, 0))
+      }
+    }
   }
 
   /** Max of an INT64 column over every visible parquet file under

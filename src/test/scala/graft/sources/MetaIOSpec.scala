@@ -36,6 +36,33 @@ class MetaIOSpec extends SparkSpec {
     assert(r("normalize") == true)
   }
 
+  test("float-matrix byte-compat (r20): Spark-written array<array<float>> " +
+      "reads back via MetaIO, and MetaIO-written via Spark") {
+    import spark.implicits._
+    val mat = Seq(Seq(1.5f, -2.25f), Seq(0f, 3f), Seq())
+    // Spark → MetaIO (the legacy IVF params direction)
+    val d1 = tmpDir("fm_spark2meta")
+    Seq(("a", mat, 4)).toDF("id_col", "centroids", "pq_m")
+      .coalesce(1).write.mode("overwrite").parquet(d1)
+    val r = MetaIO.readTable(conf, d1).head
+    assert(r("id_col") == "a" && r("pq_m") == 4)
+    assert(r("centroids") == mat)
+    // MetaIO → Spark (the r20 writer direction)
+    val d2 = tmpDir("fm_meta2spark")
+    MetaIO.writeTable(conf, d2,
+      Seq("id_col" -> MString, "centroids" -> MFloatMatrix,
+        "pq_m" -> MInt),
+      Seq(Seq("a", mat, 4)))
+    val row = spark.read.parquet(d2).head()
+    assert(row.getAs[String]("id_col") == "a")
+    assert(row.getAs[Int]("pq_m") == 4)
+    assert(row.getSeq[scala.collection.Seq[Float]](
+      row.fieldIndex("centroids")).map(_.toSeq) == mat)
+    // and the Spark-inferred schema of both files matches
+    assert(spark.read.parquet(d1).schema("centroids").dataType ==
+      spark.read.parquet(d2).schema("centroids").dataType)
+  }
+
   test("readTable preserves the file's field order (r20): a positional " +
       "consumer of the reconstructed rows sees the on-disk column order") {
     import spark.implicits._
